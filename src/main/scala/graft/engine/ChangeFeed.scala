@@ -1,0 +1,83 @@
+package graft.engine
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+import java.nio.charset.StandardCharsets
+import scala.jdk.CollectionConverters._
+
+/** S1 — incremental document feed.
+  *
+  * The reference consumes a Cosmos change feed from a stored continuation
+  * token so each run processes only new events (reference
+  * `dataflow/New_BookingTransformation.json:73-75` `enableChangeFeed: true`,
+  * `pipeline/New_LoadBookingFact.json:34-36` `customizedCheckpointKey`). We
+  * model the feed as a directory of JSON files (one or more documents per
+  * file, latest version of a document per event) and offer both modes:
+  *
+  *  - '''Streaming''' ([[stream]]): Structured Streaming file source —
+  *    Spark's own offset log in `checkpointLocation` is the continuation
+  *    token. Run with `Trigger.AvailableNow` for the reference's
+  *    run-to-completion-per-invocation behavior (SURVEY §2.5 O3).
+  *  - '''Batch-incremental''' ([[readNew]]): explicit high-watermark file
+  *    listing processed feed files; returns the unprocessed slice and a
+  *    commit callback. This is the unit-testable core; streaming is a shell.
+  *
+  * Scale note: file listing is driver-side O(files); at real scale the feed
+  * dir should be date-partitioned (`feed/date=.../ *.json`) so the listing and
+  * the read prune by partition. Schema is declared, not inferred — inference
+  * would scan the data twice.
+  */
+final class ChangeFeed(
+    spark: SparkSession,
+    feedDir: String,
+    schema: StructType,
+    checkpointFile: String,
+) {
+  private val hconf = spark.sparkContext.hadoopConfiguration
+  private def fs: FileSystem = new Path(feedDir).getFileSystem(hconf)
+
+  /** Structured Streaming source over the feed directory. */
+  def stream(): DataFrame =
+    spark.readStream.schema(schema).option("mode", "PERMISSIVE").json(feedDir)
+
+  private def processed: Set[String] = {
+    val p = new Path(checkpointFile)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        .split("\n").map(_.trim).filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+  }
+
+  private def listFeed(): Seq[String] = {
+    val dir = new Path(feedDir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
+      .map(_.getPath.toString)
+      .sorted
+  }
+
+  /** Unprocessed feed files as one DataFrame, plus a commit callback that
+    * advances the watermark — call it only after the downstream write
+    * commits, so a failed run re-reads the same slice (at-least-once, which
+    * the keyed merge makes effectively exactly-once).
+    */
+  def readNew(): (DataFrame, Seq[String], () => Unit) = {
+    val todo = listFeed().filterNot(processed.contains)
+    val df =
+      if (todo.isEmpty) spark.createDataFrame(List.empty[org.apache.spark.sql.Row].asJava, schema)
+      else spark.read.schema(schema).option("mode", "PERMISSIVE").json(todo: _*)
+    val commit = () => {
+      val all = processed ++ todo
+      val out = fs.create(new Path(checkpointFile), true)
+      try out.write(all.toSeq.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    (df, todo, commit)
+  }
+}
