@@ -1,13 +1,25 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.ParityQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps one entry per implemented operator (SURVEY §2 + extension
+  * ops); `oracleSql` holds the DuckDB-equivalent SQL for each (omitted only
+  * for ops not expressible in portable SQL → rows-only check).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the reference's §2.4 aggregation battery (fact⋈dim⋈nation, 17 aggregates).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    ParityQueries.defs("q_agg_battery").fn(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ParityQueries.defs.map { case (k, q) => k -> q.fn }
+
+  def oracleSql: Map[String, String] =
+    ParityQueries.defs.collect { case (k, q) if q.oracle.isDefined => k -> q.oracle.get }
 }

@@ -86,13 +86,7 @@ final class KeyedTable(
       case None     => batch.dropDuplicates(keys)
     }
     if (!exists) return commit(latest)
-    val cur = current
-    val batchKeys = {
-      val k = latest.select(keys.map(col).toIndexedSeq: _*)
-      if (broadcastBatchKeys) broadcast(k) else k
-    }
-    val kept = cur.join(batchKeys, keys, "left_anti")
-    commit(kept.unionByName(latest.select(cur.columns.map(col).toIndexedSeq: _*)))
+    commit(KeyedTable.mergePlan(current, latest, keys, broadcastBatchKeys))
   }
 
   private def commit(df: DataFrame): Long = {
@@ -110,6 +104,22 @@ final class KeyedTable(
 
 object KeyedTable {
   val CurrentMarker = "_CURRENT"
+
+  /** The merge as a pure logical plan: rows of `current` whose key is NOT in
+    * `batch` (anti-join against a broadcast of the batch's key columns — zero
+    * shuffle of the big snapshot side), unioned with the batch. Insert+update,
+    * never delete — the reference's sink contract (`dataflow:169-172`).
+    * `batch` must already be deduped to one row per key.
+    */
+  def mergePlan(current: DataFrame, batch: DataFrame, keys: Seq[String],
+                broadcastBatchKeys: Boolean = true): DataFrame = {
+    val batchKeys = {
+      val k = batch.select(keys.map(col).toIndexedSeq: _*)
+      if (broadcastBatchKeys) broadcast(k) else k
+    }
+    current.join(batchKeys, keys, "left_anti")
+      .unionByName(batch.select(current.columns.map(col).toIndexedSeq: _*))
+  }
 
   def apply(spark: SparkSession, root: String, keys: Seq[String],
             orderCol: Option[String] = None, numBuckets: Int = 0): KeyedTable =

@@ -1,0 +1,302 @@
+package graft.queries
+
+import graft.engine.{KeyedTable, Ops}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One `queries` entry (+ DuckDB oracle SQL) per reference operator from
+  * SURVEY §2, mapped onto the driver testdata per FIXTURES.md §B.
+  *
+  * Determinism discipline for the oracle hash-compare:
+  *  - money aggregates accumulate in DECIMAL (exact, order-independent) and
+  *    only then convert once to DOUBLE — identical bits in Spark and DuckDB
+  *    regardless of partitioning/merge order;
+  *  - averages are expressed as exact-sum ÷ count, not float `avg()`;
+  *  - every window/sort carries an explicit unique tie-break column;
+  *  - double→int conversions use `floor`+cast (Spark truncates, DuckDB
+  *    rounds — a bare cast would diverge);
+  *  - integer CASE-sums are cast to BIGINT (DuckDB SUM(int) is HUGEINT).
+  */
+object ParityQueries {
+
+  final case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+  /** Exact decimal accumulation of a double column, surfaced as double. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  val defs: Map[String, Q] = Map(
+
+    // ----- T1: conditional disjoint split (null predicate → accepted side) --
+    "q_split_accepted" -> Q(
+      (s, d) => Ops.split(Td.events(s, d), col("value") < lit(2.0))._2,
+      Some("SELECT * FROM events WHERE NOT coalesce(value < 2.0, false)")),
+
+    "q_split_bad" -> Q(
+      (s, d) => Ops.split(Td.events(s, d), col("value") < lit(2.0))._1,
+      Some("SELECT * FROM events WHERE coalesce(value < 2.0, false)")),
+
+    // ----- T2 dedupe: latest row per key (desc, nulls last, tie-broken) -----
+    "q_latest_per_key" -> Q(
+      (s, d) => Ops.latestPerKey(Td.events(s, d), Seq("user_id"), "ts", Seq("event_id")),
+      Some("""SELECT event_id, ts, user_id, event_type, value, props FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY user_id ORDER BY ts DESC NULLS LAST, event_id DESC) AS rn
+             |  FROM events) t WHERE rn = 1""".stripMargin)),
+
+    // ----- T2+T3: lookup against dim + insert/update flag -------------------
+    "q_cdc_lookup_flag" -> Q(
+      (s, d) => {
+        val latest = Ops.latestPerKey(Td.events(s, d), Seq("user_id"), "ts", Seq("event_id"))
+        val looked = Ops.lookupLatest(
+          latest, Td.customer(s, d).withColumnRenamed("c_custkey", "user_id"),
+          "user_id", "c_acctbal", hintBroadcast = true)
+        Ops.flagInsertUpdate(looked, "lookup_user_id")
+          .select(latest("user_id"), col("event_id"), col("ts"),
+            col("lookup_c_mktsegment").as("segment"), col(Ops.OpCol))
+      },
+      Some("""SELECT e.user_id, e.event_id, e.ts, c.c_mktsegment AS segment,
+             |  CASE WHEN c.c_custkey IS NULL THEN 'insert' ELSE 'update' END AS _op
+             |FROM (
+             |  SELECT * FROM (
+             |    SELECT *, row_number() OVER (
+             |      PARTITION BY user_id ORDER BY ts DESC NULLS LAST, event_id DESC) AS rn
+             |    FROM events) t WHERE rn = 1) e
+             |LEFT JOIN customer c ON e.user_id = c.c_custkey""".stripMargin)),
+
+    // ----- §2.4: the 17-column aggregation battery (country ≙ nation) -------
+    // status analog: 'O' ≙ Confirmed, 'F' ≙ Cancelled.
+    "q_agg_battery" -> Q(
+      (s, d) => {
+        val amount = coalesce(col("o_totalprice"), lit(0.0))
+        def st(v: String, c: Column): Column = when(col("o_orderstatus") === v, c)
+        val cnt = count(lit(1))
+        val cancelled = sum(st("F", lit(1)).otherwise(0))
+        Td.orders(s, d)
+          .join(Td.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Td.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("country"))
+          .agg(
+            cnt.as("total_bookings"),
+            sum(st("O", lit(1)).otherwise(0)).as("confirmed_bookings"),
+            cancelled.as("cancelled_bookings"),
+            dsum(amount).as("total_amount"),
+            dsum(st("O", amount).otherwise(0.0)).as("confirmed_amount"),
+            dsum(st("F", amount).otherwise(0.0)).as("cancelled_amount"),
+            when(cnt === 0, lit(0.0))
+              .otherwise(cancelled.cast("double") / cnt.cast("double")).as("cancellation_rate"),
+            max(col("o_orderdate")).as("last_booking_date"),
+            min(col("o_orderdate")).as("first_booking_date"),
+            (dsum(amount) / cnt).as("avg_amount"),
+            (dsum(st("O", amount)) / nullif(sum(st("O", lit(1)).otherwise(0)), lit(0)))
+              .as("confirmed_avg_amount"),
+            (dsum(st("F", amount)) / nullif(cancelled, lit(0))).as("cancelled_avg_amount"),
+            min(amount).as("min_amount"),
+            max(amount).as("max_amount"),
+            countDistinct(col("o_custkey")).as("distinct_customers"),
+            (sum(dayofmonth(col("o_orderdate"))).cast("double") / cnt).as("avg_stay_duration"),
+          )
+      },
+      Some("""SELECT n_name AS country,
+             |  count(*) AS total_bookings,
+             |  CAST(SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS confirmed_bookings,
+             |  CAST(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS cancelled_bookings,
+             |  CAST(SUM(CAST(coalesce(o_totalprice,0) AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
+             |  CAST(SUM(CASE WHEN o_orderstatus='O' THEN CAST(coalesce(o_totalprice,0) AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS confirmed_amount,
+             |  CAST(SUM(CASE WHEN o_orderstatus='F' THEN CAST(coalesce(o_totalprice,0) AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS cancelled_amount,
+             |  CASE WHEN count(*)=0 THEN 0.0 ELSE
+             |    CAST(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS DOUBLE)/CAST(count(*) AS DOUBLE) END AS cancellation_rate,
+             |  max(o_orderdate) AS last_booking_date,
+             |  min(o_orderdate) AS first_booking_date,
+             |  CAST(SUM(CAST(coalesce(o_totalprice,0) AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_amount,
+             |  CAST(SUM(CASE WHEN o_orderstatus='O' THEN CAST(coalesce(o_totalprice,0) AS DECIMAL(18,2)) END) AS DOUBLE)
+             |    / NULLIF(SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END),0) AS confirmed_avg_amount,
+             |  CAST(SUM(CASE WHEN o_orderstatus='F' THEN CAST(coalesce(o_totalprice,0) AS DECIMAL(18,2)) END) AS DOUBLE)
+             |    / NULLIF(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END),0) AS cancelled_avg_amount,
+             |  min(coalesce(o_totalprice,0)) AS min_amount,
+             |  max(coalesce(o_totalprice,0)) AS max_amount,
+             |  count(DISTINCT o_custkey) AS distinct_customers,
+             |  CAST(SUM(day(o_orderdate)) AS DOUBLE)/count(*) AS avg_stay_duration
+             |FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name""".stripMargin)),
+
+    // ----- K1/K2: keyed insert/update merge as a plan -----------------------
+    "q_merge_upsert" -> Q(
+      (s, d) => {
+        val orders = Td.orders(s, d)
+        val current = orders.filter(col("o_orderkey") % 3 =!= 0)
+        val batch = orders.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_orderstatus", lit("U"))
+          .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+        KeyedTable.mergePlan(current, batch, Seq("o_orderkey"))
+      },
+      Some("""SELECT * FROM orders
+             |WHERE o_orderkey % 3 <> 0 AND NOT EXISTS (
+             |  SELECT 1 FROM orders b WHERE b.o_orderkey % 5 = 0
+             |    AND b.o_orderkey = orders.o_orderkey)
+             |UNION ALL
+             |SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             |       o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin)),
+
+    // ----- T5: schema-align casts ------------------------------------------
+    "q_align_cast" -> Q(
+      (s, d) => Td.lineitem(s, d).select(
+        col("l_orderkey").cast("string").as("order_key"),
+        col("l_linenumber").as("line_no"),
+        col("l_quantity").cast("decimal(12,2)").as("qty_dec"),
+        col("l_shipdate").cast("date").as("ship_date"),
+        floor(col("l_extendedprice")).cast("long").as("price_floor"),
+        concat(col("l_returnflag"), lit("-"), col("l_linestatus")).as("flag_status"),
+      ),
+      Some("""SELECT CAST(l_orderkey AS VARCHAR) AS order_key,
+             |  l_linenumber AS line_no,
+             |  CAST(l_quantity AS DECIMAL(12,2)) AS qty_dec,
+             |  CAST(l_shipdate AS DATE) AS ship_date,
+             |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+             |  l_returnflag || '-' || l_linestatus AS flag_status
+             |FROM lineitem""".stripMargin)),
+
+    // ----- sort / top-k -----------------------------------------------------
+    "q_topk_orders" -> Q(
+      (s, d) => Td.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    // ----- window functions: running sum + rank -----------------------------
+    "q_window_running" -> Q(
+      (s, d) => {
+        val wRun = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wRank = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Td.orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(wRun)
+            .cast("double").as("running_spend"),
+          rank().over(wRank).as("spend_rank"),
+        )
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+             |  rank() OVER (PARTITION BY o_custkey
+             |    ORDER BY o_totalprice DESC, o_orderkey) AS spend_rank
+             |FROM orders""".stripMargin)),
+
+    // ----- join shapes: semi / anti ----------------------------------------
+    "q_semi_join" -> Q(
+      (s, d) => Td.customer(s, d)
+        .join(Td.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment"),
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
+
+    "q_anti_join" -> Q(
+      // customers with no currently-open ('O') order — non-empty anti result
+      (s, d) => Td.customer(s, d)
+        .join(Td.orders(s, d).filter(col("o_orderstatus") === "O"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal"),
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |  WHERE o_orderstatus = 'O' AND o_custkey = c_custkey)""".stripMargin)),
+
+    // ----- multi-level aggregation: rollup ---------------------------------
+    "q_rollup_region" -> Q(
+      (s, d) => Td.customer(s, d)
+        .join(broadcast(Td.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Td.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("customers"), dsum(col("c_acctbal")).as("balance")),
+      Some("""SELECT r_name, n_name, count(*) AS customers,
+             |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS balance
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP(r_name, n_name)""".stripMargin)),
+
+    // ----- TPC-H Q1-like pricing summary -----------------------------------
+    "q_pricing_summary" -> Q(
+      (s, d) => {
+        val disc = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)")
+        val charge = (col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax"))).cast("decimal(18,6)")
+        Td.lineitem(s, d)
+          .filter(col("l_shipdate") <= lit("1997-09-01").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            sum(disc).cast("double").as("sum_disc_price"),
+            sum(charge).cast("double").as("sum_charge"),
+            (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_qty"),
+            (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+            (sum(col("l_discount").cast("decimal(18,6)")).cast("double") / count(lit(1))).as("avg_disc"),
+            count(lit(1)).as("count_order"),
+          )
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+             |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_price,
+             |  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)/count(*) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1997-09-01 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ----- TPC-H Q3-like: filtered 3-way join + group + top-k --------------
+    "q_top_revenue_orders" -> Q(
+      (s, d) => {
+        val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)")
+        Td.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+          .join(Td.orders(s, d), col("c_custkey") === col("o_custkey"))
+          .join(Td.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate"))
+          .groupBy("o_orderkey", "o_orderdate")
+          .agg(sum(rev).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, o_orderdate,
+             |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE c_mktsegment = 'BUILDING' AND l_shipdate > o_orderdate
+             |GROUP BY o_orderkey, o_orderdate
+             |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // ----- event-time sessionization (gap > 30 min) ------------------------
+    "q_sessionize" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        Td.events(s, d)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+          .withColumn("is_new",
+            when(col("prev_us").isNull ||
+              (unix_micros(col("ts")) - col("prev_us")) > 1800000000L, 1).otherwise(0))
+          .groupBy("user_id")
+          .agg(sum(col("is_new")).as("sessions"), count(lit(1)).as("events"))
+      },
+      Some("""SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS sessions, count(*) AS events
+             |FROM (
+             |  SELECT user_id,
+             |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+             |      THEN 1 ELSE 0 END AS is_new
+             |  FROM events) t
+             |GROUP BY user_id""".stripMargin)),
+  )
+}

@@ -1,0 +1,35 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loader for the driver's testdata tables (TESTDATA.md).
+  *
+  * One quirk: `events.ts` is a nanosecond-precision parquet timestamp, which
+  * Spark's vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We
+  * read it as a long (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
+  * microseconds with integer division — exactly what DuckDB does when it
+  * coerces ns → its µs TIMESTAMP, so oracle comparisons line up. Plain `/`
+  * would route through double and corrupt the low digits of an epoch-ns
+  * value (2^63-scale doesn't fit a 53-bit mantissa).
+  */
+object Td {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = name match {
+    case "events" =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case _ => spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
