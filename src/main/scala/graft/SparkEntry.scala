@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.ParityQueries
+import graft.queries.{ParityQueries, TextQueries, VectorQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -17,9 +17,12 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     ParityQueries.defs("q_agg_battery").fn(spark, "/root/testdata/sf0.001")
 
+  private def all: Map[String, ParityQueries.Q] =
+    ParityQueries.defs ++ TextQueries.defs ++ VectorQueries.defs
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.defs.map { case (k, q) => k -> q.fn }
+    all.map { case (k, q) => k -> q.fn }
 
   def oracleSql: Map[String, String] =
-    ParityQueries.defs.collect { case (k, q) if q.oracle.isDefined => k -> q.oracle.get }
+    all.collect { case (k, q) if q.oracle.isDefined => k -> q.oracle.get }
 }

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication for large corpora: exact, n-gram Jaccard (inverted index),
+  * MinHash+LSH, SimHash.
+  *
+  * Scale design: nothing here cross-joins. Exact dedup is one hash
+  * aggregation; Jaccard and MinHash candidate generation go through
+  * explode → shuffle-on-token/bucket → self-equi-join, so cost follows the
+  * number of COLLIDING pairs, not n². At 100 TB the LSH path is the default
+  * and the exact-Jaccard verify runs only on the candidate set.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the first (smallest `keepBy`) row per key set. One
+    * shuffle on the key columns; map-side partial min keeps it light.
+    */
+  def exact(df: DataFrame, keys: Seq[String], keepBy: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(keepBy).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact pairwise n-gram Jaccard ≥ `tau` via an inverted shingle index:
+    * explode distinct shingles → self-join on shingle (id < id) → count
+    * common shingles per pair → Jaccard from the set sizes. Never builds the
+    * n² cross product; the join fans out only where shingles collide. Skewed
+    * ultra-common shingles would hot-spot the join at scale — mitigate by
+    * dropping shingles with document frequency above a cap (they can only
+    * connect near-identical boilerplate anyway).
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, tau: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      TextOps.shingles(TextOps.tokens(col(textCol)), n).as("sh"))
+    val sizes = sh.select(col("id"), size(col("sh")).as("n_sh"))
+    val ex = sh.select(col("id"), explode(col("sh")).as("s"))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash parameters: `numHashes` permutations h_i(x) = (a_i·x + b_i) mod
+    * P over the shingles' polynomial hashes, banded `bands` × `rowsPerBand`
+    * for LSH. Constants are fixed so signatures are reproducible run-to-run
+    * and engine-to-engine.
+    */
+  val MinHashP = 2147483647L // 2^31 - 1
+  def aCoef(i: Int): Long = 2L * i + 1
+  def bCoef(i: Int): Long = 7919L * i + 13
+
+  /** Per-row minhash signature columns `mh0..mh{k-1}` from a text column. */
+  def withMinHashes(df: DataFrame, textCol: String, n: Int, numHashes: Int): DataFrame = {
+    val shHashes = transform(
+      TextOps.shingles(TextOps.tokens(col(textCol)), n),
+      s => TextOps.polyHash(s))
+    val withSh = df.withColumn("__shh", shHashes)
+    val out = (0 until numHashes).foldLeft(withSh) { (d, i) =>
+      d.withColumn(s"mh$i",
+        array_min(transform(col("__shh"), h => (lit(aCoef(i)) * h + lit(bCoef(i))) % MinHashP)))
+    }
+    out.drop("__shh")
+  }
+
+  /** Collapse minhash columns into `bands` band-hash columns `band0..`. */
+  def withBands(df: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    (0 until bands).foldLeft(df) { (d, j) =>
+      val bandHash = (0 until rowsPerBand).foldLeft(lit(0L)) { (acc, k) =>
+        (acc * 31 + col(s"mh${j * rowsPerBand + k}")) % MinHashP
+      }
+      d.withColumn(s"band$j", bandHash)
+    }
+
+  /** LSH candidate pairs: docs sharing at least one band hash. Explode the
+    * band columns → shuffle on (band index, band value) → self-join within
+    * buckets → distinct pairs. Cost ∝ bucket collision mass, not n².
+    */
+  def lshCandidates(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, numHashes: Int = 32,
+                    bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val sig = withBands(withMinHashes(
+      df.select(col(idCol).as("id"), col(textCol).as("text")), "text", n, numHashes),
+      bands, rowsPerBand)
+    val buckets = sig.select(col("id"), posexplode(
+      array((0 until bands).map(j => col(s"band$j")): _*)).as(Seq("band_idx", "band_val")))
+      .filter(col("band_val").isNotNull)
+    buckets.as("a").join(buckets.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dedup: candidates from LSH, verified with exact n-gram
+    * Jaccard, then drop every doc that has a verified near-dup with a
+    * smaller id (deterministic survivor rule). Returns the kept rows.
+    */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, tau: Double = 0.5): DataFrame = {
+    val cands = lshCandidates(df, idCol, textCol, n)
+    val sh = df.select(col(idCol).as("id"),
+      TextOps.shingles(TextOps.tokens(col(textCol)), n).as("sh"))
+    val verified = cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= tau)
+    val drop = verified.select(col("id_b").as("__drop_id")).distinct()
+    df.join(drop, df(idCol) === col("__drop_id"), "left_anti")
+  }
+
+  /** SimHash near-dup buckets: documents sharing the same 30-bit simhash.
+    * For hamming-distance-k matching at scale, band the bits (k+1 tables)
+    * like minhash bands — exposed here as the exact-collision base case.
+    */
+  def simhashGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextOps.simHash(TextOps.tokens(col(textCol))).as("simhash"))
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus pipelines: normalization,
+  * tokenization, shingling, deterministic hashing, language-ID heuristics,
+  * quality scoring, fingerprinting.
+  *
+  * Everything here is a pure codegen'd Catalyst expression tree (built-in
+  * functions + higher-order functions) — no UDFs, so whole-stage codegen and
+  * column pruning survive, and results are reproducible across engines (the
+  * polynomial hash is plain arithmetic, not engine-specific xxhash).
+  */
+object TextOps {
+
+  /** 1e9+7 — prime modulus for the polynomial rolling hash; keeps every
+    * intermediate < 2^35 so 64-bit arithmetic never overflows (DuckDB raises
+    * on BIGINT overflow; Spark wraps — staying small keeps them identical).
+    */
+  val HashP = 1000000007L
+
+  /** Lowercase, strip non-alphanumerics, collapse runs of spaces, trim. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** Deterministic polynomial rolling hash of a string:
+    * fold(chars, h = (h*31 + codepoint) mod 1e9+7). Used as the shared,
+    * engine-portable hash for minhash/simhash/fingerprints.
+    */
+  def polyHash(c: Column): Column =
+    aggregate(split(c, ""), lit(0L), (acc, ch) => (acc * 31 + ascii(ch)) % HashP)
+
+  /** Distinct word n-gram shingles (space-joined) of a token array. */
+  def shingles(toks: Column, n: Int): Column = {
+    val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
+    array_distinct(when(size(toks) >= n, grams).otherwise(typedLit(Seq.empty[String])))
+  }
+
+  /** Count of tokens matching a fixed vocabulary (e.g. a stopword list). */
+  def vocabHits(toks: Column, vocab: Seq[String]): Column =
+    size(filter(toks, t => t.isin(vocab.map(lit(_)): _*)))
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword language-ID
+    * heuristic. Deliberately small and fixed — the point is deterministic,
+    * cheap scoring, not linguistic accuracy.
+    */
+  val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los", "se", "del", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "im", "ist"),
+  )
+
+  /** Language-ID: argmax of per-language stopword hit counts, ties broken by
+    * profile order, zero hits everywhere → "und" (undetermined).
+    */
+  def langId(toks: Column): Column = {
+    val scores = StopwordProfiles.map { case (lang, words) => lang -> vocabHits(toks, words) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best === 0, lit("und"))) { case (acc, (lang, score)) =>
+      acc.when(score === best, lit(lang))
+    }.otherwise(lit("und"))
+  }
+
+  /** Character-class ratio against the raw text length (0 when empty). */
+  def charClassRatio(text: Column, charClass: String): Column = {
+    val total = length(text)
+    val hits = total - length(regexp_replace(text, charClass, ""))
+    when(total === 0, 0.0).otherwise(hits.cast("double") / total.cast("double"))
+  }
+
+  /** 30-bit SimHash over the distinct tokens' polynomial hashes: bit i is set
+    * iff sum over tokens of ±1 (by the token hash's bit i) is positive.
+    * One pass over the token-hash array per bit — all inside codegen; a
+    * custom Expression could fuse the 30 passes if this ever dominates.
+    */
+  val SimHashBits = 30
+  def simHash(toks: Column): Column = {
+    val hashes = transform(array_distinct(toks), t => polyHash(t))
+    (0 until SimHashBits).foldLeft(lit(0L)) { (acc, i) =>
+      val bitSum = aggregate(hashes, lit(0L),
+        (a, h) => a + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      acc + when(bitSum > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+  }
+
+  /** Document fingerprint: polynomial rolling hash of the whole normalized
+    * text — a cheap stable identity for exact-ish dedup and lineage.
+    */
+  def fingerprint(c: Column): Column = polyHash(normText(c))
+}

@@ -1,0 +1,177 @@
+package graft.queries
+
+import graft.operators.{Dedup, Multimodal, TextOps}
+import graft.queries.ParityQueries.Q
+import org.apache.spark.sql.functions._
+
+/** Extension queries: text analysis + deduplication over `documents`
+  * (SURVEY §7.2 step 7). Oracle SQL is generated from the same constants as
+  * the Spark expressions so both engines compute the identical arithmetic
+  * (polynomial hashes, minhash permutations, simhash bits).
+  */
+object TextQueries {
+
+  // --- DuckDB fragments mirroring TextOps (kept in lockstep) ---------------
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+  private val toksSql = s"string_split($normSql, ' ')"
+  private def polyHashSql(s: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in split($s, '')]), (acc, c) -> (acc*31 + c) % ${TextOps.HashP})"
+  private val shinglesSql = // distinct word 3-grams, matching TextOps.shingles(_, 3)
+    "list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])"
+  private val jaccardPairsSql =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+       |sh AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON id_a = sa.doc_id
+       |JOIN sizes sb ON id_b = sb.doc_id
+       |WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5""".stripMargin
+
+  val defs: Map[String, Q] = Map(
+
+    // ----- exact dedup: first version per logical key ----------------------
+    "q_dedup_exact" -> Q(
+      (s, d) => Dedup.exact(Td.events(s, d), Seq("user_id", "event_type"), "event_id"),
+      Some("""SELECT event_id, ts, user_id, event_type, value, props FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY user_id, event_type ORDER BY event_id) AS rn
+             |  FROM events) t WHERE rn = 1""".stripMargin)),
+
+    // ----- text quality / token statistics ---------------------------------
+    "q_text_stats" -> Q(
+      (s, d) => {
+        val t = TextOps.tokens(col("text"))
+        Td.documents(s, d).select(
+          col("doc_id"),
+          length(col("text")).as("n_chars_raw"),
+          size(t).as("n_tokens"),
+          size(array_distinct(t)).as("n_uniq_tokens"),
+          (aggregate(t, lit(0L), (a, x) => a + length(x)).cast("double") /
+            size(t).cast("double")).as("avg_token_len"),
+          TextOps.charClassRatio(col("text"), "[.,;:!?]").as("punct_ratio"),
+          TextOps.charClassRatio(col("text"), "[0-9]").as("digit_ratio"),
+          (TextOps.vocabHits(t, TextOps.StopwordProfiles.head._2).cast("double") /
+            size(t).cast("double")).as("stop_ratio_en"),
+        )
+      },
+      Some(s"""SELECT doc_id,
+              |  length(text) AS n_chars_raw,
+              |  CAST(len(w) AS INT) AS n_tokens,
+              |  CAST(len(list_distinct(w)) AS INT) AS n_uniq_tokens,
+              |  CAST(list_sum([CAST(len(t) AS BIGINT) for t in w]) AS DOUBLE)/len(w) AS avg_token_len,
+              |  CASE WHEN length(text)=0 THEN 0.0 ELSE
+              |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)/length(text) END AS punct_ratio,
+              |  CASE WHEN length(text)=0 THEN 0.0 ELSE
+              |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)/length(text) END AS digit_ratio,
+              |  CAST(len(list_filter(w, t -> list_contains(${sqlList(TextOps.StopwordProfiles.head._2)}, t))) AS DOUBLE)/len(w) AS stop_ratio_en
+              |FROM (SELECT doc_id, text, $toksSql AS w FROM documents) t""".stripMargin)),
+
+    // ----- language-ID heuristic (stopword profiles) -----------------------
+    "q_lang_id" -> Q(
+      (s, d) => Td.documents(s, d).select(
+        col("doc_id"), col("lang").as("lang_actual"),
+        TextOps.langId(TextOps.tokens(col("text"))).as("lang_pred"),
+      ),
+      Some {
+        val scores = TextOps.StopwordProfiles.map { case (lang, words) =>
+          s"len(list_filter(w, t -> list_contains(${sqlList(words)}, t))) AS s_$lang"
+        }.mkString(", ")
+        val langs = TextOps.StopwordProfiles.map(_._1)
+        val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+        val cases = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+        s"""SELECT doc_id, lang AS lang_actual,
+           |  CASE WHEN $best = 0 THEN 'und' $cases ELSE 'und' END AS lang_pred
+           |FROM (SELECT doc_id, lang, $scores
+           |      FROM (SELECT doc_id, lang, $toksSql AS w FROM documents) t0) t""".stripMargin
+      }),
+
+    // ----- document fingerprint (rolling hash) -----------------------------
+    "q_fingerprint" -> Q(
+      (s, d) => Td.documents(s, d).select(
+        col("doc_id"), TextOps.fingerprint(col("text")).as("fp")),
+      Some(s"SELECT doc_id, ${polyHashSql(normSql)} AS fp FROM documents")),
+
+    // ----- exact n-gram Jaccard near-dup pairs (inverted index) ------------
+    "q_jaccard_pairs" -> Q(
+      (s, d) => Dedup.jaccardPairs(Td.documents(s, d), "doc_id", "text", n = 3, tau = 0.5),
+      Some(jaccardPairsSql)),
+
+    // ----- minhash band signatures (LSH bucketing keys) --------------------
+    "q_minhash_bands" -> Q(
+      (s, d) => {
+        val sig = Dedup.withBands(Dedup.withMinHashes(
+          Td.documents(s, d).select("doc_id", "text"), "text", n = 3, numHashes = 32),
+          bands = 8, rowsPerBand = 4)
+        sig.select((col("doc_id") +: (0 until 8).map(j => col(s"band$j"))): _*)
+      },
+      Some {
+        val minhs = (0 until 32).map { i =>
+          s"list_min([(${Dedup.aCoef(i)}*h + ${Dedup.bCoef(i)}) % ${Dedup.MinHashP} for h in hs]) AS mh$i"
+        }.mkString(",\n  ")
+        val bandCols = (0 until 8).map { j =>
+          val f = (0 until 4).foldLeft("CAST(0 AS BIGINT)") { (acc, k) =>
+            s"((($acc)*31 + mh${j * 4 + k}) % ${Dedup.MinHashP})"
+          }
+          s"$f AS band$j"
+        }.mkString(",\n  ")
+        s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+           |sh AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
+           |shh AS (SELECT doc_id, [${polyHashSql("s")} for s in sh] AS hs FROM sh),
+           |mh AS (SELECT doc_id,
+           |  $minhs
+           |FROM shh)
+           |SELECT doc_id,
+           |  $bandCols
+           |FROM mh""".stripMargin
+      }),
+
+    // ----- minhash-LSH near-dedup (candidates + exact verify + survivor) ---
+    // Oracle = survivors of the EXACT jaccard pairs: valid because at the
+    // planted-duplicate similarity (~0.98) the 8×4 banding is lossless on
+    // this data (verified: candidate set ⊇ exact pairs).
+    "q_minhash_dedup" -> Q(
+      (s, d) => Dedup.minhashDedup(Td.documents(s, d), "doc_id", "text", n = 3, tau = 0.5)
+        .select("doc_id", "lang", "source", "n_chars"),
+      Some(s"""SELECT doc_id, lang, source, n_chars FROM documents
+              |WHERE doc_id NOT IN (SELECT id_b FROM ($jaccardPairsSql) p)""".stripMargin)),
+
+    // ----- simhash ----------------------------------------------------------
+    "q_simhash" -> Q(
+      (s, d) => Dedup.simhashGroups(Td.documents(s, d), "doc_id", "text"),
+      Some {
+        val bits = (0 until TextOps.SimHashBits).map { i =>
+          s"CAST(CASE WHEN list_sum([CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END for h in hs]) > 0 THEN ${1L << i} ELSE 0 END AS BIGINT)"
+        }.mkString(" + ")
+        s"""SELECT doc_id, $bits AS simhash
+           |FROM (SELECT doc_id, [${polyHashSql("t")} for t in list_distinct(w)] AS hs
+           |      FROM (SELECT doc_id, $toksSql AS w FROM documents) t0) t""".stripMargin
+      }),
+
+    // ----- multimodal: binary payload + stub decode ------------------------
+    // Deterministic stub features over the payload bytes; documents are pure
+    // ASCII so the byte-fold hash equals the char-fold hash, making even the
+    // stub oracle-checkable. The Spark side runs the real binary-column
+    // mapPartitions pipeline.
+    "q_multimodal_decode" -> Q(
+      (s, d) => {
+        val media = Multimodal.asMediaTable(Td.documents(s, d), "doc_id", "text")
+        Multimodal.decodeFeatures(s, media).select("media_id", "media_type", "n_bytes", "width", "height")
+      },
+      Some(s"""SELECT doc_id AS media_id, 'image/stub' AS media_type,
+              |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              |  CAST(64 + h % 512 AS INT) AS width,
+              |  CAST(64 + (h // 512) % 512 AS INT) AS height
+              |FROM (SELECT doc_id, text, ${polyHashSql("text")} AS h FROM documents) t""".stripMargin)),
+  )
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+}

