@@ -1,0 +1,39 @@
+package graft.examples
+import graft.functions.Kernels
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object EdgeProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    // FloatDot edge cases vs HOF reference
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)),   // same length
+      (2L, Seq(1.0f, 2.0f), Seq(3.0f)),          // mismatch → null
+      (3L, Seq.empty[Float], Seq.empty[Float]),  // empty → 0.0
+    ).toDF("id", "a", "b")
+    val out = df.select(col("id"),
+      Kernels.float_dot(col("a"), col("b")).as("kernel"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x*y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)").as("hof"))
+    out.show()
+    out.collect().foreach { r =>
+      val k = if (r.isNullAt(1)) null else r.getDouble(1)
+      val h = if (r.isNullAt(2)) null else r.getDouble(2)
+      println(s"EDGE id=${r.getLong(0)} kernel=$k hof=$h match=${k == h}")
+    }
+    // null input
+    val n = Seq((4L, Option.empty[Seq[Float]], Option(Seq(1.0f)))).toDF("id", "a", "b")
+      .select(Kernels.float_dot(col("a"), col("b")).as("d")).collect()(0)
+    println(s"EDGE null-input → isNull=${n.isNullAt(0)}")
+    // codegen presence: explain of a kernel-using plan
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = emb.select(Kernels.float_dot(col("embedding"), col("embedding")).as("d"),
+      graft.functions.Kernels.poly_hash(lit("abc")).as("h"))
+    val s = plan.queryExecution.executedPlan.toString
+    println("EDGE plan codegen'd (starred): " + s.contains("*(1) Project [floatdot"))
+    println("EDGE polyhash('abc') = " + plan.collect()(0).getLong(1) + " (expect (('a'*31+'b')*31+'c') % 1e9+7 = " + ((( 'a'.toLong*31+'b')*31+'c') % 1000000007L) + ")")
+    spark.stop()
+  }
+}

@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hot-path kernels as native Catalyst expressions with `doGenCode` — the
+  * interpreted higher-order-function equivalents (`aggregate(zip_with(...))`,
+  * char-fold `aggregate(split(...))`) cost microseconds per element and
+  * dominate wall-time on pairwise workloads; these compile to a tight loop
+  * inside whole-stage codegen.
+  *
+  * Semantics are kept bit-identical to the HOF formulations (and the DuckDB
+  * oracle): see each kernel's doc.
+  */
+object Kernels {
+
+  /** Static helpers the generated code calls — one JVM-static call per row,
+    * loop runs in plain Java.
+    */
+  def polyHash(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      h = (h * 31 + str.charAt(i)) % 1000000007L
+      i += 1
+    }
+    h
+  }
+
+  /** Equal-length dot; callers guard the length check (mismatch → null, the
+    * same as zip_with's null-padding nulling the whole fold).
+    */
+  def floatDotSameLen(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += (a.getFloat(i) * b.getFloat(i)).toDouble // float multiply, double accumulate
+      i += 1
+    }
+    acc
+  }
+
+  /** Column wrappers. */
+  def poly_hash(c: Column): Column = GraftColumnBridge.column(PolyHash(GraftColumnBridge.expression(c)))
+  def float_dot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(FloatDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}
+
+/** Polynomial rolling string hash: fold(code units, h = (h*31 + c) mod 1e9+7).
+  * Equal to `aggregate(split(s,''), 0L, (h,c) -> (h*31 + ascii(c)) % 1e9+7)`
+  * — `split('')` yields UTF-16 code units and `ascii` of a one-code-unit
+  * string is that unit's value, so `charAt` matches exactly.
+  */
+case class PolyHash(child: Expression)
+  extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = Kernels.polyHash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.polyHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): PolyHash = copy(child = newChild)
+}
+
+/** Dot product of two float32 arrays: per-element float multiply, sequential
+  * float64 accumulation — identical to
+  * `aggregate(zip_with(a,b,(x,y)->x*y), 0D, (acc,v)->acc+v)` and to the
+  * DuckDB list-comprehension form used by the oracles. Length mismatch →
+  * NULL (zip_with pads the shorter array with nulls, nulling the fold).
+  */
+case class FloatDot(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (x.numElements() != y.numElements()) null else Kernels.floatDotSameLen(x, y)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.Kernels.floatDotSameLen($a, $b);
+      }""")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): FloatDot =
+    copy(left = newLeft, right = newRight)
+}

@@ -22,8 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Float-multiply / double-accumulate dot product — the codegen'd
+    * [[graft.functions.FloatDot]] kernel (bit-identical to the HOF
+    * `aggregate(zip_with(a,b,*), 0D, +)` but a tight loop, which matters
+    * when it runs once per candidate pair).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.Kernels.float_dot(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -31,14 +35,18 @@ object Similarity {
 
   /** Exact top-k cosine neighbors for each query row. `queries` is expected
     * to be small (it is broadcast); the corpus streams map-side — no corpus
-    * shuffle. Ranking ties break on neighbor id for determinism.
+    * shuffle. Norms are computed once per row BEFORE the pairwise stage (per
+    * pair they'd be recomputed |pairs| times); the per-pair work is one dot.
+    * Ranking ties break on neighbor id for determinism.
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
-    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      l2Norm(col(vecCol)).as("__qn")))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), l2Norm(col(vecCol)).as("__cn"))
       .join(q, col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", cosine(col("__qv"), col("__cv")))
+      .withColumn("sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -51,30 +59,31 @@ object Similarity {
     * for the identical candidates→verify shape).
     */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String, tau: Double): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
-    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+      l2Norm(col(vecCol)).as("__na"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+      l2Norm(col(vecCol)).as("__nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("__va"), col("__vb")))
+      .withColumn("sim", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("sim") >= tau)
       .select("id_a", "id_b", "sim")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (table, bit, dim):
-    * Spark's Murmur3 `hash` folded to [-1, 1] — well-mixed (a hand-rolled
-    * linear congruence here correlates the bits and craters recall),
-    * reproducible run-to-run, and codegen'd.
+  /** Deterministic Gaussian hyperplane for (table, bit): materialized as a
+    * literal float array at plan-build time (seeded RNG), so each sign bit
+    * is one codegen'd [[dot]] against a constant — no interpreted
+    * per-element lambdas in the row path, and proper Gaussian planes give
+    * uniform angular coverage.
     */
-  private def planeCoef(table: Int, bit: Int, dim: Column): Column =
-    (pmod(hash(lit(table), lit(bit), dim), lit(1000003)).cast("double") / 1000003.0) * 2.0 - 1.0
+  private def plane(table: Int, bit: Int, dim: Int): Column = {
+    val rng = new java.util.Random(1000003L * table + bit)
+    typedLit((0 until dim).map(_ => rng.nextGaussian().toFloat))
+  }
 
   /** Random-hyperplane LSH signature: `bits` sign bits per table. */
-  def signBits(vec: Column, table: Int, bits: Int): Column =
+  def signBits(vec: Column, table: Int, bits: Int, dim: Int): Column =
     (0 until bits).foldLeft(lit(0L)) { (acc, bitIdx) =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeCoef(table, bitIdx, i)),
-        lit(0.0), (s, v) => s + v)
-      acc + when(proj > 0, lit(1L << bitIdx)).otherwise(lit(0L))
+      acc + when(dot(vec, plane(table, bitIdx, dim)) > 0, lit(1L << bitIdx)).otherwise(lit(0L))
     }
 
   /** Approximate top-k: hash corpus + queries into sign buckets across
@@ -83,10 +92,11 @@ object Similarity {
     * `tables`; queries are broadcast. Recall rises with tables.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, bits: Int = 12, tables: Int = 4): DataFrame = {
+              vecCol: String, k: Int, dim: Int,
+              bits: Int = 12, tables: Int = 4): DataFrame = {
     def bucketed(df: DataFrame, id: String, vec: String, pfx: String) =
       df.select((col(idCol).as(id) +: col(vecCol).as(vec) +:
-        (0 until tables).map(t => signBits(col(vecCol), t, bits).as(s"b$t"))): _*)
+        (0 until tables).map(t => signBits(col(vecCol), t, bits, dim).as(s"b$t"))): _*)
         .select(col(id), col(vec), posexplode(
           array((0 until tables).map(t => col(s"b$t")): _*)).as(Seq(s"${pfx}_tbl", s"${pfx}_bucket")))
     val c = bucketed(corpus, "neighbor_id", "__cv", "c")
@@ -96,7 +106,9 @@ object Similarity {
           col("neighbor_id") =!= col("query_id"))
       .select("query_id", "__qv", "neighbor_id", "__cv").distinct()
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    cands.withColumn("sim", cosine(col("__qv"), col("__cv")))
+    cands
+      .withColumn("sim", dot(col("__qv"), col("__cv")) /
+        (l2Norm(col("__qv")) * l2Norm(col("__cv"))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "sim")

@@ -29,10 +29,12 @@ object TextOps {
 
   /** Deterministic polynomial rolling hash of a string:
     * fold(chars, h = (h*31 + codepoint) mod 1e9+7). Used as the shared,
-    * engine-portable hash for minhash/simhash/fingerprints.
+    * engine-portable hash for minhash/simhash/fingerprints. Backed by the
+    * codegen'd [[graft.functions.PolyHash]] kernel — the HOF formulation
+    * `aggregate(split(c,''), 0L, (h,ch) -> (h*31+ascii(ch)) % P)` computes
+    * the same value ~100× slower (interpreted lambda per character).
     */
-  def polyHash(c: Column): Column =
-    aggregate(split(c, ""), lit(0L), (acc, ch) => (acc * 31 + ascii(ch)) % HashP)
+  def polyHash(c: Column): Column = graft.functions.Kernels.poly_hash(c)
 
   /** Distinct word n-gram shingles (space-joined) of a token array. */
   def shingles(toks: Column, n: Int): Column = {

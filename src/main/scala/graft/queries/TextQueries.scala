@@ -108,7 +108,7 @@ object TextQueries {
     "q_minhash_bands" -> Q(
       (s, d) => {
         val sig = Dedup.withBands(Dedup.withMinHashes(
-          Td.documents(s, d).select("doc_id", "text"), "text", n = 3, numHashes = 32),
+          Td.documents(s, d).select("doc_id", "text"), "doc_id", "text", n = 3, numHashes = 32),
           bands = 8, rowsPerBand = 4)
         sig.select((col("doc_id") +: (0 until 8).map(j => col(s"band$j"))): _*)
       },

@@ -63,7 +63,7 @@ object VectorQueries {
         // for this corpus's low neighbor similarity (uniform vectors); a
         // clustered corpus would take more bits and fewer tables.
         Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-          k = 5, bits = 6, tables = 8)
+          k = 5, dim = 64, bits = 6, tables = 8)
       },
       None),
   )

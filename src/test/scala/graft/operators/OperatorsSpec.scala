@@ -80,7 +80,7 @@ class OperatorsSpec extends SparkSpec {
     }
     // LSH on uniform random vectors (neighbor sim ~0.35) has inherently low
     // recall — assert it at least returns ranked candidates with true sims
-    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 3, bits = 8, tables = 8)
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 3, dim = 64, bits = 8, tables = 8)
     assert(approx.collect().nonEmpty)
   }
 
@@ -98,7 +98,7 @@ class OperatorsSpec extends SparkSpec {
     val queries = emb.filter(col("vec_id") % 10 === 0) // one query per cluster
     val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", k = 3)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
-    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 3, bits = 8, tables = 8)
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 3, dim = 16, bits = 8, tables = 8)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.8, s"clustered recall $recall: exact=$exact approx=$approx")
