@@ -1,0 +1,32 @@
+package graft.examples
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+/** Dump executedPlan summaries for every registered query — a quick audit of
+  * pushdown (PushedFilters/ReadSchema), join strategies, and codegen spans.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = args.headOption.getOrElse("/root/testdata/sf0.001")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, d).queryExecution.executedPlan.toString
+        val joins = "(BroadcastHashJoin|SortMergeJoin|BroadcastNestedLoopJoin|ShuffledHashJoin|CartesianProduct)".r
+          .findAllIn(plan).toSeq.groupBy(identity).map { case (k, v) => s"$k×${v.size}" }.mkString(", ")
+        val scans = "ReadSchema: [^\n]*".r.findAllIn(plan).toSeq.map(_.take(110))
+        val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq.distinct.map(_.take(110))
+        val exchanges = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r.findAllIn(plan).size
+        val codegen = plan.linesIterator.count(_.contains("*("))
+        println(s"AUDIT $name | joins: ${if (joins.isEmpty) "-" else joins} | exchanges: $exchanges | codegen lines: $codegen")
+        pushed.foreach(p => println(s"      $p"))
+        scans.foreach(sc => println(s"      $sc"))
+      } catch { case e: Throwable => println(s"AUDIT $name FAILED: ${e.getMessage}") }
+    }
+    spark.stop()
+  }
+}

@@ -139,12 +139,34 @@ object Dedup {
     * smaller id (deterministic survivor rule). Returns the kept rows.
     */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, tau: Double = 0.5): DataFrame = {
-    val cands = lshCandidates(df, idCol, textCol, n)
-    // Exact-verify ONLY the candidate pairs, via the inverted index restricted
-    // to candidate docs (per-pair array_intersect on full shingle arrays
-    // would re-evaluate the shingle expression per pair).
-    val ex = explodedShingles(df, idCol, textCol, n)
+                   n: Int = 3, tau: Double = 0.5,
+                   persistIntermediate: Boolean = true): DataFrame = {
+    // One shingle pass shared by signature, candidate, and verify stages —
+    // composing lshCandidates + a fresh inverted index would re-derive the
+    // shingles from the source in every self-join branch (16 table scans in
+    // the naive plan; ruinous when the source is a 100 TB table). Persisting
+    // the (id, shingle) relation makes it one scan + cached reuse; Spark
+    // evicts MEMORY_AND_DISK blocks under pressure.
+    val ex0 = explodedShingles(df, idCol, textCol, n)
+    val ex = if (persistIntermediate)
+      ex0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else ex0
+    val hashed = ex.select(col("id"), TextOps.polyHash(col("s")).as("h"))
+    val numHashes = 32; val bands = 8; val rowsPerBand = 4
+    val aggs = (0 until numHashes).map(i =>
+      min((lit(aCoef(i)) * col("h") + lit(bCoef(i))) % MinHashP).as(s"mh$i"))
+    val sig = withBands(hashed.groupBy("id").agg(aggs.head, aggs.tail: _*), bands, rowsPerBand)
+    val buckets = sig.select(col("id"), posexplode(
+        array((0 until bands).map(j => col(s"band$j")): _*)).as(Seq("band_idx", "band_val")))
+      .filter(col("band_val").isNotNull)
+    val cands = buckets.as("a").join(buckets.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // Exact-verify ONLY the candidate pairs, via the inverted index
+    // restricted to candidate docs.
     val sizes = ex.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val candIds = cands.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val exC = ex.join(broadcast(candIds), "id")

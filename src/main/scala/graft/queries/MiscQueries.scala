@@ -1,0 +1,170 @@
+package graft.queries
+
+import graft.queries.ParityQueries.Q
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Breadth queries beyond the reference's own surface: set operations, JSON
+  * extraction, scalar string/date/math batteries, cube, SQL-front-end
+  * correlated subqueries, a 6-way join, and an event-time tumbling window
+  * (the batch twin of the streaming windowed aggregation).
+  */
+object MiscQueries {
+
+  val defs: Map[String, Q] = Map(
+
+    // ----- set operations ---------------------------------------------------
+    "q_union_except_intersect" -> Q(
+      (s, d) => {
+        val c = Td.customer(s, d)
+        val big = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+        val building = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val u = big.union(building).distinct().withColumn("op", lit("union"))
+        val i = big.intersect(building).withColumn("op", lit("intersect"))
+        val e = big.except(building).withColumn("op", lit("except"))
+        u.unionByName(i).unionByName(e)
+      },
+      Some("""WITH big AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+             |     building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+             |SELECT c_custkey, 'union' AS op FROM (SELECT DISTINCT c_custkey FROM (SELECT * FROM big UNION ALL SELECT * FROM building) t) t2
+             |UNION ALL SELECT c_custkey, 'intersect' AS op FROM (SELECT c_custkey FROM big INTERSECT SELECT c_custkey FROM building) t3
+             |UNION ALL SELECT c_custkey, 'except' AS op FROM (SELECT c_custkey FROM big EXCEPT SELECT c_custkey FROM building) t4""".stripMargin)),
+
+    // ----- JSON scalar extraction ------------------------------------------
+    "q_json_extract" -> Q(
+      (s, d) => Td.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_int"),
+        get_json_object(col("props"), "$.missing").as("absent"),
+      ),
+      Some("""SELECT event_id,
+             |  json_extract_string(props, '$.k') AS k_str,
+             |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+             |  json_extract_string(props, '$.missing') AS absent
+             |FROM events""".stripMargin)),
+
+    // ----- scalar string functions -----------------------------------------
+    "q_string_funcs" -> Q(
+      (s, d) => Td.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_up"),
+        substring(col("p_name"), 1, 8).as("name8"),
+        length(col("p_name")).as("name_len"),
+        regexp_replace(col("p_type"), "[aeiou]", "_").as("type_novowel"),
+        element_at(split(col("p_type"), " "), 1).as("type_first"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("joined"),
+        levenshtein(col("p_brand"), lit("Brand#00")).as("lev"),
+        instr(col("p_name"), "a").as("first_a"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("key_pad"),
+      ),
+      Some("""SELECT p_partkey,
+             |  upper(p_brand) AS brand_up,
+             |  substring(p_name, 1, 8) AS name8,
+             |  length(p_name) AS name_len,
+             |  regexp_replace(p_type, '[aeiou]', '_', 'g') AS type_novowel,
+             |  split_part(p_type, ' ', 1) AS type_first,
+             |  concat_ws('|', p_brand, p_type) AS joined,
+             |  levenshtein(p_brand, 'Brand#00') AS lev,
+             |  instr(p_name, 'a') AS first_a,
+             |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_pad
+             |FROM part""".stripMargin)),
+
+    // ----- scalar date/math functions --------------------------------------
+    "q_date_math_funcs" -> Q(
+      (s, d) => Td.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("plus30"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since"),
+        abs(col("o_totalprice") - 100000).as("abs_diff"),
+        floor(col("o_totalprice") / 1000).cast("long").as("price_k"),
+        sqrt(col("o_totalprice")).as("price_sqrt"),
+        (col("o_orderkey") % 7).as("key_mod"),
+        round(col("o_totalprice"), 1).as("price_round1"),
+      ),
+      Some("""SELECT o_orderkey,
+             |  year(o_orderdate) AS y,
+             |  month(o_orderdate) AS m,
+             |  day(o_orderdate) AS dom,
+             |  date_trunc('month', o_orderdate) AS month_start,
+             |  o_orderdate + INTERVAL 30 DAY AS plus30,
+             |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+             |  abs(o_totalprice - 100000) AS abs_diff,
+             |  CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k,
+             |  sqrt(o_totalprice) AS price_sqrt,
+             |  o_orderkey % 7 AS key_mod,
+             |  round(o_totalprice, 1) AS price_round1
+             |FROM orders""".stripMargin)),
+
+    // ----- cube -------------------------------------------------------------
+    "q_cube_status_priority" -> Q(
+      (s, d) => Td.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("amount")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amount
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)),
+
+    // ----- SQL front-end: correlated EXISTS + scalar subquery --------------
+    "q_sql_subqueries" -> Q(
+      (s, d) => {
+        Td.customer(s, d).createOrReplaceTempView("customer_v")
+        Td.orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql("""
+          SELECT c_custkey, c_name,
+            (SELECT count(*) FROM orders_v o WHERE o.o_custkey = c.c_custkey) AS n_orders
+          FROM customer_v c
+          WHERE EXISTS (SELECT 1 FROM orders_v o
+                        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        """)
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+             |FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin)),
+
+    // ----- TPC-H Q5-like 6-way join ----------------------------------------
+    "q_regional_revenue" -> Q(
+      (s, d) => {
+        val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)")
+        Td.customer(s, d)
+          .join(Td.orders(s, d), col("c_custkey") === col("o_custkey"))
+          .join(Td.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+          .join(Td.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Td.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(Td.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .groupBy("n_name")
+          .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+             |  count(*) AS n_items
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |GROUP BY n_name""".stripMargin)),
+
+    // ----- event-time tumbling window (batch twin of streaming agg) --------
+    "q_event_windows" -> Q(
+      (s, d) => Td.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value")),
+      Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
+             |  count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+  )
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Structured Streaming operators beyond the CDC feed shell (BookingFlow):
+  * event-time windowed aggregation with watermark, in-stream dedup, and
+  * custom per-key state via mapGroupsWithState.
+  *
+  * All are plan builders over streaming DataFrames — the same code works on
+  * `readStream` sources with any trigger; state lives in the checkpoint's
+  * state store, partitioned by key (shuffle on the grouping key, same as a
+  * batch groupBy, but incremental per micro-batch).
+  */
+object StreamOps {
+
+  /** Tumbling event-time window counts/sums with late-data cutoff.
+    * Watermark bounds state: windows older than (max event time − delay)
+    * are finalized and evicted; later-than-watermark events are dropped.
+    */
+  def windowedAgg(events: DataFrame, tsCol: String, keyCol: String,
+                  valueCol: String, windowLen: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+      .select(col("w.start").as("window_start"), col(keyCol), col("n"), col("total"))
+
+  /** In-stream exact dedup on a key: duplicates arriving within the
+    * watermark horizon are dropped; state per key is evicted past it.
+    */
+  def dedupStream(events: DataFrame, tsCol: String, keyCols: Seq[String],
+                  watermarkDelay: String): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates(keyCols :+ tsCol)
+
+  final case class SessionUpdate(userId: Long, events: Long, lastTs: Timestamp)
+
+  /** Custom running state per key: event count + last-seen timestamp,
+    * emitted on every micro-batch (Update mode) — the mapGroupsWithState
+    * shape for any bespoke streaming state the built-in aggs can't express.
+    * `idleTimeout`: optional processing-time eviction for idle keys (e.g.
+    * "30 minutes"); None keeps state until the query ends — note that a
+    * ProcessingTimeTimeout makes `processAllAvailable` keep scheduling
+    * timeout-check batches, so tests use None.
+    */
+  def runningSessionState(events: Dataset[(Long, Timestamp)],
+                          idleTimeout: Option[String] = None): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Timestamp), SessionUpdate](timeoutConf) {
+        case (userId, rows, state: GroupState[(Long, Timestamp)]) =>
+          if (state.hasTimedOut) {
+            val (n, ts) = state.get
+            state.remove()
+            SessionUpdate(userId, n, ts)
+          } else {
+            val newRows = rows.toSeq
+            val (prevN, prevTs) = state.getOption.getOrElse((0L, new Timestamp(0)))
+            val maxTs = (prevTs +: newRows.map(_._2)).maxBy(_.getTime)
+            val updated = (prevN + newRows.size, maxTs)
+            state.update(updated)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            SessionUpdate(userId, updated._1, updated._2)
+          }
+      }
+  }
+
+  /** Convenience: run a streaming query over `df` to completion with
+    * AvailableNow into an in-memory sink and return the result table.
+    */
+  def runToMemory(df: DataFrame, queryName: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(queryName)
+  }
+}

@@ -1,0 +1,39 @@
+package graft.functions
+
+import graft.{GraftExtensions, SparkSpec}
+import org.apache.spark.sql.functions._
+
+class KernelsSpec extends SparkSpec {
+
+  test("PolyHash equals the HOF char-fold formulation") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("", "a", "abc", "hello world hello", "123 !?").toDF("t")
+    val rows = df.select(
+      Kernels.poly_hash(col("t")).as("kernel"),
+      expr("aggregate(split(t, ''), CAST(0 AS BIGINT), (acc, c) -> (acc*31 + ascii(c)) % 1000000007)").as("hof"),
+    ).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("FloatDot equals the HOF zip_with/aggregate formulation on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    val pairs = emb.select(col("embedding").as("a"))
+      .crossJoin(emb.select(col("embedding").as("b")).limit(5))
+    val rows = pairs.select(
+      Kernels.float_dot(col("a"), col("b")).as("kernel"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x*y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)").as("hof"),
+    ).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // bit-exact
+  }
+
+  test("kernels are SQL-callable after extension registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_poly_hash('abc') AS h, graft_float_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d")
+      .collect()(0)
+    assert(r.getLong(0) == ((('a'.toLong * 31 + 'b') * 31 + 'c') % 1000000007L))
+    assert(r.getDouble(1) == 11.0)
+  }
+}
