@@ -14,8 +14,10 @@ import java.nio.charset.StandardCharsets
   * 142-179` for `fact_booking` on `booking_id`; `pipeline/
   * New_LoadCustomerDim.json:82-101` for `dim_customer` on `customer_id`).
   * With no Delta/Iceberg jars available, we implement keyed merge over
-  * versioned parquet snapshots:
+  * versioned parquet snapshots.
   *
+  * == Layout ==
+  * Unbucketed (`numBuckets = 0`) — full-snapshot copy-on-write:
   * {{{
   * root/
   *   v=1/part-*.parquet        // immutable snapshot versions
@@ -23,25 +25,33 @@ import java.nio.charset.StandardCharsets
   *   _CURRENT                  // pointer file containing "2"
   * }}}
   *
-  * merge(batch) = dedupe batch to latest per key → current ANTI-JOIN batch
-  * keys → UNION batch → write v=N+1 → swap pointer. Readers resolve the
-  * pointer once and then read an immutable directory — snapshot isolation for
-  * free; rename/overwrite of the small pointer file is the only commit point.
+  * Bucketed (`numBuckets = B`) — manifest-addressed buckets, so a merge
+  * rewrites ONLY buckets containing changed keys:
+  * {{{
+  * root/
+  *   v=1/__bucket=0/...        // every bucket written at bootstrap
+  *   v=1/__bucket=1/...
+  *   v=2/__bucket=1/...        // later merge touched bucket 1 only
+  *   _MANIFEST_v1              // "bucket,version" per non-empty bucket
+  *   _MANIFEST_v2              // bucket 0 → v1 (untouched), bucket 1 → v2
+  *   _CURRENT
+  * }}}
+  * A version is its manifest: readers resolve `_CURRENT` → manifest → the
+  * exact bucket directories, each immutable once written. At 100 TB a CDC
+  * batch touching 1% of keys rewrites ≈1% of buckets instead of the table;
+  * old versions remain readable until vacuumed (not implemented — a real
+  * deployment would GC unreferenced bucket dirs).
   *
   * == Scale design ==
-  *  - The anti-join shuffles both sides on `keys` unless the batch is small:
-  *    a CDC delta is typically ≪ the snapshot, so we anti-join against a
-  *    broadcast of ONLY the batch's key columns (projected before the
-  *    broadcast — a few MB even for millions of changed keys). The snapshot
-  *    side then streams map-side with zero shuffle: the merge cost is one
-  *    full-scan rewrite, which is the floor for copy-on-write storage.
-  *  - `numBuckets`: when set, snapshots are written bucketed-by-key
-  *    (`partitionBy` on a stable hash of the key) so the rewrite can be
-  *    restricted to buckets containing changed keys — at 100 TB you rewrite
-  *    only touched buckets, not the table. Bucket pruning happens via a
-  *    partition filter on `__bucket`, which Spark prunes at planning time.
-  *  - On object stores the pointer-swap commit would need a conditional-put
-  *    manifest; rename is fine on HDFS/local (documented limitation).
+  *  - merge(batch) = dedupe batch to latest per key → current ANTI-JOIN batch
+  *    keys → UNION batch → write → swap pointer. The anti-join runs against a
+  *    broadcast of ONLY the batch's key columns (a few MB even for millions
+  *    of changed keys), so the snapshot side streams map-side with no
+  *    shuffle.
+  *  - Bucket routing is `pmod(hash(keys), B)` — the same Murmur3 the engine
+  *    uses for shuffle partitioning, so keys distribute like a shuffle would.
+  *  - On object stores the pointer-swap commit would need a conditional-put;
+  *    rename/overwrite of the small pointer file is fine on HDFS/local.
   */
 final class KeyedTable(
     val spark: SparkSession,
@@ -54,24 +64,63 @@ final class KeyedTable(
   import KeyedTable._
   private val hconf = spark.sparkContext.hadoopConfiguration
   private def fs: FileSystem = new Path(root).getFileSystem(hconf)
-  private val BucketCol = "__bucket"
 
   def currentVersion: Long = readPointer(fs, new Path(root, CurrentMarker)).getOrElse(0L)
 
   def exists: Boolean = currentVersion > 0
 
-  /** Read the current snapshot (empty-schema-less read is an error if the
-    * table was never initialised — call `overwrite` first).
+  /** The bucket count is TABLE metadata, persisted at creation — reopening
+    * with a different `numBuckets` would route keys to the wrong buckets on
+    * the next merge (missed anti-joins → duplicate keys), so the stored
+    * value is authoritative once the table exists.
     */
+  def effectiveBuckets: Int =
+    readPointer(fs, new Path(root, BucketsMarker)).map(_.toInt).getOrElse(numBuckets)
+
+  private def bucketed: Boolean = effectiveBuckets > 0
+
+  private def bucketExpr = pmod(hash(keys.map(col).toIndexedSeq: _*), lit(effectiveBuckets))
+
+  /** bucket → version holding its current data (bucketed tables only). */
+  def manifest: Map[Int, Long] = readManifest(fs, new Path(root, s"${ManifestPrefix}v$currentVersion"))
+
+  /** Read the current snapshot. */
   def current: DataFrame = {
     val v = currentVersion
     require(v > 0, s"KeyedTable at $root has no committed version")
-    val df = spark.read.parquet(s"$root/v=$v")
-    if (df.columns.contains(BucketCol)) df.drop(BucketCol) else df
+    if (!bucketed) spark.read.parquet(s"$root/v=$v")
+    else {
+      val paths = manifest.toSeq.map { case (b, ver) => s"$root/v=$ver/$BucketCol=$b" }
+      if (paths.isEmpty) spark.emptyDataFrame
+      else spark.read.parquet(paths: _*)
+    }
+  }
+
+  /** Rows of the listed buckets only (bucketed tables) — the pruned read the
+    * merge uses; also useful for key-range queries that know their buckets.
+    */
+  def readBuckets(buckets: Seq[Int]): DataFrame = {
+    val m = manifest
+    val paths = buckets.flatMap(b => m.get(b).map(ver => s"$root/v=$ver/$BucketCol=$b"))
+    if (paths.isEmpty) current.limit(0)
+    else spark.read.parquet(paths: _*)
   }
 
   /** Truncate-and-reload (K5): write a fresh snapshot ignoring history. */
-  def overwrite(df: DataFrame): Long = commit(df)
+  def overwrite(df: DataFrame): Long = {
+    val next = currentVersion + 1
+    if (!exists) writePointer(fs, new Path(root, BucketsMarker), numBuckets.toLong)
+    if (!bucketed) {
+      df.write.mode("overwrite").parquet(s"$root/v=$next")
+    } else {
+      df.withColumn(BucketCol, bucketExpr)
+        .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/v=$next")
+      val present = listBuckets(fs, new Path(s"$root/v=$next"))
+      writeManifest(fs, new Path(root, s"${ManifestPrefix}v$next"), present.map(_ -> next).toMap)
+    }
+    writePointer(fs, new Path(root, CurrentMarker), next)
+    next
+  }
 
   /** Keyed insert/update merge (K1/K2). Never deletes — matching the
     * reference's `deletable: false` (`dataflow:169-172`).
@@ -79,24 +128,36 @@ final class KeyedTable(
     * The batch is first collapsed to its latest row per key (by `orderCol`
     * desc, nulls last) so that a feed carrying several versions of one key in
     * one batch applies only the newest — this also makes merge idempotent.
+    * Bucketed tables rewrite only the buckets the batch's keys hash into.
     */
   def merge(batch: DataFrame): Long = {
     val latest = orderCol match {
       case Some(oc) => Ops.latestPerKey(batch, keys, oc)
       case None     => batch.dropDuplicates(keys)
     }
-    if (!exists) return commit(latest)
-    commit(KeyedTable.mergePlan(current, latest, keys, broadcastBatchKeys))
+    if (!exists) return overwrite(latest)
+    if (!bucketed) {
+      val next = currentVersion + 1
+      KeyedTable.mergePlan(current, latest, keys, broadcastBatchKeys)
+        .write.mode("overwrite").parquet(s"$root/v=$next")
+      writePointer(fs, new Path(root, CurrentMarker), next)
+      next
+    } else mergeBucketed(latest)
   }
 
-  private def commit(df: DataFrame): Long = {
+  private def mergeBucketed(latest: DataFrame): Long = {
     val next = currentVersion + 1
-    val out =
-      if (numBuckets > 0)
-        df.withColumn(BucketCol, pmod(hash(keys.map(col).toIndexedSeq: _*), lit(numBuckets)))
-          .write.partitionBy(BucketCol)
-      else df.write
-    out.mode("overwrite").parquet(s"$root/v=$next")
+    val withB = latest.withColumn(BucketCol, bucketExpr)
+    // Touched buckets: a driver-side collect of ≤ numBuckets ints.
+    val touched = withB.select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val curTouched = readBuckets(touched)
+    val merged = KeyedTable.mergePlan(curTouched, latest, keys, broadcastBatchKeys)
+    merged.withColumn(BucketCol, bucketExpr)
+      .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/v=$next")
+    val written = listBuckets(fs, new Path(s"$root/v=$next"))
+    val prev = manifest
+    val nextManifest = (prev -- touched) ++ written.map(_ -> next).toMap
+    writeManifest(fs, new Path(root, s"${ManifestPrefix}v$next"), nextManifest)
     writePointer(fs, new Path(root, CurrentMarker), next)
     next
   }
@@ -104,6 +165,9 @@ final class KeyedTable(
 
 object KeyedTable {
   val CurrentMarker = "_CURRENT"
+  val BucketsMarker = "_BUCKETS"
+  val ManifestPrefix = "_MANIFEST_"
+  val BucketCol = "__bucket"
 
   /** The merge as a pure logical plan: rows of `current` whose key is NOT in
     * `batch` (anti-join against a broadcast of the batch's key columns — zero
@@ -113,12 +177,13 @@ object KeyedTable {
     */
   def mergePlan(current: DataFrame, batch: DataFrame, keys: Seq[String],
                 broadcastBatchKeys: Boolean = true): DataFrame = {
+    val cur = if (current.columns.contains(BucketCol)) current.drop(BucketCol) else current
     val batchKeys = {
       val k = batch.select(keys.map(col).toIndexedSeq: _*)
       if (broadcastBatchKeys) broadcast(k) else k
     }
-    current.join(batchKeys, keys, "left_anti")
-      .unionByName(batch.select(current.columns.map(col).toIndexedSeq: _*))
+    cur.join(batchKeys, keys, "left_anti")
+      .unionByName(batch.select(cur.columns.map(col).toIndexedSeq: _*))
   }
 
   def apply(spark: SparkSession, root: String, keys: Seq[String],
@@ -138,4 +203,27 @@ object KeyedTable {
     try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
     finally out.close()
   }
+
+  private def readManifest(fs: FileSystem, p: Path): Map[Int, Long] =
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        .split("\n").map(_.trim).filter(_.nonEmpty)
+        .map { line => val Array(b, v) = line.split(","); b.toInt -> v.toLong }.toMap
+      finally in.close()
+    }
+
+  private def writeManifest(fs: FileSystem, p: Path, m: Map[Int, Long]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(m.toSeq.sorted.map { case (b, v) => s"$b,$v" }
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def listBuckets(fs: FileSystem, dir: Path): Seq[Int] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith(s"$BucketCol="))
+      .map(_.stripPrefix(s"$BucketCol=").toInt)
 }

@@ -37,14 +37,62 @@ class KeyedTableSpec extends SparkSpec {
     assert(r.getString(2) == "older-but-later") // no updated_at freshness gate
   }
 
-  test("overwrite is truncate-and-reload; bucketed table prunes and round-trips") {
+  test("bucketed table: merge rewrites only touched buckets, reads via manifest") {
     val s = spark
     import s.implicits._
-    val t = KeyedTable(spark, tmpDir("kt3"), Seq("id"), orderCol = Some("ver"), numBuckets = 4)
+    val root = tmpDir("kt3")
+    val t = KeyedTable(spark, root, Seq("id"), orderCol = Some("ver"), numBuckets = 8)
     t.merge((1 to 100).map(i => (s"k$i", 1, i)).toDF("id", "ver", "v"))
     assert(t.current.count() == 100)
     assert(t.current.columns.toSeq == Seq("id", "ver", "v")) // bucket col hidden
+    val m1 = t.manifest
+    assert(m1.values.forall(_ == 1))
+
+    // single-key update → exactly one bucket rewritten at v2
+    t.merge(Seq(("k7", 2, 700)).toDF("id", "ver", "v"))
+    val m2 = t.manifest
+    assert(m2.values.count(_ == 2L) == 1, s"expected 1 touched bucket, got $m2")
+    assert(m2.values.count(_ == 1L) == m1.size - 1) // everything else untouched
+    val v2Buckets = new java.io.File(s"$root/v=2").listFiles().count(_.getName.startsWith("__bucket="))
+    assert(v2Buckets == 1) // only the touched bucket dir exists in v=2
+    assert(t.current.count() == 100)
+    assert(t.current.filter("id = 'k7'").collect()(0).getInt(2) == 700)
+
+    // equivalence with an unbucketed table over the same operations
+    val u = KeyedTable(spark, tmpDir("kt3u"), Seq("id"), orderCol = Some("ver"))
+    u.merge((1 to 100).map(i => (s"k$i", 1, i)).toDF("id", "ver", "v"))
+    u.merge(Seq(("k7", 2, 700)).toDF("id", "ver", "v"))
+    val a = t.current.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    val b = u.current.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(a == b)
+
     t.overwrite(Seq(("x", 1, 0)).toDF("id", "ver", "v"))
     assert(t.current.count() == 1)
+  }
+
+  test("property: random batches — bucketed == unbucketed, idempotent, no deletes") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val tb = KeyedTable(spark, tmpDir("ktp_b"), Seq("id"), Some("ver"), numBuckets = 4)
+    val tu = KeyedTable(spark, tmpDir("ktp_u"), Seq("id"), Some("ver"))
+    var keysSeen = Set.empty[String]
+    for (round <- 1 to 5) {
+      val batch = (1 to 30).map { i => // ver unique within batch → deterministic latest pick
+        val k = s"k${rnd.nextInt(40)}"
+        (k, round * 100 + i, rnd.nextInt(1000))
+      }.toDF("id", "ver", "v")
+      tb.merge(batch)
+      tu.merge(batch)
+      keysSeen ++= batch.select("id").collect().map(_.getString(0))
+      val cb = tb.current.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+      val cu = tu.current.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+      assert(cb == cu, s"bucketed != unbucketed at round $round")
+      assert(cb.map(_._1) == keysSeen) // one row per key ever seen, none deleted
+      // idempotence: re-applying the same batch changes nothing
+      tb.merge(batch)
+      val cb2 = tb.current.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+      assert(cb2 == cb)
+    }
   }
 }
