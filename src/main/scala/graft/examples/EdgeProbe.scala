@@ -33,6 +33,16 @@ object EdgeProbe {
       graft.functions.Kernels.poly_hash(lit("abc")).as("h"))
     val s = plan.queryExecution.executedPlan.toString
     println("EDGE plan codegen'd (starred): " + s.contains("*(1) Project [floatdot"))
+    // VocabCount edge cases vs HOF reference
+    val vdf = Seq(
+      (1L, Seq("the","fox","the","and")),
+      (2L, Seq.empty[String]),
+      (3L, Seq("nope")),
+    ).toDF("id", "t")
+    val vres = vdf.select(col("id"),
+      Kernels.vocab_count(col("t"), Seq("the","and","of")).as("kernel"),
+      size(filter(col("t"), x => x.isin("the","and","of"))).as("hof")).collect()
+    vres.foreach(r => println(s"EDGE vocab id=${r.getLong(0)} kernel=${r.getInt(1)} hof=${r.getInt(2)} match=${r.getInt(1)==r.getInt(2)}"))
     println("EDGE polyhash('abc') = " + plan.collect()(0).getLong(1) + " (expect (('a'*31+'b')*31+'c') % 1e9+7 = " + ((( 'a'.toLong*31+'b')*31+'c') % 1000000007L) + ")")
     spark.stop()
   }

@@ -48,10 +48,23 @@ object Kernels {
     acc
   }
 
+  def vocabCount(arr: ArrayData, vocab: java.util.HashSet[UTF8String]): Int = {
+    val n = arr.numElements()
+    var hits = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && vocab.contains(arr.getUTF8String(i))) hits += 1
+      i += 1
+    }
+    hits
+  }
+
   /** Column wrappers. */
   def poly_hash(c: Column): Column = GraftColumnBridge.column(PolyHash(GraftColumnBridge.expression(c)))
   def float_dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(FloatDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def vocab_count(c: Column, vocab: Seq[String]): Column =
+    GraftColumnBridge.column(VocabCount(GraftColumnBridge.expression(c), vocab))
 }
 
 /** Polynomial rolling string hash: fold(code units, h = (h*31 + c) mod 1e9+7).
@@ -93,4 +106,30 @@ case class FloatDot(left: Expression, right: Expression)
       }""")
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): FloatDot =
     copy(left = newLeft, right = newRight)
+}
+
+/** Count of array elements contained in a fixed vocabulary (duplicates
+  * counted) — equal to `size(filter(arr, t -> t IN vocab))` without the
+  * interpreted per-element lambda. The vocab set is built once per JVM via a
+  * codegen reference object.
+  */
+case class VocabCount(child: Expression, vocab: Seq[String])
+  extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = IntegerType
+
+  @transient private lazy val vocabSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    vocab.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.vocabCount(input.asInstanceOf[ArrayData], vocabSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("vocabSet", vocabSet, classOf[java.util.HashSet[UTF8String]].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.vocabCount($c, $setRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): VocabCount = copy(child = newChild)
 }

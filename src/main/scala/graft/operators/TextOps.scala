@@ -43,9 +43,12 @@ object TextOps {
     array_distinct(when(size(toks) >= n, grams).otherwise(typedLit(Seq.empty[String])))
   }
 
-  /** Count of tokens matching a fixed vocabulary (e.g. a stopword list). */
+  /** Count of tokens matching a fixed vocabulary (e.g. a stopword list) —
+    * codegen'd [[graft.functions.VocabCount]] kernel; equal to
+    * `size(filter(toks, t -> t IN vocab))` without the interpreted lambda.
+    */
   def vocabHits(toks: Column, vocab: Seq[String]): Column =
-    size(filter(toks, t => t.isin(vocab.map(lit(_)): _*)))
+    graft.functions.Kernels.vocab_count(toks, vocab)
 
   /** Tiny per-language stopword profiles for the n-gram/stopword language-ID
     * heuristic. Deliberately small and fixed — the point is deterministic,

@@ -36,6 +36,19 @@ object ParityQueries {
       (s, d) => Ops.split(Td.events(s, d), col("value") < lit(2.0))._1,
       Some("SELECT * FROM events WHERE coalesce(value < 2.0, false)")),
 
+    // ----- S5: parameterized document query (filter + project + limit) -----
+    // Reference: `SELECT c.id, c.booking_id FROM c WHERE c.status = @status`
+    // with a client-side max_scan cap (`mock_data_in_cosmosdb.py:179-189`).
+    // The cap becomes an ordered limit for determinism.
+    "q_doc_query" -> Q(
+      (s, d) => Td.events(s, d)
+        .filter(col("event_type") === lit("purchase"))
+        .select("event_id", "user_id")
+        .orderBy("event_id")
+        .limit(2000),
+      Some("""SELECT event_id, user_id FROM events WHERE event_type = 'purchase'
+             |ORDER BY event_id LIMIT 2000""".stripMargin)),
+
     // ----- T2 dedupe: latest row per key (desc, nulls last, tie-broken) -----
     "q_latest_per_key" -> Q(
       (s, d) => Ops.latestPerKey(Td.events(s, d), Seq("user_id"), "ts", Seq("event_id")),

@@ -49,13 +49,16 @@ object TextQueries {
     "q_text_stats" -> Q(
       (s, d) => {
         val t = TextOps.tokens(col("text"))
+        val norm = TextOps.normText(col("text"))
+        // sum(token lengths) == length(norm) - (n_tokens - 1): norm is
+        // single-space-joined, so this avoids an interpreted HOF fold.
+        val sumTokLen = (length(norm) - (size(t) - 1)).cast("long")
         Td.documents(s, d).select(
           col("doc_id"),
           length(col("text")).as("n_chars_raw"),
           size(t).as("n_tokens"),
           size(array_distinct(t)).as("n_uniq_tokens"),
-          (aggregate(t, lit(0L), (a, x) => a + length(x)).cast("double") /
-            size(t).cast("double")).as("avg_token_len"),
+          (sumTokLen.cast("double") / size(t).cast("double")).as("avg_token_len"),
           TextOps.charClassRatio(col("text"), "[.,;:!?]").as("punct_ratio"),
           TextOps.charClassRatio(col("text"), "[0-9]").as("digit_ratio"),
           (TextOps.vocabHits(t, TextOps.StopwordProfiles.head._2).cast("double") /
