@@ -145,6 +145,39 @@ final class KeyedTable(
     } else mergeBucketed(latest)
   }
 
+  /** GC versions unreferenced by the current manifest chain: keeps the
+    * current version plus everything the last `keepVersions` manifests (or
+    * the current snapshot, unbucketed) still point into; deletes older
+    * version dirs and manifests. Readers of retained versions are safe —
+    * bucket dirs are immutable and the manifest tells exactly which are
+    * live.
+    */
+  def vacuum(keepVersions: Int = 1): Seq[Long] = {
+    val cur = currentVersion
+    if (cur == 0) return Seq.empty
+    val keepManifests = ((cur - keepVersions + 1) max 1L) to cur
+    val live: Set[Long] =
+      if (!bucketed) keepManifests.toSet
+      else keepManifests.flatMap(v =>
+        readManifest(fs, new Path(root, s"${ManifestPrefix}v$v")).values).toSet ++ keepManifests
+    val all = fs.listStatus(new Path(root)).toSeq.map(_.getPath.getName)
+    val deletable = all.collect {
+      case n if n.startsWith("v=") && !live.contains(n.stripPrefix("v=").toLong) =>
+        n.stripPrefix("v=").toLong
+    }
+    deletable.foreach { v =>
+      fs.delete(new Path(root, s"v=$v"), true)
+      fs.delete(new Path(root, s"${ManifestPrefix}v$v"), false)
+    }
+    // also drop manifests for versions older than the keep window whose dirs
+    // were fully superseded (dir may be live via a newer manifest)
+    all.filter(_.startsWith(ManifestPrefix))
+      .map(_.stripPrefix(ManifestPrefix).stripPrefix("v").toLong)
+      .filter(v => v < keepManifests.head)
+      .foreach(v => fs.delete(new Path(root, s"${ManifestPrefix}v$v"), false))
+    deletable.sorted
+  }
+
   private def mergeBucketed(latest: DataFrame): Long = {
     val next = currentVersion + 1
     val withB = latest.withColumn(BucketCol, bucketExpr)

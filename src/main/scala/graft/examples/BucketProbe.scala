@@ -25,6 +25,12 @@ object BucketProbe {
     t3.merge(Seq(("k42", 3, 4242)).toDF("id","ver","v"))
     val dups = t3.current.groupBy("id").count().filter("count > 1").count()
     println(s"BP wrong-buckets merge: effectiveBuckets=${t3.effectiveBuckets} dupKeys=$dups k42=${t3.current.filter("id='k42'").collect()(0).getInt(2)} count=${t3.current.count()}")
+    // probe: vacuum after several merges
+    t.merge(Seq(("k99", 9, 9)).toDF("id","ver","v"))
+    val before = new java.io.File(root).listFiles().map(_.getName).count(_.startsWith("v="))
+    val deleted = t.vacuum(keepVersions = 1)
+    val after = new java.io.File(root).listFiles().map(_.getName).count(_.startsWith("v="))
+    println(s"BP vacuum: deleted=$deleted dirs $before->$after count=${t.current.count()} k42=${t.current.filter("id='k42'").collect()(0).getInt(2)}")
     // probe: readBuckets pruned read
     val m = t.manifest
     println(s"BP readBuckets(0,1) rows=${t.readBuckets(Seq(0,1)).count()} of 1001")

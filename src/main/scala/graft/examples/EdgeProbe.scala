@@ -44,6 +44,12 @@ object EdgeProbe {
       size(filter(col("t"), x => x.isin("the","and","of"))).as("hof")).collect()
     vres.foreach(r => println(s"EDGE vocab id=${r.getLong(0)} kernel=${r.getInt(1)} hof=${r.getInt(2)} match=${r.getInt(1)==r.getInt(2)}"))
     println("EDGE polyhash('abc') = " + plan.collect()(0).getLong(1) + " (expect (('a'*31+'b')*31+'c') % 1e9+7 = " + ((( 'a'.toLong*31+'b')*31+'c') % 1000000007L) + ")")
+    // SkewOps drive: hot-key join through the public API
+    val hotL = ((1 to 10000).map(_ => ("hot", 1)) ++ Seq(("cold", 2))).toDF("k", "lv")
+    val hotR = Seq(("hot", 10), ("cold", 20), ("unused", 30)).toDF("k", "rv")
+    val sj = graft.operators.SkewOps.saltedJoin(hotL, hotR, "k", 16).groupBy("k").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    println(s"EDGE saltedJoin: $sj (expect hot->10000, cold->1)")
     spark.stop()
   }
 }

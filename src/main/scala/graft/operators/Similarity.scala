@@ -86,6 +86,83 @@ object Similarity {
       acc + when(dot(vec, plane(table, bitIdx, dim)) > 0, lit(1L << bitIdx)).otherwise(lit(0L))
     }
 
+  // ---------------------------------------------------------------- IVF ---
+
+  /** Literal float-array column for a centroid. */
+  private def centroidLit(c: Array[Float]): Column = typedLit(c.toSeq)
+
+  /** Index of the nearest centroid by cosine (max dot over unit-norm-free
+    * ranking: dot/(|v||c|); |v| constant per row so rank by dot/|c|).
+    */
+  private def nearestCell(vec: Column, centroids: Seq[Array[Float]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val norm = math.sqrt(c.map(x => x.toDouble * x).sum)
+      struct((dot(vec, centroidLit(c)) / norm).as("s"), lit(i).as("i"))
+    }
+    // argmax via greatest over (score, idx) structs — struct compare is
+    // lexicographic, so ties break toward the higher index deterministically
+    greatest(scored.toIndexedSeq: _*).getField("i")
+  }
+
+  /** Top-`nprobe` nearest cells per row, as an array of cell ids. */
+  private def nearestCells(vec: Column, centroids: Seq[Array[Float]], nprobe: Int): Column = {
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      val norm = math.sqrt(c.map(x => x.toDouble * x).sum)
+      struct((-dot(vec, centroidLit(c)) / norm).as("s"), lit(i).as("i"))
+    }: _*)
+    slice(transform(array_sort(scored), s => s.getField("i")), 1, nprobe)
+  }
+
+  /** Deterministic mini k-means over the corpus (Lloyd iterations expressed
+    * as DataFrame ops): init = first `nlist` vectors by id; assignment =
+    * per-row argmax dot against literal centroids (codegen'd kernel × nlist);
+    * update = per-(cell, dim) mean via posexplode + groupBy — one shuffle per
+    * iteration, centroids (nlist × dim floats) collected to the driver each
+    * round. Scales: the corpus is never collected, only centroid summaries.
+    */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                     nlist: Int, iters: Int = 3): Seq[Array[Float]] = {
+    var centroids: Seq[Array[Float]] = corpus
+      .orderBy(col(idCol)).limit(nlist)
+      .select(vecCol).collect().map(_.getSeq[Float](0).toArray).toSeq
+    for (_ <- 1 to iters) {
+      val assigned = corpus.select(col(vecCol).as("v"),
+        nearestCell(col(vecCol), centroids).as("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .collect().groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+        }
+      centroids = centroids.indices.map(i => means.get(i).map(_.toArray).getOrElse(centroids(i)))
+    }
+    centroids
+  }
+
+  /** IVF approximate top-k: corpus partitioned into `nlist` cells by nearest
+    * centroid; each query probes only its `nprobe` nearest cells and ranks
+    * those candidates exactly. The corpus shuffles once on `cell`; the probe
+    * join is cell-equi, so per-query work ≈ nprobe/nlist of the corpus.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, nlist: Int, nprobe: Int, iters: Int = 3): DataFrame = {
+    val centroids = trainCentroids(corpus, idCol, vecCol, nlist, iters)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      l2Norm(col(vecCol)).as("__cn"),
+      nearestCell(col(vecCol), centroids).as("cell"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        l2Norm(col(vecCol)).as("__qn"),
+        explode(nearestCells(col(vecCol), centroids, nprobe)).as("cell")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(q, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** Approximate top-k: hash corpus + queries into sign buckets across
     * `tables` tables, take bucket-colliding candidates, rank exactly. The
     * corpus shuffle is on (table, bucket) — bounded fan-out per row =

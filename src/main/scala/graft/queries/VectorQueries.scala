@@ -66,5 +66,16 @@ object VectorQueries {
           k = 5, dim = 64, bits = 6, tables = 8)
       },
       None),
+
+    // ----- IVF approximate top-k (coarse-quantized scale path) -------------
+    // Rows-only: the k-means cell assignment is engine-internal; recall vs
+    // the exact top-k is asserted in ScaleOpsSpec.
+    "q_ann_ivf_topk" -> Q(
+      (s, d) => {
+        val emb = Td.embeddings(s, d)
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 4)
+      },
+      None),
   )
 }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.engine.KeyedTable
+import org.apache.spark.sql.functions._
+
+class ScaleOpsSpec extends SparkSpec {
+
+  test("saltedAggregate equals plain groupBy aggregate") {
+    val s = spark
+    import s.implicits._
+    // 90% of rows share one hot key
+    val df = ((1 to 900).map(_ => ("hot", 1.0)) ++ (1 to 100).map(i => (s"k${i % 7}", 2.0)))
+      .toDF("k", "v")
+    val plain = df.groupBy("k").agg(count(lit(1)).as("n"),
+        sum($"v".cast("decimal(18,2)")).cast("double").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = SkewOps.saltedAggregate(df, Seq("k"), 8,
+        partial = Seq(count(lit(1)).as("n"), sum($"v".cast("decimal(18,2)")).as("s")),
+        fin = Seq(sum($"n").as("n"), sum($"s").cast("double").as("s")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("saltedJoin equals plain inner join") {
+    val s = spark
+    import s.implicits._
+    val left = ((1 to 500).map(_ => ("hot", "L")) ++ Seq(("a", "L"), ("b", "L"))).toDF("k", "lv")
+    val right = Seq(("hot", 1), ("a", 2), ("z", 3)).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).groupBy("k").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val salted = SkewOps.saltedJoin(left, right, "k", 8).groupBy("k").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(salted == plain)
+    assert(salted.contains(("hot", 500L)))
+  }
+
+  test("ivfTopK: high recall on clustered data, bounded candidates") {
+    val s = spark
+    import s.implicits._
+    def vec(cluster: Int, i: Int): Seq[Float] =
+      (0 until 16).map { d =>
+        math.sin(cluster * 17.0 + d).toFloat * 2f + (((i * 31 + d * 7) % 13) - 6) * 0.01f
+      }
+    val rows = for (c <- 0 until 4; i <- 0 until 12) yield (c * 12L + i, vec(c, i))
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 12 === 0)
+    val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 3, nlist = 4, nprobe = 2, iters = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall: exact=$exact ivf=$ivf")
+  }
+
+  test("KeyedTable.vacuum drops superseded versions, keeps live buckets") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("vac")
+    val t = KeyedTable(spark, root, Seq("id"), Some("ver"), numBuckets = 4)
+    t.merge((1 to 50).map(i => (s"k$i", 1, i)).toDF("id", "ver", "v"))   // v1 all buckets
+    t.merge(Seq(("k1", 2, -1)).toDF("id", "ver", "v"))                    // v2 one bucket
+    t.merge(Seq(("k2", 3, -2)).toDF("id", "ver", "v"))                    // v3 one bucket
+    val deleted = t.vacuum(keepVersions = 1)
+    // v1 buckets are still referenced by the current manifest → v1 survives
+    assert(!deleted.contains(1L))
+    assert(t.current.count() == 50)
+    assert(t.current.filter("id = 'k1'").collect()(0).getInt(2) == -1)
+
+    // unbucketed: older snapshots are never referenced → dropped
+    val u = KeyedTable(spark, tmpDir("vac_u"), Seq("id"), Some("ver"))
+    u.merge(Seq(("a", 1, 1)).toDF("id", "ver", "v"))
+    u.merge(Seq(("a", 2, 2)).toDF("id", "ver", "v"))
+    u.merge(Seq(("a", 3, 3)).toDF("id", "ver", "v"))
+    val del2 = u.vacuum(keepVersions = 1)
+    assert(del2 == Seq(1L, 2L))
+    assert(u.current.collect()(0).getInt(2) == 3)
+  }
+}
