@@ -74,9 +74,9 @@ final class ChangeFeed(
       else spark.read.schema(schema).option("mode", "PERMISSIVE").json(todo: _*)
     val commit = () => {
       val all = processed ++ todo
-      val out = fs.create(new Path(checkpointFile), true)
-      try out.write(all.toSeq.sorted.mkString("\n").getBytes(StandardCharsets.UTF_8))
-      finally out.close()
+      // write-temp-then-rename: a crash mid-commit must leave the previous
+      // watermark readable (re-processing is safe; a truncated file is not)
+      KeyedTable.writeText(fs, new Path(checkpointFile), all.toSeq.sorted.mkString("\n"))
     }
     (df, todo, commit)
   }

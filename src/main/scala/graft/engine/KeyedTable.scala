@@ -84,14 +84,31 @@ final class KeyedTable(
   /** bucket → version holding its current data (bucketed tables only). */
   def manifest: Map[Int, Long] = readManifest(fs, new Path(root, s"${ManifestPrefix}v$currentVersion"))
 
+  /** Declared schema persisted at creation — lets an empty snapshot (e.g. a
+    * bootstrap batch whose rows were all quality-rejected) stay a valid,
+    * mergeable table instead of a schema-less empty DataFrame.
+    */
+  def storedSchema: Option[org.apache.spark.sql.types.StructType] =
+    readText(fs, new Path(root, SchemaMarker)).map(
+      org.apache.spark.sql.types.DataType.fromJson(_).asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  private def emptyTyped: DataFrame = {
+    val schema = storedSchema.getOrElse(
+      throw new IllegalStateException(s"KeyedTable at $root has no stored schema"))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
   /** Read the current snapshot. */
   def current: DataFrame = {
     val v = currentVersion
     require(v > 0, s"KeyedTable at $root has no committed version")
-    if (!bucketed) spark.read.parquet(s"$root/v=$v")
-    else {
+    if (!bucketed) {
+      val hasData = fs.listStatus(new Path(s"$root/v=$v"))
+        .exists(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      if (hasData) spark.read.parquet(s"$root/v=$v") else emptyTyped
+    } else {
       val paths = manifest.toSeq.map { case (b, ver) => s"$root/v=$ver/$BucketCol=$b" }
-      if (paths.isEmpty) spark.emptyDataFrame
+      if (paths.isEmpty) emptyTyped
       else spark.read.parquet(paths: _*)
     }
   }
@@ -102,7 +119,7 @@ final class KeyedTable(
   def readBuckets(buckets: Seq[Int]): DataFrame = {
     val m = manifest
     val paths = buckets.flatMap(b => m.get(b).map(ver => s"$root/v=$ver/$BucketCol=$b"))
-    if (paths.isEmpty) current.limit(0)
+    if (paths.isEmpty) emptyTyped
     else spark.read.parquet(paths: _*)
   }
 
@@ -110,6 +127,7 @@ final class KeyedTable(
   def overwrite(df: DataFrame): Long = {
     val next = currentVersion + 1
     if (!exists) writePointer(fs, new Path(root, BucketsMarker), numBuckets.toLong)
+    writeText(fs, new Path(root, SchemaMarker), df.schema.json)
     if (!bucketed) {
       df.write.mode("overwrite").parquet(s"$root/v=$next")
     } else {
@@ -131,9 +149,18 @@ final class KeyedTable(
     * Bucketed tables rewrite only the buckets the batch's keys hash into.
     */
   def merge(batch: DataFrame): Long = {
+    // Deterministic per-key collapse: order by orderCol (when given) then by
+    // every remaining column — a bare dropDuplicates/row_number tie picks an
+    // arbitrary partition-order-dependent survivor, so re-running the same
+    // load could produce different contents. With the full-column tie-break,
+    // ties can only remain between fully identical rows.
+    val rest = batch.columns.filterNot(c => keys.contains(c) || orderCol.contains(c)).toSeq
     val latest = orderCol match {
-      case Some(oc) => Ops.latestPerKey(batch, keys, oc)
-      case None     => batch.dropDuplicates(keys)
+      case Some(oc) => Ops.latestPerKey(batch, keys, oc, tieBreak = rest)
+      case None =>
+        val ordCols = rest ++ batch.columns.filterNot(rest.contains).filterNot(keys.contains)
+        if (ordCols.isEmpty) batch.dropDuplicates(keys)
+        else Ops.latestPerKey(batch, keys, ordCols.head, tieBreak = ordCols.tail)
     }
     if (!exists) return overwrite(latest)
     if (!bucketed) {
@@ -199,6 +226,7 @@ final class KeyedTable(
 object KeyedTable {
   val CurrentMarker = "_CURRENT"
   val BucketsMarker = "_BUCKETS"
+  val SchemaMarker = "_SCHEMA"
   val ManifestPrefix = "_MANIFEST_"
   val BucketCol = "__bucket"
 
@@ -223,36 +251,43 @@ object KeyedTable {
             orderCol: Option[String] = None, numBuckets: Int = 0): KeyedTable =
     new KeyedTable(spark, root, keys, orderCol, numBuckets)
 
-  private def readPointer(fs: FileSystem, p: Path): Option[Long] =
+  private[engine] def readText(fs: FileSystem, p: Path): Option[String] =
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8).trim.toLong)
+      try Some(new String(in.readAllBytes(), StandardCharsets.UTF_8))
       finally in.close()
     }
 
-  private def writePointer(fs: FileSystem, p: Path, v: Long): Unit = {
-    val out = fs.create(p, true)
-    try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+  /** Write-temp-then-rename — a crash mid-write leaves the old file intact
+    * (an in-place truncating create could be observed empty). On the local
+    * FS rename won't replace an existing target, so the old file is deleted
+    * first; a crash in that window reads as "absent", never as garbage.
+    */
+  private[engine] def writeText(fs: FileSystem, p: Path, content: String): Unit = {
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"atomic rename $tmp -> $p failed")
   }
+
+  private def readPointer(fs: FileSystem, p: Path): Option[Long] =
+    readText(fs, p).flatMap(_.trim.toLongOption) // garbage/empty → absent, not a crash
+
+  private def writePointer(fs: FileSystem, p: Path, v: Long): Unit =
+    writeText(fs, p, v.toString)
 
   private def readManifest(fs: FileSystem, p: Path): Map[Int, Long] =
-    if (!fs.exists(p)) Map.empty
-    else {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-        .split("\n").map(_.trim).filter(_.nonEmpty)
+    readText(fs, p).map(
+      _.split("\n").map(_.trim).filter(_.nonEmpty)
         .map { line => val Array(b, v) = line.split(","); b.toInt -> v.toLong }.toMap
-      finally in.close()
-    }
+    ).getOrElse(Map.empty)
 
-  private def writeManifest(fs: FileSystem, p: Path, m: Map[Int, Long]): Unit = {
-    val out = fs.create(p, true)
-    try out.write(m.toSeq.sorted.map { case (b, v) => s"$b,$v" }
-      .mkString("\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  private def writeManifest(fs: FileSystem, p: Path, m: Map[Int, Long]): Unit =
+    writeText(fs, p, m.toSeq.sorted.map { case (b, v) => s"$b,$v" }.mkString("\n"))
 
   private def listBuckets(fs: FileSystem, dir: Path): Seq[Int] =
     if (!fs.exists(dir)) Seq.empty

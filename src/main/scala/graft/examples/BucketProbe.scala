@@ -34,6 +34,17 @@ object BucketProbe {
     // probe: readBuckets pruned read
     val m = t.manifest
     println(s"BP readBuckets(0,1) rows=${t.readBuckets(Seq(0,1)).count()} of 1001")
+    // probe: bootstrap with an EMPTY batch (all rows quality-rejected), then merge
+    val er = java.nio.file.Files.createTempDirectory("bp-empty").toString
+    val te = KeyedTable(spark, er, Seq("id"), Some("ver"), numBuckets = 4)
+    te.merge(Seq.empty[(String,Int,Int)].toDF("id","ver","v"))
+    println(s"BP empty bootstrap: exists=${te.exists} count=${te.current.count()}")
+    te.merge(Seq(("a", 1, 1)).toDF("id","ver","v"))
+    println(s"BP merge after empty bootstrap: count=${te.current.count()}")
+    // probe: corrupt _CURRENT (crash mid-commit) → absent, not a crash
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(er, "_CURRENT"), "")
+    val tc = KeyedTable(spark, er, Seq("id"), Some("ver"), numBuckets = 4)
+    println(s"BP corrupt pointer: exists=${tc.exists} (expect false, no exception)")
     spark.stop()
   }
 }

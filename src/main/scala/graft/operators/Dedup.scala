@@ -35,7 +35,11 @@ object Dedup {
                        textCol: String, n: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // Ids must be long-castable (the data model's numeric doc ids); null or
+    // non-castable ids are dropped here rather than crashing the primitive
+    // encoder — they could never round-trip through the dedup joins anyway.
     df.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("t"))
+      .filter(col("id").isNotNull)
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         shingleSet(if (text == null) "" else text, n).map((id, _))
@@ -61,13 +65,33 @@ object Dedup {
     * connect near-identical boilerplate anyway).
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int, tau: Double): DataFrame = {
-    val ex = explodedShingles(df, idCol, textCol, n)
+                   n: Int, tau: Double,
+                   shingles: Option[DataFrame] = None): DataFrame = {
+    val ex = shingles.getOrElse(explodedShingles(df, idCol, textCol, n))
+    jaccardFromShingles(ex, tau)
+  }
+
+  /** Jaccard ≥ tau over an exploded (id, s) shingle relation; `restrictTo`
+    * limits the self-join to the given (id_a, id_b) candidate pairs — the
+    * LSH-verify path.
+    */
+  private def jaccardFromShingles(ex: DataFrame, tau: Double,
+                                  restrictTo: Option[DataFrame] = None): DataFrame = {
     val sizes = ex.groupBy("id").agg(count(lit(1)).as("n_sh")) // shingles are distinct
-    val pairs = ex.as("a").join(ex.as("b"),
+    val exJoin = restrictTo match {
+      case Some(cands) =>
+        val candIds = cands.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+        ex.join(broadcast(candIds), "id")
+      case None => ex
+    }
+    val inter = exJoin.as("a").join(exJoin.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
+    val pairs = restrictTo match {
+      case Some(cands) => cands.join(inter, Seq("id_a", "id_b"))
+      case None        => inter
+    }
     pairs
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
@@ -95,13 +119,19 @@ object Dedup {
     * with no shingles get NULL minhashes via the left join.
     */
   def withMinHashes(df: DataFrame, idCol: String, textCol: String,
-                    n: Int, numHashes: Int): DataFrame = {
-    val hashed = explodedShingles(df, idCol, textCol, n)
-      .select(col("id"), TextOps.polyHash(col("s")).as("h"))
+                    n: Int, numHashes: Int,
+                    shingles: Option[DataFrame] = None): DataFrame = {
+    val sig = minhashSignatures(
+      shingles.getOrElse(explodedShingles(df, idCol, textCol, n)), numHashes)
+    df.join(sig, df(idCol).cast("long") === sig("id"), "left_outer").drop(sig("id"))
+  }
+
+  /** (id, mh0..mh{k-1}) from an exploded shingle relation. */
+  private def minhashSignatures(ex: DataFrame, numHashes: Int): DataFrame = {
+    val hashed = ex.select(col("id"), TextOps.polyHash(col("s")).as("h"))
     val aggs = (0 until numHashes).map(i =>
       min((lit(aCoef(i)) * col("h") + lit(bCoef(i))) % MinHashP).as(s"mh$i"))
-    val sig = hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
-    df.join(sig, df(idCol).cast("long") === sig("id"), "left_outer").drop(sig("id"))
+    hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** Collapse minhash columns into `bands` band-hash columns `band0..`. */
@@ -119,9 +149,10 @@ object Dedup {
     */
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
                     n: Int = 3, numHashes: Int = 32,
-                    bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
-    val sig = withBands(withMinHashes(
-      df.select(col(idCol).as("id"), col(textCol).as("text")), "id", "text", n, numHashes),
+                    bands: Int = 8, rowsPerBand: Int = 4,
+                    shingles: Option[DataFrame] = None): DataFrame = {
+    val sig = withBands(minhashSignatures(
+      shingles.getOrElse(explodedShingles(df, idCol, textCol, n)), numHashes),
       bands, rowsPerBand)
     val buckets = sig.select(col("id"), posexplode(
       array((0 until bands).map(j => col(s"band$j")): _*)).as(Seq("band_idx", "band_val")))
@@ -142,44 +173,18 @@ object Dedup {
                    n: Int = 3, tau: Double = 0.5,
                    persistIntermediate: Boolean = true): DataFrame = {
     // One shingle pass shared by signature, candidate, and verify stages —
-    // composing lshCandidates + a fresh inverted index would re-derive the
-    // shingles from the source in every self-join branch (16 table scans in
-    // the naive plan; ruinous when the source is a 100 TB table). Persisting
-    // the (id, shingle) relation makes it one scan + cached reuse; Spark
-    // evicts MEMORY_AND_DISK blocks under pressure.
+    // re-deriving the shingles from the source in every self-join branch
+    // costs 16 table scans in the naive plan; ruinous when the source is a
+    // 100 TB table. Persisting the (id, shingle) relation makes it one scan
+    // + cached reuse; Spark evicts MEMORY_AND_DISK blocks under pressure.
     val ex0 = explodedShingles(df, idCol, textCol, n)
     val ex = if (persistIntermediate)
       ex0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else ex0
-    val hashed = ex.select(col("id"), TextOps.polyHash(col("s")).as("h"))
-    val numHashes = 32; val bands = 8; val rowsPerBand = 4
-    val aggs = (0 until numHashes).map(i =>
-      min((lit(aCoef(i)) * col("h") + lit(bCoef(i))) % MinHashP).as(s"mh$i"))
-    val sig = withBands(hashed.groupBy("id").agg(aggs.head, aggs.tail: _*), bands, rowsPerBand)
-    val buckets = sig.select(col("id"), posexplode(
-        array((0 until bands).map(j => col(s"band$j")): _*)).as(Seq("band_idx", "band_val")))
-      .filter(col("band_val").isNotNull)
-    val cands = buckets.as("a").join(buckets.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_val") === col("b.band_val") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val cands = lshCandidates(df, idCol, textCol, n, shingles = Some(ex))
     // Exact-verify ONLY the candidate pairs, via the inverted index
     // restricted to candidate docs.
-    val sizes = ex.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val candIds = cands.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-    val exC = ex.join(broadcast(candIds), "id")
-    val inter = exC.as("a").join(exC.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    val verified = cands.join(inter, Seq("id_a", "id_b"))
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("n_a") + col("n_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= tau)
+    val verified = jaccardFromShingles(ex, tau, restrictTo = Some(cands))
     val drop = verified.select(col("id_b").as("__drop_id")).distinct()
     df.join(drop, df(idCol).cast("long") === col("__drop_id"), "left_anti")
   }

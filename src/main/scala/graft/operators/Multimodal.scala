@@ -74,9 +74,14 @@ object Multimodal {
       .rdd.mapPartitions { rows =>
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("content")
-          val (w, h, feat) = stubDecode(bytes)
-          Row(r.getAs[Long]("media_id"), r.getAs[String]("media_type"),
-            r.getAs[Long]("n_bytes"), w, h, feat.toSeq)
+          if (bytes == null) // null payload (e.g. null source text) → null features, don't kill the job
+            Row(r.getAs[Long]("media_id"), r.getAs[String]("media_type"),
+              r.getAs[Long]("n_bytes"), null, null, null)
+          else {
+            val (w, h, feat) = stubDecode(bytes)
+            Row(r.getAs[Long]("media_id"), r.getAs[String]("media_type"),
+              r.getAs[Long]("n_bytes"), w, h, feat.toSeq)
+          }
         }
       }
     spark.createDataFrame(out, featureSchema)

@@ -171,21 +171,28 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, dim: Int,
               bits: Int = 12, tables: Int = 4): DataFrame = {
-    def bucketed(df: DataFrame, id: String, vec: String, pfx: String) =
-      df.select((col(idCol).as(id) +: col(vecCol).as(vec) +:
+    // Bucket membership travels as ids only: the distinct over candidate
+    // pairs shuffles (query_id, neighbor_id) ints, never the vectors, and
+    // norms are computed once per row before the pairwise stage (inside the
+    // pair computation they'd be re-derived per candidate).
+    def bucketed(df: DataFrame, id: String, pfx: String) =
+      df.select((col(idCol).as(id) +:
         (0 until tables).map(t => signBits(col(vecCol), t, bits, dim).as(s"b$t"))): _*)
-        .select(col(id), col(vec), posexplode(
+        .select(col(id), posexplode(
           array((0 until tables).map(t => col(s"b$t")): _*)).as(Seq(s"${pfx}_tbl", s"${pfx}_bucket")))
-    val c = bucketed(corpus, "neighbor_id", "__cv", "c")
-    val q = broadcast(bucketed(queries, "query_id", "__qv", "q"))
-    val cands = c.join(q,
+    val c = bucketed(corpus, "neighbor_id", "c")
+    val q = broadcast(bucketed(queries, "query_id", "q"))
+    val candIds = c.join(q,
         col("c_tbl") === col("q_tbl") && col("c_bucket") === col("q_bucket") &&
           col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "__qv", "neighbor_id", "__cv").distinct()
+      .select("query_id", "neighbor_id").distinct()
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      l2Norm(col(vecCol)).as("__cn"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      l2Norm(col(vecCol)).as("__qn")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    cands
-      .withColumn("sim", dot(col("__qv"), col("__cv")) /
-        (l2Norm(col("__qv")) * l2Norm(col("__cv"))))
+    candIds.join(cv, "neighbor_id").join(qv, "query_id")
+      .withColumn("sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "sim")
