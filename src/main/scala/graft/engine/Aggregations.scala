@@ -23,6 +23,27 @@ import org.apache.spark.sql.functions._
   */
 object Aggregations {
 
+  /** Incremental refresh: recompute ONLY the countries whose facts changed
+    * in `batch`, and merge them into the aggregate table keyed on country —
+    * the scale alternative to the reference's truncate-and-reload (K5).
+    * Correct because every aggregate here is a function of a country's full
+    * fact group: we re-derive those groups from the (country-pruned) fact
+    * scan rather than attempting retraction arithmetic. With the fact table
+    * bucketed/partitioned by a country-correlated key the scan prunes; the
+    * dim side is broadcast both times.
+    */
+  def refreshIncremental(fact: DataFrame, dim: DataFrame, batch: DataFrame,
+                         aggTable: graft.engine.KeyedTable): Long = {
+    val changedCountries = batch
+      .join(broadcast(dim.select("customer_id", "country")), Seq("customer_id"), "inner")
+      .select("country").distinct()
+    val changedFacts = fact
+      .join(broadcast(dim.select("customer_id", "country")), Seq("customer_id"), "inner")
+      .join(broadcast(changedCountries), Seq("country"), "left_semi")
+      .drop("country")
+    aggTable.merge(bookingAggregation(changedFacts, dim))
+  }
+
   def bookingAggregation(fact: DataFrame, dim: DataFrame): DataFrame = {
     val amount = coalesce(col("total_amount"), lit(0))
     def ifStatus(s: String, v: Column): Column = when(col("status") === s, v)

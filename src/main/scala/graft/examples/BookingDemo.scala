@@ -77,6 +77,13 @@ object BookingDemo {
     fact.current.select("booking_id", "status", "cancellation_reason", "updated_at").orderBy("booking_id").show()
     agg.current.orderBy("country").show(truncate = false)
 
+    println("== incremental aggregate refresh (only countries touched by bk4's batch)")
+    val aggInc = KeyedTable(spark, s"$base/agg_inc", Seq("country"))
+    aggInc.overwrite(agg.current)
+    Aggregations.refreshIncremental(fact.current, dim.current,
+      fact.current.filter("booking_id = 'bk4'"), aggInc)
+    aggInc.current.orderBy("country").select("country","total_bookings","cancelled_bookings","total_amount").show()
+
     println("== run 3: no new feed files (checkpoint holds) — idempotent")
     BookingFlow.loadBookingFactBatch(spark, feed, fact, dim, agg)
     println(s"  fact rows: ${fact.current.count()} (expect 4), version ${fact.currentVersion}")

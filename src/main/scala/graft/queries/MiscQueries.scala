@@ -155,6 +155,26 @@ object MiscQueries {
              |WHERE r_name = 'ASIA'
              |GROUP BY n_name""".stripMargin)),
 
+    // ----- window-function breadth: lag/lead/first_value/ntile -------------
+    "q_window_shapes" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        Td.orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"),
+          lag("o_totalprice", 1).over(w).as("prev_price"),
+          lead("o_totalprice", 1).over(w).as("next_price"),
+          first("o_orderdate").over(w).as("first_order_date"),
+          ntile(4).over(w).as("quartile"),
+        )
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  lag(o_totalprice, 1) OVER w AS prev_price,
+             |  lead(o_totalprice, 1) OVER w AS next_price,
+             |  first_value(o_orderdate) OVER w AS first_order_date,
+             |  ntile(4) OVER w AS quartile
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)),
+
     // ----- event-time tumbling window (batch twin of streaming agg) --------
     "q_event_windows" -> Q(
       (s, d) => Td.events(s, d)

@@ -99,6 +99,16 @@ class BookingFlowSpec extends SparkSpec {
     // --- idempotent re-run: no new feed files → merge skipped, agg refreshed
     BookingFlow.loadBookingFactBatch(spark, feed, fact, dim, agg)
     assert(fact.current.count() == 4)
+
+    // --- incremental aggregate refresh == full refresh
+    val aggInc = KeyedTable(spark, s"$base/agg_inc", Seq("country"))
+    aggInc.overwrite(agg.current) // start from the pre-batch state
+    // pretend bk4's insert was the batch: only USA should be recomputed
+    val miniBatch = fact.current.filter("booking_id = 'bk4'")
+    Aggregations.refreshIncremental(fact.current, dim.current, miniBatch, aggInc)
+    val full = agg.current.collect().map(r => r.getString(0) -> r.toSeq).toMap
+    val inc = aggInc.current.collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(inc == full)
   }
 
   test("streaming shell: AvailableNow + foreachBatch merge matches batch mode") {
