@@ -27,21 +27,38 @@ object Aggregations {
     * in `batch`, and merge them into the aggregate table keyed on country —
     * the scale alternative to the reference's truncate-and-reload (K5).
     * Correct because every aggregate here is a function of a country's full
-    * fact group: we re-derive those groups from the (country-pruned) fact
-    * scan rather than attempting retraction arithmetic. With the fact table
-    * bucketed/partitioned by a country-correlated key the scan prunes; the
-    * dim side is broadcast both times.
+    * fact group: we re-derive those groups from the customer-pruned fact
+    * scan rather than attempting retraction arithmetic.
+    *
+    * `factBefore` (the pre-merge snapshot, e.g. `factTable.atVersion(n-1)`)
+    * covers facts that MOVED country: a booking whose customer changed hashes
+    * its old country into the changed set too — without it the old country's
+    * aggregate would silently keep the departed fact's contribution. Dim-side
+    * country changes (SCD-1 updates to `country` itself) are out of scope —
+    * run the full refresh after dim loads.
     */
   def refreshIncremental(fact: DataFrame, dim: DataFrame, batch: DataFrame,
-                         aggTable: graft.engine.KeyedTable): Long = {
-    val changedCountries = batch
+                         aggTable: graft.engine.KeyedTable,
+                         factBefore: Option[DataFrame] = None,
+                         factKey: String = "booking_id"): Long = {
+    val oldRows = factBefore.map(old =>
+        old.join(broadcast(batch.select(factKey).distinct()), Seq(factKey), "left_semi"))
+      .map(_.select("customer_id"))
+    val changedCustomers = oldRows.foldLeft(batch.select("customer_id"))(_ unionByName _)
+    val changedCountries = broadcast(changedCustomers.distinct()
       .join(broadcast(dim.select("customer_id", "country")), Seq("customer_id"), "inner")
-      .select("country").distinct()
-    val changedFacts = fact
-      .join(broadcast(dim.select("customer_id", "country")), Seq("customer_id"), "inner")
-      .join(broadcast(changedCountries), Seq("country"), "left_semi")
-      .drop("country")
-    aggTable.merge(bookingAggregation(changedFacts, dim))
+      .select("country").distinct())
+    // one semi-join over the fact scan: customers of the changed countries
+    val customersInChangedCountries = broadcast(dim
+      .join(changedCountries, Seq("country"), "left_semi")
+      .select("customer_id"))
+    val changedFacts = fact.join(customersInChangedCountries, Seq("customer_id"), "left_semi")
+    val recomputed = bookingAggregation(changedFacts, dim)
+    val v = aggTable.merge(recomputed)
+    // A changed country that lost ALL its facts produces no recomputed row;
+    // truncate-and-reload would drop it, so the incremental path must too.
+    val vanished = changedCountries.join(recomputed.select("country"), Seq("country"), "left_anti")
+    if (!vanished.isEmpty) aggTable.deleteKeys(vanished) else v
   }
 
   def bookingAggregation(fact: DataFrame, dim: DataFrame): DataFrame = {

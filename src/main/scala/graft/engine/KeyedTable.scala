@@ -113,6 +113,20 @@ final class KeyedTable(
     }
   }
 
+  /** Time travel: read the snapshot as of version `v` (must not have been
+    * vacuumed). Unbucketed versions are whole directories; bucketed versions
+    * resolve through that version's manifest.
+    */
+  def atVersion(v: Long): DataFrame = {
+    require(v > 0 && v <= currentVersion, s"version $v out of range 1..$currentVersion")
+    if (!bucketed) spark.read.parquet(s"$root/v=$v")
+    else {
+      val m = readManifest(fs, new Path(root, s"${ManifestPrefix}v$v"))
+      val paths = m.toSeq.map { case (b, ver) => s"$root/v=$ver/$BucketCol=$b" }
+      if (paths.isEmpty) emptyTyped else spark.read.parquet(paths: _*)
+    }
+  }
+
   /** Rows of the listed buckets only (bucketed tables) — the pruned read the
     * merge uses; also useful for key-range queries that know their buckets.
     */
@@ -123,10 +137,20 @@ final class KeyedTable(
     else spark.read.parquet(paths: _*)
   }
 
-  /** Truncate-and-reload (K5): write a fresh snapshot ignoring history. */
+  /** Truncate-and-reload (K5): write a fresh snapshot ignoring history.
+    * Refuses to bootstrap (version 1) over a directory that already holds
+    * version dirs without a `_CURRENT` pointer — that state means a commit
+    * crashed mid-swap, and re-bootstrapping would clobber live data.
+    */
   def overwrite(df: DataFrame): Long = {
     val next = currentVersion + 1
-    if (!exists) writePointer(fs, new Path(root, BucketsMarker), numBuckets.toLong)
+    if (!exists) {
+      val staleVersions = fs.exists(new Path(root)) &&
+        fs.listStatus(new Path(root)).exists(_.getPath.getName.startsWith("v="))
+      if (staleVersions) throw new IllegalStateException(
+        s"$root holds version dirs but no ${CurrentMarker} — crash mid-commit? restore the pointer manually")
+      writePointer(fs, new Path(root, BucketsMarker), numBuckets.toLong)
+    }
     writeText(fs, new Path(root, SchemaMarker), df.schema.json)
     if (!bucketed) {
       df.write.mode("overwrite").parquet(s"$root/v=$next")
@@ -150,19 +174,25 @@ final class KeyedTable(
     */
   def merge(batch: DataFrame): Long = {
     // Deterministic per-key collapse: order by orderCol (when given) then by
-    // every remaining column — a bare dropDuplicates/row_number tie picks an
-    // arbitrary partition-order-dependent survivor, so re-running the same
-    // load could produce different contents. With the full-column tie-break,
-    // ties can only remain between fully identical rows.
-    val rest = batch.columns.filterNot(c => keys.contains(c) || orderCol.contains(c)).toSeq
+    // every remaining ORDERABLE column — a bare dropDuplicates/row_number tie
+    // picks an arbitrary partition-order-dependent survivor, so re-running
+    // the same load could produce different contents. Map-typed columns are
+    // excluded (not orderable in Spark); ties can then only remain between
+    // rows identical in every orderable column.
+    val orderable = batch.schema.fields
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(_.name)
+      .filterNot(c => keys.contains(c) || orderCol.contains(c)).toSeq
     val latest = orderCol match {
-      case Some(oc) => Ops.latestPerKey(batch, keys, oc, tieBreak = rest)
+      case Some(oc) => Ops.latestPerKey(batch, keys, oc, tieBreak = orderable)
       case None =>
-        val ordCols = rest ++ batch.columns.filterNot(rest.contains).filterNot(keys.contains)
-        if (ordCols.isEmpty) batch.dropDuplicates(keys)
-        else Ops.latestPerKey(batch, keys, ordCols.head, tieBreak = ordCols.tail)
+        if (orderable.isEmpty) batch.dropDuplicates(keys)
+        else Ops.latestPerKey(batch, keys, orderable.head, tieBreak = orderable.tail)
     }
     if (!exists) return overwrite(latest)
+    // legacy tables (created before _SCHEMA existed): backfill from the
+    // readable current snapshot so empty-bucket reads stay typed
+    if (storedSchema.isEmpty) writeText(fs, new Path(root, SchemaMarker), current.schema.json)
     if (!bucketed) {
       val next = currentVersion + 1
       KeyedTable.mergePlan(current, latest, keys, broadcastBatchKeys)
@@ -205,14 +235,43 @@ final class KeyedTable(
     deletable.sorted
   }
 
+  /** Remove the rows whose keys appear in `keysDf`. The fact/dim sinks never
+    * delete (the reference contract) — this exists for derived tables like
+    * the incremental aggregate, where a group can vanish entirely. Bucketed
+    * tables rewrite only the buckets the deleted keys hash into; a bucket
+    * emptied by the delete simply drops out of the manifest.
+    */
+  def deleteKeys(keysDf: DataFrame): Long = {
+    require(exists, s"KeyedTable at $root has no committed version")
+    val k = broadcast(keysDf.select(keys.map(col).toIndexedSeq: _*).distinct())
+    if (!bucketed) {
+      val next = currentVersion + 1
+      current.join(k, keys, "left_anti")
+        .write.mode("overwrite").parquet(s"$root/v=$next")
+      writePointer(fs, new Path(root, CurrentMarker), next)
+      next
+    } else {
+      val touched = k.withColumn(BucketCol, bucketExpr)
+        .select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq.sorted
+      commitBucketsRewrite(touched, readBuckets(touched).join(k, keys, "left_anti"))
+    }
+  }
+
   private def mergeBucketed(latest: DataFrame): Long = {
-    val next = currentVersion + 1
     val withB = latest.withColumn(BucketCol, bucketExpr)
     // Touched buckets: a driver-side collect of ≤ numBuckets ints.
     val touched = withB.select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq.sorted
     val curTouched = readBuckets(touched)
-    val merged = KeyedTable.mergePlan(curTouched, latest, keys, broadcastBatchKeys)
-    merged.withColumn(BucketCol, bucketExpr)
+    commitBucketsRewrite(touched, KeyedTable.mergePlan(curTouched, latest, keys, broadcastBatchKeys))
+  }
+
+  /** Write `newData` as the new content of `touched` buckets at version N+1;
+    * untouched buckets keep their old manifest pointers, touched-but-empty
+    * buckets drop out.
+    */
+  private def commitBucketsRewrite(touched: Seq[Int], newData: DataFrame): Long = {
+    val next = currentVersion + 1
+    newData.withColumn(BucketCol, bucketExpr)
       .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/v=$next")
     val written = listBuckets(fs, new Path(s"$root/v=$next"))
     val prev = manifest
@@ -274,8 +333,16 @@ object KeyedTable {
       throw new java.io.IOException(s"atomic rename $tmp -> $p failed")
   }
 
+  /** Absent file → None (normal bootstrap / crash-window state, where the
+    * version dirs still exist and [[KeyedTable.overwrite]] refuses to
+    * clobber them). A file that EXISTS but doesn't parse is external
+    * corruption — fail loudly; treating it as absent would let the next
+    * merge silently re-bootstrap over live data.
+    */
   private def readPointer(fs: FileSystem, p: Path): Option[Long] =
-    readText(fs, p).flatMap(_.trim.toLongOption) // garbage/empty → absent, not a crash
+    readText(fs, p).map(t => t.trim.toLongOption.getOrElse(
+      throw new IllegalStateException(
+        s"corrupt pointer file $p (content: '${t.take(40)}') — repair manually")))
 
   private def writePointer(fs: FileSystem, p: Path, v: Long): Unit =
     writeText(fs, p, v.toString)

@@ -41,10 +41,18 @@ object BucketProbe {
     println(s"BP empty bootstrap: exists=${te.exists} count=${te.current.count()}")
     te.merge(Seq(("a", 1, 1)).toDF("id","ver","v"))
     println(s"BP merge after empty bootstrap: count=${te.current.count()}")
-    // probe: corrupt _CURRENT (crash mid-commit) → absent, not a crash
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(er, "_CURRENT"), "")
+    // probe: corrupt _CURRENT (external damage) → loud failure, no silent re-bootstrap
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(er, "_CURRENT"), "garbage!!")
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(er, "._CURRENT.crc"))
     val tc = KeyedTable(spark, er, Seq("id"), Some("ver"), numBuckets = 4)
-    println(s"BP corrupt pointer: exists=${tc.exists} (expect false, no exception)")
+    try { tc.exists; println("BP corrupt pointer: NO EXCEPTION (bad)") }
+    catch { case e: IllegalStateException => println(s"BP corrupt pointer: loud failure ok — ${e.getMessage.take(60)}") }
+    // probe: ABSENT _CURRENT with live version dirs (crash mid-swap) → bootstrap refused
+    java.nio.file.Files.delete(java.nio.file.Paths.get(er, "_CURRENT"))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(er, "._CURRENT.crc"))
+    val tm = KeyedTable(spark, er, Seq("id"), Some("ver"), numBuckets = 4)
+    try { tm.merge(Seq(("x", 1, 0)).toDF("id","ver","v")); println("BP missing pointer: MERGE CLOBBERED (bad)") }
+    catch { case e: IllegalStateException => println(s"BP missing pointer: bootstrap refused ok — ${e.getMessage.take(60)}") }
     spark.stop()
   }
 }

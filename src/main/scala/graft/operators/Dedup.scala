@@ -65,11 +65,8 @@ object Dedup {
     * connect near-identical boilerplate anyway).
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int, tau: Double,
-                   shingles: Option[DataFrame] = None): DataFrame = {
-    val ex = shingles.getOrElse(explodedShingles(df, idCol, textCol, n))
-    jaccardFromShingles(ex, tau)
-  }
+                   n: Int, tau: Double): DataFrame =
+    jaccardFromShingles(explodedShingles(df, idCol, textCol, n), tau)
 
   /** Jaccard ≥ tau over an exploded (id, s) shingle relation; `restrictTo`
     * limits the self-join to the given (id_a, id_b) candidate pairs — the
@@ -119,10 +116,8 @@ object Dedup {
     * with no shingles get NULL minhashes via the left join.
     */
   def withMinHashes(df: DataFrame, idCol: String, textCol: String,
-                    n: Int, numHashes: Int,
-                    shingles: Option[DataFrame] = None): DataFrame = {
-    val sig = minhashSignatures(
-      shingles.getOrElse(explodedShingles(df, idCol, textCol, n)), numHashes)
+                    n: Int, numHashes: Int): DataFrame = {
+    val sig = minhashSignatures(explodedShingles(df, idCol, textCol, n), numHashes)
     df.join(sig, df(idCol).cast("long") === sig("id"), "left_outer").drop(sig("id"))
   }
 

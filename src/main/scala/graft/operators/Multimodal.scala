@@ -74,13 +74,14 @@ object Multimodal {
       .rdd.mapPartitions { rows =>
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("content")
+          // r.get preserves SQL NULL for n_bytes — getAs[Long] would unbox
+          // a null slot to 0 and diverge from the oracle's NULL
+          val nBytes = r.get(r.fieldIndex("n_bytes"))
           if (bytes == null) // null payload (e.g. null source text) → null features, don't kill the job
-            Row(r.getAs[Long]("media_id"), r.getAs[String]("media_type"),
-              r.getAs[Long]("n_bytes"), null, null, null)
+            Row(r.getAs[Long]("media_id"), r.getAs[String]("media_type"), nBytes, null, null, null)
           else {
             val (w, h, feat) = stubDecode(bytes)
-            Row(r.getAs[Long]("media_id"), r.getAs[String]("media_type"),
-              r.getAs[Long]("n_bytes"), w, h, feat.toSeq)
+            Row(r.getAs[Long]("media_id"), r.getAs[String]("media_type"), nBytes, w, h, feat.toSeq)
           }
         }
       }

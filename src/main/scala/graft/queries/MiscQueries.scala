@@ -175,6 +175,23 @@ object MiscQueries {
              |FROM orders
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin)),
 
+    // ----- exact percentiles (interpolated; bit-equal to quantile_cont) ----
+    "q_percentiles" -> Q(
+      (s, d) => Td.orders(s, d).groupBy("o_orderstatus").agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        expr("percentile(o_totalprice, 0.99)").as("p99"),
+        min(col("o_totalprice")).as("p0"),
+        max(col("o_totalprice")).as("p100"),
+      ),
+      Some("""SELECT o_orderstatus,
+             |  quantile_cont(o_totalprice, 0.5) AS p50,
+             |  quantile_cont(o_totalprice, 0.9) AS p90,
+             |  quantile_cont(o_totalprice, 0.99) AS p99,
+             |  min(o_totalprice) AS p0,
+             |  max(o_totalprice) AS p100
+             |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
     // ----- event-time tumbling window (batch twin of streaming agg) --------
     "q_event_windows" -> Q(
       (s, d) => Td.events(s, d)

@@ -1,6 +1,7 @@
 package graft.engine
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.{lit, to_timestamp}
 
 import java.nio.file.{Files, Paths}
 
@@ -100,15 +101,41 @@ class BookingFlowSpec extends SparkSpec {
     BookingFlow.loadBookingFactBatch(spark, feed, fact, dim, agg)
     assert(fact.current.count() == 4)
 
-    // --- incremental aggregate refresh == full refresh
+    // --- incremental aggregate refresh == full refresh, seeded from the
+    // genuinely STALE batch-1 aggregate state (fact version 1)
+    val factV1 = fact.atVersion(1)
     val aggInc = KeyedTable(spark, s"$base/agg_inc", Seq("country"))
-    aggInc.overwrite(agg.current) // start from the pre-batch state
-    // pretend bk4's insert was the batch: only USA should be recomputed
-    val miniBatch = fact.current.filter("booking_id = 'bk4'")
-    Aggregations.refreshIncremental(fact.current, dim.current, miniBatch, aggInc)
+    aggInc.overwrite(Aggregations.bookingAggregation(factV1, dim.current))
+    // batch 2 changed bk2 (cancel) and inserted bk4 — both USA customers
+    val batch2 = fact.current.filter("booking_id IN ('bk2', 'bk4')")
+    Aggregations.refreshIncremental(fact.current, dim.current, batch2, aggInc,
+      factBefore = Some(factV1))
     val full = agg.current.collect().map(r => r.getString(0) -> r.toSeq).toMap
     val inc = aggInc.current.collect().map(r => r.getString(0) -> r.toSeq).toMap
     assert(inc == full)
+
+    // --- moved-country case: bk3's customer changes from 3 (Japan) to 1
+    // (USA); without factBefore Japan would keep bk3's stale contribution
+    val factMoved = KeyedTable(spark, s"$base/fact_moved", Seq("booking_id"), Some("updated_at"))
+    factMoved.overwrite(fact.current)
+    val movedBatch = Align.alignTo(
+      fact.current.filter("booking_id = 'bk3'")
+        .withColumn("customer_id", lit(1))
+        .withColumn("updated_at", to_timestamp(lit("2025-07-30 00:00:00"))),
+      Schemas.bookingFact)
+    val beforeMove = factMoved.current
+    factMoved.merge(movedBatch)
+    val aggMoved = KeyedTable(spark, s"$base/agg_moved", Seq("country"))
+    aggMoved.overwrite(agg.current) // pre-move aggregate (stale for both countries)
+    Aggregations.refreshIncremental(factMoved.current, dim.current, movedBatch, aggMoved,
+      factBefore = Some(beforeMove))
+    val fullMoved = Aggregations.bookingAggregation(factMoved.current, dim.current)
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    val incMoved = aggMoved.current.collect()
+      .map(r => r.getString(0) -> r.toSeq).toMap
+    // Japan lost its only booking: the incremental path must match the full
+    // recompute exactly — USA recomputed AND Japan's row deleted
+    assert(incMoved == fullMoved, s"inc=$incMoved full=$fullMoved")
   }
 
   test("streaming shell: AvailableNow + foreachBatch merge matches batch mode") {
