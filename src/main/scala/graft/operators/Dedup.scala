@@ -65,8 +65,16 @@ object Dedup {
     * connect near-identical boilerplate anyway).
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int, tau: Double): DataFrame =
-    jaccardFromShingles(explodedShingles(df, idCol, textCol, n), tau)
+                   n: Int, tau: Double,
+                   persistIntermediate: Boolean = true): DataFrame = {
+    // the shingle relation feeds three branches (sizes + both self-join
+    // sides); persist it so the source is scanned once
+    val ex0 = explodedShingles(df, idCol, textCol, n)
+    val ex = if (persistIntermediate)
+      ex0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else ex0
+    jaccardFromShingles(ex, tau)
+  }
 
   /** Jaccard ≥ tau over an exploded (id, s) shingle relation; `restrictTo`
     * limits the self-join to the given (id_a, id_b) candidate pairs — the
