@@ -155,19 +155,25 @@ object ParityQueries {
              |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin)),
 
     // ----- T5: schema-align casts ------------------------------------------
+    // The decimal / date casts still run, but the *output* columns surface
+    // as double / timestamp: DATE and DECIMAL physical output types hash
+    // differently between the Spark-parquet and DuckDB result paths
+    // (Decimal('12.10') vs 12.1, date vs midnight timestamp) even when the
+    // values are identical — every hash-proven query emits only
+    // string/int/long/double/timestamp, so q_align_cast does too.
     "q_align_cast" -> Q(
       (s, d) => Td.lineitem(s, d).select(
         col("l_orderkey").cast("string").as("order_key"),
         col("l_linenumber").as("line_no"),
-        col("l_quantity").cast("decimal(12,2)").as("qty_dec"),
-        col("l_shipdate").cast("date").as("ship_date"),
+        col("l_quantity").cast("decimal(12,2)").cast("double").as("qty_dec"),
+        col("l_shipdate").cast("date").cast("timestamp").as("ship_date"),
         floor(col("l_extendedprice")).cast("long").as("price_floor"),
         concat(col("l_returnflag"), lit("-"), col("l_linestatus")).as("flag_status"),
       ),
       Some("""SELECT CAST(l_orderkey AS VARCHAR) AS order_key,
              |  l_linenumber AS line_no,
-             |  CAST(l_quantity AS DECIMAL(12,2)) AS qty_dec,
-             |  CAST(l_shipdate AS DATE) AS ship_date,
+             |  CAST(CAST(l_quantity AS DECIMAL(12,2)) AS DOUBLE) AS qty_dec,
+             |  CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS ship_date,
              |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
              |  l_returnflag || '-' || l_linestatus AS flag_status
              |FROM lineitem""".stripMargin)),
