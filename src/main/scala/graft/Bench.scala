@@ -12,6 +12,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warm-up: first-query cost is dominated by one-time JVM work
+    // (Catalyst rule classloading, Janino codegen compiler, parquet reader
+    // init) that belongs to the session, not to whichever query runs first.
+    locally {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val r = spark.range(1000).toDF("x")
+      r.groupBy((col("x") % 10).as("k")).agg(sum("x"), collect_list("x")).count()
+      r.as("a").join(r.as("b"), "x").count()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("x") % 10).orderBy("x")
+      r.select(sum("x").over(w)).count()
+      r.select(col("x")).as[Long].flatMap(x => Seq((x, x + 1))).toDF("a", "b").count()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

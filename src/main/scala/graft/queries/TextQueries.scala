@@ -104,14 +104,16 @@ object TextQueries {
 
     // ----- exact n-gram Jaccard near-dup pairs (inverted index) ------------
     "q_jaccard_pairs" -> Q(
-      (s, d) => Dedup.jaccardPairs(Td.documents(s, d), "doc_id", "text", n = 3, tau = 0.5),
+      (s, d) => Dedup.jaccardPairs(Td.documents(s, d), "doc_id", "text", n = 3, tau = 0.5,
+        shingles = Some(Td.docShingles(s, d, 3))),
       Some(jaccardPairsSql)),
 
     // ----- minhash band signatures (LSH bucketing keys) --------------------
     "q_minhash_bands" -> Q(
       (s, d) => {
         val sig = Dedup.withBands(Dedup.withMinHashes(
-          Td.documents(s, d).select("doc_id", "text"), "doc_id", "text", n = 3, numHashes = 32),
+          Td.documents(s, d).select("doc_id", "text"), "doc_id", "text", n = 3, numHashes = 32,
+          shingles = Some(Td.docShingles(s, d, 3))),
           bands = 8, rowsPerBand = 4)
         sig.select((col("doc_id") +: (0 until 8).map(j => col(s"band$j"))): _*)
       },
@@ -141,7 +143,8 @@ object TextQueries {
     // planted-duplicate similarity (~0.98) the 8×4 banding is lossless on
     // this data (verified: candidate set ⊇ exact pairs).
     "q_minhash_dedup" -> Q(
-      (s, d) => Dedup.minhashDedup(Td.documents(s, d), "doc_id", "text", n = 3, tau = 0.5)
+      (s, d) => Dedup.minhashDedup(Td.documents(s, d), "doc_id", "text", n = 3, tau = 0.5,
+          shingles = Some(Td.docShingles(s, d, 3)))
         .select("doc_id", "lang", "source", "n_chars"),
       Some(s"""SELECT doc_id, lang, source, n_chars FROM documents
               |WHERE doc_id NOT IN (SELECT id_b FROM ($jaccardPairsSql) p)""".stripMargin)),

@@ -36,6 +36,32 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.toSet == Set((1L, 2L)))
   }
 
+  test("jaccardPairsPrefix (AllPairs) equals the inverted-index formulation") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val a = canon(Dedup.jaccardPairs(real, "doc_id", "text", n = 3, tau = 0.5))
+    val b = canon(Dedup.jaccardPairsPrefix(real, "doc_id", "text", n = 3, tau = 0.5))
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("shingleSet char-loop tokenizer matches the regex formulation") {
+    def regexTwin(text: String, n: Int): Seq[String] = {
+      val toks = text.toLowerCase
+        .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+        .split(" ", -1)
+      if (toks.length < n) Seq.empty
+      else (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" ")).distinct
+    }
+    val cases = Seq(
+      "The quick, brown FOX!! jumps--over  \t the lazy dog",
+      "", "   ", "a", "a b", "a b c", "a b c a b c a b c",
+      "punct.only,!!", "123 456 789 abc123 9x9 9x9 9x9",
+    )
+    for (t <- cases; n <- Seq(1, 2, 3))
+      assert(Dedup.shingleSet(t, n).toSet == regexTwin(t, n).toSet, s"text='$t' n=$n")
+  }
+
   test("minhashDedup: LSH candidates ⊇ exact pairs here; survivor keeps smaller id") {
     val cands = Dedup.lshCandidates(docs(), "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
