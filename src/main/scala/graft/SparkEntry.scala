@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{MiscQueries, ParityQueries, TextQueries, VectorQueries}
+import graft.queries.{MiscQueries, ParityQueries, RelationalQueries, TextQueries, VectorQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -18,7 +18,8 @@ object SparkEntry {
     ParityQueries.defs("q_agg_battery").fn(spark, "/root/testdata/sf0.001")
 
   private def all: Map[String, ParityQueries.Q] =
-    ParityQueries.defs ++ TextQueries.defs ++ VectorQueries.defs ++ MiscQueries.defs
+    ParityQueries.defs ++ TextQueries.defs ++ VectorQueries.defs ++
+      MiscQueries.defs ++ RelationalQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.fn }

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators Spark lacks as built-ins, composed Spark-first:
+  * as-of (temporal) join, range join with bin bucketing, and bloom-filtered
+  * semi-join. Each is a declarative plan Catalyst can keep optimizing —
+  * no mapPartitions, no driver-side loops over data.
+  */
+object Relational {
+
+  /** Left-outer as-of join: for each left row, the single latest right row
+    * with the same key and `rightTime <= leftTime`; right rows tying on time
+    * resolve to the largest `rightTie` value. Left rows with no match keep
+    * null right columns.
+    *
+    * Implemented as union-sort, not a join: tag right rows 0 and left rows 1,
+    * union them with aligned schemas, and within each key carry the most
+    * recent right-row payload forward with
+    * `last(struct, ignoreNulls) OVER (ORDER BY time, tag, tie)` — right
+    * rows sort before left rows at equal times, so "at or before" is the
+    * window frame itself. ONE shuffle on the key and one sort, regardless of
+    * how many right rows precede each left row; the naive
+    * `JOIN ON t2 <= t1` + row_number alternative fans out every left row by
+    * its full right-history (quadratic per hot key) before discarding all
+    * but one row. This is the standard log-merge formulation (cf. the
+    * reference's CDC lookup semantics, `SURVEY.md` §2.3 T2: match latest
+    * state at-or-before the change event).
+    *
+    * `rightCols` are the right payload columns to surface (must not collide
+    * with left column names).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String, rightTie: String,
+               rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payload = struct((rightTie +: rightCols).distinct.map(col): _*)
+    val r = right.select(
+      col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__tag"),
+      col(rightTie).cast("long").as("__tie"), payload.as("__p"),
+      typedLit[Option[Long]](None).as("__rowid"))
+    val l = left.select(
+      (Seq(col(key).as("__k"), col(leftTime).as("__t"), lit(1).as("__tag"),
+        lit(Long.MaxValue).as("__tie"), lit(null).cast(r.schema("__p").dataType).as("__p"),
+        monotonically_increasing_id().as("__rowid")) ++ leftCols.map(col)): _*)
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t").asc, col("__tag").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val merged = r.select((r.columns.map(col) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+      .unionByName(l)
+      .withColumn("__carried", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+    merged.select(leftCols.map(col) ++
+      rightCols.map(c => col(s"__carried.$c").as(c)): _*)
+  }
+
+  /** Inner range join: fact rows matched to every range row with
+    * `lo <= value < hi`. Both sides bucket into fixed-width bins — a range
+    * row replicates into each bin it overlaps — so the physical join is an
+    * EQUI join on the bin id with the range predicate as a residual filter.
+    * Catalyst can hash-partition or broadcast an equi key; a raw interval
+    * predicate would fall back to broadcast-nested-loop, which dies when
+    * the ranges side outgrows a broadcast. Bin width tunes replication vs
+    * selectivity: ranges replicate ~(hi−lo)/binWidth times, and each fact
+    * row probes exactly one bin.
+    */
+  def rangeJoin(fact: DataFrame, valueCol: String,
+                ranges: DataFrame, loCol: String, hiCol: String,
+                binWidth: Double): DataFrame = {
+    val f = fact.withColumn("__bin", floor(col(valueCol) / binWidth).cast("long"))
+    val rr = ranges.withColumn("__bin",
+      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    f.join(rr, Seq("__bin"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop("__bin")
+  }
+
+  /** Semi-join with a bloom pre-filter: build a bloom filter over the right
+    * side's keys (one aggregation job; only the ~MB filter reaches the
+    * driver), pre-filter the left side map-side, then run the exact
+    * left-semi join on survivors. Output EQUALS the plain semi-join — bloom
+    * filters have no false negatives, and the exact join removes the false
+    * positives. The win at scale: the big side drops most non-matching rows
+    * before the shuffle, the same effect Spark's runtime row-level bloom
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`) injects for
+    * selective joins — expressed here as an explicit operator.
+    */
+  def bloomSemiJoin(left: DataFrame, leftKey: String,
+                    right: DataFrame, rightKey: String,
+                    expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val bloom = right.stat.bloomFilter(rightKey, expectedKeys, fpp)
+    val spark = left.sparkSession
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    // primitive-arg UDF: null keys yield null → filtered, matching equi-join
+    // semantics (null never joins)
+    val mightContain = udf((k: Long) => bloomB.value.mightContainLong(k))
+    left.filter(mightContain(col(leftKey).cast("long")))
+      .join(right.select(col(rightKey).as(leftKey)), Seq(leftKey), "left_semi")
+  }
+}

@@ -98,4 +98,28 @@ object TextOps {
     * text — a cheap stable identity for exact-ish dedup and lineage.
     */
   def fingerprint(c: Column): Column = polyHash(normText(c))
+
+  /** BPE-ish token-count regex: letter runs, digit runs, and single
+    * non-alnum-non-space marks — the pre-tokenization split most BPE
+    * vocabularies (GPT-2 style) apply before merges, minus the
+    * lookahead-dependent whitespace rules (kept lookahead-free so the same
+    * pattern runs on Java regex and RE2-family engines alike).
+    */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Approximate LLM token count: the number of BPE-style pre-tokens. A
+    * true BPE merge table would refine each pre-token into subwords; the
+    * pre-token count is the stable, vocabulary-free lower bound used for
+    * corpus budgeting.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0))).cast("long")
+
+  /** PII-style masking: digit runs → '#', bare email-shaped spans →
+    * '<email>'. Deterministic regexp rewrite, codegen'd, no UDF.
+    */
+  def maskPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<email>"),
+      "[0-9]+", "#")
 }

@@ -1,0 +1,156 @@
+package graft.queries
+
+import graft.operators.{Relational, Sampling, Sketches, TextOps}
+import graft.queries.ParityQueries.Q
+import org.apache.spark.sql.functions._
+
+/** Extension queries: temporal/range/bloom joins, pivot & grouping sets,
+  * deterministic sampling, and text-pipeline scalars — each oracle-checked
+  * against DuckDB unless the result is engine-internal (sketches).
+  */
+object RelationalQueries {
+
+  /** Fixed price bands for the range join: 20 half-open [i·25, (i+1)·25)
+    * intervals covering events.value's [0, 500) domain. 25.0 is exact in
+    * binary, so band edges compare identically in both engines.
+    */
+  private val bandRows: Seq[(Int, Double, Double)] =
+    (0 until 20).map(i => (i, i * 25.0, (i + 1) * 25.0))
+
+  private def bandsSql: String =
+    bandRows.map { case (i, lo, hi) => s"($i, $lo, $hi)" }.mkString(", ")
+
+  val defs: Map[String, Q] = Map(
+
+    // ----- as-of (temporal) join -------------------------------------------
+    // Each event matched to the user's latest order at-or-before the event
+    // time; time ties resolve to the largest orderkey. The Spark plan is the
+    // union-sort formulation (one shuffle); the oracle states the same
+    // semantics as a correlated ordered-limit subquery.
+    "q_asof_join" -> Q(
+      (s, d) => Relational.asofJoin(
+        Td.events(s, d).select("event_id", "user_id", "ts"),
+        Td.orders(s, d).withColumnRenamed("o_custkey", "user_id"), key = "user_id",
+        leftTime = "ts", rightTime = "o_orderdate", rightTie = "o_orderkey",
+        rightCols = Seq("o_orderkey", "o_totalprice"))
+        .withColumnRenamed("o_orderkey", "asof_orderkey")
+        .withColumnRenamed("o_totalprice", "asof_totalprice"),
+      Some("""SELECT e.event_id, e.user_id AS user_id, e.ts,
+             |  (SELECT o.o_orderkey FROM orders o
+             |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+             |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS asof_orderkey,
+             |  (SELECT o.o_totalprice FROM orders o
+             |   WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+             |   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) AS asof_totalprice
+             |FROM events e""".stripMargin)),
+
+    // ----- range join (bin-bucketed interval join) -------------------------
+    "q_range_join" -> Q(
+      (s, d) => {
+        val spark = s
+        import spark.implicits._
+        val bands = bandRows.toDF("band_id", "lo", "hi")
+        Relational.rangeJoin(Td.events(s, d), "value", bands, "lo", "hi", binWidth = 10.0)
+          .groupBy("band_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      },
+      Some(s"""SELECT band_id, count(*) AS n_events,
+              |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+              |FROM events e
+              |JOIN (VALUES $bandsSql) b(band_id, lo, hi)
+              |  ON e.value >= b.lo AND e.value < b.hi
+              |GROUP BY band_id""".stripMargin)),
+
+    // ----- bloom-filtered semi-join ----------------------------------------
+    // Bloom pre-filter + exact left-semi ≡ plain semi-join (bloom has no
+    // false negatives; the exact join removes false positives).
+    "q_bloom_semi" -> Q(
+      (s, d) => Relational.bloomSemiJoin(
+        Td.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"),
+        "l_partkey",
+        Td.part(s, d).filter(col("p_size") > 40), "p_partkey",
+        expectedKeys = 100000L)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
+             |WHERE EXISTS (SELECT 1 FROM part
+             |  WHERE p_partkey = l_partkey AND p_size > 40)""".stripMargin)),
+
+    // ----- pivot ------------------------------------------------------------
+    "q_pivot_status" -> Q(
+      (s, d) => Td.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+        .withColumnRenamed("O", "amt_open")
+        .withColumnRenamed("F", "amt_final")
+        .withColumnRenamed("P", "amt_pending"),
+      Some("""SELECT o_orderpriority,
+             |  CAST(SUM(CASE WHEN o_orderstatus='O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS amt_open,
+             |  CAST(SUM(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS amt_final,
+             |  CAST(SUM(CASE WHEN o_orderstatus='P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS amt_pending
+             |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
+    // ----- grouping sets ----------------------------------------------------
+    "q_grouping_sets" -> Q(
+      (s, d) => {
+        Td.orders(s, d).createOrReplaceTempView("orders_gs")
+        s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+                |FROM orders_gs
+                |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                |                        (o_orderstatus), (o_orderpriority))
+                |""".stripMargin)
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+             |                        (o_orderstatus), (o_orderpriority))""".stripMargin)),
+
+    // ----- BPE-ish pre-token count -----------------------------------------
+    "q_bpe_tokens" -> Q(
+      (s, d) => Td.documents(s, d).select(
+        col("doc_id"), TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens")),
+      Some(s"""SELECT doc_id,
+              |  CAST(len(regexp_extract_all(text, '${TextOps.BpeTokenPattern}')) AS BIGINT) AS n_bpe_tokens
+              |FROM documents""".stripMargin)),
+
+    // ----- PII masking ------------------------------------------------------
+    "q_mask_pii" -> Q(
+      (s, d) => Td.documents(s, d).select(
+        col("doc_id"), TextOps.maskPii(col("text")).as("masked")),
+      Some("""SELECT doc_id,
+             |  regexp_replace(
+             |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+             |    '[0-9]+', '#', 'g') AS masked
+             |FROM documents""".stripMargin)),
+
+    // ----- deterministic train/val/test split ------------------------------
+    "q_train_split" -> Q(
+      (s, d) => Td.documents(s, d).select(
+        col("doc_id"),
+        Sampling.splitColumn(col("doc_id"),
+          Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split")),
+      Some("""SELECT doc_id,
+             |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+             |FROM (SELECT doc_id,
+             |  ((doc_id % 1000003) * 2654435761) % 100 AS b FROM documents) t""".stripMargin)),
+
+    // ----- stratified deterministic sample ---------------------------------
+    "q_stratified_sample" -> Q(
+      (s, d) => Sampling.stratifiedSample(Td.events(s, d), "event_type", "event_id",
+        Map("purchase" -> 50, "view" -> 10), defaultPct = 20)
+        .select("event_id", "user_id", "event_type"),
+      Some("""SELECT event_id, user_id, event_type FROM (
+             |  SELECT *, ((event_id % 1000003) * 2654435761) % 100 AS b FROM events) t
+             |WHERE b < CASE event_type WHEN 'purchase' THEN 50
+             |                          WHEN 'view' THEN 10 ELSE 20 END""".stripMargin)),
+
+    // ----- approximate sketches (engine-internal → rows-only check) --------
+    // Error bounds vs exact answers are asserted in SketchesSpec.
+    "q_approx_distinct" -> Q(
+      (s, d) => Td.events(s, d).groupBy("event_type").agg(
+        Sketches.approxDistinct(col("user_id")).as("approx_users"),
+        Sketches.approxPercentiles(col("value"), Seq(0.5, 0.95)).as("value_p50_p95")),
+      None),
+  )
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  private def ids = {
+    val s = spark
+    import s.implicits._
+    (1L to 10000L).toDF("id")
+  }
+
+  test("splitColumn: total partition, deterministic, near-target fractions") {
+    val out = ids.select(col("id"),
+      Sampling.splitColumn(col("id"), Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"))
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 10000L)
+    assert(math.abs(counts("train") - 8000L) < 200, counts.toString)
+    assert(math.abs(counts("val") - 1000L) < 150, counts.toString)
+    assert(math.abs(counts("test") - 1000L) < 150, counts.toString)
+    // rerun → identical assignment (no rand())
+    val again = ids.select(col("id"),
+      Sampling.splitColumn(col("id"), Seq("train" -> 80, "val" -> 10, "test" -> 10)).as("split"))
+    assert(out.exceptAll(again).count() == 0)
+  }
+
+  test("stratifiedSample applies per-stratum rates") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 6000L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "grp")
+    val out = Sampling.stratifiedSample(df, "grp", "id", Map("a" -> 50), defaultPct = 10)
+    val rates = out.groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(rates("a") - 1000L) < 120, rates.toString)  // 50% of 2000
+    assert(math.abs(rates("b") - 400L) < 100, rates.toString)   // 10% of 4000
+  }
+
+  test("weightedMix tags provenance and respects weights") {
+    val s = spark
+    import s.implicits._
+    val a = (1L to 2000L).toDF("id")
+    val b = (1L to 2000L).toDF("id")
+    val mixed = Sampling.weightedMix(Seq(("web", a, 75), ("books", b, 25)), "id")
+    val counts = mixed.groupBy("mix_source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("web") - 1500L) < 120, counts.toString)
+    assert(math.abs(counts("books") - 500L) < 100, counts.toString)
+  }
+
+  test("sketches: HLL and approx percentiles within error bounds; heavy hitters exact") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 20000L).map(i => (i, i % 1234, (i % 100).toDouble)).toDF("id", "u", "v")
+    val row = df.agg(
+      Sketches.approxDistinct(col("u"), 0.02).as("ad"),
+      Sketches.approxPercentiles(col("v"), Seq(0.5), 10000).as("p")).collect()(0)
+    assert(math.abs(row.getAs[Long]("ad") - 1234L) <= 1234 * 0.06)
+    val p50 = row.getSeq[Double](row.fieldIndex("p")).head
+    assert(math.abs(p50 - 49.0) <= 2.0)
+    val skewed = df.withColumn("hot", when(col("id") % 10 < 3, "hot").otherwise(concat(lit("c"), col("id"))))
+    val hh = Sketches.heavyHitters(skewed, "hot", minSupport = 0.2)
+      .collect().map(_.getString(0)).toSet
+    assert(hh == Set("hot"))
+  }
+}
