@@ -72,6 +72,42 @@ object StreamOps {
       }
   }
 
+  /** Event-time stream-stream inner join: left rows matched to right rows
+    * with the same key whose event time falls in
+    * `[leftTs, leftTs + maxDelay]` (e.g. impressions joined to clicks that
+    * arrive within the attribution window). Both sides carry watermarks and
+    * the join condition bounds BOTH event times, so Spark can size and evict
+    * the join state: a buffered left row is dropped once the right watermark
+    * passes `leftTs + maxDelay`, and vice versa — without the time bound the
+    * state would grow forever. Column names must be disjoint apart from the
+    * key columns (`leftKey`/`rightKey`).
+    */
+  def intervalJoin(left: DataFrame, leftKey: String, leftTs: String,
+                   right: DataFrame, rightKey: String, rightTs: String,
+                   watermarkDelay: String, maxDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r, expr(
+      s"""$leftKey = $rightKey AND
+         |$rightTs >= $leftTs AND
+         |$rightTs <= $leftTs + INTERVAL $maxDelay""".stripMargin))
+  }
+
+  /** Session-window aggregation: gap-based sessions via the built-in
+    * `session_window` — windows extend while events keep arriving within
+    * `gap` and finalize when the watermark passes last-event + gap. The
+    * streaming twin of the batch q_sessionize query (lag/sum formulation);
+    * state is per (key, open session), merged as sessions bridge.
+    */
+  def sessionWindowAgg(events: DataFrame, tsCol: String, keyCol: String,
+                       gap: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap).as("sw"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("sw.start").as("session_start"), col("sw.end").as("session_end"),
+        col(keyCol), col("n_events"))
+
   /** Convenience: run a streaming query over `df` to completion with
     * AvailableNow into an in-memory sink and return the result table.
     */

@@ -75,4 +75,48 @@ class StreamOpsSpec extends SparkSpec {
     assert(last(1L) == 3L) // 2 events then +1 on the next batch, state carried
     assert(last(2L) == 1L)
   }
+
+  test("stream-stream interval join matches clicks within the attribution window") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = StreamOps.intervalJoin(
+      imps.toDF().toDF("imp_key", "imp_ts"), "imp_key", "imp_ts",
+      clicks.toDF().toDF("click_key", "click_ts"), "click_key", "click_ts",
+      watermarkDelay = "30 minutes", maxDelay = "10 MINUTES")
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    imps.addData((1L, ts(0)), (2L, ts(0)))
+    clicks.addData((1L, ts(5)))  // within 10 min  → match
+    clicks.addData((2L, ts(25))) // outside window → no match
+    clicks.addData((3L, ts(5)))  // no impression  → no match
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attrib").collect().map(_.getLong(0)).toSet
+    assert(rows == Set(1L))
+  }
+
+  test("session_window agg merges gap-bridged events and splits separated ones") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val sess = StreamOps.sessionWindowAgg(
+      input.toDF().toDF("ts", "uid"), "ts", "uid", gap = "5 minutes",
+      watermarkDelay = "10 minutes")
+    val q = sess.writeStream.format("memory").queryName("sessw")
+      .outputMode(OutputMode.Append()).start()
+    // user 1: events at 10:00, 10:03 (one session), 10:20 (a second session)
+    input.addData((ts(0), 1L), (ts(3), 1L), (ts(20), 1L))
+    q.processAllAvailable()
+    input.addData((ts(59), 9L)) // advance watermark far past both sessions
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessw").collect()
+      .filter(_.getLong(2) == 1L)
+      .map(r => (r.getTimestamp(0).toString, r.getLong(3))).toSet
+    assert(rows == Set(("2025-01-01 10:00:00.0", 2L), ("2025-01-01 10:20:00.0", 1L)))
+  }
 }
