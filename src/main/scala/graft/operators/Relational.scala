@@ -37,7 +37,10 @@ object Relational {
                rightCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
     val payload = struct((rightTie +: rightCols).distinct.map(col): _*)
-    val r = right.select(
+    // equi-join semantics: a null key matches nothing — drop null-key right
+    // rows (null-key left rows keep null right columns; their window
+    // partition simply has no right rows to carry)
+    val r = right.filter(col(key).isNotNull && col(rightTime).isNotNull).select(
       col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__tag"),
       col(rightTie).cast("long").as("__tie"), payload.as("__p"),
       typedLit[Option[Long]](None).as("__rowid"))

@@ -54,6 +54,29 @@ class RelationalSpec extends SparkSpec {
     assert(f.size == events.count())
   }
 
+  test("asofJoin matches a per-row reference on seeded random data (nulls included)") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(42)
+    def mkKey(): java.lang.Long = if (rng.nextInt(10) == 0) null else java.lang.Long.valueOf(rng.nextInt(8))
+    val rights = (1 to 300).map(i => (mkKey(), rng.nextInt(100).toLong, i.toLong))
+    val lefts  = (1 to 300).map(i => (mkKey(), rng.nextInt(100).toLong, 1000L + i))
+    val rdf = rights.toDF("k", "t", "rid")
+    val ldf = lefts.toDF("k", "t2", "lid")
+    val out = Relational.asofJoin(ldf, rdf, "k",
+      leftTime = "t2", rightTime = "t", rightTie = "rid", rightCols = Seq("rid"))
+    val got = out.collect()
+      .map(r => r.getLong(r.fieldIndex("lid")) ->
+        Option(r.getAs[java.lang.Long]("rid")).map(_.toLong)).toMap
+    lefts.foreach { case (lk, lt, lid) =>
+      val expect =
+        if (lk == null) None
+        else rights.filter(q => q._1 != null && q._1 == lk && q._2 <= lt)
+          .sortBy(q => (q._2, q._3)).lastOption.map(_._3)
+      assert(got(lid) == expect, s"lid=$lid k=$lk t=$lt")
+    }
+  }
+
   test("rangeJoin equals the predicate join, including bin-straddling ranges") {
     val s = spark
     import s.implicits._
