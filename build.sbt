@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run output straight through: sbt's logger otherwise prefixes
+// every stdout line with "[info] ", which breaks consumers that parse a
+// bare JSON line from `runMain graft.Bench` (the driver's bench harness
+// recorded "parsed": null in round 1 for exactly this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
