@@ -66,6 +66,45 @@ object Multimodal {
     (width, height, feat)
   }
 
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame_bytes", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("feature", ArrayType(FloatType)),
+  ))
+
+  /** Frame sampling: the payload is read as consecutive `frameBytes`-sized
+    * frames (the last one may be short); every `stride`-th frame is decoded,
+    * up to `maxFrames` per media row. One input row fans out to 0..maxFrames
+    * frame rows — the generator (flatMap) decode shape a video pipeline
+    * needs, with per-frame decode cost bounded by `frameBytes` and per-task
+    * memory bounded by one input row's sampled frames. Decode is the same
+    * deterministic [[stubDecode]]; a real codec swaps in per frame slice.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+                   frameBytes: Int, stride: Int, maxFrames: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0 && maxFrames > 0)
+    val out = media.select("media_id", "content")
+      .rdd.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]]("content")
+          if (bytes == null || bytes.isEmpty) Iterator.empty
+          else {
+            val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+            Iterator.range(0, nFrames, stride).take(maxFrames).map { i =>
+              val slice = java.util.Arrays.copyOfRange(bytes,
+                i * frameBytes, math.min((i + 1) * frameBytes, bytes.length))
+              val (w, h, feat) = stubDecode(slice)
+              Row(r.getAs[Long]("media_id"), i, slice.length.toLong, w, h, feat.toSeq)
+            }
+          }
+        }
+      }
+    spark.createDataFrame(out, frameSchema)
+  }
+
   /** Decode/feature-extract over partition-local batches. Runs fully
     * distributed; the iterator never materializes a whole partition.
     */

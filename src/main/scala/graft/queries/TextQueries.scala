@@ -176,6 +176,28 @@ object TextQueries {
               |  CAST(64 + h % 512 AS INT) AS width,
               |  CAST(64 + (h // 512) % 512 AS INT) AS height
               |FROM (SELECT doc_id, text, ${polyHashSql("text")} AS h FROM documents) t""".stripMargin)),
+
+    // ----- multimodal: frame sampling (one row → N frame rows) -------------
+    // Payload read as 16-byte frames, every 4th frame decoded, ≤ 8 frames
+    // per doc. ASCII payloads make the per-slice byte-fold hash equal the
+    // char-fold over the substring, so even the fan-out decode stays
+    // oracle-checkable.
+    "q_frame_sample" -> Q(
+      (s, d) => {
+        val media = Multimodal.asMediaTable(Td.documents(s, d), "doc_id", "text")
+        Multimodal.sampleFrames(s, media, frameBytes = 16, stride = 4, maxFrames = 8)
+          .select("media_id", "frame_idx", "frame_bytes", "width", "height")
+      },
+      Some(s"""SELECT media_id, frame_idx, frame_bytes,
+              |  CAST(64 + h % 512 AS INT) AS width,
+              |  CAST(64 + (h // 512) % 512 AS INT) AS height
+              |FROM (
+              |  SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+              |    CAST(octet_length(encode(substring(text, i*16 + 1, 16))) AS BIGINT) AS frame_bytes,
+              |    ${polyHashSql("substring(text, i*16 + 1, 16)")} AS h
+              |  FROM documents, (SELECT unnest(range(0, 1024)) AS i) g
+              |  WHERE length(text) > 0 AND i*16 < length(text)
+              |    AND i % 4 = 0 AND i < 4*8) t""".stripMargin)),
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -147,6 +147,26 @@ class OperatorsSpec extends SparkSpec {
       r1.getSeq[Float](r1.fieldIndex("feature")))
   }
 
+  test("sampleFrames: stride/cap fan-out, short last frame, empty payload skipped") {
+    val s = spark
+    import s.implicits._
+    // doc 1: 100 chars → frames of 16 = ceil(100/16) = 7 frames (last short),
+    // stride 2 → indices 0,2,4,6; doc 2 empty → no rows
+    val docs = Seq((1L, "x" * 100), (2L, "")).toDF("doc_id", "text")
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    val frames = Multimodal.sampleFrames(spark, media, frameBytes = 16, stride = 2, maxFrames = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(frames.map(_._1).forall(_ == 1L))
+    assert(frames.map(_._2).sorted.toSeq == Seq(0, 2, 4, 6))
+    val last = frames.find(_._2 == 6).get
+    assert(last._3 == 4L) // 100 - 6*16 = 4 trailing bytes
+    assert(frames.filter(_._2 < 6).forall(_._3 == 16L))
+    // cap: maxFrames 2 keeps the first two sampled indices
+    val capped = Multimodal.sampleFrames(spark, media, 16, 2, 2)
+      .collect().map(_.getInt(1)).sorted.toSeq
+    assert(capped == Seq(0, 2))
+  }
+
   test("exact dedup keeps first row per key") {
     val s = spark
     import s.implicits._
