@@ -116,9 +116,11 @@ object Similarity {
   /** Deterministic mini k-means over the corpus (Lloyd iterations expressed
     * as DataFrame ops): init = first `nlist` vectors by id; assignment =
     * per-row argmax dot against literal centroids (codegen'd kernel × nlist);
-    * update = per-(cell, dim) mean via posexplode + groupBy — one shuffle per
-    * iteration, centroids (nlist × dim floats) collected to the driver each
-    * round. Scales: the corpus is never collected, only centroid summaries.
+    * update = per-cell element-wise mean via the [[graft.functions.VecMean]]
+    * typed Aggregator — per-partition double[] accumulation, ONE buffer per
+    * (partition, cell) crosses the shuffle, versus the declarative
+    * posexplode formulation that shuffles rows × dim and re-sorts positions.
+    * Only centroid summaries (nlist × dim floats) ever reach the driver.
     */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                      nlist: Int, iters: Int = 3): Seq[Array[Float]] = {
@@ -129,13 +131,10 @@ object Similarity {
       val assigned = corpus.select(col(vecCol).as("v"),
         nearestCell(col(vecCol), centroids).as("cell"))
       val means = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
-        .collect().groupBy(_.getInt(0))
-        .map { case (cell, rows) =>
-          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
-        }
-      centroids = centroids.indices.map(i => means.get(i).map(_.toArray).getOrElse(centroids(i)))
+        .groupBy("cell").agg(graft.functions.VecMean.asCol("v").as("m"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
     }
     centroids
   }

@@ -210,6 +210,30 @@ object ParityQueries {
              |    ORDER BY o_totalprice DESC, o_orderkey) AS spend_rank
              |FROM orders""".stripMargin)),
 
+    // ----- window: RANGE frame (1-hour sliding sum per user) ---------------
+    // Range frames bound by VALUE distance, not row count — ties on the
+    // ordering key share a frame, so no tie-break column is needed for
+    // determinism (unlike every ROWS frame here).
+    "q_window_range" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600000000L, 0) // 1 hour in µs
+        Td.events(s, d).select(
+          col("event_id"), col("user_id"), col("ts"),
+          sum(col("value").cast("decimal(18,2)")).over(w)
+            .cast("double").as("hour_sum"),
+          count(lit(1)).over(w).as("hour_n"),
+        )
+      },
+      Some("""SELECT event_id, user_id, ts,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             |    PARTITION BY user_id ORDER BY epoch_us(ts)
+             |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum,
+             |  COUNT(*) OVER (
+             |    PARTITION BY user_id ORDER BY epoch_us(ts)
+             |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS hour_n
+             |FROM events""".stripMargin)),
+
     // ----- join shapes: semi / anti ----------------------------------------
     "q_semi_join" -> Q(
       (s, d) => Td.customer(s, d)

@@ -63,4 +63,19 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(hh == Set("hot"))
   }
+
+  test("VecMean aggregator: element-wise mean, nulls skipped, merge correct") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (0, Seq(1f, 2f, 3f)), (0, Seq(3f, 4f, 5f)),
+      (1, Seq(10f, 20f, 30f)),
+      (2, null.asInstanceOf[Seq[Float]]),
+    ).toDF("cell", "v").repartition(3) // force cross-partition merge
+    val out = df.groupBy("cell").agg(graft.functions.VecMean.asCol("v").as("m"))
+      .collect().map(r => r.getInt(0) -> Option(r.getSeq[Float](1))).toMap
+    assert(out(0).get == Seq(2f, 3f, 4f))
+    assert(out(1).get == Seq(10f, 20f, 30f))
+    assert(out(2).get == Seq.empty) // null-only group -> empty array
+  }
 }
