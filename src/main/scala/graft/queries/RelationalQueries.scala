@@ -145,6 +145,36 @@ object RelationalQueries {
              |WHERE b < CASE event_type WHEN 'purchase' THEN 50
              |                          WHEN 'view' THEN 10 ELSE 20 END""".stripMargin)),
 
+    // ----- scalar array-function battery ------------------------------------
+    // Over the embeddings' array<float>: size/index/slice/min/max/sort head,
+    // contains, and a float-to-double-widened element. Array positions are
+    // 1-based in both engines; float→double widening is exact so outputs
+    // stay hash-stable.
+    "q_array_funcs" -> Q(
+      (s, d) => Td.embeddings(s, d).select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("first_elem"),
+        element_at(col("embedding"), -1).cast("double").as("last_elem"),
+        array_min(col("embedding")).cast("double").as("min_elem"),
+        array_max(col("embedding")).cast("double").as("max_elem"),
+        element_at(array_sort(col("embedding")), 2).cast("double").as("second_smallest"),
+        size(slice(col("embedding"), 1, 8)).as("head_len"),
+        array_contains(col("embedding"), lit(0.0f)).as("has_zero"),
+        array_position(col("embedding"), array_max(col("embedding"))).as("argmax_1based"),
+      ),
+      Some("""SELECT vec_id,
+             |  CAST(len(embedding) AS INT) AS dim,
+             |  CAST(embedding[1] AS DOUBLE) AS first_elem,
+             |  CAST(embedding[-1] AS DOUBLE) AS last_elem,
+             |  CAST(list_min(embedding) AS DOUBLE) AS min_elem,
+             |  CAST(list_max(embedding) AS DOUBLE) AS max_elem,
+             |  CAST(list_sort(embedding)[2] AS DOUBLE) AS second_smallest,
+             |  CAST(len(embedding[1:8]) AS INT) AS head_len,
+             |  list_contains(embedding, CAST(0.0 AS FLOAT)) AS has_zero,
+             |  CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax_1based
+             |FROM embeddings""".stripMargin)),
+
     // ----- approximate sketches (engine-internal → rows-only check) --------
     // Error bounds vs exact answers are asserted in SketchesSpec.
     "q_approx_distinct" -> Q(
