@@ -280,21 +280,50 @@ object Dedup {
                    n: Int = 3, tau: Double = 0.5,
                    persistIntermediate: Boolean = true,
                    shingles: Option[DataFrame] = None): DataFrame = {
-    // One shingle pass shared by signature, candidate, and verify stages —
-    // re-deriving the shingles from the source in every self-join branch
-    // costs 16 table scans in the naive plan; ruinous when the source is a
-    // 100 TB table. Persisting the (id, shingle) relation makes it one scan
-    // + cached reuse; Spark evicts MEMORY_AND_DISK blocks under pressure.
+    // One shingle pass, ONE groupBy(id): the 32 minhash permutations, the
+    // full shingle array (for exact verification), and the set size all come
+    // out of a single aggregation — the unfused plan paid a second
+    // shingle derivation + a second shuffle on id for the verify arrays.
+    // At 100 TB that is one scan of the corpus, one wide state relation.
     val ex = shingles.getOrElse {
       val ex0 = explodedShingles(df, idCol, textCol, n)
       if (persistIntermediate)
         ex0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else ex0
     }
-    val cands = lshCandidates(df, idCol, textCol, n, shingles = Some(ex))
-    // Exact-verify ONLY the candidate pairs — per-pair array intersection,
-    // not another shingle self-join.
-    val verified = verifyPairs(ex, cands, tau)
+    val numHashes = 32
+    val hashed = ex.select(col("id"), col("s"), TextOps.polyHash(col("s")).as("h"))
+    val minAggs = (0 until numHashes).map(i =>
+      min((lit(aCoef(i)) * col("h") + lit(bCoef(i))) % MinHashP).as(s"mh$i"))
+    // Persisted: three consumers (band signatures, both verify sides) would
+    // otherwise each re-derive shingles + re-aggregate. One row per doc —
+    // the cache write is cheap relative to the upstream it saves (unlike
+    // the raw shingle relation, see Td.docShingles).
+    val state = hashed.groupBy("id").agg(
+        minAggs.head,
+        (minAggs.tail :+ collect_list(col("s")).as("arr") :+ count(lit(1)).as("n_sh")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidate pairs: band the signatures, explode (id, band) only — the
+    // arrays stay behind in `state` and never ride the bucket fan-out
+    val sig = withBands(state.select(("id" +: (0 until numHashes).map(i => s"mh$i")).map(col): _*),
+      bands = 8, rowsPerBand = 4)
+    val buckets = sig.select(col("id"), posexplode(
+        array((0 until 8).map(j => col(s"band$j")): _*)).as(Seq("band_idx", "band_val")))
+      .filter(col("band_val").isNotNull)
+    val cands = buckets.as("a").join(buckets.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // exact verify from the same state relation
+    val verified = cands
+      .join(state.select(col("id").as("id_a"), col("arr").as("arr_a"), col("n_sh").as("n_a")), "id_a")
+      .join(state.select(col("id").as("id_b"), col("arr").as("arr_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= tau)
     val drop = verified.select(col("id_b").as("__drop_id")).distinct()
     df.join(drop, df(idCol).cast("long") === col("__drop_id"), "left_anti")
   }
