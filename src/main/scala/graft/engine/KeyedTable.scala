@@ -235,6 +235,26 @@ final class KeyedTable(
     deletable.sorted
   }
 
+  /** Maintenance compaction: rewrite the current snapshot as one fresh
+    * version, so every bucket lives in a single version dir again. After
+    * many incremental merges a bucketed table's manifest points into many
+    * historical versions (reads stay correct but each version dir adds file
+    * listings and small files); compaction resets the spread to 1 and makes
+    * the next vacuum reclaim everything older. Crash-safe like every commit
+    * here: data lands in v=N+1 before the pointer swaps.
+    */
+  def compact(): Long = {
+    require(exists, s"cannot compact non-existent table at $root")
+    overwrite(current)
+  }
+
+  /** How many distinct versions the current manifest points into (1 right
+    * after overwrite/compact; grows with incremental merges). Unbucketed
+    * tables are always 1.
+    */
+  def manifestSpread: Int =
+    if (!bucketed || !exists) 1 else manifest.values.toSet.size max 1
+
   /** Remove the rows whose keys appear in `keysDf`. The fact/dim sinks never
     * delete (the reference contract) — this exists for derived tables like
     * the incremental aggregate, where a group can vanish entirely. Bucketed

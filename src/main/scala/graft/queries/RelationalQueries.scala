@@ -175,6 +175,19 @@ object RelationalQueries {
              |  CAST(list_position(embedding, list_max(embedding)) AS BIGINT) AS argmax_1based
              |FROM embeddings""".stripMargin)),
 
+    // ----- weighted corpus mix ---------------------------------------------
+    // Two "corpora" (head/tail views of documents) down-sampled to 60% / 30%
+    // and unioned with provenance tags — the pre-training mixing step.
+    "q_weighted_mix" -> Q(
+      (s, d) => Sampling.weightedMix(Seq(
+        ("head", Td.documents(s, d).select("doc_id", "n_chars"), 60),
+        ("tail", Td.documents(s, d).select("doc_id", "n_chars"), 30)), "doc_id"),
+      Some("""SELECT doc_id, n_chars, 'head' AS mix_source FROM documents
+             |WHERE ((doc_id % 1000003) * 2654435761) % 100 < 60
+             |UNION ALL
+             |SELECT doc_id, n_chars, 'tail' AS mix_source FROM documents
+             |WHERE ((doc_id % 1000003) * 2654435761) % 100 < 30""".stripMargin)),
+
     // ----- approximate sketches (engine-internal → rows-only check) --------
     // Error bounds vs exact answers are asserted in SketchesSpec.
     "q_approx_distinct" -> Q(

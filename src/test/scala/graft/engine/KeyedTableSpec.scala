@@ -95,4 +95,27 @@ class KeyedTableSpec extends SparkSpec {
       assert(cb2 == cb)
     }
   }
+
+  test("compact: manifest spread resets to 1, data unchanged, vacuum reclaims") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("ktc")
+    val t = KeyedTable(spark, root, Seq("id"), orderCol = Some("ver"), numBuckets = 8)
+    t.merge((1 to 100).map(i => (s"k$i", 1, i)).toDF("id", "ver", "v"))
+    t.merge(Seq(("k7", 2, 700), ("k9", 2, 900)).toDF("id", "ver", "v"))
+    t.merge(Seq(("k13", 3, 1300)).toDF("id", "ver", "v"))
+    assert(t.manifestSpread > 1) // merges fragmented the manifest
+    val before = t.current.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    val v = t.compact()
+    assert(t.currentVersion == v)
+    assert(t.manifestSpread == 1)
+    val after = t.current.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(after == before)
+    val removed = t.vacuum()
+    assert(removed.nonEmpty) // pre-compaction versions reclaimed
+    assert(t.current.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet == before)
+    // merges keep working post-compaction
+    t.merge(Seq(("k7", 9, 7000)).toDF("id", "ver", "v"))
+    assert(t.current.filter("id = 'k7'").collect()(0).getInt(2) == 7000)
+  }
 }
