@@ -139,28 +139,53 @@ object Similarity {
     centroids
   }
 
-  /** IVF approximate top-k: corpus partitioned into `nlist` cells by nearest
-    * centroid; each query probes only its `nprobe` nearest cells and ranks
-    * those candidates exactly. The corpus shuffles once on `cell`; the probe
-    * join is cell-equi, so per-query work ≈ nprobe/nlist of the corpus.
+  /** A built IVF index: trained centroids plus the cell-assigned corpus
+    * relation (`neighbor_id`, `__cv`, `__cn`, `cell`). Build once, search
+    * many — training (Lloyd iterations over the full corpus) and cell
+    * assignment are the expensive parts; each search only probes
+    * nprobe/nlist of the corpus. Persist `assigned` (or write it out
+    * partitioned by `cell` — then probes prune at the FILE level) when the
+    * index serves repeated query batches.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, nlist: Int, nprobe: Int, iters: Int = 3): DataFrame = {
+  final case class IvfIndex(centroids: Seq[Array[Float]], assigned: DataFrame)
+
+  /** Train centroids and assign every corpus row to its cell. */
+  def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
+               nlist: Int, iters: Int = 3): IvfIndex = {
     val centroids = trainCentroids(corpus, idCol, vecCol, nlist, iters)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       l2Norm(col(vecCol)).as("__cn"),
       nearestCell(col(vecCol), centroids).as("cell"))
+    IvfIndex(centroids, assigned)
+  }
+
+  /** Search a built index: each query probes its `nprobe` nearest cells and
+    * ranks those candidates exactly by cosine.
+    */
+  def ivfSearch(index: IvfIndex, queries: DataFrame, idCol: String, vecCol: String,
+                k: Int, nprobe: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         l2Norm(col(vecCol)).as("__qn"),
-        explode(nearestCells(col(vecCol), centroids, nprobe)).as("cell")))
+        explode(nearestCells(col(vecCol), index.centroids, nprobe)).as("cell")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    c.join(q, Seq("cell"))
+    index.assigned.join(q, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "sim")
   }
+
+  /** IVF approximate top-k: corpus partitioned into `nlist` cells by nearest
+    * centroid; each query probes only its `nprobe` nearest cells and ranks
+    * those candidates exactly. The corpus shuffles once on `cell`; the probe
+    * join is cell-equi, so per-query work ≈ nprobe/nlist of the corpus.
+    * One-shot convenience over [[ivfBuild]] + [[ivfSearch]].
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, nlist: Int, nprobe: Int, iters: Int = 3): DataFrame =
+    ivfSearch(ivfBuild(corpus, idCol, vecCol, nlist, iters),
+      queries, idCol, vecCol, k, nprobe)
 
   /** Approximate top-k: hash corpus + queries into sign buckets across
     * `tables` tables, take bucket-colliding candidates, rank exactly. The

@@ -52,6 +52,18 @@ class ScaleOpsSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.9, s"IVF recall $recall: exact=$exact ivf=$ivf")
+
+    // build-once / search-many: a reused index answers repeated query
+    // batches identically to the one-shot path, without retraining
+    val idx = Similarity.ivfBuild(emb, "vec_id", "embedding", nlist = 4, iters = 3)
+    idx.assigned.persist()
+    val viaIndex = Similarity.ivfSearch(idx, queries, "vec_id", "embedding", k = 3, nprobe = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(viaIndex == ivf)
+    val otherQueries = emb.filter(col("vec_id") % 12 === 1)
+    val second = Similarity.ivfSearch(idx, otherQueries, "vec_id", "embedding", k = 2, nprobe = 2)
+    assert(second.count() == otherQueries.count() * 2)
+    idx.assigned.unpersist()
   }
 
   test("KeyedTable.vacuum drops superseded versions, keeps live buckets") {
