@@ -285,24 +285,32 @@ object Dedup {
     // out of a single aggregation — the unfused plan paid a second
     // shingle derivation + a second shuffle on id for the verify arrays.
     // At 100 TB that is one scan of the corpus, one wide state relation.
+    val ownExList = scala.collection.mutable.ListBuffer.empty[DataFrame]
     val ex = shingles.getOrElse {
       val ex0 = explodedShingles(df, idCol, textCol, n)
-      if (persistIntermediate)
+      if (persistIntermediate) {
         ex0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else ex0
+        ownExList += ex0
+      }
+      ex0
     }
     val numHashes = 32
     val hashed = ex.select(col("id"), col("s"), TextOps.polyHash(col("s")).as("h"))
     val minAggs = (0 until numHashes).map(i =>
       min((lit(aCoef(i)) * col("h") + lit(bCoef(i))) % MinHashP).as(s"mh$i"))
-    // Persisted: three consumers (band signatures, both verify sides) would
-    // otherwise each re-derive shingles + re-aggregate. One row per doc —
-    // the cache write is cheap relative to the upstream it saves (unlike
-    // the raw shingle relation, see Td.docShingles).
-    val state = hashed.groupBy("id").agg(
-        minAggs.head,
-        (minAggs.tail :+ collect_list(col("s")).as("arr") :+ count(lit(1)).as("n_sh")): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Persisted (gated on persistIntermediate): three consumers (band
+    // signatures, both verify sides) would otherwise each re-derive shingles
+    // + re-aggregate. One row per doc — the cache write is cheap relative to
+    // the upstream it saves (unlike the raw shingle relation, see
+    // Td.docShingles). Released below once the drop-set is materialized, so
+    // repeated invocations in a long-lived session don't accumulate cached
+    // relations.
+    val state0 = hashed.groupBy("id").agg(
+      minAggs.head,
+      (minAggs.tail :+ collect_list(col("s")).as("arr") :+ count(lit(1)).as("n_sh")): _*)
+    val state = if (persistIntermediate)
+      state0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else state0
     // candidate pairs: band the signatures, explode (id, band) only — the
     // arrays stay behind in `state` and never ride the bucket fan-out
     val sig = withBands(state.select(("id" +: (0 until numHashes).map(i => s"mh$i")).map(col): _*),
@@ -324,7 +332,22 @@ object Dedup {
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= tau)
-    val drop = verified.select(col("id_b").as("__drop_id")).distinct()
+    val drop0 = verified.select(col("id_b").as("__drop_id")).distinct()
+    // Materialize the (slim, one-column) drop-set eagerly via localCheckpoint
+    // so the persisted intermediates can be released NOW rather than leaking
+    // for the session's lifetime. localCheckpoint (not persist) on purpose:
+    // its blocks are owned by the RDD and reclaimed by the ContextCleaner
+    // when the result is garbage collected, whereas a CacheManager entry
+    // would survive until an explicit unpersist nobody is positioned to
+    // call. With persistIntermediate=false everything stays lazy (the caller
+    // opted out of materialization side-effects) and there is nothing to
+    // release.
+    val drop = if (persistIntermediate) {
+      val d = drop0.localCheckpoint() // eager: runs candidates + verify
+      state.unpersist()
+      ownExList.foreach(_.unpersist())
+      d
+    } else drop0
     df.join(drop, df(idCol).cast("long") === col("__drop_id"), "left_anti")
   }
 

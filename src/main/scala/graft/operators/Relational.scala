@@ -95,13 +95,44 @@ object Relational {
   def bloomSemiJoin(left: DataFrame, leftKey: String,
                     right: DataFrame, rightKey: String,
                     expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types._
+    // The probe must use the SAME encoding the filter was built with:
+    // `stat.bloomFilter` inserts integral columns as longs and strings as
+    // UTF-8 bytes, so probing a string-keyed filter with mightContainLong
+    // silently misses every row. Branch on the build side's dtype and fail
+    // fast on anything the filter can't encode — a wrong-typed probe would
+    // violate the "output equals the plain semi-join" guarantee.
+    val buildType = right.schema(rightKey).dataType
+    val probeType = left.schema(leftKey).dataType
+    require(
+      (buildType, probeType) match {
+        case (b, p) if b == p => true
+        case (ByteType | ShortType | IntegerType | LongType,
+              ByteType | ShortType | IntegerType | LongType) => true // both probe as long
+        case _ => false
+      },
+      s"bloomSemiJoin key types must agree ($leftKey: $probeType vs $rightKey: $buildType); " +
+        "the bloom probe encoding is type-sensitive")
     val bloom = right.stat.bloomFilter(rightKey, expectedKeys, fpp)
     val spark = left.sparkSession
     val bloomB = spark.sparkContext.broadcast(bloom)
-    // primitive-arg UDF: null keys yield null → filtered, matching equi-join
+    // boxed-arg UDFs: null keys return false → filtered, matching equi-join
     // semantics (null never joins)
-    val mightContain = udf((k: Long) => bloomB.value.mightContainLong(k))
-    left.filter(mightContain(col(leftKey).cast("long")))
+    val probe: Column = buildType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val f = udf((k: java.lang.Long) => k != null && bloomB.value.mightContainLong(k))
+        f(col(leftKey).cast("long"))
+      case StringType =>
+        val f = udf((k: String) => k != null && bloomB.value.mightContainString(k))
+        f(col(leftKey))
+      case BinaryType =>
+        val f = udf((k: Array[Byte]) => k != null && bloomB.value.mightContainBinary(k))
+        f(col(leftKey))
+      case other =>
+        throw new IllegalArgumentException(
+          s"bloomSemiJoin: unsupported key type $other (integral, string, or binary)")
+    }
+    left.filter(probe)
       .join(right.select(col(rightKey).as(leftKey)), Seq(leftKey), "left_semi")
   }
 }

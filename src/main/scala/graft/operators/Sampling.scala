@@ -15,10 +15,16 @@ object Sampling {
   /** Bucket 0..99 from a numeric key: Knuth multiplicative hash over the
     * key reduced mod 1000003 first — every intermediate stays < 2^51, so
     * the arithmetic is portable to engines that RAISE on 64-bit overflow
-    * (DuckDB) as well as those that wrap (JVM).
+    * (DuckDB) as well as those that wrap (JVM). The product is shifted
+    * right 13 bits before the final mod so the bucket reads the hash's
+    * MIXED high bits — a bare `product % 100` only sees `key % 100` through
+    * a fixed permutation, which skews splits for stride-100 / even-only id
+    * schemes. Keys are assumed nonnegative (the shift is arithmetic and the
+    * DuckDB mirror `(((k % 1000003) * 2654435761) // 8192) % 100` uses
+    * C-style `%`; both agree with this column only for k >= 0).
     */
   def hashBucket(key: Column): Column =
-    pmod((key.cast("long") % 1000003L) * 2654435761L, lit(100L))
+    pmod(shiftright((key.cast("long") % 1000003L) * 2654435761L, 13), lit(100L))
 
   /** Split assignment column from cumulative percentage thresholds, e.g.
     * `Seq("train" -> 80, "val" -> 10, "test" -> 10)`. Percentages must sum

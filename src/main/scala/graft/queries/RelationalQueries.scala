@@ -133,7 +133,7 @@ object RelationalQueries {
       Some("""SELECT doc_id,
              |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
              |FROM (SELECT doc_id,
-             |  ((doc_id % 1000003) * 2654435761) % 100 AS b FROM documents) t""".stripMargin)),
+             |  (((doc_id % 1000003) * 2654435761) // 8192) % 100 AS b FROM documents) t""".stripMargin)),
 
     // ----- stratified deterministic sample ---------------------------------
     "q_stratified_sample" -> Q(
@@ -141,7 +141,7 @@ object RelationalQueries {
         Map("purchase" -> 50, "view" -> 10), defaultPct = 20)
         .select("event_id", "user_id", "event_type"),
       Some("""SELECT event_id, user_id, event_type FROM (
-             |  SELECT *, ((event_id % 1000003) * 2654435761) % 100 AS b FROM events) t
+             |  SELECT *, (((event_id % 1000003) * 2654435761) // 8192) % 100 AS b FROM events) t
              |WHERE b < CASE event_type WHEN 'purchase' THEN 50
              |                          WHEN 'view' THEN 10 ELSE 20 END""".stripMargin)),
 
@@ -183,17 +183,23 @@ object RelationalQueries {
         ("head", Td.documents(s, d).select("doc_id", "n_chars"), 60),
         ("tail", Td.documents(s, d).select("doc_id", "n_chars"), 30)), "doc_id"),
       Some("""SELECT doc_id, n_chars, 'head' AS mix_source FROM documents
-             |WHERE ((doc_id % 1000003) * 2654435761) % 100 < 60
+             |WHERE (((doc_id % 1000003) * 2654435761) // 8192) % 100 < 60
              |UNION ALL
              |SELECT doc_id, n_chars, 'tail' AS mix_source FROM documents
-             |WHERE ((doc_id % 1000003) * 2654435761) % 100 < 30""".stripMargin)),
+             |WHERE (((doc_id % 1000003) * 2654435761) // 8192) % 100 < 30""".stripMargin)),
 
     // ----- approximate sketches (engine-internal → rows-only check) --------
-    // Error bounds vs exact answers are asserted in SketchesSpec.
+    // Error bounds vs exact answers are asserted in SketchesSpec. Scalar
+    // columns only: the driver's rows-only check hashes pandas values, and
+    // an array column crashes it (`unhashable type: numpy.ndarray`), so the
+    // percentile pair is unpacked with element_at instead of returned raw.
     "q_approx_distinct" -> Q(
       (s, d) => Td.events(s, d).groupBy("event_type").agg(
-        Sketches.approxDistinct(col("user_id")).as("approx_users"),
-        Sketches.approxPercentiles(col("value"), Seq(0.5, 0.95)).as("value_p50_p95")),
+          Sketches.approxDistinct(col("user_id")).as("approx_users"),
+          Sketches.approxPercentiles(col("value"), Seq(0.5, 0.95)).as("__pp"))
+        .select(col("event_type"), col("approx_users"),
+          element_at(col("__pp"), 1).as("value_p50"),
+          element_at(col("__pp"), 2).as("value_p95")),
       None),
   )
 }

@@ -41,9 +41,25 @@ object Td {
     * 100 TB a rescan dwarfs the cache write, which is why the Dedup
     * operators' own `persistIntermediate` default stays true.
     */
+  // Per-session id via a WeakHashMap whose VALUES (plain strings) don't
+  // reference the key, so stopped sessions stay collectable — unlike
+  // identityHashCode, which can collide across sessions and hand back a
+  // plan bound to a stopped session.
+  private val sessionIds = new java.util.WeakHashMap[SparkSession, String]()
+  private def sessionId(s: SparkSession): String = sessionIds.synchronized {
+    var id = sessionIds.get(s)
+    if (id == null) { id = java.util.UUID.randomUUID().toString; sessionIds.put(s, id) }
+    id
+  }
   private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, Int), DataFrame]
-  def docShingles(s: SparkSession, d: String, n: Int): DataFrame =
-    shingleCache.getOrElseUpdate((System.identityHashCode(s), d, n),
-      graft.operators.Dedup.explodedShingles(documents(s, d), "doc_id", "text", n))
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int), DataFrame]
+  def docShingles(s: SparkSession, d: String, n: Int): DataFrame = {
+    val sid = sessionId(s)
+    shingleCache.getOrElseUpdate((sid, d, n), {
+      // evict plans from other (likely stopped) sessions: the map holds at
+      // most one session's worth of lazy plans
+      shingleCache.keys.filter(_._1 != sid).foreach(shingleCache.remove)
+      graft.operators.Dedup.explodedShingles(documents(s, d), "doc_id", "text", n)
+    })
+  }
 }

@@ -107,4 +107,25 @@ class RelationalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(bloom == plain && bloom.nonEmpty)
   }
+
+  test("bloomSemiJoin: string keys probe with the string encoding") {
+    val customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val segments = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select(col("c_mktsegment")).filter(col("c_mktsegment").startsWith("B")).distinct()
+    val bloom = Relational.bloomSemiJoin(customer, "c_mktsegment", segments, "c_mktsegment")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val plain = customer.join(segments, Seq("c_mktsegment"), "left_semi")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(bloom == plain && bloom.nonEmpty)
+  }
+
+  test("bloomSemiJoin rejects mismatched key types") {
+    import spark.implicits._
+    val l = Seq((1L, "x")).toDF("k", "v")
+    val r = Seq(("1", "y")).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Relational.bloomSemiJoin(l, "k", r, "k")
+    }
+    assert(e.getMessage.contains("key types must agree"))
+  }
 }
