@@ -351,6 +351,32 @@ object Dedup {
     df.join(drop, df(idCol).cast("long") === col("__drop_id"), "left_anti")
   }
 
+  /** Benchmark decontamination: for each quarantine document (eval/test
+    * set), the fraction of its n-gram shingles that appear ANYWHERE in the
+    * training corpus — the standard check that a benchmark didn't leak into
+    * pre-training data (high containment ⇒ contaminated). Exact containment,
+    * not sampled.
+    *
+    * Shape at scale: the corpus side reduces to a DISTINCT shingle set
+    * (shuffle on the shingle, map-side combine), the quarantine side
+    * left-semi joins against it on the shingle, and two slim groupBy(id)
+    * counts finish per-doc. The quarantine side is typically orders of
+    * magnitude smaller than the corpus — only shingle-width rows ever
+    * shuffle, never document text.
+    */
+  def contamination(corpus: DataFrame, quarantine: DataFrame,
+                    idCol: String, textCol: String, n: Int): DataFrame = {
+    val corpusSh = explodedShingles(corpus, idCol, textCol, n).select("s").distinct()
+    val qSh = explodedShingles(quarantine, idCol, textCol, n)
+    val tot = qSh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val hit = qSh.join(corpusSh, Seq("s"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_hit"))
+    tot.join(hit, Seq("id"), "left_outer")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("contamination",
+        col("n_hit").cast("double") / col("n_sh").cast("double"))
+  }
+
   /** SimHash near-dup buckets: documents sharing the same 30-bit simhash.
     * For hamming-distance-k matching at scale, band the bits (k+1 tables)
     * like minhash bands — exposed here as the exact-collision base case.

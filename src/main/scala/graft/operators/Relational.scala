@@ -135,4 +135,24 @@ object Relational {
     left.filter(probe)
       .join(right.select(col(rightKey).as(leftKey)), Seq(leftKey), "left_semi")
   }
+
+  /** SCD Type-2 interval build: turn a change/event history into versioned
+    * dimension rows with `[valid_from, valid_to)` validity intervals — the
+    * natural extension of the reference's SCD-1 copy-upsert dim load
+    * (SURVEY §2.2 K2 keeps only latest state; this keeps the full history).
+    * `valid_to` is the next change's time within the key (null = current
+    * row, also flagged `is_current`); `tie` disambiguates equal timestamps
+    * so intervals are deterministic.
+    *
+    * One shuffle on the key, one sort — lead() over the same window Spark
+    * already built for the ordering; no self-join (the naive
+    * `JOIN ON a.time < b.time` history pairing is quadratic per key).
+    */
+  def scd2(df: DataFrame, key: String, time: String, tie: String,
+           stateCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(time).asc, col(tie).asc)
+    df.select((Seq(col(key)) ++ stateCols.map(col) :+ col(time).as("valid_from")
+        :+ lead(col(time), 1).over(w).as("valid_to")): _*)
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for large-scale corpus pipelines: normalization,
@@ -122,4 +123,57 @@ object TextOps {
     regexp_replace(
       regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<email>"),
       "[0-9]+", "#")
+
+  /** Raw (non-distinct, in-order) word n-grams of a token array — the
+    * repetition-measurement twin of [[shingles]], which dedups.
+    */
+  def ngramsRaw(toks: Column, n: Int): Column = {
+    val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
+    when(size(toks) >= n, grams).otherwise(typedLit(Seq.empty[String]))
+  }
+
+  /** Gopher-style repetition signals per document: raw vs distinct 2-/3-gram
+    * counts and the duplicate fraction `1 − distinct/total`. High values
+    * flag the boilerplate/spam documents quality-filter pipelines drop
+    * (Rae et al., "Scaling Language Models: ... Gopher", 2021, §A1.1 uses
+    * exactly these duplicate-n-gram fractions). Pure per-row expression
+    * work — no shuffle, scales linearly with the corpus.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    def stats(n: Int, name: String): Seq[(String, Column)] = {
+      val raw = ngramsRaw(t, n)
+      val total = size(raw)
+      val uniq = size(array_distinct(raw))
+      Seq(
+        s"n_${name}s" -> total,
+        s"n_uniq_${name}s" -> uniq,
+        s"${name}_dup_frac" -> when(total === 0, lit(0.0))
+          .otherwise(lit(1.0) - uniq.cast("double") / total.cast("double")))
+    }
+    val cols = stats(2, "bigram") ++ stats(3, "trigram")
+    df.select((col(idCol) +: cols.map { case (nm, c) => c.as(nm) }): _*)
+  }
+
+  /** Per-document top-k terms by term frequency (ties broken by term), each
+    * carrying its global document frequency — the term-statistics core of
+    * an inverted index / TF-IDF pipeline, minus the transcendental idf (kept
+    * integral so results are engine-portable; callers apply their own idf).
+    *
+    * Shape at scale: one shuffle on (id, term) for tf, a window top-k that
+    * Spark 4 rewrites to partial+final WindowGroupLimit (only k rows per id
+    * survive each map side), and the global-df join computed FROM the tf
+    * relation (term-level, already aggregated) so the corpus is scanned
+    * once.
+    */
+  def topTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val ex = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+    val tf = ex.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val gdf = tf.groupBy("term").agg(count(lit(1)).as("global_df"))
+    val w = Window.partitionBy("id").orderBy(col("tf").desc, col("term").asc)
+    tf.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .join(gdf, "term")
+      .select(col("id").as(idCol), col("term"), col("tf"), col("rank"), col("global_df"))
+  }
 }

@@ -201,5 +201,29 @@ object RelationalQueries {
           element_at(col("__pp"), 1).as("value_p50"),
           element_at(col("__pp"), 2).as("value_p95")),
       None),
+
+    // ----- heavy hitters (values above a support threshold) ----------------
+    // Exact two-pass formulation; at 0.1 support over the ~uniform
+    // event_type domain every type qualifies — the op's selectivity on
+    // genuinely skewed data is asserted in SamplingSpec.
+    "q_heavy_hitters" -> Q(
+      (s, d) => Sketches.heavyHitters(Td.events(s, d), "event_type", minSupport = 0.1),
+      Some("""WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+             |  CAST(count(*) AS DOUBLE) / (SELECT total FROM tot) AS support
+             |FROM events GROUP BY event_type
+             |HAVING CAST(count(*) AS DOUBLE) > 0.1 * (SELECT CAST(total AS DOUBLE) FROM tot)""".stripMargin)),
+
+    // ----- SCD-2 interval build (versioned dimension history) --------------
+    // Event history → validity intervals per user: valid_from = change time,
+    // valid_to = next change (null = current), event_id breaks time ties.
+    "q_scd2" -> Q(
+      (s, d) => Relational.scd2(Td.events(s, d), "user_id", "ts", "event_id",
+        Seq("event_type", "value")),
+      Some("""SELECT user_id, event_type, value, ts AS valid_from,
+             |  lead(ts) OVER w AS valid_to,
+             |  (lead(ts) OVER w IS NULL) AS is_current
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)),
   )
 }

@@ -198,6 +198,59 @@ object TextQueries {
               |  FROM documents, (SELECT unnest(range(0, 1024)) AS i) g
               |  WHERE length(text) > 0 AND i*16 < length(text)
               |    AND i % 4 = 0 AND i < 4*8) t""".stripMargin)),
+
+    // ----- repetition signals (Gopher-style duplicate n-gram fractions) ----
+    "q_repetition" -> Q(
+      (s, d) => TextOps.repetitionStats(Td.documents(s, d), "doc_id", "text"),
+      Some(s"""SELECT doc_id,
+              |  CAST(len(bg) AS INT) AS n_bigrams,
+              |  CAST(len(list_distinct(bg)) AS INT) AS n_uniq_bigrams,
+              |  CASE WHEN len(bg) = 0 THEN 0.0 ELSE
+              |    1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)/len(bg) END AS bigram_dup_frac,
+              |  CAST(len(tg) AS INT) AS n_trigrams,
+              |  CAST(len(list_distinct(tg)) AS INT) AS n_uniq_trigrams,
+              |  CASE WHEN len(tg) = 0 THEN 0.0 ELSE
+              |    1.0 - CAST(len(list_distinct(tg)) AS DOUBLE)/len(tg) END AS trigram_dup_frac
+              |FROM (SELECT doc_id,
+              |    [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS bg,
+              |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)] AS tg
+              |  FROM (SELECT doc_id, $toksSql AS w FROM documents) t0) t""".stripMargin)),
+
+    // ----- per-doc top terms with global document frequency ----------------
+    "q_top_terms" -> Q(
+      (s, d) => TextOps.topTerms(Td.documents(s, d), "doc_id", "text", k = 3),
+      Some(s"""WITH ex AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+              |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM ex GROUP BY 1, 2),
+              |gdf AS (SELECT term, CAST(count(*) AS BIGINT) AS global_df FROM tf GROUP BY 1),
+              |r AS (SELECT *, CAST(row_number() OVER (
+              |    PARTITION BY doc_id ORDER BY tf DESC, term) AS INT) AS rank FROM tf)
+              |SELECT doc_id, term, tf, rank, global_df
+              |FROM r JOIN gdf USING (term) WHERE rank <= 3""".stripMargin)),
+
+    // ----- benchmark decontamination (train-shingle containment) -----------
+    // Train/test split via the deterministic hash bucket; each test doc's
+    // contamination = fraction of its 3-gram shingles present anywhere in
+    // the train corpus.
+    "q_contamination" -> Q(
+      (s, d) => {
+        val docs = Td.documents(s, d)
+        val train = docs.filter(graft.operators.Sampling.hashBucket(col("doc_id")) < 80)
+        val test = docs.filter(graft.operators.Sampling.hashBucket(col("doc_id")) >= 80)
+        Dedup.contamination(train, test, "doc_id", "text", n = 3)
+          .select(col("id").as("doc_id"), col("n_sh"), col("n_hit"), col("contamination"))
+      },
+      Some(s"""WITH sh AS (SELECT doc_id, $shinglesSql AS sh,
+              |    (((doc_id % 1000003) * 2654435761) // 8192) % 100 AS b
+              |  FROM (SELECT doc_id, $toksSql AS w FROM documents) t0),
+              |corpus AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE b < 80),
+              |q AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE b >= 80),
+              |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM q GROUP BY 1),
+              |hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit FROM q
+              |  WHERE s IN (SELECT s FROM corpus) GROUP BY 1)
+              |SELECT t.doc_id, n_sh,
+              |  COALESCE(n_hit, CAST(0 AS BIGINT)) AS n_hit,
+              |  CAST(COALESCE(n_hit, 0) AS DOUBLE)/n_sh AS contamination
+              |FROM tot t LEFT JOIN hit USING (doc_id)""".stripMargin)),
   )
 
   private def sqlList(words: Seq[String]): String =

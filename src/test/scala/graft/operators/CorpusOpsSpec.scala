@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Round-3 corpus/warehouse operators: repetition signals, top terms,
+  * SCD-2 interval build, and benchmark decontamination.
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionStats: duplicate n-gram fractions") {
+    val df = Seq(
+      (1L, "a a a b"),       // bigrams: aa,aa,ab → 3 total / 2 uniq
+      (2L, "x y z"),         // no repetition
+      (3L, "w"),             // too short for any n-gram
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0) == Row(1L, 3, 2, 1.0 - 2.0 / 3.0, 2, 2, 0.0))
+    assert(out(1) == Row(2L, 2, 2, 0.0, 1, 1, 0.0))
+    assert(out(2) == Row(3L, 0, 0, 0.0, 0, 0, 0.0))
+  }
+
+  test("topTerms: tf ranking with term tie-break and global df") {
+    val df = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a a b z z z z"),
+    ).toDF("doc_id", "text")
+    val out = TextOps.topTerms(df, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, "b", 3L, 1, 2L), // b in both docs → df 2
+      (1L, "a", 2L, 2, 2L),
+      (2L, "z", 4L, 1, 1L),
+      (2L, "a", 2L, 2, 2L),
+    ))
+  }
+
+  test("scd2: validity intervals chain, ties break on the tie column") {
+    val df = Seq(
+      (7L, 100L, 1L, "bronze"),
+      (7L, 200L, 2L, "silver"),
+      (7L, 200L, 3L, "gold"),   // same ts as row 2: tie resolves 2 before 3
+      (8L, 50L, 4L, "solo"),
+    ).toDF("user_id", "t", "id", "state")
+    val out = Relational.scd2(df, "user_id", "t", "id", Seq("state"))
+      .orderBy("user_id", "valid_from", "state")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (7L, "bronze", 100L, Some(200L), false),
+      (7L, "gold", 200L, None, true),
+      (7L, "silver", 200L, Some(200L), false),
+      (8L, "solo", 50L, None, true),
+    ))
+  }
+
+  test("contamination: containment fraction against the corpus shingle set") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "lazy dogs sleep all day"),
+    ).toDF("doc_id", "text")
+    val quarantine = Seq(
+      (10L, "the quick brown fox jumps"), // fully contained: 3 shingles, 3 hits
+      (11L, "totally novel eval sentence here"), // 0 hits
+      (12L, "quick brown fox waves hello"), // shares "quick brown fox" only
+      (13L, "xy"), // too short for 3-grams → absent from output
+    ).toDF("doc_id", "text")
+    val out = Dedup.contamination(corpus, quarantine, "doc_id", "text", n = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (10L, 3L, 3L, 1.0),
+      (11L, 3L, 0L, 0.0),
+      (12L, 3L, 1L, 1.0 / 3.0),
+    ))
+  }
+}
