@@ -377,6 +377,50 @@ object Dedup {
         col("n_hit").cast("double") / col("n_sh").cast("double"))
   }
 
+  /** Duplicate-cluster assignment: connected components over a near-dup
+    * pair graph, labeling every document with the minimum doc id of its
+    * component. This is the grouping step real dedup pipelines run after
+    * MinHash-LSH verification — "keep smallest id per pair" ([[minhashDedup]])
+    * under-deletes on transitive chains (a~b, b~c, a≁c keeps both b-survivors),
+    * whereas one-per-component is the standard corpus policy.
+    *
+    * Iterative min-label propagation: label'(v) = min(label(v), min of
+    * neighbor labels), repeated to fixpoint — the MapReduce-CC formulation
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC
+    * 2014 — their small-star/large-star variant cuts rounds on
+    * high-diameter graphs; near-dup components are LSH-verified cliques of
+    * tiny diameter, so plain propagation converges in 1–2 rounds). Each
+    * round is one shuffle join of (edges ⋈ labels) + a min-agg;
+    * `localCheckpoint` truncates the per-round lineage (else the plan
+    * doubles every iteration), and its blocks are ContextCleaner-reclaimed.
+    * Nothing data-scale touches the driver — the convergence check is a
+    * count of changed labels.
+    */
+  def dupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+                  maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+    var labels = docs.select(col(idCol).cast("long").as("id"))
+      .filter(col("id").isNotNull).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var iters = 0
+    var changed = 1L
+    while (changed > 0 && iters < maxIters) {
+      // neighbor-label minimum, folded with the node's own label
+      val nbrMin = edges.join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
+      val next = labels.join(nbrMin, Seq("id"), "left_outer")
+        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iters += 1
+    }
+    require(changed == 0, s"dupClusters did not converge in $maxIters rounds")
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** SimHash near-dup buckets: documents sharing the same 30-bit simhash.
     * For hamming-distance-k matching at scale, band the bits (k+1 tables)
     * like minhash bands — exposed here as the exact-collision base case.

@@ -227,6 +227,28 @@ object TextQueries {
               |SELECT doc_id, term, tf, rank, global_df
               |FROM r JOIN gdf USING (term) WHERE rank <= 3""".stripMargin)),
 
+    // ----- duplicate clusters (connected components over near-dup pairs) ---
+    // Every doc labeled with the min doc id of its near-dup component; the
+    // oracle computes the same closure with a recursive CTE.
+    "q_dup_clusters" -> Q(
+      (s, d) => {
+        val docs = Td.documents(s, d)
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5,
+          shingles = Some(Td.docShingles(s, d, 3)))
+        Dedup.dupClusters(docs, "doc_id", pairs)
+          .select(col("id").as("doc_id"), col("cluster_id"))
+      },
+      Some(s"""WITH RECURSIVE
+              |p AS ($jaccardPairsSql),
+              |edges AS (SELECT id_a AS a, id_b AS b FROM p
+              |          UNION SELECT id_b, id_a FROM p),
+              |reach(a, b) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+              |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+              |FROM reach GROUP BY a""".stripMargin)),
+
     // ----- benchmark decontamination (train-shingle containment) -----------
     // Train/test split via the deterministic hash bucket; each test doc's
     // contamination = fraction of its 3-gram shingles present anywhere in

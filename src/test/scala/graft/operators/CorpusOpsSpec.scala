@@ -58,6 +58,23 @@ class CorpusOpsSpec extends SparkSpec {
     ))
   }
 
+  test("dupClusters: min-label components, chains and singletons") {
+    val docs = (1L to 7L).toDF("doc_id")
+    // chain 1-2-3 (transitive), pair 5-6, singletons 4 and 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(docs, "doc_id", pairs)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("dupClusters: long chain converges (diameter > 2)") {
+    val docs = (1L to 10L).toDF("doc_id")
+    val pairs = (1L to 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(docs, "doc_id", pairs).collect()
+    assert(out.forall(_.getLong(1) == 1L))
+  }
+
   test("contamination: containment fraction against the corpus shingle set") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps"),
