@@ -398,8 +398,13 @@ object Dedup {
     */
   def dupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                   maxIters: Int = 50): DataFrame = {
+    // Materialize the (slim, two-column) edge list ONCE: it is re-joined
+    // every propagation round, and its upstream is typically the expensive
+    // pair-mining plan (LSH/Jaccard) — without this, each round re-mines
+    // the pairs from scratch (measured: 3 rounds tripled q_dup_clusters).
     val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .localCheckpoint()
     var labels = docs.select(col(idCol).cast("long").as("id"))
       .filter(col("id").isNotNull).distinct()
       .withColumn("label", col("id")).localCheckpoint()

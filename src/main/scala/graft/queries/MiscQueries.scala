@@ -212,5 +212,93 @@ object MiscQueries {
              |  count(*) AS n,
              |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
              |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // ----- conditional aggregates (FILTER-style) + boolean aggs ------------
+    // Predicate-gated count/sum and bool_or/bool_and, expressed as
+    // count(when)/sum(when)/max(bool)/min(bool) on the Spark side. The
+    // gated sum accumulates in DECIMAL (exact, order-independent) and
+    // converts to double once.
+    "q_cond_agg" -> Q(
+      (s, d) => Td.customer(s, d).groupBy("c_mktsegment").agg(
+        count(lit(1)).as("n"),
+        count(when(col("c_acctbal") > 5000, 1)).as("n_rich"),
+        sum(when(col("c_acctbal") > 5000, col("c_acctbal").cast("decimal(18,2)")))
+          .cast("double").as("rich_bal"),
+        max(col("c_acctbal") < 0).as("any_negative"),
+        min(col("c_acctbal") < 0).as("all_negative"),
+      ),
+      Some("""SELECT c_mktsegment, count(*) AS n,
+             |  CAST(count(*) FILTER (c_acctbal > 5000) AS BIGINT) AS n_rich,
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) FILTER (c_acctbal > 5000) AS DOUBLE) AS rich_bal,
+             |  bool_or(c_acctbal < 0) AS any_negative,
+             |  bool_and(c_acctbal < 0) AS all_negative
+             |FROM customer GROUP BY c_mktsegment""".stripMargin)),
+
+    // ----- ordered string aggregation (listagg / string_agg) ---------------
+    // WITHIN GROUP ordering makes the concatenation deterministic — the only
+    // way a string agg can be oracle-checked (or reproduced run-to-run on a
+    // cluster at all).
+    "q_listagg" -> Q(
+      (s, d) => {
+        Td.nation(s, d).createOrReplaceTempView("nation_la")
+        s.sql("""SELECT n_regionkey,
+                |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names,
+                |  count(*) AS n
+                |FROM nation_la GROUP BY n_regionkey""".stripMargin)
+      },
+      Some("""SELECT n_regionkey,
+             |  string_agg(n_name, ',' ORDER BY n_name) AS names,
+             |  count(*) AS n
+             |FROM nation GROUP BY n_regionkey""".stripMargin)),
+
+    // ----- exact grouped moments: variance / stddev / correlation ----------
+    // Spark's stddev/corr built-ins accumulate doubles in partition order —
+    // non-reproducible across partitionings and engines. Algebraic moments
+    // as DECIMAL sums (exact, order-independent) converted to double once,
+    // with the identical closed-form expression on both sides, are
+    // bit-reproducible: population variance = sxx/n − (sx/n)², corr from
+    // the covariance/variance moments, sqrt being IEEE-exact.
+    "q_grouped_stats" -> Q(
+      (s, d) => {
+        val q = col("l_quantity").cast("decimal(9,2)")
+        val p = col("l_extendedprice").cast("decimal(9,2)")
+        val nD = col("n").cast("double")
+        def m(sc: String) = col(sc).cast("double")
+        Td.lineitem(s, d).groupBy("l_returnflag").agg(
+            count(lit(1)).as("n"),
+            sum(q).as("sq"), sum(p).as("sp"),
+            sum(q * q).as("sqq"), sum(p * p).as("spp"), sum(q * p).as("sqp"))
+          .select(
+            col("l_returnflag"), col("n"),
+            (m("sq") / nD).as("mean_qty"),
+            (m("sqq") / nD - (m("sq") / nD) * (m("sq") / nD)).as("var_qty"),
+            sqrt(m("sqq") / nD - (m("sq") / nD) * (m("sq") / nD)).as("stddev_qty"),
+            (m("sp") / nD).as("mean_price"),
+            ((m("sqp") / nD - (m("sq") / nD) * (m("sp") / nD)) /
+              (sqrt(m("sqq") / nD - (m("sq") / nD) * (m("sq") / nD)) *
+                sqrt(m("spp") / nD - (m("sp") / nD) * (m("sp") / nD)))).as("corr_qty_price"),
+          )
+      },
+      Some("""WITH mo AS (SELECT l_returnflag, count(*) AS n,
+             |    sum(CAST(l_quantity AS DECIMAL(9,2))) AS sq,
+             |    sum(CAST(l_extendedprice AS DECIMAL(9,2))) AS sp,
+             |    sum(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2))) AS sqq,
+             |    sum(CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(9,2))) AS spp,
+             |    sum(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(9,2))) AS sqp
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, n,
+             |  CAST(sq AS DOUBLE)/CAST(n AS DOUBLE) AS mean_qty,
+             |  CAST(sqq AS DOUBLE)/CAST(n AS DOUBLE)
+             |    - (CAST(sq AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(sq AS DOUBLE)/CAST(n AS DOUBLE)) AS var_qty,
+             |  sqrt(CAST(sqq AS DOUBLE)/CAST(n AS DOUBLE)
+             |    - (CAST(sq AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(sq AS DOUBLE)/CAST(n AS DOUBLE))) AS stddev_qty,
+             |  CAST(sp AS DOUBLE)/CAST(n AS DOUBLE) AS mean_price,
+             |  (CAST(sqp AS DOUBLE)/CAST(n AS DOUBLE)
+             |    - (CAST(sq AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(sp AS DOUBLE)/CAST(n AS DOUBLE)))
+             |  / (sqrt(CAST(sqq AS DOUBLE)/CAST(n AS DOUBLE)
+             |      - (CAST(sq AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(sq AS DOUBLE)/CAST(n AS DOUBLE)))
+             |    * sqrt(CAST(spp AS DOUBLE)/CAST(n AS DOUBLE)
+             |      - (CAST(sp AS DOUBLE)/CAST(n AS DOUBLE))*(CAST(sp AS DOUBLE)/CAST(n AS DOUBLE)))) AS corr_qty_price
+             |FROM mo""".stripMargin)),
   )
 }
