@@ -351,6 +351,99 @@ object Dedup {
     df.join(drop, df(idCol).cast("long") === col("__drop_id"), "left_anti")
   }
 
+  /** Minhash+verify state from an exploded shingle relation: one groupBy(id)
+    * producing mh0..mh{k-1}, the full shingle array, and the set size.
+    */
+  private def minhashVerifyState(ex: DataFrame, numHashes: Int): DataFrame = {
+    val hashed = ex.select(col("id"), col("s"), TextOps.polyHash(col("s")).as("h"))
+    val minAggs = (0 until numHashes).map(i =>
+      min((lit(aCoef(i)) * col("h") + lit(bCoef(i))) % MinHashP).as(s"mh$i"))
+    hashed.groupBy("id").agg(
+      minAggs.head,
+      (minAggs.tail :+ collect_list(col("s")).as("arr") :+ count(lit(1)).as("n_sh")): _*)
+  }
+
+  /** (id, band_idx, band_val) bucket rows from a relation carrying mh0..k. */
+  private def bandBuckets(sigSource: DataFrame, numHashes: Int,
+                          bands: Int, rowsPerBand: Int): DataFrame = {
+    val sig = withBands(sigSource.select(("id" +: (0 until numHashes).map(i => s"mh$i")).map(col): _*),
+      bands, rowsPerBand)
+    sig.select(col("id"), posexplode(
+        array((0 until bands).map(j => col(s"band$j")): _*)).as(Seq("band_idx", "band_val")))
+      .filter(col("band_val").isNotNull)
+  }
+
+  /** Slim, storable LSH band index over a corpus: one (id, band_idx,
+    * band_val) row per band per document — the probe structure
+    * [[dedupAgainstIndex]] uses to dedup NEW batches without re-mining the
+    * corpus. ~bands rows × (long, int, long) per document regardless of
+    * document size; persist it as a keyed table partitioned/bucketed by
+    * (band_idx, band_val) and incremental dedup becomes an index lookup.
+    */
+  def bandIndex(df: DataFrame, idCol: String, textCol: String,
+                n: Int = 3, numHashes: Int = 32,
+                bands: Int = 8, rowsPerBand: Int = 4,
+                shingles: Option[DataFrame] = None): DataFrame =
+    bandBuckets(
+      minhashSignatures(shingles.getOrElse(explodedShingles(df, idCol, textCol, n)), numHashes),
+      numHashes, bands, rowsPerBand)
+
+  /** Incremental MinHash-LSH dedup: drop every batch document that
+    * near-duplicates the EXISTING corpus (probed via its [[bandIndex]] —
+    * the corpus is never re-shingled wholesale) or an earlier (smaller-id)
+    * batch document. Returns the kept batch rows.
+    *
+    * This is the operational mode at 100 TB: the corpus index is built once
+    * ([[bandIndex]], stored), and each arriving batch costs
+    * batch-shingling + an index join on (band_idx, band_val) + exact
+    * verification against ONLY the corpus documents that collided — a
+    * left-semi join pulls just those documents' text back through the
+    * shingler. Corpus always wins regardless of id order (it is immutable);
+    * batch-internal ties keep the smaller id, matching [[minhashDedup]].
+    */
+  def dedupAgainstIndex(batch: DataFrame, idCol: String, textCol: String,
+                        corpus: DataFrame, corpusIndex: DataFrame,
+                        n: Int = 3, tau: Double = 0.5,
+                        numHashes: Int = 32,
+                        bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val ex = explodedShingles(batch, idCol, textCol, n)
+    val state = minhashVerifyState(ex, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bBuckets = bandBuckets(state, numHashes, bands, rowsPerBand)
+    // batch-internal candidates: same-band self-join, smaller id survives
+    val internal = bBuckets.as("a").join(bBuckets.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // cross candidates: batch bands probe the corpus index
+    val cross = bBuckets.join(
+        corpusIndex.select(col("id").as("cid"), col("band_idx"), col("band_val")),
+        Seq("band_idx", "band_val"))
+      .select(col("cid"), col("id").as("bid"))
+      .distinct()
+    // corpus verify-state ONLY for collided corpus docs
+    val candCorpus = corpus.join(cross.select(col("cid").as("__cand_id")).distinct(),
+      corpus(idCol).cast("long") === col("__cand_id"), "left_semi")
+    val cState = explodedShingles(candCorpus, idCol, textCol, n)
+      .groupBy("id").agg(collect_list(col("s")).as("arr"), count(lit(1)).as("n_sh"))
+    def verify(cands: DataFrame, leftState: DataFrame, leftKey: String,
+               rightKey: String): DataFrame = cands
+      .join(leftState.select(col("id").as(leftKey), col("arr").as("arr_a"), col("n_sh").as("n_a")), leftKey)
+      .join(state.select(col("id").as(rightKey), col("arr").as("arr_b"), col("n_sh").as("n_b")), rightKey)
+      .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= tau)
+    val dropInternal = verify(internal, state, "id_a", "id_b").select(col("id_b").as("__drop_id"))
+    val dropCross = verify(cross, cState, "cid", "bid").select(col("bid").as("__drop_id"))
+    // same materialize-then-release discipline as minhashDedup
+    val drop = dropInternal.union(dropCross).distinct().localCheckpoint()
+    state.unpersist()
+    batch.join(drop, batch(idCol).cast("long") === col("__drop_id"), "left_anti")
+  }
+
   /** Benchmark decontamination: for each quarantine document (eval/test
     * set), the fraction of its n-gram shingles that appear ANYWHERE in the
     * training corpus — the standard check that a benchmark didn't leak into

@@ -249,6 +249,33 @@ object TextQueries {
               |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
               |FROM reach GROUP BY a""".stripMargin)),
 
+    // ----- incremental dedup: batch probed against the corpus band index ---
+    // Corpus = hash-bucket < 80, batch = rest. A batch doc is dropped iff it
+    // near-dups the corpus (corpus wins regardless of id) or an earlier
+    // (smaller-id) batch doc. Oracle states the same rule over the EXACT
+    // jaccard pairs — valid because the 8×4 banding is lossless at the
+    // planted-duplicate similarity on this data (same signatures as
+    // q_minhash_dedup, whose candidate ⊇ exact-pairs containment is
+    // verified there).
+    "q_incremental_dedup" -> Q(
+      (s, d) => {
+        val docs = Td.documents(s, d)
+        val corpus = docs.filter(graft.operators.Sampling.hashBucket(col("doc_id")) < 80)
+        val batch = docs.filter(graft.operators.Sampling.hashBucket(col("doc_id")) >= 80)
+        val idx = Dedup.bandIndex(corpus, "doc_id", "text")
+        Dedup.dedupAgainstIndex(batch, "doc_id", "text", corpus, idx)
+          .select("doc_id", "lang", "source", "n_chars")
+      },
+      Some(s"""WITH p AS ($jaccardPairsSql),
+              |bk AS (SELECT doc_id AS bid, (((doc_id % 1000003) * 2654435761) // 8192) % 100 AS b
+              |       FROM documents)
+              |SELECT d.doc_id, d.lang, d.source, d.n_chars
+              |FROM documents d JOIN bk ON d.doc_id = bk.bid
+              |WHERE bk.b >= 80
+              |  AND NOT EXISTS (SELECT 1 FROM p WHERE p.id_b = d.doc_id)
+              |  AND NOT EXISTS (SELECT 1 FROM p JOIN bk c ON p.id_b = c.bid
+              |                  WHERE p.id_a = d.doc_id AND c.b < 80)""".stripMargin)),
+
     // ----- benchmark decontamination (train-shingle containment) -----------
     // Train/test split via the deterministic hash bucket; each test doc's
     // contamination = fraction of its 3-gram shingles present anywhere in

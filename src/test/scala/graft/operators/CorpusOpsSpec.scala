@@ -75,6 +75,40 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.forall(_.getLong(1) == 1L))
   }
 
+  test("dedupAgainstIndex: corpus wins, batch keeps smaller id, fresh survives") {
+    val base = "the quick brown fox jumps over the lazy dog while rain falls softly on the quiet green meadow today"
+    val tweak = base.replace("today", "tonight") // 1 word of 18 → J ≈ 0.83
+    val fresh = "completely different subject matter here about spark shuffles partitions and broadcast joins at scale"
+    val freshTweak = fresh.replace("scale", "cost")
+    val corpus = Seq((1L, base), (2L, "unrelated corpus filler text having many extra words")).toDF("id", "text")
+    val batch = Seq(
+      (11L, tweak),      // near-dup of corpus doc 1 → dropped
+      (12L, fresh),      // novel → kept
+      (13L, freshTweak), // near-dup of batch doc 12 → dropped
+    ).toDF("id", "text")
+    val idx = Dedup.bandIndex(corpus, "id", "text")
+    val kept = Dedup.dedupAgainstIndex(batch, "id", "text", corpus, idx)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L))
+    // equivalence with whole-corpus dedup on the batch slice (corpus ids <
+    // batch ids here, so minhashDedup's smaller-id survivor rule = corpus wins)
+    val whole = Dedup.minhashDedup(corpus.unionByName(batch), "id", "text")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(whole.filter(_ > 10L) == kept)
+  }
+
+  test("bandIndex round-trips through a KeyedTable (stored-index probe)") {
+    val base = "the quick brown fox jumps over the lazy dog while rain falls softly on the quiet green meadow today"
+    val corpus = Seq((1L, base)).toDF("id", "text")
+    val batch = Seq((11L, base.replace("today", "tonight")), (12L, "novel words entirely")).toDF("id", "text")
+    val root = tmpDir("graft-bandindex")
+    val t = graft.engine.KeyedTable(spark, root, Seq("id", "band_idx"))
+    t.overwrite(Dedup.bandIndex(corpus, "id", "text"))
+    val kept = Dedup.dedupAgainstIndex(batch, "id", "text", corpus, t.current)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L))
+  }
+
   test("contamination: containment fraction against the corpus shingle set") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps"),
