@@ -417,12 +417,16 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // cross candidates: batch bands probe the corpus index
+    // cross candidates: batch bands probe the corpus index. Materialized
+    // (slim two-column relation) because it has two consumers — the
+    // collided-corpus fetch and the verify join — and its upstream is the
+    // full corpus-index plan, which would otherwise be evaluated twice.
     val cross = bBuckets.join(
         corpusIndex.select(col("id").as("cid"), col("band_idx"), col("band_val")),
         Seq("band_idx", "band_val"))
       .select(col("cid"), col("id").as("bid"))
       .distinct()
+      .localCheckpoint()
     // corpus verify-state ONLY for collided corpus docs
     val candCorpus = corpus.join(cross.select(col("cid").as("__cand_id")).distinct(),
       corpus(idCol).cast("long") === col("__cand_id"), "left_semi")
