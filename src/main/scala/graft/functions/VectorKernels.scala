@@ -35,13 +35,17 @@ object Kernels {
   }
 
   /** Equal-length dot; callers guard the length check (mismatch → null, the
-    * same as zip_with's null-padding nulling the whole fold).
+    * same as zip_with's null-padding nulling the whole fold). A null ELEMENT
+    * also nulls the result (boxed return) — matching the HOF fold, where a
+    * null product nulls the running sum; the per-element bitmap check is a
+    * bit read, invisible next to the multiply.
     */
-  def floatDotSameLen(a: ArrayData, b: ArrayData): Double = {
+  def floatDotSameLen(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       acc += (a.getFloat(i) * b.getFloat(i)).toDouble // float multiply, double accumulate
       i += 1
     }
@@ -85,8 +89,10 @@ case class PolyHash(child: Expression)
 /** Dot product of two float32 arrays: per-element float multiply, sequential
   * float64 accumulation — identical to
   * `aggregate(zip_with(a,b,(x,y)->x*y), 0D, (acc,v)->acc+v)` and to the
-  * DuckDB list-comprehension form used by the oracles. Length mismatch →
-  * NULL (zip_with pads the shorter array with nulls, nulling the fold).
+  * DuckDB list-comprehension form used by the oracles. Length mismatch or a
+  * null element → NULL, exactly like the HOF fold (zip_with pads the
+  * shorter array with nulls, and any null product nulls the sum) — the
+  * equivalence [[graft.plans.RewriteFloatDot]] relies on.
   */
 case class FloatDot(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -98,12 +104,17 @@ case class FloatDot(left: Expression, right: Expression)
     if (x.numElements() != y.numElements()) null else Kernels.floatDotSameLen(x, y)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("graftDot")
+      s"""
       if ($a.numElements() != $b.numElements()) {
         ${ev.isNull} = true;
       } else {
-        ${ev.value} = graft.functions.Kernels.floatDotSameLen($a, $b);
-      }""")
+        java.lang.Double $r = graft.functions.Kernels.floatDotSameLen($a, $b);
+        if ($r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $r.doubleValue(); }
+      }"""
+    })
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): FloatDot =
     copy(left = newLeft, right = newRight)
 }
