@@ -5,9 +5,14 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-/** Session extension registering graft's native expressions as SQL functions
-  * (`spark.sql.extensions=graft.GraftExtensions`), so `spark.sql("SELECT
-  * graft_poly_hash(text) ...")` works alongside the Column API.
+/** Session extension wiring graft into the engine proper
+  * (`spark.sql.extensions=graft.GraftExtensions`):
+  *
+  *  - the native kernels become SQL functions, so `spark.sql("SELECT
+  *    graft_poly_hash(text) ...")` works alongside the Column API;
+  *  - [[graft.plans.RewriteFloatDot]] runs as an optimizer rule, rewriting
+  *    the portable higher-order-function dot-product idiom into the
+  *    codegen'd [[graft.functions.FloatDot]] kernel.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -19,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "graft_float_dot"),
       exprs => FloatDot(exprs.head, exprs(1))))
+    ext.injectOptimizerRule(_ => graft.plans.RewriteFloatDot)
   }
 }
 

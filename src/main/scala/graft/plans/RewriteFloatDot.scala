@@ -1,34 +1,10 @@
 package graft.plans
 
-import graft.functions.{FloatDot, PolyHash}
-import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.catalyst.FunctionIdentifier
+import graft.functions.FloatDot
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
-
-/** Session extensions registering the graft kernels with the engine proper:
-  *
-  *  - `poly_hash` / `float_dot` become SQL functions, so `spark.sql` text
-  *    reaches the codegen'd kernels without touching the Scala API;
-  *  - [[RewriteFloatDot]] runs as an optimizer rule, rewriting the portable
-  *    higher-order-function dot-product idiom into the [[FloatDot]] kernel.
-  *
-  * Wire up with `.withExtensions(new GraftExtensions)` at session build, or
-  * `spark.sql.extensions=graft.plans.GraftExtensions` on a cluster.
-  */
-class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("poly_hash"),
-      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
-      (args: Seq[Expression]) => PolyHash(args.head)))
-    ext.injectFunction((FunctionIdentifier("float_dot"),
-      new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
-      (args: Seq[Expression]) => FloatDot(args(0), args(1))))
-    ext.injectOptimizerRule(_ => RewriteFloatDot)
-  }
-}
 
 /** Rewrites `aggregate(zip_with(a, b, (x, y) -> x * y), 0D,
   * (acc, v) -> acc + v)` over float arrays into the codegen'd
@@ -43,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * (float multiply; a double multiply would NOT be kernel-equal), a
   * `0D` zero, an `acc + v` merge in either operand order, and an identity
   * finish — so the rule never fires on a fold with different semantics.
+  * Injected by [[graft.GraftExtensions]].
   */
 object RewriteFloatDot extends Rule[LogicalPlan] {
 

@@ -20,7 +20,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val s = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
-      .withExtensions(new GraftExtensions)
+      .withExtensions(new graft.GraftExtensions)
       .getOrCreate()
     SparkSession.setDefaultSession(base)
     SparkSession.setActiveSession(base)
@@ -30,10 +30,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
   private val hofDot = "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
 
   test("injected SQL functions reach the kernels") {
-    val h = ext.sql("SELECT poly_hash('hello world') AS h").head().getLong(0)
+    val h = ext.sql("SELECT graft_poly_hash('hello world') AS h").head().getLong(0)
     assert(h == graft.functions.Kernels.polyHash(UTF8String.fromString("hello world")))
     val d = ext.sql(
-      "SELECT float_dot(array(CAST(1.5 AS FLOAT), CAST(2 AS FLOAT)), array(CAST(4 AS FLOAT), CAST(0.5 AS FLOAT))) AS d")
+      "SELECT graft_float_dot(array(CAST(1.5 AS FLOAT), CAST(2 AS FLOAT)), array(CAST(4 AS FLOAT), CAST(0.5 AS FLOAT))) AS d")
       .head().getDouble(0)
     assert(d == 1.5f * 4f + 2f * 0.5f)
   }
