@@ -221,4 +221,35 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "sim")
   }
+
+  /** Per-dimension scalar quantization (SQ8-style): learn global
+    * `[min, max]` per dimension, map each component onto `levels` uniform
+    * codes, and emit the dequantized reconstruction + residual alongside —
+    * the storage layout an ANN index compresses vectors into (4 bytes/dim
+    * → 1 byte/dim at levels=256).
+    *
+    * Shape: one `posexplode` to (id, dim, x), one `dim`-keyed aggregate for
+    * the stats (≤ `dim` rows — map-side combined, then broadcast back), one
+    * map-side code assignment. Nothing wide ever carries vectors; at 100 TB
+    * the only shuffle is the dim-count-sized stats reduction. All
+    * arithmetic is IEEE double over exactly-agreed floats, so codes and
+    * reconstructions are engine-portable bit-for-bit.
+    */
+  def scalarQuantize(df: DataFrame, idCol: String, vecCol: String,
+                     levels: Int = 256): DataFrame = {
+    require(levels > 1, "levels must be > 1")
+    val ex = df
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "xf")))
+      .select(col(idCol), (col("pos") + 1).as("dim"), col("xf").cast("double").as("x"))
+    val stats = ex.groupBy("dim").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val code = when(col("mx") === col("mn"), lit(0))
+      .otherwise(least(lit(levels - 1),
+        floor((col("x") - col("mn")) * levels / (col("mx") - col("mn")))).cast("int"))
+    ex.join(broadcast(stats), Seq("dim"))
+      .withColumn("code", code)
+      .withColumn("x_hat",
+        col("mn") + (col("code") + lit(0.5)) * (col("mx") - col("mn")) / lit(levels))
+      .select(col(idCol), col("dim"), col("x"), col("code"), col("x_hat"),
+        (col("x") - col("x_hat")).as("err"))
+  }
 }

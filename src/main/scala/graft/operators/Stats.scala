@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution statistics for data-quality gating: robust outlier flags,
+  * fixed-width histograms, and an exact correlation/regression battery.
+  *
+  * Everything here is engine-portable by construction (the driver
+  * hash-compares against a DuckDB oracle): location/scale estimates use
+  * exact interpolated percentiles (bit-identical to `quantile_cont`), and
+  * second-moment statistics accumulate in DECIMAL — exact and
+  * order-independent — before one final double-precision formula. No float
+  * `avg`/`stddev` aggregates (partition-order-dependent) and no
+  * transcendental functions (libm-dependent) appear in any output.
+  */
+object Stats {
+
+  /** Per-group robust outlier flags on `valueCol`:
+    *
+    *  - Tukey fences: outside `[Q1 - kIqr·IQR, Q3 + kIqr·IQR]`;
+    *  - MAD rule: `|x - median| > kMad · 1.4826 · MAD` where
+    *    `MAD = median(|x - median|)` (1.4826 rescales MAD to σ under
+    *    normality).
+    *
+    * Two aggregate passes (quartiles, then MAD of residuals) with the
+    * group-level statistics broadcast back onto the rows — the wide side
+    * is never shuffled, so this scales with the row count regardless of
+    * how few groups there are. Exact percentiles hold the whole group's
+    * values per aggregation state, which is the right trade below ~10⁸
+    * rows per group; beyond that, swap `percentile` for
+    * `approx_percentile` and drop the oracle to rows-only.
+    */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                     kIqr: Double = 1.5, kMad: Double = 3.0): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val quartiles = df.groupBy(col(groupCol)).agg(
+      expr(s"percentile($valueCol, 0.25)").as("q1"),
+      expr(s"percentile($valueCol, 0.5)").as("med"),
+      expr(s"percentile($valueCol, 0.75)").as("q3"))
+    val withQ = df.join(broadcast(quartiles), Seq(groupCol))
+    val madAgg = withQ.groupBy(col(groupCol))
+      .agg(expr(s"percentile(abs($valueCol - med), 0.5)").as("mad"))
+    val iqr = col("q3") - col("q1")
+    withQ.join(broadcast(madAgg), Seq(groupCol))
+      .withColumn("iqr_outlier",
+        v < col("q1") - lit(kIqr) * iqr || v > col("q3") + lit(kIqr) * iqr)
+      .withColumn("mad_outlier",
+        col("mad") > lit(0.0) &&
+          abs(v - col("med")) > lit(kMad) * lit(1.4826) * col("mad"))
+  }
+
+  /** Fixed-width histogram of `valueCol` over `bins` equal buckets spanning
+    * the global [min, max]. The max lands in the last bucket (`least`).
+    *
+    * One narrow agg for the range (broadcast back as a 1-row literal), one
+    * map-side bin assignment, one pre-combined groupBy over at most `bins`
+    * keys — the reduction happens before the shuffle, so the exchange
+    * carries ≤ `bins` rows per map partition no matter the input size.
+    */
+  def histogram(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val range = df.agg(
+      min(col(valueCol)).cast("double").as("lo"),
+      max(col(valueCol)).cast("double").as("hi"))
+    val x = col(valueCol).cast("double")
+    val width = (col("hi") - col("lo")) / lit(bins)
+    df.crossJoin(broadcast(range))
+      .select(
+        least(lit(bins - 1), floor((x - col("lo")) / width)).cast("int").as("bin"),
+        col("lo"), col("hi"))
+      .groupBy("bin", "lo", "hi")
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("bin"),
+        (col("lo") + col("bin") * (col("hi") - col("lo")) / lit(bins)).as("bin_lo"),
+        (col("lo") + (col("bin") + 1) * (col("hi") - col("lo")) / lit(bins)).as("bin_hi"),
+        col("cnt"))
+  }
+
+  /** Per-group correlation / simple-regression battery computed from exact
+    * DECIMAL power sums: n, Σx, Σy, Σxy, Σx², Σy² accumulate as
+    * `decimal(12,2)` products (`decimal(25,4)`, exact — no float rounding,
+    * no partition-order dependence), then one double-precision closed-form
+    * per group:
+    *
+    *  - `corr`     = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²))
+    *  - `slope`    = (nΣxy − ΣxΣy) / (nΣx²−(Σx)²)
+    *  - `intercept`= (Σy − slope·Σx) / n
+    *  - `covar_pop`= (Σxy − ΣxΣy/n) / n
+    *
+    * This is the map-side-combinable formulation of `corr`/`regr_*`: a
+    * single pre-aggregated shuffle of six numbers per group, vs the
+    * two-pass mean-centered algorithm which would rescan the input.
+    * Assumes |x|,|y| < 10^10 with ≤2 decimal places of interest (money /
+    * quantity columns); Σ fits decimal(35,4) up to ~10^31.
+    */
+  def corrBattery(df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
+    val xd = col(xCol).cast("decimal(12,2)")
+    val yd = col(yCol).cast("decimal(12,2)")
+    val sums = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(xd).cast("double").as("sx"),
+      sum(yd).cast("double").as("sy"),
+      sum(xd * xd).cast("double").as("sxx"),
+      sum(xd * yd).cast("double").as("sxy"),
+      sum(yd * yd).cast("double").as("syy"))
+    val n = col("n").cast("double")
+    val cov = n * col("sxy") - col("sx") * col("sy")
+    val varx = n * col("sxx") - col("sx") * col("sx")
+    val vary = n * col("syy") - col("sy") * col("sy")
+    val slope = cov / varx
+    sums.select(
+      col(groupCol), col("n"),
+      (cov / (sqrt(varx) * sqrt(vary))).as("corr"),
+      slope.as("slope"),
+      ((col("sy") - slope * col("sx")) / n).as("intercept"),
+      ((col("sxy") - col("sx") * col("sy") / n) / n).as("covar_pop"))
+  }
+}

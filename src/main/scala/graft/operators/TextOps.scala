@@ -180,4 +180,31 @@ object TextOps {
       .filter(col("rank") <= k)
       .select(col("id").as(idCol), col("term"), col("tf"), col("rank"), col("global_df"))
   }
+
+  /** TF-IDF scored top-k terms per document. The IDF factor is the rational
+    * `n_docs / df` rather than the textbook `log(n_docs/df)` — log is
+    * libm-dependent (not engine-portable bit-for-bit) and, being monotone,
+    * changes no ranking for a fixed tf; the score stays a pure IEEE
+    * expression over three exact integers.
+    *
+    * Same single-derivation shape as [[topTerms]]: one explode → one
+    * (id, term) aggregate → a term-partition window for document frequency
+    * (no self-join re-deriving the explode) → a per-doc ranked top-k that
+    * Spark 4 rewrites to partial+final WindowGroupLimit, so only k rows per
+    * doc survive each exchange.
+    */
+  def tfidf(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val ex = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+    val tf = ex.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val wTerm = Window.partitionBy("term")
+    val score = col("tf").cast("double") * col("n_docs") / col("df")
+    val wId = Window.partitionBy("id").orderBy(score.desc, col("term").asc)
+    tf.withColumn("df", count(lit(1)).over(wTerm))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", score)
+      .withColumn("rank", row_number().over(wId))
+      .filter(col("rank") <= k)
+      .select(col("id").as(idCol), col("term"), col("tf"), col("df"), col("tfidf"), col("rank"))
+  }
 }

@@ -1,0 +1,151 @@
+package graft.queries
+
+import graft.operators.{Similarity, Stats, TextOps, TimeSeries}
+import graft.queries.ParityQueries.Q
+import graft.queries.TextQueries.{normSql, polyHashSql, toksSql}
+import org.apache.spark.sql.functions._
+
+/** Round-3 extension queries: time-series alignment, distribution
+  * statistics / outlier gating, TF-IDF, text normalization, and vector
+  * quantization. Oracle SQL mirrors the Spark expression text exactly
+  * (same operand order, same casts) so IEEE double arithmetic agrees
+  * bit-for-bit; all order-dependent accumulations go through DECIMAL or
+  * exact percentiles per the determinism recipes.
+  */
+object StatQueries {
+
+  val defs: Map[String, Q] = Map(
+
+    // ----- fixed-grid resample + gap-fill + forward fill -------------------
+    "q_resample_ffill" -> Q(
+      (s, d) => TimeSeries.resampleFill(Td.events(s, d), "user_id", "ts", "day", "value"),
+      Some("""WITH b AS (
+             |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             |         CAST(count(*) AS BIGINT) AS n_obs,
+             |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bucket_value
+             |  FROM events GROUP BY 1, 2),
+             |spine AS (
+             |  SELECT user_id,
+             |         unnest(generate_series(min(bucket), max(bucket), INTERVAL 1 DAY)) AS bucket
+             |  FROM b GROUP BY user_id)
+             |SELECT s.user_id, s.bucket,
+             |  CAST(COALESCE(b.n_obs, 0) AS BIGINT) AS n_obs,
+             |  b.bucket_value AS bucket_value,
+             |  last_value(b.bucket_value IGNORE NULLS) OVER (
+             |    PARTITION BY s.user_id ORDER BY s.bucket
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+             |FROM spine s LEFT JOIN b ON s.user_id = b.user_id AND s.bucket = b.bucket""".stripMargin)),
+
+    // ----- robust outlier flags (Tukey fences + MAD rule) ------------------
+    "q_outlier_bounds" -> Q(
+      (s, d) => Stats.robustOutliers(Td.events(s, d), "event_type", "value")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("q1"), col("med"), col("q3"), col("mad"),
+          col("iqr_outlier").cast("int").as("iqr_outlier"),
+          col("mad_outlier").cast("int").as("mad_outlier")),
+      Some("""WITH q AS (
+             |  SELECT event_type,
+             |    quantile_cont(value, 0.25) AS q1,
+             |    quantile_cont(value, 0.5) AS med,
+             |    quantile_cont(value, 0.75) AS q3
+             |  FROM events GROUP BY 1),
+             |m AS (
+             |  SELECT e.event_type, quantile_cont(abs(e.value - q.med), 0.5) AS mad
+             |  FROM events e JOIN q USING (event_type) GROUP BY 1)
+             |SELECT e.event_id, e.event_type, e.value, q.q1, q.med, q.q3, m.mad,
+             |  CAST(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+             |              OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+             |            THEN 1 ELSE 0 END AS INT) AS iqr_outlier,
+             |  CAST(CASE WHEN m.mad > 0.0 AND abs(e.value - q.med) > 3.0 * 1.4826 * m.mad
+             |            THEN 1 ELSE 0 END AS INT) AS mad_outlier
+             |FROM events e JOIN q USING (event_type) JOIN m USING (event_type)""".stripMargin)),
+
+    // ----- fixed-width histogram -------------------------------------------
+    "q_histogram" -> Q(
+      (s, d) => Stats.histogram(Td.lineitem(s, d), "l_extendedprice", 20),
+      Some("""WITH r AS (
+             |  SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+             |         CAST(max(l_extendedprice) AS DOUBLE) AS hi
+             |  FROM lineitem),
+             |b AS (
+             |  SELECT CAST(least(19, floor((CAST(l_extendedprice AS DOUBLE) - lo) / ((hi - lo) / 20))) AS INT) AS bin,
+             |         lo, hi
+             |  FROM lineitem, r)
+             |SELECT bin,
+             |  lo + bin * (hi - lo) / 20 AS bin_lo,
+             |  lo + (bin + 1) * (hi - lo) / 20 AS bin_hi,
+             |  CAST(count(*) AS BIGINT) AS cnt
+             |FROM b GROUP BY bin, lo, hi""".stripMargin)),
+
+    // ----- exact correlation / regression battery --------------------------
+    "q_corr_battery" -> Q(
+      (s, d) => Stats.corrBattery(Td.lineitem(s, d), "l_returnflag", "l_quantity", "l_extendedprice"),
+      Some("""WITH s AS (
+             |  SELECT l_returnflag,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, n,
+             |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr,
+             |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+             |  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
+             |  (sxy - sx * sy / n) / n AS covar_pop
+             |FROM s""".stripMargin)),
+
+    // ----- TF-IDF top terms per document -----------------------------------
+    "q_tfidf" -> Q(
+      (s, d) => TextOps.tfidf(Td.documents(s, d), "doc_id", "text", 3),
+      Some(s"""WITH tf AS (
+              |  SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+              |  FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents) x
+              |  GROUP BY 1, 2),
+              |d AS (
+              |  SELECT doc_id, term, tf,
+              |    CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+              |    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs
+              |  FROM tf)
+              |SELECT doc_id, term, tf, df,
+              |  CAST(tf AS DOUBLE) * n_docs / df AS tfidf,
+              |  CAST(rank AS INT) AS rank
+              |FROM (
+              |  SELECT *, row_number() OVER (
+              |    PARTITION BY doc_id
+              |    ORDER BY CAST(tf AS DOUBLE) * n_docs / df DESC, term) AS rank
+              |  FROM d) t
+              |WHERE rank <= 3""".stripMargin)),
+
+    // ----- text normalization (cleaned text + stable dedup key) ------------
+    "q_normalize_text" -> Q(
+      (s, d) => Td.documents(s, d).select(
+        col("doc_id"),
+        TextOps.normText(col("text")).as("norm_text"),
+        size(TextOps.tokens(col("text"))).as("n_tokens"),
+        TextOps.fingerprint(col("text")).as("norm_key")),
+      Some(s"""SELECT doc_id, $normSql AS norm_text,
+              |  CAST(len($toksSql) AS INT) AS n_tokens,
+              |  ${polyHashSql(normSql)} AS norm_key
+              |FROM documents""".stripMargin)),
+
+    // ----- per-dimension scalar quantization (SQ8) -------------------------
+    "q_vec_quantize" -> Q(
+      (s, d) => Similarity.scalarQuantize(Td.embeddings(s, d), "vec_id", "embedding", 256),
+      Some("""WITH ex AS (
+             |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS dim,
+             |         CAST(unnest(embedding) AS DOUBLE) AS x
+             |  FROM embeddings),
+             |s AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM ex GROUP BY dim),
+             |c AS (
+             |  SELECT vec_id, dim, x, mn, mx,
+             |    CASE WHEN mx = mn THEN 0
+             |         ELSE CAST(least(255, floor((x - mn) * 256 / (mx - mn))) AS INT) END AS code
+             |  FROM ex JOIN s USING (dim))
+             |SELECT vec_id, dim, x, code,
+             |  mn + (code + 0.5) * (mx - mn) / 256 AS x_hat,
+             |  x - (mn + (code + 0.5) * (mx - mn) / 256) AS err
+             |FROM c""".stripMargin)),
+  )
+}

@@ -12,10 +12,10 @@ import org.apache.spark.sql.functions._
 object TextQueries {
 
   // --- DuckDB fragments mirroring TextOps (kept in lockstep) ---------------
-  private val normSql =
+  private[queries] val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
-  private val toksSql = s"string_split($normSql, ' ')"
-  private def polyHashSql(s: String): String =
+  private[queries] val toksSql = s"string_split($normSql, ' ')"
+  private[queries] def polyHashSql(s: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in split($s, '')]), (acc, c) -> (acc*31 + c) % ${TextOps.HashP})"
   private val shinglesSql = // distinct word 3-grams, matching TextOps.shingles(_, 3)
     "list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])"

@@ -1,0 +1,106 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("resampleFill materializes gaps, zero-counts them, and forward-fills") {
+    val s = spark
+    import s.implicits._
+    // user 1: events on day 1 and day 4 (2-day gap); user 2: single day
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 5.0),
+      (1L, ts("2024-01-01 11:00:00"), 7.0),
+      (1L, ts("2024-01-04 09:00:00"), 2.0),
+      (2L, ts("2024-01-02 00:30:00"), 9.0),
+    ).toDF("user_id", "ts", "value")
+    val out = TimeSeries.resampleFill(events, "user_id", "ts", "day", "value")
+      .orderBy("user_id", "bucket").collect()
+    assert(out.length == 5) // user 1: 4 days, user 2: 1 day
+    val u1 = out.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getLong(2)).toSeq == Seq(2L, 0L, 0L, 1L)) // n_obs
+    // bucket_value is null in gaps; ffill carries day-1 sum across them
+    assert(u1.map(r => Option(r.get(3))).toSeq ==
+      Seq(Some(12.0), None, None, Some(2.0)))
+    assert(u1.map(_.getDouble(4)).toSeq == Seq(12.0, 12.0, 12.0, 2.0))
+  }
+
+  test("robustOutliers flags far points and keeps the bulk") {
+    val s = spark
+    import s.implicits._
+    val rows = ((1 to 100).map(i => ("a", i.toLong, i.toDouble % 10)) :+
+      (("a", 101L, 1000.0))).toDF("g", "id", "value")
+    val out = Stats.robustOutliers(rows, "g", "value")
+    val flagged = out.filter(col("iqr_outlier")).select("id").as[Long].collect()
+    assert(flagged.toSeq == Seq(101L))
+    val madFlagged = out.filter(col("mad_outlier")).select("id").as[Long].collect()
+    assert(madFlagged.toSeq == Seq(101L))
+    // bounds are per-group exact percentiles
+    val r = out.filter(col("id") === 1L).select("q1", "med", "q3").head()
+    assert(r.getDouble(0) == 2.0 && r.getDouble(1) == 5.0 && r.getDouble(2) == 7.0)
+  }
+
+  test("histogram partitions all rows into bins spanning [min, max]") {
+    val s = spark
+    import s.implicits._
+    val vals = (0 until 1000).map(_.toDouble).toDF("v")
+    val out = Stats.histogram(vals, "v", 10).orderBy("bin").collect()
+    assert(out.length == 10)
+    assert(out.map(_.getLong(3)).sum == 1000L)
+    assert(out.head.getDouble(1) == 0.0) // first bin_lo == min
+    assert(out.last.getDouble(2) == 999.0) // last bin_hi == max
+    // uniform input → equal-ish bins; max value lands in the last bin
+    assert(out.last.getLong(3) == 100L)
+  }
+
+  test("corrBattery recovers an exact linear relationship") {
+    val s = spark
+    import s.implicits._
+    val pts = (1 to 200).map(i => ("g", i.toDouble, 3.0 * i + 7.0)).toDF("g", "x", "y")
+    val r = Stats.corrBattery(pts, "g", "x", "y").head()
+    assert(r.getLong(1) == 200L)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12) // corr
+    assert(math.abs(r.getDouble(3) - 3.0) < 1e-9) // slope
+    assert(math.abs(r.getDouble(4) - 7.0) < 1e-6) // intercept
+  }
+
+  test("tfidf ranks rare terms above common ones at equal tf") {
+    val s = spark
+    import s.implicits._
+    // 'common' appears in every doc, 'rare' only in doc 1 — same tf within doc 1
+    val docs = Seq(
+      (1L, "rare common"), (2L, "common filler"), (3L, "common other"),
+    ).toDF("doc_id", "text")
+    val out = TextOps.tfidf(docs, "doc_id", "text", 2)
+      .filter(col("doc_id") === 1L).orderBy("rank").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("rare", "common"))
+    assert(out.head.getDouble(4) == 3.0) // tf=1 * n_docs=3 / df=1
+    assert(out.last.getDouble(4) == 1.0) // tf=1 * 3 / 3
+  }
+
+  test("scalarQuantize codes are in range and reconstruction error is bounded") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (1L, Array(0.0f, 10.0f)), (2L, Array(1.0f, 20.0f)), (3L, Array(0.5f, 15.0f)),
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.scalarQuantize(vecs, "vec_id", "embedding", 4)
+    val rows = out.collect()
+    assert(rows.length == 6)
+    assert(rows.forall(r => r.getInt(3) >= 0 && r.getInt(3) < 4))
+    // max |err| ≤ half a quantization step per dimension
+    val maxErr = out.groupBy("dim")
+      .agg(max(abs(col("err"))).as("e"), (max("x") - min("x")).as("range"))
+      .collect()
+    maxErr.foreach(r => assert(r.getDouble(1) <= r.getDouble(2) / 4 / 2 + 1e-12))
+    // degenerate dimension (mn == mx) → code 0, zero error at midpoint offset
+    val degen = Similarity.scalarQuantize(
+      Seq((1L, Array(5.0f)), (2L, Array(5.0f))).toDF("vec_id", "embedding"), "vec_id", "embedding", 4)
+    assert(degen.select("code").as[Int].collect().forall(_ == 0))
+  }
+}
