@@ -67,4 +67,59 @@ object TimeSeries {
         col("bucket_value"),
         last(col("bucket_value"), ignoreNulls = true).over(w).as("value_ffill"))
   }
+
+  /** Ordered funnel over an event stream: per key, the earliest `steps(0)`
+    * event, then the earliest `steps(1)` event STRICTLY AFTER it, and so on
+    * — one row per key that entered the funnel, with per-step timestamps
+    * (null from the first broken step onward) and a completed-step count.
+    *
+    * Each stage filters the stream to one event type BEFORE joining the
+    * (key, prior-step-time) relation — so stage i shuffles only that type's
+    * rows plus a keys-sized build side, never the whole stream, and each
+    * aggregate is map-side combinable min(). Stage count = funnel length
+    * (fixed, small); no per-key sort and no window state.
+    */
+  def funnel(df: DataFrame, keyCol: String, typeCol: String, tsCol: String,
+             steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val first = df.filter(col(typeCol) === steps.head)
+      .groupBy(col(keyCol)).agg(min(col(tsCol)).as("t_1"))
+    val stages = steps.zipWithIndex.tail.scanLeft(first) {
+      case (prev, (step, i)) =>
+        df.filter(col(typeCol) === step)
+          .join(prev.select(col(keyCol), col(s"t_$i")), keyCol)
+          .filter(col(tsCol) > col(s"t_$i"))
+          .groupBy(col(keyCol)).agg(min(col(tsCol)).as(s"t_${i + 1}"))
+    }
+    val joined = stages.zipWithIndex.tail.foldLeft(stages.head) {
+      case (acc, (stage, i)) =>
+        acc.join(stage.select(col(keyCol), col(s"t_${i + 1}")), Seq(keyCol), "left")
+    }
+    val completed = (2 to steps.length).foldLeft(lit(1)) {
+      case (acc, i) => acc + when(col(s"t_$i").isNotNull, 1).otherwise(0)
+    }
+    joined.withColumn("steps_completed", completed.cast("int"))
+  }
+
+  /** Debounce: drop events closer than `minGapSeconds` to the PREVIOUS event
+    * of the same key (first event per key always kept). Pure one-window
+    * formulation — `lag` over (key, ts, tie) — so it stays a single shuffle
+    * and survives any data scale; the gap compares exact epoch microseconds.
+    *
+    * Note the semantics: the gap is measured to the previous RAW event, not
+    * the previous KEPT one (true rate-limiting against the kept stream is
+    * inherently sequential per key — that lives in streaming state ops, not
+    * here — but predecessor-debounce is the common log-cleanup contract and
+    * is engine-portable).
+    */
+  def debounce(df: DataFrame, keyCols: Seq[String], tsCol: String,
+               tieCol: String, minGapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val prevUs = lag(unix_micros(col(tsCol)), 1).over(w)
+    df.withColumn("__prev_us", prevUs)
+      .filter(col("__prev_us").isNull ||
+        unix_micros(col(tsCol)) - col("__prev_us") >= minGapSeconds * 1000000L)
+      .drop("__prev_us")
+  }
 }

@@ -130,6 +130,37 @@ object StatQueries {
               |  ${polyHashSql(normSql)} AS norm_key
               |FROM documents""".stripMargin)),
 
+    // ----- ordered funnel (view → click → purchase) ------------------------
+    "q_funnel" -> Q(
+      (s, d) => TimeSeries.funnel(Td.events(s, d), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase")),
+      Some("""WITH t1 AS (
+             |  SELECT user_id, min(ts) AS t_1 FROM events
+             |  WHERE event_type = 'view' GROUP BY 1),
+             |t2 AS (
+             |  SELECT e.user_id, min(e.ts) AS t_2
+             |  FROM events e JOIN t1 USING (user_id)
+             |  WHERE e.event_type = 'click' AND e.ts > t1.t_1 GROUP BY 1),
+             |t3 AS (
+             |  SELECT e.user_id, min(e.ts) AS t_3
+             |  FROM events e JOIN t2 USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.ts > t2.t_2 GROUP BY 1)
+             |SELECT t1.user_id, t_1, t_2, t_3,
+             |  CAST(1 + CASE WHEN t_2 IS NULL THEN 0 ELSE 1 END
+             |         + CASE WHEN t_3 IS NULL THEN 0 ELSE 1 END AS INT) AS steps_completed
+             |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)""".stripMargin)),
+
+    // ----- debounce (drop sub-gap repeats per user/type) -------------------
+    "q_debounce" -> Q(
+      (s, d) => TimeSeries.debounce(Td.events(s, d),
+        Seq("user_id", "event_type"), "ts", "event_id", minGapSeconds = 600),
+      Some("""SELECT event_id, ts, user_id, event_type, value, props FROM (
+             |  SELECT *,
+             |    lag(epoch_us(ts)) OVER (
+             |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev_us
+             |  FROM events) t
+             |WHERE prev_us IS NULL OR epoch_us(ts) - prev_us >= 600000000""".stripMargin)),
+
     // ----- per-dimension scalar quantization (SQ8) -------------------------
     "q_vec_quantize" -> Q(
       (s, d) => Similarity.scalarQuantize(Td.embeddings(s, d), "vec_id", "embedding", 256),

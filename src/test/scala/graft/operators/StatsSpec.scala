@@ -83,6 +83,41 @@ class StatsSpec extends SparkSpec {
     assert(out.last.getDouble(4) == 1.0) // tf=1 * 3 / 3
   }
 
+  test("funnel requires strict event order and reports broken steps as null") {
+    val s = spark
+    import s.implicits._
+    val events = Seq(
+      // user 1 completes in order; user 2 clicks BEFORE viewing (broken at step 2);
+      // user 3 views only; user 4 never views (not in funnel)
+      (1L, "view", ts("2024-01-01 10:00:00")), (1L, "click", ts("2024-01-01 10:05:00")),
+      (1L, "purchase", ts("2024-01-01 10:30:00")),
+      (2L, "click", ts("2024-01-02 09:00:00")), (2L, "view", ts("2024-01-02 10:00:00")),
+      (3L, "view", ts("2024-01-03 08:00:00")),
+      (4L, "purchase", ts("2024-01-04 12:00:00")),
+    ).toDF("user_id", "event_type", "ts")
+    val out = TimeSeries.funnel(events, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .orderBy("user_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L)) // user 4 absent
+    assert(out.map(_.getInt(4)).toSeq == Seq(3, 1, 1))
+    assert(out(1).isNullAt(2) && out(1).isNullAt(3)) // user 2: click precedes view
+  }
+
+  test("debounce keeps the first event and drops sub-gap repeats") {
+    val s = spark
+    import s.implicits._
+    val events = Seq(
+      (1L, 10L, "a", ts("2024-01-01 10:00:00")),
+      (2L, 10L, "a", ts("2024-01-01 10:03:00")), // 3 min after #1 → dropped
+      (3L, 10L, "a", ts("2024-01-01 10:08:00")), // 5 min after #2 → kept (gap vs raw predecessor)
+      (4L, 10L, "b", ts("2024-01-01 10:00:30")), // different type → kept
+      (5L, 11L, "a", ts("2024-01-01 10:01:00")), // different user → kept
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val kept = TimeSeries.debounce(events, Seq("user_id", "event_type"), "ts", "event_id", 300)
+      .select("event_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
   test("scalarQuantize codes are in range and reconstruction error is bounded") {
     val s = spark
     import s.implicits._
