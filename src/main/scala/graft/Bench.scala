@@ -27,7 +27,11 @@ object Bench {
       r.select(col("x")).as[Long].flatMap(x => Seq((x, x + 1))).toDF("a", "b").count()
       spark.read.parquet(s"$sfDir/region.parquet").count()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional dev filter: `runMain graft.Bench q_a,q_b` times only those
+    // queries (the driver invokes with no args → full battery).
+    val selected = args.headOption.map(_.split(",").toSet)
+      .fold(SparkEntry.queries)(names => SparkEntry.queries.filter { case (k, _) => names(k) })
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -198,13 +198,22 @@ object TextOps {
     val ex = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
     val tf = ex.groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val wTerm = Window.partitionBy("term")
-    val score = col("tf").cast("double") * col("n_docs") / col("df")
-    val wId = Window.partitionBy("id").orderBy(score.desc, col("term").asc)
+    // Rank by tf/df, not tf·N/df: N is a positive per-corpus constant, so
+    // the order (and tie set — ties broken by term anyway) is identical,
+    // and keeping `n_docs` out of the sort key lets the rank window sit
+    // directly on the tf relation where Spark 4 rewrites it to
+    // partial+final WindowGroupLimit; the corpus-count join then touches
+    // only the ≤ k·docs survivors instead of every (id, term) row. The
+    // remaining cost is the term-partition df window itself — the same
+    // price [[topTerms]] pays, it just can't be column-pruned here because
+    // the sort key consumes df.
+    val wId = Window.partitionBy("id")
+      .orderBy((col("tf").cast("double") / col("df")).desc, col("term").asc)
     tf.withColumn("df", count(lit(1)).over(wTerm))
-      .crossJoin(broadcast(nDocs))
-      .withColumn("tfidf", score)
       .withColumn("rank", row_number().over(wId))
       .filter(col("rank") <= k)
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", col("tf").cast("double") * col("n_docs") / col("df"))
       .select(col("id").as(idCol), col("term"), col("tf"), col("df"), col("tfidf"), col("rank"))
   }
 }

@@ -114,7 +114,7 @@ object StatQueries {
               |FROM (
               |  SELECT *, row_number() OVER (
               |    PARTITION BY doc_id
-              |    ORDER BY CAST(tf AS DOUBLE) * n_docs / df DESC, term) AS rank
+              |    ORDER BY CAST(tf AS DOUBLE) / df DESC, term) AS rank
               |  FROM d) t
               |WHERE rank <= 3""".stripMargin)),
 
