@@ -108,6 +108,38 @@ object StreamOps {
       .select(col("sw.start").as("session_start"), col("sw.end").as("session_end"),
         col(keyCol), col("n_events"))
 
+  /** Streaming rate-limit per key: keep an event only if it is ≥
+    * `minGapSeconds` after the previous KEPT event of the same key, with the
+    * last-kept timestamp carried across micro-batches in the state store —
+    * the streaming twin of `TimeSeries.throttle`, and the semantics the
+    * one-window `TimeSeries.debounce` can't express (the gap is against the
+    * kept stream, a sequential dependency).
+    *
+    * Events are ordered by event time WITHIN a batch; an event arriving in a
+    * later batch with an older timestamp than the kept state is dropped (its
+    * gap to the kept event is negative) — late data thins, never duplicates,
+    * the kept stream. State is one timestamp per key, evicted only with the
+    * query (add a timeout variant if keys churn).
+    */
+  def throttleStream(events: Dataset[(Long, Timestamp)],
+                     minGapSeconds: Long): Dataset[(Long, Timestamp)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Timestamp)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[Long]) =>
+          var lastKeptMs = state.getOption.getOrElse(Long.MinValue)
+          val kept = rows.toSeq.sortBy(_._2.getTime).filter { case (_, ts) =>
+            val t = ts.getTime
+            val keep = lastKeptMs == Long.MinValue || t - lastKeptMs >= minGapSeconds * 1000L
+            if (keep) lastKeptMs = t
+            keep
+          }
+          if (lastKeptMs != Long.MinValue) state.update(lastKeptMs)
+          kept.iterator
+      }
+  }
+
   /** Convenience: run a streaming query over `df` to completion with
     * AvailableNow into an in-memory sink and return the result table.
     */

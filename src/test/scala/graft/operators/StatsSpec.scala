@@ -118,6 +118,27 @@ class StatsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
   }
 
+  test("throttle rate-limits against the KEPT stream where debounce can't") {
+    val s = spark
+    import s.implicits._
+    // events at t=0s, 70s, 140s with a 120s gap:
+    //   debounce (vs raw predecessor: 70 < 120 twice) keeps only #1;
+    //   throttle keeps #1, drops #2 (70s), keeps #3 (140s ≥ 120s after #1).
+    val events = Seq(
+      (1L, 5L, "a", ts("2024-01-01 10:00:00")),
+      (2L, 5L, "a", ts("2024-01-01 10:01:10")),
+      (3L, 5L, "a", ts("2024-01-01 10:02:20")),
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val thr = TimeSeries.throttle(events, Seq("user_id", "event_type"), "ts", "event_id", 120)
+      .select("event_id").as[Long].collect().sorted
+    assert(thr.toSeq == Seq(1L, 3L))
+    val deb = TimeSeries.debounce(events, Seq("user_id", "event_type"), "ts", "event_id", 120)
+      .select("event_id").as[Long].collect().sorted
+    assert(deb.toSeq == Seq(1L))
+    // schema is preserved
+    assert(TimeSeries.throttle(events, Seq("user_id"), "ts", "event_id", 1).schema == events.schema)
+  }
+
   test("scalarQuantize codes are in range and reconstruction error is bounded") {
     val s = spark
     import s.implicits._

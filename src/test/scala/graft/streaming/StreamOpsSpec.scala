@@ -119,4 +119,28 @@ class StreamOpsSpec extends SparkSpec {
       .map(r => (r.getTimestamp(0).toString, r.getLong(3))).toSet
     assert(rows == Set(("2025-01-01 10:00:00.0", 2L), ("2025-01-01 10:20:00.0", 1L)))
   }
+
+  test("throttleStream carries last-kept state across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val thr = StreamOps.throttleStream(input.toDS(), minGapSeconds = 600)
+    val q = thr.toDF("k", "ts").writeStream.format("memory").queryName("thr_s")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData((5L, ts(0)), (5L, ts(5)), (5L, ts(12)))
+    q.processAllAvailable()
+    // within batch 1: keep 10:00, drop 10:05 (<10min), keep 10:12
+    input.addData((5L, ts(15)), (5L, ts(30)), (6L, ts(16)))
+    q.processAllAvailable()
+    // batch 2 vs KEPT state (10:12): drop 10:15, keep 10:30; new key 6 keeps its first
+    q.stop()
+
+    val kept = spark.table("thr_s").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString)).toSet
+    assert(kept == Set(
+      (5L, "2025-01-01 10:00:00.0"), (5L, "2025-01-01 10:12:00.0"),
+      (5L, "2025-01-01 10:30:00.0"), (6L, "2025-01-01 10:16:00.0")))
+  }
 }
