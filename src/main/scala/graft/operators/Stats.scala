@@ -78,6 +78,42 @@ object Stats {
         col("cnt"))
   }
 
+  /** Equi-depth bucketing: assign each row the quantile bucket of
+    * `valueCol` among `buckets` buckets cut at exact interpolated
+    * percentiles (k/buckets for k in 1..buckets-1). Unlike `ntile` (which
+    * needs a global sort and splits ties arbitrarily by row position), the
+    * cut-point formulation is value-deterministic — equal values always
+    * land in the same bucket — and costs one tiny aggregate broadcast back
+    * onto a map-side projection instead of a total order.
+    */
+  def quantileBuckets(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
+    require(buckets > 1, "need at least 2 buckets")
+    val cuts = (1 until buckets).map(k =>
+      expr(s"percentile($valueCol, ${k.toDouble / buckets})").as(s"c$k"))
+    val bounds = df.agg(cuts.head, cuts.tail: _*)
+    val bucket = (1 until buckets).map(k =>
+      when(col(valueCol).cast("double") > col(s"c$k"), 1).otherwise(0))
+      .reduce(_ + _)
+    df.crossJoin(broadcast(bounds))
+      .withColumn("bucket", bucket.cast("int"))
+      .drop((1 until buckets).map(k => s"c$k"): _*)
+  }
+
+  /** Deterministic per-group mode of `valueCol`: the most frequent value,
+    * ties broken by the smallest value. One (group, value) count aggregate
+    * (map-side combined) then a group-partition top-1 window — which Spark
+    * 4 rewrites to partial+final WindowGroupLimit, so each exchange carries
+    * one candidate row per (partition, group).
+    */
+  def groupMode(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(groupCol).orderBy(col("cnt").desc, col(valueCol).asc)
+    counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(groupCol), col(valueCol).as("mode_value"), col("cnt"))
+  }
+
   /** Per-group correlation / simple-regression battery computed from exact
     * DECIMAL power sums: n, Σx, Σy, Σxy, Σx², Σy² accumulate as
     * `decimal(12,2)` products (`decimal(25,4)`, exact — no float rounding,

@@ -130,6 +130,31 @@ object StatQueries {
               |  ${polyHashSql(normSql)} AS norm_key
               |FROM documents""".stripMargin)),
 
+    // ----- equi-depth quantile buckets -------------------------------------
+    "q_quantile_buckets" -> Q(
+      (s, d) => Stats.quantileBuckets(Td.orders(s, d), "o_totalprice", 4)
+        .select("o_orderkey", "o_totalprice", "bucket"),
+      Some("""WITH c AS (
+             |  SELECT quantile_cont(o_totalprice, 0.25) AS c1,
+             |         quantile_cont(o_totalprice, 0.5) AS c2,
+             |         quantile_cont(o_totalprice, 0.75) AS c3
+             |  FROM orders)
+             |SELECT o_orderkey, o_totalprice,
+             |  CAST(  (CASE WHEN CAST(o_totalprice AS DOUBLE) > c1 THEN 1 ELSE 0 END)
+             |       + (CASE WHEN CAST(o_totalprice AS DOUBLE) > c2 THEN 1 ELSE 0 END)
+             |       + (CASE WHEN CAST(o_totalprice AS DOUBLE) > c3 THEN 1 ELSE 0 END) AS INT) AS bucket
+             |FROM orders, c""".stripMargin)),
+
+    // ----- deterministic per-group mode ------------------------------------
+    "q_group_mode" -> Q(
+      (s, d) => Stats.groupMode(Td.events(s, d), "user_id", "event_type"),
+      Some("""SELECT user_id, event_type AS mode_value, cnt FROM (
+             |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt,
+             |    row_number() OVER (
+             |      PARTITION BY user_id ORDER BY count(*) DESC, event_type) AS rn
+             |  FROM events GROUP BY user_id, event_type) t
+             |WHERE rn = 1""".stripMargin)),
+
     // ----- ordered funnel (view → click → purchase) ------------------------
     "q_funnel" -> Q(
       (s, d) => TimeSeries.funnel(Td.events(s, d), "user_id", "event_type", "ts",

@@ -83,6 +83,35 @@ class StatsSpec extends SparkSpec {
     assert(out.last.getDouble(4) == 1.0) // tf=1 * 3 / 3
   }
 
+  test("quantileBuckets is equi-depth and value-deterministic") {
+    val s = spark
+    import s.implicits._
+    val vals = (1 to 1000).map(_.toDouble).toDF("v")
+    val out = Stats.quantileBuckets(vals, "v", 4)
+    val sizes = out.groupBy("bucket").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set(0, 1, 2, 3))
+    sizes.values.foreach(n => assert(math.abs(n - 250L) <= 1, sizes.toString))
+    // equal values land in equal buckets (run twice, same assignment)
+    val dup = Seq.fill(100)(42.0).toDF("v").union(vals)
+    val b42 = Stats.quantileBuckets(dup, "v", 4)
+      .filter(col("v") === 42.0).select("bucket").distinct().count()
+    assert(b42 == 1L)
+  }
+
+  test("groupMode picks the most frequent value, smallest on ties") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, "b"), (1L, "b"), (1L, "a"), // b wins on count
+      (2L, "z"), (2L, "y"), // tie → y (smallest)
+    ).toDF("user_id", "event_type")
+    val out = Stats.groupMode(rows, "user_id", "event_type")
+      .orderBy("user_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "b", 2L), (2L, "y", 1L)))
+  }
+
   test("funnel requires strict event order and reports broken steps as null") {
     val s = spark
     import s.implicits._
