@@ -155,4 +155,24 @@ object Relational {
         :+ lead(col(time), 1).over(w).as("valid_to")): _*)
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Fuzzy match over a name domain: all DISTINCT value pairs within
+    * `maxDist` edit distance, blocked on the last whitespace token (for
+    * "adjective noun"-shaped names the noun is the semantic type — pairs
+    * across blocks are assumed non-matches and never evaluated).
+    *
+    * The quadratic step runs on the distinct-value domain, not the rows —
+    * blocking first, then `levenshtein` only within a block. At corpus
+    * scale swap the block key for an n-gram posting (same shape as
+    * Dedup.jaccardPairs' inverted index) when no structural token exists.
+    */
+  def fuzzyMatch(df: DataFrame, nameCol: String, maxDist: Int): DataFrame = {
+    val names = df.select(col(nameCol).as("name")).filter(col("name").isNotNull).distinct()
+      .withColumn("block", element_at(split(col("name"), " "), -1))
+    names.as("a").join(names.as("b"),
+        col("a.block") === col("b.block") && col("a.name") < col("b.name") &&
+          levenshtein(col("a.name"), col("b.name")) <= maxDist)
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
+        levenshtein(col("a.name"), col("b.name")).as("dist"))
+  }
 }

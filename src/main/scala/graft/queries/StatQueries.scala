@@ -1,6 +1,7 @@
 package graft.queries
 
-import graft.operators.{Similarity, Stats, TextOps, TimeSeries}
+import graft.operators.{Relational, Similarity, Stats, TextOps, TimeSeries}
+import org.apache.spark.sql.expressions.Window
 import graft.queries.ParityQueries.Q
 import graft.queries.TextQueries.{normSql, polyHashSql, toksSql}
 import org.apache.spark.sql.functions._
@@ -129,6 +130,56 @@ object StatQueries {
               |  CAST(len($toksSql) AS INT) AS n_tokens,
               |  ${polyHashSql(normSql)} AS norm_key
               |FROM documents""".stripMargin)),
+
+    // ----- fuzzy name matching (blocked levenshtein) -----------------------
+    "q_fuzzy_match" -> Q(
+      (s, d) => Relational.fuzzyMatch(Td.part(s, d), "p_name", 2),
+      Some("""WITH names AS (
+             |  SELECT DISTINCT p_name AS name,
+             |         string_split(p_name, ' ')[-1] AS block
+             |  FROM part WHERE p_name IS NOT NULL)
+             |SELECT a.name AS name_a, b.name AS name_b,
+             |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+             |FROM names a JOIN names b
+             |  ON a.block = b.block AND a.name < b.name
+             |  AND levenshtein(a.name, b.name) <= 2""".stripMargin)),
+
+    // ----- calendar dimension generator ------------------------------------
+    "q_date_dim" -> Q(
+      (s, d) => TimeSeries.calendarDim(Td.events(s, d), "ts"),
+      Some("""WITH span AS (
+             |  SELECT CAST(date_trunc('day', min(ts)) AS TIMESTAMP) AS d0,
+             |         CAST(date_trunc('day', max(ts)) AS TIMESTAMP) AS d1
+             |  FROM events)
+             |SELECT dt,
+             |  CAST(date_part('year', dt) AS INT) AS year,
+             |  CAST(date_part('quarter', dt) AS INT) AS quarter,
+             |  CAST(date_part('month', dt) AS INT) AS month,
+             |  CAST(date_part('day', dt) AS INT) AS day,
+             |  CAST(isodow(dt) AS INT) AS isodow,
+             |  CAST(CASE WHEN isodow(dt) >= 6 THEN 1 ELSE 0 END AS INT) AS is_weekend
+             |FROM (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS dt FROM span) t""".stripMargin)),
+
+    // ----- ratio-to-report (share within group, exact decimal sums) --------
+    "q_revenue_share" -> Q(
+      (s, d) => {
+        val g = Td.lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("rev_dec"))
+        val wFlag = Window.partitionBy("l_returnflag")
+        g.withColumn("total_dec", sum(col("rev_dec")).over(wFlag))
+          .select(
+            col("l_returnflag"), col("l_linestatus"),
+            col("rev_dec").cast("double").as("revenue"),
+            (col("rev_dec").cast("double") / col("total_dec").cast("double")).as("share"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(rev_dec AS DOUBLE) AS revenue,
+             |  CAST(rev_dec AS DOUBLE) / CAST(SUM(rev_dec) OVER (PARTITION BY l_returnflag) AS DOUBLE) AS share
+             |FROM (
+             |  SELECT l_returnflag, l_linestatus,
+             |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev_dec
+             |  FROM lineitem GROUP BY 1, 2) g""".stripMargin)),
 
     // ----- equi-depth quantile buckets -------------------------------------
     "q_quantile_buckets" -> Q(

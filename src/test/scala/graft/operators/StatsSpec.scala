@@ -83,6 +83,31 @@ class StatsSpec extends SparkSpec {
     assert(out.last.getDouble(4) == 1.0) // tf=1 * 3 / 3
   }
 
+  test("fuzzyMatch pairs near names within a block only") {
+    val s = spark
+    import s.implicits._
+    val parts = Seq("red bolt", "rad bolt", "red ring", "rod ring", "blue widget",
+      "red bolt" /* dup row: distinct-domain dedup */).toDF("p_name")
+    val out = Relational.fuzzyMatch(parts, "p_name", 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    // within-block near pairs found; "red bolt"≁"red ring" (different block)
+    assert(out == Set(("rad bolt", "red bolt", 1), ("red ring", "rod ring", 1)))
+  }
+
+  test("calendarDim spans observed days with ISO weekday numbering") {
+    val s = spark
+    import s.implicits._
+    val events = Seq(
+      (1L, ts("2024-01-05 23:59:00")), // a Friday
+      (2L, ts("2024-01-08 00:01:00")), // a Monday
+    ).toDF("id", "ts")
+    val out = TimeSeries.calendarDim(events, "ts").orderBy("dt").collect()
+    assert(out.length == 4) // Jan 5,6,7,8
+    assert(out.map(_.getInt(5)).toSeq == Seq(5, 6, 7, 1)) // Fri Sat Sun Mon
+    assert(out.map(_.getInt(6)).toSeq == Seq(0, 1, 1, 0)) // weekend flags
+    assert(out.forall(r => r.getInt(1) == 2024 && r.getInt(3) == 1 && r.getInt(2) == 1))
+  }
+
   test("quantileBuckets is equi-depth and value-deterministic") {
     val s = spark
     import s.implicits._
