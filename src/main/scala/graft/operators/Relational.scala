@@ -175,4 +175,38 @@ object Relational {
       .select(col("a.name").as("name_a"), col("b.name").as("name_b"),
         levenshtein(col("a.name"), col("b.name")).as("dist"))
   }
+
+  /** Snapshot diff — derive a CDC stream from two versions of a keyed
+    * table: one row per key whose state changed, tagged `insert` /
+    * `delete` / `update` (null-safe column compare, `same` rows dropped).
+    * The inverse of KeyedTable.merge: merge applies a change stream to a
+    * snapshot; this recovers the change stream between snapshots — the
+    * standard backfill path when an upstream can only hand you full dumps.
+    *
+    * One full-outer hash join on the key; the change classification is a
+    * codegen'd projection. At 100 TB both sides shuffle once on the key —
+    * bucket both snapshots on the key (KeyedTable's bucketed layout) and
+    * the exchange disappears entirely (see BucketedJoinSpec).
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(oldDf.columns.sameElements(newDf.columns),
+      "snapshots must share a schema")
+    val valCols = oldDf.columns.filterNot(keyCols.contains)
+    val a = oldDf.select(oldDf.columns.map(c => col(c).as(s"__a_$c")).toSeq: _*)
+    val b = newDf.select(newDf.columns.map(c => col(c).as(s"__b_$c")).toSeq: _*)
+    val keyEq = keyCols.map(k => col(s"__a_$k") <=> col(s"__b_$k")).reduce(_ && _)
+    val changed = valCols.map(c => !(col(s"__a_$c") <=> col(s"__b_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val aKeyNull = keyCols.map(k => col(s"__a_$k").isNull).reduce(_ && _)
+    val change = when(aKeyNull, "insert")
+      .when(keyCols.map(k => col(s"__b_$k").isNull).reduce(_ && _), "delete")
+      .when(changed, "update")
+    a.join(b, keyEq, "full_outer")
+      .withColumn("change", change)
+      .filter(col("change").isNotNull)
+      .select(
+        keyCols.map(k => coalesce(col(s"__b_$k"), col(s"__a_$k")).as(k)) ++
+          Seq(col("change")) ++
+          valCols.flatMap(c => Seq(col(s"__a_$c").as(s"old_$c"), col(s"__b_$c").as(s"new_$c"))): _*)
+  }
 }

@@ -131,6 +131,40 @@ object StatQueries {
               |  ${polyHashSql(normSql)} AS norm_key
               |FROM documents""".stripMargin)),
 
+    // ----- snapshot diff (recover a CDC stream from two table versions) ----
+    "q_snapshot_diff" -> Q(
+      (s, d) => {
+        import graft.operators.Sampling
+        val o = Td.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val bkt = Sampling.hashBucket(col("o_orderkey"))
+        // deterministic synthetic versions: buckets 0-4 deleted, 90-99
+        // inserted, 5-19 price-doubled (updates), 20-89 unchanged
+        val v1 = o.filter(bkt < 90)
+        val v2 = o.filter(bkt >= 5)
+          .withColumn("o_totalprice",
+            when(bkt < 20, col("o_totalprice") * 2).otherwise(col("o_totalprice")))
+        Relational.snapshotDiff(v1, v2, Seq("o_orderkey"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+             |         (((o_orderkey % 1000003) * 2654435761) // 8192) % 100 AS bkt
+             |  FROM orders),
+             |v1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM o WHERE bkt < 90),
+             |v2 AS (SELECT o_orderkey, o_orderstatus,
+             |         CASE WHEN bkt < 20 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+             |       FROM o WHERE bkt >= 5)
+             |SELECT * FROM (
+             |  SELECT COALESCE(v2.o_orderkey, v1.o_orderkey) AS o_orderkey,
+             |    CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+             |         WHEN v2.o_orderkey IS NULL THEN 'delete'
+             |         WHEN (v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus)
+             |           OR (v1.o_totalprice IS DISTINCT FROM v2.o_totalprice) THEN 'update'
+             |    END AS change,
+             |    v1.o_orderstatus AS old_o_orderstatus, v2.o_orderstatus AS new_o_orderstatus,
+             |    v1.o_totalprice AS old_o_totalprice, v2.o_totalprice AS new_o_totalprice
+             |  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey) t
+             |WHERE change IS NOT NULL""".stripMargin)),
+
     // ----- fuzzy name matching (blocked levenshtein) -----------------------
     "q_fuzzy_match" -> Q(
       (s, d) => Relational.fuzzyMatch(Td.part(s, d), "p_name", 2),

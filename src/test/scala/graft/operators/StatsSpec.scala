@@ -83,6 +83,19 @@ class StatsSpec extends SparkSpec {
     assert(out.last.getDouble(4) == 1.0) // tf=1 * 3 / 3
   }
 
+  test("snapshotDiff classifies insert/delete/update and drops same rows") {
+    val s = spark
+    import s.implicits._
+    val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "st", "v")
+    val v2 = Seq((2L, "b", 25.0), (3L, "c", 30.0), (4L, "d", 40.0)).toDF("k", "st", "v")
+    val out = Relational.snapshotDiff(v1, v2, Seq("k")).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "delete"), (2L, "update"), (4L, "insert"))) // 3 == same → dropped
+    // old/new values travel with the change row
+    val upd = Relational.snapshotDiff(v1, v2, Seq("k")).filter(col("change") === "update").head()
+    assert(upd.getAs[Double]("old_v") == 20.0 && upd.getAs[Double]("new_v") == 25.0)
+  }
+
   test("fuzzyMatch pairs near names within a block only") {
     val s = spark
     import s.implicits._
