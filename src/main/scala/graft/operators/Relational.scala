@@ -192,14 +192,18 @@ object Relational {
     require(oldDf.columns.sameElements(newDf.columns),
       "snapshots must share a schema")
     val valCols = oldDf.columns.filterNot(keyCols.contains)
-    val a = oldDf.select(oldDf.columns.map(c => col(c).as(s"__a_$c")).toSeq: _*)
-    val b = newDf.select(newDf.columns.map(c => col(c).as(s"__b_$c")).toSeq: _*)
+    // Side presence via non-null sentinels, NOT key nullness: the null-safe
+    // join matches all-null keys across snapshots, and such a matched (or
+    // one-sided) row must still classify correctly.
+    val a = oldDf.select(oldDf.columns.map(c => col(c).as(s"__a_$c")) :+
+      lit(1).as("__a_present"): _*)
+    val b = newDf.select(newDf.columns.map(c => col(c).as(s"__b_$c")) :+
+      lit(1).as("__b_present"): _*)
     val keyEq = keyCols.map(k => col(s"__a_$k") <=> col(s"__b_$k")).reduce(_ && _)
     val changed = valCols.map(c => !(col(s"__a_$c") <=> col(s"__b_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
-    val aKeyNull = keyCols.map(k => col(s"__a_$k").isNull).reduce(_ && _)
-    val change = when(aKeyNull, "insert")
-      .when(keyCols.map(k => col(s"__b_$k").isNull).reduce(_ && _), "delete")
+    val change = when(col("__a_present").isNull, "insert")
+      .when(col("__b_present").isNull, "delete")
       .when(changed, "update")
     a.join(b, keyEq, "full_outer")
       .withColumn("change", change)

@@ -65,9 +65,13 @@ object Stats {
       max(col(valueCol)).cast("double").as("hi"))
     val x = col(valueCol).cast("double")
     val width = (col("hi") - col("lo")) / lit(bins)
+    // degenerate range (all values equal): width 0 makes the division NULL
+    // and least() would skip the NULL into bin bins-1 — pin it to bin 0
     df.crossJoin(broadcast(range))
       .select(
-        least(lit(bins - 1), floor((x - col("lo")) / width)).cast("int").as("bin"),
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(lit(bins - 1), floor((x - col("lo")) / width)))
+          .cast("int").as("bin"),
         col("lo"), col("hi"))
       .groupBy("bin", "lo", "hi")
       .agg(count(lit(1)).as("cnt"))
@@ -108,7 +112,10 @@ object Stats {
   def groupMode(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(col(groupCol), col(valueCol)).agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(groupCol).orderBy(col("cnt").desc, col(valueCol).asc)
+    // asc_nulls_last: a NULL value tying for most frequent must lose to any
+    // non-null mode in BOTH engines (DuckDB ASC is NULLS LAST; Spark's
+    // default ASC is NULLS FIRST — left implicit they'd disagree)
+    val w = Window.partitionBy(groupCol).orderBy(col("cnt").desc, col(valueCol).asc_nulls_last)
     counts.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col(groupCol), col(valueCol).as("mode_value"), col("cnt"))
@@ -134,7 +141,10 @@ object Stats {
   def corrBattery(df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
     val xd = col(xCol).cast("decimal(12,2)")
     val yd = col(yCol).cast("decimal(12,2)")
-    val sums = df.groupBy(col(groupCol)).agg(
+    // pairwise-complete: n must count exactly the rows the sums aggregate,
+    // or every derived moment is computed against the wrong denominator
+    val sums = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol)).agg(
       count(lit(1)).as("n"),
       sum(xd).cast("double").as("sx"),
       sum(yd).cast("double").as("sy"),

@@ -166,18 +166,26 @@ object TimeSeries {
     val tieIdx = schema.fieldIndex(tieCol)
     val keyIdx = keyCols.map(schema.fieldIndex)
     val enc = org.apache.spark.sql.Encoders.row(schema)
-    df.groupByKey(r => keyIdx.map(i => String.valueOf(r.get(i))).mkString(" "))(
-        org.apache.spark.sql.Encoders.STRING)
+    // Group key: null-vs-"null" safe (typed prefix per part, control-char
+    // separator, both as ASCII escapes so the source stays text).
+    def keyOf(r: org.apache.spark.sql.Row): String = keyIdx.map { i =>
+      val v = r.get(i)
+      if (v == null) "\u0000" else "\u0001" + v
+    }.mkString("\u0002")
+    def micros(r: org.apache.spark.sql.Row): Long = {
+      val t = r.getTimestamp(tsIdx)
+      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    }
+    df.groupByKey(keyOf)(org.apache.spark.sql.Encoders.STRING)
       .flatMapGroups { (_, it) =>
         val rows = it.toVector.sortBy { r =>
-          (r.getTimestamp(tsIdx).getTime,
-            r.get(tieIdx).asInstanceOf[Number].longValue())
+          (micros(r), r.get(tieIdx).asInstanceOf[Number].longValue())
         }
-        var lastKeptMs = Long.MinValue
+        var lastKeptUs = Long.MinValue
         rows.iterator.filter { r =>
-          val t = r.getTimestamp(tsIdx).getTime
-          val keep = lastKeptMs == Long.MinValue || t - lastKeptMs >= minGapSeconds * 1000L
-          if (keep) lastKeptMs = t
+          val t = micros(r)
+          val keep = lastKeptUs == Long.MinValue || t - lastKeptUs >= minGapSeconds * 1000000L
+          if (keep) lastKeptUs = t
           keep
         }
       }(enc)

@@ -69,7 +69,9 @@ object StatQueries {
              |         CAST(max(l_extendedprice) AS DOUBLE) AS hi
              |  FROM lineitem),
              |b AS (
-             |  SELECT CAST(least(19, floor((CAST(l_extendedprice AS DOUBLE) - lo) / ((hi - lo) / 20))) AS INT) AS bin,
+             |  SELECT CAST(CASE WHEN hi = lo THEN 0
+             |              ELSE least(19, floor((CAST(l_extendedprice AS DOUBLE) - lo) / ((hi - lo) / 20)))
+             |              END AS INT) AS bin,
              |         lo, hi
              |  FROM lineitem, r)
              |SELECT bin,

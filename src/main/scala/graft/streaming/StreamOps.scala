@@ -128,14 +128,18 @@ object StreamOps {
       .flatMapGroupsWithState[Long, (Long, Timestamp)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (key, rows, state: GroupState[Long]) =>
-          var lastKeptMs = state.getOption.getOrElse(Long.MinValue)
-          val kept = rows.toSeq.sortBy(_._2.getTime).filter { case (_, ts) =>
-            val t = ts.getTime
-            val keep = lastKeptMs == Long.MinValue || t - lastKeptMs >= minGapSeconds * 1000L
-            if (keep) lastKeptMs = t
+          // exact epoch-µs (getTime alone truncates to ms and can admit a
+          // sub-ms-short gap the contract says to drop)
+          def micros(t: Timestamp): Long =
+            math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          var lastKeptUs = state.getOption.getOrElse(Long.MinValue)
+          val kept = rows.toSeq.sortBy(r => micros(r._2)).filter { case (_, ts) =>
+            val t = micros(ts)
+            val keep = lastKeptUs == Long.MinValue || t - lastKeptUs >= minGapSeconds * 1000000L
+            if (keep) lastKeptUs = t
             keep
           }
-          if (lastKeptMs != Long.MinValue) state.update(lastKeptMs)
+          if (lastKeptUs != Long.MinValue) state.update(lastKeptUs)
           kept.iterator
       }
   }

@@ -50,10 +50,14 @@ class PartitionPruneSpec extends SparkSpec {
     Seq(("2024-01-03", "keep"), ("2024-01-05", "drop"))
       .toDF("dt", "tag").write.mode("overwrite").parquet(dimDir)
     val dim = spark.read.parquet(dimDir).filter(col("tag") === "keep")
-    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
-    val q = spark.read.parquet(dir).join(dim, Seq("dt")).agg(sum("value"))
-    val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("dynamicpruning"), plan.take(1200))
-    assert(q.head().getDouble(0) > 0)
+    val key = "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val q = spark.read.parquet(dir).join(dim, Seq("dt")).agg(sum("value"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"), plan.take(1200))
+      assert(q.head().getDouble(0) > 0)
+    } finally spark.conf.set(key, prev) // session is JVM-shared across suites
   }
 }

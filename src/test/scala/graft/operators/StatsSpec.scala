@@ -96,6 +96,46 @@ class StatsSpec extends SparkSpec {
     assert(upd.getAs[Double]("old_v") == 20.0 && upd.getAs[Double]("new_v") == 25.0)
   }
 
+  test("snapshotDiff handles null keys via presence, not key nullness") {
+    val s = spark
+    import s.implicits._
+    val v1 = Seq((Option.empty[Long], "a", 1.0), (Some(7L), "b", 2.0)).toDF("k", "st", "v")
+    val v2 = Seq((Option.empty[Long], "a", 1.0)).toDF("k", "st", "v")
+    val out = Relational.snapshotDiff(v1, v2, Seq("k")).collect()
+    // null-key row unchanged → dropped as same; key 7 only in old → delete
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 7L && out.head.getString(1) == "delete")
+  }
+
+  test("throttle compares exact microseconds, not truncated milliseconds") {
+    val s = spark
+    import s.implicits._
+    val t1 = ts("2024-01-01 10:00:00"); t1.setNanos(900000) // +900 µs
+    val t2 = ts("2024-01-01 10:02:00"); t2.setNanos(100000) // +100 µs → gap 119.9992 s
+    val events = Seq((1L, 5L, t1), (2L, 5L, t2)).toDF("event_id", "user_id", "ts")
+    val kept = TimeSeries.throttle(events, Seq("user_id"), "ts", "event_id", 120)
+      .select("event_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L)) // true gap is 0.8 ms short of 120 s
+  }
+
+  test("histogram pins a degenerate (min==max) range to bin 0") {
+    val s = spark
+    import s.implicits._
+    val out = Stats.histogram(Seq.fill(10)(5.0).toDF("v"), "v", 20).collect()
+    assert(out.length == 1 && out.head.getInt(0) == 0 && out.head.getLong(3) == 10L)
+  }
+
+  test("groupMode: a null value tying for the mode loses to any non-null") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((1L, Some("b")), (1L, None), (2L, None))
+      .toDF("user_id", "event_type")
+    val out = Stats.groupMode(rows, "user_id", "event_type")
+      .orderBy("user_id").collect()
+    assert(out(0).getString(1) == "b") // tie vs null → non-null wins
+    assert(out(1).isNullAt(1)) // all-null group still yields its (null) mode
+  }
+
   test("fuzzyMatch pairs near names within a block only") {
     val s = spark
     import s.implicits._
