@@ -147,6 +147,48 @@ object TimeSeries {
         (isodow >= 6).cast("int").as("is_weekend"))
   }
 
+  /** First-order transition counts over a per-key event sequence: for every
+    * consecutive (previous → current) type pair, the occurrence count and
+    * its share among transitions leaving the previous type — the empirical
+    * Markov matrix of the event stream.
+    *
+    * One lag window per key (single shuffle; exact epoch-µs order with a
+    * tie column) then a (prev, cur) aggregate with map-side combine. The
+    * share divides two exact counts, so it is engine-portable.
+    */
+  def transitionCounts(df: DataFrame, keyCol: String, typeCol: String,
+                       tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val pairs = df
+      .withColumn("prev_type", lag(col(typeCol), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col(typeCol).as("cur_type"))
+      .agg(count(lit(1)).as("n"))
+    val wPrev = Window.partitionBy("prev_type")
+    pairs.withColumn("share",
+      col("n").cast("double") / sum(col("n")).over(wPrev).cast("double"))
+  }
+
+  /** Cohort retention: users grouped by their first-activity day (cohort),
+    * counted as retained on each later day they were active, keyed by the
+    * day offset. The classic product-analytics triangle.
+    *
+    * Shape: one min-agg per key (cohort assignment, map-side combinable),
+    * one broadcast-join back onto day-grain distinct activity, one
+    * (cohort, offset) count-distinct. The distinct runs on (key, day)
+    * grain — the raw stream is reduced before anything wide.
+    */
+  def retentionCohorts(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val days = df.select(col(keyCol),
+      date_trunc("day", col(tsCol)).as("activity_day")).distinct()
+    val cohorts = days.groupBy(col(keyCol))
+      .agg(min(col("activity_day")).as("cohort_day"))
+    days.join(broadcast(cohorts), Seq(keyCol))
+      .withColumn("day_offset", datediff(col("activity_day"), col("cohort_day")).cast("int"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** True rate-limit: keep an event only if it is ≥ `minGapSeconds` after
     * the previous KEPT event of the same key — the sequential semantics
     * [[debounce]] deliberately doesn't provide (three events 1 s apart with

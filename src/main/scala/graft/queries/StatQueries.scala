@@ -133,6 +133,31 @@ object StatQueries {
               |  ${polyHashSql(normSql)} AS norm_key
               |FROM documents""".stripMargin)),
 
+    // ----- first-order event transition matrix -----------------------------
+    "q_transitions" -> Q(
+      (s, d) => TimeSeries.transitionCounts(Td.events(s, d), "user_id", "event_type", "ts", "event_id"),
+      Some("""WITH p AS (
+             |  SELECT user_id, event_type AS cur_type,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+             |  FROM events)
+             |SELECT prev_type, cur_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(count(*) AS DOUBLE) /
+             |    CAST(SUM(count(*)) OVER (PARTITION BY prev_type) AS DOUBLE) AS share
+             |FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin)),
+
+    // ----- cohort retention triangle ---------------------------------------
+    "q_retention" -> Q(
+      (s, d) => TimeSeries.retentionCohorts(Td.events(s, d), "user_id", "ts"),
+      Some("""WITH days AS (
+             |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS activity_day
+             |  FROM events),
+             |c AS (SELECT user_id, min(activity_day) AS cohort_day FROM days GROUP BY 1)
+             |SELECT c.cohort_day,
+             |  CAST(date_diff('day', c.cohort_day, d.activity_day) AS INT) AS day_offset,
+             |  CAST(count(*) AS BIGINT) AS n_active
+             |FROM days d JOIN c USING (user_id)
+             |GROUP BY 1, 2""".stripMargin)),
+
     // ----- snapshot diff (recover a CDC stream from two table versions) ----
     "q_snapshot_diff" -> Q(
       (s, d) => {

@@ -83,6 +83,40 @@ class StatsSpec extends SparkSpec {
     assert(out.last.getDouble(4) == 1.0) // tf=1 * 3 / 3
   }
 
+  test("transitionCounts builds the empirical Markov matrix per prev type") {
+    val s = spark
+    import s.implicits._
+    val events = Seq(
+      (1L, 10L, "a", ts("2024-01-01 10:00:00")), (2L, 10L, "b", ts("2024-01-01 10:01:00")),
+      (3L, 10L, "a", ts("2024-01-01 10:02:00")), (4L, 11L, "a", ts("2024-01-01 10:00:00")),
+      (5L, 11L, "a", ts("2024-01-01 10:05:00")),
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = TimeSeries.transitionCounts(events, "user_id", "event_type", "ts", "event_id")
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    // from a: a→b (user 10) and a→a (user 11) → shares 0.5/0.5; from b: b→a only
+    assert(out(("a", "b")) == (1L, 0.5) && out(("a", "a")) == (1L, 0.5))
+    assert(out(("b", "a")) == (1L, 1.0))
+    assert(out.size == 3)
+  }
+
+  test("retentionCohorts counts day-grain activity per cohort offset") {
+    val s = spark
+    import s.implicits._
+    val events = Seq(
+      (10L, ts("2024-01-01 09:00:00")), (10L, ts("2024-01-01 17:00:00")), // same day: 1 active row
+      (10L, ts("2024-01-03 12:00:00")),
+      (11L, ts("2024-01-01 10:00:00")), (11L, ts("2024-01-02 10:00:00")),
+      (12L, ts("2024-01-03 08:00:00")),
+    ).toDF("user_id", "ts")
+    val out = TimeSeries.retentionCohorts(events, "user_id", "ts")
+      .collect().map(r => ((r.getTimestamp(0).toString.take(10), r.getInt(1)), r.getLong(2))).toMap
+    assert(out(("2024-01-01", 0)) == 2L) // users 10, 11 on their cohort day
+    assert(out(("2024-01-01", 1)) == 1L) // user 11 on day+1
+    assert(out(("2024-01-01", 2)) == 1L) // user 10 on day+2
+    assert(out(("2024-01-03", 0)) == 1L) // user 12's own cohort
+    assert(out.size == 4)
+  }
+
   test("snapshotDiff classifies insert/delete/update and drops same rows") {
     val s = spark
     import s.implicits._
