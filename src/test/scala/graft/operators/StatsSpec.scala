@@ -83,6 +83,32 @@ class StatsSpec extends SparkSpec {
     assert(out.last.getDouble(4) == 1.0) // tf=1 * 3 / 3
   }
 
+  test("property: snapshotDiff roundtrips through KeyedTable.merge (apply diff → new snapshot)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    // random old/new snapshots over an overlapping key space: inserts,
+    // deletes, updates and untouched rows all occur
+    def snap(): Seq[(String, Int, Double)] =
+      rnd.shuffle((1 to 60).toList).take(40).map(k => (s"k$k", rnd.nextInt(3), rnd.nextInt(500) / 10.0))
+    for (round <- 1 to 3) {
+      val oldRows = snap(); val newRows = snap()
+      val v1 = oldRows.toDF("k", "st", "v")
+      val v2 = newRows.toDF("k", "st", "v")
+      val diff = Relational.snapshotDiff(v1, v2, Seq("k"))
+      val t = graft.engine.KeyedTable(spark, tmpDir(s"sdrt$round"), Seq("k"))
+      t.merge(v1)
+      // apply the recovered change stream: upsert inserts+updates, drop deletes
+      val upserts = diff.filter(col("change") =!= "delete")
+        .select(col("k"), col("new_st").as("st"), col("new_v").as("v"))
+      if (upserts.head(1).nonEmpty) t.merge(upserts)
+      val dels = diff.filter(col("change") === "delete").select("k")
+      if (dels.head(1).nonEmpty) t.deleteKeys(dels)
+      val got = t.current.collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+      assert(got == newRows.toSet, s"roundtrip mismatch at round $round")
+    }
+  }
+
   test("transitionCounts builds the empirical Markov matrix per prev type") {
     val s = spark
     import s.implicits._
