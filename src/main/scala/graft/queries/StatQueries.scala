@@ -133,6 +133,46 @@ object StatQueries {
               |  ${polyHashSql(normSql)} AS norm_key
               |FROM documents""".stripMargin)),
 
+    // ----- composed corpus pipeline (normalize → dedup → gate → split) -----
+    // The point of this query is COMPOSITION: four operators chain into one
+    // Catalyst plan (fingerprint kernel → min-id exact dedup on the
+    // fingerprint → token-count quality gate → deterministic hash split →
+    // rollup), and the oracle is composed from the same SQL fragments the
+    // individual operators verify against.
+    "q_corpus_pipeline" -> Q(
+      (s, d) => {
+        import graft.operators.{Dedup, Sampling}
+        val docs = Td.documents(s, d).select(
+          col("doc_id"), col("lang"),
+          TextOps.fingerprint(col("text")).as("fp"),
+          size(TextOps.tokens(col("text"))).as("n_tokens"))
+        val deduped = Dedup.exact(docs, Seq("fp"), keepBy = "doc_id")
+        deduped.filter(col("n_tokens") >= 20)
+          .withColumn("split",
+            Sampling.splitColumn(col("doc_id"), Seq("train" -> 80, "val" -> 10, "test" -> 10)))
+          .groupBy(col("split"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens").cast("long")).as("total_tokens"))
+      },
+      Some(s"""WITH docs AS (
+              |  SELECT doc_id, lang, ${polyHashSql(normSql)} AS fp,
+              |         CAST(len($toksSql) AS INT) AS n_tokens
+              |  FROM documents),
+              |deduped AS (
+              |  SELECT * FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+              |    FROM docs) t WHERE rn = 1),
+              |gated AS (SELECT * FROM deduped WHERE n_tokens >= 20),
+              |split AS (
+              |  SELECT *, CASE
+              |    WHEN (((doc_id % 1000003) * 2654435761) // 8192) % 100 < 80 THEN 'train'
+              |    WHEN (((doc_id % 1000003) * 2654435761) // 8192) % 100 < 90 THEN 'val'
+              |    ELSE 'test' END AS split
+              |  FROM gated)
+              |SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens
+              |FROM split GROUP BY 1, 2""".stripMargin)),
+
     // ----- first-order event transition matrix -----------------------------
     "q_transitions" -> Q(
       (s, d) => TimeSeries.transitionCounts(Td.events(s, d), "user_id", "event_type", "ts", "event_id"),
