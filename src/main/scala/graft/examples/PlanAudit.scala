@@ -15,7 +15,12 @@ object PlanAudit {
     val d = args.headOption.getOrElse("/root/testdata/sf0.001")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, d).queryExecution.executedPlan.toString
+        val df = fn(spark, d)
+        // Execute THIS plan (df.count() would execute a derived one): AQE
+        // finalizes its stages and the printout shows real codegen spans.
+        val qe = df.queryExecution
+        qe.executedPlan.execute().count()
+        val plan = qe.executedPlan.toString
         val joins = "(BroadcastHashJoin|SortMergeJoin|BroadcastNestedLoopJoin|ShuffledHashJoin|CartesianProduct)".r
           .findAllIn(plan).toSeq.groupBy(identity).map { case (k, v) => s"$k×${v.size}" }.mkString(", ")
         val scans = "ReadSchema: [^\n]*".r.findAllIn(plan).toSeq.map(_.take(110))
