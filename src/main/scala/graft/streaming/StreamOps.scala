@@ -144,6 +144,43 @@ object StreamOps {
       }
   }
 
+  /** Streaming funnel: per-key strict-order step progression carried across
+    * micro-batches — the streaming twin of `TimeSeries.funnel`. State is
+    * (steps completed, timestamp of the last completed step); each batch's
+    * events are processed in event-time order and advance the state when
+    * they match the next expected step STRICTLY AFTER the previous step's
+    * time. Emits one row per key whose progress advanced this batch
+    * (Update-mode shape: latest progress per key wins downstream).
+    *
+    * Late events older than the current step's timestamp cannot advance the
+    * funnel (strict order is evaluated against committed state), matching
+    * the batch operator's semantics for in-order data; state is 16 bytes
+    * per key in the funnel.
+    */
+  def funnelStream(events: Dataset[(Long, String, Timestamp)], steps: Seq[String]):
+      Dataset[(Long, Int, Timestamp)] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, Long), (Long, Int, Timestamp)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[(Int, Long)]) =>
+          var (done, lastMs) = state.getOption.getOrElse((0, Long.MinValue))
+          val before = done
+          rows.toSeq.sortBy(_._3.getTime).foreach { case (_, tpe, ts) =>
+            if (done < steps.length && tpe == steps(done) &&
+              (done == 0 || ts.getTime > lastMs)) {
+              done += 1
+              lastMs = ts.getTime
+            }
+          }
+          if (done > before) {
+            state.update((done, lastMs))
+            Iterator.single((key, done, new Timestamp(lastMs)))
+          } else Iterator.empty
+      }
+  }
+
   /** Convenience: run a streaming query over `df` to completion with
     * AvailableNow into an in-memory sink and return the result table.
     */

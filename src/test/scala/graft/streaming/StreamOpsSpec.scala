@@ -143,4 +143,28 @@ class StreamOpsSpec extends SparkSpec {
       (5L, "2025-01-01 10:00:00.0"), (5L, "2025-01-01 10:12:00.0"),
       (5L, "2025-01-01 10:30:00.0"), (6L, "2025-01-01 10:16:00.0")))
   }
+
+  test("funnelStream advances per-key steps across micro-batches in strict order") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val fn = StreamOps.funnelStream(input.toDS(), Seq("view", "click", "purchase"))
+    val q = fn.toDF("k", "steps", "last_ts").writeStream.format("memory")
+      .queryName("funnel_s").outputMode(OutputMode.Append()).start()
+
+    input.addData((1L, "view", ts(0)), (1L, "click", ts(5)), (2L, "click", ts(1)))
+    q.processAllAvailable()
+    // user 1 advanced to step 2 in one batch; user 2's click without a view does nothing
+    input.addData((1L, "purchase", ts(10)), (2L, "view", ts(8)))
+    q.processAllAvailable()
+    // user 1 completes across batches (state carried); user 2 starts now
+    input.addData((2L, "click", ts(4))) // LATE: before user 2's view at ts(8) → no advance
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("funnel_s").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rows == Set((1L, 2), (1L, 3), (2L, 1)))
+  }
 }
