@@ -165,18 +165,24 @@ object StreamOps {
       .flatMapGroupsWithState[(Int, Long), (Long, Int, Timestamp)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (key, rows, state: GroupState[(Int, Long)]) =>
-          var (done, lastMs) = state.getOption.getOrElse((0, Long.MinValue))
+          // exact epoch-µs, same as throttleStream: getTime alone truncates
+          // to ms and two sub-ms-apart steps would never both count
+          def micros(t: Timestamp): Long =
+            math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+          var (done, lastUs) = state.getOption.getOrElse((0, Long.MinValue))
           val before = done
-          rows.toSeq.sortBy(_._3.getTime).foreach { case (_, tpe, ts) =>
+          rows.toSeq.sortBy(r => micros(r._3)).foreach { case (_, tpe, ts) =>
             if (done < steps.length && tpe == steps(done) &&
-              (done == 0 || ts.getTime > lastMs)) {
+              (done == 0 || micros(ts) > lastUs)) {
               done += 1
-              lastMs = ts.getTime
+              lastUs = micros(ts)
             }
           }
           if (done > before) {
-            state.update((done, lastMs))
-            Iterator.single((key, done, new Timestamp(lastMs)))
+            state.update((done, lastUs))
+            val t = new Timestamp(math.floorDiv(lastUs, 1000000L) * 1000L)
+            t.setNanos((math.floorMod(lastUs, 1000000L) * 1000L).toInt)
+            Iterator.single((key, done, t))
           } else Iterator.empty
       }
   }
