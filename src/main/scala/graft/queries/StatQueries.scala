@@ -133,6 +133,35 @@ object StatQueries {
               |  ${polyHashSql(normSql)} AS norm_key
               |FROM documents""".stripMargin)),
 
+    // ----- data-quality constraint report ----------------------------------
+    "q_quality_report" -> Q(
+      (s, d) => {
+        import graft.operators.Quality
+        import graft.operators.Quality._
+        Quality.report(Td.orders(s, d), Seq(
+          NotNull("o_custkey"),
+          Unique("o_orderkey"),
+          AcceptedValues("o_orderstatus", Seq("F", "O", "P")),
+          ForeignKey("o_custkey", Td.customer(s, d), "c_custkey")))
+      },
+      Some("""SELECT 'not_null:o_custkey' AS rule,
+             |  CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT) AS violations
+             |FROM orders
+             |UNION ALL
+             |SELECT 'unique:o_orderkey',
+             |  CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT)
+             |FROM orders
+             |UNION ALL
+             |SELECT 'accepted_values:o_orderstatus',
+             |  CAST(count(CASE WHEN o_orderstatus IS NOT NULL
+             |                   AND o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 END) AS BIGINT)
+             |FROM orders
+             |UNION ALL
+             |SELECT 'foreign_key:o_custkey', CAST(count(*) AS BIGINT)
+             |FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+             |  ON o.o_custkey = c.c_custkey
+             |WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL""".stripMargin)),
+
     // ----- composed corpus pipeline (normalize → dedup → gate → split) -----
     // The point of this query is COMPOSITION: four operators chain into one
     // Catalyst plan (fingerprint kernel → min-id exact dedup on the

@@ -83,6 +83,25 @@ class StatsSpec extends SparkSpec {
     assert(out.last.getDouble(4) == 1.0) // tf=1 * 3 / 3
   }
 
+  test("Quality.report counts violations per declarative rule") {
+    val s = spark
+    import s.implicits._
+    import Quality._
+    val t = Seq(
+      (Some(1L), "A", Some(10L)), (Some(2L), "B", Some(10L)), // dup fk target ok
+      (Some(2L), "C", None), // dup key; null fk ignored by FK rule
+      (None, "A", Some(99L)), // null key; fk 99 missing in ref
+    ).toDF("k", "status", "fk")
+    val ref = Seq(10L, 11L).toDF("rk")
+    val out = Quality.report(t, Seq(
+      NotNull("k"), Unique("k"), AcceptedValues("status", Seq("A", "B")), ForeignKey("fk", ref, "rk")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("not_null:k") == 1L)
+    assert(out("unique:k") == 1L) // 3 non-null keys, 2 distinct
+    assert(out("accepted_values:status") == 1L) // "C"
+    assert(out("foreign_key:fk") == 1L) // 99
+  }
+
   test("property: snapshotDiff roundtrips through KeyedTable.merge (apply diff → new snapshot)") {
     val s = spark
     import s.implicits._
