@@ -523,6 +523,57 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** Sorted-neighborhood near-dup pairs (Hernandez & Stolfo, SIGMOD'95):
+    * sort the corpus by normalized text, compare each document only to its
+    * `window` successors in sort order, verify candidates with exact
+    * shingle Jaccard. A THIRD blocking strategy beside the inverted index
+    * (jaccardPairs) and LSH bands (minhashDedup): candidate count is
+    * n x window by construction - no df^2 fanout on hot shingles and no
+    * band-hash tuning - at the cost of missing near-dups whose prefixes
+    * sort far apart (the classic SNM trade).
+    *
+    * The global rank comes from `zipWithIndex` over the range-sorted
+    * relation: per-partition counts + offsets in one extra job, never a
+    * single-partition window - rank assignment stays fully distributed at
+    * any scale. Ordering is total (norm text, then id), so ranks and
+    * therefore candidates are deterministic and engine-portable (norm text
+    * is [a-z0-9 ] ASCII - binary collation agrees across engines).
+    */
+  def sortedNeighborPairs(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 3, tau: Double = 0.5,
+                          window: Int = 5): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df
+      .select(col(idCol).cast("long").as("id"), TextOps.normText(col(textCol)).as("sk"))
+      .filter(col("id").isNotNull)
+      .repartitionByRange(col("sk"), col("id"))
+      .sortWithinPartitions(col("sk"), col("id"))
+    val ranked = keyed.as[(Long, String)].rdd.zipWithIndex()
+      .map { case ((id, _), rn) => (id, rn) }
+    val rankDf = spark.createDataFrame(ranked).toDF("id", "rn")
+    // neighbor candidates via offset explode + EQUI join on rank (bounded
+    // fan-out = window per row) — a bare rn_b BETWEEN rn+1 AND rn+window
+    // condition would plan as a nested-loop product
+    val probes = rankDf.select(col("id").as("id_a"),
+        explode(array((1 to window).map(o => col("rn") + o): _*)).as("rn_b"))
+    val cands = probes
+      .join(rankDf.select(col("id").as("id_b"), col("rn").as("rn_b")), "rn_b")
+      .select("id_a", "id_b")
+    // exact verify: distinct-shingle arrays for candidate ids only
+    val ex = explodedShingles(df, idCol, textCol, n)
+    val st = ex.groupBy("id").agg(collect_list(col("s")).as("arr"), count(lit(1)).as("n_sh"))
+    cands
+      .join(st.select(col("id").as("id_a"), col("arr").as("arr_a"), col("n_sh").as("n_a")), "id_a")
+      .join(st.select(col("id").as("id_b"), col("arr").as("arr_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
+  }
+
   /** SimHash near-dup buckets: documents sharing the same 30-bit simhash.
     * For hamming-distance-k matching at scale, band the bits (k+1 tables)
     * like minhash bands — exposed here as the exact-collision base case.

@@ -227,6 +227,31 @@ object TextQueries {
               |SELECT doc_id, term, tf, rank, global_df
               |FROM r JOIN gdf USING (term) WHERE rank <= 3""".stripMargin)),
 
+    // ----- sorted-neighborhood near-dup pairs (SNM blocking) ---------------
+    "q_sorted_neighbors" -> Q(
+      (s, d) => Dedup.sortedNeighborPairs(Td.documents(s, d), "doc_id", "text",
+        n = 3, tau = 0.5, window = 5),
+      Some(s"""WITH r AS (
+              |  SELECT doc_id AS id, row_number() OVER (ORDER BY $normSql, doc_id) AS rn
+              |  FROM documents),
+              |cand AS (
+              |  SELECT a.id AS id_a, b.id AS id_b
+              |  FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 5),
+              |sh AS (
+              |  SELECT doc_id, $shinglesSql AS sh
+              |  FROM (SELECT doc_id, $toksSql AS w FROM documents) t),
+              |verified AS (
+              |  SELECT c.id_a, c.id_b,
+              |    CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS inter,
+              |    len(sa.sh) AS n_a, len(sb.sh) AS n_b
+              |  FROM cand c
+              |  JOIN sh sa ON c.id_a = sa.doc_id
+              |  JOIN sh sb ON c.id_b = sb.doc_id)
+              |SELECT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b,
+              |  CAST(inter AS DOUBLE) / (n_a + n_b - inter) AS jaccard
+              |FROM verified
+              |WHERE CAST(inter AS DOUBLE) / (n_a + n_b - inter) >= 0.5""".stripMargin)),
+
     // ----- duplicate clusters (connected components over near-dup pairs) ---
     // Every doc labeled with the min doc id of its near-dup component; the
     // oracle computes the same closure with a recursive CTE.

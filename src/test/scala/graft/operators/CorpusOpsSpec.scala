@@ -129,4 +129,26 @@ class CorpusOpsSpec extends SparkSpec {
       (12L, 3L, 1L, 1.0 / 3.0),
     ))
   }
+
+  test("sortedNeighborPairs: verified subset of exact all-pairs; adjacent dups found") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta"), // near-dup of 1, sorts adjacent
+      (3L, "totally different words entirely unrelated content here"),
+      (4L, "zulu yankee xray whiskey victor uniform"),
+    ).toDF("doc_id", "text")
+    val snm = Dedup.sortedNeighborPairs(docs, "doc_id", "text", n = 3, tau = 0.5, window = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5,
+        persistIntermediate = false)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(snm.contains((1L, 2L)))
+    assert(snm.subsetOf(exact)) // every SNM pair is a true verified near-dup
+    // deterministic across runs (rank assignment is total-ordered)
+    val again = Dedup.sortedNeighborPairs(docs, "doc_id", "text", n = 3, tau = 0.5, window = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == snm)
+  }
 }
