@@ -541,7 +541,8 @@ object Dedup {
     */
   def sortedNeighborPairs(df: DataFrame, idCol: String, textCol: String,
                           n: Int = 3, tau: Double = 0.5,
-                          window: Int = 5): DataFrame = {
+                          window: Int = 5,
+                          shingles: Option[DataFrame] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val keyed = df
@@ -561,7 +562,7 @@ object Dedup {
       .join(rankDf.select(col("id").as("id_b"), col("rn").as("rn_b")), "rn_b")
       .select("id_a", "id_b")
     // exact verify: distinct-shingle arrays for candidate ids only
-    val ex = explodedShingles(df, idCol, textCol, n)
+    val ex = shingles.getOrElse(explodedShingles(df, idCol, textCol, n))
     val st = ex.groupBy("id").agg(collect_list(col("s")).as("arr"), count(lit(1)).as("n_sh"))
     cands
       .join(st.select(col("id").as("id_a"), col("arr").as("arr_a"), col("n_sh").as("n_a")), "id_a")

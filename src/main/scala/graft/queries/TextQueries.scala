@@ -230,7 +230,7 @@ object TextQueries {
     // ----- sorted-neighborhood near-dup pairs (SNM blocking) ---------------
     "q_sorted_neighbors" -> Q(
       (s, d) => Dedup.sortedNeighborPairs(Td.documents(s, d), "doc_id", "text",
-        n = 3, tau = 0.5, window = 5),
+        n = 3, tau = 0.5, window = 5, shingles = Some(Td.docShingles(s, d, 3))),
       Some(s"""WITH r AS (
               |  SELECT doc_id AS id, row_number() OVER (ORDER BY $normSql, doc_id) AS rn
               |  FROM documents),
