@@ -133,6 +133,26 @@ object StatQueries {
               |  ${polyHashSql(normSql)} AS norm_key
               |FROM documents""".stripMargin)),
 
+    // ----- sliding event-time windows (1 h length, 15 min slide) -----------
+    // Each event lands in exactly length/slide = 4 overlapping windows;
+    // Spark's window() generator replicates rows map-side (no shuffle until
+    // the aggregate), epoch-aligned starts — mirrored in SQL by explicit
+    // bucket-minus-k·slide start generation.
+    "q_sliding_windows" -> Q(
+      (s, d) => Td.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value")),
+      Some("""SELECT ws AS window_start, event_type,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             |FROM (
+             |  SELECT e.*, time_bucket(INTERVAL '15 minutes', e.ts) - to_minutes(k.k * 15) AS ws
+             |  FROM events e, (SELECT unnest(range(0, 4)) AS k) k) t
+             |GROUP BY 1, 2""".stripMargin)),
+
     // ----- data-quality constraint report ----------------------------------
     "q_quality_report" -> Q(
       (s, d) => {
