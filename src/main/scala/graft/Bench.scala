@@ -31,14 +31,17 @@ object Bench {
     // queries (the driver invokes with no args → full battery).
     val selected = args.headOption.map(_.split(",").toSet)
       .fold(SparkEntry.queries)(names => SparkEntry.queries.filter { case (k, _) => names(k) })
-    val results = selected.map { case (name, fn) =>
+    // Name-sorted execution: Map iteration order shifts whenever a query is
+    // added, silently reassigning which query absorbs residual first-run
+    // cost; a fixed order keeps per-query times comparable run-over-run.
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
