@@ -228,6 +228,157 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** Product-quantization codebooks: `m` subspaces of `dim/m` components,
+    * `k` centroids each, trained by deterministic Lloyd iterations — ALL
+    * subspaces per pass: each row explodes into its m slices map-side, one
+    * (sub, cell) VecMean aggregate updates every codebook, so jobs per
+    * iteration stay 1 regardless of m. Assignment is L2-argmin expressed as
+    * argmax of dot(v,c) − |c|²/2 (|v|² is constant per row) over literal
+    * centroids — codegen'd kernel dots, ties toward the higher index.
+    * Only m·k·(dim/m) floats ever reach the driver.
+    */
+  /** Nearest centroid per subspace, pure Scala: argmin L2 as argmax of
+    * v·c − |c|²/2, ties toward the higher index (mirrors [[nearestCell]]'s
+    * struct-compare tiebreak). Used from flatMap closures — embedding
+    * m·k centroids as expression literals would re-trigger whole-stage
+    * codegen compilation for every training iteration (fresh literals →
+    * fresh plan; measured: compile time, not math, dominated the build).
+    */
+  private def nearestSubCode(v: Seq[Float], off: Int, sw: Int,
+                             cents: Array[Array[Float]],
+                             halves: Array[Double]): Int = {
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      var s = 0.0
+      var i = 0
+      while (i < sw) { s += v(off + i).toDouble * cents(c)(i); i += 1 }
+      s -= halves(c)
+      if (s >= bestScore) { bestScore = s; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def halfNorms(books: Array[Array[Array[Float]]]): Array[Array[Double]] =
+    books.map(_.map(c => c.map(x => x.toDouble * x).sum / 2.0))
+
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              dim: Int, m: Int = 8, k: Int = 16, iters: Int = 3): Seq[Seq[Array[Float]]] = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val sw = dim / m
+    val spark0 = corpus.sparkSession
+    import spark0.implicits._
+    val base = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Seq[Float])]
+    var books: Array[Array[Array[Float]]] = {
+      val seed = corpus.orderBy(col(idCol)).limit(k)
+        .select(vecCol).collect().map(_.getSeq[Float](0).toArray)
+      Array.tabulate(m)(s => seed.map(v => v.slice(s * sw, (s + 1) * sw)))
+    }
+    for (_ <- 1 to iters) {
+      val bc = spark0.sparkContext.broadcast((books, halfNorms(books)))
+      val assigned = base.flatMap { case (_, v) =>
+        val (bks, halves) = bc.value
+        (0 until bks.length).iterator.map { s =>
+          val off = s * sw
+          (s, nearestSubCode(v, off, sw, bks(s), halves(s)),
+            v.slice(off, off + sw))
+        }
+      }.toDF("sub", "cell", "v")
+      val means = assigned.groupBy("sub", "cell")
+        .agg(graft.functions.VecMean.asCol("v").as("mean"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray).toMap
+      books = Array.tabulate(m)(s =>
+        Array.tabulate(k)(c => means.getOrElse((s, c), books(s)(c))))
+      bc.destroy()
+    }
+    books.map(_.toSeq).toSeq
+  }
+
+  /** PQ-encode: per row, the m-byte code array (nearest centroid per
+    * subspace) — broadcast codebooks, per-row Scala loop (see
+    * [[nearestSubCode]] for why not literal expressions). */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               books: Seq[Seq[Array[Float]]], dim: Int): DataFrame = {
+    val m = books.size
+    val sw = dim / m
+    val spark0 = corpus.sparkSession
+    import spark0.implicits._
+    val arr = books.map(_.toArray).toArray
+    val bc = spark0.sparkContext.broadcast((arr, halfNorms(arr)))
+    corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("v"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, v) =>
+        val (bks, halves) = bc.value
+        (id, Array.tabulate(bks.length)(s =>
+          nearestSubCode(v, s * sw, sw, bks(s), halves(s))))
+      }
+      .toDF("neighbor_id", "codes")
+  }
+
+  /** Approximate top-k by PQ asymmetric distance (ADC) with exact re-rank:
+    * each query precomputes an m×k distance table against the codebooks
+    * (driver-side, tiny), approximate distance = Σ table lookups by code —
+    * m `element_at`s per (query, corpus row), no vector math in the wide
+    * path — then the `rerank` best candidates are re-scored exactly and the
+    * top k emitted. Codes are 8 bytes/vector at m=8: the corpus relation
+    * the scan iterates is ~64× smaller than the raw float vectors.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+             dim: Int, topK: Int, m: Int = 8, k: Int = 16, iters: Int = 3,
+             rerank: Int = 50): DataFrame = {
+    val books = pqTrain(corpus, idCol, vecCol, dim, m, k, iters)
+    val codes = pqEncode(corpus, idCol, vecCol, books, dim)
+    val sw = dim / m
+    val qRows = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    // per (query, sub): k-entry table of |c|² − 2·qs·c (the |qs|² constant
+    // cancels in ranking)
+    val tables: Map[Long, Seq[Array[Double]]] = qRows.map { case (qid, qv) =>
+      qid -> (0 until m).map { s =>
+        val qs = qv.slice(s * sw, (s + 1) * sw)
+        books(s).map { c =>
+          val cc = c.map(x => x.toDouble * x).sum
+          val qc = qs.zip(c).map { case (a, b) => a.toDouble * b.toDouble }.sum
+          cc - 2.0 * qc
+        }.toArray
+      }
+    }.toMap
+    // One plan for every query: the (query_id, table) relation is broadcast
+    // against the codes, the approximate score is m element_at lookups, and
+    // the per-query shortlist is a rank window Spark rewrites to
+    // partial+final WindowGroupLimit — not a driver-side per-query subplan.
+    val spark0 = corpus.sparkSession
+    import spark0.implicits._
+    val qtDf = broadcast(
+      qRows.map { case (qid, _) => (qid, tables(qid).map(_.toSeq).toSeq) }
+        .toSeq.toDF("query_id", "tbl"))
+    val approx = (0 until m).map(s =>
+      element_at(element_at(col("tbl"), s + 1), col("codes")(s) + 1)).reduce(_ + _)
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("approx").asc, col("neighbor_id").asc)
+    val perQuery = codes.crossJoin(qtDf)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("approx", approx)
+      .withColumn("__arank", row_number().over(wApprox))
+      .filter(col("__arank") <= rerank)
+      .select("query_id", "neighbor_id", "approx")
+    // exact re-rank of the shortlisted candidates
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      l2Norm(col(vecCol)).as("__cn"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      l2Norm(col(vecCol)).as("__qn")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    perQuery.join(cv, "neighbor_id").join(qv, "query_id")
+      .withColumn("sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** Per-dimension scalar quantization (SQ8-style): learn global
     * `[min, max]` per dimension, map each component onto `levels` uniform
     * codes, and emit the dequantized reconstruction + residual alongside —

@@ -77,5 +77,18 @@ object VectorQueries {
           k = 5, nlist = 16, nprobe = 4)
       },
       None),
+
+    // ----- PQ/ADC approximate top-k (compressed-domain scale path) ---------
+    // Rows-only: codebooks are engine-internal k-means state; recall vs the
+    // exact top-k is asserted in ScaleOpsSpec. The wide path scans 8-byte
+    // codes (64× smaller than the float vectors) and re-ranks a shortlist
+    // exactly.
+    "q_ann_pq_topk" -> Q(
+      (s, d) => {
+        val emb = Td.embeddings(s, d)
+        Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          dim = 64, topK = 5, m = 8, k = 16, iters = 2, rerank = 50)
+      },
+      None),
   )
 }

@@ -66,6 +66,31 @@ class ScaleOpsSpec extends SparkSpec {
     idx.assigned.unpersist()
   }
 
+  test("pqTopK: recall with exact re-rank; codes bounded by m and k") {
+    val s = spark
+    import s.implicits._
+    def vec(cluster: Int, i: Int): Seq[Float] =
+      (0 until 16).map { d =>
+        math.sin(cluster * 17.0 + d).toFloat * 2f + (((i * 31 + d * 7) % 13) - 6) * 0.01f
+      }
+    val rows = for (c <- 0 until 4; i <- 0 until 12) yield (c * 12L + i, vec(c, i))
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 12 === 0)
+    val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+        dim = 16, topK = 3, m = 4, k = 8, iters = 2, rerank = 12)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.75, s"PQ recall $recall: exact=$exact pq=$pq")
+    // codes stay within [0, k)
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding", dim = 16, m = 4, k = 8, iters = 2)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books, dim = 16)
+      .select(explode(col("codes")).as("c")).as[Int].collect()
+    assert(codes.forall(c => c >= 0 && c < 8))
+    assert(books.size == 4 && books.forall(_.size == 8) && books.forall(_.forall(_.length == 4)))
+  }
+
   test("KeyedTable.vacuum drops superseded versions, keeps live buckets") {
     val s = spark
     import s.implicits._
