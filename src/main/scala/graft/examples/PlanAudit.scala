@@ -20,7 +20,11 @@ object PlanAudit {
         // finalizes its stages and the printout shows real codegen spans.
         val qe = df.queryExecution
         qe.executedPlan.execute().count()
-        val plan = qe.executedPlan.toString
+        // A finalized AQE plan prints BOTH "== Final Plan ==" and
+        // "== Initial Plan ==" sections — keep only the final one, or every
+        // regex counter below double-counts (and dead initial-plan joins,
+        // e.g. an AQE-demoted SortMergeJoin, would be reported as executed).
+        val plan = qe.executedPlan.toString.split("== Initial Plan ==")(0)
         val joins = "(BroadcastHashJoin|SortMergeJoin|BroadcastNestedLoopJoin|ShuffledHashJoin|CartesianProduct)".r
           .findAllIn(plan).toSeq.groupBy(identity).map { case (k, v) => s"$k×${v.size}" }.mkString(", ")
         val scans = "ReadSchema: [^\n]*".r.findAllIn(plan).toSeq.map(_.take(110))

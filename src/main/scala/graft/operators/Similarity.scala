@@ -291,8 +291,11 @@ object Similarity {
         .agg(graft.functions.VecMean.asCol("v").as("mean"))
         .collect()
         .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray).toMap
+      // tabulate over the ACTUAL codebook size: a corpus smaller than k
+      // seeds fewer centroids, and indexing to k would crash (the IVF
+      // trainCentroids degrades the same way via centroids.indices)
       books = Array.tabulate(m)(s =>
-        Array.tabulate(k)(c => means.getOrElse((s, c), books(s)(c))))
+        Array.tabulate(books(s).length)(c => means.getOrElse((s, c), books(s)(c))))
       bc.destroy()
     }
     books.map(_.toSeq).toSeq
@@ -330,10 +333,26 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
              dim: Int, topK: Int, m: Int = 8, k: Int = 16, iters: Int = 3,
              rerank: Int = 50): DataFrame = {
-    val books = pqTrain(corpus, idCol, vecCol, dim, m, k, iters)
-    val codes = pqEncode(corpus, idCol, vecCol, books, dim)
+    // The final ranking is COSINE (like the other ANN ops), but ADC is an
+    // L2 shortlist — so train/encode/table over UNIT vectors, where L2
+    // argmin == cosine argmax. Without this, a large-norm high-cosine
+    // neighbor lands outside the L2 shortlist and the exact re-rank can
+    // never recover it.
+    val spark0 = corpus.sparkSession
+    import spark0.implicits._
+    def unit(df: DataFrame): DataFrame = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, v) =>
+        val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+        (id, if (n == 0.0) v else v.map(x => (x / n).toFloat))
+      }
+      .toDF(idCol, vecCol)
+    val corpusN = unit(corpus)
+    val books = pqTrain(corpusN, idCol, vecCol, dim, m, k, iters)
+    val codes = pqEncode(corpusN, idCol, vecCol, books, dim)
     val sw = dim / m
-    val qRows = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val qRows = unit(queries).select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
     // per (query, sub): k-entry table of |c|² − 2·qs·c (the |qs|² constant
     // cancels in ranking)
@@ -351,8 +370,6 @@ object Similarity {
     // against the codes, the approximate score is m element_at lookups, and
     // the per-query shortlist is a rank window Spark rewrites to
     // partial+final WindowGroupLimit — not a driver-side per-query subplan.
-    val spark0 = corpus.sparkSession
-    import spark0.implicits._
     val qtDf = broadcast(
       qRows.map { case (qid, _) => (qid, tables(qid).map(_.toSeq).toSeq) }
         .toSeq.toDF("query_id", "tbl"))

@@ -17,6 +17,13 @@ import java.sql.Timestamp
   */
 object StreamOps {
 
+  /** Exact epoch microseconds — `getTime` alone truncates to ms, which can
+    * admit a sub-ms-short gap / miss a sub-ms step order (floorDiv keeps
+    * pre-1970 timestamps correct; getNanos carries the sub-second part).
+    */
+  private def epochMicros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   /** Tumbling event-time window counts/sums with late-data cutoff.
     * Watermark bounds state: windows older than (max event time − delay)
     * are finalized and evicted; later-than-watermark events are dropped.
@@ -128,13 +135,9 @@ object StreamOps {
       .flatMapGroupsWithState[Long, (Long, Timestamp)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (key, rows, state: GroupState[Long]) =>
-          // exact epoch-µs (getTime alone truncates to ms and can admit a
-          // sub-ms-short gap the contract says to drop)
-          def micros(t: Timestamp): Long =
-            math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
           var lastKeptUs = state.getOption.getOrElse(Long.MinValue)
-          val kept = rows.toSeq.sortBy(r => micros(r._2)).filter { case (_, ts) =>
-            val t = micros(ts)
+          val kept = rows.toSeq.sortBy(r => epochMicros(r._2)).filter { case (_, ts) =>
+            val t = epochMicros(ts)
             val keep = lastKeptUs == Long.MinValue || t - lastKeptUs >= minGapSeconds * 1000000L
             if (keep) lastKeptUs = t
             keep
@@ -165,17 +168,13 @@ object StreamOps {
       .flatMapGroupsWithState[(Int, Long), (Long, Int, Timestamp)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (key, rows, state: GroupState[(Int, Long)]) =>
-          // exact epoch-µs, same as throttleStream: getTime alone truncates
-          // to ms and two sub-ms-apart steps would never both count
-          def micros(t: Timestamp): Long =
-            math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
           var (done, lastUs) = state.getOption.getOrElse((0, Long.MinValue))
           val before = done
-          rows.toSeq.sortBy(r => micros(r._3)).foreach { case (_, tpe, ts) =>
+          rows.toSeq.sortBy(r => epochMicros(r._3)).foreach { case (_, tpe, ts) =>
             if (done < steps.length && tpe == steps(done) &&
-              (done == 0 || micros(ts) > lastUs)) {
+              (done == 0 || epochMicros(ts) > lastUs)) {
               done += 1
-              lastUs = micros(ts)
+              lastUs = epochMicros(ts)
             }
           }
           if (done > before) {

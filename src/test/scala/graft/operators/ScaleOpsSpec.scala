@@ -89,6 +89,20 @@ class ScaleOpsSpec extends SparkSpec {
       .select(explode(col("codes")).as("c")).as[Int].collect()
     assert(codes.forall(c => c >= 0 && c < 8))
     assert(books.size == 4 && books.forall(_.size == 8) && books.forall(_.forall(_.length == 4)))
+    // norm-invariance: a 10×-scaled duplicate of vec 1 must surface in the
+    // shortlist (ADC runs over unit vectors) and re-rank with the SAME
+    // cosine as its unscaled twin — an L2-shortlist over raw vectors would
+    // push the large-norm copy out of reach of the exact re-rank
+    val scaled = emb.union(Seq((999L, vec(0, 1).map(_ * 10f))).toDF("vec_id", "embedding"))
+    val sims = Similarity.pqTopK(scaled, emb.filter(col("vec_id") === 0), "vec_id", "embedding",
+        dim = 16, topK = 13, m = 4, k = 8, iters = 2, rerank = 20)
+      .collect().map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Double]("sim")).toMap
+    assert(sims.contains(999L) && sims.contains(1L))
+    assert(math.abs(sims(999L) - sims(1L)) < 1e-5)
+    // tiny corpus (< k rows) trains without crashing
+    val tiny = rows.take(5).toDF("vec_id", "embedding")
+    val tinyBooks = Similarity.pqTrain(tiny, "vec_id", "embedding", dim = 16, m = 4, k = 8, iters = 2)
+    assert(tinyBooks.forall(_.size == 5))
   }
 
   test("KeyedTable.vacuum drops superseded versions, keeps live buckets") {
