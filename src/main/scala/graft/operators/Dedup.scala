@@ -405,8 +405,13 @@ object Dedup {
                         corpus: DataFrame, corpusIndex: DataFrame,
                         n: Int = 3, tau: Double = 0.5,
                         numHashes: Int = 32,
-                        bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
-    val ex = explodedShingles(batch, idCol, textCol, n)
+                        bands: Int = 8, rowsPerBand: Int = 4,
+                        shingles: Option[DataFrame] = None): DataFrame = {
+    // `shingles`: pre-exploded (id, s) rows for the BATCH — callers that
+    // split one corpus into index+batch sides by an id predicate can derive
+    // both from a single tokenization pass (filter the shared relation by
+    // the same predicate) instead of shingling each side separately.
+    val ex = shingles.getOrElse(explodedShingles(batch, idCol, textCol, n))
     val state = minhashVerifyState(ex, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bBuckets = bandBuckets(state, numHashes, bands, rowsPerBand)

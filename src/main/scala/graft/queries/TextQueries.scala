@@ -285,10 +285,18 @@ object TextQueries {
     "q_incremental_dedup" -> Q(
       (s, d) => {
         val docs = Td.documents(s, d)
-        val corpus = docs.filter(graft.operators.Sampling.hashBucket(col("doc_id")) < 80)
-        val batch = docs.filter(graft.operators.Sampling.hashBucket(col("doc_id")) >= 80)
-        val idx = Dedup.bandIndex(corpus, "doc_id", "text")
-        Dedup.dedupAgainstIndex(batch, "doc_id", "text", corpus, idx)
+        val bkt = graft.operators.Sampling.hashBucket(col("doc_id"))
+        val corpus = docs.filter(bkt < 80)
+        val batch = docs.filter(bkt >= 80)
+        // one tokenization pass serves both sides: shingling is per-doc, so
+        // filtering the shared exploded relation by the id-bucket predicate
+        // equals shingling each filtered side separately
+        val ex = Td.docShingles(s, d, 3)
+        val exBkt = graft.operators.Sampling.hashBucket(col("id"))
+        val idx = Dedup.bandIndex(corpus, "doc_id", "text",
+          shingles = Some(ex.filter(exBkt < 80)))
+        Dedup.dedupAgainstIndex(batch, "doc_id", "text", corpus, idx,
+          shingles = Some(ex.filter(exBkt >= 80)))
           .select("doc_id", "lang", "source", "n_chars")
       },
       Some(s"""WITH p AS ($jaccardPairsSql),
