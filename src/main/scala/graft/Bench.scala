@@ -26,6 +26,14 @@ object Bench {
       r.select(sum("x").over(w)).count()
       r.select(col("x")).as[Long].flatMap(x => Seq((x, x + 1))).toDF("a", "b").count()
       spark.read.parquet(s"$sfDir/region.parquet").count()
+      // vector paths: codegen'd kernel dot + VecMean typed aggregator, so
+      // the first (alphabetically: ANN) query doesn't absorb their one-time
+      // JIT/codegen cost
+      val e = r.select(col("x"),
+        array((0 until 4).map(i => (col("x") + i).cast("float")): _*).as("v"))
+      e.groupBy((col("x") % 4).as("c")).agg(graft.functions.VecMean.asCol("v")).count()
+      e.select(graft.functions.Kernels.float_dot(col("v"), col("v")).as("d"))
+        .agg(sum("d")).count()
     }
     // Optional dev filter: `runMain graft.Bench q_a,q_b` times only those
     // queries (the driver invokes with no args → full battery).

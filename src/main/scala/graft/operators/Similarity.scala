@@ -130,17 +130,44 @@ object Similarity {
     */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                      nlist: Int, iters: Int = 3): Seq[Array[Float]] = {
+    val spark0 = corpus.sparkSession
+    import spark0.implicits._
+    val base = corpus.select(col(vecCol)).as[Seq[Float]]
     var centroids: Seq[Array[Float]] = corpus
       .orderBy(col(idCol)).limit(nlist)
       .select(vecCol).collect().map(_.getSeq[Float](0).toArray).toSeq
     for (_ <- 1 to iters) {
-      val assigned = corpus.select(col(vecCol).as("v"),
-        nearestCell(col(vecCol), centroids).as("cell"))
+      // Assignment runs in a closure over BROADCAST centroids, not literal
+      // expressions: fresh centroid literals each iteration mean a fresh
+      // plan, and whole-stage codegen recompiles nlist kernel dots per
+      // round — Janino time, not math, dominated the loop (same finding as
+      // pqTrain). The one-shot assignment/probes in ivfBuild/ivfSearch
+      // keep the codegen'd [[nearestCell]] path: they compile once.
+      val bc = spark0.sparkContext.broadcast(
+        (centroids.toArray, centroids.map(c => math.sqrt(c.map(x => x.toDouble * x).sum)).toArray))
+      val assigned = base.map { v =>
+        val (cents, norms) = bc.value
+        var best = -1
+        var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < cents.length) {
+          var s = 0.0
+          var i = 0
+          while (i < cents(c).length) { s += v(i).toDouble * cents(c)(i); i += 1 }
+          val score = s / norms(c)
+          // >= ties toward the higher index — same as greatest() over
+          // (score, idx) structs in nearestCell
+          if (score >= bestScore) { bestScore = score; best = c }
+          c += 1
+        }
+        (best, v)
+      }.toDF("cell", "v")
       val means = assigned
         .groupBy("cell").agg(graft.functions.VecMean.asCol("v").as("m"))
         .collect()
         .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
+      bc.destroy()
     }
     centroids
   }
