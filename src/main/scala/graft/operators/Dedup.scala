@@ -516,12 +516,15 @@ object Dedup {
       // neighbor-label minimum, folded with the node's own label
       val nbrMin = edges.join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
+      // carry the previous label through the checkpoint: change detection
+      // becomes a filter-count over the already-materialized relation
+      // instead of a fresh join job against the prior round
       val next = labels.join(nbrMin, Seq("id"), "left_outer")
-        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          col("label").as("__old"))
         .localCheckpoint()
-      changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("__old")).count()
+      labels = next.drop("__old")
       iters += 1
     }
     require(changed == 0, s"dupClusters did not converge in $maxIters rounds")
