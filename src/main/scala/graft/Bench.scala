@@ -38,7 +38,11 @@ object Bench {
     // Optional dev filter: `runMain graft.Bench q_a,q_b` times only those
     // queries (the driver invokes with no args → full battery).
     val selected = args.headOption.map(_.split(",").toSet)
-      .fold(SparkEntry.queries)(names => SparkEntry.queries.filter { case (k, _) => names(k) })
+      .fold(SparkEntry.queries) { names =>
+        val unknown = names.diff(SparkEntry.queries.keySet)
+        require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+        SparkEntry.queries.filter { case (k, _) => names(k) }
+      }
     // Name-sorted execution: Map iteration order shifts whenever a query is
     // added, silently reassigning which query absorbs residual first-run
     // cost; a fixed order keeps per-query times comparable run-over-run.

@@ -295,9 +295,6 @@ object Dedup {
       ex0
     }
     val numHashes = 32
-    val hashed = ex.select(col("id"), col("s"), TextOps.polyHash(col("s")).as("h"))
-    val minAggs = (0 until numHashes).map(i =>
-      min((lit(aCoef(i)) * col("h") + lit(bCoef(i))) % MinHashP).as(s"mh$i"))
     // Persisted (gated on persistIntermediate): three consumers (band
     // signatures, both verify sides) would otherwise each re-derive shingles
     // + re-aggregate. One row per doc — the cache write is cheap relative to
@@ -305,9 +302,7 @@ object Dedup {
     // Td.docShingles). Released below once the drop-set is materialized, so
     // repeated invocations in a long-lived session don't accumulate cached
     // relations.
-    val state0 = hashed.groupBy("id").agg(
-      minAggs.head,
-      (minAggs.tail :+ collect_list(col("s")).as("arr") :+ count(lit(1)).as("n_sh")): _*)
+    val state0 = minhashVerifyState(ex, numHashes)
     val state = if (persistIntermediate)
       state0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else state0
@@ -325,13 +320,7 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     // exact verify from the same state relation
-    val verified = cands
-      .join(state.select(col("id").as("id_a"), col("arr").as("arr_a"), col("n_sh").as("n_a")), "id_a")
-      .join(state.select(col("id").as("id_b"), col("arr").as("arr_b"), col("n_sh").as("n_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= tau)
+    val verified = verifyPairs(cands, state, state, "id_a", "id_b", tau)
     val drop0 = verified.select(col("id_b").as("__drop_id")).distinct()
     // Materialize the (slim, one-column) drop-set eagerly via localCheckpoint
     // so the persisted intermediates can be released NOW rather than leaking
@@ -362,6 +351,23 @@ object Dedup {
       minAggs.head,
       (minAggs.tail :+ collect_list(col("s")).as("arr") :+ count(lit(1)).as("n_sh")): _*)
   }
+
+  /** Exact shingle-Jaccard verification of candidate (leftKey, rightKey)
+    * pairs against two (id, arr, n_sh) state relations: per-pair distinct
+    * intersection, jaccard = inter/(n_a+n_b-inter), keep >= tau. The ONE
+    * definition every array-verify path shares — minhashDedup,
+    * dedupAgainstIndex and sortedNeighborPairs must agree bit-for-bit or
+    * their documented equivalences (and the incremental-dedup oracle)
+    * silently diverge.
+    */
+  private def verifyPairs(cands: DataFrame, leftState: DataFrame, rightState: DataFrame,
+                          leftKey: String, rightKey: String, tau: Double): DataFrame = cands
+    .join(leftState.select(col("id").as(leftKey), col("arr").as("arr_a"), col("n_sh").as("n_a")), leftKey)
+    .join(rightState.select(col("id").as(rightKey), col("arr").as("arr_b"), col("n_sh").as("n_b")), rightKey)
+    .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+    .withColumn("jaccard",
+      col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
+    .filter(col("jaccard") >= tau)
 
   /** (id, band_idx, band_val) bucket rows from a relation carrying mh0..k. */
   private def bandBuckets(sigSource: DataFrame, numHashes: Int,
@@ -437,16 +443,10 @@ object Dedup {
       corpus(idCol).cast("long") === col("__cand_id"), "left_semi")
     val cState = explodedShingles(candCorpus, idCol, textCol, n)
       .groupBy("id").agg(collect_list(col("s")).as("arr"), count(lit(1)).as("n_sh"))
-    def verify(cands: DataFrame, leftState: DataFrame, leftKey: String,
-               rightKey: String): DataFrame = cands
-      .join(leftState.select(col("id").as(leftKey), col("arr").as("arr_a"), col("n_sh").as("n_a")), leftKey)
-      .join(state.select(col("id").as(rightKey), col("arr").as("arr_b"), col("n_sh").as("n_b")), rightKey)
-      .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= tau)
-    val dropInternal = verify(internal, state, "id_a", "id_b").select(col("id_b").as("__drop_id"))
-    val dropCross = verify(cross, cState, "cid", "bid").select(col("bid").as("__drop_id"))
+    val dropInternal = verifyPairs(internal, state, state, "id_a", "id_b", tau)
+      .select(col("id_b").as("__drop_id"))
+    val dropCross = verifyPairs(cross, cState, state, "cid", "bid", tau)
+      .select(col("bid").as("__drop_id"))
     // same materialize-then-release discipline as minhashDedup
     val drop = dropInternal.union(dropCross).distinct().localCheckpoint()
     state.unpersist()
@@ -572,13 +572,7 @@ object Dedup {
     // exact verify: distinct-shingle arrays for candidate ids only
     val ex = shingles.getOrElse(explodedShingles(df, idCol, textCol, n))
     val st = ex.groupBy("id").agg(collect_list(col("s")).as("arr"), count(lit(1)).as("n_sh"))
-    cands
-      .join(st.select(col("id").as("id_a"), col("arr").as("arr_a"), col("n_sh").as("n_a")), "id_a")
-      .join(st.select(col("id").as("id_b"), col("arr").as("arr_b"), col("n_sh").as("n_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")).cast("double"))
-      .filter(col("jaccard") >= tau)
+    verifyPairs(cands, st, st, "id_a", "id_b", tau)
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
   }

@@ -14,6 +14,19 @@ import org.apache.spark.sql.functions._
   * windows, training tensors), materializing the empty buckets and carrying
   * the last observation forward across them.
   */
+/** Exact epoch microseconds from a Timestamp — `getTime` alone truncates to
+  * ms (floorDiv keeps pre-1970 values correct; getNanos carries the
+  * sub-second part). THE shared definition for row-level gap/order code; the
+  * column-level twin is `unix_micros`. A standalone object so closures in
+  * OTHER objects' methods reach it as a static call — a method on the
+  * enclosing object would make the lambda capture that (non-serializable)
+  * object as `this`.
+  */
+private[graft] object TimeUtil {
+  def epochMicros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+}
+
 object TimeSeries {
 
   private def stepInterval(unit: String): Column = unit match {
@@ -214,10 +227,7 @@ object TimeSeries {
       val v = r.get(i)
       if (v == null) "\u0000" else "\u0001" + v
     }.mkString("\u0002")
-    def micros(r: org.apache.spark.sql.Row): Long = {
-      val t = r.getTimestamp(tsIdx)
-      math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
-    }
+    def micros(r: org.apache.spark.sql.Row): Long = TimeUtil.epochMicros(r.getTimestamp(tsIdx))
     df.groupByKey(keyOf)(org.apache.spark.sql.Encoders.STRING)
       .flatMapGroups { (_, it) =>
         val rows = it.toVector.sortBy { r =>

@@ -17,12 +17,9 @@ import java.sql.Timestamp
   */
 object StreamOps {
 
-  /** Exact epoch microseconds — `getTime` alone truncates to ms, which can
-    * admit a sub-ms-short gap / miss a sub-ms step order (floorDiv keeps
-    * pre-1970 timestamps correct; getNanos carries the sub-second part).
-    */
+  // exact epoch-µs: one shared definition with the batch ops
   private def epochMicros(t: Timestamp): Long =
-    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    graft.operators.TimeUtil.epochMicros(t)
 
   /** Tumbling event-time window counts/sums with late-data cutoff.
     * Watermark bounds state: windows older than (max event time − delay)
