@@ -133,6 +133,24 @@ object StatQueries {
               |  ${polyHashSql(normSql)} AS norm_key
               |FROM documents""".stripMargin)),
 
+    // ----- schema-drift union (unionByName, missing columns null-filled) ---
+    // The reference sources declare allowSchemaDrift:true — batches with
+    // diverged schemas must still union. Spark's unionByName with
+    // allowMissingColumns matches by NAME and null-fills gaps (positional
+    // UNION would misalign or reject); DuckDB's UNION ALL BY NAME mirrors.
+    "q_union_by_name" -> Q(
+      (s, d) => {
+        val o = Td.orders(s, d)
+        val v1 = o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_orderstatus")
+        val v2 = o.filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_totalprice")
+        v1.unionByName(v2, allowMissingColumns = true)
+      },
+      Some("""SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
+             |UNION ALL BY NAME
+             |SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 1""".stripMargin)),
+
     // ----- sliding event-time windows (1 h length, 15 min slide) -----------
     // Each event lands in exactly length/slide = 4 overlapping windows;
     // Spark's window() generator replicates rows map-side (no shuffle until
