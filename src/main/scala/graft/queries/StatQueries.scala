@@ -133,6 +133,28 @@ object StatQueries {
               |  ${polyHashSql(normSql)} AS norm_key
               |FROM documents""".stripMargin)),
 
+    // ----- rank-function window battery ------------------------------------
+    // rank/dense_rank/percent_rank/cume_dist depend only on the ORDER
+    // VALUES (ties share a rank), so they are deterministic without a tie
+    // column; percent_rank/cume_dist are exact rationals over counts.
+    "q_window_ranks" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+        Td.orders(s, d).select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cdist"))
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice,
+             |  CAST(rank() OVER w AS INT) AS rnk,
+             |  CAST(dense_rank() OVER w AS INT) AS drnk,
+             |  percent_rank() OVER w AS prnk,
+             |  cume_dist() OVER w AS cdist
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)""".stripMargin)),
+
     // ----- schema-drift union (unionByName, missing columns null-filled) ---
     // The reference sources declare allowSchemaDrift:true — batches with
     // diverged schemas must still union. Spark's unionByName with
