@@ -253,17 +253,26 @@ object Dedup {
   /** LSH candidate pairs: docs sharing at least one band hash. Explode the
     * band columns → shuffle on (band index, band value) → self-join within
     * buckets → distinct pairs. Cost ∝ bucket collision mass, not n².
+    *
+    * `maxBucketWidth` caps that collision mass: a band bucket holding w docs
+    * emits C(w,2) pairs from one task, so a single boilerplate-heavy bucket
+    * (every doc sharing a banner paragraph) can dominate the whole join at
+    * corpus scale — SCALING.md's named minhash mitigation. Buckets wider
+    * than the cap are dropped entirely (use [[overWideBuckets]] to report
+    * them). Dropping can only LOSE candidates (recall), never corrupt
+    * results — verification stays exact. Default keeps every bucket.
     */
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
                     n: Int = 3, numHashes: Int = 32,
                     bands: Int = 8, rowsPerBand: Int = 4,
-                    shingles: Option[DataFrame] = None): DataFrame = {
+                    shingles: Option[DataFrame] = None,
+                    maxBucketWidth: Int = Int.MaxValue): DataFrame = {
     val sig = withBands(minhashSignatures(
       shingles.getOrElse(explodedShingles(df, idCol, textCol, n)), numHashes),
       bands, rowsPerBand)
-    val buckets = sig.select(col("id"), posexplode(
+    val buckets = capBuckets(sig.select(col("id"), posexplode(
       array((0 until bands).map(j => col(s"band$j")): _*)).as(Seq("band_idx", "band_val")))
-      .filter(col("band_val").isNotNull)
+      .filter(col("band_val").isNotNull), maxBucketWidth)
     buckets.as("a").join(buckets.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
@@ -272,6 +281,31 @@ object Dedup {
       .distinct()
   }
 
+  /** Keep only band buckets of at most `maxWidth` members. The width count
+    * is a window over the bucket key — the same (band_idx, band_val) hash
+    * partitioning the downstream self-join shuffles on, so the exchange is
+    * shared, not added. `Int.MaxValue` short-circuits to the input plan.
+    */
+  private def capBuckets(buckets: DataFrame, maxWidth: Int): DataFrame =
+    if (maxWidth == Int.MaxValue) buckets
+    else buckets
+      .withColumn("__w", count(lit(1)).over(Window.partitionBy("band_idx", "band_val")))
+      .filter(col("__w") <= maxWidth).drop("__w")
+
+  /** The (band_idx, band_val, width) buckets a `maxBucketWidth` cap would
+    * drop — the observability companion to the cap: pipelines log/store this
+    * (it is tiny: one row per over-wide bucket) so recall loss is a reported
+    * number, not a silent truncation.
+    */
+  def overWideBuckets(df: DataFrame, idCol: String, textCol: String,
+                      maxBucketWidth: Int,
+                      n: Int = 3, numHashes: Int = 32,
+                      bands: Int = 8, rowsPerBand: Int = 4,
+                      shingles: Option[DataFrame] = None): DataFrame =
+    bandIndex(df, idCol, textCol, n, numHashes, bands, rowsPerBand, shingles)
+      .groupBy("band_idx", "band_val").agg(count(lit(1)).as("width"))
+      .filter(col("width") > maxBucketWidth)
+
   /** MinHash-LSH near-dedup: candidates from LSH, verified with exact n-gram
     * Jaccard, then drop every doc that has a verified near-dup with a
     * smaller id (deterministic survivor rule). Returns the kept rows.
@@ -279,7 +313,8 @@ object Dedup {
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, tau: Double = 0.5,
                    persistIntermediate: Boolean = true,
-                   shingles: Option[DataFrame] = None): DataFrame = {
+                   shingles: Option[DataFrame] = None,
+                   maxBucketWidth: Int = Int.MaxValue): DataFrame = {
     // One shingle pass, ONE groupBy(id): the 32 minhash permutations, the
     // full shingle array (for exact verification), and the set size all come
     // out of a single aggregation — the unfused plan paid a second
@@ -310,9 +345,12 @@ object Dedup {
     // arrays stay behind in `state` and never ride the bucket fan-out
     val sig = withBands(state.select(("id" +: (0 until numHashes).map(i => s"mh$i")).map(col): _*),
       bands = 8, rowsPerBand = 4)
-    val buckets = sig.select(col("id"), posexplode(
+    // maxBucketWidth: same contract as lshCandidates — over-wide band
+    // buckets (boilerplate hot-spots emitting C(w,2) pairs from one task)
+    // are dropped before the self-join; recall-only, verification exact.
+    val buckets = capBuckets(sig.select(col("id"), posexplode(
         array((0 until 8).map(j => col(s"band$j")): _*)).as(Seq("band_idx", "band_val")))
-      .filter(col("band_val").isNotNull)
+      .filter(col("band_val").isNotNull), maxBucketWidth)
     val cands = buckets.as("a").join(buckets.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
@@ -527,8 +565,79 @@ object Dedup {
       labels = next.drop("__old")
       iters += 1
     }
-    require(changed == 0, s"dupClusters did not converge in $maxIters rounds")
+    require(changed == 0, s"dupClusters did not converge in $maxIters rounds " +
+      "(component diameter exceeds the round budget — use dupClustersStar, " +
+      "which converges in O(log n) rounds on any diameter)")
     labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
+  /** Connected components via alternating large-star / small-star rounds
+    * (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii: "Connected
+    * Components in MapReduce and Beyond", SoCC 2014) — the high-diameter
+    * upgrade [[dupClusters]]' scaladoc names. Plain min-label propagation
+    * needs O(diameter) rounds, so a templated document series forming one
+    * long near-dup chain blows the round budget; star contraction converges
+    * in O(log n) rounds on ANY topology.
+    *
+    * large-star: every node links its LARGER neighbors to the minimum of its
+    * closed neighborhood. small-star: every node links its smaller neighbors
+    * (and itself) to that minimum. Each is one groupBy-min + one equi-join
+    * over the canonical edge list — all shuffles on the node id, nothing
+    * driver-side, per-round lineage truncated via `localCheckpoint` exactly
+    * like [[dupClusters]]. At the fixpoint every component is a star rooted
+    * at its minimum id, so the label read-off is one aggregation.
+    *
+    * Same output contract as [[dupClusters]] — (id, cluster_id = component
+    * min) — pinned equal in DedupSpec, including on a chain longer than
+    * dupClusters' default round budget.
+    */
+  def dupClustersStar(docs: DataFrame, idCol: String, pairs: DataFrame,
+                      maxIters: Int = 50): DataFrame = {
+    // canonical edge form throughout: src > dst, distinct, no self-loops
+    def canon(e: DataFrame): DataFrame = e
+      .filter(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct()
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = sym.groupBy("src").agg(min(col("dst")).as("mn"))
+        .select(col("src").as("u"), least(col("mn"), col("src")).as("m"))
+      // (v, m(u)) for v ∈ Γ(u), v > u — larger neighbors hook onto the min
+      canon(sym.join(m, col("src") === col("u"))
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst")))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // input already canonical: dst < src, so Γ(u) here = smaller neighbors
+      val m = e.groupBy("src").agg(min(col("dst")).as("m"))
+      canon(e.join(m, "src")
+        .select(col("dst").as("v"), col("m"))
+        .union(m.select(col("src").as("v"), col("m")))
+        .select(col("v").as("src"), col("m").as("dst")))
+    }
+    var edges = canon(pairs.select(
+        col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst")))
+      .localCheckpoint()
+    var iters = 0
+    var converged = edges.isEmpty
+    while (!converged && iters < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // both relations are distinct canonical sets: equal iff same size and
+      // no row of `next` is new — two counts, no driver-side data
+      converged = next.count() == edges.count() &&
+        next.except(edges).isEmpty
+      edges = next
+      iters += 1
+    }
+    require(converged || edges.isEmpty,
+      s"dupClustersStar did not converge in $maxIters rounds")
+    // fixpoint stars point every non-root at the component min
+    val roots = edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("root"))
+    docs.select(col(idCol).cast("long").as("id"))
+      .filter(col("id").isNotNull).distinct()
+      .join(roots, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("root"), col("id")).as("cluster_id"))
   }
 
   /** Sorted-neighborhood near-dup pairs (Hernandez & Stolfo, SIGMOD'95):
@@ -572,7 +681,20 @@ object Dedup {
     // exact verify: distinct-shingle arrays for candidate ids only
     val ex = shingles.getOrElse(explodedShingles(df, idCol, textCol, n))
     val st = ex.groupBy("id").agg(collect_list(col("s")).as("arr"), count(lit(1)).as("n_sh"))
-    verifyPairs(cands, st, st, "id_a", "id_b", tau)
+    // Length-ratio pre-filter (J ≥ tau ⇒ tau·|A| ≤ |B| ∧ tau·|B| ≤ |A|, the
+    // same bound prefixCandidates uses): pairs that can't possibly clear tau
+    // are dropped on a slim (id, n_sh) relation — Catalyst prunes the
+    // collect_list out of this branch — so they never shuffle their shingle
+    // arrays through the verify join. SNM sorts by raw text, so neighbors of
+    // very different lengths are common and the bound bites.
+    val sizes = st.select(col("id"), col("n_sh"))
+    val candsB = cands
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na0")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb0")), "id_b")
+      .filter(col("nb0").cast("double") >= lit(tau) * col("na0") - lit(1e-9) &&
+        col("na0").cast("double") >= lit(tau) * col("nb0") - lit(1e-9))
+      .select("id_a", "id_b")
+    verifyPairs(candsB, st, st, "id_a", "id_b", tau)
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
   }

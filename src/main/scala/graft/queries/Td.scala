@@ -37,9 +37,14 @@ object Td {
     * queries. Deliberately NOT persisted at this scale: the columnar cache
     * serializer costs ~4.5 s to write the sf0.1 relation while recomputing
     * it with the char-loop tokenizer costs ~0.4 s per consumer (measured,
-    * JaccardProbe2). The crossover flips when the source is large — at
-    * 100 TB a rescan dwarfs the cache write, which is why the Dedup
-    * operators' own `persistIntermediate` default stays true.
+    * JaccardProbe2). Re-measured round 4 across the whole 7-query shingle
+    * family A/B (persist vs not, same subset bench): persisted 26.7 s vs
+    * unpersisted 25.4 s — the cache write still doesn't pay even amortized
+    * over every consumer, so the r3 bench's q_jaccard_pairs spike (7.3 s vs
+    * 2.2 s reproduced) was ambient-load noise, not this plan. The crossover
+    * flips when the source is large — at 100 TB a rescan dwarfs the cache
+    * write, which is why the Dedup operators' own `persistIntermediate`
+    * default stays true.
     */
   // Per-session id via a WeakHashMap whose VALUES (plain strings) don't
   // reference the key, so stopped sessions stay collectable — unlike

@@ -75,6 +75,65 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.forall(_.getLong(1) == 1L))
   }
 
+  test("dupClustersStar ≡ dupClusters: mixed components and random graphs") {
+    val docs = (1L to 7L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val star = Dedup.dupClustersStar(docs, "doc_id", pairs)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(star.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // random-graph equivalence with plain min-label propagation
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val rdocs = (1L to n).toDF("doc_id")
+    val rpairs = (1 to 30).map(_ => (rnd.nextInt(n.toInt) + 1L, rnd.nextInt(n.toInt) + 1L))
+      .filter { case (a, b) => a != b }.toDF("id_a", "id_b")
+    val a = Dedup.dupClusters(rdocs, "doc_id", rpairs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Dedup.dupClustersStar(rdocs, "doc_id", rpairs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+    // no edges at all: every doc is its own cluster
+    val none = Dedup.dupClustersStar(docs, "doc_id",
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).collect()
+    assert(none.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
+  test("dupClustersStar: O(log n) rounds survive a chain past the plain round budget") {
+    // a 120-link chain has diameter 120: plain min-label propagation cannot
+    // finish inside a 40-round budget (the documented contract), while star
+    // contraction converges comfortably
+    val docs = (1L to 121L).toDF("doc_id")
+    val pairs = (1L to 120L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.dupClusters(docs, "doc_id", pairs, maxIters = 40).collect()
+    }
+    val out = Dedup.dupClustersStar(docs, "doc_id", pairs, maxIters = 40).collect()
+    assert(out.forall(_.getLong(1) == 1L))
+  }
+
+  test("maxBucketWidth: default preserves output; tight cap trades recall, reported") {
+    val base = "the quick brown fox jumps over the lazy dog while rain falls softly on the quiet green meadow today"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("today", "tonight")), // near-dup of 1
+      (3L, "unrelated filler text having many extra words entirely"),
+    ).toDF("doc_id", "text")
+    val full = Dedup.minhashDedup(docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val capDefault = Dedup.minhashDedup(docs, "doc_id", "text", maxBucketWidth = Int.MaxValue)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(capDefault == full && full == Set(1L, 3L))
+    // cap of 1 drops every bucket the near-dup pair collides in → recall 0,
+    // doc 2 survives; the companion report names the dropped buckets
+    val capped = Dedup.minhashDedup(docs, "doc_id", "text", maxBucketWidth = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(capped == Set(1L, 2L, 3L))
+    val wide = Dedup.overWideBuckets(docs, "doc_id", "text", maxBucketWidth = 1).collect()
+    assert(wide.nonEmpty && wide.forall(_.getLong(2) > 1L))
+    // lshCandidates honors the same knob
+    assert(Dedup.lshCandidates(docs, "doc_id", "text", maxBucketWidth = 1).isEmpty)
+    assert(!Dedup.lshCandidates(docs, "doc_id", "text").isEmpty)
+  }
+
   test("dedupAgainstIndex: corpus wins, batch keeps smaller id, fresh survives") {
     val base = "the quick brown fox jumps over the lazy dog while rain falls softly on the quiet green meadow today"
     val tweak = base.replace("today", "tonight") // 1 word of 18 → J ≈ 0.83
