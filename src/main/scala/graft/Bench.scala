@@ -46,15 +46,31 @@ object Bench {
     // Name-sorted execution: Map iteration order shifts whenever a query is
     // added, silently reassigning which query absorbs residual first-run
     // cost; a fixed order keeps per-query times comparable run-over-run.
+    // Median of 3 back-to-back runs per query: single-shot timings swing
+    // ±30% with ambient load (two rounds of regression archaeology traced
+    // spikes to machine noise, not code); the median absorbs one outlier
+    // run and first-plan codegen lands on run 1, so it reports steady state.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.length / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Compact values (2 decimals, trailing zeros stripped): the driver keeps
+    // only the LAST 2000 stdout bytes, and full-precision doubles pushed the
+    // 87-query line past that, truncating 22 entries per round. ~10 ms
+    // precision times 87 short names fits with room to spare.
+    def fmt(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.stripTrailingZeros.toPlainString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // This MUST stay the final stdout line (nothing may print after it), so
+    // the whole battery survives the driver's tail window.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -41,10 +41,15 @@ object Similarity {
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int): DataFrame = {
+    // Zero-norm vectors carry no direction — cosine against them is 0/0,
+    // which ANSI mode turns into a job-killing divide error. They are
+    // excluded on both sides (here and in the LSH/IVF twins) rather than
+    // letting one bad embedding fail a 100 TB scan.
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      l2Norm(col(vecCol)).as("__qn")))
+      l2Norm(col(vecCol)).as("__qn")).filter(col("__qn") > 0))
     val scored = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), l2Norm(col(vecCol)).as("__cn"))
+      .filter(col("__cn") > 0)
       .join(q, col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
@@ -60,9 +65,9 @@ object Similarity {
     */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String, tau: Double): DataFrame = {
     val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
-      l2Norm(col(vecCol)).as("__na"))
+      l2Norm(col(vecCol)).as("__na")).filter(col("__na") > 0)
     val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
-      l2Norm(col(vecCol)).as("__nb"))
+      l2Norm(col(vecCol)).as("__nb")).filter(col("__nb") > 0)
     // The whole predicate lives in the JOIN CONDITION, not a post-join
     // filter: the nested-loop join evaluates conditions over an in-place
     // JoinedRow and only copies MATCHING rows out, so the ~n²/2 losing
@@ -103,7 +108,13 @@ object Similarity {
   private def nearestCell(vec: Column, centroids: Seq[Array[Float]]): Column = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       val norm = math.sqrt(c.map(x => x.toDouble * x).sum)
-      struct((dot(vec, centroidLit(c)) / norm).as("s"), lit(i).as("i"))
+      // zero-norm centroid (empty cell collapsed to the origin): score is
+      // -Inf, not 0/0 — NaN sorts LARGEST under greatest(), so a degenerate
+      // centroid would otherwise capture every row and diverge from the
+      // training closure, which skips NaN
+      val score = if (norm == 0.0) lit(Double.NegativeInfinity)
+                  else dot(vec, centroidLit(c)) / norm
+      struct(score.as("s"), lit(i).as("i"))
     }
     // argmax via greatest over (score, idx) structs — struct compare is
     // lexicographic, so ties break toward the higher index deterministically
@@ -114,7 +125,12 @@ object Similarity {
   private def nearestCells(vec: Column, centroids: Seq[Array[Float]], nprobe: Int): Column = {
     val scored = array(centroids.zipWithIndex.map { case (c, i) =>
       val norm = math.sqrt(c.map(x => x.toDouble * x).sum)
-      struct((-dot(vec, centroidLit(c)) / norm).as("s"), lit(i).as("i"))
+      // negated-score sort: zero-norm centroids get +Inf so they rank LAST
+      // (array_sort puts NaN last too, but deterministically pinning the
+      // value keeps this path tie-consistent with nearestCell's -Inf)
+      val negScore = if (norm == 0.0) lit(Double.PositiveInfinity)
+                     else -dot(vec, centroidLit(c)) / norm
+      struct(negScore.as("s"), lit(i).as("i"))
     }: _*)
     slice(transform(array_sort(scored), s => s.getField("i")), 1, nprobe)
   }
@@ -147,14 +163,20 @@ object Similarity {
         (centroids.toArray, centroids.map(c => math.sqrt(c.map(x => x.toDouble * x).sum)).toArray))
       val assigned = base.map { v =>
         val (cents, norms) = bc.value
-        var best = -1
+        var best = 0
         var bestScore = Double.NegativeInfinity
         var c = 0
         while (c < cents.length) {
           var s = 0.0
           var i = 0
           while (i < cents(c).length) { s += v(i).toDouble * cents(c)(i); i += 1 }
-          val score = s / norms(c)
+          // zero-norm centroid → -Inf, matching nearestCell's literal guard
+          // (0/0 NaN would fail every >= and silently skip the cell here
+          // while greatest() in the one-shot path ranks NaN largest —
+          // training and index assignment would diverge on degenerate
+          // centroids). best starts at 0, so an all--Inf row still lands in
+          // a real cell, like nearestSubCode.
+          val score = if (norms(c) == 0.0) Double.NegativeInfinity else s / norms(c)
           // >= ties toward the higher index — same as greatest() over
           // (score, idx) structs in nearestCell
           if (score >= bestScore) { bestScore = score; best = c }
@@ -199,9 +221,11 @@ object Similarity {
                 k: Int, nprobe: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         l2Norm(col(vecCol)).as("__qn"),
-        explode(nearestCells(col(vecCol), index.centroids, nprobe)).as("cell")))
+        explode(nearestCells(col(vecCol), index.centroids, nprobe)).as("cell"))
+      .filter(col("__qn") > 0))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    index.assigned.join(q, Seq("cell"))
+    // zero-norm corpus rows (directionless) are excluded like in cosineTopK
+    index.assigned.filter(col("__cn") > 0).join(q, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
       .withColumn("rank", row_number().over(w))
@@ -244,9 +268,9 @@ object Similarity {
           col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id").distinct()
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      l2Norm(col(vecCol)).as("__cn"))
+      l2Norm(col(vecCol)).as("__cn")).filter(col("__cn") > 0)
     val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      l2Norm(col(vecCol)).as("__qn")))
+      l2Norm(col(vecCol)).as("__qn")).filter(col("__qn") > 0))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     candIds.join(cv, "neighbor_id").join(qv, "query_id")
       .withColumn("sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
@@ -410,11 +434,12 @@ object Similarity {
       .withColumn("__arank", row_number().over(wApprox))
       .filter(col("__arank") <= rerank)
       .select("query_id", "neighbor_id", "approx")
-    // exact re-rank of the shortlisted candidates
+    // exact re-rank of the shortlisted candidates (zero-norm rows excluded
+    // like in cosineTopK — directionless, and ANSI 0/0 would kill the job)
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      l2Norm(col(vecCol)).as("__cn"))
+      l2Norm(col(vecCol)).as("__cn")).filter(col("__cn") > 0)
     val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
-      l2Norm(col(vecCol)).as("__qn")))
+      l2Norm(col(vecCol)).as("__qn")).filter(col("__qn") > 0))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     perQuery.join(cv, "neighbor_id").join(qv, "query_id")
       .withColumn("sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))

@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Backtick-quote an identifier for the `expr(...)` SQL fragments below —
+    * exact `percentile` has no Column-form API, so the column name passes
+    * through SQL text and names with spaces/dots would otherwise break or
+    * resolve as a nested-field path.
+    */
+  private def qid(name: String): String = "`" + name.replace("`", "``") + "`"
+
   /** Per-group robust outlier flags on `valueCol`:
     *
     *  - Tukey fences: outside `[Q1 - kIqr·IQR, Q3 + kIqr·IQR]`;
@@ -35,12 +42,12 @@ object Stats {
                      kIqr: Double = 1.5, kMad: Double = 3.0): DataFrame = {
     val v = col(valueCol).cast("double")
     val quartiles = df.groupBy(col(groupCol)).agg(
-      expr(s"percentile($valueCol, 0.25)").as("q1"),
-      expr(s"percentile($valueCol, 0.5)").as("med"),
-      expr(s"percentile($valueCol, 0.75)").as("q3"))
+      expr(s"percentile(${qid(valueCol)}, 0.25)").as("q1"),
+      expr(s"percentile(${qid(valueCol)}, 0.5)").as("med"),
+      expr(s"percentile(${qid(valueCol)}, 0.75)").as("q3"))
     val withQ = df.join(broadcast(quartiles), Seq(groupCol))
     val madAgg = withQ.groupBy(col(groupCol))
-      .agg(expr(s"percentile(abs($valueCol - med), 0.5)").as("mad"))
+      .agg(expr(s"percentile(abs(${qid(valueCol)} - med), 0.5)").as("mad"))
     val iqr = col("q3") - col("q1")
     withQ.join(broadcast(madAgg), Seq(groupCol))
       .withColumn("iqr_outlier",
@@ -93,7 +100,7 @@ object Stats {
   def quantileBuckets(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
     require(buckets > 1, "need at least 2 buckets")
     val cuts = (1 until buckets).map(k =>
-      expr(s"percentile($valueCol, ${k.toDouble / buckets})").as(s"c$k"))
+      expr(s"percentile(${qid(valueCol)}, ${k.toDouble / buckets})").as(s"c$k"))
     val bounds = df.agg(cuts.head, cuts.tail: _*)
     val bucket = (1 until buckets).map(k =>
       when(col(valueCol).cast("double") > col(s"c$k"), 1).otherwise(0))

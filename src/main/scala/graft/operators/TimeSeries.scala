@@ -228,11 +228,30 @@ object TimeSeries {
       if (v == null) "\u0000" else "\u0001" + v
     }.mkString("\u0002")
     def micros(r: org.apache.spark.sql.Row): Long = TimeUtil.epochMicros(r.getTimestamp(tsIdx))
+    // Tie ordering on the column's NATURAL ordering (every orderable atomic
+    // Spark type surfaces as a java.lang.Comparable), nulls first like a SQL
+    // asc sort — the previous Number cast threw on string/timestamp ties and
+    // NPE'd on null tie values, stricter than the Column-based debounce twin.
+    val tieType = schema(tieIdx).dataType
+    val tieComparable = tieType match {
+      case _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.MapType |
+           _: org.apache.spark.sql.types.StructType |
+           org.apache.spark.sql.types.BinaryType => false
+      case _ => true
+    }
+    require(tieComparable,
+      s"throttle tie column '$tieCol' must be an orderable atomic type, got $tieType")
+    val tieOrd: Ordering[Any] = Ordering.fromLessThan { (a, b) =>
+      if (a == null) b != null
+      else if (b == null) false
+      else a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    }
     df.groupByKey(keyOf)(org.apache.spark.sql.Encoders.STRING)
       .flatMapGroups { (_, it) =>
         val rows = it.toVector.sortBy { r =>
-          (micros(r), r.get(tieIdx).asInstanceOf[Number].longValue())
-        }
+          (micros(r), r.get(tieIdx))
+        }(Ordering.Tuple2(Ordering.Long, tieOrd))
         var lastKeptUs = Long.MinValue
         rows.iterator.filter { r =>
           val t = micros(r)

@@ -49,22 +49,30 @@ object Td {
   // Per-session id via a WeakHashMap whose VALUES (plain strings) don't
   // reference the key, so stopped sessions stay collectable — unlike
   // identityHashCode, which can collide across sessions and hand back a
-  // plan bound to a stopped session.
+  // plan bound to a stopped session. Eviction happens HERE, when a new
+  // session first appears: cache entries whose sid no longer maps to a live
+  // session (its SparkSession was GC'd out of the weak map) are dropped.
+  // Live sessions never evict each other — the previous scheme evicted all
+  // OTHER sids inside the cache thunk, so two interleaving sessions would
+  // thrash each other's plans.
   private val sessionIds = new java.util.WeakHashMap[SparkSession, String]()
   private def sessionId(s: SparkSession): String = sessionIds.synchronized {
     var id = sessionIds.get(s)
-    if (id == null) { id = java.util.UUID.randomUUID().toString; sessionIds.put(s, id) }
+    if (id == null) {
+      id = java.util.UUID.randomUUID().toString
+      sessionIds.put(s, id)
+      val live = new java.util.HashSet[String](sessionIds.values)
+      shingleCache.keySet.removeIf(sid => !live.contains(sid))
+    }
     id
   }
-  private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, Int), DataFrame]
-  def docShingles(s: SparkSession, d: String, n: Int): DataFrame = {
-    val sid = sessionId(s)
-    shingleCache.getOrElseUpdate((sid, d, n), {
-      // evict plans from other (likely stopped) sessions: the map holds at
-      // most one session's worth of lazy plans
-      shingleCache.keys.filter(_._1 != sid).foreach(shingleCache.remove)
-      graft.operators.Dedup.explodedShingles(documents(s, d), "doc_id", "text", n)
-    })
-  }
+  // sid → that session's lazy shingle plans, keyed by (sfDir, n)
+  private val shingleCache = new java.util.concurrent.ConcurrentHashMap[
+    String, scala.collection.concurrent.TrieMap[(String, Int), DataFrame]]()
+  def docShingles(s: SparkSession, d: String, n: Int): DataFrame =
+    shingleCache
+      .computeIfAbsent(sessionId(s),
+        _ => scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame])
+      .getOrElseUpdate((d, n),
+        graft.operators.Dedup.explodedShingles(documents(s, d), "doc_id", "text", n))
 }

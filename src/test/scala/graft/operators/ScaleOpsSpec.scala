@@ -66,6 +66,24 @@ class ScaleOpsSpec extends SparkSpec {
     idx.assigned.unpersist()
   }
 
+  test("IVF tolerates a zero-norm (degenerate) centroid consistently") {
+    val s = spark
+    import s.implicits._
+    // vec_id 0 is the zero vector and seeds centroid 0 (init = first nlist
+    // rows by id): training must not NaN-diverge from index assignment, and
+    // the dead centroid must capture NO rows (score -Inf in both paths,
+    // where 0/0 NaN previously ranked LARGEST under greatest()).
+    val rows = (0L, Seq.fill(8)(0f)) +:
+      (1 to 20).map(i => (i.toLong, (0 until 8).map(d => (1 + ((i + d) % 5)).toFloat)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val idx = Similarity.ivfBuild(emb, "vec_id", "embedding", nlist = 2, iters = 2)
+    val cells = idx.assigned.select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(cells == Set(1), s"expected every row in the live cell, got $cells")
+    val res = Similarity.ivfSearch(idx, emb.filter($"vec_id" === 1), "vec_id", "embedding",
+      k = 3, nprobe = 2)
+    assert(res.count() == 3)
+  }
+
   test("pqTopK: recall with exact re-rank; codes bounded by m and k") {
     val s = spark
     import s.implicits._

@@ -197,6 +197,38 @@ class StatsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L)) // true gap is 0.8 ms short of 120 s
   }
 
+  test("throttle accepts non-numeric and null tie values (natural ordering)") {
+    val s = spark
+    import s.implicits._
+    // three same-timestamp events per key: tie order decides which survives
+    // the gap filter — string ties sort lexicographically, null ties first
+    val t = ts("2024-01-01 10:00:00")
+    val events = Seq(
+      (Some("b"), 5L, t), (Some("a"), 5L, t), (None, 5L, t),
+    ).toDF("tag", "user_id", "ts")
+    val kept = TimeSeries.throttle(events, Seq("user_id"), "ts", "tag", 60)
+      .select("tag").collect().map(r => Option(r.getString(0)))
+    // null sorts first (SQL asc), so the null-tagged event is the one kept
+    assert(kept.toSeq == Seq(None))
+    // complex tie types are rejected up front, not at task time
+    val bad = Seq((Seq(1), 5L, t)).toDF("tag", "user_id", "ts")
+    intercept[IllegalArgumentException] {
+      TimeSeries.throttle(bad, Seq("user_id"), "ts", "tag", 60)
+    }
+  }
+
+  test("robustOutliers and quantileBuckets quote odd column names") {
+    val s = spark
+    import s.implicits._
+    val rows = (Seq.fill(20)(1.0) :+ 100.0).zipWithIndex
+      .map { case (v, i) => ("g", v + i * 0.001) }
+      .toDF("grp", "the value")
+    val out = Stats.robustOutliers(rows, "grp", "the value")
+    assert(out.filter(col("iqr_outlier")).count() == 1)
+    val buckets = Stats.quantileBuckets(rows, "the value", 4)
+    assert(buckets.select("bucket").distinct().count() == 4)
+  }
+
   test("histogram pins a degenerate (min==max) range to bin 0") {
     val s = spark
     import s.implicits._
