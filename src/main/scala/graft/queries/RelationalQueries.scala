@@ -188,19 +188,40 @@ object RelationalQueries {
              |SELECT doc_id, n_chars, 'tail' AS mix_source FROM documents
              |WHERE (((doc_id % 1000003) * 2654435761) // 8192) % 100 < 30""".stripMargin)),
 
-    // ----- approximate sketches (engine-internal → rows-only check) --------
-    // Error bounds vs exact answers are asserted in SketchesSpec. Scalar
-    // columns only: the driver's rows-only check hashes pandas values, and
-    // an array column crashes it (`unhashable type: numpy.ndarray`), so the
-    // percentile pair is unpacked with element_at instead of returned raw.
+    // ----- approximate sketches (hard-gated via in-plan exact twins) -------
+    // The sketch values themselves are engine-internal, so the oracle-facing
+    // output pairs each estimate with its EXACT twin computed in the same
+    // plan: exact distinct count + exact p50/p95 (both DuckDB-recomputable)
+    // plus bound flags the oracle asserts are all 1. Bounds are measured
+    // (examples/RecallProbe.scala): HLL rel err 0.7% (sf0.01) / 6.7% (sf0.1)
+    // vs the 15% gate (HLL rsd 0.05 → 2σ = 10%); approx_percentile at
+    // accuracy 10000 has rank error ≤ n/10000, far inside the exact
+    // [p45,p55] / [p93,p97] bands. A broken sketch flips a flag and
+    // hash-fails the driver's compare.
     "q_approx_distinct" -> Q(
       (s, d) => Td.events(s, d).groupBy("event_type").agg(
-          Sketches.approxDistinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"),
+          Sketches.approxDistinct(col("user_id")).as("__approx"),
+          expr("percentile(value, 0.5)").as("value_p50"),
+          expr("percentile(value, 0.95)").as("value_p95"),
+          expr("percentile(value, 0.45)").as("__p45"),
+          expr("percentile(value, 0.55)").as("__p55"),
+          expr("percentile(value, 0.93)").as("__p93"),
+          expr("percentile(value, 0.97)").as("__p97"),
           Sketches.approxPercentiles(col("value"), Seq(0.5, 0.95)).as("__pp"))
-        .select(col("event_type"), col("approx_users"),
-          element_at(col("__pp"), 1).as("value_p50"),
-          element_at(col("__pp"), 2).as("value_p95")),
-      None),
+        .select(col("event_type"), col("exact_users"), col("value_p50"), col("value_p95"),
+          (abs(col("__approx") - col("exact_users"))
+            <= lit(0.15) * col("exact_users")).cast("int").as("distinct_ok"),
+          element_at(col("__pp"), 1).between(col("__p45"), col("__p55"))
+            .cast("int").as("p50_ok"),
+          element_at(col("__pp"), 2).between(col("__p93"), col("__p97"))
+            .cast("int").as("p95_ok")),
+      Some("""SELECT event_type,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+             |  quantile_cont(value, 0.5) AS value_p50,
+             |  quantile_cont(value, 0.95) AS value_p95,
+             |  1 AS distinct_ok, 1 AS p50_ok, 1 AS p95_ok
+             |FROM events GROUP BY event_type""".stripMargin)),
 
     // ----- heavy hitters (values above a support threshold) ----------------
     // Exact two-pass formulation; at 0.1 support over the ~uniform
