@@ -545,14 +545,24 @@ object Dedup {
     * 2014 — their small-star/large-star variant cuts rounds on
     * high-diameter graphs; near-dup components are LSH-verified cliques of
     * tiny diameter, so plain propagation converges in 1–2 rounds). Each
-    * round is one shuffle join of (edges ⋈ labels) + a min-agg;
-    * `localCheckpoint` truncates the per-round lineage (else the plan
-    * doubles every iteration), and its blocks are ContextCleaner-reclaimed.
-    * Nothing data-scale touches the driver — the convergence check is a
-    * count of changed labels.
+    * round is ONE action: the next labels are LAZILY `localCheckpoint`ed
+    * and the changed-label count both materializes the checkpoint blocks
+    * and answers convergence in the same job (eager checkpointing spent a
+    * second driver action per round on the same data). Lineage still
+    * truncates each round (else the plan doubles every iteration), and
+    * checkpoint blocks are ContextCleaner-reclaimed.
+    *
+    * Plain propagation needs O(diameter) rounds, so a pathological input —
+    * one long templated-document chain — would exhaust any fixed budget.
+    * After `starEscapeAfter` unconverged rounds the computation HANDS OFF
+    * to [[dupClustersStar]] (O(log n) rounds on any topology), probing from
+    * the already-materialized edge relation, so high-diameter components
+    * degrade to the star path instead of failing the job. Set
+    * `starEscapeAfter >= maxIters` to disable the escape and get the
+    * original fail-fast contract.
     */
   def dupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
-                  maxIters: Int = 50): DataFrame = {
+                  maxIters: Int = 50, starEscapeAfter: Int = 8): DataFrame = {
     // Materialize the (slim, two-column) edge list ONCE: it is re-joined
     // every propagation round, and its upstream is typically the expensive
     // pair-mining plan (LSH/Jaccard) — without this, each round re-mines
@@ -563,22 +573,29 @@ object Dedup {
     var labels = docs.select(col(idCol).cast("long").as("id"))
       .filter(col("id").isNotNull).distinct()
       .withColumn("label", col("id")).localCheckpoint()
+    val rounds = maxIters min starEscapeAfter
     var iters = 0
     var changed = 1L
-    while (changed > 0 && iters < maxIters) {
+    while (changed > 0 && iters < rounds) {
       // neighbor-label minimum, folded with the node's own label
       val nbrMin = edges.join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
-      // carry the previous label through the checkpoint: change detection
-      // becomes a filter-count over the already-materialized relation
-      // instead of a fresh join job against the prior round
+      // lazy checkpoint: the count below materializes the blocks AND reads
+      // the change count in one job; the previous label rides along so no
+      // extra join against the prior round is needed
       val next = labels.join(nbrMin, Seq("id"), "left_outer")
         .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
           col("label").as("__old"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.filter(col("label") =!= col("__old")).count()
       labels = next.drop("__old")
       iters += 1
+    }
+    if (changed > 0 && starEscapeAfter < maxIters) {
+      // high-diameter component: hand off to star contraction, reusing the
+      // materialized edges (NOT `pairs` — that would re-run the mining plan)
+      return dupClustersStar(docs, idCol,
+        edges.select(col("src").as("id_a"), col("dst").as("id_b")), maxIters)
     }
     require(changed == 0, s"dupClusters did not converge in $maxIters rounds " +
       "(component diameter exceeds the round budget — use dupClustersStar, " +

@@ -99,15 +99,21 @@ class CorpusOpsSpec extends SparkSpec {
 
   test("dupClustersStar: O(log n) rounds survive a chain past the plain round budget") {
     // a 120-link chain has diameter 120: plain min-label propagation cannot
-    // finish inside a 40-round budget (the documented contract), while star
-    // contraction converges comfortably
+    // finish inside a 40-round budget, while star contraction converges
+    // comfortably
     val docs = (1L to 121L).toDF("doc_id")
     val pairs = (1L to 120L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // escape disabled (starEscapeAfter >= maxIters): the original fail-fast
+    // contract still holds
     intercept[IllegalArgumentException] {
-      Dedup.dupClusters(docs, "doc_id", pairs, maxIters = 40).collect()
+      Dedup.dupClusters(docs, "doc_id", pairs, maxIters = 40, starEscapeAfter = 40).collect()
     }
     val out = Dedup.dupClustersStar(docs, "doc_id", pairs, maxIters = 40).collect()
     assert(out.forall(_.getLong(1) == 1L))
+    // default escape: after starEscapeAfter unconverged propagation rounds,
+    // dupClusters hands off to the star path and completes the same labels
+    val escaped = Dedup.dupClusters(docs, "doc_id", pairs, maxIters = 40).collect()
+    assert(escaped.forall(_.getLong(1) == 1L))
   }
 
   test("maxBucketWidth: default preserves output; tight cap trades recall, reported") {
