@@ -60,12 +60,21 @@ final class KeyedTable(
     val orderCol: Option[String] = None,
     val numBuckets: Int = 0,
     val broadcastBatchKeys: Boolean = true,
+    val commitProtocol: KeyedTable.CommitProtocol = KeyedTable.RenameCommit,
 ) {
   import KeyedTable._
   private val hconf = spark.sparkContext.hadoopConfiguration
   private def fs: FileSystem = new Path(root).getFileSystem(hconf)
 
   def currentVersion: Long = readPointer(fs, new Path(root, CurrentMarker)).getOrElse(0L)
+
+  /** Every commit funnels through the [[KeyedTable.CommitProtocol]] seam:
+    * version N+1's data/manifest are fully written BEFORE this conditional
+    * pointer swap, so a crash or a lost-race rejection leaves the previous
+    * version intact and readable.
+    */
+  private def commitVersion(next: Long): Unit =
+    commitProtocol.publish(fs, new Path(root, CurrentMarker), next - 1, next)
 
   def exists: Boolean = currentVersion > 0
 
@@ -160,7 +169,7 @@ final class KeyedTable(
       val present = listBuckets(fs, new Path(s"$root/v=$next"))
       writeManifest(fs, new Path(root, s"${ManifestPrefix}v$next"), present.map(_ -> next).toMap)
     }
-    writePointer(fs, new Path(root, CurrentMarker), next)
+    commitVersion(next)
     next
   }
 
@@ -173,22 +182,7 @@ final class KeyedTable(
     * Bucketed tables rewrite only the buckets the batch's keys hash into.
     */
   def merge(batch: DataFrame): Long = {
-    // Deterministic per-key collapse: order by orderCol (when given) then by
-    // every remaining ORDERABLE column — a bare dropDuplicates/row_number tie
-    // picks an arbitrary partition-order-dependent survivor, so re-running
-    // the same load could produce different contents. Map-typed columns are
-    // excluded (not orderable in Spark); ties can then only remain between
-    // rows identical in every orderable column.
-    val orderable = batch.schema.fields
-      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
-      .map(_.name)
-      .filterNot(c => keys.contains(c) || orderCol.contains(c)).toSeq
-    val latest = orderCol match {
-      case Some(oc) => Ops.latestPerKey(batch, keys, oc, tieBreak = orderable)
-      case None =>
-        if (orderable.isEmpty) batch.dropDuplicates(keys)
-        else Ops.latestPerKey(batch, keys, orderable.head, tieBreak = orderable.tail)
-    }
+    val latest = collapseLatest(batch)
     if (!exists) return overwrite(latest)
     // legacy tables (created before _SCHEMA existed): backfill from the
     // readable current snapshot so empty-bucket reads stay typed
@@ -197,9 +191,66 @@ final class KeyedTable(
       val next = currentVersion + 1
       KeyedTable.mergePlan(current, latest, keys, broadcastBatchKeys)
         .write.mode("overwrite").parquet(s"$root/v=$next")
-      writePointer(fs, new Path(root, CurrentMarker), next)
+      commitVersion(next)
       next
     } else mergeBucketed(latest)
+  }
+
+  /** Deterministic per-key collapse: order by orderCol (when given) then by
+    * every remaining ORDERABLE column — a bare dropDuplicates/row_number tie
+    * picks an arbitrary partition-order-dependent survivor, so re-running
+    * the same load could produce different contents. Map-typed columns are
+    * excluded (not orderable in Spark); ties can then only remain between
+    * rows identical in every orderable column.
+    */
+  private def collapseLatest(batch: DataFrame): DataFrame = {
+    val orderable = batch.schema.fields
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(_.name)
+      .filterNot(c => keys.contains(c) || orderCol.contains(c)).toSeq
+    orderCol match {
+      case Some(oc) => Ops.latestPerKey(batch, keys, oc, tieBreak = orderable)
+      case None =>
+        if (orderable.isEmpty) batch.dropDuplicates(keys)
+        else Ops.latestPerKey(batch, keys, orderable.head, tieBreak = orderable.tail)
+    }
+  }
+
+  /** Keyed merge accepting a batch whose SCHEMA drifted from the table's —
+    * the reference's `allowSchemaDrift: true` sink behavior. Additive by
+    * name ([[KeyedTable.mergePlanEvolving]]): omitted columns null-fill,
+    * new columns extend the table (and its stored schema), type conflicts
+    * throw.
+    *
+    * A batch that only OMITS columns keeps the table schema, so it takes
+    * the normal incremental path — bucketed tables still rewrite only
+    * touched buckets. A batch with NEW columns changes the schema of every
+    * stored file; mixing old-schema and new-schema bucket dirs inside one
+    * readable snapshot would force schema-merging reads, so that case
+    * compacts: one full rewrite at the union schema (exactly what a
+    * copy-on-write table format does on column add), after which
+    * incremental merges resume.
+    */
+  def mergeEvolving(batch: DataFrame): Long = {
+    // key presence first: the per-key collapse below would otherwise surface
+    // a missing key as an unresolved-column analysis error
+    require(keys.forall(batch.columns.contains),
+      s"drifted batch must still carry the key columns ${keys.mkString(", ")}")
+    val latest = collapseLatest(batch)
+    if (!exists) return overwrite(latest)
+    if (storedSchema.isEmpty) writeText(fs, new Path(root, SchemaMarker), current.schema.json)
+    val cur = current
+    KeyedTable.requireAdditive(
+      if (cur.columns.contains(BucketCol)) cur.drop(BucketCol) else cur, latest, keys)
+    val newCols = latest.schema.fields.filterNot(f => cur.columns.contains(f.name))
+    if (newCols.isEmpty) {
+      val missing = cur.schema.fields
+        .filterNot(f => latest.columns.contains(f.name) || f.name == BucketCol)
+      merge(missing.foldLeft(latest)((d, f) =>
+        d.withColumn(f.name, org.apache.spark.sql.functions.lit(null).cast(f.dataType))))
+    } else {
+      overwrite(KeyedTable.mergePlanEvolving(cur, latest, keys, broadcastBatchKeys))
+    }
   }
 
   /** GC versions unreferenced by the current manifest chain: keeps the
@@ -268,7 +319,7 @@ final class KeyedTable(
       val next = currentVersion + 1
       current.join(k, keys, "left_anti")
         .write.mode("overwrite").parquet(s"$root/v=$next")
-      writePointer(fs, new Path(root, CurrentMarker), next)
+      commitVersion(next)
       next
     } else {
       val touched = k.withColumn(BucketCol, bucketExpr)
@@ -297,7 +348,7 @@ final class KeyedTable(
     val prev = manifest
     val nextManifest = (prev -- touched) ++ written.map(_ -> next).toMap
     writeManifest(fs, new Path(root, s"${ManifestPrefix}v$next"), nextManifest)
-    writePointer(fs, new Path(root, CurrentMarker), next)
+    commitVersion(next)
     next
   }
 }
@@ -324,6 +375,70 @@ object KeyedTable {
     }
     cur.join(batchKeys, keys, "left_anti")
       .unionByName(batch.select(cur.columns.map(col).toIndexedSeq: _*))
+  }
+
+  /** Schema-drift twin of [[mergePlan]] — the reference's `allowSchemaDrift:
+    * true` sinks (`dataflow/New_BookingTransformation.json:71,101,142`),
+    * which accept batches whose column set drifted from the table's.
+    * Evolution is ADDITIVE by name: batch-new columns join the output (null
+    * for pre-existing rows), batch-omitted columns are null-filled for batch
+    * rows, and a same-name column with a different type is rejected loudly —
+    * silent coercion is how drift corrupts a warehouse.
+    */
+  def mergePlanEvolving(current: DataFrame, batch: DataFrame, keys: Seq[String],
+                        broadcastBatchKeys: Boolean = true): DataFrame = {
+    val cur = if (current.columns.contains(BucketCol)) current.drop(BucketCol) else current
+    requireAdditive(cur, batch, keys)
+    val newCols = batch.schema.fields.filterNot(f => cur.columns.contains(f.name))
+    val missing = cur.schema.fields.filterNot(f => batch.columns.contains(f.name))
+    val curWide = newCols.foldLeft(cur)((d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val batchWide = missing.foldLeft(batch)((d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType)))
+    mergePlan(curWide, batchWide, keys, broadcastBatchKeys)
+  }
+
+  private[engine] def requireAdditive(cur: DataFrame, batch: DataFrame, keys: Seq[String]): Unit = {
+    require(keys.forall(batch.columns.contains),
+      s"drifted batch must still carry the key columns ${keys.mkString(", ")}")
+    val curTypes = cur.schema.fields.map(f => f.name -> f.dataType).toMap
+    val conflicts = batch.schema.fields.collect {
+      case f if curTypes.get(f.name).exists(_ != f.dataType) =>
+        s"${f.name}: table ${curTypes(f.name).simpleString} vs batch ${f.dataType.simpleString}"
+    }
+    require(conflicts.isEmpty,
+      s"schema drift is additive-only; type conflicts: ${conflicts.mkString("; ")}")
+  }
+
+  /** Commit seam: publishing version `next` must be a CONDITIONAL swap of
+    * the current pointer from `expectedCurrent` — never a blind write. On
+    * HDFS/local FS [[RenameCommit]] approximates this with read-check +
+    * atomic rename (the residual check-then-rename window is microseconds
+    * and single-writer deployments never race it). An object-store
+    * implementation MUST close that window with a true conditional put
+    * (S3 `If-Match`/`If-None-Match` on the pointer object, GCS
+    * `x-goog-if-generation-match`, Azure ETag) and throw
+    * `ConcurrentModificationException` on precondition failure — version
+    * data dirs are immutable either way, so a rejected commit leaves the
+    * table readable at `expectedCurrent` and the loser simply retries its
+    * merge from the new snapshot.
+    */
+  trait CommitProtocol {
+    def publish(fs: FileSystem, marker: Path, expectedCurrent: Long, next: Long): Unit
+  }
+
+  /** Rename-based commit for filesystems with atomic rename. Detects a
+    * lost-update race (another committer already advanced the pointer) by
+    * re-reading before the swap.
+    */
+  object RenameCommit extends CommitProtocol {
+    def publish(fs: FileSystem, marker: Path, expectedCurrent: Long, next: Long): Unit = {
+      val cur = readPointer(fs, marker).getOrElse(0L)
+      if (cur != expectedCurrent) throw new java.util.ConcurrentModificationException(
+        s"commit of v$next expected current v$expectedCurrent but found v$cur — " +
+          "a concurrent committer won; re-read the snapshot and retry the merge")
+      writePointer(fs, marker, next)
+    }
   }
 
   def apply(spark: SparkSession, root: String, keys: Seq[String],

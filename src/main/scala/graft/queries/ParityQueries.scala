@@ -154,6 +154,32 @@ object ParityQueries {
              |       o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
              |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin)),
 
+    // ----- schema-drift merge (the reference's allowSchemaDrift sinks) -----
+    // The batch OMITS o_orderpriority (null-filled for batch rows) and ADDS
+    // update_src (null for pre-existing rows) — additive evolution by name,
+    // same anti-join+union shape as q_merge_upsert at the union schema.
+    "q_merge_evolve" -> Q(
+      (s, d) => {
+        val orders = Td.orders(s, d)
+        val current = orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+          .filter(col("o_orderkey") % 3 =!= 0)
+        val batch = orders.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") * 1.1).as("o_totalprice"),
+            lit("cdc_feed").as("update_src"))
+        KeyedTable.mergePlanEvolving(current, batch, Seq("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority,
+             |       CAST(NULL AS VARCHAR) AS update_src
+             |FROM orders
+             |WHERE o_orderkey % 3 <> 0 AND NOT EXISTS (
+             |  SELECT 1 FROM orders b WHERE b.o_orderkey % 5 = 0
+             |    AND b.o_orderkey = orders.o_orderkey)
+             |UNION ALL
+             |SELECT o_orderkey, o_custkey, o_totalprice * 1.1,
+             |       CAST(NULL AS VARCHAR), 'cdc_feed'
+             |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin)),
+
     // ----- T5: schema-align casts ------------------------------------------
     // The decimal / date casts still run, but the *output* columns surface
     // as double / timestamp: DATE and DECIMAL physical output types hash

@@ -118,4 +118,57 @@ class KeyedTableSpec extends SparkSpec {
     t.merge(Seq(("k7", 9, 7000)).toDF("id", "ver", "v"))
     assert(t.current.filter("id = 'k7'").collect()(0).getInt(2) == 7000)
   }
+
+  test("mergeEvolving: additive drift round-trips; type conflicts rejected") {
+    val s = spark
+    import s.implicits._
+    val t = KeyedTable(spark, tmpDir("ktev"), Seq("id"), orderCol = Some("ver"), numBuckets = 4)
+    t.merge(Seq(("a", 1, "A1"), ("b", 1, "B1")).toDF("id", "ver", "payload"))
+
+    // batch carries a NEW column `region`: existing rows null-fill, schema grows
+    t.mergeEvolving(Seq(("b", 2, "B2", "eu"), ("c", 1, "C1", "us"))
+      .toDF("id", "ver", "payload", "region"))
+    val m = t.current.collect()
+      .map(r => r.getString(0) -> (r.getString(2), Option(r.getString(3)))).toMap
+    assert(m == Map("a" -> ("A1", None), "b" -> ("B2", Some("eu")), "c" -> ("C1", Some("us"))))
+    assert(t.storedSchema.get.fieldNames.toSeq == Seq("id", "ver", "payload", "region"))
+
+    // batch OMITS `payload`: batch rows null-fill it, schema unchanged,
+    // and the incremental (touched-buckets) path still applies
+    t.mergeEvolving(Seq(("d", 1, "ap")).toDF("id", "ver", "region"))
+    val d = t.current.filter("id = 'd'").collect()(0)
+    assert(d.isNullAt(d.fieldIndex("payload")) && d.getString(d.fieldIndex("region")) == "ap")
+    assert(t.current.filter("id = 'a'").collect()(0).getString(2) == "A1")
+
+    // same name, different type → loud rejection, nothing committed
+    val before = t.currentVersion
+    intercept[IllegalArgumentException] {
+      t.mergeEvolving(Seq(("e", 1, 42L)).toDF("id", "ver", "payload"))
+    }
+    assert(t.currentVersion == before)
+
+    // a drifted batch must still carry the key
+    intercept[IllegalArgumentException] {
+      t.mergeEvolving(Seq((9, "x")).toDF("ver", "payload"))
+    }
+  }
+
+  test("commit protocol rejects a lost-update double commit") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("ktcommit")
+    val t = KeyedTable(spark, root, Seq("id"))
+    t.overwrite(Seq(("a", 1)).toDF("id", "v"))
+    t.merge(Seq(("b", 2)).toDF("id", "v")) // current is now v2
+    // a committer that staged its work against v1 (crash-window survivor or
+    // concurrent writer) must NOT be able to publish v2 over the winner
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(root, KeyedTable.CurrentMarker)
+    intercept[java.util.ConcurrentModificationException] {
+      KeyedTable.RenameCommit.publish(fs, marker, expectedCurrent = 1, next = 2)
+    }
+    // the table still reads at the winner's version
+    assert(t.currentVersion == 2 && t.current.count() == 2)
+  }
 }
