@@ -61,16 +61,24 @@ object Bench {
     }
     // Compact values (2 decimals, trailing zeros stripped): the driver keeps
     // only the LAST 2000 stdout bytes, and full-precision doubles pushed the
-    // 87-query line past that, truncating 22 entries per round. ~10 ms
-    // precision times 87 short names fits with room to spare.
-    def fmt(v: Double): String = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-      .bigDecimal.stripTrailingZeros.toPlainString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    // 87-query line past that, truncating 22 entries per round. The sf field
+    // is the basename (the driver records the numeric sf itself), and if the
+    // battery ever grows past the budget anyway, precision degrades to 1
+    // decimal rather than losing entries off the front.
+    def fmt(prec: Int)(v: Double): String =
+      BigDecimal(v).setScale(prec, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.stripTrailingZeros.toPlainString
     val total = results.map(_._2).sum
+    val sfName = sfDir.split('/').last
+    def line(prec: Int): String = {
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(prec)(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    }
+    val out = { val l = line(2); if (l.length <= 1950) l else line(1) }
     // This MUST stay the final stdout line (nothing may print after it), so
     // the whole battery survives the driver's tail window.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(out)
     spark.stop()
   }
 }
