@@ -12,7 +12,7 @@ object PlanDiff {
     val d = args.headOption.getOrElse("/root/testdata/sf0.01")
     for (q <- args.drop(1)) {
       println(s"===== $q")
-      println(SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString.take(4000))
+      println(SparkEntry.queries(q)(spark, d).queryExecution.executedPlan.toString.take(16000))
     }
     spark.stop()
   }

@@ -233,6 +233,34 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** Persist a built IVF index: centroids as a tiny parquet relation, the
+    * cell-assigned corpus PARTITIONED BY CELL — so a probe join against a
+    * broadcast query side triggers dynamic partition pruning and reads only
+    * the `nprobe` cell directories per query batch, never the whole corpus.
+    * This is the "build once, search many" operational shape at 100 TB:
+    * training (Lloyd over the full corpus) happens at build time; each
+    * search pays nprobe/nlist of the FILES, not just of the rows.
+    */
+  def ivfWrite(index: IvfIndex, root: String): Unit = {
+    val spark0 = index.assigned.sparkSession
+    import spark0.implicits._
+    index.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+    index.assigned.write.partitionBy("cell").mode("overwrite").parquet(s"$root/assigned")
+  }
+
+  /** Reopen a persisted IVF index ([[ivfWrite]]). The assigned relation is
+    * a partition-discovered parquet read, so `cell` predicates — including
+    * the runtime ones dynamic partition pruning derives from the probe
+    * join's broadcast side — prune at the directory level.
+    */
+  def ivfRead(spark: org.apache.spark.sql.SparkSession, root: String): IvfIndex = {
+    val cents = spark.read.parquet(s"$root/centroids").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray).toIndexedSeq
+    IvfIndex(cents, spark.read.parquet(s"$root/assigned"))
+  }
+
   /** IVF approximate top-k: corpus partitioned into `nlist` cells by nearest
     * centroid; each query probes only its `nprobe` nearest cells and ranks
     * those candidates exactly. The corpus shuffles once on `cell`; the probe

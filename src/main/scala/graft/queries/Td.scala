@@ -91,6 +91,27 @@ object Td {
     * count, so changed data or changed signature code rebuilds instead of
     * probing a stale index. The count check is one slim scan of `doc_id`.
     */
+  /** STORED IVF index over `embeddings` for `q_ann_ivf_topk` — same
+    * operational argument as [[bandIndexTable]]: k-means training is a
+    * build-time cost paid once per corpus, searches probe the persisted
+    * cell-partitioned relation (dynamic partition pruning reads only the
+    * probed cell directories). Root versioned by format + corpus count so
+    * changed data or parameters rebuild instead of probing stale cells.
+    */
+  private val IvfIndexFormat = 1
+  def ivfIndexTable(s: SparkSession, d: String): graft.operators.Similarity.IvfIndex = {
+    val emb = embeddings(s, d)
+    val n = emb.count()
+    val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val root = System.getProperty("java.io.tmpdir") +
+      s"/graft-ivfindex-f$IvfIndexFormat-$safe-n$n"
+    val done = new org.apache.hadoop.fs.Path(s"$root/assigned/_SUCCESS")
+    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done)) graft.operators.Similarity.ivfWrite(
+      graft.operators.Similarity.ivfBuild(emb, "vec_id", "embedding", nlist = 16), root)
+    graft.operators.Similarity.ivfRead(s, root)
+  }
+
   private val BandIndexFormat = 1
   def bandIndexTable(s: SparkSession, d: String): DataFrame = {
     val corpusDocs = documents(s, d)

@@ -129,13 +129,18 @@ object VectorQueries {
     // ----- IVF approximate top-k (coarse-quantized scale path) -------------
     // Observed recall: min hits 3/5 (sf0.01) and 4/5 (sf0.1), mean 0.88 /
     // 0.96 → gate at hits ≥ 2 per query, mean ≥ 0.6.
+    //
+    // The index comes from STORAGE (Td.ivfIndexTable — trained once per
+    // corpus, persisted partitioned by cell): the query measures the
+    // recurring search cost, and the probe join dynamic-partition-prunes to
+    // the probed cell directories.
     "q_ann_ivf_topk" -> Q(
       (s, d) => {
         val emb = Td.embeddings(s, d)
         val queries = emb.filter(col("vec_id") < 10)
         annGate(Similarity.cosineTopK(emb, queries, "vec_id", "embedding", k = 5),
-          Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
-            k = 5, nlist = 16, nprobe = 4),
+          Similarity.ivfSearch(Td.ivfIndexTable(s, d), queries, "vec_id", "embedding",
+            k = 5, nprobe = 4),
           k = 5, minHits = 2, minMean = 0.6)
       },
       Some(annGateSql)),

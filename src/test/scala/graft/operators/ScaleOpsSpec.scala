@@ -66,6 +66,33 @@ class ScaleOpsSpec extends SparkSpec {
     idx.assigned.unpersist()
   }
 
+  test("IVF index round-trips through storage with cell-partitioned layout") {
+    val s = spark
+    import s.implicits._
+    def vec(cluster: Int, i: Int): Seq[Float] =
+      (0 until 16).map { d =>
+        math.sin(cluster * 17.0 + d).toFloat * 2f + (((i * 31 + d * 7) % 13) - 6) * 0.01f
+      }
+    val rows = for (c <- 0 until 4; i <- 0 until 12) yield (c * 12L + i, vec(c, i))
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 12 === 0)
+    val idx = Similarity.ivfBuild(emb, "vec_id", "embedding", nlist = 4, iters = 3)
+    val root = tmpDir("graft-ivfrt")
+    Similarity.ivfWrite(idx, root)
+    // the persisted layout is one directory per cell — the unit dynamic
+    // partition pruning skips at probe time
+    val cellDirs = new java.io.File(s"$root/assigned").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).sorted
+    assert(cellDirs.nonEmpty && cellDirs.forall(_.matches("cell=\\d+")))
+    // searches against the reopened index are identical to the in-memory one
+    val live = Similarity.ivfSearch(idx, queries, "vec_id", "embedding", k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val stored = Similarity.ivfSearch(Similarity.ivfRead(spark, root), queries,
+        "vec_id", "embedding", k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(stored == live)
+  }
+
   test("IVF tolerates a zero-norm (degenerate) centroid consistently") {
     val s = spark
     import s.implicits._
