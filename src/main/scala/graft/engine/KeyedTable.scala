@@ -181,8 +181,13 @@ final class KeyedTable(
     * one batch applies only the newest — this also makes merge idempotent.
     * Bucketed tables rewrite only the buckets the batch's keys hash into.
     */
-  def merge(batch: DataFrame): Long = {
-    val latest = collapseLatest(batch)
+  def merge(batch: DataFrame): Long = mergeCollapsed(collapseLatest(batch))
+
+  /** [[merge]] after the per-key collapse — the shared tail [[mergeEvolving]]
+    * re-enters so an already-collapsed batch doesn't pay a second window
+    * pass.
+    */
+  private def mergeCollapsed(latest: DataFrame): Long = {
     if (!exists) return overwrite(latest)
     // legacy tables (created before _SCHEMA existed): backfill from the
     // readable current snapshot so empty-bucket reads stay typed
@@ -232,24 +237,33 @@ final class KeyedTable(
     * incremental merges resume.
     */
   def mergeEvolving(batch: DataFrame): Long = {
-    // key presence first: the per-key collapse below would otherwise surface
-    // a missing key as an unresolved-column analysis error
+    // key presence first: everything below references the keys, and a
+    // missing key would otherwise surface as an unresolved-column error
     require(keys.forall(batch.columns.contains),
       s"drifted batch must still carry the key columns ${keys.mkString(", ")}")
-    val latest = collapseLatest(batch)
-    if (!exists) return overwrite(latest)
+    if (!exists) return mergeCollapsed(collapseLatest(batch))
     if (storedSchema.isEmpty) writeText(fs, new Path(root, SchemaMarker), current.schema.json)
     val cur = current
     KeyedTable.requireAdditive(
-      if (cur.columns.contains(BucketCol)) cur.drop(BucketCol) else cur, latest, keys)
+      if (cur.columns.contains(BucketCol)) cur.drop(BucketCol) else cur, batch, keys)
+    // Null-fill the omitted columns BEFORE the per-key collapse: the batch
+    // may legally omit orderCol itself, and collapsing first would reference
+    // a column the frame doesn't have. After widening, the collapse sees the
+    // full table schema (an all-null orderCol degrades to the tie-break
+    // ordering, same as merge on a null-ordered feed).
+    val missing = cur.schema.fields
+      .filterNot(f => batch.columns.contains(f.name) || f.name == BucketCol)
+    val latest = collapseLatest(missing.foldLeft(batch)((d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType))))
     val newCols = latest.schema.fields.filterNot(f => cur.columns.contains(f.name))
-    if (newCols.isEmpty) {
-      val missing = cur.schema.fields
-        .filterNot(f => latest.columns.contains(f.name) || f.name == BucketCol)
-      merge(missing.foldLeft(latest)((d, f) =>
-        d.withColumn(f.name, org.apache.spark.sql.functions.lit(null).cast(f.dataType))))
-    } else {
-      overwrite(KeyedTable.mergePlanEvolving(cur, latest, keys, broadcastBatchKeys))
+    if (newCols.isEmpty) mergeCollapsed(latest)
+    else {
+      // new columns change every stored file's schema → widen the snapshot
+      // and compact: one full rewrite at the union schema
+      val curWide = newCols.foldLeft(
+        if (cur.columns.contains(BucketCol)) cur.drop(BucketCol) else cur)(
+        (d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+      overwrite(KeyedTable.mergePlan(curWide, latest, keys, broadcastBatchKeys))
     }
   }
 

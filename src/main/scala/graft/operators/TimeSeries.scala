@@ -232,13 +232,17 @@ object TimeSeries {
     // Spark type surfaces as a java.lang.Comparable), nulls first like a SQL
     // asc sort — the previous Number cast threw on string/timestamp ties and
     // NPE'd on null tie values, stricter than the Column-based debounce twin.
+    // Allowlist, not denylist: every type here surfaces as a Comparable
+    // external value, so the reject happens at plan build instead of as a
+    // ClassCastException inside an executor task (CalendarInterval, arrays,
+    // maps, structs, binary all fall through to the error).
     val tieType = schema(tieIdx).dataType
     val tieComparable = tieType match {
-      case _: org.apache.spark.sql.types.ArrayType |
-           _: org.apache.spark.sql.types.MapType |
-           _: org.apache.spark.sql.types.StructType |
-           org.apache.spark.sql.types.BinaryType => false
-      case _ => true
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.BooleanType |
+           org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
     }
     require(tieComparable,
       s"throttle tie column '$tieCol' must be an orderable atomic type, got $tieType")

@@ -46,13 +46,14 @@ object Td {
     * write, which is why the Dedup operators' own `persistIntermediate`
     * default stays true.
     */
-  // Per-session id via a WeakHashMap whose VALUES (plain strings) don't
-  // reference the key, so stopped sessions stay collectable — unlike
-  // identityHashCode, which can collide across sessions and hand back a
-  // plan bound to a stopped session. Eviction happens HERE, when a new
-  // session first appears: cache entries whose sid no longer maps to a live
-  // session (its SparkSession was GC'd out of the weak map) are dropped.
-  // Live sessions never evict each other — the previous scheme evicted all
+  // Per-session id via a WeakHashMap: distinct live sessions get distinct
+  // ids (identityHashCode could collide and hand a plan bound to another
+  // session). Eviction keys off `sparkContext.isStopped`, NOT weak-map
+  // reachability — the cached DataFrames strongly reference their session
+  // through QueryExecution, so a stopped session's entry would never fall
+  // out of the weak map on its own; checking the context's stopped flag
+  // reclaims it (and the session) the next time any session registers.
+  // Live sessions never evict each other — the original scheme evicted all
   // OTHER sids inside the cache thunk, so two interleaving sessions would
   // thrash each other's plans.
   private val sessionIds = new java.util.WeakHashMap[SparkSession, String]()
@@ -61,8 +62,8 @@ object Td {
     if (id == null) {
       id = java.util.UUID.randomUUID().toString
       sessionIds.put(s, id)
-      val live = new java.util.HashSet[String](sessionIds.values)
-      shingleCache.keySet.removeIf(sid => !live.contains(sid))
+      shingleCache.entrySet.removeIf(e => e.getValue.values.headOption
+        .exists(_.sparkSession.sparkContext.isStopped))
     }
     id
   }
@@ -98,17 +99,42 @@ object Td {
     * probed cell directories). Root versioned by format + corpus count so
     * changed data or parameters rebuild instead of probing stale cells.
     */
+  /** Index-root naming + install discipline shared by the stored indexes:
+    * the root embeds a format version, the source parquet's MODIFICATION
+    * TIME (regenerated data gets a fresh root even at an equal row count),
+    * and the row count; the build lands in a sibling temp dir and installs
+    * with one atomic directory rename, so a concurrent builder (parallel
+    * correctness + bench runs) either wins the rename or discards its copy
+    * and reads the winner's — never a half-written root.
+    */
+  private def indexRoot(s: SparkSession, kind: String, fmt: Int, d: String,
+                        table: String, n: Long): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
+    val mtime = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).getModificationTime
+    val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    System.getProperty("java.io.tmpdir") + s"/graft-$kind-f$fmt-$safe-m$mtime-n$n"
+  }
+
+  /** Build into `root + tmp-suffix`, then atomically rename into `root`.
+    * Returns true iff SOMEONE's build is installed at `root` afterwards.
+    */
+  private def installDir(s: SparkSession, root: String)(build: String => Unit): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(root))) return
+    val tmp = root + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
+    build(tmp)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(root)))
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // concurrent winner installed first
+  }
+
   private val IvfIndexFormat = 1
   def ivfIndexTable(s: SparkSession, d: String): graft.operators.Similarity.IvfIndex = {
     val emb = embeddings(s, d)
-    val n = emb.count()
-    val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
-    val root = System.getProperty("java.io.tmpdir") +
-      s"/graft-ivfindex-f$IvfIndexFormat-$safe-n$n"
-    val done = new org.apache.hadoop.fs.Path(s"$root/assigned/_SUCCESS")
-    val fs = done.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(done)) graft.operators.Similarity.ivfWrite(
-      graft.operators.Similarity.ivfBuild(emb, "vec_id", "embedding", nlist = 16), root)
+    val root = indexRoot(s, "ivfindex", IvfIndexFormat, d, "embeddings", emb.count())
+    installDir(s, root)(tmp => graft.operators.Similarity.ivfWrite(
+      graft.operators.Similarity.ivfBuild(emb, "vec_id", "embedding", nlist = 16), tmp))
     graft.operators.Similarity.ivfRead(s, root)
   }
 
@@ -116,17 +142,14 @@ object Td {
   def bandIndexTable(s: SparkSession, d: String): DataFrame = {
     val corpusDocs = documents(s, d)
       .filter(graft.operators.Sampling.hashBucket(col("doc_id")) < 80)
-    val nDocs = corpusDocs.count()
-    val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
-    val root = System.getProperty("java.io.tmpdir") +
-      s"/graft-bandindex-f$BandIndexFormat-$safe-n$nDocs"
-    val t = graft.engine.KeyedTable(s, root, Seq("id", "band_idx"))
-    if (!t.exists) {
+    val root = indexRoot(s, "bandindex", BandIndexFormat, d, "documents", corpusDocs.count())
+    installDir(s, root) { tmp =>
       val ex = docShingles(s, d, 3)
         .filter(graft.operators.Sampling.hashBucket(col("id")) < 80)
-      t.overwrite(graft.operators.Dedup.bandIndex(corpusDocs, "doc_id", "text",
-        shingles = Some(ex)))
+      graft.engine.KeyedTable(s, tmp, Seq("id", "band_idx"))
+        .overwrite(graft.operators.Dedup.bandIndex(corpusDocs, "doc_id", "text",
+          shingles = Some(ex)))
     }
-    t.current
+    graft.engine.KeyedTable(s, root, Seq("id", "band_idx")).current
   }
 }

@@ -36,8 +36,12 @@ object VectorQueries {
     * in k-means training can cause, while still catching real regressions
     * (a broken candidate path scores ~0).
     */
-  private def annGate(exact: DataFrame, ann: DataFrame, k: Int,
+  private def annGate(exact0: DataFrame, ann: DataFrame, k: Int,
                       minHits: Int, minMean: Double): DataFrame = {
+    // The exact top-k is tiny (|queries| × k rows) but its plan is the full
+    // brute-force corpus scan, and it feeds FOUR consumers below (exact agg,
+    // hits semi-join, mean aggregate, final projection) — materialize once.
+    val exact = exact0.localCheckpoint()
     val exactAgg = exact.groupBy("query_id").agg(
       array_join(transform(array_sort(collect_list(struct(col("rank"), col("neighbor_id")))),
         s => s.getField("neighbor_id").cast("string")), ",").as("exact_topk"),
@@ -47,6 +51,7 @@ object VectorQueries {
       .groupBy("query_id").agg(count(lit(1)).as("__hits"))
     val perQ = exactAgg.join(hits, Seq("query_id"), "left_outer")
       .withColumn("__hits", coalesce(col("__hits"), lit(0L)))
+      .localCheckpoint() // 10 rows; feeds both the mean aggregate and the output
     // one tiny (1-row) aggregate broadcast back: mean recall over the batch
     val meanOk = perQ.agg(
       (sum(col("__hits")) >= lit(minMean * k) * count(lit(1))).cast("int").as("mean_ok"))
@@ -59,10 +64,12 @@ object VectorQueries {
     * three ANN gates; identical ranking/tie-break to q_cosine_topk.
     */
   private val annGateSql: String =
-    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       |          WHERE vec_id < 10 AND ${normSql("embedding")} > 0),
        |scored AS (
        |  SELECT query_id, vec_id AS neighbor_id, $cosineSql AS sim
-       |  FROM q, (SELECT vec_id, embedding AS e FROM embeddings) c
+       |  FROM q, (SELECT vec_id, embedding AS e FROM embeddings
+       |           WHERE ${normSql("embedding")} > 0) c
        |  WHERE vec_id <> query_id),
        |topk AS (
        |  SELECT query_id, neighbor_id, sim, row_number() OVER (
@@ -82,10 +89,12 @@ object VectorQueries {
         val emb = Td.embeddings(s, d)
         Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
       },
-      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+              |          WHERE vec_id < 10 AND ${normSql("embedding")} > 0),
               |scored AS (
               |  SELECT query_id, vec_id AS neighbor_id, $cosineSql AS sim
-              |  FROM q, (SELECT vec_id, embedding AS e FROM embeddings) c
+              |  FROM q, (SELECT vec_id, embedding AS e FROM embeddings
+              |           WHERE ${normSql("embedding")} > 0) c
               |  WHERE vec_id <> query_id)
               |SELECT query_id, neighbor_id, rank, sim FROM (
               |  SELECT *, row_number() OVER (
@@ -99,8 +108,10 @@ object VectorQueries {
               |  list_sum([va[i]*vb[i] for i in range(1, len(vb)+1)]) /
               |    (sqrt(list_sum([va[i]*va[i] for i in range(1, len(va)+1)])) *
               |     sqrt(list_sum([vb[i]*vb[i] for i in range(1, len(vb)+1)]))) AS sim
-              |FROM (SELECT vec_id, embedding AS va FROM embeddings) a,
-              |     (SELECT vec_id, embedding AS vb FROM embeddings) b
+              |FROM (SELECT vec_id, embedding AS va FROM embeddings
+              |      WHERE ${normSql("embedding")} > 0) a,
+              |     (SELECT vec_id, embedding AS vb FROM embeddings
+              |      WHERE ${normSql("embedding")} > 0) b
               |WHERE a.vec_id < b.vec_id
               |  AND list_sum([va[i]*vb[i] for i in range(1, len(vb)+1)]) /
               |    (sqrt(list_sum([va[i]*va[i] for i in range(1, len(va)+1)])) *

@@ -140,6 +140,12 @@ class KeyedTableSpec extends SparkSpec {
     assert(d.isNullAt(d.fieldIndex("payload")) && d.getString(d.fieldIndex("region")) == "ap")
     assert(t.current.filter("id = 'a'").collect()(0).getString(2) == "A1")
 
+    // the batch may omit even the orderCol itself: null-filled before the
+    // per-key collapse, so the contract holds for every non-key column
+    t.mergeEvolving(Seq(("e", "E1", "sa")).toDF("id", "payload", "region"))
+    val e = t.current.filter("id = 'e'").collect()(0)
+    assert(e.isNullAt(e.fieldIndex("ver")) && e.getString(e.fieldIndex("payload")) == "E1")
+
     // same name, different type → loud rejection, nothing committed
     val before = t.currentVersion
     intercept[IllegalArgumentException] {
