@@ -75,7 +75,8 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     }
-    val out = { val l = line(2); if (l.length <= 1950) l else line(1) }
+    // tail budget is 2000 bytes including the trailing newline
+    val out = { val l = line(2); if (l.length <= 1995) l else line(1) }
     // This MUST stay the final stdout line (nothing may print after it), so
     // the whole battery survives the driver's tail window.
     println(out)
