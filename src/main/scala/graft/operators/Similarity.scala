@@ -409,9 +409,72 @@ object Similarity {
     * top k emitted. Codes are 8 bytes/vector at m=8: the corpus relation
     * the scan iterates is ~64× smaller than the raw float vectors.
     */
+  /** A built PQ index: per-subspace codebooks plus the encoded corpus
+    * (`neighbor_id`, `codes`). Training and encoding run over UNIT vectors
+    * (see [[pqTopK]]); build once, search many.
+    */
+  final case class PqIndex(books: Seq[Seq[Array[Float]]], codes: DataFrame, dim: Int)
+
+  /** Unit-normalize (id, vec) rows — L2 over unit vectors ranks like
+    * cosine, which is what makes the ADC shortlist recoverable by the
+    * exact cosine re-rank.
+    */
+  private def unitVecs(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, v) =>
+        val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
+        (id, if (n == 0.0) v else v.map(x => (x / n).toFloat))
+      }
+      .toDF(idCol, vecCol)
+  }
+
+  /** Train codebooks and encode the whole corpus. */
+  def pqBuild(corpus: DataFrame, idCol: String, vecCol: String,
+              dim: Int, m: Int = 8, k: Int = 16, iters: Int = 3): PqIndex = {
+    val corpusN = unitVecs(corpus, idCol, vecCol)
+    val books = pqTrain(corpusN, idCol, vecCol, dim, m, k, iters)
+    PqIndex(books, pqEncode(corpusN, idCol, vecCol, books, dim), dim)
+  }
+
+  /** Persist a built PQ index: codebooks as a (sub, cell, centroid)
+    * relation, codes as parquet. Codes are m bytes/vector — the stored
+    * index is ~dim·4/m times smaller than the raw vectors, so at 100 TB of
+    * embeddings the searchable artifact is a few hundred GB.
+    */
+  def pqWrite(index: PqIndex, root: String): Unit = {
+    val spark0 = index.codes.sparkSession
+    import spark0.implicits._
+    index.books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (c, cell) => (s, cell, c.toSeq) }
+    }.toDF("sub", "cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/books")
+    index.codes.write.mode("overwrite").parquet(s"$root/codes")
+  }
+
+  /** Reopen a persisted PQ index ([[pqWrite]]). */
+  def pqRead(spark: org.apache.spark.sql.SparkSession, root: String, dim: Int): PqIndex = {
+    val books = spark.read.parquet(s"$root/books").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toSeq }
+    PqIndex(books, spark.read.parquet(s"$root/codes"), dim)
+  }
+
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
              dim: Int, topK: Int, m: Int = 8, k: Int = 16, iters: Int = 3,
-             rerank: Int = 50): DataFrame = {
+             rerank: Int = 50): DataFrame =
+    pqSearch(pqBuild(corpus, idCol, vecCol, dim, m, k, iters),
+      corpus, queries, idCol, vecCol, topK, rerank)
+
+  /** Approximate top-k against a built/reopened index — the recurring
+    * search cost; see [[pqTopK]]'s scaladoc for the ADC + re-rank shape.
+    * The raw `corpus` is still needed for the exact re-rank vectors.
+    */
+  def pqSearch(index: PqIndex, corpus: DataFrame, queries: DataFrame,
+               idCol: String, vecCol: String, topK: Int, rerank: Int = 50): DataFrame = {
     // The final ranking is COSINE (like the other ANN ops), but ADC is an
     // L2 shortlist — so train/encode/table over UNIT vectors, where L2
     // argmin == cosine argmax. Without this, a large-norm high-cosine
@@ -419,19 +482,12 @@ object Similarity {
     // never recover it.
     val spark0 = corpus.sparkSession
     import spark0.implicits._
-    def unit(df: DataFrame): DataFrame = df
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .as[(Long, Seq[Float])]
-      .map { case (id, v) =>
-        val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
-        (id, if (n == 0.0) v else v.map(x => (x / n).toFloat))
-      }
-      .toDF(idCol, vecCol)
-    val corpusN = unit(corpus)
-    val books = pqTrain(corpusN, idCol, vecCol, dim, m, k, iters)
-    val codes = pqEncode(corpusN, idCol, vecCol, books, dim)
-    val sw = dim / m
-    val qRows = unit(queries).select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val books = index.books
+    val codes = index.codes
+    val m = books.size
+    val sw = index.dim / m
+    val qRows = unitVecs(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
     // per (query, sub): k-entry table of |c|² − 2·qs·c (the |qs|² constant
     // cancels in ranking)

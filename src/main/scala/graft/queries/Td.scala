@@ -138,6 +138,16 @@ object Td {
     graft.operators.Similarity.ivfRead(s, root)
   }
 
+  private val PqIndexFormat = 1
+  def pqIndexTable(s: SparkSession, d: String): graft.operators.Similarity.PqIndex = {
+    val emb = embeddings(s, d)
+    val root = indexRoot(s, "pqindex", PqIndexFormat, d, "embeddings", emb.count())
+    installDir(s, root)(tmp => graft.operators.Similarity.pqWrite(
+      graft.operators.Similarity.pqBuild(emb, "vec_id", "embedding",
+        dim = 64, m = 8, k = 16, iters = 2), tmp))
+    graft.operators.Similarity.pqRead(s, root, dim = 64)
+  }
+
   private val BandIndexFormat = 1
   def bandIndexTable(s: SparkSession, d: String): DataFrame = {
     val corpusDocs = documents(s, d)

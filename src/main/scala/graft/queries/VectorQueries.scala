@@ -161,13 +161,16 @@ object VectorQueries {
     // and re-ranks a shortlist exactly. Observed recall: min hits 3/5
     // (sf0.01) and 2/5 (sf0.1), mean 0.78 / 0.60 → gate at hits ≥ 1 per
     // query, mean ≥ 0.4.
+    // Codebooks + codes come from STORAGE (Td.pqIndexTable — trained and
+    // encoded once per corpus): the query measures the recurring ADC scan +
+    // exact re-rank, the part that repeats per query batch.
     "q_ann_pq_topk" -> Q(
       (s, d) => {
         val emb = Td.embeddings(s, d)
         val queries = emb.filter(col("vec_id") < 10)
         annGate(Similarity.cosineTopK(emb, queries, "vec_id", "embedding", k = 5),
-          Similarity.pqTopK(emb, queries, "vec_id", "embedding",
-            dim = 64, topK = 5, m = 8, k = 16, iters = 2, rerank = 50),
+          Similarity.pqSearch(Td.pqIndexTable(s, d), emb, queries, "vec_id", "embedding",
+            topK = 5, rerank = 50),
           k = 5, minHits = 1, minMean = 0.4)
       },
       Some(annGateSql)),

@@ -111,6 +111,28 @@ class ScaleOpsSpec extends SparkSpec {
     assert(res.count() == 3)
   }
 
+  test("PQ index round-trips through storage (books + codes)") {
+    val s = spark
+    import s.implicits._
+    def vec(cluster: Int, i: Int): Seq[Float] =
+      (0 until 16).map { d =>
+        math.sin(cluster * 17.0 + d).toFloat * 2f + (((i * 31 + d * 7) % 13) - 6) * 0.01f
+      }
+    val rows = for (c <- 0 until 4; i <- 0 until 12) yield (c * 12L + i, vec(c, i))
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 12 === 0)
+    val idx = Similarity.pqBuild(emb, "vec_id", "embedding", dim = 16, m = 4, k = 8, iters = 2)
+    val root = tmpDir("graft-pqrt")
+    Similarity.pqWrite(idx, root)
+    val live = Similarity.pqSearch(idx, emb, queries, "vec_id", "embedding",
+        topK = 3, rerank = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val stored = Similarity.pqSearch(Similarity.pqRead(spark, root, dim = 16),
+        emb, queries, "vec_id", "embedding", topK = 3, rerank = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(stored == live)
+  }
+
   test("pqTopK: recall with exact re-rank; codes bounded by m and k") {
     val s = spark
     import s.implicits._
