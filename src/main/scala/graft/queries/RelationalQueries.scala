@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Relational, Sampling, Sketches, TextOps}
+import graft.operators.{Relational, Sampling, Sketches, SkewOps, TextOps}
 import graft.queries.ParityQueries.Q
 import org.apache.spark.sql.functions._
 
@@ -246,5 +246,56 @@ object RelationalQueries {
              |  (lead(ts) OVER w IS NULL) AS is_current
              |FROM events
              |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)),
+
+    // ----- skew-mitigated aggregation (two-phase salted) --------------------
+    // Hot-key group-by spread over salt sub-keys, partials re-combined.
+    // The few-distinct-values l_returnflag domain is exactly the shape that
+    // funnels a whole table into 3 reducers; the salted plan equals the
+    // plain aggregate by construction (count/sum reassociate, money
+    // accumulates in DECIMAL so reassociation is exact) — so the plain
+    // GROUP BY is the oracle and skew mitigation sits in the hard gate.
+    "q_salted_agg" -> Q(
+      (s, d) => SkewOps.saltedAggregate(Td.lineitem(s, d), Seq("l_returnflag"),
+        saltBuckets = 16,
+        partial = Seq(count(lit(1)).as("__n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("__q"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("__p")),
+        fin = Seq(sum(col("__n")).as("n_items"),
+          sum(col("__q")).cast("double").as("sum_qty"),
+          sum(col("__p")).cast("double").as("sum_price"))),
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+             |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // ----- skew-safe salted join --------------------------------------------
+    // Replicate-right / salt-left equi-join for a hot-key fact⋈fact where
+    // the right side is too big to broadcast. Each left row carries ONE
+    // salt and the right side is replicated across ALL salts, so the output
+    // equals the plain inner join no matter how rows landed — the oracle.
+    "q_salted_join" -> Q(
+      (s, d) => SkewOps.saltedJoin(
+        Td.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
+          col("l_linenumber"), col("l_quantity")),
+        Td.orders(s, d).select("o_orderkey", "o_custkey", "o_orderstatus"),
+        "o_orderkey", saltBuckets = 16),
+      Some("""SELECT l.l_orderkey AS o_orderkey, l.l_linenumber, l.l_quantity,
+             |  o.o_custkey, o.o_orderstatus
+             |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin)),
+
+    // ----- unpivot / melt (wide → long reshape) -----------------------------
+    // The inverse of q_pivot_status: measure columns become (measure, value)
+    // rows — the reshape every metrics pipeline runs before a generic
+    // per-measure aggregation. Values pass through untouched (no float
+    // arithmetic), so the UNION ALL formulation is an exact oracle.
+    "q_unpivot" -> Q(
+      (s, d) => Td.lineitem(s, d).unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "value"),
+      Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+             |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+             |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+             |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""".stripMargin)),
   )
 }
