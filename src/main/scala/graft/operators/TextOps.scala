@@ -181,6 +181,98 @@ object TextOps {
       .select(col("id").as(idCol), col("term"), col("tf"), col("rank"), col("global_df"))
   }
 
+  /** Cross-document duplicate n-gram scrub — the exact-substring dedup pass
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL 2022), with the word n-gram as the match unit (their
+    * suffix-array spans need shared-memory suffix sort; fixed-width grams
+    * are the formulation a shuffle engine computes exactly). Every n-gram
+    * appearing in ≥ `minDocs` distinct documents is treated as duplicated
+    * boilerplate, and each document is rebuilt from the words NOT covered
+    * by any duplicated gram (word at position p is covered iff a duplicated
+    * gram starts in (p-n, p]). Output: (idCol, clean_text, n_kept) — docs
+    * scrubbed to nothing keep a row with empty text, so the corpus row set
+    * is preserved.
+    *
+    * Shape at scale: explode to (id, pos, word) → one id-partition window
+    * builds grams via lead (no array materialization per doc) → the
+    * duplicated-gram set is a groupBy(gram) with a countDistinct(id) ≥ k
+    * filter (shuffle on the gram — bounded key, map-side partial) → one
+    * more shuffle on the gram flags start positions → an id-partition RANGE
+    * window spreads starts over their n covered positions → groupBy(id)
+    * reassembles. Nothing ever holds a whole gram bucket in one row, so a
+    * mega-hot boilerplate gram spreads across reducers like any other key.
+    */
+  def scrubDuplicateNgrams(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 4, minDocs: Int = 2): DataFrame = {
+    require(n >= 2, s"gram width must be >= 2, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val words = df.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+    val wDoc = Window.partitionBy("id").orderBy("pos")
+    // full n-grams only: gate on the last member existing (lead(k) for
+    // 0 < k < n-1 is then non-null too, so concat_ws never silently
+    // shortens a gram)
+    val gram = when(lead(col("w"), n - 1).over(wDoc).isNotNull,
+      concat_ws(" ", (col("w") +: (1 until n).map(k => lead(col("w"), k).over(wDoc))): _*))
+    val grams = words.withColumn("gram", gram)
+    val dup = grams.filter(col("gram").isNotNull)
+      .groupBy("gram").agg(countDistinct(col("id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("gram"), lit(1).as("__dup"))
+    val wCov = Window.partitionBy("id").orderBy("pos")
+      .rangeBetween(-(n - 1), Window.currentRow)
+    val kept = grams.join(dup, Seq("gram"), "left_outer")
+      .withColumn("__cov", max(col("__dup")).over(wCov))
+      .filter(col("__cov").isNull)
+    val rebuilt = kept.groupBy("id").agg(
+      concat_ws(" ", transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+        x => x.getField("w"))).as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("id")).join(rebuilt, Seq("id"), "left_outer")
+      .select(col("id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** Concat-and-chunk sequence packing: lay every document's tokens end to
+    * end in id order and cut fixed `ctxLen` training sequences — GPT-style
+    * pretraining packing. Each document reports its global token offset and
+    * the first/last sequence it lands in (a document crossing a boundary
+    * spans several sequences; a writer shards work by sequence id).
+    *
+    * The global token prefix-sum is the classic two-level distributed scan,
+    * NOT a single unpartitioned window over the corpus: documents bucket by
+    * id range (`bucketSpan` ids per bucket), per-bucket token totals cumsum
+    * in one window over the small bucket relation (corpus/bucketSpan rows —
+    * size bucketSpan so that fits one reducer comfortably; 10^11 docs at
+    * the default span is a 10^5-row window), and the broadcast bucket
+    * offsets add to a per-bucket windowed cumsum that runs fully parallel.
+    * Requires non-negative ids (`div` truncation == floor only then).
+    */
+  def packChunks(df: DataFrame, idCol: String, textCol: String,
+                 ctxLen: Int, bucketSpan: Long = 1000000L): DataFrame = {
+    require(ctxLen >= 1, s"ctxLen must be >= 1, got $ctxLen")
+    require(bucketSpan >= 1, s"bucketSpan must be >= 1, got $bucketSpan")
+    val toks = df.select(col(idCol).cast("long").as("id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("bkt", expr(s"id div $bucketSpan"))
+    val wBkt = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy("bkt").agg(sum("n_tokens").as("__bt"))
+      .withColumn("bkt_offset", coalesce(sum("__bt").over(wBkt), lit(0L)))
+      .drop("__bt")
+    val wIn = Window.partitionBy("bkt").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("tok_start",
+        col("bkt_offset") + sum("n_tokens").over(wIn) - col("n_tokens"))
+      .withColumn("seq_first", expr(s"tok_start div $ctxLen"))
+      .withColumn("seq_last", expr(s"(tok_start + n_tokens - 1) div $ctxLen"))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+      .select(col("id").as(idCol), col("n_tokens"), col("tok_start"),
+        col("seq_first"), col("seq_last"), col("n_seqs"))
+  }
+
   /** TF-IDF scored top-k terms per document. The IDF factor is the rational
     * `n_docs / df` rather than the textbook `log(n_docs/df)` — log is
     * libm-dependent (not engine-portable bit-for-bit) and, being monotone,

@@ -278,7 +278,7 @@ object RelationalQueries {
         Td.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
           col("l_linenumber"), col("l_quantity")),
         Td.orders(s, d).select("o_orderkey", "o_custkey", "o_orderstatus"),
-        "o_orderkey", saltBuckets = 16),
+        "o_orderkey", saltBuckets = 8),
       Some("""SELECT l.l_orderkey AS o_orderkey, l.l_linenumber, l.l_quantity,
              |  o.o_custkey, o.o_orderstatus
              |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin)),

@@ -334,7 +334,68 @@ object TextQueries {
               |  COALESCE(n_hit, CAST(0 AS BIGINT)) AS n_hit,
               |  CAST(COALESCE(n_hit, 0) AS DOUBLE)/n_sh AS contamination
               |FROM tot t LEFT JOIN hit USING (doc_id)""".stripMargin)),
+
+    // ----- cross-corpus duplicate n-gram scrub ------------------------------
+    // Exact-substring dedup (Lee et al., ACL 2022): every 4-gram shared by
+    // ≥2 documents is boilerplate; rebuild each doc from uncovered words.
+    "q_ngram_scrub" -> Q(
+      (s, d) => TextOps.scrubDuplicateNgrams(Td.documents(s, d), "doc_id", "text",
+        n = 4, minDocs = 2),
+      Some(ngramScrubSql(4, 2))),
+
+    // ----- concat-and-chunk sequence packing --------------------------------
+    // GPT-style pretraining packing: global token offsets via the two-level
+    // distributed prefix sum (64-id buckets at this scale so the bucket
+    // path actually exercises); the oracle is the plain one-window cumsum.
+    "q_pack_chunks" -> Q(
+      (s, d) => TextOps.packChunks(Td.documents(s, d), "doc_id", "text",
+        ctxLen = 512, bucketSpan = 64),
+      Some(s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+              |  FROM documents),
+              |c AS (SELECT doc_id, n_tokens,
+              |  CAST(sum(n_tokens) OVER (ORDER BY doc_id
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+              |  FROM t)
+              |SELECT doc_id, n_tokens, cum - n_tokens AS tok_start,
+              |  (cum - n_tokens) // 512 AS seq_first,
+              |  (cum - 1) // 512 AS seq_last,
+              |  (cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS n_seqs
+              |FROM c""".stripMargin)),
   )
+
+  /** DuckDB twin of [[TextOps.scrubDuplicateNgrams]]: list-comprehension
+    * positions (this DuckDB lacks WITH ORDINALITY), the same full-gram
+    * gate (starts range only to len-n+1), the same (p-n, p] coverage
+    * window, the same empty-string row for fully-scrubbed docs.
+    */
+  private def ngramScrubSql(n: Int, minDocs: Int): String = {
+    val gramExpr = (0 until n).map(k => s"w[i+$k]").mkString(" || ' ' || ")
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+       |gx AS (SELECT doc_id, unnest([{'pos': i, 'gram': $gramExpr}
+       |         for i in range(1, len(w) - ${n - 2})]) AS g FROM toks),
+       |ex AS (SELECT doc_id, g['pos'] AS pos, g['gram'] AS gram FROM gx),
+       |dup AS (SELECT gram FROM ex GROUP BY gram
+       |        HAVING count(DISTINCT doc_id) >= $minDocs),
+       |wx0 AS (SELECT doc_id, unnest([{'pos': i, 'w': w[i]}
+       |         for i in range(1, len(w) + 1)]) AS u FROM toks),
+       |wx AS (SELECT doc_id, u['pos'] AS pos, u['w'] AS word FROM wx0),
+       |flagged AS (
+       |  SELECT wx.doc_id, wx.pos, wx.word, s.hit
+       |  FROM wx LEFT JOIN (SELECT doc_id, pos, 1 AS hit
+       |                     FROM ex JOIN dup USING (gram)) s
+       |    ON wx.doc_id = s.doc_id AND wx.pos = s.pos),
+       |covered AS (
+       |  SELECT doc_id, pos, word,
+       |    max(hit) OVER (PARTITION BY doc_id ORDER BY pos
+       |      RANGE BETWEEN ${n - 1} PRECEDING AND CURRENT ROW) AS cov
+       |  FROM flagged)
+       |SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text,
+       |  coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept
+       |FROM documents d LEFT JOIN (
+       |  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+       |    CAST(count(*) AS BIGINT) AS n_kept
+       |  FROM covered WHERE cov IS NULL GROUP BY doc_id) k USING (doc_id)""".stripMargin
+  }
 
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -246,4 +246,52 @@ class CorpusOpsSpec extends SparkSpec {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again == snm)
   }
+
+  test("scrubDuplicateNgrams removes shared grams, keeps unique text") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over lazy dogs"),
+      (2L, "intro words the quick brown fox tail end"),
+      (3L, "completely different and unrelated token text"),
+      (4L, "the quick brown fox"), // nothing but the shared gram
+    ).toDF("doc_id", "text")
+    val out = TextOps.scrubDuplicateNgrams(docs, "doc_id", "text", n = 4, minDocs = 2)
+      .orderBy("doc_id").collect()
+    // "the quick brown fox" starts at pos 0 (doc 1) / pos 2 (doc 2): the
+    // 4 covered words vanish, everything outside the span survives.
+    assert(out(0) == Row(1L, "jumps over lazy dogs", 4L))
+    assert(out(1) == Row(2L, "intro words tail end", 4L))
+    assert(out(2) == Row(3L, "completely different and unrelated token text", 6L))
+    // fully-covered doc keeps its row with empty text, preserving the corpus
+    assert(out(3) == Row(4L, "", 0L))
+  }
+
+  test("scrubDuplicateNgrams ignores within-doc repeats below minDocs") {
+    val docs = Seq(
+      (1L, "a b c d a b c d"), // repeated INSIDE one doc only
+      (2L, "e f g h i j k l"),
+    ).toDF("doc_id", "text")
+    val out = TextOps.scrubDuplicateNgrams(docs, "doc_id", "text", n = 4, minDocs = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0) == Row(1L, "a b c d a b c d", 8L)) // countDistinct(doc)=1 < 2
+    assert(out(1) == Row(2L, "e f g h i j k l", 8L))
+  }
+
+  test("packChunks: offsets, boundary-crossing docs, bucket invariance") {
+    val docs = Seq(
+      (0L, ("w " * 6).trim),  // 6 tokens  → start 0,  seqs 0..0
+      (1L, ("w " * 3).trim),  // 3 tokens  → start 6,  crosses the 8-boundary
+      (2L, ("w " * 10).trim), // 10 tokens → start 9,  seqs 1..2
+      (3L, "w"),            // 1 token   → start 19, seq 2
+    ).toDF("doc_id", "text")
+    val out = TextOps.packChunks(docs, "doc_id", "text", ctxLen = 8, bucketSpan = 2)
+      .orderBy("doc_id").collect()
+    assert(out(0) == Row(0L, 6L, 0L, 0L, 0L, 1L))
+    assert(out(1) == Row(1L, 3L, 6L, 0L, 1L, 2L)) // tokens 6..8 span seqs 0,1
+    assert(out(2) == Row(2L, 10L, 9L, 1L, 2L, 2L))
+    assert(out(3) == Row(3L, 1L, 19L, 2L, 2L, 1L))
+    // bucketing is an implementation detail: any span gives the same layout
+    val wide = TextOps.packChunks(docs, "doc_id", "text", ctxLen = 8, bucketSpan = 1000)
+      .orderBy("doc_id").collect()
+    assert(wide.toSeq == out.toSeq)
+  }
 }
