@@ -603,6 +603,31 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /** Per-cluster representative selection — the survivor policy corpus
+    * pipelines actually run after connected components: keep each near-dup
+    * cluster's highest-QUALITY member (score desc, id asc tie-break), not
+    * its smallest id ([[minhashDedup]]'s smallest-id rule is a candidate
+    * policy, not a curation policy). Returns (id, cluster_id, rep_id) for
+    * every document; callers keep `id === rep_id` rows.
+    *
+    * Cost on top of [[dupClusters]]: one join to fetch scores (skipped
+    * shuffle if scores ride in `docs`) and one cluster-partition window —
+    * both shuffle on cluster_id, a bounded key (clusters are LSH-verified
+    * near-dup groups; a pathological mega-cluster would already have
+    * surfaced in the pair mining's bucket caps).
+    */
+  def clusterRepresentatives(docs: DataFrame, idCol: String, pairs: DataFrame,
+                             scoreCol: String): DataFrame = {
+    val clusters = dupClusters(docs, idCol, pairs)
+    val scored = clusters.join(
+      docs.select(col(idCol).cast("long").as("id"), col(scoreCol).as("__score")),
+      Seq("id"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("__score").desc, col("id").asc)
+    scored.withColumn("rep_id", first(col("id")).over(w))
+      .select(col("id"), col("cluster_id"), col("rep_id"))
+  }
+
   /** Connected components via alternating large-star / small-star rounds
     * (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii: "Connected
     * Components in MapReduce and Beyond", SoCC 2014) — the high-diameter

@@ -274,6 +274,33 @@ object TextQueries {
               |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
               |FROM reach GROUP BY a""".stripMargin)),
 
+    // ----- per-cluster representative selection ----------------------------
+    // The survivor policy after CC: keep each near-dup cluster's LONGEST
+    // member (n_chars desc, id asc) instead of the smallest id. Oracle =
+    // the recursive-CTE clusters + the same first_value window.
+    "q_cluster_reps" -> Q(
+      (s, d) => {
+        val docs = Td.documents(s, d)
+        val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5,
+          shingles = Some(Td.docShingles(s, d, 3)))
+        Dedup.clusterRepresentatives(docs, "doc_id", pairs, "n_chars")
+          .select(col("id").as("doc_id"), col("cluster_id"), col("rep_id"))
+      },
+      Some(s"""WITH RECURSIVE
+              |p AS ($jaccardPairsSql),
+              |edges AS (SELECT id_a AS a, id_b AS b FROM p
+              |          UNION SELECT id_b, id_a FROM p),
+              |reach(a, b) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+              |SELECT cl.id AS doc_id, cl.cluster_id,
+              |  first_value(cl.id) OVER (PARTITION BY cl.cluster_id
+              |    ORDER BY d.n_chars DESC, cl.id ASC) AS rep_id
+              |FROM (SELECT a AS id, CAST(min(b) AS BIGINT) AS cluster_id
+              |      FROM reach GROUP BY a) cl
+              |JOIN documents d ON cl.id = d.doc_id""".stripMargin)),
+
     // ----- incremental dedup: batch probed against the STORED band index --
     // Corpus = hash-bucket < 80, batch = rest. A batch doc is dropped iff it
     // near-dups the corpus (corpus wins regardless of id) or an earlier

@@ -247,6 +247,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(again == snm)
   }
 
+  test("clusterRepresentatives keeps the best-scored member per cluster") {
+    val docs = Seq(
+      (1L, 10L), (2L, 40L), (3L, 40L), // cluster {1,2,3}: 2 and 3 tie → 2 wins
+      (4L, 99L),                       // singleton: its own rep
+    ).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.clusterRepresentatives(docs, "doc_id", pairs, "score")
+      .orderBy("id").collect()
+    assert(out(0) == Row(1L, 1L, 2L))
+    assert(out(1) == Row(2L, 1L, 2L))
+    assert(out(2) == Row(3L, 1L, 2L))
+    assert(out(3) == Row(4L, 4L, 4L))
+  }
+
   test("scrubDuplicateNgrams removes shared grams, keeps unique text") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over lazy dogs"),
