@@ -273,6 +273,42 @@ object TextOps {
         col("seq_first"), col("seq_last"), col("n_seqs"))
   }
 
+  /** Token-budget corpus selection: walk documents in quality order (score
+    * desc, id asc) and keep whole documents while the running token total
+    * stays within `budget` — the selection step of a data-mixing recipe
+    * ("take the best N-token slice of this source"). No partial documents:
+    * a doc is kept iff its LAST token still fits.
+    *
+    * Same two-level distributed prefix sum as [[packChunks]], keyed by the
+    * score instead of the id: docs bucket by score range (`bucketWidth`
+    * score units per bucket, walked descending), per-bucket totals cumsum
+    * in one small window, within-bucket cumsum runs parallel per bucket.
+    * Scores must be non-negative integers (div truncation == floor).
+    */
+  def selectByBudget(df: DataFrame, idCol: String, textCol: String,
+                     scoreCol: String, budget: Long,
+                     bucketWidth: Long = 64L): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val toks = df.select(col(idCol).cast("long").as("id"),
+        col(scoreCol).cast("long").as("score"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("bkt", expr(s"score div $bucketWidth"))
+    val wBkt = Window.orderBy(col("bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy("bkt").agg(sum("n_tokens").as("__bt"))
+      .withColumn("bkt_offset", coalesce(sum("__bt").over(wBkt), lit(0L)))
+      .drop("__bt")
+    val wIn = Window.partitionBy("bkt")
+      .orderBy(col("score").desc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("tok_end", col("bkt_offset") + sum("n_tokens").over(wIn))
+      .filter(col("tok_end") <= budget)
+      .select(col("id").as(idCol), col("score"), col("n_tokens"),
+        (col("tok_end") - col("n_tokens")).as("tok_start"))
+  }
+
   /** TF-IDF scored top-k terms per document. The IDF factor is the rational
     * `n_docs / df` rather than the textbook `log(n_docs/df)` — log is
     * libm-dependent (not engine-portable bit-for-bit) and, being monotone,

@@ -370,6 +370,22 @@ object TextQueries {
         n = 4, minDocs = 2),
       Some(ngramScrubSql(4, 2))),
 
+    // ----- token-budget corpus selection ------------------------------------
+    // Keep whole docs in (n_chars desc, id) quality order while the running
+    // token total fits the budget — the per-source selection step of a data
+    // mixing recipe. Oracle is the plain one-window cumsum + filter.
+    "q_budget_select" -> Q(
+      (s, d) => TextOps.selectByBudget(Td.documents(s, d), "doc_id", "text",
+        scoreCol = "n_chars", budget = 15000L, bucketWidth = 64L),
+      Some(s"""SELECT doc_id, score, n_tokens, cum - n_tokens AS tok_start
+              |FROM (SELECT doc_id, n_chars AS score,
+              |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+              |    CAST(sum(CAST(len($toksSql) AS BIGINT)) OVER (
+              |      ORDER BY n_chars DESC, doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+              |  FROM documents) t
+              |WHERE cum <= 15000""".stripMargin)),
+
     // ----- concat-and-chunk sequence packing --------------------------------
     // GPT-style pretraining packing: global token offsets via the two-level
     // distributed prefix sum (64-id buckets at this scale so the bucket

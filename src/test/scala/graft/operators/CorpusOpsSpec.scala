@@ -261,6 +261,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(3) == Row(4L, 4L, 4L))
   }
 
+  test("selectByBudget keeps whole docs in score order up to the budget") {
+    val docs = Seq(
+      (1L, ("w " * 5).trim, 90L),  // rank 1: tokens 0..4
+      (2L, ("w " * 4).trim, 80L),  // rank 2: tokens 5..8
+      (3L, ("w " * 3).trim, 80L),  // rank 3 (score tie → larger id later): 9..11
+      (4L, ("w " * 9).trim, 10L),  // rank 4: would end at 21 > 12 → dropped
+      (5L, "w", 5L),               // rank 5: also out (selection is prefix only
+                                   //   in cum order, not first-fit)
+    ).toDF("doc_id", "text", "score")
+    val out = TextOps.selectByBudget(docs, "doc_id", "text", "score",
+      budget = 12L, bucketWidth = 32L).orderBy("doc_id").collect()
+    assert(out.toSeq == Seq(
+      Row(1L, 90L, 5L, 0L), Row(2L, 80L, 4L, 5L), Row(3L, 80L, 3L, 9L)))
+    // bucketing is an implementation detail
+    val wide = TextOps.selectByBudget(docs, "doc_id", "text", "score",
+      budget = 12L, bucketWidth = 1000L).orderBy("doc_id").collect()
+    assert(wide.toSeq == out.toSeq)
+  }
+
   test("scrubDuplicateNgrams removes shared grams, keeps unique text") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over lazy dogs"),
