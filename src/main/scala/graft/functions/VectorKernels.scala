@@ -63,12 +63,58 @@ object Kernels {
     hits
   }
 
+  /** One-pass simhash fold over a token-hash array: per hash, bit b of the
+    * signature gains +1 if the hash's bit b is set else -1; signature bit b
+    * is set iff its counter ends positive. Matches the 30-fold interpreted
+    * HOF formulation bit-for-bit (a null element contributes -1 to every
+    * counter — `CASE WHEN (null & 1) = 1` takes the ELSE branch) while
+    * touching each hash once instead of once per bit.
+    */
+  def simhashFold(arr: ArrayData, bits: Int): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) {
+        var b = 0
+        while (b < bits) { counts(b) -= 1; b += 1 }
+      } else {
+        val h = arr.getLong(i)
+        var b = 0
+        while (b < bits) {
+          if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) { if (counts(b) > 0) sig |= 1L << b; b += 1 }
+    sig
+  }
+
   /** Column wrappers. */
   def poly_hash(c: Column): Column = GraftColumnBridge.column(PolyHash(GraftColumnBridge.expression(c)))
   def float_dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(FloatDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   def vocab_count(c: Column, vocab: Seq[String]): Column =
     GraftColumnBridge.column(VocabCount(GraftColumnBridge.expression(c), vocab))
+  def simhash_fold(c: Column, bits: Int): Column =
+    GraftColumnBridge.column(SimHashFold(GraftColumnBridge.expression(c), bits))
+}
+
+/** See [[Kernels.simhashFold]]; `child` is an array<long> of token hashes. */
+case class SimHashFold(child: Expression, bits: Int)
+  extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    Kernels.simhashFold(input.asInstanceOf[ArrayData], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.simhashFold($c, $bits)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashFold =
+    copy(child = newChild)
 }
 
 /** Polynomial rolling string hash: fold(code units, h = (h*31 + c) mod 1e9+7).

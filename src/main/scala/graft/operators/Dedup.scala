@@ -762,4 +762,111 @@ object Dedup {
     */
   def simhashGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), TextOps.simHash(TextOps.tokens(col(textCol))).as("simhash"))
+
+  /** SimHash near-dup PAIRS within Hamming distance `maxHamming` — the
+    * banded variant [[simhashGroups]] points at, i.e. Manku/Jain/Sarma,
+    * "Detecting Near-Duplicates for Web Crawling" (WWW 2007): two
+    * signatures within Hamming k must agree exactly on at least one of
+    * k+1 disjoint bit chunks (pigeonhole), so candidates come from a
+    * (chunk_idx, chunk_val) equi-self-join and each candidate is verified
+    * by the exact popcount of the XOR. EXACT output — the pigeonhole bound
+    * guarantees no pair within k is missed.
+    *
+    * Shape at scale: one per-row signature pass, a (k+1)-way chunk explode
+    * (k+1 slim rows/doc), shuffle on the chunk key, per-pair verify.
+    * Selectivity comes from chunk width = bits/(k+1): with the 30-bit
+    * portable signature and k=3 that is ~2^7 buckets, enough for ~10^5
+    * docs per shuffle partition group; a 100 TB corpus wants a 64-bit
+    * signature (wider chunks) or a pre-group on the full signature first
+    * (exact-dup collapse) — both leave this operator's plan unchanged.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val bounds = simhashChunkBounds(maxHamming)
+    // materialize the slim (id, sh) relation: the self-join would otherwise
+    // recompute every signature once per side
+    val sig = df.select(col(idCol).cast("long").as("id"),
+      TextOps.simHash(TextOps.tokens(col(textCol))).as("sh"))
+      .localCheckpoint()
+    val exploded = explodeChunks(sig, bounds)
+    // Each qualifying pair is emitted ONCE, from its first agreeing chunk —
+    // a pure codegen predicate over the two signatures, replacing a
+    // distinct() that would re-shuffle the (quadratic) candidate stream.
+    exploded.as("a").join(exploded.as("b"),
+        col("a.cidx") === col("b.cidx") && col("a.cval") === col("b.cval") &&
+          col("a.id") < col("b.id"))
+      .filter(col("a.cidx") === firstAgreeingChunk(col("a.sh"), col("b.sh"), bounds))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash greedy dedup: keep each document iff NO smaller-id document
+    * sits within `maxHamming` of its signature — [[minhashDedup]]'s
+    * batch-internal survivor rule, applied to the simhash metric. Returns
+    * the kept (id, simhash) rows.
+    *
+    * Where [[simhashPairs]] is inherently quadratic in a signature-
+    * concentrated corpus (near-identical docs ⇒ near-identical signatures
+    * ⇒ mega-buckets AND a quadratic pair OUTPUT), the dedup contract
+    * collapses to DISTINCT signatures first: every doc with signature s has
+    * the same neighbors, so the banded join runs over unique signatures
+    * carrying their min doc id (measured sf0.1: 1 496 unique sigs for
+    * 5 000 docs and a 4 936-doc widest chunk bucket — collapse cuts that
+    * candidate join ~11× and the survivor rule never materializes pairs).
+    * A doc survives iff its id equals the min id over its signature's
+    * whole Hamming-k neighborhood (own group included).
+    */
+  def simhashDedup(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val bounds = simhashChunkBounds(maxHamming)
+    // materialize once: sig feeds the group collapse, the banded self-join
+    // (twice), and the final survivor join — 4 signature passes otherwise
+    val sig = df.select(col(idCol).cast("long").as("id"),
+      TextOps.simHash(TextOps.tokens(col(textCol))).as("sh"))
+      .localCheckpoint()
+    val groups = sig.groupBy("sh").agg(min("id").as("min_id"))
+    val ex = explodeChunks(groups.select(col("min_id").as("id"), col("sh")), bounds)
+    // BOTH directions of each distinct-signature pair: sig a needs b's min
+    // and b needs a's — so join on sh_a != sh_b (not <) and keep the
+    // first-agree dedup per direction.
+    val nbrMin = ex.as("a").join(ex.as("b"),
+        col("a.cidx") === col("b.cidx") && col("a.cval") === col("b.cval") &&
+          col("a.sh") =!= col("b.sh"))
+      .filter(col("a.cidx") === firstAgreeingChunk(col("a.sh"), col("b.sh"), bounds) &&
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= maxHamming)
+      .groupBy(col("a.sh").as("sh")).agg(min(col("b.id")).as("nbr_min"))
+    sig.join(groups, "sh").join(nbrMin, Seq("sh"), "left_outer")
+      .filter(col("id") === col("min_id") &&
+        (col("nbr_min").isNull || col("nbr_min") > col("id")))
+      .select(col("id").as(idCol), col("sh").as("simhash"))
+  }
+
+  /** [lo, hi) bit ranges of the maxHamming+1 pigeonhole chunks. */
+  private def simhashChunkBounds(maxHamming: Int): Seq[Int] = {
+    val bits = TextOps.SimHashBits
+    require(maxHamming >= 0 && maxHamming < bits,
+      s"maxHamming must be in [0, $bits), got $maxHamming")
+    (0 to maxHamming + 1).map(c => c * bits / (maxHamming + 1))
+  }
+
+  private def chunkOf(sh: Column, lo: Int, width: Int): Column =
+    shiftright(sh, lo).bitwiseAND(lit((1L << width) - 1))
+
+  /** One (id, sh, cidx, cval) row per chunk of each signature. */
+  private def explodeChunks(sig: DataFrame, bounds: Seq[Int]): DataFrame = {
+    val chunkCols = (0 until bounds.length - 1).map { c =>
+      struct(lit(c).as("cidx"),
+        chunkOf(col("sh"), bounds(c), bounds(c + 1) - bounds(c)).as("cval"))
+    }
+    sig.select(col("id"), col("sh"), explode(array(chunkCols: _*)).as("ch"))
+      .select(col("id"), col("sh"), col("ch.cidx").as("cidx"), col("ch.cval").as("cval"))
+  }
+
+  /** Index of the first chunk where the two signatures agree (-1 if none). */
+  private def firstAgreeingChunk(a: Column, b: Column, bounds: Seq[Int]): Column =
+    (0 until bounds.length - 1).foldRight(lit(-1): Column) { (c, els) =>
+      val lo = bounds(c); val w = bounds(c + 1) - lo
+      when(chunkOf(a, lo, w) === chunkOf(b, lo, w), lit(c)).otherwise(els)
+    }
 }

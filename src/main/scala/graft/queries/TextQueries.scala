@@ -152,14 +152,40 @@ object TextQueries {
     // ----- simhash ----------------------------------------------------------
     "q_simhash" -> Q(
       (s, d) => Dedup.simhashGroups(Td.documents(s, d), "doc_id", "text"),
-      Some {
-        val bits = (0 until TextOps.SimHashBits).map { i =>
-          s"CAST(CASE WHEN list_sum([CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END for h in hs]) > 0 THEN ${1L << i} ELSE 0 END AS BIGINT)"
-        }.mkString(" + ")
-        s"""SELECT doc_id, $bits AS simhash
-           |FROM (SELECT doc_id, [${polyHashSql("t")} for t in list_distinct(w)] AS hs
-           |      FROM (SELECT doc_id, $toksSql AS w FROM documents) t0) t""".stripMargin
-      }),
+      Some(simhashSelectSql)),
+
+    // ----- simhash near-dup pairs (pigeonhole-banded, exact) ---------------
+    // Manku et al. WWW'07: k+1 disjoint bit chunks guarantee every pair
+    // within Hamming k collides on some chunk, so the all-pairs popcount
+    // join below is a valid oracle for the banded plan's output. Scoped to
+    // a 10% doc bucket: this synthetic corpus concentrates signatures
+    // (42% of ALL pairs sit within Hamming 3), so full-corpus pair output
+    // is quadratic by construction — q_simhash_dedup is the full-corpus,
+    // scale-shaped contract.
+    "q_simhash_pairs" -> Q(
+      (s, d) => Dedup.simhashPairs(
+        Td.documents(s, d).filter(graft.operators.Sampling.hashBucket(col("doc_id")) < 10),
+        "doc_id", "text", maxHamming = 3),
+      Some(s"""WITH s0 AS ($simhashSelectSql),
+              |s AS (SELECT * FROM s0
+              |      WHERE (((doc_id % 1000003) * 2654435761) // 8192) % 100 < 10)
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+              |FROM s a JOIN s b ON a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin)),
+
+    // ----- simhash greedy dedup (distinct-signature collapse) --------------
+    // Full-corpus survivor set under the smallest-id-within-Hamming-k rule;
+    // the banded join runs over DISTINCT signatures only, so the pair
+    // explosion above never materializes.
+    "q_simhash_dedup" -> Q(
+      (s, d) => Dedup.simhashDedup(Td.documents(s, d), "doc_id", "text",
+        maxHamming = 3),
+      Some(s"""WITH s AS ($simhashSelectSql)
+              |SELECT a.doc_id, a.simhash FROM s a
+              |WHERE NOT EXISTS (SELECT 1 FROM s b
+              |  WHERE b.doc_id < a.doc_id
+              |    AND bit_count(xor(a.simhash, b.simhash)) <= 3)""".stripMargin)),
 
     // ----- multimodal: binary payload + stub decode ------------------------
     // Deterministic stub features over the payload bytes; documents are pure
@@ -442,4 +468,14 @@ object TextQueries {
 
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** DuckDB twin of [[TextOps.simHash]] over `documents` (doc_id, simhash). */
+  private def simhashSelectSql: String = {
+    val bits = (0 until TextOps.SimHashBits).map { i =>
+      s"CAST(CASE WHEN list_sum([CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END for h in hs]) > 0 THEN ${1L << i} ELSE 0 END AS BIGINT)"
+    }.mkString(" + ")
+    s"""SELECT doc_id, $bits AS simhash
+       |FROM (SELECT doc_id, [${polyHashSql("t")} for t in list_distinct(w)] AS hs
+       |      FROM (SELECT doc_id, $toksSql AS w FROM documents) t0) t""".stripMargin
+  }
 }

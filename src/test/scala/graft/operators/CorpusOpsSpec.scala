@@ -247,6 +247,56 @@ class CorpusOpsSpec extends SparkSpec {
     assert(again == snm)
   }
 
+  test("simhashPairs equals brute-force popcount all-pairs (pigeonhole exact)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),   // near-dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),  // exact dup of 1
+      (4L, "one two three four five six seven eight"),
+      (5L, "completely disjoint vocabulary set here now then"),
+    ).toDF("doc_id", "text")
+    for (k <- Seq(0, 3, 7)) {
+      val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val sig = Dedup.simhashGroups(docs, "doc_id", "text")
+      val brute = sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .filter(_._3 <= k).toSet
+      assert(banded == brute, s"k=$k")
+    }
+    // the exact dup is always found at k=0
+    val k0 = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(k0.contains((1L, 3L)))
+  }
+
+  test("simhashDedup keeps exactly the docs with no smaller id within k") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"), // sig == doc 1's
+      (4L, "one two three four five six seven eight"),
+      (5L, "completely disjoint vocabulary set here now then"),
+    ).toDF("doc_id", "text")
+    for (k <- Seq(0, 3, 7)) {
+      val kept = Dedup.simhashDedup(docs, "doc_id", "text", maxHamming = k)
+        .collect().map(_.getLong(0)).toSet
+      val sig = Dedup.simhashGroups(docs, "doc_id", "text")
+      val dropped = sig.as("a").join(sig.as("b"),
+          col("b.doc_id") < col("a.doc_id") &&
+            bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= k)
+        .select(col("a.doc_id")).collect().map(_.getLong(0)).toSet
+      val expect = Set(1L, 2L, 3L, 4L, 5L) -- dropped
+      assert(kept == expect, s"k=$k")
+    }
+    // identical signatures always collapse to the smallest id
+    val k0 = Dedup.simhashDedup(docs, "doc_id", "text", maxHamming = 0)
+      .collect().map(_.getLong(0)).toSet
+    assert(k0.contains(1L) && !k0.contains(3L))
+  }
+
   test("clusterRepresentatives keeps the best-scored member per cluster") {
     val docs = Seq(
       (1L, 10L), (2L, 40L), (3L, 40L), // cluster {1,2,3}: 2 and 3 tie → 2 wins
