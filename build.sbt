@@ -16,6 +16,10 @@ run / fork := true
 // bare JSON line from `runMain graft.Bench` (the driver's bench harness
 // recorded "parsed": null in round 1 for exactly this reason).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and don't print "[success] Total time: ..." after it: the driver keeps
+// only the LAST 2000 stdout bytes, and that trailer stole ~75 of them from
+// the (byte-budgeted) bench JSON line.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -80,13 +80,20 @@ object Bench {
         .bigDecimal.stripTrailingZeros.toPlainString
     val total = results.map(_._2).sum
     val sfName = sfDir.split('/').last
-    def line(prec: Int): String = {
-      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(prec)(v) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    // Third fallback level: the uniform "q_" key prefix costs 2 bytes ×
+    // battery size (~194 at 97 queries) — strip it rather than drop entries
+    // or precision below 0.1 s, and say so in-band via the "qprefix" key.
+    def line(prec: Int, strip: Boolean): String = {
+      val qs = results.map { case (k, v) =>
+        val key = if (strip) k.stripPrefix("q_") else k
+        s"\"" + key + "\":" + fmt(prec)(v)
+      }.mkString("{", ",", "}")
+      val hint = if (strip) "\"qprefix\":\"q_\"," else ""
+      s"""{"metric":"total","value":${fmt(2)(total)},"unit":"sec",$hint"queries":$qs,"sf":"$sfName"}"""
     }
     // tail budget is 2000 bytes including the trailing newline
-    val out = { val l = line(2); if (l.length <= 1995) l else line(1) }
+    val out = Seq(line(2, false), line(1, false), line(1, true))
+      .find(_.length <= 1995).getOrElse(line(1, true))
     // This MUST stay the final stdout line (nothing may print after it), so
     // the whole battery survives the driver's tail window.
     println(out)
