@@ -20,6 +20,9 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // only the LAST 2000 stdout bytes, and that trailer stole ~75 of them from
 // the (byte-budgeted) bench JSON line.
 Global / showSuccess := false
+// showSuccess is read by sbt's command layer, not another setting — exclude
+// it from the unused-key lint so `compile` stays warning-free.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

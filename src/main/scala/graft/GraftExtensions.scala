@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatDot, PolyHash}
+import graft.functions.{FloatDot, PolyHash, SimHashFold}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "graft_float_dot"),
       exprs => FloatDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash_fold"),
+      new ExpressionInfo(classOf[SimHashFold].getName, "graft_simhash_fold"),
+      exprs => SimHashFold(exprs.head, graft.operators.TextOps.SimHashBits)))
     ext.injectOptimizerRule(_ => graft.plans.RewriteFloatDot)
   }
 }
@@ -36,5 +40,7 @@ object GraftExtensions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_poly_hash", exprs => PolyHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_float_dot", exprs => FloatDot(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash_fold",
+      exprs => SimHashFold(exprs.head, graft.operators.TextOps.SimHashBits), "built-in")
   }
 }

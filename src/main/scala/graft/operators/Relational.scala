@@ -51,7 +51,7 @@ object Relational {
     val w = Window.partitionBy("__k")
       .orderBy(col("__t").asc, col("__tag").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val merged = r.select((r.columns.map(col) ++
+    val merged = r.select((r.columns.toIndexedSeq.map(col) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
       .unionByName(l)
       .withColumn("__carried", last(col("__p"), ignoreNulls = true).over(w))
@@ -195,9 +195,9 @@ object Relational {
     // Side presence via non-null sentinels, NOT key nullness: the null-safe
     // join matches all-null keys across snapshots, and such a matched (or
     // one-sided) row must still classify correctly.
-    val a = oldDf.select(oldDf.columns.map(c => col(c).as(s"__a_$c")) :+
+    val a = oldDf.select(oldDf.columns.toIndexedSeq.map(c => col(c).as(s"__a_$c")) :+
       lit(1).as("__a_present"): _*)
-    val b = newDf.select(newDf.columns.map(c => col(c).as(s"__b_$c")) :+
+    val b = newDf.select(newDf.columns.toIndexedSeq.map(c => col(c).as(s"__b_$c")) :+
       lit(1).as("__b_present"): _*)
     val keyEq = keyCols.map(k => col(s"__a_$k") <=> col(s"__b_$k")).reduce(_ && _)
     val changed = valCols.map(c => !(col(s"__a_$c") <=> col(s"__b_$c")))

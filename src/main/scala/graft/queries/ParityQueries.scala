@@ -268,6 +268,22 @@ object ParityQueries {
       Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
              |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
 
+    // ----- full outer join: both null sides populated ----------------------
+    // High-value customers vs large open orders — each side keeps rows the
+    // other lacks, exercising null-completion on BOTH sides of the join.
+    "q_full_outer" -> Q(
+      (s, d) => Td.customer(s, d).filter(col("c_acctbal") > 9000)
+        .select("c_custkey", "c_name")
+        .join(Td.orders(s, d).filter(col("o_totalprice") > 300000)
+            .select(col("o_custkey").as("c_custkey"), col("o_orderkey"), col("o_totalprice")),
+          Seq("c_custkey"), "full_outer"),
+      Some("""SELECT coalesce(c.c_custkey, o.o_custkey) AS c_custkey, c.c_name,
+             |  o.o_orderkey, o.o_totalprice
+             |FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000) c
+             |FULL OUTER JOIN (SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+             |                 WHERE o_totalprice > 300000) o
+             |  ON c.c_custkey = o.o_custkey""".stripMargin)),
+
     "q_anti_join" -> Q(
       // customers with no currently-open ('O') order — non-empty anti result
       (s, d) => Td.customer(s, d)
