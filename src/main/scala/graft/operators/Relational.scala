@@ -213,4 +213,31 @@ object Relational {
           Seq(col("change")) ++
           valCols.flatMap(c => Seq(col(s"__a_$c").as(s"old_$c"), col(s"__b_$c").as(s"new_$c"))): _*)
   }
+
+  /** Cap each group at its `n` best rows under `orderCols` — the corpus
+    * curation primitive behind per-domain document quotas (C4 keeps ≤ a few
+    * pages per URL host; RefinedWeb caps per-domain contributions so one
+    * mirror farm can't dominate the training mix). `orderCols` must induce a
+    * total order within each group (include a unique tiebreaker) or the
+    * survivor set is nondeterministic.
+    *
+    * Deliberately the `row_number <= n` formulation rather than
+    * `groupBy.agg(slice(sort_array(collect_list(struct(...)))))`: Spark 4
+    * rewrites the rank-filter pattern to partial+final WindowGroupLimit
+    * (`InsertWindowGroupLimit`), so each map partition forwards at most `n`
+    * rows per group into the exchange — at 100 TB the shuffle carries
+    * O(groups·n), not the corpus, and no per-group array ever materializes
+    * on the heap. CapPerGroupSpec pins the `WindowGroupLimit` operator into
+    * the physical plan so a regression back to a full window sort is a test
+    * failure, not a silent 100× shuffle.
+    */
+  def capPerGroup(df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column],
+                  n: Int): DataFrame = {
+    require(n > 0, "cap must be positive")
+    require(groupCols.nonEmpty, "need at least one group column")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
 }

@@ -170,4 +170,33 @@ object Stats {
       ((col("sy") - slope * col("sx")) / n).as("intercept"),
       ((col("sxy") - col("sx") * col("sy") / n) / n).as("covar_pop"))
   }
+
+  /** Key-skew diagnostic for a prospective shuffle key: the per-key row
+    * count distribution summarized to one row — key cardinality, total
+    * rows, the heaviest key's count, exact p50/p90/p99 of the count
+    * distribution, and `skew_ratio` = max/mean (the factor by which the
+    * hottest reducer outruns the average one; ≳ 5–10 is the regime where
+    * `SkewOps.saltedAggregate`/AQE skew handling start paying).
+    *
+    * This is the measurement step that should precede any salting decision
+    * at 100 TB — salt factors are guesses without it. Cost: one map-side
+    * combinable count per key, then a single-row reduce; the exact
+    * percentiles hold the n_keys counts in one aggregation state, which is
+    * fine up to ~10⁸ distinct keys — beyond that swap `percentile` for
+    * `approx_percentile` (the ratio columns stay exact either way).
+    */
+  def skewReport(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("cnt"))
+    counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("total_rows"),
+      max(col("cnt")).as("max_cnt"),
+      expr("percentile(cnt, 0.5)").as("p50"),
+      expr("percentile(cnt, 0.9)").as("p90"),
+      expr("percentile(cnt, 0.99)").as("p99"))
+      .withColumn("skew_ratio",
+        col("max_cnt").cast("double") /
+          (col("total_rows").cast("double") / col("n_keys").cast("double")))
+  }
 }

@@ -343,4 +343,31 @@ object TextOps {
       .withColumn("tfidf", col("tf").cast("double") * col("n_docs") / col("df"))
       .select(col("id").as(idCol), col("term"), col("tf"), col("df"), col("tfidf"), col("rank"))
   }
+
+  /** Corpus-wide n-gram frequency table: every word `n`-gram occurring at
+    * least `minCount` times, with its total occurrence count and
+    * distinct-document frequency. The count table behind n-gram LM
+    * statistics, boilerplate mining (feed the heavy grams to
+    * [[scrubDuplicateNgrams]] as a precomputed denylist), and contamination
+    * screens.
+    *
+    * Two-level aggregation, deliberately: `groupBy(gram).agg(count,
+    * countDistinct(id))` plans as a single aggregate whose distinct rewrite
+    * expands every input row and keeps per-gram id sets in the partial
+    * state — a mega-hot boilerplate gram concentrates its whole id set on
+    * one reducer. Collapsing to (gram, id) first is map-side combinable on
+    * exactly the skewed key, and the second aggregate's inputs are already
+    * distinct ids, so both shuffles carry pre-reduced rows and plain
+    * `count`/`sum` survive any key skew.
+    */
+  def ngramCounts(df: DataFrame, idCol: String, textCol: String, n: Int,
+                  minCount: Long = 2L): DataFrame = {
+    require(n >= 1, "n must be positive")
+    val ex = df.select(col(idCol).as("id"),
+      explode(ngramsRaw(tokens(col(textCol)), n)).as("ngram"))
+    ex.groupBy("ngram", "id").agg(count(lit(1)).as("cnt"))
+      .groupBy("ngram")
+      .agg(sum(col("cnt")).as("occurrences"), count(lit(1)).as("n_docs"))
+      .filter(col("occurrences") >= minCount)
+  }
 }

@@ -265,4 +265,54 @@ object TimeSeries {
         }
       }(enc)
   }
+
+  /** Per-key rolling z-score over the trailing `window` observations
+    * (current row inclusive), ordered by (`tsCol`, `tieCol`) — the streaming
+    * anomaly gate for metric feeds: flag a point when it sits more than
+    * `threshold` population standard deviations from its own recent mean.
+    *
+    * Determinism recipe (Stats scaladoc): the frame's first and second
+    * moments accumulate as DECIMAL sums — exact, so the value is independent
+    * of how either engine associates the frame additions (DuckDB's
+    * segment-tree sliding-window aggregation reassociates freely; float sums
+    * would diverge in the low bits) — and one double closed form
+    * `(Σx² − (Σx)²/n)/n` runs at the end. `z` is NULL until `minObs`
+    * observations fill the frame or when the frame variance is 0.
+    *
+    * One shuffle on the key, one per-key sort, single-pass frame evaluation;
+    * window width is a row-count constant so executor state is O(window) per
+    * open frame. Skewed keys bound the stage (a window over one key cannot
+    * salt); at 100 TB cap per-key cardinality upstream (`capPerGroup`) or
+    * bucket the table on the key to pre-sort the exchange away.
+    */
+  def rollingZscore(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+                    valueCol: String, window: Int, minObs: Int = 2,
+                    threshold: Double = 3.0): DataFrame = {
+    require(window >= 2, "window must cover at least 2 rows")
+    require(minObs >= 2 && minObs <= window, "need 2 <= minObs <= window")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val vd = col(valueCol).cast("decimal(18,2)")
+    val n = count(vd).over(w).as("n_obs")
+    val s = sum(vd).over(w).cast("double")
+    val ss = sum(vd * vd).over(w).cast("double")
+    val nD = col("n_obs").cast("double")
+    val mean = col("__s") / nD
+    // clamp at 0: the exact decimal sums round to double once each, so the
+    // closed form can land a few ulps negative and sqrt would emit NaN
+    // (which DuckDB and Java may render differently) — clamped, both
+    // engines agree on std = 0 → z NULL
+    val variance = greatest((col("__ss") - col("__s") * col("__s") / nD) / nD, lit(0.0))
+    df.withColumn("n_obs", n)
+      .withColumn("__s", s)
+      .withColumn("__ss", ss)
+      .withColumn("roll_mean", mean)
+      .withColumn("roll_std", sqrt(variance))
+      .withColumn("zscore",
+        when(col("n_obs") >= minObs && col("roll_std") > 0.0,
+          (col(valueCol).cast("double") - col("roll_mean")) / col("roll_std")))
+      .withColumn("anomaly", coalesce(abs(col("zscore")) > threshold, lit(false)))
+      .drop("__s", "__ss")
+  }
 }

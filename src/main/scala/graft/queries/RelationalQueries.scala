@@ -297,5 +297,20 @@ object RelationalQueries {
              |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
              |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
              |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""".stripMargin)),
+
+    // ----- per-group cap (domain-quota curation) ----------------------------
+    // Keep each source's 10 longest documents (doc_id breaks length ties) —
+    // the per-domain quota pass of web-corpus curation. The rank filter
+    // plans as partial+final WindowGroupLimit (spec-pinned), so each map
+    // partition forwards ≤ 10 rows per source into the exchange. Sources
+    // carry 25 docs/source at sf0.01, so the cap genuinely filters.
+    "q_cap_per_source" -> Q(
+      (s, d) => Relational.capPerGroup(
+        Td.documents(s, d).select("doc_id", "source", "n_chars"),
+        Seq("source"), Seq(col("n_chars").desc_nulls_last, col("doc_id").asc), n = 10),
+      Some("""SELECT doc_id, source, n_chars FROM (
+             |  SELECT doc_id, source, n_chars, row_number() OVER (
+             |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+             |  FROM documents) t WHERE rn <= 10""".stripMargin)),
   )
 }

@@ -444,5 +444,55 @@ object StatQueries {
              |  mn + (code + 0.5) * (mx - mn) / 256 AS x_hat,
              |  x - (mn + (code + 0.5) * (mx - mn) / 256) AS err
              |FROM c""".stripMargin)),
+
+    // ----- rolling z-score anomaly flags ------------------------------------
+    // Trailing-10-observation z-score per user; frame moments accumulate in
+    // DECIMAL (order-independent — DuckDB's segment-tree sliding windows
+    // reassociate freely) with one double closed form at the end.
+    "q_rolling_zscore" -> Q(
+      (s, d) => TimeSeries.rollingZscore(Td.events(s, d),
+        "user_id", "ts", "event_id", "value", window = 10, minObs = 5)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("n_obs"), col("roll_mean"), col("roll_std"), col("zscore"),
+          col("anomaly").cast("int").as("anomaly")),
+      Some("""WITH f AS (
+             |  SELECT event_id, user_id, ts, value,
+             |    count(CAST(value AS DECIMAL(18,2))) OVER w AS n_obs,
+             |    CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s,
+             |    CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS ss
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+             |g AS (
+             |  SELECT event_id, user_id, ts, value, n_obs,
+             |    s / CAST(n_obs AS DOUBLE) AS roll_mean,
+             |    sqrt(greatest((ss - s * s / CAST(n_obs AS DOUBLE)) / CAST(n_obs AS DOUBLE), 0.0)) AS roll_std,
+             |    CAST(value AS DOUBLE) AS v
+             |  FROM f),
+             |z AS (
+             |  SELECT *, CASE WHEN n_obs >= 5 AND roll_std > 0.0
+             |                 THEN (v - roll_mean) / roll_std END AS zscore
+             |  FROM g)
+             |SELECT event_id, user_id, ts, value, n_obs, roll_mean, roll_std, zscore,
+             |  CAST(coalesce(abs(zscore) > 3.0, false) AS INT) AS anomaly
+             |FROM z""".stripMargin)),
+
+    // ----- shuffle-key skew diagnostic --------------------------------------
+    // Per-key count distribution of a prospective shuffle key, one row out —
+    // the measurement that precedes any salting decision (SkewOps).
+    "q_skew_report" -> Q(
+      (s, d) => Stats.skewReport(Td.events(s, d), Seq("user_id")),
+      Some("""WITH c AS (
+             |  SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY user_id)
+             |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             |  CAST(sum(cnt) AS BIGINT) AS total_rows,
+             |  max(cnt) AS max_cnt,
+             |  quantile_cont(cnt, 0.5) AS p50,
+             |  quantile_cont(cnt, 0.9) AS p90,
+             |  quantile_cont(cnt, 0.99) AS p99,
+             |  CAST(max(cnt) AS DOUBLE) /
+             |    (CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS skew_ratio
+             |FROM c""".stripMargin)),
   )
 }

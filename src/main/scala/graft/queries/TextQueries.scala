@@ -430,6 +430,24 @@ object TextQueries {
               |  (cum - 1) // 512 AS seq_last,
               |  (cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS n_seqs
               |FROM c""".stripMargin)),
+
+    // ----- corpus n-gram frequency table ------------------------------------
+    // Every word trigram seen ≥ 2 times with total occurrences + document
+    // frequency — n-gram LM counts / boilerplate mining. Two-level
+    // aggregation so both shuffles are map-side combinable on the hot key.
+    "q_ngram_counts" -> Q(
+      (s, d) => TextOps.ngramCounts(Td.documents(s, d), "doc_id", "text",
+        n = 3, minCount = 2L),
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+              |ng AS (SELECT doc_id,
+              |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)]) AS ngram
+              |  FROM toks),
+              |perdoc AS (SELECT ngram, doc_id, CAST(count(*) AS BIGINT) AS cnt
+              |  FROM ng GROUP BY 1, 2)
+              |SELECT ngram, CAST(sum(cnt) AS BIGINT) AS occurrences,
+              |  CAST(count(*) AS BIGINT) AS n_docs
+              |FROM perdoc GROUP BY ngram
+              |HAVING CAST(sum(cnt) AS BIGINT) >= 2""".stripMargin)),
   )
 
   /** DuckDB twin of [[TextOps.scrubDuplicateNgrams]]: list-comprehension

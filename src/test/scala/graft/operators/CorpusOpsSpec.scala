@@ -377,4 +377,20 @@ class CorpusOpsSpec extends SparkSpec {
       .orderBy("doc_id").collect()
     assert(wide.toSeq == out.toSeq)
   }
+
+  test("ngramCounts: occurrences vs document frequency, minCount gate") {
+    val docs = Seq(
+      (1L, "the cat sat on the cat sat"), // 'the cat sat' twice within one doc
+      (2L, "the cat sat quietly"),
+      (3L, "too short"),                  // 2 tokens < n → contributes nothing
+    ).toDF("doc_id", "text")
+    val out = TextOps.ngramCounts(docs, "doc_id", "text", n = 3, minCount = 2L)
+      .collect()
+    assert(out.toSeq == Seq(Row("the cat sat", 3L, 2L)))
+    // minCount 1 keeps the singletons; within-doc repeats counted raw
+    val all = TextOps.ngramCounts(docs, "doc_id", "text", n = 3, minCount = 1L)
+    assert(all.count() == 5) // the cat sat / cat sat on / sat on the / on the cat / cat sat quietly
+    assert(all.filter(col("ngram") === "the cat sat")
+      .head().getLong(1) == 3L)
+  }
 }

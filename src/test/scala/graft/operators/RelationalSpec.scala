@@ -128,4 +128,38 @@ class RelationalSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("key types must agree"))
   }
+
+  test("capPerGroup keeps the n best rows per group under the given order") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", 1L, 100L), ("a", 2L, 300L), ("a", 3L, 300L), ("a", 4L, 50L),
+      ("b", 5L, 10L),
+      ("c", 6L, 7L), ("c", 7L, 9L),
+    ).toDF("src", "id", "len")
+    val out = Relational.capPerGroup(docs, Seq("src"),
+      Seq(col("len").desc, col("id").asc), n = 2)
+      .select("id").as[Long].collect().toSet
+    // a: the two len-300 rows (id tiebreak keeps 2 then 3); b: its only row;
+    // c: both rows fit under the cap
+    assert(out == Set(2L, 3L, 5L, 6L, 7L))
+    assert(Relational.capPerGroup(docs, Seq("src"),
+      Seq(col("len").desc, col("id").asc), n = 1)
+      .select("id").as[Long].collect().toSet == Set(2L, 5L, 7L))
+  }
+
+  test("capPerGroup plans as partial+final WindowGroupLimit, not a full window sort") {
+    import spark.implicits._
+    val docs = (1 to 100).map(i => (s"s${i % 5}", i.toLong, (i * 37 % 100).toLong))
+      .toDF("src", "id", "len")
+    val out = Relational.capPerGroup(docs, Seq("src"),
+      Seq(col("len").desc, col("id").asc), n = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    // Spark 4's InsertWindowGroupLimit must fire: a Partial limit before the
+    // exchange (map-side pruning) and a Final one after — if this regresses
+    // to a bare Window the shuffle carries the full input again
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+    assert(plan.contains("Partial") && plan.contains("Final"),
+      s"expected partial+final mode in:\n$plan")
+    assert(out.count() == 15)
+  }
 }

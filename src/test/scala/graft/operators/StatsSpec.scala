@@ -377,4 +377,46 @@ class StatsSpec extends SparkSpec {
       Seq((1L, Array(5.0f)), (2L, Array(5.0f))).toDF("vec_id", "embedding"), "vec_id", "embedding", 4)
     assert(degen.select("code").as[Int].collect().forall(_ == 0))
   }
+
+  test("rollingZscore: frame moments, minObs gate, and anomaly flag") {
+    val s = spark
+    import s.implicits._
+    // key 'a': nine 10.0s then a spike; key 'b': constant (std 0 → z null)
+    val rows = (1 to 9).map(i => ("a", ts(f"2024-01-01 10:${i}%02d:00"), i.toLong, 10.0)) ++
+      Seq(("a", ts("2024-01-01 10:30:00"), 10L, 40.0)) ++
+      (1 to 4).map(i => ("b", ts(f"2024-01-01 11:0$i:00"), (20 + i).toLong, 7.0))
+    val out = TimeSeries.rollingZscore(rows.toDF("k", "t", "id", "value"),
+      "k", "t", "id", "value", window = 10, minObs = 3)
+    val a = out.filter(col("k") === "a").orderBy("id").collect()
+    // first two rows sit under minObs → z null, anomaly false
+    assert(a.take(2).forall(r => r.isNullAt(r.fieldIndex("zscore"))))
+    assert(a.take(2).forall(!_.getBoolean(a(0).fieldIndex("anomaly"))))
+    // rows 3..9 have std 0 (all 10.0) → z still null
+    assert(a.slice(2, 9).forall(r => r.isNullAt(r.fieldIndex("zscore"))))
+    // the spike: frame = nine 10s + one 40 → mean 13, var 81, std 9, z = 3
+    val spike = a.last
+    assert(spike.getLong(spike.fieldIndex("n_obs")) == 10L)
+    assert(spike.getDouble(spike.fieldIndex("roll_mean")) == 13.0)
+    assert(spike.getDouble(spike.fieldIndex("roll_std")) == 9.0)
+    assert(spike.getDouble(spike.fieldIndex("zscore")) == 3.0)
+    // |z| == threshold is NOT an anomaly (strict >)
+    assert(!spike.getBoolean(spike.fieldIndex("anomaly")))
+    // constant key: never flagged, z never defined
+    val b = out.filter(col("k") === "b").collect()
+    assert(b.forall(r => r.isNullAt(r.fieldIndex("zscore"))))
+  }
+
+  test("skewReport measures the per-key count distribution") {
+    val s = spark
+    import s.implicits._
+    // 4 keys: counts 1, 1, 2, 16 → total 20, mean 5, skew 3.2
+    val rows = (Seq.fill(16)("hot") ++ Seq("a", "b", "c", "c")).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "v")
+    val r = Stats.skewReport(rows, Seq("k")).head()
+    assert(r.getLong(r.fieldIndex("n_keys")) == 4L)
+    assert(r.getLong(r.fieldIndex("total_rows")) == 20L)
+    assert(r.getLong(r.fieldIndex("max_cnt")) == 16L)
+    assert(r.getDouble(r.fieldIndex("p50")) == 1.5) // interpolated over 1,1,2,16
+    assert(r.getDouble(r.fieldIndex("skew_ratio")) == 3.2)
+  }
 }
