@@ -125,6 +125,15 @@ object TextOps {
 
   /** Raw (non-distinct, in-order) word n-grams of a token array — the
     * repetition-measurement twin of [[shingles]], which dedups.
+    *
+    * CALLER CONTRACT: pass a BOUND token column (alias `tokens(text)` in its
+    * own projection first), not the raw tokenize expression, when this feeds
+    * a Generate (explode) or an aggregate. The lambda reads `toks` via
+    * element_at ×n; inside a Project the interpreted-CSE runtime caches the
+    * common subexpression per row, but Generate/aggregate evaluation has no
+    * CSE, so a raw `tokens(text)` argument re-runs the normalize regexes +
+    * split per gram element — measured 24 s vs 0.8 s for 260k grams at
+    * sf0.1 (examples/NgramProbe).
     */
   def ngramsRaw(toks: Column, n: Int): Column = {
     val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
@@ -363,8 +372,14 @@ object TextOps {
   def ngramCounts(df: DataFrame, idCol: String, textCol: String, n: Int,
                   minCount: Long = 2L): DataFrame = {
     require(n >= 1, "n must be positive")
-    val ex = df.select(col(idCol).as("id"),
-      explode(ngramsRaw(tokens(col(textCol)), n)).as("ngram"))
+    // Tokenize behind its OWN projection: [[ngramsRaw]]'s lambda reads the
+    // token array via element_at ×n, and handed the raw `tokens(text)`
+    // expression those reads re-run the normalize-regexes+split per gram
+    // element — measured 24 s for 260k grams at sf0.1 (NgramProbe) vs ~1 s
+    // against a bound attribute. The alias is referenced multiple times by
+    // a non-cheap expression, so CollapseProject keeps the barrier.
+    val ex = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .select(col("id"), explode(ngramsRaw(col("__toks"), n)).as("ngram"))
     ex.groupBy("ngram", "id").agg(count(lit(1)).as("cnt"))
       .groupBy("ngram")
       .agg(sum(col("cnt")).as("occurrences"), count(lit(1)).as("n_docs"))
