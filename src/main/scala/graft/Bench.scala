@@ -55,19 +55,51 @@ object Bench {
       }
     // Name-sorted execution: Map iteration order shifts whenever a query is
     // added, silently reassigning which query absorbs residual first-run
-    // cost; a fixed order keeps per-query times comparable run-over-run.
-    // Median of 3 back-to-back runs per query: single-shot timings swing
-    // ±30% with ambient load (two rounds of regression archaeology traced
-    // spikes to machine noise, not code); the median absorbs one outlier
-    // run and first-plan codegen lands on run 1, so it reports steady state.
+    // cost; a fixed order keeps per-query times comparable run-over-round.
+    // MIN of 3 back-to-back runs per query (was median): this box stalls
+    // whole runs 5-10× at random under sustained load — external CPU
+    // throttling, not GC (verbose trace showed a 50.7 s run with 0.37 s of
+    // GC between 5-6 s neighbors). Additive noise corrupts a median as soon
+    // as 2 of 3 runs are hit (~10 phantom regressions per round at 100+
+    // queries); the min is immune to any number of stalled runs short of
+    // all of them, and for deterministic read-only queries the best run IS
+    // the steady-state cost. First-plan codegen still lands on run 1.
+    // SPARK_GRAFT_BENCH_STAT=median restores the old estimator.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // Per-run diagnostics to STDERR (stdout must stay parseable): run index,
+    // time, GC time delta — the signal that separates in-JVM degradation
+    // (escalating times, growing GC share) from ambient machine noise.
+    val verbose = sys.env.contains("SPARK_GRAFT_BENCH_VERBOSE")
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      val times = (1 to runs).map { i =>
+        val gc0 = gcMillis
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        if (verbose)
+          System.err.println(f"BENCHRUN $name#$i t=$t%.2f gc=${(gcMillis - gc0) / 1000.0}%.2f s")
+        // Release leaked block-manager state between runs: operators that
+        // localCheckpoint slim intermediates (minhashDedup, dupClusters,
+        // dedupAgainstIndex) can only free those blocks when the driver GCs
+        // the RDD references, so repeated runs in one JVM accumulate blocks
+        // and each run inherits the previous one's memory pressure —
+        // measured q_incremental_dedup escalating 12 s → 66 s across
+        // back-to-back runs, which the MEDIAN then reports. Unpersisting
+        // everything still registered restores per-run independence; the
+        // battery shares no cross-query persisted relations by design
+        // (Td.docShingles is deliberately unpersisted, stored indexes are
+        // disk-backed).
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        t
       }.sorted
-      name -> times(times.length / 2)
+      val stat = sys.env.getOrElse("SPARK_GRAFT_BENCH_STAT", "min")
+      name -> (if (stat == "median") times(times.length / 2) else times.head)
     }
     // Compact values (2 decimals, trailing zeros stripped): the driver keeps
     // only the LAST 2000 stdout bytes, and full-precision doubles pushed the
