@@ -183,6 +183,47 @@ object StreamOps {
       }
   }
 
+  /** Streaming rolling z-score: the cross-batch twin of
+    * `TimeSeries.rollingZscore`. Per-key state is the ring of the trailing
+    * `window` values (O(window) doubles — no event history); each
+    * micro-batch's rows are processed in event-time order, pushed into the
+    * ring, and emitted with the z-score of the value against the ring's
+    * population mean/std (`None` until `minObs` observations or when the
+    * frame is constant).
+    *
+    * Ordering caveat, same contract as [[funnelStream]]: order is exact
+    * within a micro-batch; an event arriving in a LATER batch than a
+    * newer-timestamped peer enters the frame late (committed state is never
+    * reordered). The batch operator is the replayable ground truth.
+    */
+  def zscoreStream(events: Dataset[(Long, Timestamp, Double)], window: Int,
+                   minObs: Int = 2, threshold: Double = 3.0):
+      Dataset[(Long, Timestamp, Double, Option[Double], Boolean)] = {
+    require(window >= 2, "window must cover at least 2 rows")
+    require(minObs >= 2 && minObs <= window, "need 2 <= minObs <= window")
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[Double], (Long, Timestamp, Double, Option[Double], Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[Seq[Double]]) =>
+          var ring = state.getOption.getOrElse(Seq.empty[Double]) // newest first
+          val out = rows.toSeq.sortBy(r => epochMicros(r._2)).map { case (_, ts, v) =>
+            ring = (v +: ring).take(window)
+            val n = ring.length
+            val mean = ring.sum / n
+            // mean-centered form (not the batch op's decimal power sums —
+            // state holds doubles); clamp like the batch twin so a
+            // constant frame is std 0, never NaN
+            val variance = math.max(ring.map(x => (x - mean) * (x - mean)).sum / n, 0.0)
+            val std = math.sqrt(variance)
+            val z = if (n >= minObs && std > 0.0) Some((v - mean) / std) else None
+            (key, ts, v, z, z.exists(zv => math.abs(zv) > threshold))
+          }
+          state.update(ring)
+          out.iterator
+      }
+  }
+
   /** Convenience: run a streaming query over `df` to completion with
     * AvailableNow into an in-memory sink and return the result table.
     */

@@ -167,4 +167,43 @@ class StreamOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(rows == Set((1L, 2), (1L, 3), (2L, 1)))
   }
+
+  test("zscoreStream carries the trailing frame across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val zs = StreamOps.zscoreStream(input.toDS(), window = 10, minObs = 3)
+    val q = zs.toDF("k", "ts", "v", "z", "anomaly").writeStream.format("memory")
+      .queryName("zscore_s").outputMode(OutputMode.Append()).start()
+
+    // batch 1: five 10.0s — under minObs at first, then constant (std 0)
+    input.addData((1 to 5).map(i => (1L, ts(i), 10.0)): _*)
+    q.processAllAvailable()
+    // batch 2: four more 10.0s then the spike; frame = nine 10s + one 40
+    // (integer-valued doubles → the mean-centered sums are exact:
+    // mean 13, var 81, std 9, z = 3 — same closed-form values as the
+    // batch operator's decimal-power-sum path on this data)
+    input.addData((6 to 9).map(i => (1L, ts(i), 10.0)) :+ ((1L, ts(10), 40.0)): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("zscore_s").collect()
+      .map(r => (r.getTimestamp(1).toString, Option(r.get(3)), r.getBoolean(4)))
+      .sortBy(_._1)
+    assert(rows.length == 10)
+    // constant frames and the under-minObs prefix: z undefined, no flags
+    assert(rows.init.forall { case (_, z, a) => z.isEmpty && !a })
+    val spike = rows.last
+    assert(spike._2.contains(3.0))
+    assert(!spike._3) // |z| == threshold is NOT an anomaly (strict >)
+
+    // batch twin agreement on the same data (exact for this integer frame)
+    val batch = graft.operators.TimeSeries.rollingZscore(
+      ((1 to 9).map(i => (1L, ts(i), i.toLong, 10.0)) :+ ((1L, ts(10), 10L, 40.0)))
+        .toDF("k", "t", "id", "value"),
+      "k", "t", "id", "value", window = 10, minObs = 3)
+    val bSpike = batch.orderBy(col("t")).collect().last
+    assert(bSpike.getDouble(bSpike.fieldIndex("zscore")) == 3.0)
+  }
 }
