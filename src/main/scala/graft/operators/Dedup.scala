@@ -148,6 +148,53 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Asymmetric shingle containment: `|A∩B| / |A| ≥ tau` — near-dup's
+    * directional sibling. Jaccard misses a short document quoted inside a
+    * much longer one (the union denominator drowns it); containment is the
+    * standard screen for quotes, excerpt reuse, and subset documents
+    * (a ⊂ b). Emits BOTH directions of each colliding pair that clear
+    * `tau`, as (src_id ⊆-candidate, dst_id) with the score.
+    *
+    * Same inverted-index shape and cost envelope as [[jaccardPairs]] (two
+    * narrow shuffles, Σ C(df,2) candidate pairs, no n² product); the same
+    * Zipfian caveat applies — prefix filtering does NOT transfer to
+    * containment's one-sided denominator, so cap boilerplate shingles
+    * upstream (drop shingles above a document-frequency ceiling) before
+    * running this at corpus scale.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, tau: Double,
+                       persistIntermediate: Boolean = true,
+                       shingles: Option[DataFrame] = None): DataFrame = {
+    val ex = shingles.getOrElse {
+      val ex0 = explodedShingles(df, idCol, textCol, n)
+      if (persistIntermediate)
+        ex0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else ex0
+    }
+    val spark = ex.sparkSession
+    import spark.implicits._
+    val inter = ex.groupBy("s").agg(collect_list(col("id")).as("ids"))
+      .select("ids").as[Seq[Long]]
+      .flatMap { ids0 =>
+        val ids = ids0.sorted
+        for { i <- ids.indices.iterator; j <- (i + 1) until ids.length }
+          yield (ids(i), ids(j))
+      }
+      .toDF("id_a", "id_b")
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val sizes = ex.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val scored = inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+    // one candidate relation, both directions projected from it
+    scored.select(col("id_a").as("src_id"), col("id_b").as("dst_id"),
+        (col("inter").cast("double") / col("n_a").cast("double")).as("containment"))
+      .unionAll(scored.select(col("id_b").as("src_id"), col("id_a").as("dst_id"),
+        (col("inter").cast("double") / col("n_b").cast("double")).as("containment")))
+      .filter(col("containment") >= tau)
+  }
+
   /** Prefix-filtered exact all-pairs Jaccard (Bayardo, Ma & Srikant,
     * "Scaling Up All Pairs Similarity Search", WWW 2007; PPJoin refines the
     * same bound): order each doc's shingles rarest-first by global document

@@ -477,6 +477,24 @@ object StatQueries {
              |  CAST(coalesce(abs(zscore) > 3.0, false) AS INT) AS anomaly
              |FROM z""".stripMargin)),
 
+    // ----- per-source quality-score calibration ------------------------------
+    // percent_rank of the raw score WITHIN each source — the quantile
+    // normalization that makes scores comparable across domains before a
+    // cross-source mixing/selection step (a raw length threshold means a
+    // different percentile in every source). Exact rational (rank-1)/(n-1),
+    // bit-identical across engines; (score, id) gives a total order.
+    "q_score_calibrate" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars"), col("doc_id"))
+        Td.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"),
+          percent_rank().over(w).as("cal_score"))
+      },
+      Some("""SELECT doc_id, source, n_chars,
+             |  percent_rank() OVER (
+             |    PARTITION BY source ORDER BY n_chars, doc_id) AS cal_score
+             |FROM documents""".stripMargin)),
+
     // ----- shuffle-key skew diagnostic --------------------------------------
     // Per-key count distribution of a prospective shuffle key, one row out —
     // the measurement that precedes any salting decision (SkewOps).

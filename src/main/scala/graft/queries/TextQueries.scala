@@ -83,18 +83,26 @@ object TextQueries {
         col("doc_id"), col("lang").as("lang_actual"),
         TextOps.langId(TextOps.tokens(col("text"))).as("lang_pred"),
       ),
-      Some {
-        val scores = TextOps.StopwordProfiles.map { case (lang, words) =>
-          s"len(list_filter(w, t -> list_contains(${sqlList(words)}, t))) AS s_$lang"
-        }.mkString(", ")
-        val langs = TextOps.StopwordProfiles.map(_._1)
-        val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
-        val cases = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
-        s"""SELECT doc_id, lang AS lang_actual,
-           |  CASE WHEN $best = 0 THEN 'und' $cases ELSE 'und' END AS lang_pred
-           |FROM (SELECT doc_id, lang, $scores
-           |      FROM (SELECT doc_id, lang, $toksSql AS w FROM documents) t0) t""".stripMargin
-      }),
+      Some(
+        s"""SELECT doc_id, lang AS lang_actual, $langPredCaseSql AS lang_pred
+           |FROM (SELECT doc_id, lang, $langScoresSql
+           |      FROM (SELECT doc_id, lang, $toksSql AS w FROM documents) t0) t""".stripMargin)),
+
+    // ----- language confusion matrix (declared vs predicted) ---------------
+    // The evaluation rollup over langId: how often the heuristic agrees
+    // with the declared language, per (actual, predicted) cell — the
+    // quality check run before trusting a language gate on a new corpus.
+    "q_lang_confusion" -> Q(
+      (s, d) => Td.documents(s, d).groupBy(
+        col("lang").as("lang_actual"),
+        TextOps.langId(TextOps.tokens(col("text"))).as("lang_pred"))
+        .agg(count(lit(1)).as("n_docs")),
+      Some(
+        s"""SELECT lang AS lang_actual, $langPredCaseSql AS lang_pred,
+           |  CAST(count(*) AS BIGINT) AS n_docs
+           |FROM (SELECT doc_id, lang, $langScoresSql
+           |      FROM (SELECT doc_id, lang, $toksSql AS w FROM documents) t0) t
+           |GROUP BY 1, 2""".stripMargin)),
 
     // ----- document fingerprint (rolling hash) -----------------------------
     "q_fingerprint" -> Q(
@@ -431,6 +439,33 @@ object TextQueries {
               |  (cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS n_seqs
               |FROM c""".stripMargin)),
 
+    // ----- asymmetric shingle containment (quote / subset detection) --------
+    // |A∩B|/|A| per colliding ordered pair — catches a short doc quoted
+    // inside a long one, which Jaccard's union denominator drowns. Shares
+    // the session shingle relation with the jaccard/minhash family.
+    "q_containment_pairs" -> Q(
+      (s, d) => Dedup.containmentPairs(Td.documents(s, d), "doc_id", "text",
+        n = 3, tau = 0.5, shingles = Some(Td.docShingles(s, d, 3))),
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+              |sh AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
+              |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+              |sizes AS (SELECT doc_id, len(sh) AS n FROM sh),
+              |pairs AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |sc AS (SELECT id_a, id_b, inter, sa.n AS n_a, sb.n AS n_b
+              |  FROM pairs
+              |  JOIN sizes sa ON id_a = sa.doc_id
+              |  JOIN sizes sb ON id_b = sb.doc_id),
+              |u AS (
+              |  SELECT id_a AS src_id, id_b AS dst_id,
+              |    CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment FROM sc
+              |  UNION ALL
+              |  SELECT id_b, id_a, CAST(inter AS DOUBLE) / CAST(n_b AS DOUBLE) FROM sc)
+              |SELECT src_id, dst_id, containment FROM u
+              |WHERE containment >= 0.5""".stripMargin)),
+
     // ----- corpus n-gram frequency table ------------------------------------
     // Every word trigram seen ≥ 2 times with total occurrences + document
     // frequency — n-gram LM counts / boilerplate mining. Two-level
@@ -486,6 +521,19 @@ object TextQueries {
 
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  // DuckDB twin of TextOps.langId, shared by q_lang_id / q_lang_confusion:
+  // per-profile stopword hit counts, then argmax with first-profile tie-break
+  private def langScoresSql: String =
+    TextOps.StopwordProfiles.map { case (lang, words) =>
+      s"len(list_filter(w, t -> list_contains(${sqlList(words)}, t))) AS s_$lang"
+    }.mkString(", ")
+  private def langPredCaseSql: String = {
+    val langs = TextOps.StopwordProfiles.map(_._1)
+    val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+    s"CASE WHEN $best = 0 THEN 'und' $cases ELSE 'und' END"
+  }
 
   /** DuckDB twin of [[TextOps.simHash]] over `documents` (doc_id, simhash). */
   private def simhashSelectSql: String = {

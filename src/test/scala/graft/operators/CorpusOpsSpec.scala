@@ -378,6 +378,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(wide.toSeq == out.toSeq)
   }
 
+  test("containmentPairs: directional score catches a quoted subset doc") {
+    val docs = Seq(
+      (1L, "the quick brown fox"), // 2 shingles, both inside doc 2
+      (2L, "the quick brown fox jumps over the lazy dog"), // 7 shingles
+      (3L, "completely different text content here"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 1 ⊆ 2 at containment 1.0; the reverse direction is 2/7 < tau;
+    // jaccard would have scored the pair 2/7 and missed it entirely
+    assert(out.toSeq == Seq((1L, 2L, 1.0)))
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.5)
+    assert(jac.count() == 0)
+  }
+
   test("ngramCounts: occurrences vs document frequency, minCount gate") {
     val docs = Seq(
       (1L, "the cat sat on the cat sat"), // 'the cat sat' twice within one doc
