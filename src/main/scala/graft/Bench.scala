@@ -135,14 +135,22 @@ object Bench {
       }
       val sf = if (slim == 0) s""","sf":"$sfName"""" else ""
       val fastPart = if (fast.isEmpty) ""
-        else s""""fast_n":${fast.size},"fast_sum":${fmt(2)(fast.map(_._2).sum)},"""
+        else s""""fast_n":${fast.size},"fast_sum":${fmt(2)(fast.map(_._2).sum)},""" +
+          s""""fast_max":${fmt(2)(fast.map(_._2).max)},"""
       s"""{$head$hint$fastPart"queries":$qs$sf}"""
     }
-    // tail budget is 2000 bytes including the trailing newline
+    // tail budget is 2000 bytes including the trailing newline. The elide
+    // levels fold queries under the threshold into fast_n/fast_sum/fast_max
+    // — those sit at the measurement noise floor (~0.1-0.2 s of fixed
+    // per-query overhead at this SF), are still individually correctness-
+    // gated by Verify, and folding them keeps full per-query visibility for
+    // every query expensive enough to matter. The final level (0.35 s)
+    // keeps ~all operator-family queries visible with ~1 kB of headroom.
     val levels = Seq(
       line(2, false, 0, 0.0), line(1, false, 0, 0.0), line(1, true, 0, 0.0),
-      line(1, true, 1, 0.0), line(1, true, 2, 0.0), line(1, true, 2, 0.05))
-    val out = levels.find(_.length <= 1995).getOrElse(line(1, true, 2, 0.1))
+      line(1, true, 1, 0.0), line(1, true, 2, 0.0), line(1, true, 2, 0.05),
+      line(1, true, 2, 0.15))
+    val out = levels.find(_.length <= 1995).getOrElse(line(1, true, 2, 0.35))
     // This MUST stay the final stdout line (nothing may print after it), so
     // the whole battery survives the driver's tail window.
     println(out)
