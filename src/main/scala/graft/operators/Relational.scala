@@ -240,4 +240,29 @@ object Relational {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Z-order (Morton) value of two non-negative integer keys: the low
+    * `bits` bits of `x` and `y` interleaved (x on even positions). Rows
+    * range-partitioned/sorted by this value cluster locality in BOTH
+    * dimensions, so per-file min/max statistics prune scans for range
+    * predicates on either column — the standard multi-column layout trick
+    * a 100 TB table needs where a single-column sort gives one dimension
+    * perfect clustering and leaves the other shuffled across every file
+    * (ZorderSpec measures exactly that difference).
+    *
+    * Pure shift/mask/or expression tree — whole-stage codegen'd, no UDF;
+    * 2·bits fixed terms. Callers bucket unbounded domains first
+    * (`pmod(hash(col), 1 << bits)` or a range-rank) — values ≥ 2^bits fold
+    * into the top cell rather than failing (`least` clamp).
+    */
+  def zorderValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "need 1 <= bits <= 31")
+    val cap = lit((1L << bits) - 1)
+    def clamp(c: Column) = least(c.cast("long"), cap)
+    val (cx, cy) = (clamp(x), clamp(y))
+    (0 until bits).map { i =>
+      shiftleft(shiftright(cx, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(cy, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
 }

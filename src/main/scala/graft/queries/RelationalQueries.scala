@@ -312,5 +312,23 @@ object RelationalQueries {
              |  SELECT doc_id, source, n_chars, row_number() OVER (
              |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
              |  FROM documents) t WHERE rn <= 10""".stripMargin)),
+
+    // ----- z-order (Morton) clustering value ---------------------------------
+    // Bit-interleaved (part, supplier) cell — range-partition/sort by zval
+    // and per-file min/max statistics prune on BOTH dimensions (ZorderSpec
+    // measures the locality). Oracle generated from the same bit terms.
+    "q_zorder" -> Q(
+      (s, d) => Td.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_partkey") % 256).as("zx"), (col("l_suppkey") % 256).as("zy"))
+        .withColumn("zval", Relational.zorderValue(col("zx"), col("zy"), 8)),
+      Some {
+        val terms = (0 until 8).map(i =>
+          s"(((zx >> $i) & 1) << ${2 * i}) | (((zy >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" | ")
+        s"""SELECT l_orderkey, l_linenumber, zx, zy, CAST($terms AS BIGINT) AS zval
+           |FROM (SELECT l_orderkey, l_linenumber, l_partkey % 256 AS zx,
+           |             l_suppkey % 256 AS zy FROM lineitem) t""".stripMargin
+      }),
   )
 }

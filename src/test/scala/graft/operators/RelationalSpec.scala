@@ -147,6 +147,33 @@ class RelationalSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet == Set(2L, 5L, 7L))
   }
 
+  test("zorderValue interleaves bits and clusters both dimensions") {
+    import spark.implicits._
+    // known Morton values: (x=0b11, y=0b01, 2 bits) → z = x0 + y0<<1 + x1<<2 + y1<<3
+    val z = Relational.zorderValue(lit(3L), lit(1L), 2)
+    assert(spark.range(1).select(z).head().getLong(0) == (1 + 2 + 4 + 0))
+    // clamp: values past 2^bits fold into the top cell instead of failing
+    val zc = Relational.zorderValue(lit(300L), lit(0L), 8)
+    assert(spark.range(1).select(zc).head().getLong(0) ==
+      spark.range(1).select(Relational.zorderValue(lit(255L), lit(0L), 8)).head().getLong(0))
+    // locality: 64×64 grid, z-sorted into 16 contiguous chunks of 256 rows
+    // → every chunk is a 16×16 block (both spreads 15); an x-only sort
+    // leaves y's full 0..63 range inside every chunk
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    def chunkSpreads(sorted: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      sorted.grouped(256).map { c =>
+        (c.map(_._1).max - c.map(_._1).min, c.map(_._2).max - c.map(_._2).min)
+      }.toSeq
+    val byZ = grid.withColumn("z", Relational.zorderValue(col("x"), col("y"), 6))
+      .orderBy("z").select("x", "y").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val zs = chunkSpreads(byZ)
+    assert(zs.forall { case (sx, sy) => sx <= 15 && sy <= 15 })
+    val byX = grid.orderBy("x", "y").select("x", "y").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(chunkSpreads(byX).forall { case (_, sy) => sy == 63 })
+  }
+
   test("capPerGroup plans as partial+final WindowGroupLimit, not a full window sort") {
     import spark.implicits._
     val docs = (1 to 100).map(i => (s"s${i % 5}", i.toLong, (i * 37 % 100).toLong))
