@@ -21,6 +21,22 @@ object VectorQueries {
     s"sqrt(list_sum([$v[i]*$v[i] for i in range(1, len($v)+1)]))"
   private val cosineSql = s"$dotSql / (${normSql("qe")} * ${normSql("e")})"
 
+  // DuckDB twin of Similarity.nearDupPairs at tau 0.45, shared by
+  // q_embed_neardup / q_embed_dedup
+  private val embedPairsSql =
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  list_sum([va[i]*vb[i] for i in range(1, len(vb)+1)]) /
+       |    (sqrt(list_sum([va[i]*va[i] for i in range(1, len(va)+1)])) *
+       |     sqrt(list_sum([vb[i]*vb[i] for i in range(1, len(vb)+1)]))) AS sim
+       |FROM (SELECT vec_id, embedding AS va FROM embeddings
+       |      WHERE ${normSql("embedding")} > 0) a,
+       |     (SELECT vec_id, embedding AS vb FROM embeddings
+       |      WHERE ${normSql("embedding")} > 0) b
+       |WHERE a.vec_id < b.vec_id
+       |  AND list_sum([va[i]*vb[i] for i in range(1, len(vb)+1)]) /
+       |    (sqrt(list_sum([va[i]*va[i] for i in range(1, len(va)+1)])) *
+       |     sqrt(list_sum([vb[i]*vb[i] for i in range(1, len(vb)+1)]))) >= 0.45""".stripMargin
+
   /** Hard-gate wrapper for the ANN queries: the approximate result is scored
     * IN-PLAN against the exact cosine top-k, and the query emits per query
     * id (a) the exact top-k id list + top-1 sim — which DuckDB recomputes
@@ -104,18 +120,35 @@ object VectorQueries {
     // ----- exact embedding near-dup pairs ----------------------------------
     "q_embed_neardup" -> Q(
       (s, d) => Similarity.nearDupPairs(Td.embeddings(s, d), "vec_id", "embedding", tau = 0.45),
-      Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-              |  list_sum([va[i]*vb[i] for i in range(1, len(vb)+1)]) /
-              |    (sqrt(list_sum([va[i]*va[i] for i in range(1, len(va)+1)])) *
-              |     sqrt(list_sum([vb[i]*vb[i] for i in range(1, len(vb)+1)]))) AS sim
-              |FROM (SELECT vec_id, embedding AS va FROM embeddings
-              |      WHERE ${normSql("embedding")} > 0) a,
-              |     (SELECT vec_id, embedding AS vb FROM embeddings
-              |      WHERE ${normSql("embedding")} > 0) b
-              |WHERE a.vec_id < b.vec_id
-              |  AND list_sum([va[i]*vb[i] for i in range(1, len(vb)+1)]) /
-              |    (sqrt(list_sum([va[i]*va[i] for i in range(1, len(va)+1)])) *
-              |     sqrt(list_sum([vb[i]*vb[i] for i in range(1, len(vb)+1)]))) >= 0.45""".stripMargin)),
+      Some(embedPairsSql)),
+
+    // ----- embedding-cosine near-dup DEDUP (pairs → components → survivors) --
+    // The end-to-end embedding dedup: cosine near-dup pairs feed connected
+    // components (min-label), and each cluster keeps its min-id member;
+    // zero-norm vectors (directionless, excluded from pairing) and
+    // untouched vectors survive as singletons. Oracle = the pair SQL +
+    // recursive-CTE reachability, as in q_dup_clusters.
+    "q_embed_dedup" -> Q(
+      (s, d) => {
+        val emb = Td.embeddings(s, d)
+        val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding", tau = 0.45)
+        graft.operators.Dedup.dupClusters(emb, "vec_id", pairs)
+          .filter(col("id") === col("cluster_id"))
+          .select(col("id").as("vec_id"))
+          .join(emb.select("vec_id", "label"), Seq("vec_id"))
+      },
+      Some(s"""WITH RECURSIVE
+              |p AS ($embedPairsSql),
+              |edges AS (SELECT id_a AS a, id_b AS b FROM p
+              |          UNION SELECT id_b, id_a FROM p),
+              |reach(a, b) AS (
+              |  SELECT vec_id, vec_id FROM embeddings
+              |  UNION
+              |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+              |SELECT c.a AS vec_id, e.label
+              |FROM (SELECT a, min(b) AS cl FROM reach GROUP BY a) c
+              |JOIN embeddings e ON e.vec_id = c.a
+              |WHERE c.a = c.cl""".stripMargin)),
 
     // ----- LSH-bucketed approximate top-k (the 100 TB scale path) ----------
     // The sign-LSH candidate set is engine-internal, so the ORACLE-facing
