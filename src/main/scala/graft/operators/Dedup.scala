@@ -187,11 +187,17 @@ object Dedup {
     val scored = inter
       .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
-    // one candidate relation, both directions projected from it
-    scored.select(col("id_a").as("src_id"), col("id_b").as("dst_id"),
-        (col("inter").cast("double") / col("n_a").cast("double")).as("containment"))
-      .unionAll(scored.select(col("id_b").as("src_id"), col("id_a").as("dst_id"),
-        (col("inter").cast("double") / col("n_b").cast("double")).as("containment")))
+    // both directions via ONE explode per candidate row — a unionAll of two
+    // projections over `scored` would evaluate the entire inverted-index
+    // pipeline twice (plan-audited: 2× the shingle shuffle + pair agg)
+    scored.select(explode(array(
+        struct(col("id_a").as("src_id"), col("id_b").as("dst_id"),
+          (col("inter").cast("double") / col("n_a").cast("double")).as("containment")),
+        struct(col("id_b").as("src_id"), col("id_a").as("dst_id"),
+          (col("inter").cast("double") / col("n_b").cast("double")).as("containment"))))
+        .as("e"))
+      .select(col("e.src_id").as("src_id"), col("e.dst_id").as("dst_id"),
+        col("e.containment").as("containment"))
       .filter(col("containment") >= tau)
   }
 

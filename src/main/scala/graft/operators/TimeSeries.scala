@@ -294,9 +294,13 @@ object TimeSeries {
       .orderBy(col(tsCol), col(tieCol))
       .rowsBetween(-(window - 1), Window.currentRow)
     val vd = col(valueCol).cast("decimal(18,2)")
-    val n = count(vd).over(w).as("n_obs")
-    val s = sum(vd).over(w).cast("double")
-    val ss = sum(vd * vd).over(w).cast("double")
+    // All three frame aggregates in ONE projection so CollapseWindow plans
+    // a single Window node (one pass over each sorted partition) — the
+    // withColumn-chain form left three stacked Windows in the plan.
+    val withMoments = df.select(col("*"),
+      count(vd).over(w).as("n_obs"),
+      sum(vd).over(w).cast("double").as("__s"),
+      sum(vd * vd).over(w).cast("double").as("__ss"))
     val nD = col("n_obs").cast("double")
     val mean = col("__s") / nD
     // clamp at 0: the exact decimal sums round to double once each, so the
@@ -304,9 +308,7 @@ object TimeSeries {
     // (which DuckDB and Java may render differently) — clamped, both
     // engines agree on std = 0 → z NULL
     val variance = greatest((col("__ss") - col("__s") * col("__s") / nD) / nD, lit(0.0))
-    df.withColumn("n_obs", n)
-      .withColumn("__s", s)
-      .withColumn("__ss", ss)
+    withMoments
       .withColumn("roll_mean", mean)
       .withColumn("roll_std", sqrt(variance))
       .withColumn("zscore",
