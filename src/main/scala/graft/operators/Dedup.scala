@@ -113,20 +113,34 @@ object Dedup {
     * A shingle shared by k docs emits C(k,2) pairs from one task — Zipfian
     * boilerplate shingles hot-spot this at corpus scale. For natural-vocab
     * corpora prefer [[jaccardPairsPrefix]], which keeps such shingles out of
-    * the candidate stream entirely; results are identical (both exact).
+    * the candidate stream entirely; results are identical (both exact). Where
+    * the prefix bound doesn't apply (or the caller wants stopword-shingle
+    * semantics anyway), `maxShingleDf` drops shingles above a document-
+    * frequency ceiling BEFORE the pair stage — the result is then the exact
+    * Jaccard over the reduced shingle space (sizes and intersections both
+    * exclude dropped shingles, so the score stays a true Jaccard, of the
+    * filtered sets). Report what a ceiling drops with [[overWideShingles]].
+    *
+    * Block-manager note: with `persistIntermediate=true` and no caller-
+    * supplied `shingles`, the cached shingle relation stays registered after
+    * the result materializes (the result is lazy, so this operator cannot
+    * know when to release it) — callers running many invocations in one
+    * long-lived session own the cleanup (`spark.sparkContext
+    * .getPersistentRDDs`), or pass `shingles`/`persistIntermediate=false`.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, tau: Double,
                    persistIntermediate: Boolean = true,
-                   shingles: Option[DataFrame] = None): DataFrame = {
+                   shingles: Option[DataFrame] = None,
+                   maxShingleDf: Int = Int.MaxValue): DataFrame = {
     // the shingle relation feeds the pair and size branches; persist it so
     // the source is scanned once
-    val ex = shingles.getOrElse {
+    val ex = capShingles(shingles.getOrElse {
       val ex0 = explodedShingles(df, idCol, textCol, n)
       if (persistIntermediate)
         ex0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else ex0
-    }
+    }, maxShingleDf)
     val spark = ex.sparkSession
     import spark.implicits._
     val inter = ex.groupBy("s").agg(collect_list(col("id")).as("ids"))
@@ -157,21 +171,27 @@ object Dedup {
     *
     * Same inverted-index shape and cost envelope as [[jaccardPairs]] (two
     * narrow shuffles, Σ C(df,2) candidate pairs, no n² product); the same
-    * Zipfian caveat applies — prefix filtering does NOT transfer to
-    * containment's one-sided denominator, so cap boilerplate shingles
-    * upstream (drop shingles above a document-frequency ceiling) before
-    * running this at corpus scale.
+    * Zipfian caveat applies — and prefix filtering does NOT transfer to
+    * containment's one-sided denominator, so `maxShingleDf` is the ONLY
+    * scale valve here: it drops shingles above a document-frequency ceiling
+    * before the pair stage, making the score the exact containment over the
+    * reduced shingle space (both |A∩B| and |A| exclude dropped shingles).
+    * At corpus scale set it to a small multiple of the expected duplicate-
+    * cluster size and log [[overWideShingles]] alongside, so recall loss is
+    * a reported number, not a silent truncation. Same block-manager
+    * ownership note as [[jaccardPairs]] when `persistIntermediate=true`.
     */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int, tau: Double,
                        persistIntermediate: Boolean = true,
-                       shingles: Option[DataFrame] = None): DataFrame = {
-    val ex = shingles.getOrElse {
+                       shingles: Option[DataFrame] = None,
+                       maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val ex = capShingles(shingles.getOrElse {
       val ex0 = explodedShingles(df, idCol, textCol, n)
       if (persistIntermediate)
         ex0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else ex0
-    }
+    }, maxShingleDf)
     val spark = ex.sparkSession
     import spark.implicits._
     val inter = ex.groupBy("s").agg(collect_list(col("id")).as("ids"))
@@ -200,6 +220,33 @@ object Dedup {
         col("e.containment").as("containment"))
       .filter(col("containment") >= tau)
   }
+
+  /** Keep only shingles appearing in at most `maxDf` documents — the
+    * inverted-index family's hot-spot valve (a shingle in w docs emits
+    * C(w,2) pairs from ONE task; one boilerplate banner paragraph at corpus
+    * scale is a straight scale-killer). The df count is a window over the
+    * shingle — the same key the downstream pair stage shuffles on, so the
+    * exchange is shared, not added. `Int.MaxValue` short-circuits to the
+    * input plan (default behavior unchanged, spec-pinned).
+    */
+  private def capShingles(ex: DataFrame, maxDf: Int): DataFrame =
+    if (maxDf == Int.MaxValue) ex
+    else ex
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("s")))
+      .filter(col("__df") <= maxDf).drop("__df")
+
+  /** The (shingle, df) rows a `maxShingleDf` ceiling would drop — the
+    * observability companion to [[jaccardPairs]]/[[containmentPairs]]'s cap,
+    * mirroring [[overWideBuckets]] for the LSH family: tiny output (one row
+    * per over-frequent shingle), so pipelines log/store it and recall loss
+    * is a reported number.
+    */
+  def overWideShingles(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, maxShingleDf: Int,
+                       shingles: Option[DataFrame] = None): DataFrame =
+    shingles.getOrElse(explodedShingles(df, idCol, textCol, n))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
 
   /** Prefix-filtered exact all-pairs Jaccard (Bayardo, Ma & Srikant,
     * "Scaling Up All Pairs Similarity Search", WWW 2007; PPJoin refines the

@@ -252,17 +252,22 @@ object Relational {
     *
     * Pure shift/mask/or expression tree — whole-stage codegen'd, no UDF;
     * 2·bits fixed terms. Callers bucket unbounded domains first
-    * (`pmod(hash(col), 1 << bits)` or a range-rank) — values ≥ 2^bits fold
-    * into the top cell rather than failing (`least` clamp).
+    * (`pmod(hash(col), 1 << bits)` or a range-rank) — out-of-range values
+    * fold into the edge cells rather than failing (clamped to [0, 2^bits):
+    * negatives would otherwise sign-extend into garbage interleavings, and
+    * `least` alone SKIPS nulls in Spark, silently mapping a null key to the
+    * top cell). A null in either key propagates to a null cell — callers
+    * decide where unkeyed rows land instead of inheriting a corner.
     */
   def zorderValue(x: Column, y: Column, bits: Int): Column = {
     require(bits >= 1 && bits <= 31, "need 1 <= bits <= 31")
     val cap = lit((1L << bits) - 1)
-    def clamp(c: Column) = least(c.cast("long"), cap)
+    def clamp(c: Column) = greatest(lit(0L), least(c.cast("long"), cap))
     val (cx, cy) = (clamp(x), clamp(y))
-    (0 until bits).map { i =>
+    val cell = (0 until bits).map { i =>
       shiftleft(shiftright(cx, i).bitwiseAND(lit(1L)), 2 * i)
         .bitwiseOR(shiftleft(shiftright(cy, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }.reduce(_ bitwiseOR _)
+    when(x.isNull || y.isNull, lit(null).cast("long")).otherwise(cell)
   }
 }

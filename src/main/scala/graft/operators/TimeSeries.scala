@@ -279,6 +279,15 @@ object TimeSeries {
     * `(Σx² − (Σx)²/n)/n` runs at the end. `z` is NULL until `minObs`
     * observations fill the frame or when the frame variance is 0.
     *
+    * The decimal cast QUANTIZES the moment inputs to `decimalScale` decimal
+    * places (same domain assumption `Stats.correlation` documents): values
+    * whose variation lives below that scale collapse to std 0 and can never
+    * flag — while the z numerator uses the unrounded double. Raise
+    * `decimalScale` for fine-grained domains (each extra digit spends one of
+    * decimal(18,·)'s integer digits; at scale s the frame sum must fit
+    * 10^(18−s)). The streaming twin accumulates raw doubles and agrees only
+    * where the domain genuinely is ≤ `decimalScale` places.
+    *
     * One shuffle on the key, one per-key sort, single-pass frame evaluation;
     * window width is a row-count constant so executor state is O(window) per
     * open frame. Skewed keys bound the stage (a window over one key cannot
@@ -287,13 +296,14 @@ object TimeSeries {
     */
   def rollingZscore(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
                     valueCol: String, window: Int, minObs: Int = 2,
-                    threshold: Double = 3.0): DataFrame = {
+                    threshold: Double = 3.0, decimalScale: Int = 2): DataFrame = {
     require(window >= 2, "window must cover at least 2 rows")
     require(minObs >= 2 && minObs <= window, "need 2 <= minObs <= window")
+    require(decimalScale >= 0 && decimalScale <= 16, "need 0 <= decimalScale <= 16")
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col(tieCol))
       .rowsBetween(-(window - 1), Window.currentRow)
-    val vd = col(valueCol).cast("decimal(18,2)")
+    val vd = col(valueCol).cast(s"decimal(18,$decimalScale)")
     // All three frame aggregates in ONE projection so CollapseWindow plans
     // a single Window node (one pass over each sorted partition) — the
     // withColumn-chain form left three stacked Windows in the plan.

@@ -195,6 +195,10 @@ object StreamOps {
     * within a micro-batch; an event arriving in a LATER batch than a
     * newer-timestamped peer enters the frame late (committed state is never
     * reordered). The batch operator is the replayable ground truth.
+    * Equal-timestamp events within a batch sort by value — without a
+    * secondary key they'd enter the ring in shuffle order and tied rows'
+    * z-scores would vary run-to-run; this matches the batch twin when its
+    * `tieCol` is the value column (the tuple carries nothing else to tie on).
     */
   def zscoreStream(events: Dataset[(Long, Timestamp, Double)], window: Int,
                    minObs: Int = 2, threshold: Double = 3.0):
@@ -207,7 +211,7 @@ object StreamOps {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (key, rows, state: GroupState[Seq[Double]]) =>
           var ring = state.getOption.getOrElse(Seq.empty[Double]) // newest first
-          val out = rows.toSeq.sortBy(r => epochMicros(r._2)).map { case (_, ts, v) =>
+          val out = rows.toSeq.sortBy(r => (epochMicros(r._2), r._3)).map { case (_, ts, v) =>
             ring = (v +: ring).take(window)
             val n = ring.length
             val mean = ring.sum / n

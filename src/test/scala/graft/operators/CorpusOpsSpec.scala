@@ -393,6 +393,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(jac.count() == 0)
   }
 
+  test("maxShingleDf: ceiling drops boilerplate shingles, default preserves output") {
+    val docs = Seq(
+      (1L, "alpha beta gamma shared banner text"),
+      (2L, "alpha beta gamma shared banner text"), // exact dup of 1
+      (3L, "delta epsilon zeta shared banner text"),
+      (4L, "eta theta iota shared banner text"),
+    ).toDF("doc_id", "text")
+    val base = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(base.size == 6) // every pair collides on the df=4 banner shingle
+    // a ceiling above every df is a no-op: the windowed path preserves output
+    val wide = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.1,
+        maxShingleDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(wide == base)
+    // banner shingle dropped: only the true duplicate pair survives, scored
+    // as the exact Jaccard over the REDUCED shingle space (3/3, not 4/4)
+    val capped = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, tau = 0.1,
+        maxShingleDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(capped.toSeq == Seq((1L, 2L, 1.0)))
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", n = 3, tau = 0.5,
+        maxShingleDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cont == Set((1L, 2L, 1.0), (2L, 1L, 1.0)))
+    // the reporter names exactly what the ceiling dropped
+    val dropped = Dedup.overWideShingles(docs, "doc_id", "text", n = 3,
+      maxShingleDf = 3).collect()
+    assert(dropped.toSeq == Seq(Row("shared banner text", 4L)))
+  }
+
   test("ngramCounts: occurrences vs document frequency, minCount gate") {
     val docs = Seq(
       (1L, "the cat sat on the cat sat"), // 'the cat sat' twice within one doc
