@@ -50,6 +50,21 @@ object RecallProbe {
     recalls("pq", Similarity.pqTopK(emb, queries, "vec_id", "embedding",
       dim = 64, topK = 5, m = 8, k = 16, iters = 2, rerank = 50))
 
+    // lshPairs recall vs the exact pair set at tau 0.45. This table's pairs
+    // HUG the threshold (min sim 0.450 at every SF — measured via DuckDB),
+    // LSH's worst regime: these numbers set q_embed_lsh_pairs' batch-level
+    // recall bound, and explain why q_embed_dedup keeps the exact source.
+    val exactPairs = Similarity.nearDupPairs(emb, "vec_id", "embedding", tau = 0.45)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for ((bits, tables) <- Seq((5, 12), (6, 12), (6, 16), (8, 16))) {
+      val banded = Similarity.lshPairs(emb, "vec_id", "embedding", tau = 0.45,
+          dim = 64, bits = bits, tables = tables)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"PROBE lshPairs b=$bits t=$tables " +
+        f"recall=${(exactPairs & banded).size.toDouble / exactPairs.size}%.3f " +
+        s"found=${banded.size} exact=${exactPairs.size}")
+    }
+
     val ev = Td.events(spark, sfDir)
     val d = ev.groupBy("event_type").agg(
         countDistinct(col("user_id")).as("exact"),

@@ -97,6 +97,116 @@ object Similarity {
       acc + when(dot(vec, plane(table, bitIdx, dim)) > 0, lit(1L << bitIdx)).otherwise(lit(0L))
     }
 
+  /** The same hyperplanes as [[plane]], materialized as arrays for closure
+    * paths — identical seeded draw order, so closure signatures and the
+    * [[signBits]] expression agree bit-for-bit (spec-pinned).
+    */
+  private[operators] def planesArray(tables: Int, bits: Int, dim: Int): Array[Array[Array[Float]]] =
+    Array.tabulate(tables, bits) { (t, b) =>
+      val rng = new java.util.Random(1000003L * t + b)
+      Array.fill(dim)(rng.nextGaussian().toFloat)
+    }
+
+  /** (id, tbl, bucket) sign-bucket membership for every non-zero-norm corpus
+    * row across `tables` tables. Signatures come from ONE typed pass with
+    * BROADCAST planes (a tight float-mul/double-acc loop matching the
+    * [[dot]] kernel's arithmetic exactly): the expression form would put
+    * tables×bits kernel dots in one projection — at pair-mining scales
+    * (16 bits × 8+ tables = 128+ inlined dots) that blows past what
+    * whole-stage codegen will compile and falls back interpreted, while the
+    * closure path compiles once and streams.
+    */
+  private def signBuckets(corpus: DataFrame, idCol: String, vecCol: String,
+                          dim: Int, bits: Int, tables: Int): DataFrame = {
+    val spark0 = corpus.sparkSession
+    import spark0.implicits._
+    val bc = spark0.sparkContext.broadcast(planesArray(tables, bits, dim))
+    corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Seq[Float])]
+      .flatMap { case (id, v) =>
+        var n2 = 0.0
+        var i = 0
+        while (i < v.length) { n2 += v(i).toDouble * v(i); i += 1 }
+        if (n2 == 0.0) Iterator.empty // directionless — excluded like cosineTopK
+        else {
+          val planes = bc.value
+          (0 until tables).iterator.map { t =>
+            var sig = 0L
+            var b = 0
+            while (b < bits) {
+              val p = planes(t)(b)
+              var s = 0.0
+              var j = 0
+              while (j < dim) { s += (v(j) * p(j)).toDouble; j += 1 }
+              if (s > 0) sig |= 1L << b
+              b += 1
+            }
+            (id, t, sig)
+          }
+        }
+      }
+      .toDF("id", "tbl", "bucket")
+  }
+
+  /** Bucketed sign-LSH near-dup pair mining — the embedding twin of
+    * [[Dedup.lshCandidates]]: hash every corpus row into `tables` sign
+    * buckets, emit within-bucket candidate pairs, verify each candidate with
+    * the exact [[dot]] cosine and keep `sim >= tau`. Precision is exact
+    * (identical arithmetic to [[nearDupPairs]], so the output is always a
+    * subset of it); recall is the LSH collision probability
+    * `1 − (1 − p^bits)^tables` with `p = 1 − arccos(sim)/π` — near 1 for
+    * clustered corpora (sim ≥ 0.8 dups: bits=16, tables=8 gives per-pair
+    * miss < 1e-4 while random pairs collide at ~0.5^16), and the spec pins
+    * equality with the brute-force path on such a corpus.
+    *
+    * KNOW THE LIMIT: for thresholds deep in the bulk of the similarity
+    * distribution the p-gap collapses and no parameterization reaches
+    * recall 1 without candidates degenerating to n² (measured on the
+    * driver's near-uniform `embeddings` table, whose tau=0.45 pairs sit AT
+    * the threshold: p₁=0.649 vs p₂≈0.5 per bit — recall-1 parameters make
+    * >99% of all pairs candidates). That regime is [[nearDupPairs]]' job at
+    * small n and a recall-bounded gate at scale (`q_embed_lsh_pairs`); THIS
+    * operator is the 100 TB path for the clustered corpora real dedup runs
+    * on. The corpus shuffles on (tbl, bucket) — fan-out per row = `tables`,
+    * ids only; vectors never ride the bucket explosion and rejoin per
+    * verified candidate. `maxBucketWidth` caps collision hot-spots exactly
+    * like [[Dedup.lshCandidates]] (a bucket of w rows emits C(w,2) pairs
+    * from one task); report what a cap drops with [[overWideSignBuckets]].
+    */
+  def lshPairs(corpus: DataFrame, idCol: String, vecCol: String, tau: Double,
+               dim: Int, bits: Int = 16, tables: Int = 8,
+               maxBucketWidth: Int = Int.MaxValue): DataFrame = {
+    val buckets0 = signBuckets(corpus, idCol, vecCol, dim, bits, tables)
+    val buckets = if (maxBucketWidth == Int.MaxValue) buckets0
+      else buckets0
+        .withColumn("__w", count(lit(1)).over(Window.partitionBy("tbl", "bucket")))
+        .filter(col("__w") <= maxBucketWidth).drop("__w")
+    val cands = buckets.as("a").join(buckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val va = corpus.select(col(idCol).cast("long").as("id_a"), col(vecCol).as("__va"),
+      l2Norm(col(vecCol)).as("__na")).filter(col("__na") > 0)
+    val vb = corpus.select(col(idCol).cast("long").as("id_b"), col(vecCol).as("__vb"),
+      l2Norm(col(vecCol)).as("__nb")).filter(col("__nb") > 0)
+    cands.join(va, "id_a").join(vb, "id_b")
+      .withColumn("sim", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .filter(col("sim") >= tau)
+      .select("id_a", "id_b", "sim")
+  }
+
+  /** The (tbl, bucket, width) sign buckets a `maxBucketWidth` cap would drop
+    * from [[lshPairs]] — the observability companion (tiny: one row per
+    * over-wide bucket), mirroring [[Dedup.overWideBuckets]].
+    */
+  def overWideSignBuckets(corpus: DataFrame, idCol: String, vecCol: String,
+                          dim: Int, bits: Int, tables: Int,
+                          maxBucketWidth: Int): DataFrame =
+    signBuckets(corpus, idCol, vecCol, dim, bits, tables)
+      .groupBy("tbl", "bucket").agg(count(lit(1)).as("width"))
+      .filter(col("width") > maxBucketWidth)
+
   // ---------------------------------------------------------------- IVF ---
 
   /** Literal float-array column for a centroid. */

@@ -122,12 +122,55 @@ object VectorQueries {
       (s, d) => Similarity.nearDupPairs(Td.embeddings(s, d), "vec_id", "embedding", tau = 0.45),
       Some(embedPairsSql)),
 
+    // ----- bucketed sign-LSH near-dup pairs, recall-gated ------------------
+    // The bucketed pair miner (Similarity.lshPairs) hard-gated the annGate
+    // way: the oracle-facing rows are the EXACT pair set (DuckDB recomputes
+    // them bit-identically) plus a batch-level recall flag the oracle
+    // asserts is 1. The banded path is verified with the identical kernel,
+    // so its output is a deterministic SUBSET of the exact rows — the
+    // left-outer join only ever flags misses, never phantoms. Bound is
+    // MEASURED (RecallProbe): recall 0.93 (sf0.01) / 0.81 (sf0.1) at
+    // bits=5, tables=12 → gate at 0.4, half the worst observed. This
+    // corpus is LSH's worst case — its tau=0.45 pairs HUG the threshold
+    // (min sim 0.450 at every SF, measured via DuckDB), where the per-bit
+    // collision gap (0.649 at-threshold vs ~0.5 random) is so thin that
+    // recall-1 parameters make >99% of all n² pairs candidates. A real
+    // near-dup corpus (sim ≥ 0.8 clusters) gets recall ≈ 1 at a fraction
+    // of brute force — OperatorsSpec pins banded ≡ exact on one.
+    "q_embed_lsh_pairs" -> Q(
+      (s, d) => {
+        val emb = Td.embeddings(s, d)
+        val exact = Similarity.nearDupPairs(emb, "vec_id", "embedding", tau = 0.45)
+        val banded = Similarity.lshPairs(emb, "vec_id", "embedding", tau = 0.45,
+          dim = 64, bits = 5, tables = 12)
+        val marked = exact.join(
+          banded.select(col("id_a"), col("id_b"), lit(1).as("__f")),
+          Seq("id_a", "id_b"), "left_outer")
+        val gate = marked.agg(
+          (sum(coalesce(col("__f"), lit(0))) >= lit(0.4) * count(lit(1)))
+            .cast("int").as("recall_ok"))
+        marked.crossJoin(broadcast(gate))
+          .select(col("id_a"), col("id_b"), col("sim"), col("recall_ok"))
+      },
+      Some(s"SELECT id_a, id_b, sim, 1 AS recall_ok FROM ($embedPairsSql) t")),
+
     // ----- embedding-cosine near-dup DEDUP (pairs → components → survivors) --
     // The end-to-end embedding dedup: cosine near-dup pairs feed connected
     // components (min-label), and each cluster keeps its min-id member;
     // zero-norm vectors (directionless, excluded from pairing) and
     // untouched vectors survive as singletons. Oracle = the pair SQL +
     // recursive-CTE reachability, as in q_dup_clusters.
+    //
+    // The pair source stays the EXACT nearDupPairs by measurement, not
+    // oversight: dedup's hash gate needs recall 1 (one missed edge changes
+    // the components), and on this corpus — where every near-dup pair sits
+    // at sims 0.45-0.60, hugging the threshold — no sign-LSH
+    // parameterization reaches recall 1 without its candidate set
+    // degenerating to n² (see q_embed_lsh_pairs' numbers; b=4/t=96 puts
+    // 99.8% of ALL pairs in candidates). At this battery's corpus sizes the
+    // in-join-condition brute force is the right exact plan; a clustered
+    // production corpus would swap in lshPairs (spec-pinned ≡ exact there)
+    // and inherit the same downstream composition.
     "q_embed_dedup" -> Q(
       (s, d) => {
         val emb = Td.embeddings(s, d)

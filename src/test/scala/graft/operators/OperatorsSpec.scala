@@ -130,6 +130,51 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.8, s"clustered recall $recall: exact=$exact approx=$approx")
   }
 
+  test("lshPairs ≡ brute-force nearDupPairs on a clustered corpus; cap + reporter") {
+    val s = spark
+    import s.implicits._
+    def vec(cluster: Int, i: Int): Seq[Float] =
+      (0 until 16).map { d =>
+        val base = math.sin(cluster * 17.0 + d).toFloat * 2f
+        base + (((i * 31 + d * 7) % 13) - 6) * 0.01f
+      }
+    val rows = for (c <- 0 until 3; i <- 0 until 10) yield (c * 10L + i, vec(c, i))
+    val emb = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.nearDupPairs(emb, "vec_id", "embedding", tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.size >= 3 * 45 / 2) // clusters are tight: most within-cluster pairs clear 0.9
+    val banded = Similarity.lshPairs(emb, "vec_id", "embedding", tau = 0.9,
+        dim = 16, bits = 8, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(banded == exact) // banded ≡ brute force, sims bit-identical
+    // a tight cap drops the wide within-cluster buckets and the reporter
+    // names them with their widths
+    val capped = Similarity.lshPairs(emb, "vec_id", "embedding", tau = 0.9,
+      dim = 16, bits = 8, tables = 8, maxBucketWidth = 5)
+    assert(capped.count() < exact.size)
+    val wide = Similarity.overWideSignBuckets(emb, "vec_id", "embedding",
+      dim = 16, bits = 8, tables = 8, maxBucketWidth = 5).collect()
+    assert(wide.nonEmpty && wide.forall(_.getLong(2) > 5))
+  }
+
+  test("signBits expression and planesArray closure agree bit-for-bit") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    val expr = emb.select(col("vec_id"), Similarity.signBits(col("embedding"), 2, 12, 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val planes = Similarity.planesArray(3, 12, 64)
+    emb.select("vec_id", "embedding").collect().foreach { r =>
+      val v = r.getSeq[Float](1)
+      var sig = 0L
+      for (b <- 0 until 12) {
+        var s = 0.0
+        var j = 0
+        while (j < 64) { s += (v(j) * planes(2)(b)(j)).toDouble; j += 1 }
+        if (s > 0) sig |= 1L << b
+      }
+      assert(sig == expr(r.getLong(0)), s"vec ${r.getLong(0)}")
+    }
+  }
+
   test("multimodal: binary plumbing + stub decode is deterministic and distributed") {
     val media = Multimodal.asMediaTable(docs().repartition(3), "doc_id", "text")
     assert(media.schema("content").dataType.typeName == "binary")
