@@ -49,6 +49,10 @@ object RecallProbe {
       k = 5, nlist = 16, nprobe = 4))
     recalls("pq", Similarity.pqTopK(emb, queries, "vec_id", "embedding",
       dim = 64, topK = 5, m = 8, k = 16, iters = 2, rerank = 50))
+    recalls("ivfpq", Similarity.ivfPqSearch(
+      Similarity.ivfPqBuild(emb, "vec_id", "embedding", dim = 64,
+        nlist = 16, m = 8, k = 16, iters = 2),
+      emb, queries, "vec_id", "embedding", topK = 5, nprobe = 4, rerank = 50))
 
     // lshPairs recall vs the exact pair set at tau 0.45. This table's pairs
     // HUG the threshold (min sim 0.450 at every SF — measured via DuckDB),

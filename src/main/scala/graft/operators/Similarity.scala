@@ -642,6 +642,155 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  // ------------------------------------------------------------ IVF+PQ ---
+
+  /** A built IVF+PQ index — the standard billion-vector composition: the
+    * coarse quantizer (IVF cells) narrows each search to `nprobe` cells, PQ
+    * codes give a compressed-domain ADC ranking WITHIN them, and an exact
+    * re-rank recovers true cosine order on the shortlist. `codes` carries
+    * (neighbor_id, codes, cell) and persists PARTITIONED BY CELL
+    * ([[ivfPqWrite]]), so the probe join dynamic-partition-prunes code
+    * files to the probed cells: per-query scan cost is nprobe/nlist of an
+    * already ~64×-compressed relation — this retires flat [[pqSearch]]'s
+    * all-codes scan as the only PQ path. Training runs over UNIT vectors
+    * (L2 argmin ≡ cosine argmax there; see [[pqSearch]]).
+    */
+  final case class IvfPqIndex(centroids: Seq[Array[Float]],
+                              books: Seq[Seq[Array[Float]]],
+                              codes: DataFrame, dim: Int)
+
+  /** Train coarse centroids + PQ codebooks, then assign the cell and encode
+    * the codes in ONE typed pass over the corpus (broadcast centroids +
+    * codebooks — same closure-over-broadcast rationale as [[pqEncode]]).
+    * Cell assignment mirrors [[trainCentroids]]' rule exactly (score
+    * dot/|c|, zero-norm centroids -Inf, ties toward the higher index).
+    */
+  def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+                 nlist: Int = 16, m: Int = 8, k: Int = 16, iters: Int = 3): IvfPqIndex = {
+    val corpusN = unitVecs(corpus, idCol, vecCol)
+    val centroids = trainCentroids(corpusN, idCol, vecCol, nlist, iters)
+    val books = pqTrain(corpusN, idCol, vecCol, dim, m, k, iters)
+    val spark0 = corpus.sparkSession
+    import spark0.implicits._
+    val sw = dim / m
+    val arr = books.map(_.toArray).toArray
+    val bc = spark0.sparkContext.broadcast((
+      centroids.toArray,
+      centroids.map(c => math.sqrt(c.map(x => x.toDouble * x).sum)).toArray,
+      arr, halfNorms(arr)))
+    val codes = corpusN.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .as[(Long, Seq[Float])]
+      .map { case (id, v) =>
+        val (cs, cn, bks, halves) = bc.value
+        var best = 0
+        var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < cs.length) {
+          var s = 0.0
+          var i = 0
+          while (i < cs(c).length) { s += v(i).toDouble * cs(c)(i); i += 1 }
+          val score = if (cn(c) == 0.0) Double.NegativeInfinity else s / cn(c)
+          if (score >= bestScore) { bestScore = score; best = c }
+          c += 1
+        }
+        (id, Array.tabulate(bks.length)(sub =>
+          nearestSubCode(v, sub * sw, sw, bks(sub), halves(sub))), best)
+      }
+      .toDF("neighbor_id", "codes", "cell")
+    IvfPqIndex(centroids, books, codes, dim)
+  }
+
+  /** Persist a built IVF+PQ index: centroids + codebooks as tiny parquet
+    * relations, codes partitioned by cell — probes prune at the FILE level.
+    */
+  def ivfPqWrite(index: IvfPqIndex, root: String): Unit = {
+    val spark0 = index.codes.sparkSession
+    import spark0.implicits._
+    index.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/centroids")
+    index.books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (c, cell) => (s, cell, c.toSeq) }
+    }.toDF("sub", "cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/books")
+    index.codes.write.partitionBy("cell").mode("overwrite").parquet(s"$root/codes")
+  }
+
+  /** Reopen a persisted IVF+PQ index ([[ivfPqWrite]]); the codes relation is
+    * partition-discovered, so runtime `cell` predicates prune directories.
+    */
+  def ivfPqRead(spark: org.apache.spark.sql.SparkSession, root: String, dim: Int): IvfPqIndex = {
+    val cents = spark.read.parquet(s"$root/centroids").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray).toIndexedSeq
+    val books = spark.read.parquet(s"$root/books").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toSeq }
+    IvfPqIndex(cents, books, spark.read.parquet(s"$root/codes"), dim)
+  }
+
+  /** Search a built/reopened IVF+PQ index: each query probes its `nprobe`
+    * nearest cells (scored driver-side over the tiny centroid set, same
+    * tie rule as [[nearestCells]]), ADC-ranks ONLY those cells' codes (the
+    * equi-join against the broadcast query relation is what lets dynamic
+    * partition pruning skip every other cell's files), and the `rerank`
+    * best candidates per query are re-scored exactly by cosine. The raw
+    * `corpus` is needed only for the re-rank vectors of the shortlist.
+    */
+  def ivfPqSearch(index: IvfPqIndex, corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, topK: Int,
+                  nprobe: Int = 4, rerank: Int = 50): DataFrame = {
+    val spark0 = corpus.sparkSession
+    import spark0.implicits._
+    val books = index.books
+    val m = books.size
+    val sw = index.dim / m
+    val cnorms = index.centroids.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
+    val qRows = unitVecs(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    // (query_id, tbl, cell) per probed cell: the ADC table is the same
+    // |c|² − 2·qs·c lookup table as pqSearch; cells sort by (−score, idx)
+    // like nearestCells (zero-norm centroids pinned last)
+    val qt = qRows.flatMap { case (qid, qv) =>
+      val tbl = (0 until m).map { s =>
+        val qs = qv.slice(s * sw, (s + 1) * sw)
+        books(s).map { c =>
+          val cc = c.map(x => x.toDouble * x).sum
+          val qc = qs.zip(c).map { case (a, b) => a.toDouble * b.toDouble }.sum
+          cc - 2.0 * qc
+        }.toSeq
+      }
+      index.centroids.zipWithIndex.map { case (c, i) =>
+        var s = 0.0
+        var j = 0
+        while (j < c.length) { s += (qv(j) * c(j)).toDouble; j += 1 }
+        val neg = if (cnorms(i) == 0.0) Double.PositiveInfinity else -s / cnorms(i)
+        (neg, i)
+      }.sorted.take(nprobe).map { case (_, cell) => (qid, tbl, cell) }
+    }.toSeq.toDF("query_id", "tbl", "cell")
+    val approx = (0 until m).map(s =>
+      element_at(element_at(col("tbl"), s + 1), col("codes")(s) + 1)).reduce(_ + _)
+    val wApprox = Window.partitionBy("query_id")
+      .orderBy(col("approx").asc, col("neighbor_id").asc)
+    val shortlist = index.codes.join(broadcast(qt), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("approx", approx)
+      .withColumn("__arank", row_number().over(wApprox))
+      .filter(col("__arank") <= rerank)
+      .select("query_id", "neighbor_id", "approx")
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      l2Norm(col(vecCol)).as("__cn")).filter(col("__cn") > 0)
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      l2Norm(col(vecCol)).as("__qn")).filter(col("__qn") > 0))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    shortlist.join(cv, "neighbor_id").join(qv, "query_id")
+      .withColumn("sim", dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** Per-dimension scalar quantization (SQ8-style): learn global
     * `[min, max]` per dimension, map each component onto `levels` uniform
     * codes, and emit the dequantized reconstruction + residual alongside —

@@ -148,6 +148,16 @@ object Td {
     graft.operators.Similarity.pqRead(s, root, dim = 64)
   }
 
+  private val IvfPqIndexFormat = 1
+  def ivfpqIndexTable(s: SparkSession, d: String): graft.operators.Similarity.IvfPqIndex = {
+    val emb = embeddings(s, d)
+    val root = indexRoot(s, "ivfpqindex", IvfPqIndexFormat, d, "embeddings", emb.count())
+    installDir(s, root)(tmp => graft.operators.Similarity.ivfPqWrite(
+      graft.operators.Similarity.ivfPqBuild(emb, "vec_id", "embedding",
+        dim = 64, nlist = 16, m = 8, k = 16, iters = 2), tmp))
+    graft.operators.Similarity.ivfPqRead(s, root, dim = 64)
+  }
+
   private val BandIndexFormat = 1
   def bandIndexTable(s: SparkSession, d: String): DataFrame = {
     val corpusDocs = documents(s, d)

@@ -232,6 +232,26 @@ object VectorQueries {
       },
       Some(annGateSql)),
 
+    // ----- IVF+PQ composed ANN (the billion-vector scale shape) ------------
+    // Coarse cells narrow the probe to nprobe/nlist of the corpus, ADC runs
+    // only over THOSE cells' stored codes (the cell-partitioned codes
+    // relation dynamic-partition-prunes to the probed directories — flat
+    // pqSearch's all-codes scan never happens), exact re-rank recovers
+    // cosine order. Observed recall (RecallProbe): min hits 2/5 (sf0.01) /
+    // 3/5 (sf0.1), mean 0.86 / 0.76 → gate at hits ≥ 1, mean ≥ 0.35.
+    // Index comes from STORAGE (Td.ivfpqIndexTable): the query measures the
+    // recurring probe cost, the part that repeats per query batch.
+    "q_ann_ivfpq_topk" -> Q(
+      (s, d) => {
+        val emb = Td.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 10)
+        annGate(Similarity.cosineTopK(emb, queries, "vec_id", "embedding", k = 5),
+          Similarity.ivfPqSearch(Td.ivfpqIndexTable(s, d), emb, queries,
+            "vec_id", "embedding", topK = 5, nprobe = 4, rerank = 50),
+          k = 5, minHits = 1, minMean = 0.35)
+      },
+      Some(annGateSql)),
+
     // ----- PQ/ADC approximate top-k (compressed-domain scale path) ---------
     // The wide path scans 8-byte codes (64× smaller than the float vectors)
     // and re-ranks a shortlist exactly. Observed recall: min hits 3/5

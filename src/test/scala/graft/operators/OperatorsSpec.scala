@@ -157,6 +157,32 @@ class OperatorsSpec extends SparkSpec {
     assert(wide.nonEmpty && wide.forall(_.getLong(2) > 5))
   }
 
+  test("ivfPqSearch: composed coarse+fine quantization recovers clustered neighbors") {
+    val s = spark
+    import s.implicits._
+    def vec(cluster: Int, i: Int): Seq[Float] =
+      (0 until 16).map { d =>
+        val base = math.sin(cluster * 17.0 + d).toFloat * 2f
+        base + (((i * 31 + d * 7) % 13) - 6) * 0.01f
+      }
+    val rows = for (c <- 0 until 3; i <- 0 until 10) yield (c * 10L + i, vec(c, i))
+    val emb = rows.toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val index = Similarity.ivfPqBuild(emb, "vec_id", "embedding", dim = 16,
+      nlist = 3, m = 4, k = 8, iters = 3)
+    // every corpus row carries exactly one cell; codes are m bytes
+    val codes = index.codes.collect()
+    assert(codes.length == 30)
+    assert(codes.forall(_.getSeq[Int](1).length == 4))
+    val approx = Similarity.ivfPqSearch(index, emb, queries, "vec_id", "embedding",
+        topK = 3, nprobe = 1, rerank = 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"composed recall $recall: exact=$exact approx=$approx")
+  }
+
   test("signBits expression and planesArray closure agree bit-for-bit") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
     val expr = emb.select(col("vec_id"), Similarity.signBits(col("embedding"), 2, 12, 64).as("sig"))
