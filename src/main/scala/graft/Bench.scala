@@ -34,17 +34,36 @@ object Bench {
       e.groupBy((col("x") % 4).as("c")).agg(graft.functions.VecMean.asCol("v")).count()
       e.select(graft.functions.Kernels.float_dot(col("v"), col("v")).as("d"))
         .agg(sum("d")).count()
-      // Stored-index builds are a one-time corpus cost amortized across
-      // every later batch/query (Td scaladoc); force them here so timed
-      // runs measure the recurring probe cost regardless of whether a
-      // previous process already installed the index roots in tmpdir.
-      // Without this, run 1 of the median-of-3 pays the build AND its
-      // checkpoint/cache pressure bleeds into run 2 — cold-vs-warm /tmp
-      // state swung q_incremental_dedup 7.45 s vs 1.37 s at sf0.1.
-      graft.queries.Td.bandIndexTable(spark, sfDir).count()
-      graft.queries.Td.ivfIndexTable(spark, sfDir).assigned.count()
-      graft.queries.Td.pqIndexTable(spark, sfDir).codes.count()
     }
+    // Stored-index BUILD cost, measured fresh into a throwaway root every
+    // round (the shared-root installs below are build-once, which made
+    // build regressions invisible to the bench — r5 What's-wrong #4). The
+    // same build bodies the Td accessors install, so bench and production
+    // cannot drift. Reported in the JSON as "ib" (seconds per index).
+    val idxBuild: Seq[(String, Double)] = {
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft-bench-ib").toString
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val out = Seq(
+        "band" -> timed(graft.queries.Td.buildBandIndexInto(spark, sfDir, s"$tmpRoot/band")),
+        "ivf" -> timed(graft.queries.Td.buildIvfInto(spark, sfDir, s"$tmpRoot/ivf")),
+        "pq" -> timed(graft.queries.Td.buildPqInto(spark, sfDir, s"$tmpRoot/pq")),
+        "ivfpq" -> timed(graft.queries.Td.buildIvfPqInto(spark, sfDir, s"$tmpRoot/ivfpq")))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+      out
+    }
+    // Shared-root installs (build-once, amortized across every later
+    // batch/query — Td scaladoc): force them here so timed runs measure the
+    // recurring probe cost regardless of whether a previous process already
+    // installed the index roots in tmpdir. Without this, run 1 of the
+    // min-of-3 pays the build AND its checkpoint/cache pressure bleeds into
+    // run 2 — cold-vs-warm /tmp state swung q_incremental_dedup 7.45 s vs
+    // 1.37 s at sf0.1.
+    graft.queries.Td.bandIndexTable(spark, sfDir).count()
+    graft.queries.Td.ivfIndexTable(spark, sfDir).assigned.count()
+    graft.queries.Td.pqIndexTable(spark, sfDir).codes.count()
+    graft.queries.Td.ivfpqIndexTable(spark, sfDir).codes.count()
     // Optional dev filter: `runMain graft.Bench q_a,q_b` times only those
     // queries (the driver invokes with no args → full battery).
     val selected = args.headOption.map(_.split(",").toSet)
@@ -75,29 +94,43 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
+    val ratios = scala.collection.mutable.ArrayBuffer.empty[Double]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { i =>
+        // Snapshot registered RDD ids BEFORE the run and release only what
+        // the run itself registered: operators that localCheckpoint slim
+        // intermediates (minhashDedup, dupClusters, dedupAgainstIndex) can
+        // only free those blocks when the driver GCs the RDD references, so
+        // repeated runs in one JVM accumulate blocks and each run inherits
+        // the previous one's memory pressure — measured q_incremental_dedup
+        // escalating 12 s → 66 s across back-to-back runs, which the MEDIAN
+        // then reported. Scoping (vs the old unpersist-everything sweep)
+        // keeps any future cross-query persisted relation alive: stripping
+        // a localCheckpointed plan's blocks is unrecoverable (truncated
+        // lineage cannot recompute) — ADVICE r5.
+        val before = spark.sparkContext.getPersistentRDDs.keySet
         val gc0 = gcMillis
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val t = (System.nanoTime() - t0) / 1e9
         if (verbose)
           System.err.println(f"BENCHRUN $name#$i t=$t%.2f gc=${(gcMillis - gc0) / 1000.0}%.2f s")
-        // Release leaked block-manager state between runs: operators that
-        // localCheckpoint slim intermediates (minhashDedup, dupClusters,
-        // dedupAgainstIndex) can only free those blocks when the driver GCs
-        // the RDD references, so repeated runs in one JVM accumulate blocks
-        // and each run inherits the previous one's memory pressure —
-        // measured q_incremental_dedup escalating 12 s → 66 s across
-        // back-to-back runs, which the MEDIAN then reports. Unpersisting
-        // everything still registered restores per-run independence; the
-        // battery shares no cross-query persisted relations by design
-        // (Td.docShingles is deliberately unpersisted, stored indexes are
-        // disk-backed).
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) => if (!before(id)) rdd.unpersist(blocking = false) }
         t
       }.sorted
+      // In-band contention evidence: max/min across this query's runs. A
+      // quiet box stays near 1; external CPU stalls (the r4/r5 phantom-
+      // regression cause) push individual queries 5-100×, and the battery-
+      // level max lands in the JSON so a reader can see "runs disagree
+      // wildly — don't trust the absolute numbers" from the artifact
+      // itself, without re-measuring.
+      if (times.head > 0) {
+        val ratio = times.last / math.max(times.head, 0.001)
+        ratios += ratio
+        if (ratio > 3)
+          System.err.println(f"BENCHSTALL $name min=${times.head}%.2f max=${times.last}%.2f ratio=$ratio%.1f")
+      }
       val stat = sys.env.getOrElse("SPARK_GRAFT_BENCH_STAT", "min")
       name -> (if (stat == "median") times(times.length / 2) else times.head)
     }
@@ -121,6 +154,17 @@ object Bench {
     // before ever touching per-query signal. Sixth level: fold queries
     // under `elide` seconds into fast_n/fast_sum summary keys — coarse, but
     // entries dropping off the FRONT of the tail window would be worse.
+    // In-band measurement health + index-build cost — kept at EVERY level:
+    // "stall" (max over queries of run_max/run_min; ~1 quiet, 5-100× under
+    // external contention — the r5 bench was unusable with no in-band way
+    // to see it), "nstall" (queries past 3×), "ib" (fresh stored-index
+    // build seconds, invisible before behind build-once installs).
+    val stallPart = {
+      val stallRatio = if (ratios.isEmpty) 1.0 else ratios.max
+      s""""stall":${fmt(1)(stallRatio)},"nstall":${ratios.count(_ > 3)},"""
+    }
+    val ibPart = idxBuild.map { case (k, v) => "\"" + k + "\":" + fmt(1)(v) }
+      .mkString("\"ib\":{", ",", "},")
     def line(prec: Int, strip: Boolean, slim: Int, elide: Double): String = {
       val (fast, kept) = results.partition(_._2 < elide)
       val qs = kept.map { case (k, v) =>
@@ -137,7 +181,7 @@ object Bench {
       val fastPart = if (fast.isEmpty) ""
         else s""""fast_n":${fast.size},"fast_sum":${fmt(2)(fast.map(_._2).sum)},""" +
           s""""fast_max":${fmt(2)(fast.map(_._2).max)},"""
-      s"""{$head$hint$fastPart"queries":$qs$sf}"""
+      s"""{$head$stallPart$ibPart$hint$fastPart"queries":$qs$sf}"""
     }
     // tail budget is 2000 bytes including the trailing newline. The elide
     // levels fold queries under the threshold into fast_n/fast_sum/fast_max

@@ -129,12 +129,42 @@ object Td {
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // concurrent winner installed first
   }
 
+  /** The four stored-index BUILD bodies, exposed so `Bench` can time a
+    * fresh build into a throwaway root every round (build-cost regressions
+    * were invisible behind `installDir`'s build-once semantics) while the
+    * `*IndexTable` accessors keep installing the shared roots the probe
+    * queries read. One body each — accessor and bench cannot drift.
+    */
+  private[graft] def buildIvfInto(s: SparkSession, d: String, tmp: String): Unit =
+    graft.operators.Similarity.ivfWrite(
+      graft.operators.Similarity.ivfBuild(embeddings(s, d), "vec_id", "embedding",
+        nlist = 16), tmp)
+
+  private[graft] def buildPqInto(s: SparkSession, d: String, tmp: String): Unit =
+    graft.operators.Similarity.pqWrite(
+      graft.operators.Similarity.pqBuild(embeddings(s, d), "vec_id", "embedding",
+        dim = 64, m = 8, k = 16, iters = 2), tmp)
+
+  private[graft] def buildIvfPqInto(s: SparkSession, d: String, tmp: String): Unit =
+    graft.operators.Similarity.ivfPqWrite(
+      graft.operators.Similarity.ivfPqBuild(embeddings(s, d), "vec_id", "embedding",
+        dim = 64, nlist = 16, m = 8, k = 16, iters = 2), tmp)
+
+  private[graft] def buildBandIndexInto(s: SparkSession, d: String, tmp: String): Unit = {
+    val corpusDocs = documents(s, d)
+      .filter(graft.operators.Sampling.hashBucket(col("doc_id")) < 80)
+    val ex = docShingles(s, d, 3)
+      .filter(graft.operators.Sampling.hashBucket(col("id")) < 80)
+    graft.engine.KeyedTable(s, tmp, Seq("id", "band_idx"))
+      .overwrite(graft.operators.Dedup.bandIndex(corpusDocs, "doc_id", "text",
+        shingles = Some(ex)))
+  }
+
   private val IvfIndexFormat = 1
   def ivfIndexTable(s: SparkSession, d: String): graft.operators.Similarity.IvfIndex = {
     val emb = embeddings(s, d)
     val root = indexRoot(s, "ivfindex", IvfIndexFormat, d, "embeddings", emb.count())
-    installDir(s, root)(tmp => graft.operators.Similarity.ivfWrite(
-      graft.operators.Similarity.ivfBuild(emb, "vec_id", "embedding", nlist = 16), tmp))
+    installDir(s, root)(buildIvfInto(s, d, _))
     graft.operators.Similarity.ivfRead(s, root)
   }
 
@@ -142,9 +172,7 @@ object Td {
   def pqIndexTable(s: SparkSession, d: String): graft.operators.Similarity.PqIndex = {
     val emb = embeddings(s, d)
     val root = indexRoot(s, "pqindex", PqIndexFormat, d, "embeddings", emb.count())
-    installDir(s, root)(tmp => graft.operators.Similarity.pqWrite(
-      graft.operators.Similarity.pqBuild(emb, "vec_id", "embedding",
-        dim = 64, m = 8, k = 16, iters = 2), tmp))
+    installDir(s, root)(buildPqInto(s, d, _))
     graft.operators.Similarity.pqRead(s, root, dim = 64)
   }
 
@@ -152,9 +180,7 @@ object Td {
   def ivfpqIndexTable(s: SparkSession, d: String): graft.operators.Similarity.IvfPqIndex = {
     val emb = embeddings(s, d)
     val root = indexRoot(s, "ivfpqindex", IvfPqIndexFormat, d, "embeddings", emb.count())
-    installDir(s, root)(tmp => graft.operators.Similarity.ivfPqWrite(
-      graft.operators.Similarity.ivfPqBuild(emb, "vec_id", "embedding",
-        dim = 64, nlist = 16, m = 8, k = 16, iters = 2), tmp))
+    installDir(s, root)(buildIvfPqInto(s, d, _))
     graft.operators.Similarity.ivfPqRead(s, root, dim = 64)
   }
 
@@ -163,13 +189,7 @@ object Td {
     val corpusDocs = documents(s, d)
       .filter(graft.operators.Sampling.hashBucket(col("doc_id")) < 80)
     val root = indexRoot(s, "bandindex", BandIndexFormat, d, "documents", corpusDocs.count())
-    installDir(s, root) { tmp =>
-      val ex = docShingles(s, d, 3)
-        .filter(graft.operators.Sampling.hashBucket(col("id")) < 80)
-      graft.engine.KeyedTable(s, tmp, Seq("id", "band_idx"))
-        .overwrite(graft.operators.Dedup.bandIndex(corpusDocs, "doc_id", "text",
-          shingles = Some(ex)))
-    }
+    installDir(s, root)(buildBandIndexInto(s, d, _))
     graft.engine.KeyedTable(s, root, Seq("id", "band_idx")).current
   }
 }
