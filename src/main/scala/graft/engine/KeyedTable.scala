@@ -428,14 +428,14 @@ object KeyedTable {
     * the current pointer from `expectedCurrent` — never a blind write. On
     * HDFS/local FS [[RenameCommit]] approximates this with read-check +
     * atomic rename (the residual check-then-rename window is microseconds
-    * and single-writer deployments never race it). An object-store
-    * implementation MUST close that window with a true conditional put
-    * (S3 `If-Match`/`If-None-Match` on the pointer object, GCS
-    * `x-goog-if-generation-match`, Azure ETag) and throw
-    * `ConcurrentModificationException` on precondition failure — version
-    * data dirs are immutable either way, so a rejected commit leaves the
-    * table readable at `expectedCurrent` and the loser simply retries its
-    * merge from the new snapshot.
+    * and single-writer deployments never race it); [[ConditionalPutCommit]]
+    * closes that window with create-exclusive claim markers — the
+    * conditional-put discipline an object store (S3 `If-None-Match`, GCS
+    * `x-goog-if-generation-match`, Azure ETag) enforces natively. Both
+    * throw `ConcurrentModificationException` on precondition failure —
+    * version data dirs are immutable either way, so a rejected commit
+    * leaves the table readable at `expectedCurrent` and the loser simply
+    * retries its merge from the new snapshot.
     */
   trait CommitProtocol {
     def publish(fs: FileSystem, marker: Path, expectedCurrent: Long, next: Long): Unit
@@ -451,6 +451,49 @@ object KeyedTable {
       if (cur != expectedCurrent) throw new java.util.ConcurrentModificationException(
         s"commit of v$next expected current v$expectedCurrent but found v$cur — " +
           "a concurrent committer won; re-read the snapshot and retry the merge")
+      writePointer(fs, marker, next)
+    }
+  }
+
+  /** Conditional-put commit: closes [[RenameCommit]]'s residual
+    * check-then-rename window with the conditional-create discipline an
+    * object store offers natively (S3 `If-None-Match: *`, GCS
+    * `x-goog-if-generation-match: 0`, Azure `If-None-Match`). Publishing
+    * version `next` first CLAIMS the version transition by creating
+    * `_COMMIT_v{next}` create-exclusive — at most one committer can win
+    * that create, so of two racers that both read `expectedCurrent` before
+    * either swapped the pointer, exactly one reaches the pointer write and
+    * the loser throws WITHOUT touching the pointer. The claim file records
+    * the predecessor version, doubling as a commit-log entry.
+    *
+    * Crash contract: a committer that dies between claim and pointer write
+    * leaves `_COMMIT_v{next}` present with the pointer unadvanced — the
+    * table stays readable at `expectedCurrent`, and NO later committer can
+    * silently publish over the half-finished transition (their claim
+    * fails); recovery is explicit (inspect the claim, roll the pointer
+    * forward or delete the claim + its version dir), exactly the semantics
+    * of an orphaned conditional put on a versioned object key. On the local
+    * FS, Hadoop's exclusive create is check-then-create rather than truly
+    * atomic — this class MODELS the store's primitive for test/local runs;
+    * an S3/GCS implementation swaps the create call for the store's real
+    * preconditioned put and keeps everything else.
+    */
+  object ConditionalPutCommit extends CommitProtocol {
+    def claimPath(marker: Path, next: Long): Path =
+      new Path(marker.getParent, s"_COMMIT_v$next")
+    def publish(fs: FileSystem, marker: Path, expectedCurrent: Long, next: Long): Unit = {
+      val cur = readPointer(fs, marker).getOrElse(0L)
+      if (cur != expectedCurrent) throw new java.util.ConcurrentModificationException(
+        s"commit of v$next expected current v$expectedCurrent but found v$cur — " +
+          "a concurrent committer won; re-read the snapshot and retry the merge")
+      val claim = claimPath(marker, next)
+      val out = try fs.create(claim, false) catch {
+        case e: java.io.IOException => throw new java.util.ConcurrentModificationException(
+          s"commit of v$next lost the conditional put on $claim (${e.getMessage}) — " +
+            "another committer claimed this transition; re-read the snapshot and retry")
+      }
+      try out.write(expectedCurrent.toString.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
       writePointer(fs, marker, next)
     }
   }

@@ -159,22 +159,72 @@ class KeyedTableSpec extends SparkSpec {
     }
   }
 
-  test("commit protocol rejects a lost-update double commit") {
+  test("commit protocol rejects a lost-update double commit (both protocols)") {
     val s = spark
     import s.implicits._
-    val root = tmpDir("ktcommit")
-    val t = KeyedTable(spark, root, Seq("id"))
-    t.overwrite(Seq(("a", 1)).toDF("id", "v"))
-    t.merge(Seq(("b", 2)).toDF("id", "v")) // current is now v2
-    // a committer that staged its work against v1 (crash-window survivor or
-    // concurrent writer) must NOT be able to publish v2 over the winner
+    for ((proto, name) <- Seq(
+        (KeyedTable.RenameCommit, "rename"),
+        (KeyedTable.ConditionalPutCommit, "condput"))) {
+      val root = tmpDir(s"ktcommit-$name")
+      val t = new KeyedTable(spark, root, Seq("id"), commitProtocol = proto)
+      t.overwrite(Seq(("a", 1)).toDF("id", "v"))
+      t.merge(Seq(("b", 2)).toDF("id", "v")) // current is now v2
+      // a committer that staged its work against v1 (crash-window survivor
+      // or concurrent writer) must NOT publish v2 over the winner
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new org.apache.hadoop.fs.Path(root, KeyedTable.CurrentMarker)
+      intercept[java.util.ConcurrentModificationException] {
+        proto.publish(fs, marker, expectedCurrent = 1, next = 2)
+      }
+      // the table still reads at the winner's version
+      assert(t.currentVersion == 2 && t.current.count() == 2, name)
+    }
+  }
+
+  test("conditional-put commit closes the check-then-swap window rename leaves open") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("ktcondput-window")
+    val t = new KeyedTable(spark, root, Seq("id"),
+      commitProtocol = KeyedTable.ConditionalPutCommit)
+    t.overwrite(Seq(("a", 1)).toDF("id", "v")) // v1, claim _COMMIT_v1 exists
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(root, KeyedTable.CurrentMarker)
+    // Simulate a committer that WON the conditional put for v2 and crashed
+    // before the pointer write: claim present, pointer still at v1. A
+    // second committer staged at v1 passes the pointer read-check — the
+    // exact window where RenameCommit would double-publish — but must lose
+    // the claim create and leave the pointer untouched.
+    fs.create(KeyedTable.ConditionalPutCommit.claimPath(marker, 2), false).close()
     intercept[java.util.ConcurrentModificationException] {
-      KeyedTable.RenameCommit.publish(fs, marker, expectedCurrent = 1, next = 2)
+      KeyedTable.ConditionalPutCommit.publish(fs, marker, expectedCurrent = 1, next = 2)
     }
-    // the table still reads at the winner's version
-    assert(t.currentVersion == 2 && t.current.count() == 2)
+    assert(t.currentVersion == 1 && t.current.count() == 1)
+    // same staged state through RenameCommit: the window is open and the
+    // publish lands — the behavioral difference the protocols encode
+    KeyedTable.RenameCommit.publish(fs, marker, expectedCurrent = 1, next = 2)
+    assert(t.currentVersion == 2)
+  }
+
+  test("conditional-put table sustains a normal merge lifecycle with claim ledger") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("ktcondput-life")
+    val t = new KeyedTable(spark, root, Seq("id"),
+      commitProtocol = KeyedTable.ConditionalPutCommit)
+    t.overwrite(Seq(("a", 1), ("b", 2)).toDF("id", "v"))
+    t.merge(Seq(("b", 20), ("c", 3)).toDF("id", "v"))
+    t.merge(Seq(("d", 4)).toDF("id", "v"))
+    assert(t.currentVersion == 3)
+    assert(t.current.orderBy("id").collect().map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("a", 1), ("b", 20), ("c", 3), ("d", 4)))
+    // one claim per published transition — the commit log
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(root, KeyedTable.CurrentMarker)
+    for (v <- 1L to 3L)
+      assert(fs.exists(KeyedTable.ConditionalPutCommit.claimPath(marker, v)), s"claim v$v")
   }
 }
