@@ -50,12 +50,14 @@ object EdgeProbe {
     val sj = graft.operators.SkewOps.saltedJoin(hotL, hotR, "k", 16).groupBy("k").count().collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
     println(s"EDGE saltedJoin: $sj (expect hot->10000, cold->1)")
-    // multimodal null-payload probe
+    // multimodal null-payload probe: null text → null content → null decode
+    // row (the job must not die), real text → parsed BMP geometry + sums
     val mdf = Seq((1L, "hello"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
-    val media = graft.operators.Multimodal.asMediaTable(mdf, "doc_id", "text")
+    val media = graft.operators.Multimodal.asBmpMediaTable(spark, mdf, "doc_id", "text")
     val feats = graft.operators.Multimodal.decodeFeatures(spark, media).collect()
     feats.sortBy(_.getLong(0)).foreach(r => println(
-      s"EDGE multimodal id=${r.getLong(0)} width=${if (r.isNullAt(3)) "null" else r.getInt(3)} feat=${if (r.isNullAt(5)) "null" else "8-dim"}"))
+      s"EDGE multimodal id=${r.getLong(0)} width=${if (r.isNullAt(3)) "null" else r.getInt(3)}" +
+        s" sum_px=${if (r.isNullAt(5)) "null" else r.getLong(5)}"))
     spark.stop()
   }
 }

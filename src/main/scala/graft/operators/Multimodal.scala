@@ -1,24 +1,32 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+import java.nio.{ByteBuffer, ByteOrder}
 
 /** Multimodal column plumbing: image/audio/video treated as opaque `binary`
   * columns with typed metadata, processed per-partition in batches.
   *
-  * The Spark-side mechanics — schema, partition-parallel batch iteration,
-  * output row shape — are real and tested. The actual media decode is a
-  * deterministic STUB ([[stubDecode]]): this container ships no image/audio
-  * codecs, so "decoding" derives fake-but-stable features from the bytes.
-  * Swapping in a real decoder changes only the function body, not the
-  * pipeline shape.
+  * The decode is REAL for two formats:
+  *  - `image/bmp` — a 24-bpp uncompressed BMP parser ([[decodeBmp24]]):
+  *    validates the `BM` magic, reads the pixel-data offset and
+  *    BITMAPINFOHEADER geometry, walks the bottom-up padded rows, and
+  *    emits per-channel pixel statistics. [[encodeBmp24]] is its inverse
+  *    (used to synthesize valid containers from any byte payload in this
+  *    image-less environment — and by the spec to pin the round trip).
+  *  - raw 24-bpp RGB frames (packed video) — no container to parse; a
+  *    frame is `frameWidth`-pixel rows of B,G,R bytes and "decode" is the
+  *    channel statistics pass ([[rawStats]]).
   *
   * Scale notes: binary payloads ride the same columnar parquet files as
   * everything else; `spark.sql.files.maxPartitionBytes` bounds per-task
   * memory since each task holds at most one batch of decoded frames.
-  * `mapPartitions` (not per-row UDF) amortizes any per-batch model/codec
-  * init — the same shape a vectorized/Arrow-batched UDF gives Python.
+  * `mapPartitions` (not per-row UDF) amortizes per-batch codec setup —
+  * the same shape a vectorized/Arrow-batched UDF gives Python — and a
+  * heavier codec (JPEG, H.264) swaps into the same per-row function
+  * without touching the pipeline.
   */
 object Multimodal {
 
@@ -35,36 +43,169 @@ object Multimodal {
     StructField("n_bytes", LongType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
+    StructField("sum_px", LongType),
+    StructField("max_px", IntegerType),
     StructField("feature", ArrayType(FloatType)),
   ))
 
-  /** Wrap any (id, text) frame as a media table — the text bytes stand in
-    * for an encoded image payload in this codec-less environment.
+  /** Wrap any (id, text) frame as a RAW media table — the text bytes stand
+    * in for a packed 24-bpp RGB stream (the containerless modality).
     */
   def asMediaTable(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
     df.select(
       col(idCol).cast("long").as("media_id"),
       encode(col(payloadCol), "UTF-8").as("content"),
-      lit("image/stub").as("media_type"),
+      lit("video/raw-rgb24").as("media_type"),
       length(encode(col(payloadCol), "UTF-8")).cast("long").as("n_bytes"),
     )
 
-  /** STUB decode: deterministic features from the payload bytes (polynomial
-    * byte-fold hash → fake dimensions + an 8-dim float signature). A real
-    * implementation would decode pixels/samples here.
+  /** Wrap any (id, text) frame as a table of REAL 24-bpp BMP containers:
+    * the payload bytes become the image's top-down B,G,R pixel stream,
+    * zero-padded to fill `width × ceil(len/3width)` pixels. Encoding runs
+    * in `mapPartitions` (one buffer-allocation pattern per batch); the
+    * result is a byte-valid BMP any external viewer could open.
     */
-  def stubDecode(content: Array[Byte]): (Int, Int, Array[Float]) = {
-    var h = 0L
+  def asBmpMediaTable(spark: SparkSession, df: DataFrame, idCol: String,
+                      payloadCol: String, width: Int = 10): DataFrame = {
+    val out = df.select(col(idCol).cast("long").as("media_id"),
+        encode(col(payloadCol), "UTF-8").as("payload"))
+      .rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          if (payload == null) Row(r.getAs[Long]("media_id"), null, "image/bmp", null)
+          else {
+            val bmp = encodeBmp24(payload, width)
+            Row(r.getAs[Long]("media_id"), bmp, "image/bmp", bmp.length.toLong)
+          }
+        }
+      }
+    spark.createDataFrame(out, mediaSchema)
+  }
+
+  /** Build a 24-bpp uncompressed BMP whose logical top-down pixel bytes are
+    * `payload` zero-padded to `width × height × 3`, height =
+    * max(1, ceil(len / 3·width)). Rows are written bottom-up with the
+    * standard 4-byte row padding — the on-disk layout every BMP reader
+    * expects.
+    */
+  def encodeBmp24(payload: Array[Byte], width: Int): Array[Byte] = {
+    require(width > 0, "width must be positive")
+    val bytesPerRow = width * 3
+    val height = math.max(1, (payload.length + bytesPerRow - 1) / bytesPerRow)
+    val rowSize = ((bytesPerRow + 3) / 4) * 4
+    val dataSize = rowSize * height
+    val buf = ByteBuffer.allocate(54 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(54 + dataSize).putInt(0).putInt(54) // file size, reserved, data offset
+    buf.putInt(40).putInt(width).putInt(height)    // BITMAPINFOHEADER
+    buf.putShort(1).putShort(24)                   // planes, bpp
+    buf.putInt(0).putInt(dataSize)                 // BI_RGB, image size
+    buf.putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 dpi, palette unused
+    var stored = 0
+    while (stored < height) {
+      val logical = height - 1 - stored // bottom-up storage order
+      var i = 0
+      while (i < bytesPerRow) {
+        val idx = logical * bytesPerRow + i
+        buf.put(if (idx < payload.length) payload(idx) else 0.toByte)
+        i += 1
+      }
+      var p = bytesPerRow
+      while (p < rowSize) { buf.put(0.toByte); p += 1 }
+      stored += 1
+    }
+    buf.array()
+  }
+
+  /** Decoded 24-bpp BMP statistics: geometry from the header, per-channel
+    * byte sums over the logical pixel array (order-independent, but the
+    * parse recovers rows through the bottom-up + padding layout, so a
+    * mis-read geometry corrupts the sums — the stats PROVE the parse).
+    */
+  final case class Bmp24Stats(width: Int, height: Int,
+                              sumB: Long, sumG: Long, sumR: Long,
+                              minPx: Int, maxPx: Int) {
+    def nPixels: Long = width.toLong * height
+    def sumAll: Long = sumB + sumG + sumR
+  }
+
+  /** Parse a 24-bpp uncompressed BMP: `BM` magic, pixel-data offset at 10,
+    * BITMAPINFOHEADER (size ≥ 40) geometry, planes=1 / bpp=24 /
+    * compression=BI_RGB enforced, rows read bottom-up with 4-byte padding
+    * stripped. Unsupported variants and truncated payloads throw — a
+    * corrupt container should be ROUTED by the caller, not averaged into
+    * the corpus silently.
+    */
+  def decodeBmp24(bytes: Array[Byte]): Bmp24Stats = {
+    require(bytes.length >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+      "not a BMP (missing BM magic)")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val offset = buf.getInt(10)
+    val hdrSize = buf.getInt(14)
+    val width = buf.getInt(18)
+    val height = buf.getInt(22)
+    val planes = buf.getShort(26)
+    val bpp = buf.getShort(28)
+    val compression = buf.getInt(30)
+    require(hdrSize >= 40 && planes == 1 && bpp == 24 && compression == 0,
+      s"unsupported BMP variant (hdr=$hdrSize planes=$planes bpp=$bpp comp=$compression)")
+    require(width > 0 && height > 0, s"bad geometry ${width}x$height")
+    val bytesPerRow = width * 3
+    val rowSize = ((bytesPerRow + 3) / 4) * 4
+    require(bytes.length.toLong >= offset.toLong + rowSize.toLong * height,
+      "truncated pixel data")
+    var sumB = 0L; var sumG = 0L; var sumR = 0L
+    var mn = 255; var mx = 0
+    var stored = 0
+    while (stored < height) {
+      val base = offset + stored * rowSize
+      var i = 0
+      while (i < bytesPerRow) {
+        val v = bytes(base + i) & 0xff
+        (i % 3: @annotation.switch) match {
+          case 0 => sumB += v
+          case 1 => sumG += v
+          case _ => sumR += v
+        }
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        i += 1
+      }
+      stored += 1
+    }
+    Bmp24Stats(width, height, sumB, sumG, sumR, mn, mx)
+  }
+
+  /** Channel statistics over a raw packed-B,G,R byte stream (no container):
+    * (sumB, sumG, sumR, min, max) with channels assigned by position mod 3.
+    */
+  private def rawStats(bytes: Array[Byte]): (Long, Long, Long, Int, Int) = {
+    var s0 = 0L; var s1 = 0L; var s2 = 0L
+    var mn = 255; var mx = 0
     var i = 0
-    while (i < content.length) {
-      h = (h * 31 + (content(i) & 0xff)) % 1000000007L
+    while (i < bytes.length) {
+      val v = bytes(i) & 0xff
+      (i % 3: @annotation.switch) match {
+        case 0 => s0 += v
+        case 1 => s1 += v
+        case _ => s2 += v
+      }
+      if (v < mn) mn = v
+      if (v > mx) mx = v
       i += 1
     }
-    val width = 64 + (h % 512).toInt
-    val height = 64 + ((h / 512) % 512).toInt
-    val feat = Array.tabulate(8)(k => (((h >> k) % 997L).toFloat) / 997.0f)
-    (width, height, feat)
+    if (bytes.isEmpty) (0L, 0L, 0L, 0, 0) else (s0, s1, s2, mn, mx)
   }
+
+  private def featureVec(sumB: Long, sumG: Long, sumR: Long,
+                         nB: Long, nG: Long, nR: Long,
+                         mn: Int, mx: Int): Seq[Float] = Seq(
+    if (nB == 0) 0f else (sumB.toDouble / nB).toFloat,
+    if (nG == 0) 0f else (sumG.toDouble / nG).toFloat,
+    if (nR == 0) 0f else (sumR.toDouble / nR).toFloat,
+    if (nB + nG + nR == 0) 0f
+    else ((sumB + sumG + sumR).toDouble / (nB + nG + nR)).toFloat,
+    mn.toFloat, mx.toFloat)
 
   val frameSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -72,20 +213,25 @@ object Multimodal {
     StructField("frame_bytes", LongType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
+    StructField("sum_px", LongType),
+    StructField("max_px", IntegerType),
     StructField("feature", ArrayType(FloatType)),
   ))
 
-  /** Frame sampling: the payload is read as consecutive `frameBytes`-sized
-    * frames (the last one may be short); every `stride`-th frame is decoded,
-    * up to `maxFrames` per media row. One input row fans out to 0..maxFrames
-    * frame rows — the generator (flatMap) decode shape a video pipeline
-    * needs, with per-frame decode cost bounded by `frameBytes` and per-task
-    * memory bounded by one input row's sampled frames. Decode is the same
-    * deterministic [[stubDecode]]; a real codec swaps in per frame slice.
+  /** Frame sampling over a packed raw-RGB stream: the payload is read as
+    * consecutive `frameBytes`-sized frames (the last one may be short);
+    * every `stride`-th frame is decoded, up to `maxFrames` per media row.
+    * One input row fans out to 0..maxFrames frame rows — the generator
+    * (flatMap) decode shape a video pipeline needs, with per-frame decode
+    * cost bounded by `frameBytes` and per-task memory bounded by one input
+    * row's sampled frames. Each sampled frame decodes as `frameWidth`-pixel
+    * raw 24-bpp rows: height = ceil(bytes / 3·frameWidth) (a short tail
+    * counts as a partial row), stats via [[rawStats]].
     */
   def sampleFrames(spark: SparkSession, media: DataFrame,
-                   frameBytes: Int, stride: Int, maxFrames: Int): DataFrame = {
-    require(frameBytes > 0 && stride > 0 && maxFrames > 0)
+                   frameBytes: Int, stride: Int, maxFrames: Int,
+                   frameWidth: Int = 4): DataFrame = {
+    require(frameBytes > 0 && stride > 0 && maxFrames > 0 && frameWidth > 0)
     val out = media.select("media_id", "content")
       .rdd.mapPartitions { rows =>
         rows.flatMap { r =>
@@ -96,8 +242,13 @@ object Multimodal {
             Iterator.range(0, nFrames, stride).take(maxFrames).map { i =>
               val slice = java.util.Arrays.copyOfRange(bytes,
                 i * frameBytes, math.min((i + 1) * frameBytes, bytes.length))
-              val (w, h, feat) = stubDecode(slice)
-              Row(r.getAs[Long]("media_id"), i, slice.length.toLong, w, h, feat.toSeq)
+              val (s0, s1, s2, mn, mx) = rawStats(slice)
+              val h = (slice.length + 3 * frameWidth - 1) / (3 * frameWidth)
+              val n = slice.length.toLong
+              // per-channel counts: positions ≡ c (mod 3) within the slice
+              val nB = (n + 2) / 3; val nG = (n + 1) / 3; val nR = n / 3
+              Row(r.getAs[Long]("media_id"), i, n, frameWidth, h,
+                s0 + s1 + s2, mx, featureVec(s0, s1, s2, nB, nG, nR, mn, mx))
             }
           }
         }
@@ -105,22 +256,35 @@ object Multimodal {
     spark.createDataFrame(out, frameSchema)
   }
 
-  /** Decode/feature-extract over partition-local batches. Runs fully
-    * distributed; the iterator never materializes a whole partition.
+  /** Decode/feature-extract over partition-local batches, dispatching on
+    * the container type: `image/bmp` rows run the real [[decodeBmp24]]
+    * parser; anything else is treated as a packed raw-RGB stream (no
+    * geometry — width/height null). Runs fully distributed; the iterator
+    * never materializes a whole partition.
     */
   def decodeFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     val out = media.select("media_id", "content", "media_type", "n_bytes")
       .rdd.mapPartitions { rows =>
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("content")
+          val mediaType = r.getAs[String]("media_type")
           // r.get preserves SQL NULL for n_bytes — getAs[Long] would unbox
           // a null slot to 0 and diverge from the oracle's NULL
           val nBytes = r.get(r.fieldIndex("n_bytes"))
           if (bytes == null) // null payload (e.g. null source text) → null features, don't kill the job
-            Row(r.getAs[Long]("media_id"), r.getAs[String]("media_type"), nBytes, null, null, null)
-          else {
-            val (w, h, feat) = stubDecode(bytes)
-            Row(r.getAs[Long]("media_id"), r.getAs[String]("media_type"), nBytes, w, h, feat.toSeq)
+            Row(r.getAs[Long]("media_id"), mediaType, nBytes, null, null, null, null, null)
+          else if (mediaType == "image/bmp") {
+            val s = decodeBmp24(bytes)
+            Row(r.getAs[Long]("media_id"), mediaType, nBytes, s.width, s.height,
+              s.sumAll, s.maxPx,
+              featureVec(s.sumB, s.sumG, s.sumR, s.nPixels, s.nPixels, s.nPixels,
+                s.minPx, s.maxPx))
+          } else {
+            val (s0, s1, s2, mn, mx) = rawStats(bytes)
+            val n = bytes.length.toLong
+            val nB = (n + 2) / 3; val nG = (n + 1) / 3; val nR = n / 3
+            Row(r.getAs[Long]("media_id"), mediaType, nBytes, null, null,
+              s0 + s1 + s2, mx, featureVec(s0, s1, s2, nB, nG, nR, mn, mx))
           }
         }
       }

@@ -195,43 +195,65 @@ object TextQueries {
               |  WHERE b.doc_id < a.doc_id
               |    AND bit_count(xor(a.simhash, b.simhash)) <= 3)""".stripMargin)),
 
-    // ----- multimodal: binary payload + stub decode ------------------------
-    // Deterministic stub features over the payload bytes; documents are pure
-    // ASCII so the byte-fold hash equals the char-fold hash, making even the
-    // stub oracle-checkable. The Spark side runs the real binary-column
-    // mapPartitions pipeline.
+    // ----- multimodal: REAL BMP containers, real parse -----------------------
+    // Each document's bytes are encoded as a byte-valid 24-bpp BMP
+    // (width 10 → 30 payload bytes/row + 2 pad bytes, bottom-up rows), then
+    // decodeFeatures runs the actual container parser: magic, pixel-data
+    // offset, INFOHEADER geometry, padded row walk. The oracle recomputes
+    // every decoded stat from first principles — file size 54 + 32·h,
+    // geometry from the payload length, integer pixel sums from the ASCII
+    // code points (documents are pure ASCII, so char code = byte value; the
+    // zero padding to w·h·3 adds nothing to sums but caps max at ≥ 0). A
+    // mis-parsed offset, row order, or padding byte shifts the sums and
+    // hash-fails.
     "q_multimodal_decode" -> Q(
       (s, d) => {
-        val media = Multimodal.asMediaTable(Td.documents(s, d), "doc_id", "text")
-        Multimodal.decodeFeatures(s, media).select("media_id", "media_type", "n_bytes", "width", "height")
+        val media = Multimodal.asBmpMediaTable(s, Td.documents(s, d), "doc_id", "text", width = 10)
+        Multimodal.decodeFeatures(s, media)
+          .withColumn("mean_px",
+            col("sum_px").cast("double") / (lit(3) * col("width") * col("height")))
+          .select("media_id", "media_type", "n_bytes", "width", "height",
+            "sum_px", "max_px", "mean_px")
       },
-      Some(s"""SELECT doc_id AS media_id, 'image/stub' AS media_type,
-              |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-              |  CAST(64 + h % 512 AS INT) AS width,
-              |  CAST(64 + (h // 512) % 512 AS INT) AS height
-              |FROM (SELECT doc_id, text, ${polyHashSql("text")} AS h FROM documents) t""".stripMargin)),
+      Some("""SELECT doc_id AS media_id, 'image/bmp' AS media_type,
+             |  CAST(54 + 32*h AS BIGINT) AS n_bytes,
+             |  CAST(CASE WHEN text IS NULL THEN NULL ELSE 10 END AS INT) AS width,
+             |  CAST(h AS INT) AS height,
+             |  CAST(s AS BIGINT) AS sum_px,
+             |  CAST(CASE WHEN len < 30*h THEN GREATEST(mx, 0) ELSE mx END AS INT) AS max_px,
+             |  CAST(s AS DOUBLE) / (30*h) AS mean_px
+             |FROM (
+             |  SELECT doc_id, text, length(text) AS len,
+             |    GREATEST(1, (length(text) + 29) // 30) AS h,
+             |    COALESCE(list_sum([unicode(text[i]) for i in range(1, length(text)+1)]), 0) AS s,
+             |    COALESCE(list_max([unicode(text[i]) for i in range(1, length(text)+1)]), 0) AS mx
+             |  FROM documents) t""".stripMargin)),
 
     // ----- multimodal: frame sampling (one row → N frame rows) -------------
-    // Payload read as 16-byte frames, every 4th frame decoded, ≤ 8 frames
-    // per doc. ASCII payloads make the per-slice byte-fold hash equal the
-    // char-fold over the substring, so even the fan-out decode stays
-    // oracle-checkable.
+    // Payload read as 16-byte raw 24-bpp RGB frames (width 4 → 12 bytes per
+    // pixel row, a short tail is a partial row), every 4th frame decoded,
+    // ≤ 8 frames per doc. The decode emits real channel statistics the
+    // oracle recomputes from the slice's ASCII code points.
     "q_frame_sample" -> Q(
       (s, d) => {
         val media = Multimodal.asMediaTable(Td.documents(s, d), "doc_id", "text")
-        Multimodal.sampleFrames(s, media, frameBytes = 16, stride = 4, maxFrames = 8)
-          .select("media_id", "frame_idx", "frame_bytes", "width", "height")
+        Multimodal.sampleFrames(s, media, frameBytes = 16, stride = 4, maxFrames = 8,
+            frameWidth = 4)
+          .select("media_id", "frame_idx", "frame_bytes", "width", "height",
+            "sum_px", "max_px")
       },
-      Some(s"""SELECT media_id, frame_idx, frame_bytes,
-              |  CAST(64 + h % 512 AS INT) AS width,
-              |  CAST(64 + (h // 512) % 512 AS INT) AS height
-              |FROM (
-              |  SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
-              |    CAST(octet_length(encode(substring(text, i*16 + 1, 16))) AS BIGINT) AS frame_bytes,
-              |    ${polyHashSql("substring(text, i*16 + 1, 16)")} AS h
-              |  FROM documents, (SELECT unnest(range(0, 1024)) AS i) g
-              |  WHERE length(text) > 0 AND i*16 < length(text)
-              |    AND i % 4 = 0 AND i < 4*8) t""".stripMargin)),
+      Some("""SELECT media_id, frame_idx, frame_bytes,
+             |  CAST(4 AS INT) AS width,
+             |  CAST((frame_bytes + 11) // 12 AS INT) AS height,
+             |  CAST(list_sum([unicode(sl[i]) for i in range(1, length(sl)+1)]) AS BIGINT) AS sum_px,
+             |  CAST(list_max([unicode(sl[i]) for i in range(1, length(sl)+1)]) AS INT) AS max_px
+             |FROM (
+             |  SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+             |    CAST(octet_length(encode(substring(text, i*16 + 1, 16))) AS BIGINT) AS frame_bytes,
+             |    substring(text, i*16 + 1, 16) AS sl
+             |  FROM documents, (SELECT unnest(range(0, 1024)) AS i) g
+             |  WHERE length(text) > 0 AND i*16 < length(text)
+             |    AND i % 4 = 0 AND i < 4*8) t""".stripMargin)),
 
     // ----- repetition signals (Gopher-style duplicate n-gram fractions) ----
     "q_repetition" -> Q(

@@ -201,21 +201,51 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
-  test("multimodal: binary plumbing + stub decode is deterministic and distributed") {
-    val media = Multimodal.asMediaTable(docs().repartition(3), "doc_id", "text")
+  test("multimodal: BMP encode→parse round trip pins geometry, padding, and sums") {
+    val payload = Array.tabulate(100)(i => ((i * 7 + 3) % 251).toByte)
+    val bmp = Multimodal.encodeBmp24(payload, width = 10)
+    assert(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte)
+    // 100 bytes → h=4 rows of 30 payload + 2 pad bytes; 54-byte header
+    assert(bmp.length == 54 + 32 * 4)
+    val s = Multimodal.decodeBmp24(bmp)
+    assert(s.width == 10 && s.height == 4)
+    assert(s.sumAll == payload.map(b => (b & 0xff).toLong).sum) // zero pad adds nothing
+    assert(s.maxPx == payload.map(_ & 0xff).max)
+    assert(s.minPx == 0) // the 20 padding bytes
+    // corrupt magic / truncated pixel data rejected loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeBmp24("XX".getBytes ++ bmp.drop(2))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeBmp24(bmp.take(bmp.length - 5))
+    }
+  }
+
+  test("multimodal: distributed BMP decode matches a driver-side reference parse") {
+    val media = Multimodal.asBmpMediaTable(spark, docs().repartition(3), "doc_id", "text")
     assert(media.schema("content").dataType.typeName == "binary")
     val feats = Multimodal.decodeFeatures(spark, media)
     val rows = feats.collect()
     assert(rows.length == 6)
-    val r1 = rows.find(_.getLong(0) == 1L).get
-    assert(r1.getAs[Int]("width") >= 64 && r1.getAs[Int]("height") >= 64)
-    assert(r1.getSeq[Float](r1.fieldIndex("feature")).length == 8)
-    // determinism across reruns
-    val again = Multimodal.decodeFeatures(spark, media).collect()
-      .find(_.getLong(0) == 1L).get
-    assert(again.getAs[Int]("width") == r1.getAs[Int]("width"))
-    assert(again.getSeq[Float](again.fieldIndex("feature")) ==
-      r1.getSeq[Float](r1.fieldIndex("feature")))
+    val texts = docs().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val exp = Multimodal.decodeBmp24(
+        Multimodal.encodeBmp24(texts(r.getLong(0)).getBytes("UTF-8"), 10))
+      assert(r.getAs[Int]("width") == exp.width)
+      assert(r.getAs[Int]("height") == exp.height)
+      assert(r.getAs[Long]("sum_px") == exp.sumAll)
+      assert(r.getAs[Int]("max_px") == exp.maxPx)
+      assert(r.getSeq[Float](r.fieldIndex("feature")).length == 6)
+    }
+    // the empty doc still produces a valid 10×1 all-zero image
+    val empty = rows.find(_.getLong(0) == 5L).get
+    assert(empty.getAs[Int]("height") == 1 && empty.getAs[Long]("sum_px") == 0L)
+    // raw (containerless) payloads decode channel stats with no geometry
+    val raw = Multimodal.decodeFeatures(spark,
+      Multimodal.asMediaTable(docs(), "doc_id", "text")).collect()
+    assert(raw.forall(_.isNullAt(3))) // width null — no container to parse
+    assert(raw.find(_.getLong(0) == 1L).get.getAs[Long]("sum_px") ==
+      texts(1L).getBytes("UTF-8").map(b => (b & 0xff).toLong).sum)
   }
 
   test("sampleFrames: stride/cap fan-out, short last frame, empty payload skipped") {
