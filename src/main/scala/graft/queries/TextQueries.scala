@@ -116,6 +116,33 @@ object TextQueries {
         shingles = Some(Td.docShingles(s, d, 3))),
       Some(jaccardPairsSql)),
 
+    // ----- df-capped Jaccard pairs (the boilerplate-shingle valve) ----------
+    // maxShingleDf=2 drops shingles in 3+ docs BEFORE the pair stage; the
+    // result is the exact Jaccard over the reduced shingle space (both
+    // intersections and set sizes exclude dropped shingles), which the
+    // oracle recomputes independently — pinning the cap's cross-engine
+    // semantics, not just its Spark implementation. The cap genuinely bites
+    // on this corpus (max df 7; 25 → 23 pairs at sf0.01).
+    "q_jaccard_capped" -> Q(
+      (s, d) => Dedup.jaccardPairs(Td.documents(s, d), "doc_id", "text", n = 3, tau = 0.5,
+        shingles = Some(Td.docShingles(s, d, 3)), maxShingleDf = 2),
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+              |sh AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
+              |ex0 AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+              |dfq AS (SELECT s, count(*) AS df FROM ex0 GROUP BY 1),
+              |ex AS (SELECT doc_id, s FROM ex0 JOIN dfq USING (s) WHERE df <= 2),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+              |pairs AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT id_a, id_b,
+              |  CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) AS jaccard
+              |FROM pairs
+              |JOIN sizes sa ON id_a = sa.doc_id
+              |JOIN sizes sb ON id_b = sb.doc_id
+              |WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5""".stripMargin)),
+
     // ----- minhash band signatures (LSH bucketing keys) --------------------
     "q_minhash_bands" -> Q(
       (s, d) => {
