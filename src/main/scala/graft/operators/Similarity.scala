@@ -649,11 +649,12 @@ object Similarity {
     * codes give a compressed-domain ADC ranking WITHIN them, and an exact
     * re-rank recovers true cosine order on the shortlist. `codes` carries
     * (neighbor_id, codes, cell) and persists PARTITIONED BY CELL
-    * ([[ivfPqWrite]]), so the probe join dynamic-partition-prunes code
-    * files to the probed cells: per-query scan cost is nprobe/nlist of an
-    * already ~64×-compressed relation — this retires flat [[pqSearch]]'s
-    * all-codes scan as the only PQ path. Training runs over UNIT vectors
-    * (L2 argmin ≡ cosine argmax there; see [[pqSearch]]).
+    * ([[ivfPqWrite]]), and the search places a STATIC `cell IN (probed)`
+    * partition filter on the codes scan, so only the probed cells' code
+    * files are read: per-query scan cost is nprobe/nlist of an already
+    * ~64×-compressed relation — this retires flat [[pqSearch]]'s all-codes
+    * scan as the only PQ path. Training runs over UNIT vectors (L2 argmin ≡
+    * cosine argmax there; see [[pqSearch]]).
     */
   final case class IvfPqIndex(centroids: Seq[Array[Float]],
                               books: Seq[Seq[Array[Float]]],
@@ -731,9 +732,9 @@ object Similarity {
 
   /** Search a built/reopened IVF+PQ index: each query probes its `nprobe`
     * nearest cells (scored driver-side over the tiny centroid set, same
-    * tie rule as [[nearestCells]]), ADC-ranks ONLY those cells' codes (the
-    * equi-join against the broadcast query relation is what lets dynamic
-    * partition pruning skip every other cell's files), and the `rerank`
+    * tie rule as [[nearestCells]]), ADC-ranks ONLY those cells' codes (a
+    * static partition filter on the probed-cell union makes the scan skip
+    * every other cell's files — see the in-body comment), and the `rerank`
     * best candidates per query are re-scored exactly by cosine. The raw
     * `corpus` is needed only for the re-rank vectors of the shortlist.
     */
@@ -768,12 +769,23 @@ object Similarity {
         val neg = if (cnorms(i) == 0.0) Double.PositiveInfinity else -s / cnorms(i)
         (neg, i)
       }.sorted.take(nprobe).map { case (_, cell) => (qid, tbl, cell) }
-    }.toSeq.toDF("query_id", "tbl", "cell")
+    }
     val approx = (0 until m).map(s =>
       element_at(element_at(col("tbl"), s + 1), col("codes")(s) + 1)).reduce(_ + _)
     val wApprox = Window.partitionBy("query_id")
       .orderBy(col("approx").asc, col("neighbor_id").asc)
-    val shortlist = index.codes.join(broadcast(qt), Seq("cell"))
+    // The probed cell set is known ON THE DRIVER at plan time (qt is a
+    // local relation), so the codes scan gets a STATIC partition filter —
+    // strictly stronger than dynamic pruning, which Spark would not plan
+    // here anyway (a LocalRelation probe side carries no selective scan
+    // filter for the DPP rule to latch onto; verified via IvfPqProbe: the
+    // equi-join alone read every cell directory). With the IN filter the
+    // scan's PartitionFilters lists the ≤ |queries|·nprobe probed cells and
+    // only those directories are read.
+    val probedCells = qt.map { case (_, _, cell) => cell }.distinct.toSeq
+    val shortlist = index.codes
+      .filter(col("cell").isInCollection(probedCells))
+      .join(broadcast(qt.toSeq.toDF("query_id", "tbl", "cell")), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("approx", approx)
       .withColumn("__arank", row_number().over(wApprox))

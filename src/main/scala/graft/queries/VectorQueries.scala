@@ -234,10 +234,11 @@ object VectorQueries {
 
     // ----- IVF+PQ composed ANN (the billion-vector scale shape) ------------
     // Coarse cells narrow the probe to nprobe/nlist of the corpus, ADC runs
-    // only over THOSE cells' stored codes (the cell-partitioned codes
-    // relation dynamic-partition-prunes to the probed directories — flat
-    // pqSearch's all-codes scan never happens), exact re-rank recovers
-    // cosine order. Observed recall (RecallProbe): min hits 2/5 (sf0.01) /
+    // only over THOSE cells' stored codes (a static cell IN (probed)
+    // partition filter prunes the cell-partitioned codes relation to the
+    // probed directories, IvfPqProbe-verified — flat pqSearch's all-codes
+    // scan never happens), exact re-rank recovers cosine order.
+    // Observed recall (RecallProbe): min hits 2/5 (sf0.01) /
     // 3/5 (sf0.1), mean 0.86 / 0.76 → gate at hits ≥ 1, mean ≥ 0.35.
     // Index comes from STORAGE (Td.ivfpqIndexTable): the query measures the
     // recurring probe cost, the part that repeats per query batch.
