@@ -51,6 +51,17 @@ object IvfPqProbe {
           s"${s.metrics.get("numPartitions").map(_.value)} " +
           s"files read = ${s.metrics.get("numFiles").map(_.value)}")
       }
+    // Same audit for plain ivfSearch, whose assigned relation relies on
+    // DYNAMIC pruning (its probe side IS a filtered parquet scan, which the
+    // DPP rule accepts — unlike the LocalRelation above).
+    val ivf = Similarity.ivfSearch(Td.ivfIndexTable(spark, sfDir), queries,
+      "vec_id", "embedding", k = 5, nprobe = 4)
+    ivf.queryExecution.executedPlan.execute().count()
+    ivf.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("PartitionFilters")).foreach { l =>
+        val i = l.indexOf("PartitionFilters")
+        println("PROBE ivf " + l.slice(i, i + 200))
+      }
     spark.stop()
   }
 }
