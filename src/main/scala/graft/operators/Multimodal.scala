@@ -176,6 +176,150 @@ object Multimodal {
     Bmp24Stats(width, height, sumB, sumG, sumR, mn, mx)
   }
 
+  // --------------------------------------------------------------- WAV ---
+
+  val audioSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType),
+    StructField("n_bytes", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("sum_samples", LongType),
+    StructField("min_sample", IntegerType),
+    StructField("max_sample", IntegerType),
+  ))
+
+  /** Wrap any (id, text) frame as a table of REAL PCM-16 mono WAV
+    * containers: consecutive payload byte pairs become little-endian int16
+    * samples (an odd tail byte gets a zero high byte). Byte-valid RIFF —
+    * any audio tool could play it.
+    */
+  def asWavMediaTable(spark: SparkSession, df: DataFrame, idCol: String,
+                      payloadCol: String, sampleRate: Int = 8000): DataFrame = {
+    val out = df.select(col(idCol).cast("long").as("media_id"),
+        encode(col(payloadCol), "UTF-8").as("payload"))
+      .rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          if (payload == null) Row(r.getAs[Long]("media_id"), null, "audio/wav", null)
+          else {
+            val wav = encodeWavPcm16(payload, sampleRate)
+            Row(r.getAs[Long]("media_id"), wav, "audio/wav", wav.length.toLong)
+          }
+        }
+      }
+    spark.createDataFrame(out, mediaSchema)
+  }
+
+  /** Build a PCM-16 mono RIFF/WAVE file whose sample stream is `payload`
+    * read as little-endian byte pairs (odd tail → zero high byte).
+    */
+  def encodeWavPcm16(payload: Array[Byte], sampleRate: Int): Array[Byte] = {
+    require(sampleRate > 0, "sampleRate must be positive")
+    val nSamples = (payload.length + 1) / 2
+    val dataSize = 2 * nSamples
+    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1)                  // PCM
+    buf.putShort(1)                  // mono
+    buf.putInt(sampleRate)
+    buf.putInt(sampleRate * 2)       // byte rate
+    buf.putShort(2)                  // block align
+    buf.putShort(16)                 // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < payload.length) {
+      buf.put(payload(i))
+      buf.put(if (i + 1 < payload.length) payload(i + 1) else 0.toByte)
+      i += 2
+    }
+    buf.array()
+  }
+
+  /** Decoded PCM-16 WAV statistics: header fields + signed sample moments.
+    * An empty data chunk reports (0 samples, sum/min/max = 0).
+    */
+  final case class WavStats(sampleRate: Int, nSamples: Long,
+                            sumSamples: Long, minSample: Int, maxSample: Int)
+
+  /** Parse a RIFF/WAVE container: validates the RIFF + WAVE magic, WALKS
+    * the chunk list (word-aligned sizes; unknown chunks — LIST, cue,
+    * bext — are skipped, as a real parser must), requires PCM / mono /
+    * 16-bit from the fmt chunk, then folds the little-endian SIGNED
+    * samples of the data chunk. Malformed or unsupported input throws —
+    * route corrupt media, never average it in silently.
+    */
+  def decodeWavPcm16(bytes: Array[Byte]): WavStats = {
+    require(bytes.length >= 44, "too short for a WAV header")
+    def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    require(tag(0) == "RIFF" && tag(8) == "WAVE", "not a RIFF/WAVE container")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var fmtOk = false
+    var rate = 0
+    var dataOff = -1
+    var dataLen = 0
+    while (pos + 8 <= bytes.length) {
+      val id = tag(pos)
+      val size = buf.getInt(pos + 4)
+      require(size >= 0 && pos + 8 + size <= bytes.length, s"truncated chunk $id")
+      if (id == "fmt ") {
+        require(size >= 16, "fmt chunk too short")
+        val audioFormat = buf.getShort(pos + 8)
+        val channels = buf.getShort(pos + 10)
+        rate = buf.getInt(pos + 12)
+        val bits = buf.getShort(pos + 22)
+        require(audioFormat == 1 && channels == 1 && bits == 16,
+          s"unsupported WAV variant (fmt=$audioFormat ch=$channels bits=$bits)")
+        fmtOk = true
+      } else if (id == "data") {
+        dataOff = pos + 8
+        dataLen = size
+      }
+      pos += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    require(fmtOk && dataOff >= 0, "missing fmt or data chunk")
+    val nSamples = dataLen / 2
+    var sum = 0L
+    var mn = 0
+    var mx = 0
+    if (nSamples > 0) { mn = Int.MaxValue; mx = Int.MinValue }
+    var k = 0
+    while (k < nSamples) {
+      val v = buf.getShort(dataOff + 2 * k).toInt // signed int16
+      sum += v
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      k += 1
+    }
+    WavStats(rate, nSamples.toLong, sum, mn, mx)
+  }
+
+  /** Decode audio containers over partition-local batches: `audio/wav`
+    * rows run the real [[decodeWavPcm16]] parser; null payloads yield null
+    * rows. Same distributed shape as [[decodeFeatures]].
+    */
+  def decodeAudioFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    val out = media.select("media_id", "content", "media_type", "n_bytes")
+      .rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("content")
+          val nBytes = r.get(r.fieldIndex("n_bytes"))
+          if (bytes == null)
+            Row(r.getAs[Long]("media_id"), r.getAs[String]("media_type"), nBytes,
+              null, null, null, null, null)
+          else {
+            val s = decodeWavPcm16(bytes)
+            Row(r.getAs[Long]("media_id"), r.getAs[String]("media_type"), nBytes,
+              s.sampleRate, s.nSamples, s.sumSamples, s.minSample, s.maxSample)
+          }
+        }
+      }
+    spark.createDataFrame(out, audioSchema)
+  }
+
   /** Channel statistics over a raw packed-B,G,R byte stream (no container):
     * (sumB, sumG, sumR, min, max) with channels assigned by position mod 3.
     */

@@ -143,6 +143,20 @@ object TextQueries {
               |JOIN sizes sb ON id_b = sb.doc_id
               |WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5""".stripMargin)),
 
+    // ----- over-frequent shingle reporter (the cap's observability twin) ---
+    // What a maxShingleDf=2 ceiling drops: one row per over-frequent
+    // shingle with its document frequency — pipelines store this next to
+    // capped pair runs so recall loss is a reported number, not a silent
+    // truncation. Tiny output, one aggregation on the shingle key.
+    "q_overwide_shingles" -> Q(
+      (s, d) => Dedup.overWideShingles(Td.documents(s, d), "doc_id", "text",
+        n = 3, maxShingleDf = 2, shingles = Some(Td.docShingles(s, d, 3))),
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+              |sh AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
+              |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh)
+              |SELECT s, CAST(count(*) AS BIGINT) AS df FROM ex
+              |GROUP BY 1 HAVING count(*) > 2""".stripMargin)),
+
     // ----- minhash band signatures (LSH bucketing keys) --------------------
     "q_minhash_bands" -> Q(
       (s, d) => {
@@ -254,6 +268,37 @@ object TextQueries {
              |    GREATEST(1, (length(text) + 29) // 30) AS h,
              |    COALESCE(list_sum([unicode(text[i]) for i in range(1, length(text)+1)]), 0) AS s,
              |    COALESCE(list_max([unicode(text[i]) for i in range(1, length(text)+1)]), 0) AS mx
+             |  FROM documents) t""".stripMargin)),
+
+    // ----- multimodal: REAL WAV containers, real parse -----------------------
+    // Each document's bytes become the little-endian int16 sample stream of
+    // a byte-valid PCM-16 mono RIFF/WAVE file; decodeAudioFeatures walks
+    // the chunk list (fmt validation, unknown-chunk skipping) and folds the
+    // signed samples. The oracle recomputes everything from first
+    // principles: file size 44 + 2·n, sample count from the payload length,
+    // and the exact sample sums from ASCII code-point pairs (c₁ + 256·c₂ —
+    // ASCII stays under the sign bit, so signed == unsigned here). A
+    // mis-read chunk offset or sample width shifts every sum and
+    // hash-fails.
+    "q_audio_decode" -> Q(
+      (s, d) => {
+        val media = Multimodal.asWavMediaTable(s, Td.documents(s, d), "doc_id", "text",
+          sampleRate = 8000)
+        Multimodal.decodeAudioFeatures(s, media)
+      },
+      Some("""SELECT doc_id AS media_id, 'audio/wav' AS media_type,
+             |  CAST(44 + 2*ns AS BIGINT) AS n_bytes,
+             |  CAST(CASE WHEN text IS NULL THEN NULL ELSE 8000 END AS INT) AS sample_rate,
+             |  CAST(ns AS BIGINT) AS n_samples,
+             |  CAST(CASE WHEN text IS NULL THEN NULL ELSE COALESCE(list_sum(ss), 0) END AS BIGINT) AS sum_samples,
+             |  CAST(CASE WHEN text IS NULL THEN NULL ELSE COALESCE(list_min(ss), 0) END AS INT) AS min_sample,
+             |  CAST(CASE WHEN text IS NULL THEN NULL ELSE COALESCE(list_max(ss), 0) END AS INT) AS max_sample
+             |FROM (
+             |  SELECT doc_id, text, (length(text)+1)//2 AS ns,
+             |    [CASE WHEN 2*k <= length(text)
+             |          THEN unicode(text[2*k-1]) + 256*unicode(text[2*k])
+             |          ELSE unicode(text[2*k-1]) END
+             |     for k in range(1, (length(text)+1)//2 + 1)] AS ss
              |  FROM documents) t""".stripMargin)),
 
     // ----- multimodal: frame sampling (one row → N frame rows) -------------

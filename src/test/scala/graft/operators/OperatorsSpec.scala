@@ -248,6 +248,37 @@ class OperatorsSpec extends SparkSpec {
       texts(1L).getBytes("UTF-8").map(b => (b & 0xff).toLong).sum)
   }
 
+  test("multimodal: WAV encode→parse round trip, chunk walking, signed samples") {
+    // payload with a byte pair whose int16 is NEGATIVE (high byte ≥ 0x80)
+    val payload = Array[Byte](10, 0, 0x34, 0x12, -1, -1, 7) // samples: 10, 0x1234, -1, 7
+    val wav = Multimodal.encodeWavPcm16(payload, sampleRate = 8000)
+    assert(wav.length == 44 + 8)
+    val s = Multimodal.decodeWavPcm16(wav)
+    assert(s == Multimodal.WavStats(8000, 4, 10L + 0x1234 - 1 + 7, -1, 0x1234))
+    // a real parser skips unknown chunks: splice a LIST chunk before data
+    val junk = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0, 1, 2, 3, 4)
+    val spliced = wav.take(36) ++ junk ++ wav.drop(36)
+    val buf = java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(4, spliced.length - 8) // fix RIFF size
+    assert(Multimodal.decodeWavPcm16(spliced) == s)
+    // malformed input throws instead of decoding garbage
+    intercept[IllegalArgumentException] { Multimodal.decodeWavPcm16(wav.take(30)) }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWavPcm16("RIFX".getBytes ++ wav.drop(4))
+    }
+    // distributed path matches a driver-side reference decode
+    val media = Multimodal.asWavMediaTable(spark, docs().repartition(3), "doc_id", "text")
+    val rows = Multimodal.decodeAudioFeatures(spark, media).collect()
+    val texts = docs().collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val exp = Multimodal.decodeWavPcm16(
+        Multimodal.encodeWavPcm16(texts(r.getLong(0)).getBytes("UTF-8"), 8000))
+      assert(r.getAs[Long]("n_samples") == exp.nSamples)
+      assert(r.getAs[Long]("sum_samples") == exp.sumSamples)
+      assert(r.getAs[Int]("max_sample") == exp.maxSample)
+    }
+  }
+
   test("sampleFrames: stride/cap fan-out, short last frame, empty payload skipped") {
     val s = spark
     import s.implicits._
