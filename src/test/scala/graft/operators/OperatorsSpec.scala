@@ -279,6 +279,34 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("codec round trips over varied payload shapes and geometries") {
+    // lengths straddle row boundaries (30/row at w=10), sample pairs, and
+    // zero; byte values cover the full 0-255 range (sign-bit handling)
+    for (len <- Seq(0, 1, 2, 3, 29, 30, 31, 59, 60, 61, 100, 257)) {
+      val payload = Array.tabulate(len)(i => ((i * 131 + 17) % 256).toByte)
+      val refSum = payload.map(b => (b & 0xff).toLong).sum
+      // BMP across widths with row padding 0..3 bytes
+      for (w <- Seq(1, 3, 10, 16)) {
+        val s = Multimodal.decodeBmp24(Multimodal.encodeBmp24(payload, w))
+        assert(s.width == w, s"len=$len w=$w")
+        assert(s.height == math.max(1, (len + 3 * w - 1) / (3 * w)))
+        assert(s.sumAll == refSum, s"len=$len w=$w") // zero pad adds nothing
+      }
+      // WAV: signed int16 LE pairs, odd tail zero-padded high byte
+      val wv = Multimodal.decodeWavPcm16(Multimodal.encodeWavPcm16(payload, 44100))
+      assert(wv.sampleRate == 44100 && wv.nSamples == (len + 1) / 2)
+      val refSamples = payload.grouped(2).map { p =>
+        val lo = p(0) & 0xff
+        val hi = if (p.length > 1) p(1) & 0xff else 0
+        (lo | (hi << 8)).toShort.toInt
+      }.toSeq
+      assert(wv.sumSamples == refSamples.map(_.toLong).sum, s"len=$len")
+      if (refSamples.nonEmpty) {
+        assert(wv.minSample == refSamples.min && wv.maxSample == refSamples.max)
+      } else assert(wv.minSample == 0 && wv.maxSample == 0)
+    }
+  }
+
   test("sampleFrames: stride/cap fan-out, short last frame, empty payload skipped") {
     val s = spark
     import s.implicits._
