@@ -39,8 +39,8 @@ import java.nio.charset.StandardCharsets
   * A version is its manifest: readers resolve `_CURRENT` → manifest → the
   * exact bucket directories, each immutable once written. At 100 TB a CDC
   * batch touching 1% of keys rewrites ≈1% of buckets instead of the table;
-  * old versions remain readable until vacuumed (not implemented — a real
-  * deployment would GC unreferenced bucket dirs).
+  * old versions remain readable until [[KeyedTable.vacuum]] GCs dirs the
+  * retained manifest chain no longer references.
   *
   * == Scale design ==
   *  - merge(batch) = dedupe batch to latest per key → current ANTI-JOIN batch
@@ -290,13 +290,20 @@ final class KeyedTable(
     deletable.foreach { v =>
       fs.delete(new Path(root, s"v=$v"), true)
       fs.delete(new Path(root, s"${ManifestPrefix}v$v"), false)
+      fs.delete(new Path(root, s"_COMMIT_v$v"), false) // conditional-put claim
     }
-    // also drop manifests for versions older than the keep window whose dirs
-    // were fully superseded (dir may be live via a newer manifest)
+    // also drop manifests + commit claims for versions older than the keep
+    // window whose dirs were fully superseded (dir may be live via a newer
+    // manifest). Claims for retained and in-flight versions are never
+    // touched — a claim at cur+1 with the pointer unadvanced is the
+    // crash-recovery marker and must survive vacuum.
     all.filter(_.startsWith(ManifestPrefix))
       .map(_.stripPrefix(ManifestPrefix).stripPrefix("v").toLong)
       .filter(v => v < keepManifests.head)
-      .foreach(v => fs.delete(new Path(root, s"${ManifestPrefix}v$v"), false))
+      .foreach { v =>
+        fs.delete(new Path(root, s"${ManifestPrefix}v$v"), false)
+        fs.delete(new Path(root, s"_COMMIT_v$v"), false)
+      }
     deletable.sorted
   }
 

@@ -226,5 +226,11 @@ class KeyedTableSpec extends SparkSpec {
     val marker = new org.apache.hadoop.fs.Path(root, KeyedTable.CurrentMarker)
     for (v <- 1L to 3L)
       assert(fs.exists(KeyedTable.ConditionalPutCommit.claimPath(marker, v)), s"claim v$v")
+    // vacuum reclaims claims alongside their version dirs, keeps the rest
+    t.vacuum(keepVersions = 1)
+    assert(!fs.exists(KeyedTable.ConditionalPutCommit.claimPath(marker, 1)))
+    assert(!fs.exists(KeyedTable.ConditionalPutCommit.claimPath(marker, 2)))
+    assert(fs.exists(KeyedTable.ConditionalPutCommit.claimPath(marker, 3)))
+    assert(t.currentVersion == 3 && t.current.count() == 4)
   }
 }
