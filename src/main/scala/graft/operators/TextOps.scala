@@ -385,4 +385,38 @@ object TextOps {
       .agg(sum(col("cnt")).as("occurrences"), count(lit(1)).as("n_docs"))
       .filter(col("occurrences") >= minCount)
   }
+
+  /** Per-document corpus n-gram coverage — the frequency-support quality
+    * signal (CCNet-style LM filtering without the LM): what fraction of a
+    * document's distinct `n`-grams appear in at least `minDocs` documents
+    * corpus-wide. Well-formed prose scores high against a healthy corpus;
+    * gibberish, OCR noise, and boilerplate-free spam score low. All counts,
+    * no logs — the score is one exact integer division, so it hash-matches
+    * across engines (an LM perplexity's `ln` would diverge in the last ulp
+    * between libm implementations).
+    *
+    * Shape: one shingle pass (distinct per doc), one df aggregate on the
+    * shingle key (map-side combinable), df joined back on the same key the
+    * aggregate shuffled on, one per-doc rollup. Documents too short for any
+    * n-gram keep their row with counts 0 and a NULL coverage (0/0 is
+    * undefined, not zero-quality).
+    */
+  def ngramCoverage(df: DataFrame, idCol: String, textCol: String, n: Int,
+                    minDocs: Long = 3L,
+                    shingles: Option[DataFrame] = None): DataFrame = {
+    require(n >= 1 && minDocs >= 1)
+    val ex = shingles.getOrElse(Dedup.explodedShingles(df, idCol, textCol, n))
+    val dfreq = ex.groupBy("s").agg(count(lit(1)).as("__df")) // shingles are distinct per doc
+    val perDoc = ex.join(dfreq, "s")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_ngrams"),
+        sum(when(col("__df") >= minDocs, 1L).otherwise(0L)).as("n_covered"))
+    df.select(col(idCol).cast("long").as("id"))
+      .join(perDoc, Seq("id"), "left_outer")
+      .select(col("id").as(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        when(col("n_ngrams") > 0,
+          col("n_covered").cast("double") / col("n_ngrams").cast("double")).as("coverage"))
+  }
 }

@@ -157,6 +157,29 @@ object TextQueries {
               |SELECT s, CAST(count(*) AS BIGINT) AS df FROM ex
               |GROUP BY 1 HAVING count(*) > 2""".stripMargin)),
 
+    // ----- corpus n-gram coverage (frequency-support quality score) --------
+    // Fraction of each doc's distinct trigram shingles appearing in ≥ 3
+    // docs corpus-wide — CCNet-style LM filtering with counts instead of
+    // logs (exactly cross-engine). Short docs keep their row with NULL
+    // coverage (0/0 is undefined, not zero-quality).
+    "q_ngram_coverage" -> Q(
+      (s, d) => TextOps.ngramCoverage(Td.documents(s, d), "doc_id", "text",
+        n = 3, minDocs = 3, shingles = Some(Td.docShingles(s, d, 3))),
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+              |sh AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
+              |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+              |dfq AS (SELECT s, count(*) AS df FROM ex GROUP BY 1),
+              |cov AS (
+              |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+              |    CAST(sum(CASE WHEN df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+              |  FROM ex JOIN dfq USING (s) GROUP BY 1)
+              |SELECT d.doc_id,
+              |  COALESCE(n_ngrams, 0) AS n_ngrams,
+              |  COALESCE(n_covered, 0) AS n_covered,
+              |  CASE WHEN n_ngrams > 0
+              |       THEN CAST(n_covered AS DOUBLE)/n_ngrams END AS coverage
+              |FROM documents d LEFT JOIN cov USING (doc_id)""".stripMargin)),
+
     // ----- minhash band signatures (LSH bucketing keys) --------------------
     "q_minhash_bands" -> Q(
       (s, d) => {
