@@ -117,16 +117,32 @@ object Td {
   }
 
   /** Build into `root + tmp-suffix`, then atomically rename into `root`.
-    * Returns true iff SOMEONE's build is installed at `root` afterwards.
+    * After a successful install, GC STALE siblings — roots for the same
+    * (kind, format, source dir) whose mtime/count suffix differs, i.e.
+    * indexes over data that has since been regenerated. Keyed by the full
+    * prefix including the source dir, so indexes for OTHER sf dirs (live
+    * concurrently during driver runs) are never touched. A process still
+    * probing a stale root mid-flight fails loudly (files vanish) rather
+    * than reading wrong data — and such a process was already racing a
+    * source regeneration; its next call resolves the fresh root.
     */
   private def installDir(s: SparkSession, root: String)(build: String => Unit): Unit = {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(root))) return
-    val tmp = root + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
-    build(tmp)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(root)))
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // concurrent winner installed first
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root))) {
+      val tmp = root + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
+      build(tmp)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(root)))
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // concurrent winner installed first
+    }
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val prefix = root.substring(root.lastIndexOf('/') + 1, root.lastIndexOf("-m") + 1)
+    val parent = rootPath.getParent
+    if (fs.exists(parent)) fs.listStatus(parent).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(prefix) && name != rootPath.getName && !name.contains(".tmp-"))
+        fs.delete(st.getPath, true)
+    }
   }
 
   /** The four stored-index BUILD bodies, exposed so `Bench` can time a
