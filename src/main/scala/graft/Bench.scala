@@ -40,7 +40,11 @@ object Bench {
     // build regressions invisible to the bench — r5 What's-wrong #4). The
     // same build bodies the Td accessors install, so bench and production
     // cannot drift. Reported in the JSON as "ib" (seconds per index).
-    val idxBuild: Seq[(String, Double)] = {
+    // Full-battery runs only: a filtered dev run (`runMain graft.Bench q_x`)
+    // should not pay four index builds it may never probe — index queries
+    // in a filtered run install their roots on demand via Td.
+    val fullBattery = args.headOption.isEmpty
+    val idxBuild: Seq[(String, Double)] = if (!fullBattery) Seq.empty else {
       val tmpRoot = java.nio.file.Files.createTempDirectory("graft-bench-ib").toString
       def timed(f: => Unit): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -59,11 +63,14 @@ object Bench {
     // installed the index roots in tmpdir. Without this, run 1 of the
     // min-of-3 pays the build AND its checkpoint/cache pressure bleeds into
     // run 2 — cold-vs-warm /tmp state swung q_incremental_dedup 7.45 s vs
-    // 1.37 s at sf0.1.
-    graft.queries.Td.bandIndexTable(spark, sfDir).count()
-    graft.queries.Td.ivfIndexTable(spark, sfDir).assigned.count()
-    graft.queries.Td.pqIndexTable(spark, sfDir).codes.count()
-    graft.queries.Td.ivfpqIndexTable(spark, sfDir).codes.count()
+    // 1.37 s at sf0.1. (Full battery only; a filtered dev run lets its own
+    // queries install on demand — min-of-3 still reports a warm run.)
+    if (fullBattery) {
+      graft.queries.Td.bandIndexTable(spark, sfDir).count()
+      graft.queries.Td.ivfIndexTable(spark, sfDir).assigned.count()
+      graft.queries.Td.pqIndexTable(spark, sfDir).codes.count()
+      graft.queries.Td.ivfpqIndexTable(spark, sfDir).codes.count()
+    }
     // Optional dev filter: `runMain graft.Bench q_a,q_b` times only those
     // queries (the driver invokes with no args → full battery).
     val selected = args.headOption.map(_.split(",").toSet)
@@ -163,8 +170,9 @@ object Bench {
       val stallRatio = if (ratios.isEmpty) 1.0 else ratios.max
       s""""stall":${fmt(1)(stallRatio)},"nstall":${ratios.count(_ > 3)},"""
     }
-    val ibPart = idxBuild.map { case (k, v) => "\"" + k + "\":" + fmt(1)(v) }
-      .mkString("\"ib\":{", ",", "},")
+    val ibPart = if (idxBuild.isEmpty) ""
+      else idxBuild.map { case (k, v) => "\"" + k + "\":" + fmt(1)(v) }
+        .mkString("\"ib\":{", ",", "},")
     def line(prec: Int, strip: Boolean, slim: Int, elide: Double): String = {
       val (fast, kept) = results.partition(_._2 < elide)
       val qs = kept.map { case (k, v) =>

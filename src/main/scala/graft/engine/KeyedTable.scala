@@ -76,6 +76,15 @@ final class KeyedTable(
   private def commitVersion(next: Long): Unit =
     commitProtocol.publish(fs, new Path(root, CurrentMarker), next - 1, next)
 
+  /** Claim version `next` BEFORE writing its data dir — see
+    * [[KeyedTable.CommitProtocol.reserve]]. Every path that writes
+    * `v=$next` calls this first, so a protocol with real claims rejects
+    * the losing racer before its overwrite-mode write can clobber the
+    * winner's files.
+    */
+  private def reserveVersion(next: Long): Unit =
+    commitProtocol.reserve(fs, new Path(root, CurrentMarker), next - 1, next)
+
   def exists: Boolean = currentVersion > 0
 
   /** The bucket count is TABLE metadata, persisted at creation — reopening
@@ -160,6 +169,7 @@ final class KeyedTable(
         s"$root holds version dirs but no ${CurrentMarker} — crash mid-commit? restore the pointer manually")
       writePointer(fs, new Path(root, BucketsMarker), numBuckets.toLong)
     }
+    reserveVersion(next)
     writeText(fs, new Path(root, SchemaMarker), df.schema.json)
     if (!bucketed) {
       df.write.mode("overwrite").parquet(s"$root/v=$next")
@@ -194,6 +204,7 @@ final class KeyedTable(
     if (storedSchema.isEmpty) writeText(fs, new Path(root, SchemaMarker), current.schema.json)
     if (!bucketed) {
       val next = currentVersion + 1
+      reserveVersion(next)
       KeyedTable.mergePlan(current, latest, keys, broadcastBatchKeys)
         .write.mode("overwrite").parquet(s"$root/v=$next")
       commitVersion(next)
@@ -283,9 +294,15 @@ final class KeyedTable(
       else keepManifests.flatMap(v =>
         readManifest(fs, new Path(root, s"${ManifestPrefix}v$v")).values).toSet ++ keepManifests
     val all = fs.listStatus(new Path(root)).toSeq.map(_.getPath.getName)
+    // never touch versions ABOVE the pointer: v=cur+1 (+ its _COMMIT claim)
+    // is a crashed committer's half-finished transition — the conditional-
+    // put crash contract needs both for explicit recovery, and deleting the
+    // claim would let a later merge silently publish over it
     val deletable = all.collect {
-      case n if n.startsWith("v=") && !live.contains(n.stripPrefix("v=").toLong) =>
-        n.stripPrefix("v=").toLong
+      case n if n.startsWith("v=") && {
+        val v = n.stripPrefix("v=").toLong
+        !live.contains(v) && v <= cur
+      } => n.stripPrefix("v=").toLong
     }
     deletable.foreach { v =>
       fs.delete(new Path(root, s"v=$v"), true)
@@ -338,6 +355,7 @@ final class KeyedTable(
     val k = broadcast(keysDf.select(keys.map(col).toIndexedSeq: _*).distinct())
     if (!bucketed) {
       val next = currentVersion + 1
+      reserveVersion(next)
       current.join(k, keys, "left_anti")
         .write.mode("overwrite").parquet(s"$root/v=$next")
       commitVersion(next)
@@ -363,6 +381,7 @@ final class KeyedTable(
     */
   private def commitBucketsRewrite(touched: Seq[Int], newData: DataFrame): Long = {
     val next = currentVersion + 1
+    reserveVersion(next)
     newData.withColumn(BucketCol, bucketExpr)
       .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/v=$next")
     val written = listBuckets(fs, new Path(s"$root/v=$next"))
@@ -445,6 +464,15 @@ object KeyedTable {
     * retries its merge from the new snapshot.
     */
   trait CommitProtocol {
+    /** Called BEFORE version `next`'s data dir is written. A protocol that
+      * can exclusively claim the transition does it HERE — so of two racers
+      * staged at the same snapshot, the loser aborts before its
+      * `write.mode("overwrite")` can clobber the winner's already-written
+      * v=next data (publishing last is too late to protect the files).
+      * Default no-op: [[RenameCommit]] keeps its documented
+      * single-writer-deployment window.
+      */
+    def reserve(fs: FileSystem, marker: Path, expectedCurrent: Long, next: Long): Unit = ()
     def publish(fs: FileSystem, marker: Path, expectedCurrent: Long, next: Long): Unit
   }
 
@@ -465,12 +493,14 @@ object KeyedTable {
   /** Conditional-put commit: closes [[RenameCommit]]'s residual
     * check-then-rename window with the conditional-create discipline an
     * object store offers natively (S3 `If-None-Match: *`, GCS
-    * `x-goog-if-generation-match: 0`, Azure `If-None-Match`). Publishing
-    * version `next` first CLAIMS the version transition by creating
-    * `_COMMIT_v{next}` create-exclusive — at most one committer can win
-    * that create, so of two racers that both read `expectedCurrent` before
-    * either swapped the pointer, exactly one reaches the pointer write and
-    * the loser throws WITHOUT touching the pointer. The claim file records
+    * `x-goog-if-generation-match: 0`, Azure `If-None-Match`). The
+    * transition is CLAIMED in [[reserve]] — create-exclusive on
+    * `_COMMIT_v{next}`, called by the table BEFORE any v=next data is
+    * written — so of two racers that both read `expectedCurrent`, exactly
+    * one gets to write the version dir and the pointer; the loser throws
+    * before it can overwrite the winner's files (a publish-time-only check
+    * would reject the loser's POINTER but not un-clobber the DATA its
+    * `mode("overwrite")` write already replaced). The claim file records
     * the predecessor version, doubling as a commit-log entry.
     *
     * Crash contract: a committer that dies between claim and pointer write
@@ -488,7 +518,21 @@ object KeyedTable {
   object ConditionalPutCommit extends CommitProtocol {
     def claimPath(marker: Path, next: Long): Path =
       new Path(marker.getParent, s"_COMMIT_v$next")
-    def publish(fs: FileSystem, marker: Path, expectedCurrent: Long, next: Long): Unit = {
+    // Transitions THIS process has successfully reserved — the local stand-in
+    // for the token/ETag a real store's conditional put hands back to its
+    // caller. Lets publish distinguish "our claim" (reserve succeeded here,
+    // possibly on an earlier retry) from "someone else's claim" (always a
+    // lost race) without a content channel the FS can't provide atomically.
+    private val held = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    private def heldKey(marker: Path, next: Long) = s"$marker#v$next"
+    /** Claim the transition BEFORE any data write: exclusive create of the
+      * claim file — of two racers staged at `expectedCurrent`, exactly one
+      * wins; the loser throws here, before it can touch the v=next dir.
+      * Idempotent within the process (a retry after a failed data write
+      * still holds its claim).
+      */
+    override def reserve(fs: FileSystem, marker: Path, expectedCurrent: Long, next: Long): Unit = {
+      if (held.contains(heldKey(marker, next))) return
       val cur = readPointer(fs, marker).getOrElse(0L)
       if (cur != expectedCurrent) throw new java.util.ConcurrentModificationException(
         s"commit of v$next expected current v$expectedCurrent but found v$cur — " +
@@ -501,7 +545,16 @@ object KeyedTable {
       }
       try out.write(expectedCurrent.toString.getBytes(StandardCharsets.UTF_8))
       finally out.close()
+      held.add(heldKey(marker, next))
+    }
+    def publish(fs: FileSystem, marker: Path, expectedCurrent: Long, next: Long): Unit = {
+      // standalone publish (no prior reserve) claims now — still exclusive
+      reserve(fs, marker, expectedCurrent, next)
+      val cur = readPointer(fs, marker).getOrElse(0L)
+      if (cur != expectedCurrent) throw new java.util.ConcurrentModificationException(
+        s"commit of v$next expected current v$expectedCurrent but found v$cur")
       writePointer(fs, marker, next)
+      held.remove(heldKey(marker, next))
     }
   }
 

@@ -150,6 +150,12 @@ object Multimodal {
     require(hdrSize >= 40 && planes == 1 && bpp == 24 && compression == 0,
       s"unsupported BMP variant (hdr=$hdrSize planes=$planes bpp=$bpp comp=$compression)")
     require(width > 0 && height > 0, s"bad geometry ${width}x$height")
+    // a corrupt offset inside [0, 54) would pass the truncation check MORE
+    // easily and silently fold header bytes into the pixel sums; a negative
+    // one would surface as an executor ArrayIndexOutOfBounds instead of a
+    // routable decode error
+    require(offset >= 54 && offset <= bytes.length,
+      s"bad pixel-data offset $offset")
     val bytesPerRow = width * 3
     val rowSize = ((bytesPerRow + 3) / 4) * 4
     require(bytes.length.toLong >= offset.toLong + rowSize.toLong * height,

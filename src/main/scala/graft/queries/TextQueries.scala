@@ -287,10 +287,16 @@ object TextQueries {
              |  CAST(CASE WHEN len < 30*h THEN GREATEST(mx, 0) ELSE mx END AS INT) AS max_px,
              |  CAST(s AS DOUBLE) / (30*h) AS mean_px
              |FROM (
+             |  -- every derived field guarded on NULL text: GREATEST/COALESCE
+             |  -- would otherwise manufacture h=1 / sums=0 for a null payload
+             |  -- the Spark decode correctly reports as all-NULL
              |  SELECT doc_id, text, length(text) AS len,
-             |    GREATEST(1, (length(text) + 29) // 30) AS h,
-             |    COALESCE(list_sum([unicode(text[i]) for i in range(1, length(text)+1)]), 0) AS s,
-             |    COALESCE(list_max([unicode(text[i]) for i in range(1, length(text)+1)]), 0) AS mx
+             |    CASE WHEN text IS NULL THEN NULL
+             |         ELSE GREATEST(1, (length(text) + 29) // 30) END AS h,
+             |    CASE WHEN text IS NULL THEN NULL
+             |         ELSE COALESCE(list_sum([unicode(text[i]) for i in range(1, length(text)+1)]), 0) END AS s,
+             |    CASE WHEN text IS NULL THEN NULL
+             |         ELSE COALESCE(list_max([unicode(text[i]) for i in range(1, length(text)+1)]), 0) END AS mx
              |  FROM documents) t""".stripMargin)),
 
     // ----- multimodal: REAL WAV containers, real parse -----------------------

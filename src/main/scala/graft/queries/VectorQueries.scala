@@ -143,9 +143,14 @@ object VectorQueries {
         val exact = Similarity.nearDupPairs(emb, "vec_id", "embedding", tau = 0.45)
         val banded = Similarity.lshPairs(emb, "vec_id", "embedding", tau = 0.45,
           dim = 64, bits = 5, tables = 12)
+        // tiny (|exact pairs| rows) but its plan is the n² exact scan PLUS
+        // the whole LSH mining pipeline — and it feeds both the gate
+        // aggregate and the final projection; materialize once (same
+        // rationale as annGate's localCheckpoint)
         val marked = exact.join(
           banded.select(col("id_a"), col("id_b"), lit(1).as("__f")),
           Seq("id_a", "id_b"), "left_outer")
+          .localCheckpoint()
         val gate = marked.agg(
           (sum(coalesce(col("__f"), lit(0))) >= lit(0.4) * count(lit(1)))
             .cast("int").as("recall_ok"))

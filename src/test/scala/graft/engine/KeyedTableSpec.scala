@@ -226,11 +226,45 @@ class KeyedTableSpec extends SparkSpec {
     val marker = new org.apache.hadoop.fs.Path(root, KeyedTable.CurrentMarker)
     for (v <- 1L to 3L)
       assert(fs.exists(KeyedTable.ConditionalPutCommit.claimPath(marker, v)), s"claim v$v")
-    // vacuum reclaims claims alongside their version dirs, keeps the rest
+    // vacuum reclaims claims alongside their version dirs, keeps the rest —
+    // and NEVER touches an in-flight transition above the pointer (the
+    // crash-recovery marker + its half-written data dir must survive)
+    fs.create(KeyedTable.ConditionalPutCommit.claimPath(marker, 4), false).close()
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "v=4"))
     t.vacuum(keepVersions = 1)
     assert(!fs.exists(KeyedTable.ConditionalPutCommit.claimPath(marker, 1)))
     assert(!fs.exists(KeyedTable.ConditionalPutCommit.claimPath(marker, 2)))
     assert(fs.exists(KeyedTable.ConditionalPutCommit.claimPath(marker, 3)))
+    assert(fs.exists(KeyedTable.ConditionalPutCommit.claimPath(marker, 4)))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "v=4")))
     assert(t.currentVersion == 3 && t.current.count() == 4)
+  }
+
+  test("reserve claims the transition BEFORE data writes; loser aborts pre-clobber") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("ktreserve")
+    val t = new KeyedTable(spark, root, Seq("id"),
+      commitProtocol = KeyedTable.ConditionalPutCommit)
+    t.overwrite(Seq(("a", 1)).toDF("id", "v")) // v1
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(root, KeyedTable.CurrentMarker)
+    // Another committer (different process — its claim, not ours) has
+    // reserved v2 and is mid-write: OUR reserve must throw, i.e. the table
+    // flow aborts BEFORE its mode("overwrite") write could clobber v=2.
+    fs.create(KeyedTable.ConditionalPutCommit.claimPath(marker, 2), false).close()
+    intercept[java.util.ConcurrentModificationException] {
+      t.merge(Seq(("b", 2)).toDF("id", "v"))
+    }
+    // nothing was published and no v=2 data dir was created by the loser
+    assert(t.currentVersion == 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "v=2")))
+    // same-process retry semantics: reserve is idempotent for its holder
+    fs.delete(KeyedTable.ConditionalPutCommit.claimPath(marker, 2), false)
+    KeyedTable.ConditionalPutCommit.reserve(fs, marker, 1, 2)
+    KeyedTable.ConditionalPutCommit.reserve(fs, marker, 1, 2) // held → no-op
+    KeyedTable.ConditionalPutCommit.publish(fs, marker, 1, 2)
+    assert(t.currentVersion == 2)
   }
 }
