@@ -589,6 +589,38 @@ object TextQueries {
               |SELECT src_id, dst_id, containment FROM u
               |WHERE containment >= 0.5""".stripMargin)),
 
+    // ----- df-capped containment pairs --------------------------------------
+    // The one-sided-score twin of q_jaccard_capped — and the operator where
+    // the cap is the ONLY scale valve (prefix filtering does not transfer
+    // to containment's denominator). maxShingleDf=2 drops df≥3 shingles
+    // before the pair stage; the oracle recomputes the exact containment
+    // over the reduced shingle space (|A∩B| and |A| both exclude dropped
+    // shingles).
+    "q_containment_capped" -> Q(
+      (s, d) => Dedup.containmentPairs(Td.documents(s, d), "doc_id", "text",
+        n = 3, tau = 0.5, shingles = Some(Td.docShingles(s, d, 3)), maxShingleDf = 2),
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+              |sh AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
+              |ex0 AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+              |dfq AS (SELECT s, count(*) AS df FROM ex0 GROUP BY 1),
+              |ex AS (SELECT doc_id, s FROM ex0 JOIN dfq USING (s) WHERE df <= 2),
+              |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+              |pairs AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+              |  GROUP BY 1, 2),
+              |sc AS (SELECT id_a, id_b, inter, sa.n AS n_a, sb.n AS n_b
+              |  FROM pairs
+              |  JOIN sizes sa ON id_a = sa.doc_id
+              |  JOIN sizes sb ON id_b = sb.doc_id),
+              |u AS (
+              |  SELECT id_a AS src_id, id_b AS dst_id,
+              |    CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment FROM sc
+              |  UNION ALL
+              |  SELECT id_b, id_a, CAST(inter AS DOUBLE) / CAST(n_b AS DOUBLE) FROM sc)
+              |SELECT src_id, dst_id, containment FROM u
+              |WHERE containment >= 0.5""".stripMargin)),
+
     // ----- corpus n-gram frequency table ------------------------------------
     // Every word trigram seen ≥ 2 times with total occurrences + document
     // frequency — n-gram LM counts / boilerplate mining. Two-level
