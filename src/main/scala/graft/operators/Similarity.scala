@@ -654,35 +654,39 @@ object Similarity {
     * files are read: per-query scan cost is nprobe/nlist of an already
     * ~64×-compressed relation — this retires flat [[pqSearch]]'s all-codes
     * scan as the only PQ path. Training runs over UNIT vectors (L2 argmin ≡
-    * cosine argmax there; see [[pqSearch]]).
+    * cosine argmax there; see [[pqSearch]]), with codebooks quantizing
+    * per-cell RESIDUALS (see [[ivfPqBuild]]).
     */
   final case class IvfPqIndex(centroids: Seq[Array[Float]],
                               books: Seq[Seq[Array[Float]]],
                               codes: DataFrame, dim: Int)
 
-  /** Train coarse centroids + PQ codebooks, then assign the cell and encode
-    * the codes in ONE typed pass over the corpus (broadcast centroids +
-    * codebooks — same closure-over-broadcast rationale as [[pqEncode]]).
-    * Cell assignment mirrors [[trainCentroids]]' rule exactly (score
-    * dot/|c|, zero-norm centroids -Inf, ties toward the higher index).
+  /** Train coarse centroids, then PQ codebooks over the per-cell RESIDUALS
+    * (v − centroid[cell], the Jégou et al. TPAMI'11 IVFADC formulation):
+    * residuals concentrate near the origin with far less variance than raw
+    * vectors, so the same m·k codebook budget quantizes them much more
+    * accurately — this is what makes the composition competitive at
+    * billion-vector scale, not just cheaper. One typed pass assigns cells
+    * and materializes residuals (broadcast centroids; assignment mirrors
+    * [[trainCentroids]]' rule — score dot/|c|, zero-norm centroids -Inf,
+    * ties toward the higher index); codebook training and encoding run
+    * over that persisted relation, and the final codes relation is
+    * localCheckpointed (n × (m bytes + cell id) — small) so the residuals
+    * can be released.
     */
   def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
                  nlist: Int = 16, m: Int = 8, k: Int = 16, iters: Int = 3): IvfPqIndex = {
     val corpusN = unitVecs(corpus, idCol, vecCol)
     val centroids = trainCentroids(corpusN, idCol, vecCol, nlist, iters)
-    val books = pqTrain(corpusN, idCol, vecCol, dim, m, k, iters)
     val spark0 = corpus.sparkSession
     import spark0.implicits._
-    val sw = dim / m
-    val arr = books.map(_.toArray).toArray
     val bc = spark0.sparkContext.broadcast((
       centroids.toArray,
-      centroids.map(c => math.sqrt(c.map(x => x.toDouble * x).sum)).toArray,
-      arr, halfNorms(arr)))
-    val codes = corpusN.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      centroids.map(c => math.sqrt(c.map(x => x.toDouble * x).sum)).toArray))
+    val resid = corpusN.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .as[(Long, Seq[Float])]
       .map { case (id, v) =>
-        val (cs, cn, bks, halves) = bc.value
+        val (cs, cn) = bc.value
         var best = 0
         var bestScore = Double.NegativeInfinity
         var c = 0
@@ -694,10 +698,15 @@ object Similarity {
           if (score >= bestScore) { bestScore = score; best = c }
           c += 1
         }
-        (id, Array.tabulate(bks.length)(sub =>
-          nearestSubCode(v, sub * sw, sw, bks(sub), halves(sub))), best)
+        (id, best, Array.tabulate(v.length)(i => v(i) - cs(best)(i)).toSeq)
       }
-      .toDF("neighbor_id", "codes", "cell")
+      .toDF("id", "cell", "rv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val books = pqTrain(resid, "id", "rv", dim, m, k, iters)
+    val codes = pqEncode(resid, "id", "rv", books, dim)
+      .join(resid.select(col("id").as("neighbor_id"), col("cell")), "neighbor_id")
+      .localCheckpoint()
+    resid.unpersist(blocking = false)
     IvfPqIndex(centroids, books, codes, dim)
   }
 
@@ -750,27 +759,36 @@ object Similarity {
     val qRows = unitVecs(queries, idCol, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
-    // (query_id, tbl, cell) per probed cell: the ADC table is the same
-    // |c|² − 2·qs·c lookup table as pqSearch; cells sort by (−score, idx)
-    // like nearestCells (zero-norm centroids pinned last)
+    // (query_id, tbl, qr2, cell) per probed cell: codebooks quantize
+    // RESIDUALS, so the ADC table is per (query, CELL) — entries
+    // |cb|² − 2·qr·cb over the query's residual qr = q − centroid[cell] —
+    // and the per-cell constant |qr|² rides along as qr2: candidates from
+    // DIFFERENT probed cells compete in one per-query ranking, and
+    // dropping a cell-dependent constant would mis-rank across cells.
+    // Cells sort by (−score, idx) like nearestCells (zero-norm pinned last).
     val qt = qRows.flatMap { case (qid, qv) =>
-      val tbl = (0 until m).map { s =>
-        val qs = qv.slice(s * sw, (s + 1) * sw)
-        books(s).map { c =>
-          val cc = c.map(x => x.toDouble * x).sum
-          val qc = qs.zip(c).map { case (a, b) => a.toDouble * b.toDouble }.sum
-          cc - 2.0 * qc
-        }.toSeq
-      }
       index.centroids.zipWithIndex.map { case (c, i) =>
         var s = 0.0
         var j = 0
         while (j < c.length) { s += (qv(j) * c(j)).toDouble; j += 1 }
         val neg = if (cnorms(i) == 0.0) Double.PositiveInfinity else -s / cnorms(i)
         (neg, i)
-      }.sorted.take(nprobe).map { case (_, cell) => (qid, tbl, cell) }
+      }.sorted.take(nprobe).map { case (_, cell) =>
+        val cent = index.centroids(cell)
+        val qr = Array.tabulate(qv.length)(j => qv(j) - cent(j))
+        val qr2 = qr.map(x => x.toDouble * x).sum
+        val tbl = (0 until m).map { s =>
+          val qs = qr.slice(s * sw, (s + 1) * sw)
+          books(s).map { c =>
+            val cc = c.map(x => x.toDouble * x).sum
+            val qc = qs.zip(c).map { case (a, b) => a.toDouble * b.toDouble }.sum
+            cc - 2.0 * qc
+          }.toSeq
+        }
+        (qid, tbl, qr2, cell)
+      }
     }
-    val approx = (0 until m).map(s =>
+    val approx = col("qr2") + (0 until m).map(s =>
       element_at(element_at(col("tbl"), s + 1), col("codes")(s) + 1)).reduce(_ + _)
     val wApprox = Window.partitionBy("query_id")
       .orderBy(col("approx").asc, col("neighbor_id").asc)
@@ -782,10 +800,10 @@ object Similarity {
     // equi-join alone read every cell directory). With the IN filter the
     // scan's PartitionFilters lists the ≤ |queries|·nprobe probed cells and
     // only those directories are read.
-    val probedCells = qt.map { case (_, _, cell) => cell }.distinct.toSeq
+    val probedCells = qt.map { case (_, _, _, cell) => cell }.distinct.toSeq
     val shortlist = index.codes
       .filter(col("cell").isInCollection(probedCells))
-      .join(broadcast(qt.toSeq.toDF("query_id", "tbl", "cell")), Seq("cell"))
+      .join(broadcast(qt.toSeq.toDF("query_id", "tbl", "qr2", "cell")), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("approx", approx)
       .withColumn("__arank", row_number().over(wApprox))

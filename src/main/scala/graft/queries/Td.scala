@@ -192,7 +192,7 @@ object Td {
     graft.operators.Similarity.pqRead(s, root, dim = 64)
   }
 
-  private val IvfPqIndexFormat = 1
+  private val IvfPqIndexFormat = 2 // 2: residual-encoded codebooks (IVFADC)
   def ivfpqIndexTable(s: SparkSession, d: String): graft.operators.Similarity.IvfPqIndex = {
     val emb = embeddings(s, d)
     val root = indexRoot(s, "ivfpqindex", IvfPqIndexFormat, d, "embeddings", emb.count())

@@ -242,11 +242,15 @@ object VectorQueries {
     // only over THOSE cells' stored codes (a static cell IN (probed)
     // partition filter prunes the cell-partitioned codes relation to the
     // probed directories, IvfPqProbe-verified — flat pqSearch's all-codes
-    // scan never happens), exact re-rank recovers cosine order.
-    // Observed recall (RecallProbe): min hits 2/5 (sf0.01) /
-    // 3/5 (sf0.1), mean 0.86 / 0.76 → gate at hits ≥ 1, mean ≥ 0.35.
-    // Index comes from STORAGE (Td.ivfpqIndexTable): the query measures the
-    // recurring probe cost, the part that repeats per query batch.
+    // scan never happens), exact re-rank recovers cosine order. Codebooks
+    // quantize per-cell RESIDUALS (IVFADC): same budget, measurably better
+    // recall than raw-vector codebooks (mean 0.86 → 0.92 at sf0.01).
+    // Observed recall (RecallProbe, residual codebooks): min hits 3/5 at
+    // both SFs, mean 0.92 (sf0.01) / 0.76 (sf0.1) → gate at hits ≥ 1,
+    // mean ≥ 0.35 (set from the pre-residual worst; still ≤ half of every
+    // observation). Index comes from STORAGE (Td.ivfpqIndexTable): the
+    // query measures the recurring probe cost, the part that repeats per
+    // query batch.
     "q_ann_ivfpq_topk" -> Q(
       (s, d) => {
         val emb = Td.embeddings(s, d)
