@@ -156,6 +156,17 @@ class RelationalSpec extends SparkSpec {
     val zc = Relational.zorderValue(lit(300L), lit(0L), 8)
     assert(spark.range(1).select(zc).head().getLong(0) ==
       spark.range(1).select(Relational.zorderValue(lit(255L), lit(0L), 8)).head().getLong(0))
+    // negatives clamp to the bottom cell (sign extension would interleave
+    // garbage), and a null in either key propagates null — not the top cell
+    // least() alone would silently map it to
+    assert(spark.range(1).select(Relational.zorderValue(lit(-5L), lit(-1L), 8))
+      .head().getLong(0) == 0L)
+    assert(spark.range(1)
+      .select(Relational.zorderValue(lit(null).cast("long"), lit(3L), 8))
+      .head().isNullAt(0))
+    assert(spark.range(1)
+      .select(Relational.zorderValue(lit(3L), lit(null).cast("long"), 8))
+      .head().isNullAt(0))
     // locality: 64×64 grid, z-sorted into 16 contiguous chunks of 256 rows
     // → every chunk is a 16×16 block (both spreads 15); an x-only sort
     // leaves y's full 0..63 range inside every chunk

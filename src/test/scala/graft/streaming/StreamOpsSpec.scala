@@ -206,4 +206,33 @@ class StreamOpsSpec extends SparkSpec {
     val bSpike = batch.orderBy(col("t")).collect().last
     assert(bSpike.getDouble(bSpike.fieldIndex("zscore")) == 3.0)
   }
+
+  test("zscoreStream ties on equal timestamps resolve by value, deterministically") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // three events share one timestamp: without the secondary value sort
+    // they'd enter the ring in shuffle order and the tied rows' z-scores
+    // would vary run-to-run; the contract is ascending-value order, so the
+    // per-row outputs are a fixed function of the data
+    def run(tag: String): Seq[(Double, Option[Double])] = {
+      val input = MemoryStream[(Long, Timestamp, Double)]
+      val zs = StreamOps.zscoreStream(input.toDS(), window = 5, minObs = 2)
+      val q = zs.toDF("k", "ts", "v", "z", "anomaly").writeStream.format("memory")
+        .queryName(s"zscore_tie_$tag").outputMode(OutputMode.Append()).start()
+      input.addData((1L, ts(1), 30.0), (1L, ts(1), 10.0), (1L, ts(1), 20.0))
+      q.processAllAvailable()
+      q.stop()
+      spark.table(s"zscore_tie_$tag").collect()
+        .map(r => (r.getDouble(2), Option(r.get(3)).map(_.asInstanceOf[Double])))
+        .toSeq
+    }
+    val a = run("a")
+    // ascending-value entry order: 10 (n=1, z none), 20 (frame {10,20}:
+    // mean 15 std 5 → z=1), 30 (frame {10,20,30}: mean 20, std sqrt(200/3))
+    assert(a.map(_._1) == Seq(10.0, 20.0, 30.0))
+    assert(a(0)._2.isEmpty && a(1)._2.contains(1.0))
+    assert(a(2)._2.exists(z => math.abs(z - 10.0 / math.sqrt(200.0 / 3)) < 1e-12))
+    assert(run("b") == a) // rerun identical
+  }
 }
