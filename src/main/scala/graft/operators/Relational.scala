@@ -241,6 +241,37 @@ object Relational {
       .drop("__rn")
   }
 
+  /** Gaps-and-islands: coalesce overlapping (or touching) intervals per
+    * key into maximal merged intervals — session compaction, maintenance-
+    * window flattening, coverage analysis. One window pass: running max of
+    * interval ends over the (start, end)-sorted partition marks rows that
+    * start strictly after everything before them (island heads), a running
+    * sum of head flags numbers the islands, and one aggregate per island
+    * emits [min(start), max(end)] with the member count.
+    *
+    * Scale shape: ONE shuffle on the key, one sort, one partial-aggregable
+    * groupBy — never the quadratic `a.start <= b.end AND b.start <= a.end`
+    * self-join the naive formulation pays. Touching intervals
+    * (next.start == prev.end) MERGE (closed-interval semantics); output is
+    * deterministic regardless of input order because islands depend only
+    * on the sorted sequence. Skewed keys bound the sort stage — cap
+    * per-key interval cardinality upstream or pre-split oversized keys.
+    */
+  def mergeIntervals(df: DataFrame, keys: Seq[String],
+                     startCol: String, endCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val head = when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L)
+    df.withColumn("__head", head)
+      .withColumn("island",
+        sum(col("__head")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy((keys.map(col) :+ col("island")): _*)
+      .agg(min(col(startCol)).as("interval_start"),
+        max(col(endCol)).as("interval_end"),
+        count(lit(1)).as("n_merged"))
+  }
+
   /** Z-order (Morton) value of two non-negative integer keys: the low
     * `bits` bits of `x` and `y` interleaved (x on even positions). Rows
     * range-partitioned/sorted by this value cluster locality in BOTH

@@ -313,6 +313,40 @@ object RelationalQueries {
              |    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
              |  FROM documents) t WHERE rn <= 10""".stripMargin)),
 
+    // ----- gaps-and-islands interval merge -----------------------------------
+    // Each supplier's shipment windows [shipdate, shipdate + linenumber
+    // days] coalesce into maximal overlapping-or-touching busy periods —
+    // the coverage-compaction pattern. One key shuffle + one window pass,
+    // never the quadratic interval self-join; oracle runs the identical
+    // running-max island SQL over the same derived intervals.
+    "q_merge_intervals" -> Q(
+      (s, d) => Relational.mergeIntervals(
+        Td.lineitem(s, d).select(
+          col("l_suppkey"), col("l_shipdate").cast("date").as("ship_start"),
+          date_add(col("l_shipdate").cast("date"), col("l_linenumber")).as("ship_end")),
+        Seq("l_suppkey"), "ship_start", "ship_end"),
+      Some("""SELECT l_suppkey, island,
+             |  min(ship_start) AS interval_start,
+             |  max(ship_end) AS interval_end,
+             |  CAST(count(*) AS BIGINT) AS n_merged
+             |FROM (
+             |  SELECT l_suppkey, ship_start, ship_end,
+             |    sum(head) OVER (PARTITION BY l_suppkey
+             |      ORDER BY ship_start, ship_end
+             |      ROWS UNBOUNDED PRECEDING) AS island
+             |  FROM (
+             |    SELECT *, CASE WHEN prev_max IS NULL OR ship_start > prev_max
+             |                   THEN 1 ELSE 0 END AS head
+             |    FROM (
+             |      SELECT l_suppkey, ship_start, ship_end,
+             |        max(ship_end) OVER (PARTITION BY l_suppkey
+             |          ORDER BY ship_start, ship_end
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+             |      FROM (SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_start,
+             |              CAST(l_shipdate AS DATE) + CAST(l_linenumber AS INTEGER) AS ship_end
+             |            FROM lineitem) t) t0) t1) t2
+             |GROUP BY 1, 2""".stripMargin)),
+
     // ----- z-order (Morton) clustering value ---------------------------------
     // Bit-interleaved (part, supplier) cell — range-partition/sort by zval
     // and per-file min/max statistics prune on BOTH dimensions (ZorderSpec

@@ -147,6 +147,26 @@ class RelationalSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet == Set(2L, 5L, 7L))
   }
 
+  test("mergeIntervals: overlap, touch, nest, and gap semantics per key") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1, 5), ("a", 4, 8),   // overlap → one island [1,8]
+      ("a", 8, 9),                // touches 8 → merges (closed intervals)
+      ("a", 20, 30), ("a", 22, 25), // nested → one island [20,30]
+      ("a", 40, 41),              // gap → own island
+      ("b", 1, 2),                // other key unaffected
+    ).toDF("k", "s", "e")
+    val out = Relational.mergeIntervals(rows, Seq("k"), "s", "e")
+      .collect().map(r => (r.getString(0), r.getInt(2), r.getInt(3), r.getLong(4))).toSet
+    assert(out == Set(
+      ("a", 1, 9, 3L), ("a", 20, 30, 2L), ("a", 40, 41, 1L), ("b", 1, 2, 1L)))
+    // input order does not matter: islands depend only on the sorted sequence
+    val shuffled = Relational.mergeIntervals(
+        rows.orderBy(col("e").desc).repartition(4), Seq("k"), "s", "e")
+      .collect().map(r => (r.getString(0), r.getInt(2), r.getInt(3), r.getLong(4))).toSet
+    assert(shuffled == out)
+  }
+
   test("zorderValue interleaves bits and clusters both dimensions") {
     import spark.implicits._
     // known Morton values: (x=0b11, y=0b01, 2 bits) → z = x0 + y0<<1 + x1<<2 + y1<<3
