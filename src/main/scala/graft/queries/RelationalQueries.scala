@@ -331,9 +331,9 @@ object RelationalQueries {
              |  CAST(count(*) AS BIGINT) AS n_merged
              |FROM (
              |  SELECT l_suppkey, ship_start, ship_end,
-             |    sum(head) OVER (PARTITION BY l_suppkey
+             |    CAST(sum(head) OVER (PARTITION BY l_suppkey
              |      ORDER BY ship_start, ship_end
-             |      ROWS UNBOUNDED PRECEDING) AS island
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
              |  FROM (
              |    SELECT *, CASE WHEN prev_max IS NULL OR ship_start > prev_max
              |                   THEN 1 ELSE 0 END AS head

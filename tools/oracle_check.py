@@ -54,6 +54,38 @@ def cmp_frames(a, b, name):
     return "; ".join(problems) if problems else None
 
 
+def cmp_types(spark_rel, oracle_rel):
+    """DuckDB-level type compatibility, keyed by column name, modeling the
+    DRIVER's hash behavior (it converts both sides through pandas, then
+    hashes values).  Types in the same pandas-coercion class hash equal:
+
+      - TINYINT..BIGINT all become Python ints   -> one INT class
+        (verified: r06 driver PASSED 6 queries with spark=INTEGER vs
+        oracle=BIGINT)
+      - DATE and TIMESTAMP* both become datetime64 -> one TS class
+        (r06 driver PASSED month_start TIMESTAMP-vs-DATE)
+      - HUGEINT is NOT in the INT class: duckdb->pandas coerces int128 to
+        float64, so an un-cast sum(INT) OVER (...) hash-FAILS against a
+        Spark int64 even when every value is equal — exactly how
+        q_merge_intervals shipped red in r06.  Flagged here so the oracle
+        SQL gets a CAST before the driver ever sees it.
+    """
+    INTS = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+            "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+    def norm(t):
+        t = str(t).upper()
+        if t in INTS:
+            return "INT"
+        if t == "DATE" or t.startswith("TIMESTAMP"):
+            return "TS"
+        return t
+    a = {c: norm(t) for c, t in zip(spark_rel.columns, spark_rel.types)}
+    b = {c: norm(t) for c, t in zip(oracle_rel.columns, oracle_rel.types)}
+    bad = [f"{c}: spark={a[c]} oracle={b[c]}"
+           for c in sorted(set(a) & set(b)) if a[c] != b[c]]
+    return ("type mismatch: " + "; ".join(bad)) if bad else None
+
+
 def main():
     out_dir, sf_dir = Path(sys.argv[1]), Path(sys.argv[2])
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
@@ -71,9 +103,16 @@ def main():
             n_fail += 1
             continue
         try:
-            spark_df = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'").df()
-            oracle_df = con.sql(sql).df()
-            err = cmp_frames(spark_df, oracle_df, name)
+            spark_rel = con.sql(f"SELECT * FROM '{res_dir}/*.parquet'")
+            oracle_rel = con.sql(sql)
+            # Type-strict gate: the driver's hash encodes physical type width
+            # (e.g. DuckDB types un-cast sum(INT) OVER (...) as HUGEINT while
+            # Spark writes int64), and pandas silently coerces that away.
+            # Compare DuckDB-level types per column BEFORE the value compare.
+            err = cmp_types(spark_rel, oracle_rel)
+            spark_df = spark_rel.df()
+            if err is None:
+                err = cmp_frames(spark_df, oracle_rel.df(), name)
         except Exception as e:
             err = f"exception: {e}"
         if err:
