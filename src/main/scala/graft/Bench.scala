@@ -102,7 +102,13 @@ object Bench {
         .asScala.map(_.getCollectionTime).sum
     }
     val ratios = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Queries whose every run threw — reported out-of-band in the JSON
+    // ("err" key) and EXCLUDED from times/total: a swallowed throw has a
+    // near-zero wall time, so folding it in would report the failure as a
+    // fast success AND inflate the stall ratio with a phantom min (r6
+    // ADVICE). stderr carries the per-run exception for diagnosis.
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results0 = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { i =>
         // Snapshot registered RDD ids BEFORE the run and release only what
         // the run itself registered: operators that localCheckpoint slim
@@ -118,29 +124,36 @@ object Bench {
         val before = spark.sparkContext.getPersistentRDDs.keySet
         val gc0 = gcMillis
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val t = (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+          System.err.println(s"BENCHERR $name#$i ${e.getClass.getSimpleName}: ${e.getMessage}")
+          false
+        }
+        // failed run → NaN: sorts last (total ordering), filtered below so
+        // it can enter neither the min/median nor the stall ratio
+        val t = if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
         if (verbose)
           System.err.println(f"BENCHRUN $name#$i t=$t%.2f gc=${(gcMillis - gc0) / 1000.0}%.2f s")
         spark.sparkContext.getPersistentRDDs
           .foreach { case (id, rdd) => if (!before(id)) rdd.unpersist(blocking = false) }
         t
-      }.sorted
+      }.filterNot(_.isNaN).sorted
       // In-band contention evidence: max/min across this query's runs. A
       // quiet box stays near 1; external CPU stalls (the r4/r5 phantom-
       // regression cause) push individual queries 5-100×, and the battery-
       // level max lands in the JSON so a reader can see "runs disagree
       // wildly — don't trust the absolute numbers" from the artifact
       // itself, without re-measuring.
-      if (times.head > 0) {
+      if (times.nonEmpty && times.head > 0) {
         val ratio = times.last / math.max(times.head, 0.001)
         ratios += ratio
         if (ratio > 3)
           System.err.println(f"BENCHSTALL $name min=${times.head}%.2f max=${times.last}%.2f ratio=$ratio%.1f")
       }
       val stat = sys.env.getOrElse("SPARK_GRAFT_BENCH_STAT", "min")
-      name -> (if (stat == "median") times(times.length / 2) else times.head)
+      if (times.isEmpty) { failed += name; name -> Double.NaN }
+      else name -> (if (stat == "median") times(times.length / 2) else times.head)
     }
+    val results = results0.filterNot(_._2.isNaN)
     // Compact values (2 decimals, trailing zeros stripped): the driver keeps
     // only the LAST 2000 stdout bytes, and full-precision doubles pushed the
     // 87-query line past that, truncating 22 entries per round. The sf field
@@ -173,6 +186,11 @@ object Bench {
     val ibPart = if (idxBuild.isEmpty) ""
       else idxBuild.map { case (k, v) => "\"" + k + "\":" + fmt(1)(v) }
         .mkString("\"ib\":{", ",", "},")
+    // Failed queries (every run threw), out-of-band — kept at EVERY
+    // fallback level: a missing entry must be readable as "FAILED", never
+    // as "fast". Absent when the battery is clean (the normal case).
+    val errPart = if (failed.isEmpty) ""
+      else failed.map("\"" + _.stripPrefix("q_") + "\"").mkString("\"err\":[", ",", "],")
     def line(prec: Int, strip: Boolean, slim: Int, elide: Double): String = {
       val (fast, kept) = results.partition(_._2 < elide)
       val qs = kept.map { case (k, v) =>
@@ -189,7 +207,7 @@ object Bench {
       val fastPart = if (fast.isEmpty) ""
         else s""""fast_n":${fast.size},"fast_sum":${fmt(2)(fast.map(_._2).sum)},""" +
           s""""fast_max":${fmt(2)(fast.map(_._2).max)},"""
-      s"""{$head$stallPart$ibPart$hint$fastPart"queries":$qs$sf}"""
+      s"""{$head$stallPart$errPart$ibPart$hint$fastPart"queries":$qs$sf}"""
     }
     // tail budget is 2000 bytes including the trailing newline. The elide
     // levels fold queries under the threshold into fast_n/fast_sum/fast_max

@@ -73,8 +73,13 @@ final class KeyedTable(
     * pointer swap, so a crash or a lost-race rejection leaves the previous
     * version intact and readable.
     */
+  // Per-instance writer identity for commit-protocol claim bookkeeping:
+  // lets ConditionalPutCommit tell THIS table's retry apart from a second
+  // same-JVM writer racing the same version transition.
+  private val writerToken = "kt-" + java.util.UUID.randomUUID().toString
+
   private def commitVersion(next: Long): Unit =
-    commitProtocol.publish(fs, new Path(root, CurrentMarker), next - 1, next)
+    commitProtocol.publish(fs, new Path(root, CurrentMarker), next - 1, next, writerToken)
 
   /** Claim version `next` BEFORE writing its data dir — see
     * [[KeyedTable.CommitProtocol.reserve]]. Every path that writes
@@ -83,7 +88,7 @@ final class KeyedTable(
     * winner's files.
     */
   private def reserveVersion(next: Long): Unit =
-    commitProtocol.reserve(fs, new Path(root, CurrentMarker), next - 1, next)
+    commitProtocol.reserve(fs, new Path(root, CurrentMarker), next - 1, next, writerToken)
 
   def exists: Boolean = currentVersion > 0
 
@@ -472,8 +477,15 @@ object KeyedTable {
       * Default no-op: [[RenameCommit]] keeps its documented
       * single-writer-deployment window.
       */
-    def reserve(fs: FileSystem, marker: Path, expectedCurrent: Long, next: Long): Unit = ()
-    def publish(fs: FileSystem, marker: Path, expectedCurrent: Long, next: Long): Unit
+    def reserve(fs: FileSystem, marker: Path, expectedCurrent: Long, next: Long,
+                owner: String = ""): Unit = ()
+    /** `owner` identifies the writer for same-JVM claim bookkeeping (a
+      * [[KeyedTable]] passes its per-instance token). Empty string means
+      * "identify by current thread" — adequate for direct single-threaded
+      * callers; concurrent writers in one JVM MUST pass distinct tokens.
+      */
+    def publish(fs: FileSystem, marker: Path, expectedCurrent: Long, next: Long,
+                owner: String = ""): Unit
   }
 
   /** Rename-based commit for filesystems with atomic rename. Detects a
@@ -481,7 +493,8 @@ object KeyedTable {
     * re-reading before the swap.
     */
   object RenameCommit extends CommitProtocol {
-    def publish(fs: FileSystem, marker: Path, expectedCurrent: Long, next: Long): Unit = {
+    def publish(fs: FileSystem, marker: Path, expectedCurrent: Long, next: Long,
+                owner: String = ""): Unit = {
       val cur = readPointer(fs, marker).getOrElse(0L)
       if (cur != expectedCurrent) throw new java.util.ConcurrentModificationException(
         s"commit of v$next expected current v$expectedCurrent but found v$cur — " +
@@ -518,38 +531,61 @@ object KeyedTable {
   object ConditionalPutCommit extends CommitProtocol {
     def claimPath(marker: Path, next: Long): Path =
       new Path(marker.getParent, s"_COMMIT_v$next")
-    // Transitions THIS process has successfully reserved — the local stand-in
-    // for the token/ETag a real store's conditional put hands back to its
-    // caller. Lets publish distinguish "our claim" (reserve succeeded here,
-    // possibly on an earlier retry) from "someone else's claim" (always a
-    // lost race) without a content channel the FS can't provide atomically.
-    private val held = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    // Transitions this process has reserved, keyed claim → OWNER token —
+    // the local stand-in for the token/ETag a real store's conditional put
+    // hands back to its caller. The owner lets reserve distinguish "the
+    // holder's own retry" (same token — idempotent no-op) from "a second
+    // same-JVM writer racing the same transition" (different token — must
+    // lose HERE, before its data write; a bare key-set couldn't tell them
+    // apart and would let both writers overwrite v=next data).
+    private val held = new java.util.concurrent.ConcurrentHashMap[String, String]()
     private def heldKey(marker: Path, next: Long) = s"$marker#v$next"
+    // Empty owner → identify by thread: sequential single-threaded callers
+    // (tests, ad-hoc repair) keep retry idempotence; concurrent writers get
+    // distinct tokens even if they never passed one.
+    private def effOwner(owner: String): String =
+      if (owner.nonEmpty) owner else "jvm-thread-" + Thread.currentThread().getId
     /** Claim the transition BEFORE any data write: exclusive create of the
       * claim file — of two racers staged at `expectedCurrent`, exactly one
       * wins; the loser throws here, before it can touch the v=next dir.
-      * Idempotent within the process (a retry after a failed data write
-      * still holds its claim).
+      * Idempotent for the claim's OWNER (a retry after a failed data write
+      * still holds its claim); any other owner — same JVM or not — loses.
       */
-    override def reserve(fs: FileSystem, marker: Path, expectedCurrent: Long, next: Long): Unit = {
-      if (held.contains(heldKey(marker, next))) return
+    override def reserve(fs: FileSystem, marker: Path, expectedCurrent: Long, next: Long,
+                         owner: String = ""): Unit = {
+      val key = heldKey(marker, next)
+      val who = effOwner(owner)
+      val prior = held.get(key)
+      if (prior == who) return // the holder's own retry
+      if (prior != null) throw new java.util.ConcurrentModificationException(
+        s"commit of v$next: this transition is already claimed by writer $prior " +
+          "in this JVM; re-read the snapshot and retry")
       val cur = readPointer(fs, marker).getOrElse(0L)
       if (cur != expectedCurrent) throw new java.util.ConcurrentModificationException(
         s"commit of v$next expected current v$expectedCurrent but found v$cur — " +
           "a concurrent committer won; re-read the snapshot and retry the merge")
+      // Win the in-JVM slot FIRST: the local FS's exclusive create is
+      // check-then-create, so two same-JVM threads could both pass it.
+      val raced = held.putIfAbsent(key, who)
+      if (raced != null && raced != who) throw new java.util.ConcurrentModificationException(
+        s"commit of v$next: writer $raced claimed this transition concurrently; " +
+          "re-read the snapshot and retry")
       val claim = claimPath(marker, next)
-      val out = try fs.create(claim, false) catch {
-        case e: java.io.IOException => throw new java.util.ConcurrentModificationException(
-          s"commit of v$next lost the conditional put on $claim (${e.getMessage}) — " +
-            "another committer claimed this transition; re-read the snapshot and retry")
-      }
-      try out.write(expectedCurrent.toString.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-      held.add(heldKey(marker, next))
+      try {
+        val out = try fs.create(claim, false) catch {
+          case e: java.io.IOException => throw new java.util.ConcurrentModificationException(
+            s"commit of v$next lost the conditional put on $claim (${e.getMessage}) — " +
+              "another committer claimed this transition; re-read the snapshot and retry")
+        }
+        // claim content: predecessor version + owner token (commit-log entry)
+        try out.write(s"$expectedCurrent $who".getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+      } catch { case e: Throwable => held.remove(key, who); throw e }
     }
-    def publish(fs: FileSystem, marker: Path, expectedCurrent: Long, next: Long): Unit = {
+    def publish(fs: FileSystem, marker: Path, expectedCurrent: Long, next: Long,
+                owner: String = ""): Unit = {
       // standalone publish (no prior reserve) claims now — still exclusive
-      reserve(fs, marker, expectedCurrent, next)
+      reserve(fs, marker, expectedCurrent, next, owner)
       val cur = readPointer(fs, marker).getOrElse(0L)
       if (cur != expectedCurrent) throw new java.util.ConcurrentModificationException(
         s"commit of v$next expected current v$expectedCurrent but found v$cur")

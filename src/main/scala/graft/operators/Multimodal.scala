@@ -156,10 +156,20 @@ object Multimodal {
     // routable decode error
     require(offset >= 54 && offset <= bytes.length,
       s"bad pixel-data offset $offset")
-    val bytesPerRow = width * 3
-    val rowSize = ((bytesPerRow + 3) / 4) * 4
-    require(bytes.length.toLong >= offset.toLong + rowSize.toLong * height,
+    // Geometry math in Long: `width * 3` wraps Int for width near
+    // Int.MaxValue — a crafted header could pass the truncation check with
+    // a wrapped stride and fold sums over wrong offsets (silently wrong
+    // stats, the one outcome the throw contract exists to prevent).
+    val bytesPerRowL = width.toLong * 3
+    val rowSizeL = ((bytesPerRowL + 3) / 4) * 4
+    // one row alone must fit the payload — also bounds rowSizeL (≤ 2^31)
+    // so the rowSizeL * height product below cannot overflow Long
+    require(rowSizeL <= bytes.length.toLong - offset,
+      s"truncated pixel data (row stride $rowSizeL exceeds payload)")
+    require(rowSizeL * height <= bytes.length.toLong - offset,
       "truncated pixel data")
+    val bytesPerRow = bytesPerRowL.toInt
+    val rowSize = rowSizeL.toInt
     var sumB = 0L; var sumG = 0L; var sumR = 0L
     var mn = 255; var mx = 0
     var stored = 0
@@ -270,7 +280,10 @@ object Multimodal {
     while (pos + 8 <= bytes.length) {
       val id = tag(pos)
       val size = buf.getInt(pos + 4)
-      require(size >= 0 && pos + 8 + size <= bytes.length, s"truncated chunk $id")
+      // bound check in Long: `pos + 8 + size` wraps Int for size near
+      // Int.MaxValue and would pass ≤ length, then die unroutably on a
+      // negative-position read instead of this IllegalArgumentException
+      require(size >= 0 && pos.toLong + 8 + size <= bytes.length, s"truncated chunk $id")
       if (id == "fmt ") {
         require(size >= 16, "fmt chunk too short")
         val audioFormat = buf.getShort(pos + 8)

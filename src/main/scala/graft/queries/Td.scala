@@ -117,31 +117,43 @@ object Td {
   }
 
   /** Build into `root + tmp-suffix`, then atomically rename into `root`.
-    * After a successful install, GC STALE siblings — roots for the same
-    * (kind, format, source dir) whose mtime/count suffix differs, i.e.
-    * indexes over data that has since been regenerated. Keyed by the full
-    * prefix including the source dir, so indexes for OTHER sf dirs (live
-    * concurrently during driver runs) are never touched. A process still
-    * probing a stale root mid-flight fails loudly (files vanish) rather
-    * than reading wrong data — and such a process was already racing a
-    * source regeneration; its next call resolves the fresh root.
+    * After a FRESH install (and only then — not on every accessor call),
+    * GC STALE siblings — roots for the same (kind, source dir) whose
+    * format version OR mtime/count suffix differs, i.e. indexes over data
+    * that has since been regenerated or built by superseded code. Keyed by
+    * kind + source dir, so indexes for OTHER sf dirs (live concurrently
+    * during driver runs) are never touched. A process still probing a
+    * stale root mid-flight fails loudly (files vanish) rather than reading
+    * wrong data — and such a process was already racing a source
+    * regeneration; its next call resolves the fresh root.
     */
   private def installDir(s: SparkSession, root: String)(build: String => Unit): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(root))) {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) {
       val tmp = root + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
       build(tmp)
-      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(root)))
+      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), rootPath))
         fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // concurrent winner installed first
-    }
-    val rootPath = new org.apache.hadoop.fs.Path(root)
-    val prefix = root.substring(root.lastIndexOf('/') + 1, root.lastIndexOf("-m") + 1)
-    val parent = rootPath.getParent
-    if (fs.exists(parent)) fs.listStatus(parent).foreach { st =>
-      val name = st.getPath.getName
-      if (name.startsWith(prefix) && name != rootPath.getName && !name.contains(".tmp-"))
-        fs.delete(st.getPath, true)
+      // GC stale siblings ONLY after a fresh install — the moment a stale
+      // root can first exist. Running it on every accessor call (pre-r7)
+      // paid a listStatus + recursive delete per probe and widened the
+      // window for deleting a root a concurrent process was still mid-probe.
+      // Staleness matches kind + source dir with ANY format/mtime/count —
+      // `f\d+` in the pattern is what reclaims superseded-FORMAT roots
+      // (e.g. ivfpq-f1 after an f2 bump), which a literal prefix match
+      // left accumulating in tmpdir forever.
+      val name = rootPath.getName
+      val Q = java.util.regex.Pattern.quote _
+      "^(graft-[A-Za-z0-9]+)-f\\d+-(.*)-m\\d+-n\\d+$".r.findFirstMatchIn(name).foreach { m =>
+        val staleRe = ("^" + Q(m.group(1)) + "-f\\d+-" + Q(m.group(2)) + "-m\\d+-n\\d+$").r
+        val parent = rootPath.getParent
+        if (fs.exists(parent)) fs.listStatus(parent).foreach { st =>
+          val n = st.getPath.getName
+          if (n != name && !n.contains(".tmp-") && staleRe.findFirstIn(n).isDefined)
+            fs.delete(st.getPath, true)
+        }
+      }
     }
   }
 

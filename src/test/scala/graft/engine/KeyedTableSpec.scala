@@ -267,4 +267,43 @@ class KeyedTableSpec extends SparkSpec {
     KeyedTable.ConditionalPutCommit.publish(fs, marker, 1, 2)
     assert(t.currentVersion == 2)
   }
+
+  test("same-JVM writers with distinct owner tokens cannot share a claim") {
+    val s = spark
+    import s.implicits._
+    // protocol-level: bare marker dir, no table data involved
+    val proot = new org.apache.hadoop.fs.Path(tmpDir("ktownerp"))
+    val fs = proot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(proot)
+    val marker = new org.apache.hadoop.fs.Path(proot, KeyedTable.CurrentMarker)
+    // Writer A claims v0→v1 and is "mid-write". Writer B — SAME JVM, its
+    // own token — races the same transition: it must lose at reserve time
+    // (pre-r7 a bare held set treated B as A's retry and let both write).
+    KeyedTable.ConditionalPutCommit.reserve(fs, marker, 0, 1, owner = "writer-A")
+    intercept[java.util.ConcurrentModificationException] {
+      KeyedTable.ConditionalPutCommit.reserve(fs, marker, 0, 1, owner = "writer-B")
+    }
+    // A's retry stays idempotent, and A alone publishes.
+    KeyedTable.ConditionalPutCommit.reserve(fs, marker, 0, 1, owner = "writer-A")
+    KeyedTable.ConditionalPutCommit.publish(fs, marker, 0, 1, owner = "writer-A")
+    // B may now claim the NEXT transition (fresh, unclaimed)
+    KeyedTable.ConditionalPutCommit.reserve(fs, marker, 1, 2, owner = "writer-B")
+    KeyedTable.ConditionalPutCommit.publish(fs, marker, 1, 2, owner = "writer-B")
+    // table-level: two INSTANCES get distinct per-instance tokens
+    val root = tmpDir("ktowner")
+    val t = new KeyedTable(spark, root, Seq("id"),
+      commitProtocol = KeyedTable.ConditionalPutCommit)
+    t.overwrite(Seq(("a", 1)).toDF("id", "v")) // v1
+    val t2 = new KeyedTable(spark, root, Seq("id"),
+      commitProtocol = KeyedTable.ConditionalPutCommit)
+    t2.merge(Seq(("b", 2)).toDF("id", "v")) // fresh transition — proceeds
+    assert(t2.currentVersion == 2 && t2.current.count() == 2)
+    // ...but a transition claimed by someone else makes the instance lose
+    val tmarker = new org.apache.hadoop.fs.Path(root, KeyedTable.CurrentMarker)
+    fs.create(KeyedTable.ConditionalPutCommit.claimPath(tmarker, 3), false).close()
+    intercept[java.util.ConcurrentModificationException] {
+      t2.merge(Seq(("c", 3)).toDF("id", "v"))
+    }
+    assert(t2.currentVersion == 2)
+  }
 }

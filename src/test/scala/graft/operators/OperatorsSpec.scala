@@ -219,6 +219,18 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Multimodal.decodeBmp24(bmp.take(bmp.length - 5))
     }
+    // adversarial geometry: width near Int.MaxValue wraps `width * 3` in
+    // Int arithmetic — must throw (truncated), never fold a wrapped stride
+    val wide = bmp.clone()
+    java.nio.ByteBuffer.wrap(wide).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(18, Int.MaxValue / 2) // width: (w*3) wraps Int
+    intercept[IllegalArgumentException] { Multimodal.decodeBmp24(wide) }
+    // w*3 wraps to EXACTLY the payload size (128): with height=1 the old
+    // Int-stride truncation check passed and folded sums over a garbage
+    // stride — silently wrong stats, the worst failure mode
+    val b2 = java.nio.ByteBuffer.wrap(wide).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b2.putInt(18, 1431655808).putInt(22, 1)
+    intercept[IllegalArgumentException] { Multimodal.decodeBmp24(wide) }
   }
 
   test("multimodal: distributed BMP decode matches a driver-side reference parse") {
@@ -266,6 +278,13 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Multimodal.decodeWavPcm16("RIFX".getBytes ++ wav.drop(4))
     }
+    // adversarial chunk size near Int.MaxValue: `pos + 8 + size` wraps Int,
+    // slipping past the bound check into an unroutable negative-index read
+    // — must instead throw the routable IllegalArgumentException
+    val evil = wav.clone()
+    java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, Int.MaxValue - 10) // data chunk size
+    intercept[IllegalArgumentException] { Multimodal.decodeWavPcm16(evil) }
     // distributed path matches a driver-side reference decode
     val media = Multimodal.asWavMediaTable(spark, docs().repartition(3), "doc_id", "text")
     val rows = Multimodal.decodeAudioFeatures(spark, media).collect()
