@@ -53,7 +53,8 @@ object Bench {
         "band" -> timed(graft.queries.Td.buildBandIndexInto(spark, sfDir, s"$tmpRoot/band")),
         "ivf" -> timed(graft.queries.Td.buildIvfInto(spark, sfDir, s"$tmpRoot/ivf")),
         "pq" -> timed(graft.queries.Td.buildPqInto(spark, sfDir, s"$tmpRoot/pq")),
-        "ivfpq" -> timed(graft.queries.Td.buildIvfPqInto(spark, sfDir, s"$tmpRoot/ivfpq")))
+        "ivfpq" -> timed(graft.queries.Td.buildIvfPqInto(spark, sfDir, s"$tmpRoot/ivfpq")),
+        "cc" -> timed(graft.queries.Td.buildClustersInto(spark, sfDir, s"$tmpRoot/cc")))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
       out
     }
@@ -70,6 +71,7 @@ object Bench {
       graft.queries.Td.ivfIndexTable(spark, sfDir).assigned.count()
       graft.queries.Td.pqIndexTable(spark, sfDir).codes.count()
       graft.queries.Td.ivfpqIndexTable(spark, sfDir).codes.count()
+      graft.queries.Td.clusterTable(spark, sfDir).count()
     }
     // Optional dev filter: `runMain graft.Bench q_a,q_b` times only those
     // queries (the driver invokes with no args → full battery).

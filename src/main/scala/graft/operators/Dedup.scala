@@ -717,8 +717,18 @@ object Dedup {
     * surfaced in the pair mining's bucket caps).
     */
   def clusterRepresentatives(docs: DataFrame, idCol: String, pairs: DataFrame,
-                             scoreCol: String): DataFrame = {
-    val clusters = dupClusters(docs, idCol, pairs)
+                             scoreCol: String): DataFrame =
+    representativesFrom(dupClusters(docs, idCol, pairs), docs, idCol, scoreCol)
+
+  /** Representative selection over an ALREADY-COMPUTED (id, cluster_id)
+    * relation — the shape a stored cluster table enables: connected
+    * components are maintained once per corpus (they only change when the
+    * pair set does), and every survivor policy is one join + one window over
+    * the stored relation, never a re-mine + re-converge. [[clusterRepresentatives]]
+    * delegates here after running CC live.
+    */
+  def representativesFrom(clusters: DataFrame, docs: DataFrame, idCol: String,
+                          scoreCol: String): DataFrame = {
     val scored = clusters.join(
       docs.select(col(idCol).cast("long").as("id"), col(scoreCol).as("__score")),
       Seq("id"))

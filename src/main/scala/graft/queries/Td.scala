@@ -178,6 +178,24 @@ object Td {
       graft.operators.Similarity.ivfPqBuild(embeddings(s, d), "vec_id", "embedding",
         dim = 64, nlist = 16, m = 8, k = 16, iters = 2), tmp)
 
+  /** STORED duplicate-cluster relation (id, cluster_id) over `documents` —
+    * the band-index argument applied one stage later: connected components
+    * only change when the near-dup pair set does, so production maintains
+    * the cluster table as an artifact and every downstream consumer
+    * (cluster read-off, survivor selection, any future per-cluster stat)
+    * pays one join against it instead of re-mining pairs + re-running CC
+    * per query. Before this, `q_dup_clusters` and `q_cluster_reps` each ran
+    * the FULL mine+CC pipeline — the battery's two most expensive plans
+    * computing the same relation twice (r6 verdict Next #7).
+    */
+  private[graft] def buildClustersInto(s: SparkSession, d: String, tmp: String): Unit = {
+    val docs = documents(s, d)
+    val pairs = graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text",
+      n = 3, tau = 0.5, shingles = Some(docShingles(s, d, 3)))
+    graft.engine.KeyedTable(s, tmp, Seq("id"))
+      .overwrite(graft.operators.Dedup.dupClusters(docs, "doc_id", pairs))
+  }
+
   private[graft] def buildBandIndexInto(s: SparkSession, d: String, tmp: String): Unit = {
     val corpusDocs = documents(s, d)
       .filter(graft.operators.Sampling.hashBucket(col("doc_id")) < 80)
@@ -210,6 +228,14 @@ object Td {
     val root = indexRoot(s, "ivfpqindex", IvfPqIndexFormat, d, "embeddings", emb.count())
     installDir(s, root)(buildIvfPqInto(s, d, _))
     graft.operators.Similarity.ivfPqRead(s, root, dim = 64)
+  }
+
+  private val ClustersFormat = 1
+  def clusterTable(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val root = indexRoot(s, "ccindex", ClustersFormat, d, "documents", docs.count())
+    installDir(s, root)(buildClustersInto(s, d, _))
+    graft.engine.KeyedTable(s, root, Seq("id")).current
   }
 
   private val BandIndexFormat = 1
