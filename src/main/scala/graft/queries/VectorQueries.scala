@@ -198,6 +198,60 @@ object VectorQueries {
               |JOIN embeddings e ON e.vec_id = c.a
               |WHERE c.a = c.cl""".stripMargin)),
 
+    // ----- END-TO-END bucketed embedding dedup (the 100 TB PLAN, gated) ----
+    // The full scale-path composition q_embed_dedup deliberately does NOT
+    // run (its corpus is LSH's worst case — see its comment): bucketed pair
+    // mining (Similarity.lshPairs) → connected components → survivor
+    // selection, oracle-gated end to end. The clustered regime lshPairs'
+    // scaladoc claims is constructed FROM the driver's own table: exact
+    // clones of each vec_id % 3 == 0 row (and second clones of % 6 == 0)
+    // under offset ids — identical vectors produce identical sign bits in
+    // EVERY table, so every true pair collides with probability 1 and the
+    // hash gate pins recall 1 structurally, not statistically. tau = 0.9
+    // admits ONLY clone pairs: the max non-identical cosine in this table
+    // is 0.51 (sf0.01) / 0.60 (sf0.1), measured via DuckDB, so the oracle
+    // can state the pair set as embedding EQUALITY (norm > 0 guarded, like
+    // every pairing op). Survivor policy: quality proxy id % 97, desc.
+    // One missed bucket collision, CC round, or window tie anywhere in the
+    // three-stage plan changes cluster_id/rep_id rows and hash-fails.
+    "q_embed_lsh_dedup" -> Q(
+      (s, d) => {
+        val base = Td.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val corpus = base
+          .union(base.filter(col("vec_id") % 3 === 0)
+            .select(col("vec_id") + 100000, col("embedding")))
+          .union(base.filter(col("vec_id") % 6 === 0)
+            .select(col("vec_id") + 200000, col("embedding")))
+        val pairs = Similarity.lshPairs(corpus, "vec_id", "embedding", tau = 0.9,
+          dim = 64, bits = 16, tables = 2)
+        val clusters = graft.operators.Dedup.dupClusters(corpus, "vec_id", pairs)
+        graft.operators.Dedup.representativesFrom(clusters,
+            corpus.select(col("vec_id"), (col("vec_id") % 97).as("q")), "vec_id", "q")
+          .select(col("id").as("vec_id"), col("cluster_id"), col("rep_id"))
+      },
+      Some(s"""WITH RECURSIVE
+              |c AS (SELECT vec_id, embedding FROM embeddings
+              |      UNION ALL SELECT vec_id + 100000, embedding FROM embeddings
+              |        WHERE vec_id % 3 = 0
+              |      UNION ALL SELECT vec_id + 200000, embedding FROM embeddings
+              |        WHERE vec_id % 6 = 0),
+              |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+              |      FROM c a JOIN c b
+              |        ON a.vec_id < b.vec_id AND a.embedding = b.embedding
+              |      WHERE ${normSql("a.embedding")} > 0),
+              |edges AS (SELECT ia AS a, ib AS b FROM p
+              |          UNION SELECT ib, ia FROM p),
+              |reach(a, b) AS (
+              |  SELECT vec_id, vec_id FROM c
+              |  UNION
+              |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+              |cl AS (SELECT a AS id, CAST(min(b) AS BIGINT) AS cluster_id
+              |       FROM reach GROUP BY a)
+              |SELECT id AS vec_id, cluster_id,
+              |  first_value(id) OVER (PARTITION BY cluster_id
+              |    ORDER BY (id % 97) DESC, id ASC) AS rep_id
+              |FROM cl""".stripMargin)),
+
     // ----- LSH-bucketed approximate top-k (the 100 TB scale path) ----------
     // The sign-LSH candidate set is engine-internal, so the ORACLE-facing
     // output is the annGate derivation: exact top-k (DuckDB-recomputable) +
