@@ -419,6 +419,86 @@ object Multimodal {
     spark.createDataFrame(out, frameSchema)
   }
 
+  // ------------------------------------------------- quarantine routing ---
+
+  val routedFeatureSchema: StructType = StructType(featureSchema.fields.toSeq ++ Seq(
+    StructField("decode_ok", BooleanType),
+    StructField("decode_err", StringType)))
+
+  val routedAudioSchema: StructType = StructType(audioSchema.fields.toSeq ++ Seq(
+    StructField("decode_ok", BooleanType),
+    StructField("decode_err", StringType)))
+
+  /** [[decodeFeatures]] with corrupt-container ROUTING — the composition the
+    * decoder scaladocs tell callers to build: a malformed container must
+    * never fail a 100 TB scan (one bad file ≠ a dead job) and must never be
+    * averaged in silently (the throw contract exists to prevent exactly
+    * that). Rows carry a tri-state `decode_ok` — true (decoded), false
+    * (corrupt: stats null, `decode_err` holds the parse error), null (no
+    * payload — absent input, not corrupt input) — so callers split with the
+    * same disjoint-filter shape as the CDC null-routing operator (T1):
+    * `filter(col("decode_ok") === false)` is the quarantine relation.
+    * Only IllegalArgumentException (the decoders' documented malformed-input
+    * signal) routes; anything else is a code bug and still fails the job.
+    * The throwing [[decodeFeatures]] stays for callers who WANT
+    * fail-loudly semantics on pre-validated corpora.
+    */
+  def decodeFeaturesRouted(spark: SparkSession, media: DataFrame): DataFrame = {
+    val out = media.select("media_id", "content", "media_type", "n_bytes")
+      .rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("content")
+          val mediaType = r.getAs[String]("media_type")
+          val nBytes = r.get(r.fieldIndex("n_bytes"))
+          val id = r.getAs[Long]("media_id")
+          if (bytes == null)
+            Row(id, mediaType, nBytes, null, null, null, null, null, null, null)
+          else try {
+            if (mediaType == "image/bmp") {
+              val s = decodeBmp24(bytes)
+              Row(id, mediaType, nBytes, s.width, s.height, s.sumAll, s.maxPx,
+                featureVec(s.sumB, s.sumG, s.sumR, s.nPixels, s.nPixels, s.nPixels,
+                  s.minPx, s.maxPx), true, null)
+            } else {
+              val (s0, s1, s2, mn, mx) = rawStats(bytes)
+              val n = bytes.length.toLong
+              val nB = (n + 2) / 3; val nG = (n + 1) / 3; val nR = n / 3
+              Row(id, mediaType, nBytes, null, null, s0 + s1 + s2, mx,
+                featureVec(s0, s1, s2, nB, nG, nR, mn, mx), true, null)
+            }
+          } catch { case e: IllegalArgumentException =>
+            Row(id, mediaType, nBytes, null, null, null, null, null, false, e.getMessage)
+          }
+        }
+      }
+    spark.createDataFrame(out, routedFeatureSchema)
+  }
+
+  /** [[decodeAudioFeatures]] with corrupt-container routing — same tri-state
+    * `decode_ok` contract as [[decodeFeaturesRouted]].
+    */
+  def decodeAudioFeaturesRouted(spark: SparkSession, media: DataFrame): DataFrame = {
+    val out = media.select("media_id", "content", "media_type", "n_bytes")
+      .rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("content")
+          val mediaType = r.getAs[String]("media_type")
+          val nBytes = r.get(r.fieldIndex("n_bytes"))
+          val id = r.getAs[Long]("media_id")
+          if (bytes == null)
+            Row(id, mediaType, nBytes, null, null, null, null, null, null, null)
+          else try {
+            val s = decodeWavPcm16(bytes)
+            Row(id, mediaType, nBytes, s.sampleRate, s.nSamples, s.sumSamples,
+              s.minSample, s.maxSample, true, null)
+          } catch { case e: IllegalArgumentException =>
+            Row(id, mediaType, nBytes, null, null, null, null, null, false, e.getMessage)
+          }
+        }
+      }
+    spark.createDataFrame(out, routedAudioSchema)
+  }
+
   /** Decode/feature-extract over partition-local batches, dispatching on
     * the container type: `image/bmp` rows run the real [[decodeBmp24]]
     * parser; anything else is treated as a packed raw-RGB stream (no

@@ -356,6 +356,87 @@ object TextQueries {
              |  WHERE length(text) > 0 AND i*16 < length(text)
              |    AND i % 4 = 0 AND i < 4*8) t""".stripMargin)),
 
+    // ----- multimodal: corrupt-container QUARANTINE routing ----------------
+    // The route-don't-fail composition the decoder scaladocs demand: real
+    // BMP + WAV containers are built from documents, then a deterministic
+    // subset is CORRUPTED in place — doc_id % 7 == 3 breaks the container
+    // magic; % 7 == 5 plants an adversarial header field (BMP: pixel-data
+    // offset inside the header; WAV: data-chunk size Int.MaxValue, the
+    // exact Long-math wrap case the decoders harden against) — and the
+    // routed decoders split the corpus into decoded/quarantined/no-payload
+    // WITHOUT failing the job. The query pins per (media_type, decode_ok)
+    // the row count, total container bytes (in-place corruption preserves
+    // size — the oracle recomputes it from first principles), and the
+    // payload sums of the rows that DECODED (a corrupt row leaking into the
+    // ok group, or a good row misrouted, shifts n and the sums). decode_ok
+    // is tri-state: 1 decoded, 0 quarantined, NULL no payload.
+    "q_media_quarantine" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val docs = Td.documents(s, d)
+        def corrupt(media: org.apache.spark.sql.DataFrame)(
+            f: (Long, Array[Byte]) => Unit): org.apache.spark.sql.DataFrame =
+          media.as[(Long, Array[Byte], String, Option[Long])].map { case (id, c0, t, nb) =>
+            val c = if (c0 == null || (id % 7 != 3 && id % 7 != 5)) c0
+              else { val b = c0.clone(); f(id, b); b }
+            (id, c, t, nb)
+          }.toDF("media_id", "content", "media_type", "n_bytes")
+        val bmpBad = corrupt(Multimodal.asBmpMediaTable(s, docs, "doc_id", "text", width = 10)) {
+          (id, b) =>
+            if (id % 7 == 3) b(0) = 'X'.toByte // magic gone
+            else { b(10) = 7; b(11) = 0; b(12) = 0; b(13) = 0 } // offset inside header
+        }
+        val wavBad = corrupt(Multimodal.asWavMediaTable(s, docs, "doc_id", "text", sampleRate = 8000)) {
+          (id, b) =>
+            if (id % 7 == 3) b(0) = 'X'.toByte // magic gone
+            else { b(40) = -1; b(41) = -1; b(42) = -1; b(43) = 127 } // data size = Int.MaxValue
+        }
+        val rb = Multimodal.decodeFeaturesRouted(s, bmpBad)
+          .select(col("media_type"), col("decode_ok"), col("n_bytes"),
+            col("sum_px").as("payload_sum"))
+        val rw = Multimodal.decodeAudioFeaturesRouted(s, wavBad)
+          .select(col("media_type"), col("decode_ok"), col("n_bytes"),
+            col("sum_samples").as("payload_sum"))
+        rb.union(rw)
+          .groupBy(col("media_type"), col("decode_ok").cast("int").as("decode_ok"))
+          .agg(count(lit(1)).as("n"), sum("n_bytes").as("n_bytes_sum"),
+            sum("payload_sum").as("payload_sum"))
+      },
+      Some("""WITH bstat AS (
+             |  SELECT doc_id, text,
+             |    CASE WHEN text IS NULL THEN NULL
+             |         ELSE GREATEST(1, (length(text) + 29) // 30) END AS h,
+             |    CASE WHEN text IS NULL THEN NULL
+             |         ELSE COALESCE(list_sum([unicode(text[i]) for i in range(1, length(text)+1)]), 0) END AS s
+             |  FROM documents),
+             |wstat AS (
+             |  SELECT doc_id, text, (length(text)+1)//2 AS ns,
+             |    CASE WHEN text IS NULL THEN NULL
+             |         ELSE COALESCE(list_sum([CASE WHEN 2*k <= length(text)
+             |            THEN unicode(text[2*k-1]) + 256*unicode(text[2*k])
+             |            ELSE unicode(text[2*k-1]) END
+             |          for k in range(1, (length(text)+1)//2 + 1)]), 0) END AS ss
+             |  FROM documents),
+             |u AS (
+             |  SELECT 'image/bmp' AS media_type,
+             |    CASE WHEN text IS NULL THEN NULL
+             |         WHEN doc_id % 7 IN (3,5) THEN 0 ELSE 1 END AS ok,
+             |    CASE WHEN text IS NULL THEN NULL ELSE 54 + 32*h END AS nb,
+             |    CASE WHEN text IS NOT NULL AND doc_id % 7 NOT IN (3,5) THEN s END AS ps
+             |  FROM bstat
+             |  UNION ALL
+             |  SELECT 'audio/wav',
+             |    CASE WHEN text IS NULL THEN NULL
+             |         WHEN doc_id % 7 IN (3,5) THEN 0 ELSE 1 END,
+             |    CASE WHEN text IS NULL THEN NULL ELSE 44 + 2*ns END,
+             |    CASE WHEN text IS NOT NULL AND doc_id % 7 NOT IN (3,5) THEN ss END
+             |  FROM wstat)
+             |SELECT media_type, CAST(ok AS INT) AS decode_ok,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(nb) AS BIGINT) AS n_bytes_sum,
+             |  CAST(sum(ps) AS BIGINT) AS payload_sum
+             |FROM u GROUP BY media_type, ok""".stripMargin)),
+
     // ----- repetition signals (Gopher-style duplicate n-gram fractions) ----
     "q_repetition" -> Q(
       (s, d) => TextOps.repetitionStats(Td.documents(s, d), "doc_id", "text"),

@@ -298,6 +298,50 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: corrupt containers ROUTE to quarantine instead of failing the job") {
+    val s0 = spark
+    import s0.implicits._
+    val goodBmp = Multimodal.encodeBmp24("hello world payload".getBytes("UTF-8"), 10)
+    val badMagic = goodBmp.clone(); badMagic(0) = 'X'.toByte
+    val badOffset = goodBmp.clone() // pixel offset inside the header → routable reject
+    java.nio.ByteBuffer.wrap(badOffset).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(10, 7)
+    val media = Seq(
+      (1L, goodBmp, "image/bmp", goodBmp.length.toLong),
+      (2L, badMagic, "image/bmp", badMagic.length.toLong),
+      (3L, badOffset, "image/bmp", badOffset.length.toLong),
+      (4L, null.asInstanceOf[Array[Byte]], "image/bmp", 0L),
+    ).toDF("media_id", "content", "media_type", "n_bytes")
+    val routed = Multimodal.decodeFeaturesRouted(spark, media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(routed(1L).getAs[Boolean]("decode_ok") &&
+      routed(1L).getAs[Long]("sum_px") == Multimodal.decodeBmp24(goodBmp).sumAll)
+    assert(!routed(2L).getAs[Boolean]("decode_ok") &&
+      routed(2L).getAs[String]("decode_err").contains("BM magic") &&
+      routed(2L).isNullAt(routed(2L).fieldIndex("sum_px")))
+    assert(!routed(3L).getAs[Boolean]("decode_ok") &&
+      routed(3L).getAs[String]("decode_err").contains("offset"))
+    // absent payload is NOT corrupt input: tri-state null, no error
+    assert(routed(4L).isNullAt(routed(4L).fieldIndex("decode_ok")) &&
+      routed(4L).isNullAt(routed(4L).fieldIndex("decode_err")))
+
+    // WAV twin, including the adversarial Int-wrap chunk size — routed, not
+    // an unroutable executor crash
+    val goodWav = Multimodal.encodeWavPcm16(Array[Byte](10, 0, 7, 1), 8000)
+    val evilSize = goodWav.clone()
+    java.nio.ByteBuffer.wrap(evilSize).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, Int.MaxValue - 10)
+    val wmedia = Seq(
+      (1L, goodWav, "audio/wav", goodWav.length.toLong),
+      (2L, evilSize, "audio/wav", evilSize.length.toLong),
+    ).toDF("media_id", "content", "media_type", "n_bytes")
+    val wrouted = Multimodal.decodeAudioFeaturesRouted(spark, wmedia).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(wrouted(1L).getAs[Boolean]("decode_ok") &&
+      wrouted(1L).getAs[Long]("sum_samples") == 10L + (7 + 256))
+    assert(!wrouted(2L).getAs[Boolean]("decode_ok") &&
+      wrouted(2L).getAs[String]("decode_err").contains("truncated chunk"))
+  }
+
   test("codec round trips over varied payload shapes and geometries") {
     // lengths straddle row boundaries (30/row at w=10), sample pairs, and
     // zero; byte values cover the full 0-255 range (sign-bit handling)
