@@ -54,7 +54,18 @@ object Bench {
         "ivf" -> timed(graft.queries.Td.buildIvfInto(spark, sfDir, s"$tmpRoot/ivf")),
         "pq" -> timed(graft.queries.Td.buildPqInto(spark, sfDir, s"$tmpRoot/pq")),
         "ivfpq" -> timed(graft.queries.Td.buildIvfPqInto(spark, sfDir, s"$tmpRoot/ivfpq")),
-        "cc" -> timed(graft.queries.Td.buildClustersInto(spark, sfDir, s"$tmpRoot/cc")))
+        "cc" -> timed(graft.queries.Td.buildClustersInto(spark, sfDir, s"$tmpRoot/cc")),
+        // append-vs-rebuild evidence: one batch appended to a fresh base
+        // (base build untimed — "ivf"/"ivfpq" already report rebuild cost);
+        // the claim "append ≪ rebuild" must be readable from the artifact
+        "ivfa" -> {
+          graft.queries.Td.buildIvfIncBaseInto(spark, sfDir, s"$tmpRoot/ivfinc")
+          timed(graft.queries.Td.appendIvfInc(spark, sfDir, s"$tmpRoot/ivfinc", 60, 80))
+        },
+        "ivfpqa" -> {
+          graft.queries.Td.buildIvfPqIncBaseInto(spark, sfDir, s"$tmpRoot/ivfpqinc")
+          timed(graft.queries.Td.appendIvfPqInc(spark, sfDir, s"$tmpRoot/ivfpqinc", 60, 80))
+        })
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
       out
     }
@@ -72,6 +83,8 @@ object Bench {
       graft.queries.Td.pqIndexTable(spark, sfDir).codes.count()
       graft.queries.Td.ivfpqIndexTable(spark, sfDir).codes.count()
       graft.queries.Td.clusterTable(spark, sfDir).count()
+      graft.queries.Td.ivfIncIndexTable(spark, sfDir)._1.assigned.count()
+      graft.queries.Td.ivfpqIncIndexTable(spark, sfDir)._1.codes.count()
     }
     // Optional dev filter: `runMain graft.Bench q_a,q_b` times only those
     // queries (the driver invokes with no args → full battery).

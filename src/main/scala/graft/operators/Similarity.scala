@@ -371,6 +371,81 @@ object Similarity {
     IvfIndex(cents, spark.read.parquet(s"$root/assigned"))
   }
 
+  // ------------------------------------------- incremental index append ---
+
+  /** How far a stored index has grown past its trained state: `baseRows`
+    * vectors were present when centroids/codebooks were trained,
+    * `appendedRows` arrived through the append path since. The append path
+    * keeps SEARCH cost right (new vectors land in the correct cells and are
+    * probed like any other) but slowly degrades QUANTIZATION quality — the
+    * centroids no longer summarize the full distribution — so production
+    * retrains once the drift budget is spent. The knob is
+    * [[shouldRetrain]]'s `maxAppendFraction`: 0.5 means "retrain after the
+    * corpus grows 50% past the trained base", a budget measured in data,
+    * not in wall-clock.
+    */
+  final case class IndexGrowth(baseRows: Long, appendedRows: Long) {
+    def appendFraction: Double =
+      if (baseRows == 0) Double.PositiveInfinity else appendedRows.toDouble / baseRows
+    def shouldRetrain(maxAppendFraction: Double): Boolean =
+      appendFraction > maxAppendFraction
+  }
+
+  /** Read the growth state of a stored IVF / IVF+PQ root: appended rows from
+    * the append log ([[ivfAppendWrite]]/[[ivfPqAppendWrite]] write one row
+    * per batch), total rows from the data relation's parquet footers (a
+    * metadata-only count — no data scan), base = total − appended.
+    */
+  def indexGrowth(spark: org.apache.spark.sql.SparkSession, root: String,
+                  dataDir: String): IndexGrowth = {
+    val logPath = new org.apache.hadoop.fs.Path(s"$root/applog")
+    val fs = logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val appended = if (!fs.exists(logPath)) 0L
+      else spark.read.parquet(s"$root/applog")
+        .agg(sum(col("rows"))).collect()(0).getLong(0)
+    val total = spark.read.parquet(s"$root/$dataDir").count()
+    IndexGrowth(total - appended, appended)
+  }
+
+  private def appendLog(spark: org.apache.spark.sql.SparkSession, root: String,
+                        rows: Long): Unit = {
+    import spark.implicits._
+    Seq(rows).toDF("rows").coalesce(1).write.mode("append").parquet(s"$root/applog")
+  }
+
+  /** Append a batch to a STORED IVF index without retraining: assign each
+    * batch vector to its nearest EXISTING centroid and append the rows into
+    * the cell-partitioned `assigned` relation — new files inside existing
+    * cell directories, so readers and the probe-time partition pruning are
+    * untouched. Cost is one pass over the BATCH (nlist kernel dots per row
+    * + a partitioned write); a daily-batch user pays ∝ batch, not the full
+    * Lloyd retrain [[ivfBuild]] runs ([[IndexGrowth.shouldRetrain]] is the
+    * retrain trigger). Contract: batch ids must be NEW — the blind append
+    * cannot upsert; a re-ingested id would simply appear twice. Routing
+    * re-ingestion through a keyed merge is the caller's job.
+    */
+  def ivfAppendWrite(spark: org.apache.spark.sql.SparkSession, root: String,
+                     batch: DataFrame, idCol: String, vecCol: String): Unit = {
+    val centroids = spark.read.parquet(s"$root/centroids").collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Float](1).toArray).toIndexedSeq
+    val assigned = batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      l2Norm(col(vecCol)).as("__cn"),
+      nearestCell(col(vecCol), centroids).as("cell"))
+    assigned.write.mode("append").partitionBy("cell").parquet(s"$root/assigned")
+    appendLog(spark, root, batch.count())
+  }
+
+  /** In-memory twin of [[ivfAppendWrite]] for an un-persisted [[IvfIndex]]:
+    * same assignment rule, result unioned into the assigned relation.
+    */
+  def ivfAppend(index: IvfIndex, batch: DataFrame, idCol: String,
+                vecCol: String): IvfIndex =
+    IvfIndex(index.centroids,
+      index.assigned.unionByName(
+        batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+          l2Norm(col(vecCol)).as("__cn"),
+          nearestCell(col(vecCol), index.centroids).as("cell"))))
+
   /** IVF approximate top-k: corpus partitioned into `nlist` cells by nearest
     * centroid; each query probes only its `nprobe` nearest cells and ranks
     * those candidates exactly. The corpus shuffles once on `cell`; the probe
@@ -674,16 +749,21 @@ object Similarity {
     * localCheckpointed (n × (m bytes + cell id) — small) so the residuals
     * can be released.
     */
-  def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
-                 nlist: Int = 16, m: Int = 8, k: Int = 16, iters: Int = 3): IvfPqIndex = {
-    val corpusN = unitVecs(corpus, idCol, vecCol)
-    val centroids = trainCentroids(corpusN, idCol, vecCol, nlist, iters)
-    val spark0 = corpus.sparkSession
+  /** (id, cell, rv): nearest-cell assignment + residual v − centroid[cell]
+    * in one typed pass over broadcast centroids (assignment mirrors
+    * [[trainCentroids]]' rule — score dot/|c|, zero-norm centroids -Inf,
+    * ties toward the higher index). Shared by [[ivfPqBuild]] and the
+    * append path [[ivfPqAppendWrite]], so a batch encoded after the fact
+    * lands in exactly the cell the build would have put it in.
+    */
+  private def cellResiduals(corpusN: DataFrame, idCol: String, vecCol: String,
+                            centroids: Seq[Array[Float]]): DataFrame = {
+    val spark0 = corpusN.sparkSession
     import spark0.implicits._
     val bc = spark0.sparkContext.broadcast((
       centroids.toArray,
       centroids.map(c => math.sqrt(c.map(x => x.toDouble * x).sum)).toArray))
-    val resid = corpusN.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    corpusN.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .as[(Long, Seq[Float])]
       .map { case (id, v) =>
         val (cs, cn) = bc.value
@@ -701,6 +781,13 @@ object Similarity {
         (id, best, Array.tabulate(v.length)(i => v(i) - cs(best)(i)).toSeq)
       }
       .toDF("id", "cell", "rv")
+  }
+
+  def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+                 nlist: Int = 16, m: Int = 8, k: Int = 16, iters: Int = 3): IvfPqIndex = {
+    val corpusN = unitVecs(corpus, idCol, vecCol)
+    val centroids = trainCentroids(corpusN, idCol, vecCol, nlist, iters)
+    val resid = cellResiduals(corpusN, idCol, vecCol, centroids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val books = pqTrain(resid, "id", "rv", dim, m, k, iters)
     val codes = pqEncode(resid, "id", "rv", books, dim)
@@ -737,6 +824,32 @@ object Similarity {
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toSeq }
     IvfPqIndex(cents, books, spark.read.parquet(s"$root/codes"), dim)
+  }
+
+  /** Append a batch to a STORED IVF+PQ index without retraining: assign
+    * cells and residuals against the EXISTING centroids ([[cellResiduals]] —
+    * bit-identical to the build-time rule), encode residuals with the
+    * EXISTING per-subspace codebooks, and append the (neighbor_id, codes)
+    * rows into the cell-partitioned codes relation. Cost ∝ batch (one
+    * assignment pass + one encode pass + a partitioned write) versus the
+    * full coarse-Lloyd + codebook retrain of [[ivfPqBuild]] — the
+    * daily-batch path the rebuild-only index lacked. Same contracts as
+    * [[ivfAppendWrite]]: batch ids must be new (blind append, no upsert),
+    * and quantization drift is budgeted by [[IndexGrowth.shouldRetrain]]
+    * via [[indexGrowth]](root, "codes").
+    */
+  def ivfPqAppendWrite(spark: org.apache.spark.sql.SparkSession, root: String,
+                       batch: DataFrame, idCol: String, vecCol: String,
+                       dim: Int): Unit = {
+    val index = ivfPqRead(spark, root, dim)
+    val batchN = unitVecs(batch, idCol, vecCol)
+    val resid = cellResiduals(batchN, idCol, vecCol, index.centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes = pqEncode(resid, "id", "rv", index.books, dim)
+      .join(resid.select(col("id").as("neighbor_id"), col("cell")), "neighbor_id")
+    codes.write.mode("append").partitionBy("cell").parquet(s"$root/codes")
+    resid.unpersist(blocking = false)
+    appendLog(spark, root, batch.count())
   }
 
   /** Search a built/reopened IVF+PQ index: each query probes its `nprobe`

@@ -196,6 +196,53 @@ object Td {
       .overwrite(graft.operators.Dedup.dupClusters(docs, "doc_id", pairs))
   }
 
+  /** INCREMENTALLY-GROWN index builds: base trained on the hash-bucket < 60
+    * slice of `embeddings`, then two append batches ([60,80) and [80,100))
+    * land through the no-retrain append path — centroids/codebooks never
+    * see the appended 40%. The installed root therefore holds the full
+    * corpus in its data relation but only the base in its trained state,
+    * which is exactly the daily-batch production shape the q_ann_*_inc
+    * queries gate: searches over an index grown across ≥ 2 batches must
+    * still clear the recall bounds, at append cost ∝ batch (bench `iva`
+    * key) instead of the full rebuild (`ivf`/`ivfpq` keys).
+    */
+  private def embSlice(s: SparkSession, d: String, lo: Int, hi: Int): DataFrame = {
+    val b = graft.operators.Sampling.hashBucket(col("vec_id"))
+    embeddings(s, d).filter(b >= lo && b < hi)
+  }
+
+  private[graft] def buildIvfIncBaseInto(s: SparkSession, d: String, tmp: String): Unit =
+    graft.operators.Similarity.ivfWrite(
+      graft.operators.Similarity.ivfBuild(embSlice(s, d, 0, 60), "vec_id", "embedding",
+        nlist = 16), tmp)
+
+  private[graft] def appendIvfInc(s: SparkSession, d: String, root: String,
+                                  lo: Int, hi: Int): Unit =
+    graft.operators.Similarity.ivfAppendWrite(s, root, embSlice(s, d, lo, hi),
+      "vec_id", "embedding")
+
+  private[graft] def buildIvfIncInto(s: SparkSession, d: String, tmp: String): Unit = {
+    buildIvfIncBaseInto(s, d, tmp)
+    appendIvfInc(s, d, tmp, 60, 80)
+    appendIvfInc(s, d, tmp, 80, 100)
+  }
+
+  private[graft] def buildIvfPqIncBaseInto(s: SparkSession, d: String, tmp: String): Unit =
+    graft.operators.Similarity.ivfPqWrite(
+      graft.operators.Similarity.ivfPqBuild(embSlice(s, d, 0, 60), "vec_id", "embedding",
+        dim = 64, nlist = 16, m = 8, k = 16, iters = 2), tmp)
+
+  private[graft] def appendIvfPqInc(s: SparkSession, d: String, root: String,
+                                    lo: Int, hi: Int): Unit =
+    graft.operators.Similarity.ivfPqAppendWrite(s, root, embSlice(s, d, lo, hi),
+      "vec_id", "embedding", dim = 64)
+
+  private[graft] def buildIvfPqIncInto(s: SparkSession, d: String, tmp: String): Unit = {
+    buildIvfPqIncBaseInto(s, d, tmp)
+    appendIvfPqInc(s, d, tmp, 60, 80)
+    appendIvfPqInc(s, d, tmp, 80, 100)
+  }
+
   private[graft] def buildBandIndexInto(s: SparkSession, d: String, tmp: String): Unit = {
     val corpusDocs = documents(s, d)
       .filter(graft.operators.Sampling.hashBucket(col("doc_id")) < 80)
@@ -228,6 +275,33 @@ object Td {
     val root = indexRoot(s, "ivfpqindex", IvfPqIndexFormat, d, "embeddings", emb.count())
     installDir(s, root)(buildIvfPqInto(s, d, _))
     graft.operators.Similarity.ivfPqRead(s, root, dim = 64)
+  }
+
+  /** Grown-index accessors: (reopened index, growth state, append batches).
+    * Growth comes from the root's append log + a metadata-only total count
+    * (Similarity.indexGrowth), so the gating queries can pin "this index
+    * really was grown across ≥ 2 batches" in their oracle-checked output.
+    */
+  private val IvfIncIndexFormat = 1
+  def ivfIncIndexTable(s: SparkSession, d: String)
+      : (graft.operators.Similarity.IvfIndex, graft.operators.Similarity.IndexGrowth, Long) = {
+    val emb = embeddings(s, d)
+    val root = indexRoot(s, "ivfincindex", IvfIncIndexFormat, d, "embeddings", emb.count())
+    installDir(s, root)(buildIvfIncInto(s, d, _))
+    (graft.operators.Similarity.ivfRead(s, root),
+      graft.operators.Similarity.indexGrowth(s, root, "assigned"),
+      s.read.parquet(s"$root/applog").count())
+  }
+
+  private val IvfPqIncIndexFormat = 1
+  def ivfpqIncIndexTable(s: SparkSession, d: String)
+      : (graft.operators.Similarity.IvfPqIndex, graft.operators.Similarity.IndexGrowth, Long) = {
+    val emb = embeddings(s, d)
+    val root = indexRoot(s, "ivfpqincindex", IvfPqIncIndexFormat, d, "embeddings", emb.count())
+    installDir(s, root)(buildIvfPqIncInto(s, d, _))
+    (graft.operators.Similarity.ivfPqRead(s, root, dim = 64),
+      graft.operators.Similarity.indexGrowth(s, root, "codes"),
+      s.read.parquet(s"$root/applog").count())
   }
 
   private val ClustersFormat = 1

@@ -79,7 +79,7 @@ object VectorQueries {
   /** Exact-top-k aggregation the oracle runs per query id — shared by the
     * three ANN gates; identical ranking/tie-break to q_cosine_topk.
     */
-  private val annGateSql: String =
+  private def annGateSqlWith(extraCols: String): String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
        |          WHERE vec_id < 10 AND ${normSql("embedding")} > 0),
        |scored AS (
@@ -94,8 +94,10 @@ object VectorQueries {
        |SELECT query_id,
        |  string_agg(CAST(neighbor_id AS VARCHAR), ',' ORDER BY rank) AS exact_topk,
        |  max(CASE WHEN rank = 1 THEN sim END) AS exact_top1_sim,
-       |  1 AS hits_ok, 1 AS mean_ok
+       |  1 AS hits_ok, 1 AS mean_ok$extraCols
        |FROM topk WHERE rank <= 5 GROUP BY query_id""".stripMargin
+
+  private val annGateSql: String = annGateSqlWith("")
 
   val defs: Map[String, Q] = Map(
 
@@ -315,6 +317,51 @@ object VectorQueries {
           k = 5, minHits = 1, minMean = 0.35)
       },
       Some(annGateSql)),
+
+    // ----- IVF over an INCREMENTALLY-GROWN index (append path, gated) ------
+    // The index comes from Td.ivfIncIndexTable: centroids trained on the
+    // hash-bucket < 60 slice only, the remaining 40% appended in TWO
+    // batches through Similarity.ivfAppendWrite — no retrain ever sees
+    // them. The gate asserts the production claim end to end: searches over
+    // the grown index still clear the recall bounds (measured via
+    // IncAnnProbe — min hits 2/5, mean 0.80/0.78 at sf0.01/sf0.1 → gate at
+    // ≤ half: hits ≥ 1, mean ≥ 0.35), and `grown_ok` pins from the root's
+    // append log that the probed index REALLY grew across ≥ 2 batches with
+    // the trained base outnumbering appends (the shouldRetrain(1.0) budget).
+    "q_ann_ivf_inc_topk" -> Q(
+      (s, d) => {
+        val emb = Td.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 10)
+        val (idx, growth, batches) = Td.ivfIncIndexTable(s, d)
+        val grownOk = batches >= 2 && growth.appendedRows > 0 &&
+          !growth.shouldRetrain(1.0)
+        annGate(Similarity.cosineTopK(emb, queries, "vec_id", "embedding", k = 5),
+          Similarity.ivfSearch(idx, queries, "vec_id", "embedding", k = 5, nprobe = 4),
+          k = 5, minHits = 1, minMean = 0.35)
+          .withColumn("grown_ok", lit(if (grownOk) 1 else 0))
+      },
+      Some(annGateSqlWith(", 1 AS grown_ok"))),
+
+    // ----- IVF+PQ over an INCREMENTALLY-GROWN index (append path, gated) ---
+    // Same shape for the composed index: appended batches are assigned to
+    // the EXISTING centroids and encoded with the EXISTING per-cell residual
+    // codebooks (Similarity.ivfPqAppendWrite), codes land in the probed
+    // cell-partitioned layout. Measured (IncAnnProbe): min hits 1/5
+    // (sf0.1), mean 0.78/0.68 → gate at hits ≥ 0, mean ≥ 0.3.
+    "q_ann_ivfpq_inc_topk" -> Q(
+      (s, d) => {
+        val emb = Td.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 10)
+        val (idx, growth, batches) = Td.ivfpqIncIndexTable(s, d)
+        val grownOk = batches >= 2 && growth.appendedRows > 0 &&
+          !growth.shouldRetrain(1.0)
+        annGate(Similarity.cosineTopK(emb, queries, "vec_id", "embedding", k = 5),
+          Similarity.ivfPqSearch(idx, emb, queries, "vec_id", "embedding",
+            topK = 5, nprobe = 4, rerank = 50),
+          k = 5, minHits = 0, minMean = 0.3)
+          .withColumn("grown_ok", lit(if (grownOk) 1 else 0))
+      },
+      Some(annGateSqlWith(", 1 AS grown_ok"))),
 
     // ----- PQ/ADC approximate top-k (compressed-domain scale path) ---------
     // The wide path scans 8-byte codes (64× smaller than the float vectors)

@@ -93,6 +93,62 @@ class ScaleOpsSpec extends SparkSpec {
     assert(stored == live)
   }
 
+  test("IVF/IVF+PQ stored-index append: grown index searchable, growth tracked") {
+    val s = spark
+    import s.implicits._
+    def vec(cluster: Int, i: Int): Seq[Float] =
+      (0 until 16).map { d =>
+        math.sin(cluster * 17.0 + d).toFloat * 2f + (((i * 31 + d * 7) % 13) - 6) * 0.01f
+      }
+    val baseRows = for (c <- 0 until 4; i <- 0 until 10) yield (c * 100L + i, vec(c, i))
+    val base = baseRows.toDF("vec_id", "embedding")
+    // the appended batch plants an EXACT clone of each query vector under a
+    // new id: it must land in the query's own nearest cell (same assignment
+    // rule) and come back at rank 1 (cosine 1) from the GROWN index
+    val queries = base.filter(col("vec_id") % 100 === 0)
+    // i stops at 13: vec(c, ·)'s noise term is periodic in i with period 13,
+    // so i = 13 would be a SECOND exact clone of vec(c, 0) and win the
+    // rank-1 tie on lower id
+    val batchRows = (for (c <- 0 until 4) yield (c * 100L + 50, vec(c, 0))) ++
+      (for (c <- 0 until 4; i <- 10 until 13) yield (c * 100L + i, vec(c, i)))
+    val batch = batchRows.toDF("vec_id", "embedding")
+
+    val root = tmpDir("graft-ivfapp")
+    Similarity.ivfWrite(Similarity.ivfBuild(base, "vec_id", "embedding",
+      nlist = 4, iters = 3), root)
+    Similarity.ivfAppendWrite(spark, root, batch, "vec_id", "embedding")
+    val grown = Similarity.ivfRead(spark, root)
+    assert(grown.assigned.count() == baseRows.size + batchRows.size)
+    val growth = Similarity.indexGrowth(spark, root, "assigned")
+    assert(growth == Similarity.IndexGrowth(baseRows.size, batchRows.size))
+    assert(growth.shouldRetrain(0.3) && !growth.shouldRetrain(1.0))
+    val top1 = Similarity.ivfSearch(grown, queries, "vec_id", "embedding",
+        k = 1, nprobe = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (c <- 0 until 4)
+      assert(top1(c * 100L) == c * 100L + 50, s"clone not found for cluster $c: $top1")
+    // second append accumulates in the same log
+    Similarity.ivfAppendWrite(spark, root,
+      Seq((999L, vec(0, 3))).toDF("vec_id", "embedding"), "vec_id", "embedding")
+    assert(Similarity.indexGrowth(spark, root, "assigned").appendedRows ==
+      batchRows.size + 1)
+
+    val pqRoot = tmpDir("graft-ivfpqapp")
+    Similarity.ivfPqWrite(Similarity.ivfPqBuild(base, "vec_id", "embedding",
+      dim = 16, nlist = 4, m = 4, k = 8, iters = 2), pqRoot)
+    Similarity.ivfPqAppendWrite(spark, pqRoot, batch, "vec_id", "embedding", dim = 16)
+    val pqGrown = Similarity.ivfPqRead(spark, pqRoot, dim = 16)
+    assert(pqGrown.codes.count() == baseRows.size + batchRows.size)
+    assert(Similarity.indexGrowth(spark, pqRoot, "codes") ==
+      Similarity.IndexGrowth(baseRows.size, batchRows.size))
+    val corpus = base.unionByName(batch)
+    val pqTop1 = Similarity.ivfPqSearch(pqGrown, corpus, queries, "vec_id", "embedding",
+        topK = 1, nprobe = 1, rerank = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (c <- 0 until 4)
+      assert(pqTop1(c * 100L) == c * 100L + 50, s"PQ clone not found for cluster $c: $pqTop1")
+  }
+
   test("IVF tolerates a zero-norm (degenerate) centroid consistently") {
     val s = spark
     import s.implicits._
