@@ -58,6 +58,7 @@ object Bench {
         // append-vs-rebuild evidence: one batch appended to a fresh base
         // (base build untimed — "ivf"/"ivfpq" already report rebuild cost);
         // the claim "append ≪ rebuild" must be readable from the artifact
+        "vdd" -> timed(graft.queries.Td.buildVecDedupInto(spark, sfDir, s"$tmpRoot/vdd")),
         "ivfa" -> {
           graft.queries.Td.buildIvfIncBaseInto(spark, sfDir, s"$tmpRoot/ivfinc")
           timed(graft.queries.Td.appendIvfInc(spark, sfDir, s"$tmpRoot/ivfinc", 60, 80))
@@ -85,6 +86,7 @@ object Bench {
       graft.queries.Td.clusterTable(spark, sfDir).count()
       graft.queries.Td.ivfIncIndexTable(spark, sfDir)._1.assigned.count()
       graft.queries.Td.ivfpqIncIndexTable(spark, sfDir)._1.codes.count()
+      graft.queries.Td.vecDedupTables(spark, sfDir)._2.count()
     }
     // Optional dev filter: `runMain graft.Bench q_a,q_b` times only those
     // queries (the driver invokes with no args → full battery).

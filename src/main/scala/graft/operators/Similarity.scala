@@ -173,14 +173,24 @@ object Similarity {
     * like [[Dedup.lshCandidates]] (a bucket of w rows emits C(w,2) pairs
     * from one task); report what a cap drops with [[overWideSignBuckets]].
     */
+  /** [[signBuckets]] with the over-wide-bucket ceiling applied — the capped
+    * (id, tbl, bucket) membership relation [[lshPairs]] mines and
+    * [[signBucketIndex]] stores.
+    */
+  private def cappedSignBuckets(corpus: DataFrame, idCol: String, vecCol: String,
+                                dim: Int, bits: Int, tables: Int,
+                                maxBucketWidth: Int): DataFrame = {
+    val buckets0 = signBuckets(corpus, idCol, vecCol, dim, bits, tables)
+    if (maxBucketWidth == Int.MaxValue) buckets0
+    else buckets0
+      .withColumn("__w", count(lit(1)).over(Window.partitionBy("tbl", "bucket")))
+      .filter(col("__w") <= maxBucketWidth).drop("__w")
+  }
+
   def lshPairs(corpus: DataFrame, idCol: String, vecCol: String, tau: Double,
                dim: Int, bits: Int = 16, tables: Int = 8,
                maxBucketWidth: Int = Int.MaxValue): DataFrame = {
-    val buckets0 = signBuckets(corpus, idCol, vecCol, dim, bits, tables)
-    val buckets = if (maxBucketWidth == Int.MaxValue) buckets0
-      else buckets0
-        .withColumn("__w", count(lit(1)).over(Window.partitionBy("tbl", "bucket")))
-        .filter(col("__w") <= maxBucketWidth).drop("__w")
+    val buckets = cappedSignBuckets(corpus, idCol, vecCol, dim, bits, tables, maxBucketWidth)
     val cands = buckets.as("a").join(buckets.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
@@ -194,6 +204,79 @@ object Similarity {
       .withColumn("sim", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("sim") >= tau)
       .select("id_a", "id_b", "sim")
+  }
+
+  /** Slim, storable sign-bucket index over an embedding corpus: one
+    * (id, tbl, bucket) row per table per non-zero-norm vector — the vector
+    * twin of [[Dedup.bandIndex]]. ~`tables` rows × (long, int, long) per
+    * vector regardless of dimension; persist as a keyed table (key =
+    * (id, tbl)) and incremental embedding dedup becomes an index lookup
+    * ([[dedupAgainstSignIndex]]) instead of re-hashing the corpus per
+    * batch. `maxBucketWidth` caps collision hot-spots at BUILD time (the
+    * right place for a stored index — the width window runs once per build,
+    * not once per probing batch); [[overWideSignBuckets]] reports what a
+    * given cap drops.
+    */
+  def signBucketIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      dim: Int, bits: Int = 16, tables: Int = 8,
+                      maxBucketWidth: Int = Int.MaxValue): DataFrame =
+    cappedSignBuckets(corpus, idCol, vecCol, dim, bits, tables, maxBucketWidth)
+
+  /** Incremental sign-LSH embedding dedup: drop every batch vector whose
+    * exact cosine against a bucket-colliding EXISTING-corpus vector (probed
+    * via the stored [[signBucketIndex]] — the corpus is never re-hashed) or
+    * a smaller-id bucket-colliding batch vector reaches `tau`. Returns the
+    * kept batch rows. PURE — no stored state is touched; the streaming
+    * maintenance loop that merges survivors back lives in
+    * [[graft.streaming.VectorDedupFlow]].
+    *
+    * Same drop rule as [[Dedup.dedupAgainstIndex]]: corpus always wins (it
+    * is immutable), batch-internal ties drop the larger id. Same probe
+    * discipline too — candidates travel as id pairs only; corpus VECTORS
+    * are fetched via left-semi join for exactly the ids that collided, so a
+    * batch pays batch-hashing + an index equi-join + |collisions| kernel
+    * dots, never a corpus scan. Recall inherits [[lshPairs]]' collision
+    * bound (near 1 on clustered/near-duplicate corpora — the regime dedup
+    * targets; see the limit note there).
+    */
+  def dedupAgainstSignIndex(batch: DataFrame, idCol: String, vecCol: String,
+                            corpus: DataFrame, corpusIndex: DataFrame,
+                            tau: Double, dim: Int,
+                            bits: Int = 16, tables: Int = 8,
+                            maxBucketWidth: Int = Int.MaxValue): DataFrame = {
+    val bBuckets = cappedSignBuckets(batch, idCol, vecCol, dim, bits, tables, maxBucketWidth)
+      .localCheckpoint() // two consumers (self-join + index probe); upstream is the full batch-hash pass
+    val internal = bBuckets.as("a").join(bBuckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // cross candidates: batch buckets probe the stored corpus index; slim
+    // two-column relation with two consumers (collided-vector fetch + verify)
+    val cross = bBuckets.join(
+        corpusIndex.select(col("id").as("cid"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .select(col("cid"), col("id").as("bid"))
+      .distinct()
+      .localCheckpoint()
+    val bVecs = batch.select(col(idCol).cast("long").as("__vid"), col(vecCol).as("__v"),
+      l2Norm(col(vecCol)).as("__n")).filter(col("__n") > 0)
+    // corpus vectors ONLY for collided ids
+    val cVecs = corpus.join(cross.select(col("cid").as("__cand_id")).distinct(),
+        corpus(idCol).cast("long") === col("__cand_id"), "left_semi")
+      .select(col(idCol).cast("long").as("__vid"), col(vecCol).as("__v"),
+        l2Norm(col(vecCol)).as("__n")).filter(col("__n") > 0)
+    def verified(cands: DataFrame, left: DataFrame, lk: String, rk: String): DataFrame = {
+      val sim = dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))
+      cands
+        .join(left.select(col("__vid").as(lk), col("__v").as("__va"), col("__n").as("__na")), lk)
+        .join(bVecs.select(col("__vid").as(rk), col("__v").as("__vb"), col("__n").as("__nb")), rk)
+        .filter(sim >= tau)
+    }
+    val drop = verified(internal, bVecs, "id_a", "id_b").select(col("id_b").as("__drop_id"))
+      .union(verified(cross, cVecs, "cid", "bid").select(col("bid").as("__drop_id")))
+      .distinct().localCheckpoint()
+    batch.join(drop, batch(idCol).cast("long") === col("__drop_id"), "left_anti")
   }
 
   /** The (tbl, bucket, width) sign buckets a `maxBucketWidth` cap would drop

@@ -243,6 +243,33 @@ object Td {
     appendIvfPqInc(s, d, tmp, 80, 100)
   }
 
+  /** STORED vector-dedup state for `q_embed_inc_dedup`: the hash-bucket
+    * < 80 slice of `embeddings` bootstrapped through
+    * [[graft.streaming.VectorDedupFlow.processBatch]] — so the stored
+    * artifact (corpus KeyedTable + sign-bucket index KeyedTable) is exactly
+    * what the streaming maintenance loop writes, and the query measures the
+    * recurring per-batch PROBE cost through the pure
+    * `Similarity.dedupAgainstSignIndex`, never mutating the shared root.
+    * bits=16 × tables=2 at tau=0.9: the exact-duplicate regime (identical
+    * vectors collide with probability 1 — see q_embed_lsh_dedup).
+    */
+  private[graft] def buildVecDedupInto(s: SparkSession, d: String, tmp: String): Unit = {
+    val corpus = embSlice(s, d, 0, 80).select(col("vec_id"), col("embedding"))
+    graft.streaming.VectorDedupFlow.processBatch(corpus, "vec_id", "embedding",
+      graft.engine.KeyedTable(s, s"$tmp/corpus", Seq("vec_id")),
+      graft.engine.KeyedTable(s, s"$tmp/index", Seq("id", "tbl")),
+      tau = 0.9, dim = 64, bits = 16, tables = 2)
+  }
+
+  private val VecDedupFormat = 1
+  def vecDedupTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val emb = embeddings(s, d)
+    val root = indexRoot(s, "vecdedup", VecDedupFormat, d, "embeddings", emb.count())
+    installDir(s, root)(buildVecDedupInto(s, d, _))
+    (graft.engine.KeyedTable(s, s"$root/corpus", Seq("vec_id")).current,
+      graft.engine.KeyedTable(s, s"$root/index", Seq("id", "tbl")).current)
+  }
+
   private[graft] def buildBandIndexInto(s: SparkSession, d: String, tmp: String): Unit = {
     val corpusDocs = documents(s, d)
       .filter(graft.operators.Sampling.hashBucket(col("doc_id")) < 80)

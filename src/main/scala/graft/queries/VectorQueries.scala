@@ -254,6 +254,54 @@ object VectorQueries {
               |    ORDER BY (id % 97) DESC, id ASC) AS rep_id
               |FROM cl""".stripMargin)),
 
+    // ----- incremental embedding dedup vs the STORED sign-bucket index -----
+    // The batch-mode twin of streaming/VectorDedupFlow, probing the stored
+    // state the flow maintains (Td.vecDedupTables — corpus slice
+    // bootstrapped through processBatch itself). Batch = the remaining 20%
+    // of embeddings PLUS exact clones of corpus rows (vec_id % 11 == 0,
+    // +100000 — must drop: corpus wins regardless of id) and of
+    // smaller-id batch rows (vec_id % 13 == 0, +200000 — must drop:
+    // batch-internal larger id loses). tau = 0.9 admits only identical
+    // pairs (max non-identical cosine 0.60 — see q_embed_lsh_dedup), which
+    // collide in every sign table, so the probe's recall is structural and
+    // the oracle states both drop rules as norm-guarded embedding equality.
+    // A survivor leaking through either rule, or an over-drop, changes the
+    // id set and hash-fails.
+    "q_embed_inc_dedup" -> Q(
+      (s, d) => {
+        val base = Td.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val bkt = graft.operators.Sampling.hashBucket(col("vec_id"))
+        val corpusSlice = base.filter(bkt < 80)
+        val batchBase = base.filter(bkt >= 80)
+        val batch = batchBase
+          .union(corpusSlice.filter(col("vec_id") % 11 === 0)
+            .select(col("vec_id") + 100000, col("embedding")))
+          .union(batchBase.filter(col("vec_id") % 13 === 0)
+            .select(col("vec_id") + 200000, col("embedding")))
+        val (corpusT, indexT) = Td.vecDedupTables(s, d)
+        Similarity.dedupAgainstSignIndex(batch, "vec_id", "embedding",
+            corpusT, indexT, tau = 0.9, dim = 64, bits = 16, tables = 2)
+          .select("vec_id")
+      },
+      Some(s"""WITH bk AS (SELECT vec_id AS bid,
+              |             (((vec_id % 1000003) * 2654435761) // 8192) % 100 AS b
+              |           FROM embeddings),
+              |corpus AS (SELECT e.vec_id, e.embedding, ${normSql("embedding")} AS nrm
+              |           FROM embeddings e JOIN bk ON e.vec_id = bk.bid WHERE bk.b < 80),
+              |bbase AS (SELECT e.vec_id, e.embedding, ${normSql("embedding")} AS nrm
+              |          FROM embeddings e JOIN bk ON e.vec_id = bk.bid WHERE bk.b >= 80),
+              |batch AS (SELECT vec_id, embedding, nrm FROM bbase
+              |  UNION ALL SELECT vec_id + 100000, embedding, nrm FROM corpus
+              |    WHERE vec_id % 11 = 0
+              |  UNION ALL SELECT vec_id + 200000, embedding, nrm FROM bbase
+              |    WHERE vec_id % 13 = 0)
+              |SELECT x.vec_id FROM batch x
+              |WHERE NOT EXISTS (SELECT 1 FROM corpus c
+              |        WHERE c.embedding = x.embedding AND c.nrm > 0 AND x.nrm > 0)
+              |  AND NOT EXISTS (SELECT 1 FROM batch y
+              |        WHERE y.vec_id < x.vec_id AND y.embedding = x.embedding
+              |          AND y.nrm > 0 AND x.nrm > 0)""".stripMargin)),
+
     // ----- LSH-bucketed approximate top-k (the 100 TB scale path) ----------
     // The sign-LSH candidate set is engine-internal, so the ORACLE-facing
     // output is the annGate derivation: exact top-k (DuckDB-recomputable) +
