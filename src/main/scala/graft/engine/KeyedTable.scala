@@ -52,6 +52,31 @@ import java.nio.charset.StandardCharsets
   *    uses for shuffle partitioning, so keys distribute like a shuffle would.
   *  - On object stores the pointer-swap commit would need a conditional-put;
   *    rename/overwrite of the small pointer file is fine on HDFS/local.
+  *
+  * == Range bucketing + zone-map pruning ==
+  * Hash bucketing spreads every value range across every bucket, so a scan
+  * filtered on a column can never skip buckets — min/max stats over hash
+  * buckets always span the full domain. When `rangeCol` is set (it must be
+  * one of `keys`, so a row's bucket is stable across updates), bucket
+  * routing becomes RANGE assignment against boundaries sampled at bootstrap
+  * (`_bounds/` parquet, immutable like `_BUCKETS`): bucket b holds the rows
+  * whose `rangeCol` falls in (bound(b-1), bound(b)]. Merges still prune to
+  * touched buckets — the batch's `rangeCol` values route it exactly like
+  * hash routing does.
+  *
+  * `statsCols` adds a per-bucket min/max/count sidecar (`_stats/v=N`
+  * parquet, written from a column-pruned read-back of just the files that
+  * version wrote — cost ∝ batch, never the table). [[scanRange]] consults
+  * the sidecar to read ONLY the buckets whose [min,max] can intersect the
+  * predicate — on a range-bucketed table a narrow scan touches a few
+  * buckets of B; on a hash-bucketed table the same stats honestly prune
+  * nothing (every bucket spans the domain), which is exactly why the range
+  * mode exists. Pruning is conservative: buckets lacking stats are kept;
+  * min/max are null-safe (a range predicate never matches NULL, so an
+  * all-null bucket prunes). Boundary drift: data growing past the sampled
+  * boundaries all routes to the last bucket — [[compact]] on a rebuilt
+  * table (or a periodic re-bootstrap) is the re-balance path, and
+  * [[bucketStats]] makes the skew observable before it hurts.
   */
 final class KeyedTable(
     val spark: SparkSession,
@@ -61,6 +86,8 @@ final class KeyedTable(
     val numBuckets: Int = 0,
     val broadcastBatchKeys: Boolean = true,
     val commitProtocol: KeyedTable.CommitProtocol = KeyedTable.RenameCommit,
+    val rangeCol: Option[String] = None,
+    val statsCols: Seq[String] = Nil,
 ) {
   import KeyedTable._
   private val hconf = spark.sparkContext.hadoopConfiguration
@@ -102,7 +129,93 @@ final class KeyedTable(
 
   private def bucketed: Boolean = effectiveBuckets > 0
 
-  private def bucketExpr = pmod(hash(keys.map(col).toIndexedSeq: _*), lit(effectiveBuckets))
+  require(rangeCol.forall(keys.contains),
+    s"rangeCol ${rangeCol.getOrElse("")} must be a key column (bucket must be stable across updates)")
+
+  /** Range column is TABLE metadata like the bucket count: persisted at
+    * creation, authoritative once the table exists — reopening with a
+    * conflicting `rangeCol` would route merge batches to the wrong buckets.
+    */
+  def effectiveRangeCol: Option[String] = {
+    val stored = readText(fs, new Path(root, RangeColMarker)).map(_.trim)
+    (stored, rangeCol) match {
+      case (Some(s), Some(p)) if s != p =>
+        throw new IllegalStateException(s"table at $root is range-bucketed on '$s', reopened with rangeCol '$p'")
+      case (Some(s), _) => Some(s)
+      case (None, p) => if (exists) None else p // existing hash table stays hash; else creation param
+    }
+  }
+
+  /** Stats columns are persisted at creation too: every version written
+    * after bootstrap carries a stats row per bucket at one stable schema,
+    * so [[bucketStats]] can union sidecars across the manifest chain.
+    * Reopening params are ignored once the marker exists.
+    */
+  def effectiveStatsCols: Seq[String] = {
+    val stored = readText(fs, new Path(root, StatsColsMarker))
+      .map(_.trim.split(",").toSeq.filter(_.nonEmpty))
+    stored.getOrElse(if (exists) Nil else (statsCols ++ rangeCol).distinct)
+  }
+
+  private def bucketExpr: org.apache.spark.sql.Column = effectiveRangeCol match {
+    case Some(rc) =>
+      val bs = boundaryValues
+      // ≤ B-1 chained comparisons — stays inside whole-stage codegen.
+      // NULL range values route to bucket 0 (a range predicate never
+      // matches NULL, so scanRange prunes them via the all-null rule).
+      val base = bs.zipWithIndex.foldLeft(when(col(rc).isNull, 0)) {
+        case (acc, (v, i)) => acc.when(col(rc) <= lit(v), i)
+      }
+      base.otherwise(bs.size)
+    case None => pmod(hash(keys.map(col).toIndexedSeq: _*), lit(effectiveBuckets))
+  }
+
+  /** Bootstrap-sampled range boundaries (ascending, size ≤ B-1), read once —
+    * immutable after creation, like the bucket count. RangePartitioner-style:
+    * a bounded sample (~200 rows per bucket) is tiled with `ntile` and each
+    * tile's max becomes a boundary; the single-partition window runs over the
+    * SAMPLE (≤ B·200 rows), never the table.
+    */
+  private lazy val boundaryValues: Seq[Any] = {
+    val p = new Path(root, BoundsDir)
+    require(fs.exists(p), s"range-bucketed table at $root has no $BoundsDir — bootstrap incomplete?")
+    val bs = spark.read.parquet(p.toString).orderBy("t").collect().map(_.get(1)).toSeq
+    // An empty read here means the sidecar's FILES were lost while the dir
+    // survived. Routing would silently degrade to everything-in-bucket-0 —
+    // a later merge would then write keys into buckets other than the ones
+    // their current versions live in (duplicate keys across buckets). Fail
+    // loudly instead; writeBounds guarantees ≥ 1 boundary at bootstrap.
+    require(bs.nonEmpty, s"range-bucketed table at $root has an empty $BoundsDir sidecar — " +
+      "files lost after bootstrap? rebuild the table")
+    bs
+  }
+
+  private def writeBounds(df: DataFrame, rc: String): Unit = {
+    val b = effectiveBuckets
+    val dt = df.schema(rc).dataType
+    val orderableAtomic = dt match {
+      case _: org.apache.spark.sql.types.NumericType => true
+      case org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.TimestampNTZType |
+           org.apache.spark.sql.types.BooleanType => true
+      case _ => false
+    }
+    require(orderableAtomic, s"rangeCol $rc must be an orderable atomic type, got $dt")
+    val n = df.count()
+    val frac = if (n == 0) 1.0 else math.min(1.0, (b * 200.0) / n)
+    val sampled = df.select(col(rc).as("b")).na.drop.sample(withReplacement = false, frac, seed = 42)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("b")
+    val bounds = sampled.withColumn("t", ntile(b).over(w))
+      .groupBy("t").agg(max(col("b")).as("b"))
+      .filter(col("t") < b).orderBy("t")
+      .localCheckpoint() // bounded (≤ B-1 rows); checked then written below
+    // A bootstrap whose rangeCol sample is empty (no rows, or all-NULL)
+    // cannot define boundaries — routing would degenerate to one bucket
+    // forever (bounds are immutable). Require representative data up front.
+    require(bounds.limit(1).count() > 0,
+      s"range bootstrap needs ≥ 1 non-null $rc row to sample boundaries from")
+    bounds.coalesce(1).write.mode("overwrite").parquet(new Path(root, BoundsDir).toString)
+  }
 
   /** bucket → version holding its current data (bucketed tables only). */
   def manifest: Map[Int, Long] = readManifest(fs, new Path(root, s"${ManifestPrefix}v$currentVersion"))
@@ -172,6 +285,17 @@ final class KeyedTable(
         fs.listStatus(new Path(root)).exists(_.getPath.getName.startsWith("v="))
       if (staleVersions) throw new IllegalStateException(
         s"$root holds version dirs but no ${CurrentMarker} — crash mid-commit? restore the pointer manually")
+      rangeCol.foreach { rc =>
+        require(numBuckets > 0, s"range bucketing on $rc needs numBuckets > 0")
+        writeText(fs, new Path(root, RangeColMarker), rc)
+        writeBounds(df, rc)
+      }
+      val sc = (statsCols ++ rangeCol).distinct
+      if (sc.nonEmpty) {
+        require(numBuckets > 0, "statsCols sidecar only applies to bucketed tables")
+        sc.foreach(c => require(df.columns.contains(c), s"stats column $c not in schema"))
+        writeText(fs, new Path(root, StatsColsMarker), sc.mkString(","))
+      }
       writePointer(fs, new Path(root, BucketsMarker), numBuckets.toLong)
     }
     reserveVersion(next)
@@ -179,13 +303,102 @@ final class KeyedTable(
     if (!bucketed) {
       df.write.mode("overwrite").parquet(s"$root/v=$next")
     } else {
-      df.withColumn(BucketCol, bucketExpr)
-        .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/v=$next")
+      writeBucketed(df, next)
       val present = listBuckets(fs, new Path(s"$root/v=$next"))
       writeManifest(fs, new Path(root, s"${ManifestPrefix}v$next"), present.map(_ -> next).toMap)
     }
     commitVersion(next)
     next
+  }
+
+  /** Shared bucketed-version writer: route to buckets; range tables also
+    * cluster rows by `rangeCol` within each writer task so every parquet
+    * row group covers a narrow value range (the reader's pushed min/max
+    * filters then skip row groups WITHIN the buckets the zone map kept).
+    * Then write the stats sidecar for the files this version produced.
+    */
+  private def writeBucketed(df: DataFrame, next: Long): Unit = {
+    val routed = df.withColumn(BucketCol, bucketExpr)
+    val clustered = effectiveRangeCol
+      .map(rc => routed.sortWithinPartitions(col(BucketCol), col(rc)))
+      .getOrElse(routed)
+    clustered.write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/v=$next")
+    writeStats(next)
+  }
+
+  /** Per-bucket min/max/count sidecar for version `next`, computed from a
+    * column-pruned read-back of ONLY that version's files (stat columns +
+    * the partition column) — cost ∝ what the version wrote, never the
+    * table. One tiny file (≤ B rows).
+    */
+  private def writeStats(next: Long): Unit = {
+    val sc = effectiveStatsCols
+    if (sc.isEmpty) return
+    // an all-rows-deleted rewrite writes NO bucket dirs — nothing to stat
+    if (listBuckets(fs, new Path(s"$root/v=$next")).isEmpty) return
+    val written = spark.read.parquet(s"$root/v=$next")
+    val present = sc.filter(written.columns.contains)
+    if (present.isEmpty) return
+    val aggs = present.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) :+
+      count(lit(1)).as("cnt")
+    written.select((BucketCol +: present).map(col).toIndexedSeq: _*)
+      .groupBy(col(BucketCol).cast("int").as("bucket"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/$StatsDir/v=$next")
+  }
+
+  /** The current snapshot's per-bucket stats relation — `(bucket, min_c,
+    * max_c …, cnt)` resolved through the manifest (each bucket's stats come
+    * from the version that last wrote it). Buckets written before stats
+    * were configured are absent (and [[scanRange]] keeps them). Also the
+    * observability surface for range-boundary skew: a last bucket whose
+    * `cnt` dwarfs the rest means data outgrew the bootstrap boundaries.
+    */
+  def bucketStats: Option[DataFrame] = {
+    if (!bucketed || !exists || effectiveStatsCols.isEmpty) return None
+    val byVer = manifest.groupBy(_._2).view.mapValues(_.keys.toSeq).toSeq
+    val parts = byVer.flatMap { case (v, bks) =>
+      val p = new Path(s"$root/$StatsDir/v=$v")
+      if (fs.exists(p)) Some(spark.read.parquet(p.toString).filter(col("bucket").isin(bks: _*)))
+      else None
+    }
+    parts.reduceOption(_.unionByName(_))
+  }
+
+  /** Zone-map pruned range scan: rows with `lo <= c <= hi` (inclusive),
+    * reading only the buckets whose stats admit a match. Falls back to a
+    * full filtered scan when stats can't decide. The residual filter is
+    * always applied — pruning is a strict subset decision, never the
+    * predicate itself.
+    */
+  def scanRange(c: String, lo: Any, hi: Any): DataFrame = {
+    val pred = (df: DataFrame) => df.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
+    rangeScanBuckets(c, lo, hi) match {
+      case Some(keep) => pred(readBuckets(keep))
+      case None => pred(current)
+    }
+  }
+
+  /** The bucket ids [[scanRange]] would read — `None` when stats can't
+    * decide (unbucketed, no sidecar, or `c` not a stats column). Public so
+    * specs and operational reports can pin the pruning itself, not just
+    * the scan's values.
+    */
+  def rangeScanBuckets(c: String, lo: Any, hi: Any): Option[Seq[Int]] = {
+    if (!bucketed || !exists || !effectiveStatsCols.contains(c)) return None
+    bucketStats.map { st =>
+      // Prunable: the bucket's [min,max] misses [lo,hi] entirely, or the
+      // column is all-NULL there (cnt > 0 with a NULL min — a range
+      // predicate never matches NULL). Null comparisons stay conservative:
+      // an unknown bound evaluates to NULL → not prunable.
+      val prunable = st.filter(
+        (col(s"max_$c") < lit(lo)) || (col(s"min_$c") > lit(hi)) ||
+          (col(s"min_$c").isNull && col("cnt") > 0))
+        .select("bucket").collect().map(_.getInt(0)).toSet
+      // Manifest buckets with NO stats row (legacy versions) stay readable.
+      val withStats = st.select("bucket").collect().map(_.getInt(0)).toSet
+      manifest.keys.toSeq.filter(b => !withStats.contains(b) || !prunable.contains(b)).sorted
+    }
   }
 
   /** Keyed insert/update merge (K1/K2). Never deletes — matching the
@@ -311,6 +524,7 @@ final class KeyedTable(
     }
     deletable.foreach { v =>
       fs.delete(new Path(root, s"v=$v"), true)
+      fs.delete(new Path(root, s"$StatsDir/v=$v"), true) // stats sidecar dies with its version
       fs.delete(new Path(root, s"${ManifestPrefix}v$v"), false)
       fs.delete(new Path(root, s"_COMMIT_v$v"), false) // conditional-put claim
     }
@@ -387,8 +601,7 @@ final class KeyedTable(
   private def commitBucketsRewrite(touched: Seq[Int], newData: DataFrame): Long = {
     val next = currentVersion + 1
     reserveVersion(next)
-    newData.withColumn(BucketCol, bucketExpr)
-      .write.partitionBy(BucketCol).mode("overwrite").parquet(s"$root/v=$next")
+    writeBucketed(newData, next)
     val written = listBuckets(fs, new Path(s"$root/v=$next"))
     val prev = manifest
     val nextManifest = (prev -- touched) ++ written.map(_ -> next).toMap
@@ -404,6 +617,10 @@ object KeyedTable {
   val SchemaMarker = "_SCHEMA"
   val ManifestPrefix = "_MANIFEST_"
   val BucketCol = "__bucket"
+  val RangeColMarker = "_RANGECOL"
+  val StatsColsMarker = "_STATSCOLS"
+  val BoundsDir = "_bounds"
+  val StatsDir = "_stats"
 
   /** The merge as a pure logical plan: rows of `current` whose key is NOT in
     * `batch` (anti-join against a broadcast of the batch's key columns — zero
@@ -595,8 +812,10 @@ object KeyedTable {
   }
 
   def apply(spark: SparkSession, root: String, keys: Seq[String],
-            orderCol: Option[String] = None, numBuckets: Int = 0): KeyedTable =
-    new KeyedTable(spark, root, keys, orderCol, numBuckets)
+            orderCol: Option[String] = None, numBuckets: Int = 0,
+            rangeCol: Option[String] = None, statsCols: Seq[String] = Nil): KeyedTable =
+    new KeyedTable(spark, root, keys, orderCol, numBuckets,
+      rangeCol = rangeCol, statsCols = statsCols)
 
   private[engine] def readText(fs: FileSystem, p: Path): Option[String] =
     if (!fs.exists(p)) None

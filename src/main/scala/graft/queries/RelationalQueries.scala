@@ -364,5 +364,39 @@ object RelationalQueries {
            |FROM (SELECT l_orderkey, l_linenumber, l_partkey % 256 AS zx,
            |             l_suppkey % 256 AS zy FROM lineitem) t""".stripMargin
       }),
+
+    // ----- zone-map pruned range scan (range-bucketed KeyedTable) ------------
+    // A 3-day window of the 30-day events table, read from the STORED
+    // range-bucketed table (Td.rangeEventsTable: rangeCol = ts, 32 buckets,
+    // built overwrite+merge). `scanRange` consults the per-bucket min/max
+    // sidecar and reads only the buckets whose stats admit the window — the
+    // in-band `prune_ok` flag pins that the scan touched well under half
+    // the buckets (hash bucketing, a stats regression, or boundary rot all
+    // flip it to 0 and fail the driver hash). Values are gated the usual
+    // way: the aggregate over the pruned scan must equal the oracle's
+    // full-table filter — pruning may never drop a row.
+    "q_range_prune" -> Q(
+      (s, d) => {
+        val t = Td.rangeEventsTable(s, d)
+        val lo = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+        val hi = java.sql.Timestamp.valueOf("2024-01-12 23:59:59.999999")
+        val keep = t.rangeScanBuckets("ts", lo, hi)
+          .getOrElse(sys.error("range table lost its stats sidecar"))
+        val pruneOk = if (keep.nonEmpty && keep.size * 2 < t.manifest.size) 1 else 0
+        t.scanRange("ts", lo, hi)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+          .withColumn("prune_ok", lit(pruneOk))
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+             |  count(DISTINCT user_id) AS n_users,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             |  1 AS prune_ok
+             |FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+             |  AND ts <= TIMESTAMP '2024-01-12 23:59:59.999999'
+             |GROUP BY event_type""".stripMargin)),
   )
 }

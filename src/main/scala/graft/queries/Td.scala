@@ -339,6 +339,28 @@ object Td {
     graft.engine.KeyedTable(s, root, Seq("id")).current
   }
 
+  /** Stored RANGE-bucketed KeyedTable over `events` — keyed `(ts, event_id)`
+    * with `rangeCol = ts` and a `value` stats sidecar; the zone-map pruning
+    * demonstrator the gated query scans. Built 90/10 (overwrite, then merge)
+    * so both the bootstrap AND the incremental range-routing write paths
+    * produced the bytes being read.
+    */
+  private val RangeEventsFormat = 1
+  def rangeEventsTable(s: SparkSession, d: String): graft.engine.KeyedTable = {
+    val ev = events(s, d)
+    val root = indexRoot(s, "rangeevents", RangeEventsFormat, d, "events", ev.count())
+    installDir(s, root)(buildRangeEventsInto(s, d, _))
+    graft.engine.KeyedTable(s, root, Seq("ts", "event_id"))
+  }
+
+  private[graft] def buildRangeEventsInto(s: SparkSession, d: String, tmp: String): Unit = {
+    val ev = events(s, d)
+    val t = graft.engine.KeyedTable(s, tmp, Seq("ts", "event_id"), numBuckets = 32,
+      rangeCol = Some("ts"), statsCols = Seq("value"))
+    t.overwrite(ev.filter(col("event_id") % 10 =!= 0))
+    t.merge(ev.filter(col("event_id") % 10 === 0))
+  }
+
   private val BandIndexFormat = 1
   def bandIndexTable(s: SparkSession, d: String): DataFrame = {
     val corpusDocs = documents(s, d)

@@ -306,4 +306,92 @@ class KeyedTableSpec extends SparkSpec {
     }
     assert(t2.currentVersion == 2)
   }
+
+  test("range-bucketed table: routing, zone-map pruning, merge keeps both correct") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("ktrange")
+    val df = (1 to 1000).map(i => (i, s"p$i", i * 2)).toDF("k", "payload", "v")
+    val t = KeyedTable(spark, root, Seq("k"), numBuckets = 8,
+      rangeCol = Some("k"), statsCols = Seq("v"))
+    t.overwrite(df)
+
+    // the pruned scan returns exactly what a full filter would
+    assert(t.scanRange("k", 100, 200).select("k").as[Int].collect().sorted.toSeq == (100 to 200))
+    // ...and the pruning is REAL: a ~10% window reads a strict subset of buckets
+    val keep = t.rangeScanBuckets("k", 100, 200).get
+    assert(keep.nonEmpty && keep.size < t.manifest.size, s"narrow scan should prune, read $keep")
+    // full-domain scan still sees everything
+    assert(t.scanRange("k", 1, 1000).count() == 1000)
+
+    // merge routes through RANGE assignment: an update lands in the bucket
+    // its k already lives in; growth past the sampled boundaries routes to
+    // the LAST bucket and stays range-readable (stats admit it)
+    t.merge(Seq((150, "upd", -1), (5000, "big", 9)).toDF("k", "payload", "v"))
+    assert(t.scanRange("k", 150, 150).select("payload").as[String].collect().toSeq == Seq("upd"))
+    assert(t.scanRange("k", 4000, 6000).select("k").as[Int].collect().toSeq == Seq(5000))
+    assert(t.current.count() == 1001)
+    // exactly the buckets the two rows route into were rewritten at v2
+    assert(t.manifest.values.count(_ == 2L) <= 2)
+    // the stats sidecar followed the rewrite (the new min_v = -1 is visible)
+    val st = t.bucketStats.get
+    assert(st.agg(org.apache.spark.sql.functions.min("min_v")).collect()(0).getInt(0) == -1)
+    // stats on a non-key column prune scans on it too (conservatively
+    // correct). k=150's v was just merged from 300 to -1, so 300 is gone.
+    assert(t.scanRange("v", 300, 400).select("v").as[Int].collect().sorted.toSeq ==
+      (302 to 400).filter(_ % 2 == 0))
+
+    // prune decision column must be a stats column; otherwise fall back (None)
+    assert(t.rangeScanBuckets("payload", "a", "b").isEmpty)
+  }
+
+  test("range-bucketed: NULL range values route to bucket 0, range scans exclude them") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("ktrangenull")
+    val rows = (1 to 100).map(i => (Option(i), i.toString)) ++ Seq((None: Option[Int], "nullrow"))
+    val t = KeyedTable(spark, root, Seq("k"), numBuckets = 4, rangeCol = Some("k"))
+    t.overwrite(rows.toDF("k", "payload"))
+    assert(t.current.count() == 101)
+    // a range predicate never matches NULL — and the row is still in current
+    assert(t.scanRange("k", 1, 1000).count() == 100)
+    assert(t.current.filter("k IS NULL").count() == 1)
+  }
+
+  test("range marker is authoritative: conflicting reopen throws, hash reopen routes by marker") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("ktrangeconf")
+    val t = KeyedTable(spark, root, Seq("k", "v"), numBuckets = 4, rangeCol = Some("k"))
+    t.overwrite((1 to 50).map(i => (i, i)).toDF("k", "v"))
+    // conflicting rangeCol on reopen is an error, not silent misrouting
+    intercept[IllegalStateException] {
+      KeyedTable(spark, root, Seq("k", "v"), numBuckets = 4, rangeCol = Some("v")).effectiveRangeCol
+    }
+    // reopening WITHOUT the param still routes merges by the stored marker
+    val t2 = KeyedTable(spark, root, Seq("k", "v"), numBuckets = 4)
+    t2.merge(Seq((25, 25), (51, 51)).toDF("k", "v"))
+    assert(t2.current.count() == 51)
+    assert(t2.scanRange("k", 51, 51).count() == 1)
+
+    // rangeCol must be a key (bucket must be stable across updates)
+    intercept[IllegalArgumentException] {
+      KeyedTable(spark, tmpDir("ktrangebad"), Seq("k"), numBuckets = 4, rangeCol = Some("x"))
+    }
+  }
+
+  test("hash-bucketed table with statsCols: sidecar exists, scan stays correct") {
+    val s = spark
+    import s.implicits._
+    val t = KeyedTable(spark, tmpDir("kthashstats"), Seq("id"), numBuckets = 8,
+      statsCols = Seq("v"))
+    t.merge((1 to 500).map(i => (s"k$i", i)).toDF("id", "v"))
+    assert(t.bucketStats.isDefined)
+    // hash buckets span the domain, so stats honestly prune little-to-nothing —
+    // but the scan must still be exactly the filter
+    assert(t.scanRange("v", 100, 110).count() == 11)
+    val total = t.bucketStats.get.agg(org.apache.spark.sql.functions.sum("cnt"))
+      .collect()(0).getLong(0)
+    assert(total == 500L)
+  }
 }
