@@ -556,6 +556,16 @@ final class KeyedTable(
     overwrite(current)
   }
 
+  /** Export the current snapshot as a native Spark bucketed table (same
+    * keys, same bucket count, same murmur3-pmod routing) for repeated
+    * co-located joins — see [[Colocate]] for why the manifest layout
+    * itself can't give Catalyst the no-shuffle join and this export can.
+    */
+  def materializeBucketed(name: String, path: Option[String] = None): Unit = {
+    require(bucketed, s"materializeBucketed needs a bucketed table (numBuckets > 0)")
+    Colocate.materialize(current, name, keys, effectiveBuckets, path)
+  }
+
   /** How many distinct versions the current manifest points into (1 right
     * after overwrite/compact; grows with incremental merges). Unbucketed
     * tables are always 1.

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.engine.Colocate
 import graft.operators.{Relational, Sampling, Sketches, SkewOps, TextOps}
 import graft.queries.ParityQueries.Q
 import org.apache.spark.sql.functions._
@@ -398,5 +399,24 @@ object RelationalQueries {
              |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
              |  AND ts <= TIMESTAMP '2024-01-12 23:59:59.999999'
              |GROUP BY event_type""".stripMargin)),
+
+    // ----- co-located bucketed join (zero shuffle exchanges) -----------------
+    // Facts and dims over events, both stored bucketBy(32, event_id)
+    // (Td.cobucketTables) and joined with a pinned SortMergeJoin: both
+    // scans report HashPartitioning(event_id, 32), so the executed plan
+    // carries ZERO shuffle exchanges — Colocate.exchangeCount measures the
+    // actual AQE-final plan and the in-band colocated_ok flag turns any
+    // reappearing exchange into a driver hash failure. Values are gated as
+    // a plain join oracle: co-location may never change the result.
+    "q_cobucket_join" -> Q(
+      (s, d) => {
+        val (l, r) = Td.cobucketTables(s, d)
+        val j = Colocate.bucketedJoin(s, l, r, Seq("event_id"))
+        val ok = if (Colocate.exchangeCount(j) == 0) 1 else 0
+        j.withColumn("colocated_ok", lit(ok))
+      },
+      Some("""SELECT event_id, user_id, value, event_type, 1 AS colocated_ok
+             |FROM (SELECT event_id, user_id, value FROM events) f
+             |JOIN (SELECT event_id, event_type FROM events) d USING (event_id)""".stripMargin)),
   )
 }

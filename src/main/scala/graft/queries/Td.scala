@@ -361,6 +361,30 @@ object Td {
     t.merge(ev.filter(col("event_id") % 10 === 0))
   }
 
+  /** Per-session co-bucketed catalog tables over `events` — facts
+    * (event_id, user_id, value) and dims (event_id, event_type), both
+    * bucketed 32 ways on event_id. Catalog entries are in-memory and
+    * per-session, so names carry the session id (concurrent driver
+    * correctness + bench JVMs each build their own — the data is tiny
+    * relative to the shuffle the export exists to delete) and the data
+    * lands under tmpdir like the stored indexes. Built once per session,
+    * reused by every join the gate runs.
+    */
+  def cobucketTables(s: SparkSession, d: String): (String, String) = {
+    val sid = sessionId(s).replace("-", "").take(10)
+    val safe = d.replaceAll("[^A-Za-z0-9]", "_")
+    val (l, r) = (s"graft_cb_facts_${safe}_$sid", s"graft_cb_dims_${safe}_$sid")
+    if (!s.catalog.tableExists(l) || !s.catalog.tableExists(r)) {
+      val ev = events(s, d)
+      val base = System.getProperty("java.io.tmpdir")
+      graft.engine.Colocate.materialize(ev.select("event_id", "user_id", "value"),
+        l, Seq("event_id"), 32, Some(s"$base/$l"))
+      graft.engine.Colocate.materialize(ev.select("event_id", "event_type"),
+        r, Seq("event_id"), 32, Some(s"$base/$r"))
+    }
+    (l, r)
+  }
+
   private val BandIndexFormat = 1
   def bandIndexTable(s: SparkSession, d: String): DataFrame = {
     val corpusDocs = documents(s, d)
