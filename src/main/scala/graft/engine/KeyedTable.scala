@@ -556,6 +556,42 @@ final class KeyedTable(
     overwrite(current)
   }
 
+  /** Per-bucket (files, bytes) of the current snapshot — the small-file
+    * observability surface. Every merge rewrites its touched buckets with
+    * however many tasks held their rows, so a hot bucket's file count
+    * creeps up with write parallelism; scans then pay per-file open cost
+    * and parquet row groups fragment. Driver-side listStatus per bucket,
+    * bounded by B — the same cost class as the manifest itself.
+    */
+  def fileStats: Map[Int, (Int, Long)] = {
+    require(bucketed && exists, "fileStats needs a committed bucketed table")
+    manifest.map { case (b, ver) =>
+      val parts = fs.listStatus(new Path(s"$root/v=$ver/$BucketCol=$b"))
+        .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      b -> (parts.length, parts.map(_.getLen).sum)
+    }
+  }
+
+  /** Targeted small-file compaction (the OPTIMIZE analog): rewrite ONLY the
+    * buckets whose current file count exceeds `maxFilesPerBucket`, each
+    * coalesced to a single file by repartitioning on the bucket id before
+    * the write (same id → same task → one file; range tables also re-sort
+    * within the bucket, restoring row-group zone clustering that merge
+    * interleaving eroded). Untouched buckets keep their manifest pointers —
+    * cost ∝ the fragmented fraction, never the table, which is why this is
+    * a separate operation instead of a tax on every merge. Returns the new
+    * version, or None when nothing crossed the threshold.
+    */
+  def compactBuckets(maxFilesPerBucket: Int = 4): Option[Long] = {
+    require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
+    val fragmented = fileStats.collect {
+      case (b, (files, _)) if files > maxFilesPerBucket => b
+    }.toSeq.sorted
+    if (fragmented.isEmpty) None
+    else Some(commitBucketsRewrite(fragmented,
+      readBuckets(fragmented).repartition(fragmented.size, bucketExpr)))
+  }
+
   /** Export the current snapshot as a native Spark bucketed table (same
     * keys, same bucket count, same murmur3-pmod routing) for repeated
     * co-located joins — see [[Colocate]] for why the manifest layout

@@ -380,6 +380,31 @@ class KeyedTableSpec extends SparkSpec {
     }
   }
 
+  test("compactBuckets rewrites only fragmented buckets down to one file each") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("ktcompact")
+    val t = KeyedTable(spark, root, Seq("id"), numBuckets = 2)
+    // 8 write tasks x 2 buckets → ~8 files per bucket
+    t.overwrite((1 to 400).map(i => (i.toLong, s"p$i")).toDF("id", "p").repartition(8))
+    val before = t.fileStats
+    assert(before.values.exists(_._1 > 4), s"fixture should fragment, got $before")
+
+    // threshold above the fragmentation → no-op, no new version
+    assert(t.compactBuckets(maxFilesPerBucket = 64).isEmpty)
+    val v0 = t.currentVersion
+
+    val v = t.compactBuckets(maxFilesPerBucket = 4)
+    assert(v.contains(v0 + 1))
+    val after = t.fileStats
+    assert(after.values.forall(_._1 == 1), s"compacted buckets should be 1 file, got $after")
+    assert(t.current.count() == 400)
+    assert(t.current.filter($"id" === 123L).select("p").as[String].collect().toSeq == Seq("p123"))
+    // compaction is invisible to merge semantics afterwards
+    t.merge(Seq((123L, "upd")).toDF("id", "p"))
+    assert(t.current.filter($"id" === 123L).select("p").as[String].collect().toSeq == Seq("upd"))
+  }
+
   test("hash-bucketed table with statsCols: sidecar exists, scan stays correct") {
     val s = spark
     import s.implicits._
