@@ -430,6 +430,62 @@ final class KeyedTable(
     } else mergeBucketed(latest)
   }
 
+  /** Op-coded CDC merge: the batch carries an op column (`I`/`U`/`D`) and a
+    * sequence column ordering multiple events for one key within the batch.
+    * The key's LATEST event decides its fate — `D` removes the row, `I`/`U`
+    * both upsert (a CDC feed replayed from an earlier offset can deliver an
+    * `I` for a key that already exists, and a `U` for one that doesn't;
+    * treating them differently would make the sink replay-fragile — the
+    * distinction is audit metadata, not a different write). [[merge]] stays
+    * deliberately delete-free (the reference's `deletable: false` fact/dim
+    * contract); this is the general-engine path for feeds that DO carry
+    * tombstones.
+    *
+    * Applied as ONE version: touched buckets are rewritten once with deletes
+    * and upserts folded into the same anti-join+union plan
+    * ([[KeyedTable.cdcMergePlan]]) — a merge-then-delete pair would publish
+    * an intermediate snapshot in which a tombstoned key is still visible.
+    * A `D` for a key the table never had is a no-op (tombstones outlive
+    * their rows in every real feed); an op value outside I/U/D fails the
+    * job in-plan via `raise_error` — silently dropping unknown ops is how a
+    * sink diverges from its source. Replay-idempotent: re-applying the same
+    * batch reproduces the same snapshot.
+    */
+  def mergeCdc(batch: DataFrame, opCol: String = "_op", seqCol: String = "_seq"): Long = {
+    require(batch.columns.contains(opCol), s"CDC batch must carry op column '$opCol'")
+    require(batch.columns.contains(seqCol), s"CDC batch must carry sequence column '$seqCol'")
+    val orderable = batch.schema.fields
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(_.name)
+      .filterNot(c => keys.contains(c) || c == seqCol).toSeq
+    val latest = Ops.latestPerKey(batch, keys, seqCol, tieBreak = orderable)
+    // in-plan op validation: rides the same scan, no extra action
+    val checked = latest.withColumn(opCol,
+      when(col(opCol).isin("I", "U", "D"), col(opCol))
+        .otherwise(raise_error(concat(
+          lit(s"mergeCdc: op column '$opCol' must be I/U/D, got "), col(opCol)))))
+    val cols = if (exists) current.columns.toSeq
+               else batch.columns.filterNot(c => c == opCol || c == seqCol).toSeq
+    val upserts = checked.filter(col(opCol) =!= "D")
+      .select(cols.map(col).toIndexedSeq: _*)
+    if (!exists) return overwrite(upserts)
+    if (storedSchema.isEmpty) writeText(fs, new Path(root, SchemaMarker), current.schema.json)
+    val allKeys = checked.select(keys.map(col).toIndexedSeq: _*)
+    if (!bucketed) {
+      val next = currentVersion + 1
+      reserveVersion(next)
+      KeyedTable.cdcMergePlan(current, upserts, allKeys, keys)
+        .write.mode("overwrite").parquet(s"$root/v=$next")
+      commitVersion(next)
+      next
+    } else {
+      val touched = allKeys.withColumn(BucketCol, bucketExpr)
+        .select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq.sorted
+      commitBucketsRewrite(touched,
+        KeyedTable.cdcMergePlan(readBuckets(touched), upserts, allKeys, keys))
+    }
+  }
+
   /** Deterministic per-key collapse: order by orderCol (when given) then by
     * every remaining ORDERABLE column — a bare dropDuplicates/row_number tie
     * picks an arbitrary partition-order-dependent survivor, so re-running
@@ -683,6 +739,19 @@ object KeyedTable {
     }
     cur.join(batchKeys, keys, "left_anti")
       .unionByName(batch.select(cur.columns.map(col).toIndexedSeq: _*))
+  }
+
+  /** The CDC apply as a pure plan: every touched key leaves `current` via
+    * one anti-join (zero shuffle of the snapshot side — `allKeys` is the
+    * batch's collapsed key set, broadcast), then the non-tombstone survivors
+    * union back in. Deletes and upserts land in ONE pass so no intermediate
+    * snapshot exists where a tombstoned key is still visible.
+    */
+  def cdcMergePlan(current: DataFrame, upserts: DataFrame, allKeys: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    val cur = if (current.columns.contains(BucketCol)) current.drop(BucketCol) else current
+    cur.join(broadcast(allKeys), keys, "left_anti")
+      .unionByName(upserts.select(cur.columns.map(col).toIndexedSeq: _*))
   }
 
   /** Schema-drift twin of [[mergePlan]] — the reference's `allowSchemaDrift:

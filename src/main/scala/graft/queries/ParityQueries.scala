@@ -180,6 +180,28 @@ object ParityQueries {
              |       CAST(NULL AS VARCHAR), 'cdc_feed'
              |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin)),
 
+    // ----- op-coded CDC merge with tombstones (mergeCdc) -------------------
+    // Reads the STORED table Td.cdcOrdersTable built base→one CDC batch
+    // (I/U/D with per-key sequences), so the bytes came from the real
+    // bucketed write path: deletes and upserts folded into ONE version
+    // (KeyedTable.cdcMergePlan), touched-bucket rewrite only. The oracle
+    // recomputes the final snapshot from the op algebra: latest-op-D keys
+    // (%7=0) vanish, %5=0 survivors carry the seq-2 update, remaining %3=0
+    // keys carry the seq-1 insert, untouched base rows pass through.
+    "q_cdc_merge" -> Q(
+      (s, d) => Td.cdcOrdersTable(s, d).current,
+      Some("""SELECT * FROM orders WHERE o_orderkey % 3 <> 0
+             |  AND o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+             |UNION ALL
+             |SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             |       o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+             |UNION ALL
+             |SELECT o_orderkey, o_custkey, 'N' AS o_orderstatus,
+             |       o_totalprice, o_orderdate, o_orderpriority
+             |FROM orders
+             |WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0""".stripMargin)),
+
     // ----- T5: schema-align casts ------------------------------------------
     // The decimal / date casts still run, but the *output* columns surface
     // as double / timestamp: DATE and DECIMAL physical output types hash

@@ -5,20 +5,32 @@ import org.apache.spark.sql.functions._
 
 /** Loader for the driver's testdata tables (TESTDATA.md).
   *
-  * One quirk: `events.ts` is a nanosecond-precision parquet timestamp, which
-  * Spark's vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We
-  * read it as a long (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
-  * microseconds with integer division — exactly what DuckDB does when it
-  * coerces ns → its µs TIMESTAMP, so oracle comparisons line up. Plain `/`
-  * would route through double and corrupt the low digits of an epoch-ns
-  * value (2^63-scale doesn't fit a 53-bit mantissa).
+  * One quirk: `events.ts` has shipped as BOTH a nanosecond-precision parquet
+  * timestamp (early rounds) and a plain µs timestamp (the driver regenerated
+  * the data between rounds), so the loader adapts to the footer type it
+  * finds rather than assuming either:
+  *  - ns files: Spark's vectorized reader rejects ns outright
+  *    ([PARQUET_TYPE_ILLEGAL]), so we read the column as a long
+  *    (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds
+  *    with integer division — exactly what DuckDB does when it coerces ns →
+  *    its µs TIMESTAMP. Plain `/` would route through double and corrupt the
+  *    low digits of an epoch-ns value (2^63 doesn't fit a 53-bit mantissa).
+  *  - µs files: arrive as TIMESTAMP_NTZ (isAdjustedToUTC=false +
+  *    inferTimestampNTZ); cast to TimestampType — under the UTC session the
+  *    values are identical and every downstream query/oracle pair keeps the
+  *    exact semantics it was proven with on the ns path.
   */
 object Td {
   def table(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case _ =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     case _ => spark.read.parquet(s"$dir/$name.parquet")
   }
 
@@ -359,6 +371,37 @@ object Td {
       rangeCol = Some("ts"), statsCols = Seq("value"))
     t.overwrite(ev.filter(col("event_id") % 10 =!= 0))
     t.merge(ev.filter(col("event_id") % 10 === 0))
+  }
+
+  /** Stored KeyedTable over `orders` built base-then-CDC: bootstrap with the
+    * %3≠0 keys, then ONE op-coded batch carrying inserts (%3=0, seq 1),
+    * updates (%5=0, seq 2) and tombstones (%7=0, seq 3) — so keys hit every
+    * collapse combination (I→U upserts the U, I→D nets to nothing, U→D
+    * deletes a base row, I→U→D nets to nothing). The gated query reads the
+    * final snapshot; the oracle recomputes it set-algebraically.
+    */
+  private val CdcOrdersFormat = 1
+  def cdcOrdersTable(s: SparkSession, d: String): graft.engine.KeyedTable = {
+    val o = orders(s, d)
+    val root = indexRoot(s, "cdcorders", CdcOrdersFormat, d, "orders", o.count())
+    installDir(s, root)(buildCdcOrdersInto(s, d, _))
+    graft.engine.KeyedTable(s, root, Seq("o_orderkey"))
+  }
+
+  private[graft] def buildCdcOrdersInto(s: SparkSession, d: String, tmp: String): Unit = {
+    val o = orders(s, d)
+    val t = graft.engine.KeyedTable(s, tmp, Seq("o_orderkey"), numBuckets = 32)
+    t.overwrite(o.filter(col("o_orderkey") % 3 =!= 0))
+    val ins = o.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_orderstatus", lit("N"))
+      .withColumn("_op", lit("I")).withColumn("_seq", lit(1))
+    val upd = o.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      .withColumn("_op", lit("U")).withColumn("_seq", lit(2))
+    val del = o.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("_op", lit("D")).withColumn("_seq", lit(3))
+    t.mergeCdc(ins.unionByName(upd).unionByName(del))
   }
 
   /** Per-session co-bucketed catalog tables over `events` — facts

@@ -419,4 +419,75 @@ class KeyedTableSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(total == 500L)
   }
+
+  test("mergeCdc: latest op per key decides — D deletes, I/U upsert, one version") {
+    val s = spark
+    import s.implicits._
+    val t = KeyedTable(spark, tmpDir("cdc1"), Seq("id"))
+    t.overwrite(Seq(("a", "A0"), ("b", "B0"), ("c", "C0")).toDF("id", "payload"))
+
+    // a: plain update; b: tombstone; c: U then D (D wins); d: I then U (U wins);
+    // e: I then D (nets to nothing, key never existed); f: D for a missing key (no-op)
+    val batch = Seq(
+      ("a", "A1", "U", 1), ("b", "B0", "D", 1),
+      ("c", "C1", "U", 1), ("c", "C1", "D", 2),
+      ("d", "D1", "I", 1), ("d", "D2", "U", 2),
+      ("e", "E1", "I", 1), ("e", "E1", "D", 2),
+      ("f", "F?", "D", 1),
+    ).toDF("id", "payload", "_op", "_seq")
+    val v = t.mergeCdc(batch)
+    assert(v == 2, "deletes + upserts must land as ONE version")
+    val m = t.current.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m == Map("a" -> "A1", "d" -> "D2"))
+
+    // replay idempotence: same batch → same snapshot
+    t.mergeCdc(batch)
+    assert(t.current.collect().map(r => r.getString(0) -> r.getString(1)).toMap == m)
+  }
+
+  test("mergeCdc: bucketed == unbucketed; delete-emptied bucket leaves the manifest") {
+    val s = spark
+    import s.implicits._
+    val base = (1 to 60).map(i => (i, s"p$i")).toDF("id", "payload")
+    val batch = (1 to 90).map { i =>
+      val op = if (i % 3 == 0) "D" else if (i > 60) "I" else "U"
+      (i, s"n$i", op, 1)
+    }.toDF("id", "payload", "_op", "_seq")
+
+    val bt = KeyedTable(spark, tmpDir("cdc2b"), Seq("id"), numBuckets = 8)
+    val ut = KeyedTable(spark, tmpDir("cdc2u"), Seq("id"))
+    for (t <- Seq(bt, ut)) { t.overwrite(base); t.mergeCdc(batch) }
+    val a = bt.current.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    val b = ut.current.collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(a == b)
+    assert(a == (1 to 90).filter(_ % 3 != 0).map(i => (i, s"n$i")).toSet)
+
+    // tombstone EVERY remaining key: all buckets empty out of the manifest
+    import org.apache.spark.sql.functions.lit
+    val killAll = bt.current.select("id").withColumn("payload", lit("x"))
+      .withColumn("_op", lit("D")).withColumn("_seq", lit(1))
+    bt.mergeCdc(killAll)
+    assert(bt.manifest.isEmpty)
+    assert(bt.current.count() == 0)
+    assert(bt.current.columns.toSeq == Seq("id", "payload")) // typed empty read
+  }
+
+  test("mergeCdc: unknown op fails loudly; bootstrap applies inserts, drops tombstones") {
+    val s = spark
+    import s.implicits._
+    val t = KeyedTable(spark, tmpDir("cdc3"), Seq("id"))
+    val bad = Seq(("a", "A", "UPSERT", 1)).toDF("id", "payload", "_op", "_seq")
+    val ex = intercept[Exception] { t.mergeCdc(bad) }
+    assert(ex.getMessage != null)
+    assert(!t.exists, "failed CDC apply must not publish a version")
+
+    // bootstrap from an op-coded feed (fresh root — the failed apply above
+    // left cdc3 in the documented crash-mid-commit state): I/U insert, D ignored
+    val t2 = KeyedTable(spark, tmpDir("cdc3b"), Seq("id"))
+    val first = Seq(("a", "A1", "I", 1), ("b", "B1", "U", 1), ("z", "Z", "D", 1))
+      .toDF("id", "payload", "_op", "_seq")
+    t2.mergeCdc(first)
+    val m = t2.current.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m == Map("a" -> "A1", "b" -> "B1"))
+  }
 }
