@@ -451,7 +451,8 @@ final class KeyedTable(
     * sink diverges from its source. Replay-idempotent: re-applying the same
     * batch reproduces the same snapshot.
     */
-  def mergeCdc(batch: DataFrame, opCol: String = "_op", seqCol: String = "_seq"): Long = {
+  def mergeCdc(batch: DataFrame, opCol: String = "_op", seqCol: String = "_seq",
+               tag: Option[String] = None): Long = {
     require(batch.columns.contains(opCol), s"CDC batch must carry op column '$opCol'")
     require(batch.columns.contains(seqCol), s"CDC batch must carry sequence column '$seqCol'")
     val orderable = batch.schema.fields
@@ -468,7 +469,13 @@ final class KeyedTable(
                else batch.columns.filterNot(c => c == opCol || c == seqCol).toSeq
     val upserts = checked.filter(col(opCol) =!= "D")
       .select(cols.map(col).toIndexedSeq: _*)
-    if (!exists) return overwrite(upserts)
+    if (!exists) {
+      // bootstrap: the tag lands AFTER the commit (overwrite owns its commit
+      // sequence), so the batch-dedup guarantee starts with the second batch
+      val v = overwrite(upserts)
+      tag.foreach(t => writeText(fs, new Path(root, s"${TagPrefix}v$v"), t))
+      return v
+    }
     if (storedSchema.isEmpty) writeText(fs, new Path(root, SchemaMarker), current.schema.json)
     val allKeys = checked.select(keys.map(col).toIndexedSeq: _*)
     if (!bucketed) {
@@ -476,15 +483,39 @@ final class KeyedTable(
       reserveVersion(next)
       KeyedTable.cdcMergePlan(current, upserts, allKeys, keys)
         .write.mode("overwrite").parquet(s"$root/v=$next")
+      tag.foreach(t => writeText(fs, new Path(root, s"${TagPrefix}v$next"), t))
       commitVersion(next)
       next
     } else {
       val touched = allKeys.withColumn(BucketCol, bucketExpr)
         .select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq.sorted
       commitBucketsRewrite(touched,
-        KeyedTable.cdcMergePlan(readBuckets(touched), upserts, allKeys, keys))
+        KeyedTable.cdcMergePlan(readBuckets(touched), upserts, allKeys, keys),
+        tag)
     }
   }
+
+  /** The tag [[mergeCdc]] recorded for the CURRENT version, if any. Written
+    * BEFORE the version pointer flips (non-bootstrap paths), so a visible
+    * snapshot always carries its tag: an applier that stamps each batch with
+    * a stable id and checks `lastTag` before applying gets exactly-once
+    * semantics against consecutive redelivery (the foreachBatch-retry case —
+    * a crash before the commit replays cleanly because the tag is invisible;
+    * after it, the tag is visible and the replay no-ops). It does NOT guard
+    * arbitrary historical replay: only the latest batch's id is retained.
+    */
+  def lastTag: Option[String] =
+    KeyedTable.readText(fs, new Path(root, s"${TagPrefix}v$currentVersion"))
+
+  /** The bucket ids `keysDf`'s rows route to — None for unbucketed tables.
+    * Lets callers (e.g. incremental aggregate maintenance) read ONLY the
+    * buckets a delta touches via [[readBuckets]] instead of scanning the
+    * table. Driver-side payload is ≤ numBuckets ints.
+    */
+  def bucketsOf(keysDf: DataFrame): Option[Seq[Int]] =
+    if (!bucketed) None
+    else Some(keysDf.withColumn(BucketCol, bucketExpr)
+      .select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq.sorted)
 
   /** Deterministic per-key collapse: order by orderCol (when given) then by
     * every remaining ORDERABLE column — a bare dropDuplicates/row_number tie
@@ -583,6 +614,7 @@ final class KeyedTable(
       fs.delete(new Path(root, s"$StatsDir/v=$v"), true) // stats sidecar dies with its version
       fs.delete(new Path(root, s"${ManifestPrefix}v$v"), false)
       fs.delete(new Path(root, s"_COMMIT_v$v"), false) // conditional-put claim
+      fs.delete(new Path(root, s"${TagPrefix}v$v"), false) // batch tag dies with its version
     }
     // also drop manifests + commit claims for versions older than the keep
     // window whose dirs were fully superseded (dir may be live via a newer
@@ -595,6 +627,7 @@ final class KeyedTable(
       .foreach { v =>
         fs.delete(new Path(root, s"${ManifestPrefix}v$v"), false)
         fs.delete(new Path(root, s"_COMMIT_v$v"), false)
+        fs.delete(new Path(root, s"${TagPrefix}v$v"), false)
       }
     deletable.sorted
   }
@@ -700,7 +733,8 @@ final class KeyedTable(
     * untouched buckets keep their old manifest pointers, touched-but-empty
     * buckets drop out.
     */
-  private def commitBucketsRewrite(touched: Seq[Int], newData: DataFrame): Long = {
+  private def commitBucketsRewrite(touched: Seq[Int], newData: DataFrame,
+                                   tag: Option[String] = None): Long = {
     val next = currentVersion + 1
     reserveVersion(next)
     writeBucketed(newData, next)
@@ -708,6 +742,7 @@ final class KeyedTable(
     val prev = manifest
     val nextManifest = (prev -- touched) ++ written.map(_ -> next).toMap
     writeManifest(fs, new Path(root, s"${ManifestPrefix}v$next"), nextManifest)
+    tag.foreach(t => KeyedTable.writeText(fs, new Path(root, s"${TagPrefix}v$next"), t))
     commitVersion(next)
     next
   }
@@ -721,6 +756,7 @@ object KeyedTable {
   val BucketCol = "__bucket"
   val RangeColMarker = "_RANGECOL"
   val StatsColsMarker = "_STATSCOLS"
+  val TagPrefix = "_TAG_"
   val BoundsDir = "_bounds"
   val StatsDir = "_stats"
 

@@ -202,6 +202,38 @@ object ParityQueries {
              |FROM orders
              |WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0""".stripMargin)),
 
+    // ----- incremental aggregate maintenance (retraction arithmetic) -------
+    // Reads the STORED state table Td.aggMaintainTable: bootstrapped from
+    // the %3≠0 base, then maintained with ONE before/after-image delta batch
+    // (never re-reading facts — cost ∝ delta, the 100 TB refresh story).
+    // The oracle recomputes the aggregate from the FINAL fact state (the
+    // q_cdc_merge union), so a single mis-cancelled retraction anywhere in
+    // the op algebra (group moves included: updates shift rows into status
+    // 'U', inserts into 'N') breaks the hash. Sums accumulate in DECIMAL on
+    // both sides — delta-maintained state is bit-equal to recompute.
+    "q_agg_maintain" -> Q(
+      (s, d) => Td.aggMaintainTable(s, d).current.select(
+        col("o_orderstatus"), col("cnt"),
+        col("sum_o_totalprice").cast("double").as("sum_price")),
+      Some("""WITH final_state AS (
+             |  SELECT o_orderstatus,
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(19,3)) AS p
+             |  FROM orders
+             |  WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+             |  UNION ALL
+             |  SELECT 'U' AS o_orderstatus,
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1))
+             |         AS DECIMAL(19,3)) AS p
+             |  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+             |  UNION ALL
+             |  SELECT 'N' AS o_orderstatus,
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(19,3)) AS p
+             |  FROM orders
+             |  WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0)
+             |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt,
+             |  CAST(COALESCE(SUM(p), 0) AS DOUBLE) AS sum_price
+             |FROM final_state GROUP BY o_orderstatus""".stripMargin)),
+
     // ----- T5: schema-align casts ------------------------------------------
     // The decimal / date casts still run, but the *output* columns surface
     // as double / timestamp: DATE and DECIMAL physical output types hash

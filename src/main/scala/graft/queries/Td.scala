@@ -404,6 +404,66 @@ object Td {
     t.mergeCdc(ins.unionByName(upd).unionByName(del))
   }
 
+  /** Stored incrementally-MAINTAINED aggregate over `orders`, grouped by
+    * `o_orderstatus` — the group column MOVES under the CDC batch (updates
+    * set status 'U', inserts arrive as 'N'), so maintenance exercises
+    * cross-group retraction, not just in-place arithmetic. Built bootstrap →
+    * one delta batch mirroring [[buildCdcOrdersInto]]'s op algebra with
+    * CHAINED before-images (a key hit by I then U then D retracts the U's
+    * image at the D, exactly as a transactional CDC connector emits); the
+    * oracle recomputes the aggregate from the final fact state, so the gate
+    * proves delta-maintained state ≡ full recompute to the hash.
+    */
+  private val AggMaintFormat = 2 // f1 carried double-product rounding; see build note
+  def aggMaintainTable(s: SparkSession, d: String): graft.engine.KeyedTable = {
+    val o = orders(s, d)
+    val root = indexRoot(s, "aggmaint", AggMaintFormat, d, "orders", o.count())
+    installDir(s, root)(buildAggMaintainInto(s, d, _))
+    graft.engine.KeyedTable(s, root, Seq("o_orderstatus"))
+  }
+
+  private[graft] def buildAggMaintainInto(s: SparkSession, d: String, tmp: String): Unit = {
+    val o = orders(s, d)
+    val agg = graft.engine.KeyedTable(s, tmp, Seq("o_orderstatus"), numBuckets = 8)
+    val k = col("o_orderkey")
+    // Price images live at DECIMAL(19,3): the base cast double→dec(18,2) is
+    // the battery's proven-robust cast, and the update's ×1.1 then happens
+    // IN decimal (dec(18,2) × dec(2,1) → exact 3-dp product, identically in
+    // Spark and DuckDB). Casting the double product p*1.1 to decimal instead
+    // diverges: Spark rounds the shortest decimal repr HALF_UP, DuckDB
+    // rounds a scaled double multiply — measured ~94 boundary cells apart at
+    // sf0.01 (0.47 absolute on the U group). Never round a derived double.
+    val d3 = "decimal(19,3)"
+    val p2 = col("o_totalprice").cast("decimal(18,2)")
+    val p3 = p2.cast(d3)
+    val up3 = (p2 * lit(new java.math.BigDecimal("1.1"))).cast(d3)
+    graft.engine.AggDelta.bootstrap(agg, o.filter(k % 3 =!= 0)
+        .select(col("o_orderstatus"), p3.as("o_totalprice")),
+      Seq("o_orderstatus"), Seq("o_totalprice"), valueType = d3, accType = "decimal(29,3)")
+    val ins = o.filter(k % 3 === 0).select(
+      lit("N").as("o_orderstatus"), p3.as("o_totalprice"),
+      lit(null).cast("string").as("_old_o_orderstatus"),
+      lit(null).cast(d3).as("_old_o_totalprice"),
+      lit("I").as("_op"))
+    val upd = o.filter(k % 5 === 0).select(
+      lit("U").as("o_orderstatus"),
+      up3.as("o_totalprice"),
+      when(k % 3 === 0, lit("N")).otherwise(col("o_orderstatus"))
+        .as("_old_o_orderstatus"),
+      p3.as("_old_o_totalprice"),
+      lit("U").as("_op"))
+    val del = o.filter(k % 7 === 0).select(
+      lit(null).cast("string").as("o_orderstatus"),
+      lit(null).cast(d3).as("o_totalprice"),
+      when(k % 5 === 0, lit("U")).when(k % 3 === 0, lit("N"))
+        .otherwise(col("o_orderstatus")).as("_old_o_orderstatus"),
+      when(k % 5 === 0, up3).otherwise(p3).as("_old_o_totalprice"),
+      lit("D").as("_op"))
+    graft.engine.AggDelta.maintain(agg, ins.unionByName(upd).unionByName(del),
+      Seq("o_orderstatus"), Seq("o_totalprice"),
+      valueType = d3, accType = "decimal(29,3)", batchId = Some("batch-1"))
+  }
+
   /** Per-session co-bucketed catalog tables over `events` — facts
     * (event_id, user_id, value) and dims (event_id, event_type), both
     * bucketed 32 ways on event_id. Catalog entries are in-memory and
