@@ -299,6 +299,42 @@ object TextQueries {
              |         ELSE COALESCE(list_max([unicode(text[i]) for i in range(1, length(text)+1)]), 0) END AS mx
              |  FROM documents) t""".stripMargin)),
 
+    // ----- multimodal: REAL PNG containers (compressed), real parse ----------
+    // The third image format, and the first COMPRESSED one: each document's
+    // bytes become the R,G,B pixel stream of a byte-valid 8-bit truecolor
+    // PNG whose rows cycle through all five filter types; decodeFeatures
+    // walks the CRC-verified chunks, zlib-inflates the scanlines, and
+    // reconstructs every filter. The oracle recomputes geometry and pixel
+    // sums from first principles (ASCII code points, zero padding) — the
+    // container's compressed n_bytes is deliberately NOT emitted (DEFLATE
+    // output length is not SQL-expressible); the decoded stats are the
+    // gate. A wrong predictor in ANY of the five unfilter paths shifts the
+    // sums and hash-fails.
+    "q_png_decode" -> Q(
+      (s, d) => {
+        val media = Multimodal.asPngMediaTable(s, Td.documents(s, d), "doc_id", "text", width = 10)
+        Multimodal.decodeFeatures(s, media)
+          .withColumn("mean_px",
+            col("sum_px").cast("double") / (lit(3) * col("width") * col("height")))
+          .select("media_id", "media_type", "width", "height",
+            "sum_px", "max_px", "mean_px")
+      },
+      Some("""SELECT doc_id AS media_id, 'image/png' AS media_type,
+             |  CAST(CASE WHEN text IS NULL THEN NULL ELSE 10 END AS INT) AS width,
+             |  CAST(h AS INT) AS height,
+             |  CAST(s AS BIGINT) AS sum_px,
+             |  CAST(CASE WHEN len < 30*h THEN GREATEST(mx, 0) ELSE mx END AS INT) AS max_px,
+             |  CAST(s AS DOUBLE) / (30*h) AS mean_px
+             |FROM (
+             |  SELECT doc_id, text, length(text) AS len,
+             |    CASE WHEN text IS NULL THEN NULL
+             |         ELSE GREATEST(1, (length(text) + 29) // 30) END AS h,
+             |    CASE WHEN text IS NULL THEN NULL
+             |         ELSE COALESCE(list_sum([unicode(text[i]) for i in range(1, length(text)+1)]), 0) END AS s,
+             |    CASE WHEN text IS NULL THEN NULL
+             |         ELSE COALESCE(list_max([unicode(text[i]) for i in range(1, length(text)+1)]), 0) END AS mx
+             |  FROM documents) t""".stripMargin)),
+
     // ----- multimodal: REAL WAV containers, real parse -----------------------
     // Each document's bytes become the little-endian int16 sample stream of
     // a byte-valid PCM-16 mono RIFF/WAVE file; decodeAudioFeatures walks
@@ -436,6 +472,54 @@ object TextQueries {
              |  CAST(sum(nb) AS BIGINT) AS n_bytes_sum,
              |  CAST(sum(ps) AS BIGINT) AS payload_sum
              |FROM u GROUP BY media_type, ok""".stripMargin)),
+
+    // ----- PNG quarantine: corruption at TWO verification layers -----------
+    // id%7=3 flips an IDAT data byte (chunk CRC catches it); id%7=5 flips
+    // the byte AND repairs the chunk CRC, so the failure must surface in
+    // the zlib layer instead (stream corruption / adler mismatch / scanline
+    // length drift) — proving the decoder checks past the cheap outer CRC.
+    // Compressed n_bytes is not SQL-expressible, so the gate pins counts
+    // and the decoded payload sums of the rows that survived.
+    "q_png_quarantine" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val media = Multimodal.asPngMediaTable(s, Td.documents(s, d), "doc_id", "text", width = 10)
+          .as[(Long, Array[Byte], String, Option[Long])].map { case (id, c0, t, nb) =>
+            val c = if (c0 == null || (id % 7 != 3 && id % 7 != 5)) c0
+              else {
+                val b = c0.clone()
+                b(44) = (b(44) ^ 0x20).toByte // first IDAT data byte (offset: 8 sig + 25 IHDR + 8 hdr + 3)
+                if (id % 7 == 5) { // repair the chunk CRC: force the zlib layer to catch it
+                  val len = ((b(33) & 0xFF) << 24) | ((b(34) & 0xFF) << 16) |
+                    ((b(35) & 0xFF) << 8) | (b(36) & 0xFF)
+                  val crc = new java.util.zip.CRC32
+                  crc.update(b, 37, 4 + len)
+                  val v = crc.getValue
+                  b(41 + len) = ((v >>> 24) & 0xFF).toByte
+                  b(42 + len) = ((v >>> 16) & 0xFF).toByte
+                  b(43 + len) = ((v >>> 8) & 0xFF).toByte
+                  b(44 + len) = (v & 0xFF).toByte
+                }
+                b
+              }
+            (id, c, t, nb)
+          }.toDF("media_id", "content", "media_type", "n_bytes")
+        Multimodal.decodeFeaturesRouted(s, media)
+          .groupBy(col("media_type"), col("decode_ok").cast("int").as("decode_ok"))
+          .agg(count(lit(1)).as("n"), sum(col("sum_px")).as("payload_sum"))
+      },
+      Some("""WITH pstat AS (
+             |  SELECT doc_id, text,
+             |    CASE WHEN text IS NULL THEN NULL
+             |         ELSE COALESCE(list_sum([unicode(text[i]) for i in range(1, length(text)+1)]), 0) END AS s
+             |  FROM documents)
+             |SELECT 'image/png' AS media_type,
+             |  CAST(CASE WHEN text IS NULL THEN NULL
+             |       WHEN doc_id % 7 IN (3,5) THEN 0 ELSE 1 END AS INT) AS decode_ok,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN text IS NOT NULL AND doc_id % 7 NOT IN (3,5) THEN s END) AS BIGINT) AS payload_sum
+             |FROM pstat
+             |GROUP BY 1, 2""".stripMargin)),
 
     // ----- repetition signals (Gopher-style duplicate n-gram fractions) ----
     "q_repetition" -> Q(

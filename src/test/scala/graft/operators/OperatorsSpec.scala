@@ -342,6 +342,32 @@ class OperatorsSpec extends SparkSpec {
       wrouted(2L).getAs[String]("decode_err").contains("truncated chunk"))
   }
 
+  test("multimodal: PNG encode→parse round trip exercises all five filters") {
+    // height 6 > 5 → rows carry filters 0,1,2,3,4,0; any unfilter bug
+    // shifts the reconstructed sums
+    val payload = Array.tabulate(170)(i => ((i * 7 + 3) % 256).toByte)
+    val png = Multimodal.encodePng24(payload, width = 10)
+    assert((png(1) & 0xFF, png(2) & 0xFF, png(3) & 0xFF) == (0x50, 0x4E, 0x47))
+    val s = Multimodal.decodePng24(png)
+    assert(s.width == 10 && s.height == 6)
+    assert(s.sumAll == payload.map(b => (b & 0xff).toLong).sum) // zero pad adds nothing
+    assert(s.maxPx == payload.map(_ & 0xff).max)
+    assert(s.minPx == 0) // the 10 padding bytes
+    // per-channel split: payload index mod 3 → R,G,B
+    def ch(m: Int) = payload.zipWithIndex.collect { case (b, i) if i % 3 == m => (b & 0xff).toLong }.sum
+    assert((s.sumR, s.sumG, s.sumB) == ((ch(0), ch(1), ch(2))))
+
+    // bad signature / flipped data bit (CRC catches) / truncated / bad IHDR
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePng24("XXXXXXXX".getBytes ++ png.drop(8))
+    }
+    val flip = png.clone(); flip(8 + 25 + 8 + 3) = (flip(8 + 25 + 8 + 3) ^ 0x40).toByte
+    intercept[IllegalArgumentException] { Multimodal.decodePng24(flip) }
+    intercept[IllegalArgumentException] { Multimodal.decodePng24(png.take(png.length - 6)) }
+    val badDepth = png.clone(); badDepth(8 + 8 + 8) = 16.toByte // bit depth 16
+    intercept[IllegalArgumentException] { Multimodal.decodePng24(badDepth) } // CRC first, still throws
+  }
+
   test("codec round trips over varied payload shapes and geometries") {
     // lengths straddle row boundaries (30/row at w=10), sample pairs, and
     // zero; byte values cover the full 0-255 range (sign-bit handling)
@@ -354,6 +380,13 @@ class OperatorsSpec extends SparkSpec {
         assert(s.width == w, s"len=$len w=$w")
         assert(s.height == math.max(1, (len + 3 * w - 1) / (3 * w)))
         assert(s.sumAll == refSum, s"len=$len w=$w") // zero pad adds nothing
+      }
+      // PNG across widths: filters cycle with height, zlib round trip
+      for (w <- Seq(1, 3, 10, 16)) {
+        val s = Multimodal.decodePng24(Multimodal.encodePng24(payload, w))
+        assert(s.width == w, s"png len=$len w=$w")
+        assert(s.height == math.max(1, (len + 3 * w - 1) / (3 * w)))
+        assert(s.sumAll == refSum, s"png len=$len w=$w")
       }
       // WAV: signed int16 LE pairs, odd tail zero-padded high byte
       val wv = Multimodal.decodeWavPcm16(Multimodal.encodeWavPcm16(payload, 44100))
