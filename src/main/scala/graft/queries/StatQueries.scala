@@ -321,6 +321,42 @@ object StatQueries {
              |  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey) t
              |WHERE change IS NOT NULL""".stripMargin)),
 
+    // ----- time travel: diff of STORED table versions ----------------------
+    // q_snapshot_diff proves the diff operator on synthetic plan-level
+    // versions; this one proves the STORAGE layer's version chain: the
+    // stored CDC table's v1 (bootstrap manifest) read via atVersion against
+    // its current snapshot must reproduce exactly the CDC batch's effects —
+    // inserts for surviving %3=0 keys, deletes for tombstoned base keys,
+    // updates (status + price) for %5=0 base survivors. A manifest that
+    // leaks post-v1 bucket rewrites into the v1 read, or loses old buckets
+    // from the current one, changes the classification and hash-fails.
+    "q_time_travel" -> Q(
+      (s, d) => {
+        val t = Td.cdcOrdersTable(s, d)
+        Relational.snapshotDiff(t.atVersion(1), t.current, Seq("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, 'update' AS change,
+             |  o_custkey AS old_o_custkey, o_custkey AS new_o_custkey,
+             |  o_orderstatus AS old_o_orderstatus, 'U' AS new_o_orderstatus,
+             |  o_totalprice AS old_o_totalprice, o_totalprice * 1.1 AS new_o_totalprice,
+             |  o_orderdate AS old_o_orderdate, o_orderdate AS new_o_orderdate,
+             |  o_orderpriority AS old_o_orderpriority, o_orderpriority AS new_o_orderpriority
+             |FROM orders
+             |WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 <> 0 AND o_orderkey % 7 <> 0
+             |UNION ALL
+             |SELECT o_orderkey, 'insert',
+             |  NULL, o_custkey,
+             |  NULL, CASE WHEN o_orderkey % 5 = 0 THEN 'U' ELSE 'N' END,
+             |  NULL, CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.1 ELSE o_totalprice END,
+             |  NULL, o_orderdate,
+             |  NULL, o_orderpriority
+             |FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0
+             |UNION ALL
+             |SELECT o_orderkey, 'delete',
+             |  o_custkey, NULL, o_orderstatus, NULL, o_totalprice, NULL,
+             |  o_orderdate, NULL, o_orderpriority, NULL
+             |FROM orders WHERE o_orderkey % 3 <> 0 AND o_orderkey % 7 = 0""".stripMargin)),
+
     // ----- fuzzy name matching (blocked levenshtein) -----------------------
     "q_fuzzy_match" -> Q(
       (s, d) => Relational.fuzzyMatch(Td.part(s, d), "p_name", 2),
