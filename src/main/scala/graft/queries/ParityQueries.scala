@@ -234,6 +234,32 @@ object ParityQueries {
              |  CAST(COALESCE(SUM(p), 0) AS DOUBLE) AS sum_price
              |FROM final_state GROUP BY o_orderstatus""".stripMargin)),
 
+    // ----- incremental distinct-count maintenance (mergeable HLL state) ----
+    // Distinct counts are not retractable (AggDelta can't maintain them), so
+    // the state is per-group HLL sketches grown by union — Td's stored table
+    // is bootstrapped from the %3≠0 base and maintained with the %3=0 batch,
+    // never recounting. The estimate is engine-internal, so the gate follows
+    // the ANN pattern: emit the EXACT twin + an in-band error flag the
+    // oracle asserts — a sketch-state regression (lost union, wrong group
+    // routing, stale buckets) pushes the estimate past the bound and
+    // hash-fails, while the exact column pins the group structure.
+    "q_distinct_maintain" -> Q(
+      (s, d) => {
+        val st = Td.distinctStateTable(s, d)
+        val est = graft.engine.DistinctState.estimate(st.current, Seq("o_orderstatus"))
+        val exact = Td.orders(s, d).groupBy("o_orderstatus")
+          .agg(countDistinct(col("o_custkey")).as("distinct_customers"))
+        est.join(exact, Seq("o_orderstatus"))
+          .select(col("o_orderstatus"), col("distinct_customers"),
+            when(abs(col("distinct_est").cast("double") /
+              col("distinct_customers").cast("double") - 1) <= 0.05, 1)
+              .otherwise(0).as("est_ok"))
+      },
+      Some("""SELECT o_orderstatus,
+             |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS distinct_customers,
+             |  1 AS est_ok
+             |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
     // ----- T5: schema-align casts ------------------------------------------
     // The decimal / date casts still run, but the *output* columns surface
     // as double / timestamp: DATE and DECIMAL physical output types hash

@@ -464,6 +464,28 @@ object Td {
       valueType = d3, accType = "decimal(29,3)", batchId = Some("batch-1"))
   }
 
+  /** Stored incrementally-maintained DISTINCT-count state over `orders`:
+    * per-status HLL sketches of `o_custkey`, bootstrapped from the %3≠0
+    * keys and grown with the %3=0 batch — after which the state covers ALL
+    * orders and the gated query's exact twin is a plain GROUP BY.
+    */
+  private val DistinctStateFormat = 1
+  def distinctStateTable(s: SparkSession, d: String): graft.engine.KeyedTable = {
+    val o = orders(s, d)
+    val root = indexRoot(s, "dstate", DistinctStateFormat, d, "orders", o.count())
+    installDir(s, root)(buildDistinctStateInto(s, d, _))
+    graft.engine.KeyedTable(s, root, Seq("o_orderstatus"))
+  }
+
+  private[graft] def buildDistinctStateInto(s: SparkSession, d: String, tmp: String): Unit = {
+    val o = orders(s, d)
+    val t = graft.engine.KeyedTable(s, tmp, Seq("o_orderstatus"), numBuckets = 8)
+    graft.engine.DistinctState.bootstrap(t, o.filter(col("o_orderkey") % 3 =!= 0),
+      Seq("o_orderstatus"), "o_custkey")
+    graft.engine.DistinctState.maintain(t, o.filter(col("o_orderkey") % 3 === 0),
+      Seq("o_orderstatus"), "o_custkey", batchId = Some("batch-1"))
+  }
+
   /** Per-session co-bucketed catalog tables over `events` — facts
     * (event_id, user_id, value) and dims (event_id, event_type), both
     * bucketed 32 ways on event_id. Catalog entries are in-memory and
