@@ -94,8 +94,14 @@ object AggDelta {
     val dAggs = sum("dcnt").as("dcnt") +:
       measures.map(m => coalesce(sum(col(s"d_$m")), lit(0))
         .cast(accType).as(s"d_$m"))
+    // Pin the group-summed deltas (≤ touched groups — tiny): downstream
+    // consumers (bucket resolution, the state join, mergeCdc's collapse +
+    // write + key collect) would otherwise EACH re-evaluate the delta plan,
+    // re-scanning the input batch once per consumer — measured 4× the
+    // batch-scan cost at sf0.1 (AggMaintProbe). One pass over the batch,
+    // by construction.
     val deltas = micro.groupBy(groups.map(col).toIndexedSeq: _*)
-      .agg(dAggs.head, dAggs.tail: _*)
+      .agg(dAggs.head, dAggs.tail: _*).localCheckpoint()
 
     // touched-group state: bucket-pruned scan for bucketed tables, one
     // broadcast semi-join either way — never a join against the delta-free
@@ -110,12 +116,15 @@ object AggDelta {
     val checkedCnt = when(newCnt >= 0, newCnt).otherwise(raise_error(concat(
       lit("AggDelta: group retracted below zero — before-images diverged from applied state: "),
       concat_ws(",", groups.map(col).toIndexedSeq: _*))))
+    // pinned again: mergeCdc evaluates its batch ≥3× (collapse window,
+    // upsert write, key collect) and each evaluation would redo the state
+    // join above; the frame is ≤ touched groups
     val batch = deltas.join(curTouched, groups, "left_outer").select(
       (groups.map(col) ++ Seq(checkedCnt.as("cnt")) ++
         measures.map(m => (coalesce(col(s"sum_$m"), lit(0).cast(accType)) + col(s"d_$m"))
           .cast(accType).as(s"sum_$m")) ++
         Seq(when(newCnt === 0, lit("D")).otherwise(lit("U")).as("_op"),
-          lit(1L).as("_seq"))).toIndexedSeq: _*)
+          lit(1L).as("_seq"))).toIndexedSeq: _*).localCheckpoint()
     agg.mergeCdc(batch, tag = batchId)
   }
 }

@@ -48,7 +48,10 @@ object DistinctState {
                batchId: Option[String] = None): Long = {
     require(state.exists, "bootstrap the distinct-state table before maintaining it")
     if (batchId.isDefined && state.lastTag == batchId) return state.currentVersion
-    val deltas = sketch(batch, groups, valueCol, lgK)
+    // pinned for the same reason as AggDelta.maintain's deltas: the sketch
+    // rows are ≤ touched groups, and every downstream consumer would
+    // otherwise re-sketch the whole batch
+    val deltas = sketch(batch, groups, valueCol, lgK).localCheckpoint()
     val touched = deltas.select(groups.map(col).toIndexedSeq: _*)
     val curTouched = (state.bucketsOf(touched) match {
       case Some(bs) => state.readBuckets(bs)
@@ -59,7 +62,7 @@ object DistinctState {
       (groups.map(col) ++ Seq(
         when(col("__hll_old").isNull, col("hll"))
           .otherwise(hll_union(col("hll"), col("__hll_old"))).as("hll"),
-        lit("U").as("_op"), lit(1L).as("_seq"))).toIndexedSeq: _*)
+        lit("U").as("_op"), lit(1L).as("_seq"))).toIndexedSeq: _*).localCheckpoint()
     state.mergeCdc(merged, tag = batchId)
   }
 
