@@ -103,14 +103,9 @@ object AggDelta {
     val deltas = micro.groupBy(groups.map(col).toIndexedSeq: _*)
       .agg(dAggs.head, dAggs.tail: _*).localCheckpoint()
 
-    // touched-group state: bucket-pruned scan for bucketed tables, one
-    // broadcast semi-join either way — never a join against the delta-free
-    // remainder of the group universe
-    val touched = deltas.select(groups.map(col).toIndexedSeq: _*)
-    val curTouched = (agg.bucketsOf(touched) match {
-      case Some(bs) => agg.readBuckets(bs)
-      case None     => agg.current
-    }).join(broadcast(touched), groups, "left_semi")
+    // touched-group state: bucket-pruned, broadcast-semi-joined — never a
+    // join against the delta-free remainder of the group universe
+    val curTouched = agg.currentForKeys(deltas)
 
     val newCnt = coalesce(col("cnt"), lit(0L)) + col("dcnt")
     val checkedCnt = when(newCnt >= 0, newCnt).otherwise(raise_error(concat(

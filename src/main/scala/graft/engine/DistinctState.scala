@@ -52,11 +52,7 @@ object DistinctState {
     // rows are ≤ touched groups, and every downstream consumer would
     // otherwise re-sketch the whole batch
     val deltas = sketch(batch, groups, valueCol, lgK).localCheckpoint()
-    val touched = deltas.select(groups.map(col).toIndexedSeq: _*)
-    val curTouched = (state.bucketsOf(touched) match {
-      case Some(bs) => state.readBuckets(bs)
-      case None     => state.current
-    }).join(broadcast(touched), groups, "left_semi")
+    val curTouched = state.currentForKeys(deltas)
       .withColumnRenamed("hll", "__hll_old")
     val merged = deltas.join(curTouched, groups, "left_outer").select(
       (groups.map(col) ++ Seq(

@@ -113,9 +113,18 @@ final class KeyedTable(
     * `v=$next` calls this first, so a protocol with real claims rejects
     * the losing racer before its overwrite-mode write can clobber the
     * winner's files.
+    *
+    * Also clears any stale `_TAG_v$next` a CRASHED tagged commit left
+    * behind: without this, a later UNtagged commit of the same version
+    * number would silently adopt the orphaned tag, `lastTag` would claim a
+    * batch is applied that never landed, and the redelivered batch would be
+    * permanently skipped — a lost update wearing the exactly-once guard's
+    * own uniform.
     */
-  private def reserveVersion(next: Long): Unit =
+  private def reserveVersion(next: Long): Unit = {
     commitProtocol.reserve(fs, new Path(root, CurrentMarker), next - 1, next, writerToken)
+    fs.delete(new Path(root, s"${TagPrefix}v$next"), false)
+  }
 
   def exists: Boolean = currentVersion > 0
 
@@ -455,16 +464,17 @@ final class KeyedTable(
                tag: Option[String] = None): Long = {
     require(batch.columns.contains(opCol), s"CDC batch must carry op column '$opCol'")
     require(batch.columns.contains(seqCol), s"CDC batch must carry sequence column '$seqCol'")
-    val orderable = batch.schema.fields
-      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
-      .map(_.name)
-      .filterNot(c => keys.contains(c) || c == seqCol).toSeq
-    val latest = Ops.latestPerKey(batch, keys, seqCol, tieBreak = orderable)
-    // in-plan op validation: rides the same scan, no extra action
-    val checked = latest.withColumn(opCol,
+    // in-plan op validation BEFORE the collapse (rides the same scan, no
+    // extra action): a malformed op on a non-latest event must still fail
+    // the job — validating after the collapse would silently discard it,
+    // and silently dropping unknown ops is how a sink diverges from its
+    // source
+    val checked0 = batch.withColumn(opCol,
       when(col(opCol).isin("I", "U", "D"), col(opCol))
         .otherwise(raise_error(concat(
           lit(s"mergeCdc: op column '$opCol' must be I/U/D, got "), col(opCol)))))
+    val checked = Ops.latestPerKey(checked0, keys, seqCol,
+      tieBreak = orderableColumns(batch, excluded = seqCol))
     val cols = if (exists) current.columns.toSeq
                else batch.columns.filterNot(c => c == opCol || c == seqCol).toSeq
     val upserts = checked.filter(col(opCol) =!= "D")
@@ -487,8 +497,7 @@ final class KeyedTable(
       commitVersion(next)
       next
     } else {
-      val touched = allKeys.withColumn(BucketCol, bucketExpr)
-        .select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq.sorted
+      val touched = bucketsOf(allKeys).get
       commitBucketsRewrite(touched,
         KeyedTable.cdcMergePlan(readBuckets(touched), upserts, allKeys, keys),
         tag)
@@ -517,18 +526,39 @@ final class KeyedTable(
     else Some(keysDf.withColumn(BucketCol, bucketExpr)
       .select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq.sorted)
 
+  /** The current rows whose keys appear in `keysDf` — the state read every
+    * incremental-maintenance operator needs: bucket-pruned for bucketed
+    * tables ([[bucketsOf]] + [[readBuckets]]), a broadcast semi-join either
+    * way, never a scan-and-join against the untouched remainder of the key
+    * universe.
+    */
+  def currentForKeys(keysDf: DataFrame): DataFrame = {
+    val k = keysDf.select(keys.map(col).toIndexedSeq: _*)
+    (bucketsOf(k) match {
+      case Some(bs) => readBuckets(bs)
+      case None     => current
+    }).join(broadcast(k), keys, "left_semi")
+  }
+
+  /** The non-key ORDERABLE columns of `batch` (minus `excluded`), the
+    * deterministic tie-break set: map-typed columns are excluded (not
+    * orderable in Spark), so ties can only remain between rows identical in
+    * every orderable column. Shared by [[collapseLatest]] and [[mergeCdc]] —
+    * orderability rules must not drift between the two collapse paths.
+    */
+  private def orderableColumns(batch: DataFrame, excluded: String): Seq[String] =
+    batch.schema.fields
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(_.name)
+      .filterNot(c => keys.contains(c) || c == excluded).toSeq
+
   /** Deterministic per-key collapse: order by orderCol (when given) then by
     * every remaining ORDERABLE column — a bare dropDuplicates/row_number tie
     * picks an arbitrary partition-order-dependent survivor, so re-running
-    * the same load could produce different contents. Map-typed columns are
-    * excluded (not orderable in Spark); ties can then only remain between
-    * rows identical in every orderable column.
+    * the same load could produce different contents.
     */
   private def collapseLatest(batch: DataFrame): DataFrame = {
-    val orderable = batch.schema.fields
-      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
-      .map(_.name)
-      .filterNot(c => keys.contains(c) || orderCol.contains(c)).toSeq
+    val orderable = orderableColumns(batch, excluded = orderCol.getOrElse(""))
     orderCol match {
       case Some(oc) => Ops.latestPerKey(batch, keys, oc, tieBreak = orderable)
       case None =>
@@ -715,16 +745,14 @@ final class KeyedTable(
       commitVersion(next)
       next
     } else {
-      val touched = k.withColumn(BucketCol, bucketExpr)
-        .select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq.sorted
+      val touched = bucketsOf(k).get
       commitBucketsRewrite(touched, readBuckets(touched).join(k, keys, "left_anti"))
     }
   }
 
   private def mergeBucketed(latest: DataFrame): Long = {
-    val withB = latest.withColumn(BucketCol, bucketExpr)
     // Touched buckets: a driver-side collect of ≤ numBuckets ints.
-    val touched = withB.select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val touched = bucketsOf(latest).get
     val curTouched = readBuckets(touched)
     commitBucketsRewrite(touched, KeyedTable.mergePlan(curTouched, latest, keys, broadcastBatchKeys))
   }

@@ -64,28 +64,38 @@ object Multimodal {
       length(encode(col(payloadCol), "UTF-8")).cast("long").as("n_bytes"),
     )
 
-  /** Wrap any (id, text) frame as a table of REAL 24-bpp BMP containers:
-    * the payload bytes become the image's top-down B,G,R pixel stream,
-    * zero-padded to fill `width × ceil(len/3width)` pixels. Encoding runs
-    * in `mapPartitions` (one buffer-allocation pattern per batch); the
-    * result is a byte-valid BMP any external viewer could open.
+  /** Shared wrap-payload-as-container scaffold for every real codec: text
+    * bytes → `enc` → a media-schema row, null payloads passing through as
+    * all-null rows (the convention the decode side's tri-state relies on).
+    * Encoding runs in `mapPartitions` (one buffer-allocation pattern per
+    * batch); a new container format supplies only its encoder and mime.
     */
-  def asBmpMediaTable(spark: SparkSession, df: DataFrame, idCol: String,
-                      payloadCol: String, width: Int = 10): DataFrame = {
+  private def wrapMediaTable(spark: SparkSession, df: DataFrame, idCol: String,
+                             payloadCol: String, mime: String,
+                             enc: Array[Byte] => Array[Byte]): DataFrame = {
     val out = df.select(col(idCol).cast("long").as("media_id"),
         encode(col(payloadCol), "UTF-8").as("payload"))
       .rdd.mapPartitions { rows =>
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
-          if (payload == null) Row(r.getAs[Long]("media_id"), null, "image/bmp", null)
+          if (payload == null) Row(r.getAs[Long]("media_id"), null, mime, null)
           else {
-            val bmp = encodeBmp24(payload, width)
-            Row(r.getAs[Long]("media_id"), bmp, "image/bmp", bmp.length.toLong)
+            val b = enc(payload)
+            Row(r.getAs[Long]("media_id"), b, mime, b.length.toLong)
           }
         }
       }
     spark.createDataFrame(out, mediaSchema)
   }
+
+  /** Wrap any (id, text) frame as a table of REAL 24-bpp BMP containers:
+    * the payload bytes become the image's top-down B,G,R pixel stream,
+    * zero-padded to fill `width × ceil(len/3width)` pixels. The result is a
+    * byte-valid BMP any external viewer could open.
+    */
+  def asBmpMediaTable(spark: SparkSession, df: DataFrame, idCol: String,
+                      payloadCol: String, width: Int = 10): DataFrame =
+    wrapMediaTable(spark, df, idCol, payloadCol, "image/bmp", encodeBmp24(_, width))
 
   /** Build a 24-bpp uncompressed BMP whose logical top-down pixel bytes are
     * `payload` zero-padded to `width × height × 3`, height =
@@ -218,21 +228,8 @@ object Multimodal {
     * viewer could open it.
     */
   def asPngMediaTable(spark: SparkSession, df: DataFrame, idCol: String,
-                      payloadCol: String, width: Int = 10): DataFrame = {
-    val out = df.select(col(idCol).cast("long").as("media_id"),
-        encode(col(payloadCol), "UTF-8").as("payload"))
-      .rdd.mapPartitions { rows =>
-        rows.map { r =>
-          val payload = r.getAs[Array[Byte]]("payload")
-          if (payload == null) Row(r.getAs[Long]("media_id"), null, "image/png", null)
-          else {
-            val png = encodePng24(payload, width)
-            Row(r.getAs[Long]("media_id"), png, "image/png", png.length.toLong)
-          }
-        }
-      }
-    spark.createDataFrame(out, mediaSchema)
-  }
+                      payloadCol: String, width: Int = 10): DataFrame =
+    wrapMediaTable(spark, df, idCol, payloadCol, "image/png", encodePng24(_, width))
 
   private val PngSignature: Array[Byte] =
     Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
@@ -388,8 +385,16 @@ object Multimodal {
         require(n > 0 || inflater.finished(), "png: truncated or stalled zlib stream")
         off += n
       }
-      require(inflater.finished() || inflater.inflate(new Array[Byte](1)) == 0,
-        "png: zlib stream longer than scanlines")
+      if (!inflater.finished()) {
+        // all scanline bytes produced but the stream hasn't closed: either
+        // MORE data follows (reject: longer than the scanlines) or the
+        // adler32 trailer is missing/truncated (reject: an unverified
+        // stream must not count as decoded — inflate returns 0 on
+        // exhausted input, which the old `== 0` check mistook for success)
+        val extra = inflater.inflate(new Array[Byte](1))
+        require(extra == 0, "png: zlib stream longer than scanlines")
+        require(inflater.finished(), "png: zlib trailer missing or truncated")
+      }
       off
     } catch {
       case e: java.util.zip.DataFormatException =>
@@ -442,21 +447,8 @@ object Multimodal {
     * any audio tool could play it.
     */
   def asWavMediaTable(spark: SparkSession, df: DataFrame, idCol: String,
-                      payloadCol: String, sampleRate: Int = 8000): DataFrame = {
-    val out = df.select(col(idCol).cast("long").as("media_id"),
-        encode(col(payloadCol), "UTF-8").as("payload"))
-      .rdd.mapPartitions { rows =>
-        rows.map { r =>
-          val payload = r.getAs[Array[Byte]]("payload")
-          if (payload == null) Row(r.getAs[Long]("media_id"), null, "audio/wav", null)
-          else {
-            val wav = encodeWavPcm16(payload, sampleRate)
-            Row(r.getAs[Long]("media_id"), wav, "audio/wav", wav.length.toLong)
-          }
-        }
-      }
-    spark.createDataFrame(out, mediaSchema)
-  }
+                      payloadCol: String, sampleRate: Int = 8000): DataFrame =
+    wrapMediaTable(spark, df, idCol, payloadCol, "audio/wav", encodeWavPcm16(_, sampleRate))
 
   /** Build a PCM-16 mono RIFF/WAVE file whose sample stream is `payload`
     * read as little-endian byte pairs (odd tail → zero high byte).

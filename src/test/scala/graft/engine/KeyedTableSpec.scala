@@ -472,6 +472,40 @@ class KeyedTableSpec extends SparkSpec {
     assert(bt.current.columns.toSeq == Seq("id", "payload")) // typed empty read
   }
 
+  test("mergeCdc: unknown op on a NON-LATEST event still fails (validated pre-collapse)") {
+    val s = spark
+    import s.implicits._
+    val t = KeyedTable(spark, tmpDir("cdc4"), Seq("id"))
+    t.overwrite(Seq(("k", "V0")).toDF("id", "payload"))
+    // the TRUNCATE event loses the collapse to the seq-2 U — it must STILL
+    // fail the job: silently dropping unknown ops diverges sink from source
+    val batch = Seq(("k", "v1", "TRUNCATE", 1), ("k", "v2", "U", 2))
+      .toDF("id", "payload", "_op", "_seq")
+    intercept[Exception] { t.mergeCdc(batch) }
+    assert(t.current.collect().map(_.getString(1)).toSeq == Seq("V0"), "failed apply must not publish")
+  }
+
+  test("a crashed tagged commit's stale tag is cleared by the next committer") {
+    val s = spark
+    import s.implicits._
+    val root = tmpDir("cdc5")
+    val t = KeyedTable(spark, root, Seq("id"))
+    t.overwrite(Seq(("a", "A0")).toDF("id", "payload"))
+    // simulate: a TAGGED mergeCdc wrote v=2 data + _TAG_v2 then crashed
+    // before the pointer flip — the tag exists, the version was never
+    // committed
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "_TAG_v2"), true)
+    out.write("batch-42".getBytes("UTF-8")); out.close()
+    assert(t.lastTag.isEmpty) // tag describes an uncommitted version — invisible
+    // an UNTAGGED commit now takes version 2: it must not adopt the orphan
+    t.merge(Seq(("b", "B0")).toDF("id", "payload"))
+    assert(t.currentVersion == 2)
+    assert(t.lastTag.isEmpty,
+      "orphaned tag adopted by an unrelated commit — lastTag would fake batch-42 as applied")
+  }
+
   test("mergeCdc: unknown op fails loudly; bootstrap applies inserts, drops tombstones") {
     val s = spark
     import s.implicits._

@@ -366,6 +366,21 @@ class OperatorsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Multimodal.decodePng24(png.take(png.length - 6)) }
     val badDepth = png.clone(); badDepth(8 + 8 + 8) = 16.toByte // bit depth 16
     intercept[IllegalArgumentException] { Multimodal.decodePng24(badDepth) } // CRC first, still throws
+
+    // adler32 trailer stripped from the zlib stream, chunk CRC recomputed so
+    // only the zlib layer can object: an unverified stream must NOT decode
+    val idatLen = ((png(33) & 0xFF) << 24) | ((png(34) & 0xFF) << 16) |
+      ((png(35) & 0xFF) << 8) | (png(36) & 0xFF)
+    val strippedData = java.util.Arrays.copyOfRange(png, 41, 41 + idatLen - 4)
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(png, 0, 33) // signature + IHDR
+    val lenBuf = java.nio.ByteBuffer.allocate(4).putInt(strippedData.length).array()
+    bos.write(lenBuf); bos.write("IDAT".getBytes("US-ASCII")); bos.write(strippedData)
+    val crc = new java.util.zip.CRC32
+    crc.update("IDAT".getBytes("US-ASCII")); crc.update(strippedData)
+    bos.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+    bos.write(png, 41 + idatLen + 4, png.length - (41 + idatLen + 4)) // IEND
+    intercept[IllegalArgumentException] { Multimodal.decodePng24(bos.toByteArray) }
   }
 
   test("codec round trips over varied payload shapes and geometries") {
