@@ -260,6 +260,41 @@ object ParityQueries {
              |  1 AS est_ok
              |FROM orders GROUP BY o_orderstatus""".stripMargin)),
 
+    // ----- maintained histogram (bin = derived group, moves under updates) -
+    // The same retraction engine with the bin as a second group column: a
+    // %5=0 price update retracts from floor(p/1e5) and adds to
+    // floor(1.1p/1e5) — when those differ, the row MOVES BINS, the case
+    // naive in-place histogram updates get wrong. Oracle recomputes the
+    // histogram from the final fact state; one mis-binned retraction
+    // anywhere shifts two cells and hash-fails.
+    "q_hist_maintain" -> Q(
+      (s, d) => Td.histMaintainTable(s, d).current.select(
+        col("o_orderstatus"), col("price_bin"), col("cnt"),
+        col("sum_o_totalprice").cast("double").as("sum_price")),
+      Some("""WITH final_state AS (
+             |  -- p (double) drives the BIN exactly as Spark bins the double;
+             |  -- pd (decimal) drives the SUM exactly as Spark accumulates —
+             |  -- casting the double product to decimal instead diverges
+             |  -- between engines (see q_agg_maintain)
+             |  SELECT o_orderstatus, o_totalprice AS p,
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(19,3)) AS pd
+             |  FROM orders
+             |  WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+             |  UNION ALL
+             |  SELECT 'U', o_totalprice * 1.1,
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(2,1))
+             |         AS DECIMAL(19,3))
+             |  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+             |  UNION ALL
+             |  SELECT 'N', o_totalprice,
+             |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(19,3))
+             |  FROM orders
+             |  WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0)
+             |SELECT o_orderstatus, CAST(floor(p / 100000) AS BIGINT) AS price_bin,
+             |  CAST(count(*) AS BIGINT) AS cnt,
+             |  CAST(COALESCE(SUM(pd), 0) AS DOUBLE) AS sum_price
+             |FROM final_state GROUP BY 1, 2""".stripMargin)),
+
     // ----- T5: schema-align casts ------------------------------------------
     // The decimal / date casts still run, but the *output* columns surface
     // as double / timestamp: DATE and DECIMAL physical output types hash

@@ -486,6 +486,64 @@ object Td {
       Seq("o_orderstatus"), "o_custkey", batchId = Some("batch-1"))
   }
 
+  /** Stored incrementally-MAINTAINED histogram over `orders` — the same CDC
+    * scenario as [[buildAggMaintainInto]] but grouped by
+    * `(o_orderstatus, price_bin)`: the bin is DERIVED from the measure, so
+    * a price update moves its row across bins and the retraction has to
+    * land in the OLD bin while the addition lands in the new one — the
+    * histogram-maintenance case that breaks naive in-place schemes.
+    * AggDelta needs no changes: a bin is just another group column.
+    */
+  private val HistMaintFormat = 1
+  def histMaintainTable(s: SparkSession, d: String): graft.engine.KeyedTable = {
+    val o = orders(s, d)
+    val root = indexRoot(s, "histmaint", HistMaintFormat, d, "orders", o.count())
+    installDir(s, root)(buildHistMaintainInto(s, d, _))
+    graft.engine.KeyedTable(s, root, Seq("o_orderstatus", "price_bin"))
+  }
+
+  private[graft] def buildHistMaintainInto(s: SparkSession, d: String, tmp: String): Unit = {
+    val o = orders(s, d)
+    val agg = graft.engine.KeyedTable(s, tmp, Seq("o_orderstatus", "price_bin"), numBuckets = 8)
+    val k = col("o_orderkey")
+    val d3 = "decimal(19,3)"
+    val p2 = col("o_totalprice").cast("decimal(18,2)")
+    val p3 = p2.cast(d3)
+    val up3 = (p2 * lit(new java.math.BigDecimal("1.1"))).cast(d3)
+    def binOf(p: org.apache.spark.sql.Column) = floor(p / 100000).cast("long")
+    val bin = binOf(col("o_totalprice"))
+    val ubin = binOf(col("o_totalprice") * 1.1)
+    graft.engine.AggDelta.bootstrap(agg,
+      o.filter(k % 3 =!= 0).select(col("o_orderstatus"), bin.as("price_bin"),
+        p3.as("o_totalprice")),
+      Seq("o_orderstatus", "price_bin"), Seq("o_totalprice"),
+      valueType = d3, accType = "decimal(29,3)")
+    val ins = o.filter(k % 3 === 0).select(
+      lit("N").as("o_orderstatus"), bin.as("price_bin"), p3.as("o_totalprice"),
+      lit(null).cast("string").as("_old_o_orderstatus"),
+      lit(null).cast("long").as("_old_price_bin"),
+      lit(null).cast(d3).as("_old_o_totalprice"),
+      lit("I").as("_op"))
+    val upd = o.filter(k % 5 === 0).select(
+      lit("U").as("o_orderstatus"), ubin.as("price_bin"), up3.as("o_totalprice"),
+      when(k % 3 === 0, lit("N")).otherwise(col("o_orderstatus"))
+        .as("_old_o_orderstatus"),
+      bin.as("_old_price_bin"), p3.as("_old_o_totalprice"),
+      lit("U").as("_op"))
+    val del = o.filter(k % 7 === 0).select(
+      lit(null).cast("string").as("o_orderstatus"),
+      lit(null).cast("long").as("price_bin"),
+      lit(null).cast(d3).as("o_totalprice"),
+      when(k % 5 === 0, lit("U")).when(k % 3 === 0, lit("N"))
+        .otherwise(col("o_orderstatus")).as("_old_o_orderstatus"),
+      when(k % 5 === 0, ubin).otherwise(bin).as("_old_price_bin"),
+      when(k % 5 === 0, up3).otherwise(p3).as("_old_o_totalprice"),
+      lit("D").as("_op"))
+    graft.engine.AggDelta.maintain(agg, ins.unionByName(upd).unionByName(del),
+      Seq("o_orderstatus", "price_bin"), Seq("o_totalprice"),
+      valueType = d3, accType = "decimal(29,3)", batchId = Some("batch-1"))
+  }
+
   /** Per-session co-bucketed catalog tables over `events` — facts
     * (event_id, user_id, value) and dims (event_id, event_type), both
     * bucketed 32 ways on event_id. Catalog entries are in-memory and
