@@ -66,7 +66,13 @@ object Bench {
         "ivfpqa" -> {
           graft.queries.Td.buildIvfPqIncBaseInto(spark, sfDir, s"$tmpRoot/ivfpqinc")
           timed(graft.queries.Td.appendIvfPqInc(spark, sfDir, s"$tmpRoot/ivfpqinc", 60, 80))
-        })
+        },
+        // round-7 stored-state builds (CDC table + the three maintained
+        // states) — same bodies the accessors install, same no-drift rule
+        "cdc" -> timed(graft.queries.Td.buildCdcOrdersInto(spark, sfDir, s"$tmpRoot/cdc")),
+        "am" -> timed(graft.queries.Td.buildAggMaintainInto(spark, sfDir, s"$tmpRoot/am")),
+        "hm" -> timed(graft.queries.Td.buildHistMaintainInto(spark, sfDir, s"$tmpRoot/hm")),
+        "ds" -> timed(graft.queries.Td.buildDistinctStateInto(spark, sfDir, s"$tmpRoot/ds")))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
       out
     }
@@ -87,6 +93,10 @@ object Bench {
       graft.queries.Td.ivfIncIndexTable(spark, sfDir)._1.assigned.count()
       graft.queries.Td.ivfpqIncIndexTable(spark, sfDir)._1.codes.count()
       graft.queries.Td.vecDedupTables(spark, sfDir)._2.count()
+      graft.queries.Td.cdcOrdersTable(spark, sfDir).current.count()
+      graft.queries.Td.aggMaintainTable(spark, sfDir).current.count()
+      graft.queries.Td.histMaintainTable(spark, sfDir).current.count()
+      graft.queries.Td.distinctStateTable(spark, sfDir).current.count()
     }
     // Optional dev filter: `runMain graft.Bench q_a,q_b` times only those
     // queries (the driver invokes with no args → full battery).
