@@ -72,7 +72,8 @@ object Bench {
         "cdc" -> timed(graft.queries.Td.buildCdcOrdersInto(spark, sfDir, s"$tmpRoot/cdc")),
         "am" -> timed(graft.queries.Td.buildAggMaintainInto(spark, sfDir, s"$tmpRoot/am")),
         "hm" -> timed(graft.queries.Td.buildHistMaintainInto(spark, sfDir, s"$tmpRoot/hm")),
-        "ds" -> timed(graft.queries.Td.buildDistinctStateInto(spark, sfDir, s"$tmpRoot/ds")))
+        "ds" -> timed(graft.queries.Td.buildDistinctStateInto(spark, sfDir, s"$tmpRoot/ds")),
+        "scd2" -> timed(graft.queries.Td.buildScd2OrdersInto(spark, sfDir, s"$tmpRoot/scd2")))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
       out
     }
@@ -97,6 +98,7 @@ object Bench {
       graft.queries.Td.aggMaintainTable(spark, sfDir).current.count()
       graft.queries.Td.histMaintainTable(spark, sfDir).current.count()
       graft.queries.Td.distinctStateTable(spark, sfDir).current.count()
+      graft.queries.Td.scd2OrdersTable(spark, sfDir).current.count()
     }
     // Optional dev filter: `runMain graft.Bench q_a,q_b` times only those
     // queries (the driver invokes with no args → full battery).

@@ -479,19 +479,39 @@ final class KeyedTable(
                else batch.columns.filterNot(c => c == opCol || c == seqCol).toSeq
     val upserts = checked.filter(col(opCol) =!= "D")
       .select(cols.map(col).toIndexedSeq: _*)
+    replaceKeys(checked.select(keys.map(col).toIndexedSeq: _*), upserts, tag)
+  }
+
+  /** Replace every current row whose key appears in `keysDf` with the rows
+    * of `replacement`, as ONE atomic version — [[mergeCdc]]'s apply tail
+    * generalized to row GROUPS: `replacement` may carry zero, one, or MANY
+    * rows per touched key, so this is the write primitive for
+    * multi-row-per-key state (SCD-2 history, maintained join views), where
+    * one logical apply rewrites a key's whole group. A key in `keysDf` with
+    * no replacement rows simply disappears — the tombstone case falls out
+    * of the anti-join+union algebra ([[KeyedTable.cdcMergePlan]]) with no
+    * special path, and no intermediate snapshot ever exists where the old
+    * group is half-replaced. Keys NOT in `keysDf` are untouched; bucketed
+    * tables rewrite only the buckets the touched keys route to. `tag` gives
+    * the same consecutive-redelivery guard as [[mergeCdc]] ([[lastTag]]).
+    */
+  def replaceKeys(keysDf: DataFrame, replacement: DataFrame,
+                  tag: Option[String] = None): Long = {
     if (!exists) {
       // bootstrap: the tag lands AFTER the commit (overwrite owns its commit
       // sequence), so the batch-dedup guarantee starts with the second batch
-      val v = overwrite(upserts)
+      val v = overwrite(replacement)
       tag.foreach(t => writeText(fs, new Path(root, s"${TagPrefix}v$v"), t))
       return v
     }
     if (storedSchema.isEmpty) writeText(fs, new Path(root, SchemaMarker), current.schema.json)
-    val allKeys = checked.select(keys.map(col).toIndexedSeq: _*)
+    // distinct so the broadcast key set never carries one copy per
+    // replacement row — callers legitimately pass multi-row key frames
+    val allKeys = keysDf.select(keys.map(col).toIndexedSeq: _*).distinct()
     if (!bucketed) {
       val next = currentVersion + 1
       reserveVersion(next)
-      KeyedTable.cdcMergePlan(current, upserts, allKeys, keys)
+      KeyedTable.cdcMergePlan(current, replacement, allKeys, keys)
         .write.mode("overwrite").parquet(s"$root/v=$next")
       tag.foreach(t => writeText(fs, new Path(root, s"${TagPrefix}v$next"), t))
       commitVersion(next)
@@ -499,7 +519,7 @@ final class KeyedTable(
     } else {
       val touched = bucketsOf(allKeys).get
       commitBucketsRewrite(touched,
-        KeyedTable.cdcMergePlan(readBuckets(touched), upserts, allKeys, keys),
+        KeyedTable.cdcMergePlan(readBuckets(touched), replacement, allKeys, keys),
         tag)
     }
   }

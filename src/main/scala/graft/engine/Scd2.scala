@@ -1,0 +1,141 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SCD Type-2 history maintenance over a [[KeyedTable]] — the
+  * history-PRESERVING sink for an op-coded CDC feed, where [[KeyedTable
+  * .mergeCdc]] is the history-DESTROYING one. The reference's warehouse dims
+  * are SCD-1 (`updateable: true` overwrites in place — `dataflow/
+  * New_BookingTransformation.json:142-179`); type 2 is the standard
+  * warehouse upgrade of that same contract: an update CLOSES the key's open
+  * row (`valid_to` = the event's sequence) and opens a new one, a delete
+  * closes without opening, an insert opens. Every state a key ever had
+  * remains queryable (`AS OF` = `valid_from <= s AND (valid_to IS NULL OR
+  * valid_to > s)`), with `is_current` marking the live row.
+  *
+  * == Shape ==
+  * The history table is keyed by the NATURAL key only, so a key's whole
+  * history co-locates in one bucket and one maintenance apply touches
+  * exactly the buckets the batch's keys route to. Rows are one-per-version
+  * — the multi-row-per-key case [[KeyedTable.replaceKeys]] exists for:
+  * maintenance recomputes the touched keys' history groups (closed rows
+  * pass through untouched; the open row and the batch's events are lined up
+  * per key and re-segmented by one `lead` window) and atomically replaces
+  * the groups. Cost is ∝ |batch| + |touched keys' history|, never ∝ table.
+  *
+  * == In-batch chains ==
+  * A batch may carry several events for one key (I→U→D …). Each non-`D`
+  * event becomes a history row valid from its own sequence to the NEXT
+  * event's sequence (whatever its op); `D` contributes only its closing
+  * boundary. So U@1,D@2 leaves `[1,2)` closed and no open row; D@2,I@3
+  * re-opens at 3 with a `[.,2)` close behind it — tombstone gaps are real
+  * intervals in which the key does not exist.
+  *
+  * == Contracts ==
+  *  - Sequences must be strictly monotonic per key ACROSS batches: every
+  *    event must be `>` the key's recorded history boundary
+  *    (max of `valid_to`/`valid_from` over its rows) — an out-of-order
+  *    event would have to rewrite closed history, so it fails in-plan
+  *    (`raise_error`) rather than corrupt it. Within a batch, two surviving
+  *    events sharing one (key, seq) are ambiguous and also fail in-plan;
+  *    duplicate TOMBSTONES at one seq collapse harmlessly (they contribute
+  *    the same boundary and no row).
+  *  - `I` on a key with an open row behaves like `U` (replay-tolerant, the
+  *    same rule as [[KeyedTable.mergeCdc]]); `D` on a key with no open row
+  *    is a no-op (tombstones outlive their rows in every real feed).
+  *  - Because out-of-order events fail loudly, naive re-apply of an old
+  *    batch ERRORS rather than no-ops — exactly-once comes from `batchId`
+  *    + the table's version tag ([[KeyedTable.lastTag]]), which covers the
+  *    foreachBatch-retry window like [[AggDelta.maintain]].
+  */
+object Scd2 {
+  val ValidFrom = "valid_from"
+  val ValidTo = "valid_to"
+  val IsCurrent = "is_current"
+  private val MetaCols = Seq(ValidFrom, ValidTo, IsCurrent)
+
+  /** Open one history row per snapshot row, all valid from `seq0`. */
+  def bootstrap(hist: KeyedTable, snapshot: DataFrame, seq0: Long = 0L): Long = {
+    require(MetaCols.forall(c => !snapshot.columns.contains(c)),
+      s"snapshot must not already carry ${MetaCols.mkString("/")}")
+    hist.overwrite(snapshot
+      .withColumn(ValidFrom, lit(seq0))
+      .withColumn(ValidTo, lit(null).cast("long"))
+      .withColumn(IsCurrent, lit(true)))
+  }
+
+  /** Apply one op-coded CDC batch (`opCol` ∈ I/U/D, `seqCol` ordering events
+    * within and across batches) to the history table. Returns the committed
+    * version (the current one when `batchId` was already applied).
+    */
+  def maintain(hist: KeyedTable, batch: DataFrame, opCol: String = "_op",
+               seqCol: String = "_seq", batchId: Option[String] = None): Long = {
+    require(hist.exists, "bootstrap the history table before maintaining it")
+    if (batchId.isDefined && hist.lastTag == batchId) return hist.currentVersion
+    val keys = hist.keys
+    val payload = hist.current.columns.filterNot(MetaCols.contains).toSeq
+    require(payload.forall(batch.columns.contains),
+      s"CDC batch must carry every payload column: ${payload.mkString(", ")}")
+
+    // in-plan op validation BEFORE anything drops rows — same rule as
+    // mergeCdc: silently ignoring an unknown op is how a sink diverges
+    val checkedOp = when(col(opCol).isin("I", "U", "D"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit(s"Scd2: op column '$opCol' must be I/U/D, got "), col(opCol))))
+    val ev = batch.select(
+      (payload.map(col) :+ col(seqCol).cast("long").as("_vseq")
+        :+ checkedOp.as("_vop")).toIndexedSeq: _*)
+
+    // pinned: the touched-key frame feeds the state read, the guard join
+    // and the final replace — without the pin each consumer re-scans the
+    // batch (the AggDelta lesson, measured there)
+    val touched = batch.select(keys.map(col).toIndexedSeq: _*)
+      .distinct().localCheckpoint()
+    // bucket-pruned history of the touched keys, read once for its three
+    // consumers (boundary guard, open rows, closed pass-through)
+    val existing = hist.currentForKeys(touched).localCheckpoint()
+
+    // strict-monotonicity guard: every event must land AFTER the key's
+    // recorded boundary — rewriting closed history is corruption, not merge
+    val maxb = existing.groupBy(keys.map(col).toIndexedSeq: _*)
+      .agg(max(coalesce(col(ValidTo), col(ValidFrom))).as("_hist_max"))
+    val evGuarded = ev.join(broadcast(maxb), keys, "left_outer")
+      .withColumn("_vseq",
+        when(col("_hist_max").isNull || col("_vseq") > col("_hist_max"), col("_vseq"))
+          .otherwise(raise_error(concat(
+            lit("Scd2: out-of-order CDC — event at or before the recorded history boundary for key "),
+            concat_ws(",", keys.map(col).toIndexedSeq: _*)))))
+      .drop("_hist_max")
+
+    // the open row joins the event line as a pseudo-event at its own
+    // valid_from (strictly first — the guard above enforces it), so one
+    // lead() re-segments old open row + new events uniformly
+    val open = existing.filter(col(IsCurrent))
+      .select((payload.map(col) :+ col(ValidFrom).as("_vseq")
+        :+ lit("O").as("_vop")).toIndexedSeq: _*)
+    val closedRows = existing.filter(!col(IsCurrent))
+      .select((payload.map(col) :+ col(ValidFrom) :+ col(ValidTo)
+        :+ col(IsCurrent)).toIndexedSeq: _*)
+
+    val perKey = Window.partitionBy(keys.map(col).toIndexedSeq: _*).orderBy(col("_vseq"))
+    val dupes = count(lit(1))
+      .over(Window.partitionBy((keys :+ "_vseq").map(col).toIndexedSeq: _*))
+    val segmented = evGuarded.unionByName(open)
+      .withColumn("_dup", dupes)
+      .withColumn(ValidTo, lead(col("_vseq"), 1).over(perKey))
+    // D rows contributed their boundary via lead(); only survivors emit.
+    // The dup check rides the survivors' projection: two surviving events
+    // at one (key, seq) are ambiguous → fail; duplicate tombstones collapse
+    // to the same boundary and no row — deterministic, allowed.
+    val rebuilt = segmented.filter(col("_vop") =!= "D")
+      .select((payload.map(col) :+
+        when(col("_dup") === 1, col("_vseq")).otherwise(raise_error(concat(
+          lit("Scd2: duplicate sequence within a key — event order is ambiguous for key "),
+          concat_ws(",", keys.map(col).toIndexedSeq: _*)))).as(ValidFrom) :+
+        col(ValidTo) :+ col(ValidTo).isNull.as(IsCurrent)).toIndexedSeq: _*)
+
+    hist.replaceKeys(touched, closedRows.unionByName(rebuilt), batchId)
+  }
+}

@@ -202,6 +202,42 @@ object ParityQueries {
              |FROM orders
              |WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0""".stripMargin)),
 
+    // ----- SCD-2 history maintenance (Scd2.bootstrap/maintain) -------------
+    // Reads the STORED history table Td.scd2OrdersTable built bootstrap →
+    // two CDC batches (updates+tombstones, then re-inserts), so the bytes
+    // came from the real incremental path: per-key history groups rewritten
+    // through KeyedTable.replaceKeys, closed rows passing through untouched.
+    // The oracle reconstructs the history from the flat event log with one
+    // lead() window — the same algebra from scratch. Every row's
+    // (valid_from, valid_to, is_current) must match to the hash: a
+    // mis-closed interval anywhere (U→D chains, tombstone-gap re-opens,
+    // I-on-open) shifts a boundary and fails.
+    "q_scd2_maintain" -> Q(
+      (s, d) => Td.scd2OrdersTable(s, d).current,
+      Some("""WITH ev AS (
+             |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |         o_orderdate, o_orderpriority, CAST(0 AS BIGINT) AS seq, 'O' AS op
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT o_orderkey, o_custkey, 'U', o_totalprice * 1.1,
+             |         o_orderdate, o_orderpriority, 1, 'U'
+             |  FROM orders WHERE o_orderkey % 5 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |         o_orderdate, o_orderpriority, 2, 'D'
+             |  FROM orders WHERE o_orderkey % 7 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey, o_custkey, 'R', o_totalprice,
+             |         o_orderdate, o_orderpriority, 3, 'I'
+             |  FROM orders WHERE o_orderkey % 11 = 0),
+             |h AS (
+             |  SELECT *, lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS vto
+             |  FROM ev)
+             |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+             |  o_orderpriority, seq AS valid_from, vto AS valid_to,
+             |  (vto IS NULL) AS is_current
+             |FROM h WHERE op <> 'D'""".stripMargin)),
+
     // ----- incremental aggregate maintenance (retraction arithmetic) -------
     // Reads the STORED state table Td.aggMaintainTable: bootstrapped from
     // the %3≠0 base, then maintained with ONE before/after-image delta batch

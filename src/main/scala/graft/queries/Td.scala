@@ -373,6 +373,42 @@ object Td {
     t.merge(ev.filter(col("event_id") % 10 === 0))
   }
 
+  /** Stored SCD-2 HISTORY table over `orders`: bootstrap opens every order
+    * at seq 0, then TWO maintenance batches — batch 1 carries updates
+    * (%5=0, seq 1) and tombstones (%7=0, seq 2), so %35 keys exercise the
+    * in-batch U→D chain; batch 2 re-inserts %11=0 keys at seq 3, so %77
+    * keys exercise tombstone-gap re-opening (D then I with an interval in
+    * which the key does not exist) and the rest exercise I-on-open-row.
+    * The gated query reads the full history; the oracle reconstructs it
+    * from the event log with one lead() window — incremental maintenance
+    * through stored state must equal the from-scratch reconstruction.
+    */
+  private val Scd2OrdersFormat = 1
+  def scd2OrdersTable(s: SparkSession, d: String): graft.engine.KeyedTable = {
+    val o = orders(s, d)
+    val root = indexRoot(s, "scd2orders", Scd2OrdersFormat, d, "orders", o.count())
+    installDir(s, root)(buildScd2OrdersInto(s, d, _))
+    graft.engine.KeyedTable(s, root, Seq("o_orderkey"))
+  }
+
+  private[graft] def buildScd2OrdersInto(s: SparkSession, d: String, tmp: String): Unit = {
+    val o = orders(s, d)
+    val k = col("o_orderkey")
+    val t = graft.engine.KeyedTable(s, tmp, Seq("o_orderkey"), numBuckets = 32)
+    graft.engine.Scd2.bootstrap(t, o, seq0 = 0L)
+    val upd = o.filter(k % 5 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      .withColumn("_op", lit("U")).withColumn("_seq", lit(1))
+    val del = o.filter(k % 7 === 0)
+      .withColumn("_op", lit("D")).withColumn("_seq", lit(2))
+    graft.engine.Scd2.maintain(t, upd.unionByName(del), batchId = Some("scd2-b1"))
+    val ins = o.filter(k % 11 === 0)
+      .withColumn("o_orderstatus", lit("R"))
+      .withColumn("_op", lit("I")).withColumn("_seq", lit(3))
+    graft.engine.Scd2.maintain(t, ins, batchId = Some("scd2-b2"))
+  }
+
   /** Stored KeyedTable over `orders` built base-then-CDC: bootstrap with the
     * %3≠0 keys, then ONE op-coded batch carrying inserts (%3=0, seq 1),
     * updates (%5=0, seq 2) and tombstones (%7=0, seq 3) — so keys hit every
