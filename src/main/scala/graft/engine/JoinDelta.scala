@@ -1,0 +1,165 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incrementally MAINTAINED JOIN VIEW — the denormalized `fact ⋈ dim` table
+  * a warehouse serves queries from, kept fresh from op-coded CDC deltas of
+  * EITHER side without ever re-running the join over the base tables. This
+  * is the join counterpart of [[AggDelta]] (aggregates) and [[Scd2]]
+  * (history): together they cover the three classic materialized-view
+  * shapes over a CDC feed.
+  *
+  * == The dim-side fan-out problem, and the join index ==
+  * A fact-side delta touches exactly its own view rows — cost ∝ |Δfact|.
+  * A dim-side delta touches EVERY fact row referencing the changed dim
+  * keys; finding those rows in a fact table bucketed by FACT key would be
+  * a full scan. So the view is maintained alongside a JOIN INDEX — a
+  * `(dimRef, factKey)` pair table range-bucketed on `dimRef` (dim-ref
+  * routing only needs that one column, so a dim delta's key set resolves
+  * its buckets without knowing any fact keys) — the materialized-view-log
+  * pattern: dim delta → bucket-pruned index probe → affected fact keys,
+  * cost ∝ |Δdim| + |referencing facts|, never ∝ |fact table|.
+  *
+  * == Maintenance algebra ==
+  * Affected fact keys = Δfact's keys ∪ index-probe(Δdim's keys). Facts
+  * whose dim REFERENCE changed ride the first term (they are fact updates),
+  * so the probe never needs the pre-update index specifically — the apply
+  * order is crash-safe. The affected keys' view rows are then RECOMPUTED
+  * from post-apply base-table state (bucket-pruned reads on both sides)
+  * and swapped in atomically via [[KeyedTable.replaceKeys]] — a fact
+  * delete, or an inner-join dim delete cascading its facts' rows away,
+  * falls out of the replace algebra with no tombstone path. The index
+  * itself is maintained from Δfact's before-images (`_old_<dimRef>` for
+  * U/D — the [[AggDelta]] image convention): old pair out, new pair in.
+  *
+  * == Contracts ==
+  *  - ONE event per key per delta (fact and dim) — enforced in-plan. Feeds
+  *    with in-batch chains collapse upstream ([[Ops.latestPerKey]]); the
+  *    restriction exists because a chain's net index transition needs the
+  *    FIRST old image and the LAST new one, which a flat row set can't
+  *    express unambiguously.
+  *  - U/D fact events must carry a non-null `_old_<dimRef>` matching the
+  *    applied state (enforced non-null in-plan; a WRONG image strands a
+  *    stale index pair — same silent-corruption class as AggDelta's
+  *    mis-imaged retraction, and same remedy: transactional CDC images).
+  *  - `batchId` is REQUIRED: one epoch writes up to four tables (fact,
+  *    dim, index, view), and the per-table version tags are what make a
+  *    crash-interrupted epoch resumable — redelivery skips the tables that
+  *    already carry the tag and re-runs the rest (every step is
+  *    replay-idempotent against applied state).
+  *  - dim rows are keyed by `dimKey` (immutable — it IS the key), so dim
+  *    deltas need no before-images.
+  */
+object JoinDelta {
+
+  /** The view plan, shared verbatim by bootstrap and maintenance: facts
+    * joined to dims on `dimRef = dimKey`, dim's key column dropped (it
+    * duplicates the fact's reference column). `joinType` is `inner` or
+    * `left` — the reference's lookup shape (T2) is the left-outer one.
+    */
+  def viewPlan(facts: DataFrame, dims: DataFrame, dimRef: String,
+               dimKey: String, joinType: String): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      s"joinType must be inner|left, got $joinType")
+    require(dimRef != dimKey,
+      "fact's dim-reference column and dim's key column must be named differently")
+    val overlap = facts.columns.toSet.intersect(dims.columns.toSet)
+    require(overlap.isEmpty, s"fact/dim column names must be disjoint: ${overlap.mkString(", ")}")
+    facts.join(dims, facts(dimRef) === dims(dimKey), joinType).drop(dimKey)
+  }
+
+  /** Build view + index from full base scans — the one-time bootstrap. */
+  def bootstrap(view: KeyedTable, index: KeyedTable, facts: DataFrame,
+                dims: DataFrame, dimRef: String, dimKey: String,
+                joinType: String = "inner"): Unit = {
+    requireIndexShape(view, index, dimRef)
+    view.overwrite(viewPlan(facts, dims, dimRef, dimKey, joinType))
+    index.overwrite(facts.select((dimRef +: view.keys).map(col).toIndexedSeq: _*))
+  }
+
+  private def requireIndexShape(view: KeyedTable, index: KeyedTable, dimRef: String): Unit =
+    require(index.keys == dimRef +: view.keys,
+      s"join index must be keyed ($dimRef, ${view.keys.mkString(", ")}), got ${index.keys.mkString(", ")}")
+
+  /** Apply one epoch: `factDelta`/`dimDelta` (either may be absent) to the
+    * base tables, the index, and the view — each table exactly once under
+    * `batchId` redelivery.
+    */
+  def maintain(factTable: KeyedTable, dimTable: KeyedTable, view: KeyedTable,
+               index: KeyedTable, factDelta: Option[DataFrame],
+               dimDelta: Option[DataFrame], dimRef: String, dimKey: String,
+               batchId: String, joinType: String = "inner",
+               opCol: String = "_op", seqCol: String = "_seq",
+               oldPrefix: String = "_old_"): Unit = {
+    requireIndexShape(view, index, dimRef)
+    require(Seq(factTable, dimTable, view, index).forall(_.exists),
+      "bootstrap all four tables before maintaining")
+    val fk = view.keys
+    def fresh(t: KeyedTable): Boolean = !t.lastTag.contains(batchId)
+
+    // one-event-per-key + op validity + (fact) old-image presence, woven
+    // into the op column so the pin below forces every check before any
+    // table is written
+    def checked(df: DataFrame, keyCols: Seq[String], needOldImage: Boolean): DataFrame = {
+      val dup = count(lit(1)).over(Window.partitionBy(keyCols.map(col).toIndexedSeq: _*))
+      val base = when(col(opCol).isin("I", "U", "D"), col(opCol))
+        .otherwise(raise_error(concat(
+          lit(s"JoinDelta: op column '$opCol' must be I/U/D, got "), col(opCol))))
+      val oneEvent = when(dup === 1, base).otherwise(raise_error(concat(
+        lit("JoinDelta: one event per key per epoch — collapse chains upstream; key "),
+        concat_ws(",", keyCols.map(col).toIndexedSeq: _*))))
+      val guarded = if (!needOldImage) oneEvent else
+        when(col(opCol).isin("U", "D") && col(oldPrefix + dimRef).isNull,
+          raise_error(concat(
+            lit(s"JoinDelta: U/D fact event missing before-image '$oldPrefix$dimRef' for key "),
+            concat_ws(",", keyCols.map(col).toIndexedSeq: _*))))
+          .otherwise(oneEvent)
+      df.withColumn(opCol, guarded).localCheckpoint()
+    }
+    val fd = factDelta.map(checked(_, fk, needOldImage = true))
+    val dd = dimDelta.map(checked(_, Seq(dimKey), needOldImage = false))
+
+    // 1+2: base tables (mergeCdc drops the _old_/op/seq columns itself)
+    fd.foreach(d => if (fresh(factTable)) factTable.mergeCdc(d, opCol, seqCol, Some(batchId)))
+    dd.foreach(d => if (fresh(dimTable)) dimTable.mergeCdc(d, opCol, seqCol, Some(batchId)))
+
+    // 3: join index from the fact delta's image transitions
+    fd.foreach { d =>
+      if (fresh(index)) {
+        val pairCols = (dimRef +: fk).map(col).toIndexedSeq
+        val oldPairs = d.filter(col(opCol).isin("U", "D"))
+          .select((col(oldPrefix + dimRef).as(dimRef) +: fk.map(col)).toIndexedSeq: _*)
+        val newPairs = d.filter(col(opCol) =!= "D").select(pairCols: _*)
+        index.replaceKeys(oldPairs.unionByName(newPairs), newPairs, Some(batchId))
+      }
+    }
+
+    if (!fresh(view)) return
+    // 4: affected fact keys — Δfact's own keys plus the index probe of
+    // Δdim's keys (range-bucket-pruned: the probe frame carries only the
+    // index's rangeCol, which is all range routing needs)
+    val fromFacts = fd.map(_.select(fk.map(col).toIndexedSeq: _*))
+    val fromDims = dd.map { d =>
+      val dks = d.select(col(dimKey).as(dimRef)).distinct()
+      val idxRows = index.bucketsOf(dks) match {
+        case Some(bs) => index.readBuckets(bs)
+        case None     => index.current
+      }
+      idxRows.join(broadcast(dks), Seq(dimRef), "left_semi")
+        .select(fk.map(col).toIndexedSeq: _*)
+    }
+    val affected = (fromFacts.toSeq ++ fromDims.toSeq)
+      .reduceOption(_ unionByName _)
+      .getOrElse(return)
+      .distinct().localCheckpoint()
+
+    // 5: recompute the affected rows from post-apply state (both reads
+    // bucket-pruned + broadcast-semi-joined) and swap the groups atomically
+    val facts = factTable.currentForKeys(affected)
+    val dims = dimTable.currentForKeys(facts.select(col(dimRef).as(dimKey)))
+    view.replaceKeys(affected, viewPlan(facts, dims, dimRef, dimKey, joinType),
+      Some(batchId))
+  }
+}

@@ -238,6 +238,40 @@ object ParityQueries {
              |  (vto IS NULL) AS is_current
              |FROM h WHERE op <> 'D'""".stripMargin)),
 
+    // ----- maintained join view (JoinDelta: delta-join IVM + join index) ---
+    // Reads the STORED view Td.joinMaintainTables kept fresh across a
+    // fact-side epoch (inserts, dim-reference REMAPS, tombstones) and a
+    // dim-side epoch (payload updates + deletes that cascade through the
+    // inner join) — the dim epoch resolves its affected facts through the
+    // range-bucketed join index, never a fact scan. The oracle joins the
+    // two final base states from scratch: a stale index pair, a missed
+    // cascade, or an un-recomputed view row shows up as a row/hash diff.
+    "q_join_maintain" -> Q(
+      (s, d) => Td.joinMaintainTables(s, d)._1.current,
+      Some("""WITH f AS (
+             |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |         o_orderdate, o_orderpriority
+             |  FROM orders
+             |  WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+             |  UNION ALL
+             |  SELECT o_orderkey, (o_custkey % 100) + 1, o_orderstatus,
+             |         o_totalprice * 1.1, o_orderdate, o_orderpriority
+             |  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 <> 0
+             |  UNION ALL
+             |  SELECT o_orderkey, o_custkey, 'N', o_totalprice, o_orderdate,
+             |         o_orderpriority
+             |  FROM orders WHERE o_orderkey % 3 = 0),
+             |c AS (
+             |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+             |  FROM customer WHERE c_custkey % 4 <> 0 AND c_custkey % 9 <> 0
+             |  UNION ALL
+             |  SELECT c_custkey, c_name, c_nationkey, c_acctbal * 2, 'VIP'
+             |  FROM customer WHERE c_custkey % 4 = 0 AND c_custkey % 9 <> 0)
+             |SELECT f.o_orderkey, f.o_custkey, f.o_orderstatus, f.o_totalprice,
+             |  f.o_orderdate, f.o_orderpriority, c.c_name, c.c_nationkey,
+             |  c.c_acctbal, c.c_mktsegment
+             |FROM f JOIN c ON f.o_custkey = c.c_custkey""".stripMargin)),
+
     // ----- incremental aggregate maintenance (retraction arithmetic) -------
     // Reads the STORED state table Td.aggMaintainTable: bootstrapped from
     // the %3≠0 base, then maintained with ONE before/after-image delta batch

@@ -580,6 +580,66 @@ object Td {
       valueType = d3, accType = "decimal(29,3)", batchId = Some("batch-1"))
   }
 
+  /** Stored MAINTAINED JOIN VIEW `orders ⋈ customer` (inner), with its join
+    * index, kept fresh across two single-sided epochs: epoch 1 is
+    * fact-side (inserts %3=0, updates %5=0∧%3≠0 that REMAP the customer
+    * reference to (o_custkey%100)+1 — the index-transition case — and
+    * tombstones %7=0∧%3≠0∧%5≠0), epoch 2 is dim-side (acctbal×2 +
+    * segment 'VIP' for %4=0∧%9≠0 custkeys, deletes for %9=0 — which
+    * CASCADE view rows away through the inner join, including rows whose
+    * remapped reference from epoch 1 landed on a later-deleted customer).
+    * The oracle joins the two final base states from scratch.
+    */
+  private val JoinMaintFormat = 1
+  def joinMaintainTables(s: SparkSession, d: String): (graft.engine.KeyedTable, graft.engine.KeyedTable) = {
+    val o = orders(s, d)
+    val root = indexRoot(s, "joinmaint", JoinMaintFormat, d, "orders", o.count())
+    installDir(s, root)(buildJoinMaintainInto(s, d, _))
+    (graft.engine.KeyedTable(s, s"$root/view", Seq("o_orderkey")),
+      graft.engine.KeyedTable(s, s"$root/index", Seq("o_custkey", "o_orderkey"),
+        rangeCol = Some("o_custkey")))
+  }
+
+  private[graft] def buildJoinMaintainInto(s: SparkSession, d: String, tmp: String): Unit = {
+    val o = orders(s, d)
+    val c = customer(s, d)
+    val k = col("o_orderkey")
+    val fact = graft.engine.KeyedTable(s, s"$tmp/fact", Seq("o_orderkey"), numBuckets = 32)
+    val dim = graft.engine.KeyedTable(s, s"$tmp/dim", Seq("c_custkey"), numBuckets = 8)
+    val view = graft.engine.KeyedTable(s, s"$tmp/view", Seq("o_orderkey"), numBuckets = 32)
+    val idx = graft.engine.KeyedTable(s, s"$tmp/index", Seq("o_custkey", "o_orderkey"),
+      numBuckets = 16, rangeCol = Some("o_custkey"))
+    fact.overwrite(o.filter(k % 3 =!= 0))
+    dim.overwrite(c)
+    graft.engine.JoinDelta.bootstrap(view, idx, fact.current, dim.current,
+      "o_custkey", "c_custkey", joinType = "inner")
+    val ins = o.filter(k % 3 === 0)
+      .withColumn("o_orderstatus", lit("N"))
+      .withColumn("_old_o_custkey", lit(null).cast("bigint"))
+      .withColumn("_op", lit("I")).withColumn("_seq", lit(1))
+    val upd = o.filter(k % 5 === 0 && k % 3 =!= 0)
+      .withColumn("_old_o_custkey", col("o_custkey"))
+      .withColumn("o_custkey", (col("o_custkey") % 100) + 1)
+      .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      .withColumn("_op", lit("U")).withColumn("_seq", lit(1))
+    val del = o.filter(k % 7 === 0 && k % 3 =!= 0 && k % 5 =!= 0)
+      .withColumn("_old_o_custkey", col("o_custkey"))
+      .withColumn("_op", lit("D")).withColumn("_seq", lit(1))
+    graft.engine.JoinDelta.maintain(fact, dim, view, idx,
+      Some(ins.unionByName(upd).unionByName(del)), None,
+      "o_custkey", "c_custkey", batchId = "jm-e1", joinType = "inner")
+    val ck = col("c_custkey")
+    val cu = c.filter(ck % 4 === 0 && ck % 9 =!= 0)
+      .withColumn("c_acctbal", col("c_acctbal") * 2)
+      .withColumn("c_mktsegment", lit("VIP"))
+      .withColumn("_op", lit("U")).withColumn("_seq", lit(2))
+    val cd = c.filter(ck % 9 === 0)
+      .withColumn("_op", lit("D")).withColumn("_seq", lit(2))
+    graft.engine.JoinDelta.maintain(fact, dim, view, idx,
+      None, Some(cu.unionByName(cd)),
+      "o_custkey", "c_custkey", batchId = "jm-e2", joinType = "inner")
+  }
+
   /** Per-session co-bucketed catalog tables over `events` — facts
     * (event_id, user_id, value) and dims (event_id, event_type), both
     * bucketed 32 ways on event_id. Catalog entries are in-memory and

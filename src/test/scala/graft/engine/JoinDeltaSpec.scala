@@ -1,0 +1,152 @@
+package graft.engine
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class JoinDeltaSpec extends SparkSpec {
+
+  // facts (fid, dref, m) ⋈ dims (did, name): view keyed fid, index (dref, fid)
+  private def mk(pfx: String): (KeyedTable, KeyedTable, KeyedTable, KeyedTable) = {
+    val d = tmpDir(pfx)
+    (KeyedTable(spark, s"$d/fact", Seq("fid"), numBuckets = 4),
+      KeyedTable(spark, s"$d/dim", Seq("did"), numBuckets = 2),
+      KeyedTable(spark, s"$d/view", Seq("fid"), numBuckets = 4),
+      KeyedTable(spark, s"$d/index", Seq("dref", "fid"), numBuckets = 4,
+        rangeCol = Some("dref")))
+  }
+
+  private def facts(rows: (String, String, Int)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("fid", "dref", "m")
+  }
+
+  private def dims(rows: (String, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("did", "name")
+  }
+
+  private def boot(joinType: String = "inner") = {
+    val (f, dm, v, ix) = mk("jd")
+    f.overwrite(facts(("f1", "d1", 10), ("f2", "d1", 20), ("f3", "d2", 30)))
+    dm.overwrite(dims(("d1", "one"), ("d2", "two"), ("d3", "three")))
+    JoinDelta.bootstrap(v, ix, f.current, dm.current, "dref", "did", joinType)
+    (f, dm, v, ix)
+  }
+
+  private def viewRows(v: KeyedTable): Set[(String, String, Int, String)] =
+    v.current.collect().map(r => (r.getAs[String]("fid"), r.getAs[String]("dref"),
+      r.getAs[Int]("m"), r.getAs[String]("name"))).toSet
+
+  private def idxPairs(ix: KeyedTable): Set[(String, String)] =
+    ix.current.collect().map(r => (r.getAs[String]("dref"), r.getAs[String]("fid"))).toSet
+
+  private def fd(rows: (String, String, Int, String, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    // (fid, dref, m, _old_dref, _op)
+    rows.toSeq.toDF("fid", "dref", "m", "_old_dref", "_op").withColumn("_seq", lit(1))
+  }
+
+  private def dd(rows: (String, String, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("did", "name", "_op").withColumn("_seq", lit(1))
+  }
+
+  test("bootstrap: view is the join, index is the pair set") {
+    val (_, _, v, ix) = boot()
+    assert(viewRows(v) == Set(("f1", "d1", 10, "one"), ("f2", "d1", 20, "one"),
+      ("f3", "d2", 30, "two")))
+    assert(idxPairs(ix) == Set(("d1", "f1"), ("d1", "f2"), ("d2", "f3")))
+  }
+
+  test("fact epoch: insert, dim-reference move, delete — view and index both follow") {
+    val (f, dm, v, ix) = boot()
+    JoinDelta.maintain(f, dm, v, ix, Some(fd(
+      ("f4", "d3", 40, null, "I"),
+      ("f2", "d2", 21, "d1", "U"), // moves d1 → d2
+      ("f3", null, 0, "d2", "D"))), None, "dref", "did", batchId = "e1")
+    assert(viewRows(v) == Set(("f1", "d1", 10, "one"), ("f2", "d2", 21, "two"),
+      ("f4", "d3", 40, "three")))
+    assert(idxPairs(ix) == Set(("d1", "f1"), ("d2", "f2"), ("d3", "f4")))
+    assert(f.current.count() == 3)
+  }
+
+  test("dim epoch: update reaches exactly the referencing facts; inner delete cascades") {
+    val (f, dm, v, ix) = boot()
+    JoinDelta.maintain(f, dm, v, ix, None, Some(dd(
+      ("d1", "ONE", "U"), ("d2", null, "D"))), "dref", "did", batchId = "e1")
+    assert(viewRows(v) == Set(("f1", "d1", 10, "ONE"), ("f2", "d1", 20, "ONE")))
+    assert(idxPairs(ix) == Set(("d1", "f1"), ("d1", "f2"), ("d2", "f3"))) // index tracks facts, not dims
+  }
+
+  test("left join: dim delete nulls the payload instead of cascading the row away") {
+    val (f, dm, v, ix) = boot(joinType = "left")
+    JoinDelta.maintain(f, dm, v, ix, None, Some(dd(("d2", null, "D"))),
+      "dref", "did", batchId = "e1", joinType = "left")
+    assert(viewRows(v) == Set(("f1", "d1", 10, "one"), ("f2", "d1", 20, "one"),
+      ("f3", "d2", 30, null)))
+  }
+
+  test("combined epoch: both sides in one batchId") {
+    val (f, dm, v, ix) = boot()
+    JoinDelta.maintain(f, dm, v, ix,
+      Some(fd(("f1", "d2", 11, "d1", "U"))),
+      Some(dd(("d1", "ONE", "U"))), "dref", "did", batchId = "e1")
+    assert(viewRows(v) == Set(("f1", "d2", 11, "two"), ("f2", "d1", 20, "ONE"),
+      ("f3", "d2", 30, "two")))
+    assert(idxPairs(ix) == Set(("d2", "f1"), ("d1", "f2"), ("d2", "f3")))
+  }
+
+  test("redelivered epoch no-ops everywhere; partially-applied epoch resumes") {
+    val (f, dm, v, ix) = boot()
+    val delta = fd(("f2", "d2", 21, "d1", "U"))
+    JoinDelta.maintain(f, dm, v, ix, Some(delta), None, "dref", "did", batchId = "e1")
+    val versions = (f.currentVersion, dm.currentVersion, v.currentVersion, ix.currentVersion)
+    JoinDelta.maintain(f, dm, v, ix, Some(delta), None, "dref", "did", batchId = "e1")
+    assert((f.currentVersion, dm.currentVersion, v.currentVersion, ix.currentVersion) == versions)
+
+    // crash window: fact table applied and tagged, rest not — resume must
+    // skip the fact apply (tag) and still complete index + view
+    val delta2 = fd(("f1", "d3", 12, "d1", "U"))
+    f.mergeCdc(delta2, tag = Some("e2"))
+    JoinDelta.maintain(f, dm, v, ix, Some(delta2), None, "dref", "did", batchId = "e2")
+    assert(viewRows(v) == Set(("f1", "d3", 12, "three"), ("f2", "d2", 21, "two"),
+      ("f3", "d2", 30, "two")))
+    assert(idxPairs(ix) == Set(("d3", "f1"), ("d2", "f2"), ("d2", "f3")))
+  }
+
+  test("two events for one key in an epoch fail in-plan; missing before-image fails") {
+    val (f, dm, v, ix) = boot()
+    val e1 = intercept[Exception] {
+      JoinDelta.maintain(f, dm, v, ix, Some(fd(
+        ("f1", "d2", 11, "d1", "U"), ("f1", "d3", 12, "d2", "U"))),
+        None, "dref", "did", batchId = "e1")
+    }
+    assert(e1.getMessage.contains("one event per key"))
+    val e2 = intercept[Exception] {
+      JoinDelta.maintain(f, dm, v, ix, Some(fd(("f1", "d2", 11, null, "U"))),
+        None, "dref", "did", batchId = "e2")
+    }
+    assert(e2.getMessage.contains("before-image"))
+    // failed epochs committed nothing
+    assert(viewRows(v) == Set(("f1", "d1", 10, "one"), ("f2", "d1", 20, "one"),
+      ("f3", "d2", 30, "two")))
+  }
+
+  test("dim probe resolves affected facts through pruned index buckets") {
+    val (f, dm, v, ix) = boot()
+    // the probe frame carries only the rangeCol — bucketsOf must resolve
+    val s = spark
+    import s.implicits._
+    val dks = Seq("d1").toDF("dref")
+    val bs = ix.bucketsOf(dks)
+    assert(bs.isDefined && bs.get.nonEmpty && bs.get.size < 4)
+    val rows = ix.readBuckets(bs.get)
+      .join(broadcast(dks), Seq("dref"), "left_semi").collect()
+    assert(rows.map(_.getAs[String]("fid")).toSet == Set("f1", "f2"))
+  }
+}
