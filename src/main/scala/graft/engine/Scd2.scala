@@ -66,6 +66,16 @@ object Scd2 {
       .withColumn(IsCurrent, lit(true)))
   }
 
+  /** The table AS OF sequence `s`: each key's row whose validity interval
+    * covers `s` — `valid_from <= s < valid_to` (from-inclusive,
+    * to-exclusive: an event at `s` is already visible at `s`, and the row
+    * it closed is not). Keys inside a tombstone gap at `s` have no row.
+    * Kept a pure filter so it composes with any history frame (the stored
+    * table's `current`, a bucket-pruned slice, the streaming twin's state).
+    */
+  def asOf(history: DataFrame, s: Long): DataFrame =
+    history.filter(col(ValidFrom) <= s && (col(ValidTo).isNull || col(ValidTo) > s))
+
   /** Apply one op-coded CDC batch (`opCol` ∈ I/U/D, `seqCol` ordering events
     * within and across batches) to the history table. Returns the committed
     * version (the current one when `batchId` was already applied).

@@ -238,6 +238,40 @@ object ParityQueries {
              |  (vto IS NULL) AS is_current
              |FROM h WHERE op <> 'D'""".stripMargin)),
 
+    // ----- SCD-2 AS-OF read (point-in-time snapshot from the history) ------
+    // asOf(2) lands BETWEEN the batches: after the seq-1 updates and the
+    // seq-2 tombstones (a delete at s is already invisible AT s — the
+    // to-exclusive boundary), before the seq-3 re-inserts. valid_to values
+    // still reflect the FULL history (a later re-insert closed some rows),
+    // so the oracle filters the same reconstructed-history CTE rather than
+    // rebuilding a truncated log — pinning that asOf is a pure filter over
+    // final state, not a replay.
+    "q_scd2_asof" -> Q(
+      (s, d) => graft.engine.Scd2.asOf(Td.scd2OrdersTable(s, d).current, 2L),
+      Some("""WITH ev AS (
+             |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |         o_orderdate, o_orderpriority, CAST(0 AS BIGINT) AS seq, 'O' AS op
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT o_orderkey, o_custkey, 'U', o_totalprice * 1.1,
+             |         o_orderdate, o_orderpriority, 1, 'U'
+             |  FROM orders WHERE o_orderkey % 5 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |         o_orderdate, o_orderpriority, 2, 'D'
+             |  FROM orders WHERE o_orderkey % 7 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey, o_custkey, 'R', o_totalprice,
+             |         o_orderdate, o_orderpriority, 3, 'I'
+             |  FROM orders WHERE o_orderkey % 11 = 0),
+             |h AS (
+             |  SELECT *, lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS vto
+             |  FROM ev)
+             |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+             |  o_orderpriority, seq AS valid_from, vto AS valid_to,
+             |  (vto IS NULL) AS is_current
+             |FROM h WHERE op <> 'D' AND seq <= 2 AND (vto IS NULL OR vto > 2)""".stripMargin)),
+
     // ----- maintained join view (JoinDelta: delta-join IVM + join index) ---
     // Reads the STORED view Td.joinMaintainTables kept fresh across a
     // fact-side epoch (inserts, dim-reference REMAPS, tombstones) and a

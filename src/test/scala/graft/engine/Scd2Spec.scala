@@ -121,6 +121,21 @@ class Scd2Spec extends SparkSpec {
     assert(rows(t) == Set(("a", "a0", 0L, Some(4L), false), ("a", "a1", 4L, None, true)))
   }
 
+  test("asOf: covering row per key, from-inclusive to-exclusive, gaps empty") {
+    val s = spark
+    import s.implicits._
+    val t = hist(tmpDir("scd2a"))
+    Scd2.bootstrap(t, Seq(("g", "g0")).toDF("id", "v"))
+    Scd2.maintain(t, batch(("g", null, "D", 3), ("g", "g1", "I", 6)))
+    def at(seq: Long): Set[String] =
+      Scd2.asOf(t.current, seq).collect().map(_.getAs[String]("v")).toSet
+    assert(at(0) == Set("g0")) // from-inclusive: visible AT its valid_from
+    assert(at(2) == Set("g0"))
+    assert(at(3) == Set.empty) // to-exclusive: the delete at 3 is in force AT 3
+    assert(at(5) == Set.empty) // tombstone gap
+    assert(at(6) == Set("g1"))
+  }
+
   test("replaceKeys: multi-row groups replaced atomically; empty group disappears") {
     val s = spark
     import s.implicits._
