@@ -74,7 +74,8 @@ object Bench {
         "hm" -> timed(graft.queries.Td.buildHistMaintainInto(spark, sfDir, s"$tmpRoot/hm")),
         "ds" -> timed(graft.queries.Td.buildDistinctStateInto(spark, sfDir, s"$tmpRoot/ds")),
         "scd2" -> timed(graft.queries.Td.buildScd2OrdersInto(spark, sfDir, s"$tmpRoot/scd2")),
-        "jm" -> timed(graft.queries.Td.buildJoinMaintainInto(spark, sfDir, s"$tmpRoot/jm")))
+        "jm" -> timed(graft.queries.Td.buildJoinMaintainInto(spark, sfDir, s"$tmpRoot/jm")),
+        "tk" -> timed(graft.queries.Td.buildTopkMaintainInto(spark, sfDir, s"$tmpRoot/tk")))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
       out
     }
@@ -101,6 +102,7 @@ object Bench {
       graft.queries.Td.distinctStateTable(spark, sfDir).current.count()
       graft.queries.Td.scd2OrdersTable(spark, sfDir).current.count()
       graft.queries.Td.joinMaintainTables(spark, sfDir)._1.current.count()
+      graft.queries.Td.topkMaintainTable(spark, sfDir).current.count()
     }
     // Optional dev filter: `runMain graft.Bench q_a,q_b` times only those
     // queries (the driver invokes with no args → full battery).

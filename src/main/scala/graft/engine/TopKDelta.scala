@@ -1,0 +1,177 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incrementally maintained per-group TOP-K — the leaderboard/ranking view
+  * shape, completing the maintained-view family ([[AggDelta]] sums,
+  * [[DistinctState]] distincts, [[JoinDelta]] joins, [[Scd2]] history).
+  * Top-k is not retractable from the answer alone (delete the 2nd-best and
+  * the new k-th must come from somewhere the answer never stored), so the
+  * state is a BUFFER of the top `bufferFactor × k` rows per group plus two
+  * per-group meta fields that bound what the buffer still guarantees:
+  *
+  *  - `_sat` — the buffer has ever truncated (items beyond it exist);
+  *  - `_dret` — buffered-item retractions since the last full derivation.
+  *
+  * Invariant: a saturated group's buffer still contains the true top
+  * `(bufferSize − _dret)`; an UNsaturated buffer IS the whole group. A
+  * maintenance batch retracts/adds rows set-algebraically, re-ranks the
+  * touched groups' buffers, and only when a saturated group's guarantee
+  * drops below k (`bufferCap − _dret < k`, or the buffer itself shrank
+  * below k) does it RE-DERIVE that group from the fact table — the rare
+  * refill path deletes pay for, amortized by the buffer factor; groups
+  * that never saturate (bounded domains) never re-derive at all. The
+  * fact table is passed BY NAME and only evaluated on refill.
+  *
+  * Contracts (the [[JoinDelta]] conventions): one event per item per
+  * batch, old images under `oldPrefix` for U/D (`_old_<group>` and
+  * `_old_<score>`), groups non-null, exactly-once via `batchId` + version
+  * tag. A retraction that misses its buffered row in an UNSATURATED group
+  * means the before-image diverged from applied state — it fails in-plan,
+  * the same drift trap [[AggDelta]]'s below-zero check springs.
+  */
+object TopKDelta {
+  val SatCol = "_sat"
+  val DretCol = "_dret"
+
+  private def rankCols(scoreCol: String, idCols: Seq[String]): Seq[Column] =
+    col(scoreCol).desc +: idCols.map(col(_).asc)
+
+  private def topM(df: DataFrame, groups: Seq[String], scoreCol: String,
+                   idCols: Seq[String], m: Int): DataFrame = {
+    val w = Window.partitionBy(groups.map(col).toIndexedSeq: _*)
+      .orderBy(rankCols(scoreCol, idCols).toIndexedSeq: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .withColumn("_gn", count(lit(1)).over(
+        Window.partitionBy(groups.map(col).toIndexedSeq: _*)))
+      .filter(col("_rn") <= m)
+  }
+
+  /** Build the buffered state from a full fact scan. */
+  def bootstrap(state: KeyedTable, facts: DataFrame, groups: Seq[String],
+                idCols: Seq[String], scoreCol: String, k: Int,
+                bufferFactor: Int = 2): Long = {
+    val m = k * bufferFactor
+    state.overwrite(topM(facts.select((groups ++ idCols :+ scoreCol).map(col).toIndexedSeq: _*),
+        groups, scoreCol, idCols, m)
+      .withColumn(SatCol, col("_gn") > m)
+      .withColumn(DretCol, lit(0))
+      .drop("_rn", "_gn"))
+  }
+
+  /** The answer, read off the state: true top-k per group. */
+  def topK(state: DataFrame, groups: Seq[String], idCols: Seq[String],
+           scoreCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(groups.map(col).toIndexedSeq: _*)
+      .orderBy(rankCols(scoreCol, idCols).toIndexedSeq: _*)
+    state.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select((groups ++ idCols :+ scoreCol).map(col) :+ col("_rn").as("rank"): _*)
+  }
+
+  /** Apply one CDC batch. `facts` is the POST-APPLY fact state, evaluated
+    * only if some group needs a refill.
+    */
+  def maintain(state: KeyedTable, cdc: DataFrame, facts: => DataFrame,
+               groups: Seq[String], idCols: Seq[String], scoreCol: String,
+               k: Int, bufferFactor: Int = 2, opCol: String = "_op",
+               oldPrefix: String = "_old_",
+               batchId: Option[String] = None): Long = {
+    require(state.exists, "bootstrap the top-k state before maintaining it")
+    if (batchId.isDefined && state.lastTag == batchId) return state.currentVersion
+    val m = k * bufferFactor
+
+    // one event per item + op validity, woven into the op column; pinned
+    // so every check fires before any state write and the batch is scanned
+    // once for its several consumers
+    val dup = count(lit(1)).over(Window.partitionBy(idCols.map(col).toIndexedSeq: _*))
+    val checked = cdc.withColumn(opCol,
+      when(dup > 1, raise_error(concat(
+          lit("TopKDelta: one event per item per batch — collapse chains upstream; item "),
+          concat_ws(",", idCols.map(col).toIndexedSeq: _*))))
+        .when(col(opCol).isin("I", "U", "D"), col(opCol))
+        .otherwise(raise_error(concat(
+          lit(s"TopKDelta: op column '$opCol' must be I/U/D, got "), col(opCol)))))
+      .localCheckpoint()
+
+    // touched groups: new homes of I/U plus old homes of U/D
+    val newGroups = checked.filter(col(opCol) =!= "D")
+      .select(groups.map(col).toIndexedSeq: _*)
+    val oldGroups = checked.filter(col(opCol) =!= "I")
+      .select(groups.map(g => col(oldPrefix + g).as(g)).toIndexedSeq: _*)
+    val touched = newGroups.unionByName(oldGroups).distinct().localCheckpoint()
+
+    val cur = state.currentForKeys(touched).localCheckpoint()
+    // per-group meta BEFORE retraction (a fully-emptied buffer must not
+    // forget it was saturated)
+    val meta = cur.groupBy(groups.map(col).toIndexedSeq: _*)
+      .agg(max(col(SatCol)).as("_sat0"), max(col(DretCol)).as("_dret0"))
+
+    val retract = checked.filter(col(opCol).isin("U", "D"))
+      .select((groups.map(g => col(oldPrefix + g).as(g)) ++ idCols.map(col)).toIndexedSeq: _*)
+      .localCheckpoint()
+    val additions = checked.filter(col(opCol) =!= "D")
+      .select((groups ++ idCols :+ scoreCol).map(col).toIndexedSeq: _*)
+
+    // drift trap: a retraction must find its buffered row unless the group
+    // is saturated (where items legitimately live outside the buffer)
+    val misses = retract.join(cur.select((groups ++ idCols).map(col).toIndexedSeq: _*)
+        .withColumn("_hit", lit(1)), (groups ++ idCols).toSeq, "left_outer")
+      .join(meta, groups, "left_outer")
+      .filter(col("_hit").isNull && !coalesce(col("_sat0"), lit(false)))
+    if (!misses.isEmpty)
+      throw new IllegalStateException(
+        "TopKDelta: retraction missed its row in an unsaturated buffer — " +
+          "before-images diverged from applied state: " +
+          misses.select(concat_ws(",", (groups ++ idCols).map(col).toIndexedSeq: _*))
+            .limit(5).collect().map(_.getString(0)).mkString("; "))
+
+    // buffered retractions per group erode the guarantee
+    val bufRetracts = retract.join(cur, (groups ++ idCols).toSeq, "left_semi")
+      .groupBy(groups.map(col).toIndexedSeq: _*).agg(count(lit(1)).as("_bret"))
+
+    val remaining = cur.join(retract, (groups ++ idCols).toSeq, "left_anti")
+      .select((groups ++ idCols :+ scoreCol).map(col).toIndexedSeq: _*)
+    val candidate = remaining.unionByName(additions).localCheckpoint()
+
+    // per-TOUCHED-group outcome meta, anchored on `touched` rather than the
+    // surviving rows — a saturated buffer fully emptied by retractions has
+    // NO candidate rows left, and anchoring on rows would silently let it
+    // skip the refill it needs
+    val counts = candidate.groupBy(groups.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("_cn"))
+    val stats = touched
+      .join(meta, groups.toSeq, "left_outer")
+      .join(bufRetracts, groups.toSeq, "left_outer")
+      .join(counts, groups.toSeq, "left_outer")
+      .withColumn(SatCol, coalesce(col("_sat0"), lit(false)) || coalesce(col("_cn"), lit(0L)) > m)
+      .withColumn(DretCol, coalesce(col("_dret0"), lit(0)) + coalesce(col("_bret"), lit(0L)).cast("int"))
+      .withColumn("_bufn", least(coalesce(col("_cn"), lit(0L)), lit(m.toLong)))
+      .select((groups.map(col) ++ Seq(col(SatCol), col(DretCol), col("_bufn"))).toIndexedSeq: _*)
+      .localCheckpoint()
+
+    // refill: saturated groups whose guarantee (or sheer size) fell below k
+    val hungry = stats
+      .filter(col(SatCol) && (lit(m) - col(DretCol) < k || col("_bufn") < k))
+      .select(groups.map(col).toIndexedSeq: _*)
+    val kept = topM(candidate, groups, scoreCol, idCols, m)
+      .join(broadcast(stats.drop("_bufn")), groups.toSeq, "left_outer")
+      .join(broadcast(hungry), groups.toSeq, "left_anti")
+      .select((groups ++ idCols ++ Seq(scoreCol, SatCol, DretCol)).map(col).toIndexedSeq: _*)
+    val refilled =
+      if (hungry.isEmpty) kept
+      else {
+        val re = topM(facts.join(broadcast(hungry), groups, "left_semi")
+            .select((groups ++ idCols :+ scoreCol).map(col).toIndexedSeq: _*),
+          groups, scoreCol, idCols, m)
+          .withColumn(SatCol, col("_gn") > m)
+          .withColumn(DretCol, lit(0))
+          .select((groups ++ idCols ++ Seq(scoreCol, SatCol, DretCol)).map(col).toIndexedSeq: _*)
+        kept.unionByName(re)
+      }
+
+    state.replaceKeys(touched, refilled, batchId)
+  }
+}

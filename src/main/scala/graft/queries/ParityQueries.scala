@@ -338,6 +338,36 @@ object ParityQueries {
              |  CAST(COALESCE(SUM(p), 0) AS DOUBLE) AS sum_price
              |FROM final_state GROUP BY o_orderstatus""".stripMargin)),
 
+    // ----- maintained per-group top-k (buffered state + refill valve) ------
+    // Reads the STORED TopKDelta state Td.topkMaintainTable: bootstrapped
+    // top-10 buffers (k=5, factor 2) per status, then one delta whose
+    // updates MOVE groups (old-status retraction + new-status candidacy)
+    // and whose deletes erode saturated buffers. The oracle ranks the
+    // final fact state from scratch with the same (score DESC, key ASC)
+    // tie-break; rank is surfaced INT on both sides (the HUGEINT width
+    // lesson). Exactness despite never re-ranking the table is the
+    // buffered-coverage invariant the spec pins.
+    "q_topk_maintain" -> Q(
+      (s, d) => graft.engine.TopKDelta.topK(Td.topkMaintainTable(s, d).current,
+        Seq("o_orderstatus"), Seq("o_orderkey"), "o_totalprice", 5),
+      Some("""WITH f AS (
+             |  SELECT o_orderstatus, o_orderkey, o_totalprice
+             |  FROM orders
+             |  WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+             |  UNION ALL
+             |  SELECT 'U', o_orderkey, o_totalprice * 1.1
+             |  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 <> 0
+             |  UNION ALL
+             |  SELECT 'N', o_orderkey, o_totalprice
+             |  FROM orders WHERE o_orderkey % 3 = 0),
+             |r AS (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY o_orderstatus
+             |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM f)
+             |SELECT o_orderstatus, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rank
+             |FROM r WHERE rn <= 5""".stripMargin)),
+
     // ----- incremental distinct-count maintenance (mergeable HLL state) ----
     // Distinct counts are not retractable (AggDelta can't maintain them), so
     // the state is per-group HLL sketches grown by union — Td's stored table

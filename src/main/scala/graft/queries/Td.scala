@@ -640,6 +640,55 @@ object Td {
       "o_custkey", "c_custkey", batchId = "jm-e2", joinType = "inner")
   }
 
+  /** Stored MAINTAINED TOP-K state (top-5 orders per status by price,
+    * buffer factor 2): bootstrapped from the %3≠0 base, then one delta
+    * batch whose updates MOVE groups (status → 'U') — the retraction lands
+    * in the old status's buffer, the addition competes in the new one —
+    * and whose deletes erode saturated buffers without (at these odds)
+    * tripping the refill. The oracle ranks the final fact state from
+    * scratch; a mis-evicted buffer row or a stale score surfaces as a
+    * rank/hash diff.
+    */
+  private val TopkMaintFormat = 1
+  def topkMaintainTable(s: SparkSession, d: String): graft.engine.KeyedTable = {
+    val o = orders(s, d)
+    val root = indexRoot(s, "topkmaint", TopkMaintFormat, d, "orders", o.count())
+    installDir(s, root)(buildTopkMaintainInto(s, d, _))
+    graft.engine.KeyedTable(s, s"$root/state", Seq("o_orderstatus"))
+  }
+
+  private[graft] def buildTopkMaintainInto(s: SparkSession, d: String, tmp: String): Unit = {
+    val o = orders(s, d)
+    val k = col("o_orderkey")
+    val fact = graft.engine.KeyedTable(s, s"$tmp/fact", Seq("o_orderkey"), numBuckets = 32)
+    val st = graft.engine.KeyedTable(s, s"$tmp/state", Seq("o_orderstatus"), numBuckets = 8)
+    fact.overwrite(o.filter(k % 3 =!= 0)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice")))
+    graft.engine.TopKDelta.bootstrap(st, fact.current,
+      Seq("o_orderstatus"), Seq("o_orderkey"), "o_totalprice", k = 5, bufferFactor = 2)
+    val ins = o.filter(k % 3 === 0).select(
+      lit("N").as("o_orderstatus"), k, col("o_totalprice"),
+      lit(null).cast("string").as("_old_o_orderstatus"),
+      lit(null).cast("double").as("_old_o_totalprice"),
+      lit("I").as("_op"), lit(1).as("_seq"))
+    val upd = o.filter(k % 5 === 0 && k % 3 =!= 0).select(
+      lit("U").as("o_orderstatus"), k, (col("o_totalprice") * 1.1).as("o_totalprice"),
+      col("o_orderstatus").as("_old_o_orderstatus"),
+      col("o_totalprice").as("_old_o_totalprice"),
+      lit("U").as("_op"), lit(1).as("_seq"))
+    val del = o.filter(k % 7 === 0 && k % 3 =!= 0 && k % 5 =!= 0).select(
+      lit(null).cast("string").as("o_orderstatus"), k,
+      lit(null).cast("double").as("o_totalprice"),
+      col("o_orderstatus").as("_old_o_orderstatus"),
+      col("o_totalprice").as("_old_o_totalprice"),
+      lit("D").as("_op"), lit(1).as("_seq"))
+    val batch = ins.unionByName(upd).unionByName(del)
+    fact.mergeCdc(batch, tag = Some("tm-1"))
+    graft.engine.TopKDelta.maintain(st, batch, fact.current,
+      Seq("o_orderstatus"), Seq("o_orderkey"), "o_totalprice",
+      k = 5, bufferFactor = 2, batchId = Some("tm-1"))
+  }
+
   /** Per-session co-bucketed catalog tables over `events` — facts
     * (event_id, user_id, value) and dims (event_id, event_type), both
     * bucketed 32 ways on event_id. Catalog entries are in-memory and

@@ -1,0 +1,125 @@
+package graft.engine
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+class TopKDeltaSpec extends SparkSpec {
+
+  // facts: (g, id, sc)
+  private def facts(rows: (String, String, Double)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("g", "id", "sc")
+  }
+
+  // events: (g, id, sc, _old_g, _old_sc, _op)
+  private def ev(rows: (String, String, java.lang.Double, String, java.lang.Double, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("g", "id", "sc", "_old_g", "_old_sc", "_op")
+  }
+
+  private def mkState(pfx: String) =
+    KeyedTable(spark, tmpDir(pfx), Seq("g"), numBuckets = 4)
+
+  private def answer(t: KeyedTable, k: Int): Set[(String, String, Double, Int)] =
+    TopKDelta.topK(t.current, Seq("g"), Seq("id"), "sc", k).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSet
+
+  // a's full domain (8 items, saturates m=4), b small (2 items, unsaturated)
+  private val base = facts(
+    ("a", "a1", 80), ("a", "a2", 70), ("a", "a3", 60), ("a", "a4", 50),
+    ("a", "a5", 40), ("a", "a6", 30), ("a", "a7", 20), ("a", "a8", 10),
+    ("b", "b1", 5), ("b", "b2", 4))
+
+  test("bootstrap: buffer holds top b*k; answer is top-k; small groups never saturate") {
+    val t = mkState("tk")
+    TopKDelta.bootstrap(t, base, Seq("g"), Seq("id"), "sc", k = 2, bufferFactor = 2)
+    assert(t.current.count() == 6) // 4 buffered for a, all 2 of b
+    assert(answer(t, 2) == Set(("a", "a1", 80.0, 1), ("a", "a2", 70.0, 2),
+      ("b", "b1", 5.0, 1), ("b", "b2", 4.0, 2)))
+  }
+
+  test("inserts, in-group score updates, and group moves maintain the answer") {
+    val t = mkState("tk2")
+    TopKDelta.bootstrap(t, base, Seq("g"), Seq("id"), "sc", k = 2, bufferFactor = 2)
+    // b3 inserted on top of b; a2 re-scored down; a3 moves a→b
+    val batch = ev(
+      ("b", "b3", 99.0, null, null, "I"),
+      ("a", "a2", 15.0, "a", 70.0, "U"),
+      ("b", "a3", 60.0, "a", 60.0, "U"))
+    TopKDelta.maintain(t, batch, sys.error("no refill expected"),
+      Seq("g"), Seq("id"), "sc", k = 2, bufferFactor = 2, batchId = Some("e1"))
+    assert(answer(t, 2) == Set(("a", "a1", 80.0, 1), ("a", "a4", 50.0, 2),
+      ("b", "b3", 99.0, 1), ("b", "a3", 60.0, 2)))
+  }
+
+  test("saturated group: deletes inside the buffer trigger a refill that restores exactness") {
+    val t = mkState("tk3")
+    TopKDelta.bootstrap(t, base, Seq("g"), Seq("id"), "sc", k = 2, bufferFactor = 2)
+    // kill a1..a3 — buffer guarantee m - dret = 4-3 = 1 < k → refill from facts
+    val afterFacts = facts(
+      ("a", "a4", 50), ("a", "a5", 40), ("a", "a6", 30), ("a", "a7", 20), ("a", "a8", 10),
+      ("b", "b1", 5), ("b", "b2", 4))
+    TopKDelta.maintain(t, ev(
+      (null, "a1", null, "a", 80.0, "D"),
+      (null, "a2", null, "a", 70.0, "D"),
+      (null, "a3", null, "a", 60.0, "D")),
+      afterFacts, Seq("g"), Seq("id"), "sc", k = 2, bufferFactor = 2, batchId = Some("e1"))
+    // a5 was NEVER in the buffer — only a refill can have found it
+    assert(answer(t, 2) == Set(("a", "a4", 50.0, 1), ("a", "a5", 40.0, 2),
+      ("b", "b1", 5.0, 1), ("b", "b2", 4.0, 2)))
+    // refill reset the meter: the refreshed buffer absorbs the next delete
+    TopKDelta.maintain(t, ev((null, "a4", null, "a", 50.0, "D")),
+      sys.error("refill meter should have reset"),
+      Seq("g"), Seq("id"), "sc", k = 2, bufferFactor = 2, batchId = Some("e2"))
+    assert(answer(t, 2) == Set(("a", "a5", 40.0, 1), ("a", "a6", 30.0, 2),
+      ("b", "b1", 5.0, 1), ("b", "b2", 4.0, 2)))
+  }
+
+  test("saturated buffer fully emptied in one batch still refills (group must not vanish)") {
+    val t = mkState("tk4")
+    TopKDelta.bootstrap(t, base, Seq("g"), Seq("id"), "sc", k = 2, bufferFactor = 2)
+    val afterFacts = facts(
+      ("a", "a5", 40), ("a", "a6", 30), ("a", "a7", 20), ("a", "a8", 10),
+      ("b", "b1", 5), ("b", "b2", 4))
+    TopKDelta.maintain(t, ev(
+      (null, "a1", null, "a", 80.0, "D"), (null, "a2", null, "a", 70.0, "D"),
+      (null, "a3", null, "a", 60.0, "D"), (null, "a4", null, "a", 50.0, "D")),
+      afterFacts, Seq("g"), Seq("id"), "sc", k = 2, bufferFactor = 2, batchId = Some("e1"))
+    assert(answer(t, 2) == Set(("a", "a5", 40.0, 1), ("a", "a6", 30.0, 2),
+      ("b", "b1", 5.0, 1), ("b", "b2", 4.0, 2)))
+  }
+
+  test("unsaturated group delete: no refill, exact from the buffer; group can empty out") {
+    val t = mkState("tk5")
+    TopKDelta.bootstrap(t, base, Seq("g"), Seq("id"), "sc", k = 2, bufferFactor = 2)
+    TopKDelta.maintain(t, ev(
+      (null, "b1", null, "b", 5.0, "D"), (null, "b2", null, "b", 4.0, "D")),
+      sys.error("unsaturated groups never refill"),
+      Seq("g"), Seq("id"), "sc", k = 2, bufferFactor = 2, batchId = Some("e1"))
+    assert(answer(t, 2).filter(_._1 == "b").isEmpty)
+    assert(answer(t, 2) == Set(("a", "a1", 80.0, 1), ("a", "a2", 70.0, 2)))
+  }
+
+  test("retraction missing its row in an unsaturated buffer fails loudly; redelivery no-ops") {
+    val t = mkState("tk6")
+    TopKDelta.bootstrap(t, base, Seq("g"), Seq("id"), "sc", k = 2, bufferFactor = 2)
+    val e = intercept[IllegalStateException] {
+      TopKDelta.maintain(t, ev((null, "ghost", null, "b", 1.0, "D")),
+        base, Seq("g"), Seq("id"), "sc", k = 2, bufferFactor = 2)
+    }
+    assert(e.getMessage.contains("diverged"))
+    // saturated group: a miss is legitimate (item lived outside the buffer)
+    TopKDelta.maintain(t, ev((null, "a8", null, "a", 10.0, "D")),
+      sys.error("guarantee 4-1 >= 2, no refill"),
+      Seq("g"), Seq("id"), "sc", k = 2, bufferFactor = 2, batchId = Some("e1"))
+    val v = t.currentVersion
+    TopKDelta.maintain(t, ev((null, "a8", null, "a", 10.0, "D")),
+      sys.error("redelivered epoch must no-op"),
+      Seq("g"), Seq("id"), "sc", k = 2, bufferFactor = 2, batchId = Some("e1"))
+    assert(t.currentVersion == v)
+    assert(answer(t, 2) == Set(("a", "a1", 80.0, 1), ("a", "a2", 70.0, 2),
+      ("b", "b1", 5.0, 1), ("b", "b2", 4.0, 2)))
+  }
+}
