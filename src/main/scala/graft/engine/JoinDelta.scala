@@ -79,9 +79,16 @@ object JoinDelta {
     index.overwrite(facts.select((dimRef +: view.keys).map(col).toIndexedSeq: _*))
   }
 
-  private def requireIndexShape(view: KeyedTable, index: KeyedTable, dimRef: String): Unit =
+  private def requireIndexShape(view: KeyedTable, index: KeyedTable, dimRef: String): Unit = {
     require(index.keys == dimRef +: view.keys,
       s"join index must be keyed ($dimRef, ${view.keys.mkString(", ")}), got ${index.keys.mkString(", ")}")
+    // a BUCKETED index must route by dimRef alone: hash routing over the
+    // full (dimRef, factKey) pair would make the dim probe unanswerable
+    // without the fact keys it exists to find (unbucketed stays legal —
+    // the probe falls back to a full index read)
+    require(index.effectiveBuckets == 0 || index.effectiveRangeCol.contains(dimRef),
+      s"a bucketed join index must be range-bucketed on '$dimRef' (rangeCol = Some($dimRef))")
+  }
 
   /** Apply one epoch: `factDelta`/`dimDelta` (either may be absent) to the
     * base tables, the index, and the view — each table exactly once under

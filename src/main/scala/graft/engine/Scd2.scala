@@ -88,6 +88,9 @@ object Scd2 {
     val payload = hist.current.columns.filterNot(MetaCols.contains).toSeq
     require(payload.forall(batch.columns.contains),
       s"CDC batch must carry every payload column: ${payload.mkString(", ")}")
+    val reserved = Seq("_vseq", "_vop", "_dup", "_hist_max").filter(payload.contains)
+    require(reserved.isEmpty,
+      s"payload columns collide with Scd2 internals: ${reserved.mkString(", ")}")
 
     // in-plan op validation BEFORE anything drops rows — same rule as
     // mergeCdc: silently ignoring an unknown op is how a sink diverges

@@ -26,9 +26,10 @@ import org.apache.spark.sql.functions._
   * fact table is passed BY NAME and only evaluated on refill.
   *
   * Contracts (the [[JoinDelta]] conventions): one event per item per
-  * batch, old images under `oldPrefix` for U/D (`_old_<group>` and
-  * `_old_<score>`), groups non-null, exactly-once via `batchId` + version
-  * tag. A retraction that misses its buffered row in an UNSATURATED group
+  * batch, the OLD GROUP under `oldPrefix` for U/D (retraction matches on
+  * (old group, item) — the old score is not needed), groups non-null,
+  * exactly-once via `batchId` + version tag. A retraction that misses its
+  * buffered row in an UNSATURATED group
   * means the before-image diverged from applied state — it fails in-plan,
   * the same drift trap [[AggDelta]]'s below-zero check springs.
   */

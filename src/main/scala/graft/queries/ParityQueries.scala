@@ -338,6 +338,37 @@ object ParityQueries {
              |  CAST(COALESCE(SUM(p), 0) AS DOUBLE) AS sum_price
              |FROM final_state GROUP BY o_orderstatus""".stripMargin)),
 
+    // ----- maintained join view, LEFT twin ---------------------------------
+    // Same stored root, same epochs, same shared index (version tags dedupe
+    // the fact/dim/index applies across the two views): only the per-view
+    // recompute differs, so the epoch-2 dim deletes NULL this view's
+    // payload exactly where they cascade q_join_maintain's rows away.
+    "q_join_maintain_left" -> Q(
+      (s, d) => Td.joinMaintainLeftView(s, d).current,
+      Some("""WITH f AS (
+             |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |         o_orderdate, o_orderpriority
+             |  FROM orders
+             |  WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+             |  UNION ALL
+             |  SELECT o_orderkey, (o_custkey % 100) + 1, o_orderstatus,
+             |         o_totalprice * 1.1, o_orderdate, o_orderpriority
+             |  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 <> 0
+             |  UNION ALL
+             |  SELECT o_orderkey, o_custkey, 'N', o_totalprice, o_orderdate,
+             |         o_orderpriority
+             |  FROM orders WHERE o_orderkey % 3 = 0),
+             |c AS (
+             |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+             |  FROM customer WHERE c_custkey % 4 <> 0 AND c_custkey % 9 <> 0
+             |  UNION ALL
+             |  SELECT c_custkey, c_name, c_nationkey, c_acctbal * 2, 'VIP'
+             |  FROM customer WHERE c_custkey % 4 = 0 AND c_custkey % 9 <> 0)
+             |SELECT f.o_orderkey, f.o_custkey, f.o_orderstatus, f.o_totalprice,
+             |  f.o_orderdate, f.o_orderpriority, c.c_name, c.c_nationkey,
+             |  c.c_acctbal, c.c_mktsegment
+             |FROM f LEFT JOIN c ON f.o_custkey = c.c_custkey""".stripMargin)),
+
     // ----- maintained per-group top-k (buffered state + refill valve) ------
     // Reads the STORED TopKDelta state Td.topkMaintainTable: bootstrapped
     // top-10 buffers (k=5, factor 2) per status, then one delta whose

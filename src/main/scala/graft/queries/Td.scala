@@ -590,7 +590,7 @@ object Td {
     * remapped reference from epoch 1 landed on a later-deleted customer).
     * The oracle joins the two final base states from scratch.
     */
-  private val JoinMaintFormat = 1
+  private val JoinMaintFormat = 2 // f1 lacked the viewl left-join twin
   def joinMaintainTables(s: SparkSession, d: String): (graft.engine.KeyedTable, graft.engine.KeyedTable) = {
     val o = orders(s, d)
     val root = indexRoot(s, "joinmaint", JoinMaintFormat, d, "orders", o.count())
@@ -600,6 +600,18 @@ object Td {
         rangeCol = Some("o_custkey")))
   }
 
+  /** The LEFT-join twin maintained in the same root from the same epochs —
+    * fact/dim/index applies run once (version tags dedupe the shared
+    * work); only the per-view recompute differs, so a dim DELETE nulls
+    * this view's payload where it cascades the inner view's rows away.
+    */
+  def joinMaintainLeftView(s: SparkSession, d: String): graft.engine.KeyedTable = {
+    val o = orders(s, d)
+    val root = indexRoot(s, "joinmaint", JoinMaintFormat, d, "orders", o.count())
+    installDir(s, root)(buildJoinMaintainInto(s, d, _))
+    graft.engine.KeyedTable(s, s"$root/viewl", Seq("o_orderkey"))
+  }
+
   private[graft] def buildJoinMaintainInto(s: SparkSession, d: String, tmp: String): Unit = {
     val o = orders(s, d)
     val c = customer(s, d)
@@ -607,12 +619,16 @@ object Td {
     val fact = graft.engine.KeyedTable(s, s"$tmp/fact", Seq("o_orderkey"), numBuckets = 32)
     val dim = graft.engine.KeyedTable(s, s"$tmp/dim", Seq("c_custkey"), numBuckets = 8)
     val view = graft.engine.KeyedTable(s, s"$tmp/view", Seq("o_orderkey"), numBuckets = 32)
+    val viewL = graft.engine.KeyedTable(s, s"$tmp/viewl", Seq("o_orderkey"), numBuckets = 32)
     val idx = graft.engine.KeyedTable(s, s"$tmp/index", Seq("o_custkey", "o_orderkey"),
       numBuckets = 16, rangeCol = Some("o_custkey"))
     fact.overwrite(o.filter(k % 3 =!= 0))
     dim.overwrite(c)
     graft.engine.JoinDelta.bootstrap(view, idx, fact.current, dim.current,
       "o_custkey", "c_custkey", joinType = "inner")
+    // left twin shares the index — bootstrap only its own view rows
+    viewL.overwrite(graft.engine.JoinDelta.viewPlan(fact.current, dim.current,
+      "o_custkey", "c_custkey", "left"))
     val ins = o.filter(k % 3 === 0)
       .withColumn("o_orderstatus", lit("N"))
       .withColumn("_old_o_custkey", lit(null).cast("bigint"))
@@ -625,9 +641,11 @@ object Td {
     val del = o.filter(k % 7 === 0 && k % 3 =!= 0 && k % 5 =!= 0)
       .withColumn("_old_o_custkey", col("o_custkey"))
       .withColumn("_op", lit("D")).withColumn("_seq", lit(1))
-    graft.engine.JoinDelta.maintain(fact, dim, view, idx,
-      Some(ins.unionByName(upd).unionByName(del)), None,
+    val e1 = ins.unionByName(upd).unionByName(del)
+    graft.engine.JoinDelta.maintain(fact, dim, view, idx, Some(e1), None,
       "o_custkey", "c_custkey", batchId = "jm-e1", joinType = "inner")
+    graft.engine.JoinDelta.maintain(fact, dim, viewL, idx, Some(e1), None,
+      "o_custkey", "c_custkey", batchId = "jm-e1", joinType = "left")
     val ck = col("c_custkey")
     val cu = c.filter(ck % 4 === 0 && ck % 9 =!= 0)
       .withColumn("c_acctbal", col("c_acctbal") * 2)
@@ -635,9 +653,11 @@ object Td {
       .withColumn("_op", lit("U")).withColumn("_seq", lit(2))
     val cd = c.filter(ck % 9 === 0)
       .withColumn("_op", lit("D")).withColumn("_seq", lit(2))
-    graft.engine.JoinDelta.maintain(fact, dim, view, idx,
-      None, Some(cu.unionByName(cd)),
+    val e2 = cu.unionByName(cd)
+    graft.engine.JoinDelta.maintain(fact, dim, view, idx, None, Some(e2),
       "o_custkey", "c_custkey", batchId = "jm-e2", joinType = "inner")
+    graft.engine.JoinDelta.maintain(fact, dim, viewL, idx, None, Some(e2),
+      "o_custkey", "c_custkey", batchId = "jm-e2", joinType = "left")
   }
 
   /** Stored MAINTAINED TOP-K state (top-5 orders per status by price,
