@@ -76,6 +76,37 @@ object Scd2 {
   def asOf(history: DataFrame, s: Long): DataFrame =
     history.filter(col(ValidFrom) <= s && (col(ValidTo).isNull || col(ValidTo) > s))
 
+  /** POINT-IN-TIME join — each probe row joins the history row that was in
+    * force AT the probe's own sequence (`valid_from <= t < valid_to`): the
+    * feature-store join that makes training data leakage-free (a fact must
+    * see the dim attributes AS THEY WERE, never a later update). `how` is
+    * `inner` (probes inside tombstone gaps or before first insert drop) or
+    * `left` (they survive with null history payload).
+    *
+    * Plan shape: equi-join on the key columns plus the interval predicates
+    * in the JOIN CONDITION — Spark executes it as a hash/sort-merge join on
+    * the keys with the range filter applied as the rows pair up, so cost is
+    * ∝ matching key pairs (a key's probes × its history rows), never a
+    * cross product; at most one history row survives per probe because a
+    * key's intervals are disjoint by construction. History columns that
+    * collide with probe columns get `histPrefix` so both sides' values stay
+    * visible.
+    */
+  def temporalJoin(probes: DataFrame, history: DataFrame, keys: Seq[String],
+                   tsCol: String, how: String = "inner",
+                   histPrefix: String = "hist_"): DataFrame = {
+    require(how == "inner" || how == "left", s"how must be inner|left, got $how")
+    val collide = history.columns.filter(c => !keys.contains(c) && probes.columns.contains(c))
+    val h0 = collide.foldLeft(history)((d, c) => d.withColumnRenamed(c, histPrefix + c))
+    require(h0.columns.count(probes.columns.toSet) == keys.size,
+      s"histPrefix '$histPrefix' still collides with probe columns")
+    val vf = if (collide.contains(ValidFrom)) histPrefix + ValidFrom else ValidFrom
+    val vt = if (collide.contains(ValidTo)) histPrefix + ValidTo else ValidTo
+    val cond = keys.map(k => probes(k) === h0(k)).reduce(_ && _) &&
+      h0(vf) <= probes(tsCol) && (h0(vt).isNull || h0(vt) > probes(tsCol))
+    keys.foldLeft(probes.join(h0, cond, how))((d, k) => d.drop(h0(k)))
+  }
+
   /** Apply one op-coded CDC batch (`opCol` ∈ I/U/D, `seqCol` ordering events
     * within and across batches) to the history table. Returns the committed
     * version (the current one when `batchId` was already applied).

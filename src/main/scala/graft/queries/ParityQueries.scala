@@ -272,6 +272,44 @@ object ParityQueries {
              |  (vto IS NULL) AS is_current
              |FROM h WHERE op <> 'D' AND seq <= 2 AND (vto IS NULL OR vto > 2)""".stripMargin)),
 
+    // ----- SCD-2 temporal (point-in-time) join -----------------------------
+    // Each probe row (one per order, at its own t = key % 5 ∈ 0..4) joins
+    // the history row in force AT t — the leakage-free feature join. The
+    // probe times straddle every boundary the build creates (updates at 1,
+    // tombstones at 2, re-inserts at 3), so probes inside tombstone gaps
+    // drop (inner), pre-update probes see ORIGINAL attribute values, and
+    // post-re-insert probes see the re-opened row. Oracle: the same
+    // reconstruction CTE with the interval predicate in the join.
+    "q_scd2_temporal" -> Q(
+      (s, d) => graft.engine.Scd2.temporalJoin(
+        Td.orders(s, d).select(col("o_orderkey"), (col("o_orderkey") % 5).as("probe_t")),
+        Td.scd2OrdersTable(s, d).current, Seq("o_orderkey"), "probe_t", "inner"),
+      Some("""WITH ev AS (
+             |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |         o_orderdate, o_orderpriority, CAST(0 AS BIGINT) AS seq, 'O' AS op
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT o_orderkey, o_custkey, 'U', o_totalprice * 1.1,
+             |         o_orderdate, o_orderpriority, 1, 'U'
+             |  FROM orders WHERE o_orderkey % 5 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             |         o_orderdate, o_orderpriority, 2, 'D'
+             |  FROM orders WHERE o_orderkey % 7 = 0
+             |  UNION ALL
+             |  SELECT o_orderkey, o_custkey, 'R', o_totalprice,
+             |         o_orderdate, o_orderpriority, 3, 'I'
+             |  FROM orders WHERE o_orderkey % 11 = 0),
+             |h AS (
+             |  SELECT *, lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS vto
+             |  FROM ev),
+             |p AS (SELECT o_orderkey, o_orderkey % 5 AS probe_t FROM orders)
+             |SELECT p.o_orderkey, p.probe_t, h.o_custkey, h.o_orderstatus,
+             |  h.o_totalprice, h.o_orderdate, h.o_orderpriority,
+             |  h.seq AS valid_from, h.vto AS valid_to, (h.vto IS NULL) AS is_current
+             |FROM p JOIN h ON p.o_orderkey = h.o_orderkey AND h.op <> 'D'
+             |  AND h.seq <= p.probe_t AND (h.vto IS NULL OR h.vto > p.probe_t)""".stripMargin)),
+
     // ----- maintained join view (JoinDelta: delta-join IVM + join index) ---
     // Reads the STORED view Td.joinMaintainTables kept fresh across a
     // fact-side epoch (inserts, dim-reference REMAPS, tombstones) and a

@@ -136,6 +136,27 @@ class Scd2Spec extends SparkSpec {
     assert(at(6) == Set("g1"))
   }
 
+  test("temporalJoin: probes see the row in force at their own time; gaps drop or null") {
+    val s = spark
+    import s.implicits._
+    val t = hist(tmpDir("scd2tj"))
+    Scd2.bootstrap(t, Seq(("g", "g0")).toDF("id", "v"))
+    Scd2.maintain(t, batch(("g", "gA", "U", 2), ("g", null, "D", 4), ("g", "gB", "I", 7)))
+    // probes at 0..7; probe frame carries a colliding `v` column
+    val probes = (0L to 7L).map(i => ("g", i, s"probe$i")).toDF("id", "t", "v")
+    val inner = Scd2.temporalJoin(probes, t.current, Seq("id"), "t", "inner")
+    val got = inner.collect().map(r =>
+      r.getAs[Long]("t") -> r.getAs[String]("hist_v")).toMap
+    assert(got == Map(0L -> "g0", 1L -> "g0", 2L -> "gA", 3L -> "gA", 7L -> "gB"))
+    // 4,5,6 are the tombstone gap — inner drops them, left keeps them null
+    val left = Scd2.temporalJoin(probes, t.current, Seq("id"), "t", "left")
+    assert(left.count() == 8)
+    assert(left.filter(col("hist_v").isNull).collect()
+      .map(_.getAs[Long]("t")).toSet == Set(4L, 5L, 6L))
+    // both sides' payload visible under the collision prefix
+    assert(inner.columns.contains("v") && inner.columns.contains("hist_v"))
+  }
+
   test("replaceKeys: multi-row groups replaced atomically; empty group disappears") {
     val s = spark
     import s.implicits._
