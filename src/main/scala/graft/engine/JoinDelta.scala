@@ -93,13 +93,27 @@ object JoinDelta {
   /** Apply one epoch: `factDelta`/`dimDelta` (either may be absent) to the
     * base tables, the index, and the view — each table exactly once under
     * `batchId` redelivery.
+    *
+    * With `emitChanges = true`, also returns the VIEW'S OWN op-coded delta
+    * (new images under the view's column names, old images under
+    * `oldPrefix`, `opCol` ∈ I/U/D; unchanged recomputed rows suppressed) —
+    * CDC out of a maintained view, which chains straight into any
+    * downstream maintainer ([[AggDelta]] over the view, a second
+    * [[JoinDelta]] for snowflakes): the change-propagation graph. The
+    * emission is derived from pre-apply view state, so it exists only on
+    * the epoch that actually applies — on a `batchId`-redelivered epoch
+    * this returns None, so a production chain must apply (or persist) the
+    * emitted delta under the DOWNSTREAM table's own tag before this epoch
+    * is acknowledged; a crash between the view commit and the downstream
+    * apply otherwise loses the link (same rule as any MV log consumer).
     */
   def maintain(factTable: KeyedTable, dimTable: KeyedTable, view: KeyedTable,
                index: KeyedTable, factDelta: Option[DataFrame],
                dimDelta: Option[DataFrame], dimRef: String, dimKey: String,
                batchId: String, joinType: String = "inner",
                opCol: String = "_op", seqCol: String = "_seq",
-               oldPrefix: String = "_old_"): Unit = {
+               oldPrefix: String = "_old_",
+               emitChanges: Boolean = false): Option[DataFrame] = {
     requireIndexShape(view, index, dimRef)
     require(Seq(factTable, dimTable, view, index).forall(_.exists),
       "bootstrap all four tables before maintaining")
@@ -143,7 +157,7 @@ object JoinDelta {
       }
     }
 
-    if (!fresh(view)) return
+    if (!fresh(view)) return None
     // 4: affected fact keys — Δfact's own keys plus the index probe of
     // Δdim's keys (range-bucket-pruned: the probe frame carries only the
     // index's rangeCol, which is all range routing needs)
@@ -159,14 +173,44 @@ object JoinDelta {
     }
     val affected = (fromFacts.toSeq ++ fromDims.toSeq)
       .reduceOption(_ unionByName _)
-      .getOrElse(return)
+      .getOrElse(return None)
       .distinct().localCheckpoint()
 
     // 5: recompute the affected rows from post-apply state (both reads
     // bucket-pruned + broadcast-semi-joined) and swap the groups atomically
     val facts = factTable.currentForKeys(affected)
     val dims = dimTable.currentForKeys(facts.select(col(dimRef).as(dimKey)))
-    view.replaceKeys(affected, viewPlan(facts, dims, dimRef, dimKey, joinType),
-      Some(batchId))
+    val post = viewPlan(facts, dims, dimRef, dimKey, joinType).localCheckpoint()
+    // change emission reads PRE-apply view rows — derive before the swap
+    val changes = if (!emitChanges) None
+      else Some(viewChanges(view.currentForKeys(affected).localCheckpoint(),
+        post, fk, opCol, oldPrefix))
+    view.replaceKeys(affected, post, Some(batchId))
+    changes
+  }
+
+  /** The view's op-coded delta between its pre-apply rows and the
+    * recomputed ones (both restricted to the affected keys): appeared → I,
+    * vanished → D (old images only), changed → U with both images;
+    * bit-identical recomputed rows are suppressed (null-safe struct
+    * compare). The output is exactly the image convention downstream
+    * maintainers consume.
+    */
+  private def viewChanges(pre: DataFrame, post: DataFrame, keys: Seq[String],
+                          opCol: String, oldPrefix: String): DataFrame = {
+    val payload = post.columns.filterNot(keys.contains).toSeq
+    val o = payload.foldLeft(pre)((d, c) => d.withColumnRenamed(c, oldPrefix + c))
+      .withColumn("_had", lit(1))
+    val n = post.withColumn("_has", lit(1))
+    n.join(o, keys.toSeq, "full_outer")
+      .withColumn(opCol,
+        when(col("_had").isNull, "I")
+          .when(col("_has").isNull, "D")
+          .otherwise("U"))
+      .filter(col(opCol) =!= "U" ||
+        !(struct(payload.map(col).toIndexedSeq: _*) <=>
+          struct(payload.map(c => col(oldPrefix + c)).toIndexedSeq: _*)))
+      .select((keys.map(col) ++ payload.map(col) ++
+        payload.map(c => col(oldPrefix + c)) :+ col(opCol)).toIndexedSeq: _*)
   }
 }

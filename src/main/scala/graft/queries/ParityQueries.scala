@@ -407,6 +407,37 @@ object ParityQueries {
              |  c.c_acctbal, c.c_mktsegment
              |FROM f LEFT JOIN c ON f.o_custkey = c.c_custkey""".stripMargin)),
 
+    // ----- chained IVM: view change-feed → downstream aggregate ------------
+    // Two maintenance layers composed: base CDC epochs maintain the join
+    // view, the view EMITS its own op-coded delta (JoinDelta emitChanges),
+    // and that feed maintains a segment-count AggDelta state — order counts
+    // per customer segment kept fresh without EITHER layer re-reading its
+    // base. The oracle recomputes from the final base states; any wrong
+    // emitted image (missed cascade D, mis-imaged group move, unsuppressed
+    // no-op U) double- or under-counts a segment and hash-fails.
+    "q_view_agg_chain" -> Q(
+      (s, d) => Td.joinMaintainSegAgg(s, d).current.select(
+        col("c_mktsegment"), col("cnt")),
+      Some("""WITH f AS (
+             |  SELECT o_orderkey, o_custkey
+             |  FROM orders
+             |  WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+             |  UNION ALL
+             |  SELECT o_orderkey, (o_custkey % 100) + 1
+             |  FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 3 <> 0
+             |  UNION ALL
+             |  SELECT o_orderkey, o_custkey
+             |  FROM orders WHERE o_orderkey % 3 = 0),
+             |c AS (
+             |  SELECT c_custkey, c_mktsegment
+             |  FROM customer WHERE c_custkey % 4 <> 0 AND c_custkey % 9 <> 0
+             |  UNION ALL
+             |  SELECT c_custkey, 'VIP'
+             |  FROM customer WHERE c_custkey % 4 = 0 AND c_custkey % 9 <> 0)
+             |SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS cnt
+             |FROM f JOIN c ON f.o_custkey = c.c_custkey
+             |GROUP BY c.c_mktsegment""".stripMargin)),
+
     // ----- maintained per-group top-k (buffered state + refill valve) ------
     // Reads the STORED TopKDelta state Td.topkMaintainTable: bootstrapped
     // top-10 buffers (k=5, factor 2) per status, then one delta whose

@@ -590,7 +590,7 @@ object Td {
     * remapped reference from epoch 1 landed on a later-deleted customer).
     * The oracle joins the two final base states from scratch.
     */
-  private val JoinMaintFormat = 2 // f1 lacked the viewl left-join twin
+  private val JoinMaintFormat = 3 // f1 lacked the viewl twin; f2 the chained agg
   def joinMaintainTables(s: SparkSession, d: String): (graft.engine.KeyedTable, graft.engine.KeyedTable) = {
     val o = orders(s, d)
     val root = indexRoot(s, "joinmaint", JoinMaintFormat, d, "orders", o.count())
@@ -612,6 +612,20 @@ object Td {
     graft.engine.KeyedTable(s, s"$root/viewl", Seq("o_orderkey"))
   }
 
+  /** The CHAINED downstream aggregate (order count per customer segment)
+    * maintained from the inner view's EMITTED change feed — two IVM layers
+    * composed: base CDC → JoinDelta view → emitted view-delta → AggDelta.
+    * The oracle recomputes from the final base states, so a wrong emitted
+    * image anywhere in the chain (a missed cascade D, an un-suppressed or
+    * mis-imaged U) double-counts or under-counts a segment and hash-fails.
+    */
+  def joinMaintainSegAgg(s: SparkSession, d: String): graft.engine.KeyedTable = {
+    val o = orders(s, d)
+    val root = indexRoot(s, "joinmaint", JoinMaintFormat, d, "orders", o.count())
+    installDir(s, root)(buildJoinMaintainInto(s, d, _))
+    graft.engine.KeyedTable(s, s"$root/aggseg", Seq("c_mktsegment"))
+  }
+
   private[graft] def buildJoinMaintainInto(s: SparkSession, d: String, tmp: String): Unit = {
     val o = orders(s, d)
     val c = customer(s, d)
@@ -629,6 +643,11 @@ object Td {
     // left twin shares the index — bootstrap only its own view rows
     viewL.overwrite(graft.engine.JoinDelta.viewPlan(fact.current, dim.current,
       "o_custkey", "c_custkey", "left"))
+    // chained layer: segment counts over the inner view, maintained from
+    // the view's own emitted change feed
+    val aggSeg = graft.engine.KeyedTable(s, s"$tmp/aggseg", Seq("c_mktsegment"),
+      numBuckets = 8)
+    graft.engine.AggDelta.bootstrap(aggSeg, view.current, Seq("c_mktsegment"), Nil)
     val ins = o.filter(k % 3 === 0)
       .withColumn("o_orderstatus", lit("N"))
       .withColumn("_old_o_custkey", lit(null).cast("bigint"))
@@ -642,8 +661,11 @@ object Td {
       .withColumn("_old_o_custkey", col("o_custkey"))
       .withColumn("_op", lit("D")).withColumn("_seq", lit(1))
     val e1 = ins.unionByName(upd).unionByName(del)
-    graft.engine.JoinDelta.maintain(fact, dim, view, idx, Some(e1), None,
-      "o_custkey", "c_custkey", batchId = "jm-e1", joinType = "inner")
+    val ch1 = graft.engine.JoinDelta.maintain(fact, dim, view, idx, Some(e1), None,
+      "o_custkey", "c_custkey", batchId = "jm-e1", joinType = "inner",
+      emitChanges = true)
+    graft.engine.AggDelta.maintain(aggSeg, ch1.get, Seq("c_mktsegment"), Nil,
+      batchId = Some("jm-e1"))
     graft.engine.JoinDelta.maintain(fact, dim, viewL, idx, Some(e1), None,
       "o_custkey", "c_custkey", batchId = "jm-e1", joinType = "left")
     val ck = col("c_custkey")
@@ -654,8 +676,11 @@ object Td {
     val cd = c.filter(ck % 9 === 0)
       .withColumn("_op", lit("D")).withColumn("_seq", lit(2))
     val e2 = cu.unionByName(cd)
-    graft.engine.JoinDelta.maintain(fact, dim, view, idx, None, Some(e2),
-      "o_custkey", "c_custkey", batchId = "jm-e2", joinType = "inner")
+    val ch2 = graft.engine.JoinDelta.maintain(fact, dim, view, idx, None, Some(e2),
+      "o_custkey", "c_custkey", batchId = "jm-e2", joinType = "inner",
+      emitChanges = true)
+    graft.engine.AggDelta.maintain(aggSeg, ch2.get, Seq("c_mktsegment"), Nil,
+      batchId = Some("jm-e2"))
     graft.engine.JoinDelta.maintain(fact, dim, viewL, idx, None, Some(e2),
       "o_custkey", "c_custkey", batchId = "jm-e2", joinType = "left")
   }

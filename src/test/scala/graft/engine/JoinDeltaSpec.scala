@@ -137,6 +137,36 @@ class JoinDeltaSpec extends SparkSpec {
       ("f3", "d2", 30, "two")))
   }
 
+  test("emitChanges: the view's own op-coded delta, images intact, no-ops suppressed") {
+    val (f, dm, v, ix) = boot()
+    // f4 appears (I), f3 vanishes (D), f2 moves dim (U); f1 untouched
+    val ch = JoinDelta.maintain(f, dm, v, ix, Some(fd(
+      ("f4", "d3", 40, null, "I"),
+      ("f2", "d2", 21, "d1", "U"),
+      ("f3", null, 0, "d2", "D"))), None, "dref", "did", batchId = "e1",
+      emitChanges = true).get
+    val got = ch.collect().map(r => r.getAs[String]("fid") -> (
+      r.getAs[String]("_op"), r.getAs[String]("dref"), r.getAs[String]("name"),
+      r.getAs[String]("_old_dref"), r.getAs[String]("_old_name"))).toMap
+    assert(got == Map(
+      "f4" -> (("I", "d3", "three", null, null)),
+      "f2" -> (("U", "d2", "two", "d1", "one")),
+      "f3" -> (("D", null, null, "d2", "two"))))
+    // a dim no-op rewrite (same values) is recomputed but suppressed
+    val ch2 = JoinDelta.maintain(f, dm, v, ix, None,
+      Some(dd(("d1", "one", "U"))), "dref", "did", batchId = "e2",
+      emitChanges = true).get
+    assert(ch2.isEmpty)
+    // feeding the emission into AggDelta keeps a per-dim-name count true
+    val agg = KeyedTable(spark, tmpDir("jd-agg"), Seq("name"), numBuckets = 2)
+    AggDelta.bootstrap(agg, dims(("one", "x"), ("one", "y"), ("two", "z"))
+      .toDF("name", "ignore"), Seq("name"), Nil)
+    AggDelta.maintain(agg, ch, Seq("name"), Nil, batchId = Some("e1"))
+    val counts = agg.current.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // started one=2, two=1; I(three)+1, U one→two, D two-1 → one=1, two=1, three=1
+    assert(counts == Map("one" -> 1L, "two" -> 1L, "three" -> 1L))
+  }
+
   test("dim probe resolves affected facts through pruned index buckets") {
     val (f, dm, v, ix) = boot()
     // the probe frame carries only the rangeCol — bucketsOf must resolve
