@@ -167,6 +167,40 @@ class JoinDeltaSpec extends SparkSpec {
     assert(counts == Map("one" -> 1L, "two" -> 1L, "three" -> 1L))
   }
 
+  test("snowflake: a second JoinDelta consumes the first view's emitted feed") {
+    val s = spark
+    import s.implicits._
+    val (f, dm, v, ix) = boot() // v = facts ⋈ dims (fid, dref, m, name)
+    // second hop: v ⋈ regions on name; v2 keyed fid with its own index
+    val d2 = tmpDir("jd-snow")
+    val regions = KeyedTable(spark, s"$d2/dim2", Seq("rname"), numBuckets = 2)
+    regions.overwrite(Seq(("one", "north"), ("two", "south"), ("three", "east"))
+      .toDF("rname", "region"))
+    val v2 = KeyedTable(spark, s"$d2/view2", Seq("fid"), numBuckets = 4)
+    val ix2 = KeyedTable(spark, s"$d2/index2", Seq("name", "fid"), numBuckets = 4,
+      rangeCol = Some("name"))
+    JoinDelta.bootstrap(v2, ix2, v.current, regions.current, "name", "rname")
+
+    // one upstream epoch: insert f4(d3), move f2 d1→d2, delete f3
+    val ch = JoinDelta.maintain(f, dm, v, ix, Some(fd(
+      ("f4", "d3", 40, null, "I"),
+      ("f2", "d2", 21, "d1", "U"),
+      ("f3", null, 0, "d2", "D"))), None, "dref", "did", batchId = "e1",
+      emitChanges = true).get
+    // the emitted feed IS a valid fact delta for the second hop — it just
+    // needs a sequence column (one event per key, so a constant works)
+    JoinDelta.maintain(v, regions, v2, ix2,
+      Some(ch.withColumn("_seq", lit(1))), None, "name", "rname", batchId = "e1")
+    val got = v2.current.collect().map(r => (r.getAs[String]("fid"),
+      r.getAs[String]("name"), r.getAs[String]("region"))).toSet
+    assert(got == Set(("f1", "one", "north"), ("f2", "two", "south"),
+      ("f4", "three", "east")))
+    // and the whole two-hop chain equals a from-scratch double join
+    val scratch = JoinDelta.viewPlan(v.current, regions.current, "name", "rname", "inner")
+    assert(v2.current.exceptAll(scratch).count() == 0 &&
+      scratch.exceptAll(v2.current).count() == 0)
+  }
+
   test("dim probe resolves affected facts through pruned index buckets") {
     val (f, dm, v, ix) = boot()
     // the probe frame carries only the rangeCol — bucketsOf must resolve
