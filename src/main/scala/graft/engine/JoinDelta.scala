@@ -117,17 +117,25 @@ object JoinDelta {
     requireIndexShape(view, index, dimRef)
     require(Seq(factTable, dimTable, view, index).forall(_.exists),
       "bootstrap all four tables before maintaining")
+    // the base tables must key-align with the view, or the base applies
+    // (by factTable/dimTable keys) and the view/index replaces (by
+    // view.keys) would silently disagree about what one "row" is
+    require(factTable.keys == view.keys,
+      s"fact table keys ${factTable.keys.mkString(",")} must equal view keys ${view.keys.mkString(",")}")
+    require(dimTable.keys == Seq(dimKey),
+      s"dim table must be keyed ($dimKey), got ${dimTable.keys.mkString(",")}")
     val fk = view.keys
     def fresh(t: KeyedTable): Boolean = !t.lastTag.contains(batchId)
+    // the view commits LAST, so its tag marks the whole epoch complete —
+    // skip before paying the delta pins (the AggDelta early-return shape)
+    if (!fresh(view)) return None
 
     // one-event-per-key + op validity + (fact) old-image presence, woven
     // into the op column so the pin below forces every check before any
     // table is written
     def checked(df: DataFrame, keyCols: Seq[String], needOldImage: Boolean): DataFrame = {
       val dup = count(lit(1)).over(Window.partitionBy(keyCols.map(col).toIndexedSeq: _*))
-      val base = when(col(opCol).isin("I", "U", "D"), col(opCol))
-        .otherwise(raise_error(concat(
-          lit(s"JoinDelta: op column '$opCol' must be I/U/D, got "), col(opCol))))
+      val base = Ops.checkedOp(opCol, "JoinDelta")
       val oneEvent = when(dup === 1, base).otherwise(raise_error(concat(
         lit("JoinDelta: one event per key per epoch — collapse chains upstream; key "),
         concat_ws(",", keyCols.map(col).toIndexedSeq: _*))))
@@ -157,7 +165,6 @@ object JoinDelta {
       }
     }
 
-    if (!fresh(view)) return None
     // 4: affected fact keys — Δfact's own keys plus the index probe of
     // Δdim's keys (range-bucket-pruned: the probe frame carries only the
     // index's rangeCol, which is all range routing needs)
@@ -177,8 +184,12 @@ object JoinDelta {
       .distinct().localCheckpoint()
 
     // 5: recompute the affected rows from post-apply state (both reads
-    // bucket-pruned + broadcast-semi-joined) and swap the groups atomically
-    val facts = factTable.currentForKeys(affected)
+    // bucket-pruned + broadcast-semi-joined) and swap the groups atomically.
+    // The fact frame is pinned: un-pinned it re-reads the touched fact
+    // buckets once per consumer (the dim-key collect, the dim semi-join,
+    // the post materialization) — the scanned-exactly-once rule every
+    // other maintainer here already follows
+    val facts = factTable.currentForKeys(affected).localCheckpoint()
     val dims = dimTable.currentForKeys(facts.select(col(dimRef).as(dimKey)))
     val post = viewPlan(facts, dims, dimRef, dimKey, joinType).localCheckpoint()
     // change emission reads PRE-apply view rows — derive before the swap

@@ -469,10 +469,7 @@ final class KeyedTable(
     // the job — validating after the collapse would silently discard it,
     // and silently dropping unknown ops is how a sink diverges from its
     // source
-    val checked0 = batch.withColumn(opCol,
-      when(col(opCol).isin("I", "U", "D"), col(opCol))
-        .otherwise(raise_error(concat(
-          lit(s"mergeCdc: op column '$opCol' must be I/U/D, got "), col(opCol)))))
+    val checked0 = batch.withColumn(opCol, Ops.checkedOp(opCol, "mergeCdc"))
     val checked = Ops.latestPerKey(checked0, keys, seqCol,
       tieBreak = orderableColumns(batch, excluded = seqCol))
     val cols = if (exists) current.columns.toSeq

@@ -82,4 +82,15 @@ object Ops {
     */
   def project(df: DataFrame, columns: Seq[String]): DataFrame =
     df.select(columns.map(col).toIndexedSeq: _*)
+
+  /** The shared in-plan CDC op validation — `opCol` must be I/U/D, anything
+    * else fails the job (silently dropping unknown ops is how a sink
+    * diverges from its source). One definition for every op-coded consumer
+    * (mergeCdc, Scd2, JoinDelta, TopKDelta) so the accepted op set and the
+    * null-op rule can never drift between them.
+    */
+  def checkedOp(opCol: String, label: String): org.apache.spark.sql.Column =
+    when(col(opCol).isin("I", "U", "D"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit(s"$label: op column '$opCol' must be I/U/D, got "), col(opCol))))
 }

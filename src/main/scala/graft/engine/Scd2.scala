@@ -38,10 +38,14 @@ import org.apache.spark.sql.functions._
   *    event must be `>` the key's recorded history boundary
   *    (max of `valid_to`/`valid_from` over its rows) — an out-of-order
   *    event would have to rewrite closed history, so it fails in-plan
-  *    (`raise_error`) rather than corrupt it. Within a batch, two surviving
-  *    events sharing one (key, seq) are ambiguous and also fail in-plan;
-  *    duplicate TOMBSTONES at one seq collapse harmlessly (they contribute
-  *    the same boundary and no row).
+  *    (`raise_error`) rather than corrupt it. Within a batch, one (key,
+  *    seq) must carry at most one event unless EVERY event at it is a
+  *    tombstone: any survivor sharing its seq with another event — even a
+  *    tombstone — is order-ambiguous (does the D close the U, or lose to
+  *    it?) and fails in-plan; all-tombstone duplicates collapse harmlessly
+  *    (same boundary, no row, either order). Sequences must be non-null
+  *    and long-castable — a null seq fails in-plan, never a NULL
+  *    `valid_from`.
   *  - `I` on a key with an open row behaves like `U` (replay-tolerant, the
   *    same rule as [[KeyedTable.mergeCdc]]); `D` on a key with no open row
   *    is a no-op (tombstones outlive their rows in every real feed).
@@ -123,14 +127,21 @@ object Scd2 {
     require(reserved.isEmpty,
       s"payload columns collide with Scd2 internals: ${reserved.mkString(", ")}")
 
-    // in-plan op validation BEFORE anything drops rows — same rule as
-    // mergeCdc: silently ignoring an unknown op is how a sink diverges
-    val checkedOp = when(col(opCol).isin("I", "U", "D"), col(opCol))
-      .otherwise(raise_error(concat(
-        lit(s"Scd2: op column '$opCol' must be I/U/D, got "), col(opCol))))
+    // in-plan op validation BEFORE anything drops rows (shared rule:
+    // Ops.checkedOp), and a null-rejecting sequence cast: a null or
+    // uncastable seq on a NEW key would sail past the monotonicity guard
+    // (null boundary comparisons are conservative the wrong way there) and
+    // commit a history row with NULL valid_from — invisible to every asOf
+    // and temporal read. Silent corruption, so it fails in-plan instead.
+    val seqChecked = {
+      val c = col(seqCol).cast("long")
+      when(c.isNotNull, c).otherwise(raise_error(concat(
+        lit(s"Scd2: sequence column '$seqCol' must cast to a non-null long, got "),
+        coalesce(col(seqCol).cast("string"), lit("null")))))
+    }
     val ev = batch.select(
-      (payload.map(col) :+ col(seqCol).cast("long").as("_vseq")
-        :+ checkedOp.as("_vop")).toIndexedSeq: _*)
+      (payload.map(col) :+ seqChecked.as("_vseq")
+        :+ Ops.checkedOp(opCol, "Scd2").as("_vop")).toIndexedSeq: _*)
 
     // pinned: the touched-key frame feeds the state read, the guard join
     // and the final replace — without the pin each consumer re-scans the

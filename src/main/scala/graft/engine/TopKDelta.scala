@@ -28,10 +28,13 @@ import org.apache.spark.sql.functions._
   * Contracts (the [[JoinDelta]] conventions): one event per item per
   * batch, the OLD GROUP under `oldPrefix` for U/D (retraction matches on
   * (old group, item) — the old score is not needed), groups non-null,
-  * exactly-once via `batchId` + version tag. A retraction that misses its
-  * buffered row in an UNSATURATED group
-  * means the before-image diverged from applied state — it fails in-plan,
-  * the same drift trap [[AggDelta]]'s below-zero check springs.
+  * exactly-once via `batchId` + version tag. Two drift traps guard the
+  * buffer: a retraction that misses its buffered row in an UNSATURATED
+  * group means the before-image diverged from applied state, and an `I`
+  * for an item the buffer already holds would duplicate it in the answer
+  * (feeds replaying old offsets must emit those as `U` with old images,
+  * as CDC connectors do) — both fail loudly, the same class as
+  * [[AggDelta]]'s below-zero check.
   */
 object TopKDelta {
   val SatCol = "_sat"
@@ -92,9 +95,7 @@ object TopKDelta {
       when(dup > 1, raise_error(concat(
           lit("TopKDelta: one event per item per batch — collapse chains upstream; item "),
           concat_ws(",", idCols.map(col).toIndexedSeq: _*))))
-        .when(col(opCol).isin("I", "U", "D"), col(opCol))
-        .otherwise(raise_error(concat(
-          lit(s"TopKDelta: op column '$opCol' must be I/U/D, got "), col(opCol)))))
+        .otherwise(Ops.checkedOp(opCol, "TopKDelta")))
       .localCheckpoint()
 
     // touched groups: new homes of I/U plus old homes of U/D
@@ -128,6 +129,20 @@ object TopKDelta {
           "before-images diverged from applied state: " +
           misses.select(concat_ws(",", (groups ++ idCols).map(col).toIndexedSeq: _*))
             .limit(5).collect().map(_.getString(0)).mkString("; "))
+    // the dual drift trap: an I for an item the buffer already holds would
+    // leave BOTH rows in the candidate (only U/D retract), so topK would
+    // emit the item twice — a feed replaying an old offset must emit such
+    // rows as U with old images (exactly what CDC connectors do). Items
+    // buffered in UNTOUCHED groups can't be checked without a by-item
+    // index; this catches the in-reach class loudly rather than none.
+    val dupIns = checked.filter(col(opCol) === "I")
+      .select(idCols.map(col).toIndexedSeq: _*)
+      .join(cur, idCols.toSeq, "left_semi")
+    if (!dupIns.isEmpty)
+      throw new IllegalStateException(
+        "TopKDelta: I event for an already-buffered item — emit U with old images: " +
+          dupIns.select(concat_ws(",", idCols.map(col).toIndexedSeq: _*))
+            .limit(5).collect().map(_.getString(0)).mkString("; "))
 
     // buffered retractions per group erode the guarantee
     val bufRetracts = retract.join(cur, (groups ++ idCols).toSeq, "left_semi")
@@ -148,7 +163,15 @@ object TopKDelta {
       .join(bufRetracts, groups.toSeq, "left_outer")
       .join(counts, groups.toSeq, "left_outer")
       .withColumn(SatCol, coalesce(col("_sat0"), lit(false)) || coalesce(col("_cn"), lit(0L)) > m)
-      .withColumn(DretCol, coalesce(col("_dret0"), lit(0)) + coalesce(col("_bret"), lit(0L)).cast("int"))
+      // retraction meter: only groups that ENTERED the batch saturated
+      // carry erosion forward — a group unsaturated at entry had its whole
+      // membership in the candidate, so its fresh buffer is the exact
+      // top-m (even if it truncates into saturation right now) and its
+      // guarantee meter restarts at 0; without this reset such groups
+      // refill (a fact-table read) batches earlier than necessary
+      .withColumn(DretCol, when(coalesce(col("_sat0"), lit(false)),
+        coalesce(col("_dret0"), lit(0)) + coalesce(col("_bret"), lit(0L)).cast("int"))
+        .otherwise(lit(0)))
       .withColumn("_bufn", least(coalesce(col("_cn"), lit(0L)), lit(m.toLong)))
       .select((groups.map(col) ++ Seq(col(SatCol), col(DretCol), col("_bufn"))).toIndexedSeq: _*)
       .localCheckpoint()

@@ -32,13 +32,14 @@ object AggFlow {
                    measures: Seq[String], epochId: Long,
                    opCol: String = "_op", oldPrefix: String = "_old_",
                    valueType: String = "decimal(18,2)",
-                   accType: String = "decimal(28,2)"): Long = {
+                   accType: String = "decimal(28,2)",
+                   tagPrefix: String = ""): Long = {
     if (!agg.exists)
       AggDelta.bootstrap(agg,
         cdc.select((groups ++ measures).map(col).toIndexedSeq: _*).limit(0),
         groups, measures, valueType, accType)
     AggDelta.maintain(agg, cdc, groups, measures, opCol, oldPrefix,
-      valueType, accType, batchId = Some(s"epoch-$epochId"))
+      valueType, accType, batchId = Some(FlowTags.tag(tagPrefix, epochId)))
   }
 
   /** Start the maintenance flow over `stream` (must carry the group/measure
@@ -53,7 +54,7 @@ object AggFlow {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, epochId: Long) =>
         processBatch(agg, b, groups, measures, epochId, opCol, oldPrefix,
-          valueType, accType)
+          valueType, accType, tagPrefix = FlowTags.prefix(checkpoint))
         ()
       }
       .start()

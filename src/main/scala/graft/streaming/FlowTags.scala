@@ -1,0 +1,20 @@
+package graft.streaming
+
+/** Epoch-tag construction shared by the maintained-state flows (AggFlow,
+  * Scd2Flow, JoinFlow, TopKFlow).
+  *
+  * Epoch ids restart at 0 whenever a checkpoint directory is recreated. A
+  * bare `epoch-N` tag therefore has a trap: reset the checkpoint but keep
+  * the state tables, and the NEW stream's first batch — different data —
+  * arrives as epoch 0, matches the stale `epoch-0` tag a previous instance
+  * left on the table, and is silently dropped (for the non-idempotent
+  * flows, permanent loss). Prefixing the tag with a stable hash of the
+  * checkpoint path scopes it to one stream instance: a new checkpoint can
+  * never collide with tags the old one committed. `processBatch` callers
+  * doing batch-mode replays keep the empty prefix — their epoch ids are
+  * caller-controlled.
+  */
+private[streaming] object FlowTags {
+  def prefix(checkpoint: String): String = f"ck${checkpoint.hashCode}%08x-"
+  def tag(prefix: String, epochId: Long): String = s"${prefix}epoch-$epochId"
+}

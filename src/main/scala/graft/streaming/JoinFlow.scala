@@ -31,7 +31,7 @@ object JoinFlow {
                    factCols: Seq[String], dimCols: Seq[String],
                    joinType: String = "inner", sideCol: String = "_side",
                    opCol: String = "_op", seqCol: String = "_seq",
-                   oldPrefix: String = "_old_"): Unit = {
+                   oldPrefix: String = "_old_", tagPrefix: String = ""): Unit = {
     val meta = Seq(opCol, seqCol)
     val fd = batch.filter(col(sideCol) === "fact")
       .select((factCols ++ Seq(oldPrefix + dimRef) ++ meta).map(col).toIndexedSeq: _*)
@@ -42,8 +42,9 @@ object JoinFlow {
     // delta-sized batch, not state
     JoinDelta.maintain(factTable, dimTable, view, index,
       Option(fd).filterNot(_.isEmpty), Option(dd).filterNot(_.isEmpty),
-      dimRef, dimKey, batchId = s"epoch-$epochId",
+      dimRef, dimKey, batchId = FlowTags.tag(tagPrefix, epochId),
       joinType = joinType, opCol = opCol, seqCol = seqCol, oldPrefix = oldPrefix)
+    ()
   }
 
   /** Start the flow over `stream` — a superset-schema frame carrying
@@ -61,7 +62,8 @@ object JoinFlow {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, epochId: Long) =>
         processBatch(factTable, dimTable, view, index, b, epochId, dimRef,
-          dimKey, factCols, dimCols, joinType, sideCol, opCol, seqCol, oldPrefix)
+          dimKey, factCols, dimCols, joinType, sideCol, opCol, seqCol,
+          oldPrefix, tagPrefix = FlowTags.prefix(checkpoint))
         ()
       }
       .start()

@@ -20,8 +20,10 @@ object Scd2Flow {
 
   /** Apply one epoch. Exposed for batch-mode reuse and tests. */
   def processBatch(hist: KeyedTable, batch: DataFrame, epochId: Long,
-                   opCol: String = "_op", seqCol: String = "_seq"): Long =
-    Scd2.maintain(hist, batch, opCol, seqCol, batchId = Some(s"epoch-$epochId"))
+                   opCol: String = "_op", seqCol: String = "_seq",
+                   tagPrefix: String = ""): Long =
+    Scd2.maintain(hist, batch, opCol, seqCol,
+      batchId = Some(FlowTags.tag(tagPrefix, epochId)))
 
   /** Start applying `stream` (the history's payload columns + `opCol` +
     * `seqCol`) to `hist`, which must be bootstrapped ([[Scd2.bootstrap]])
@@ -33,7 +35,8 @@ object Scd2Flow {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, epochId: Long) =>
-        processBatch(hist, b, epochId, opCol, seqCol)
+        processBatch(hist, b, epochId, opCol, seqCol,
+          tagPrefix = FlowTags.prefix(checkpoint))
         ()
       }
       .start()

@@ -24,8 +24,8 @@ object TopKFlow {
                    epochId: Long, groups: Seq[String], idCols: Seq[String],
                    scoreCol: String, k: Int, bufferFactor: Int = 2,
                    opCol: String = "_op", seqCol: String = "_seq",
-                   oldPrefix: String = "_old_"): Long = {
-    val tag = s"epoch-$epochId"
+                   oldPrefix: String = "_old_", tagPrefix: String = ""): Long = {
+    val tag = FlowTags.tag(tagPrefix, epochId)
     if (!factTable.lastTag.contains(tag))
       factTable.mergeCdc(batch, opCol, seqCol, Some(tag))
     TopKDelta.maintain(state, batch, factTable.current, groups, idCols,
@@ -45,7 +45,8 @@ object TopKFlow {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, epochId: Long) =>
         processBatch(factTable, state, b, epochId, groups, idCols, scoreCol,
-          k, bufferFactor, opCol, seqCol, oldPrefix)
+          k, bufferFactor, opCol, seqCol, oldPrefix,
+          tagPrefix = FlowTags.prefix(checkpoint))
         ()
       }
       .start()

@@ -121,6 +121,20 @@ class Scd2Spec extends SparkSpec {
     assert(rows(t) == Set(("a", "a0", 0L, Some(4L), false), ("a", "a1", 4L, None, true)))
   }
 
+  test("null sequence fails in-plan — never a NULL valid_from invisible to asOf") {
+    val s = spark
+    import s.implicits._
+    val t = hist(tmpDir("scd2n"))
+    Scd2.bootstrap(t, Seq(("a", "a0")).toDF("id", "v"))
+    val bad = Seq(("zz", "z0", "I", null.asInstanceOf[java.lang.Integer]))
+      .toDF("id", "v", "_op", "_seq")
+    val e = intercept[Exception] { Scd2.maintain(t, bad) }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("non-null long"), chain)
+    assert(rows(t) == Set(("a", "a0", 0L, None, true)))
+  }
+
   test("asOf: covering row per key, from-inclusive to-exclusive, gaps empty") {
     val s = spark
     import s.implicits._

@@ -102,6 +102,44 @@ class TopKDeltaSpec extends SparkSpec {
     assert(answer(t, 2) == Set(("a", "a1", 80.0, 1), ("a", "a2", 70.0, 2)))
   }
 
+  test("I for an already-buffered item fails loudly instead of duplicating the answer") {
+    val t = mkState("tk7")
+    TopKDelta.bootstrap(t, base, Seq("g"), Seq("id"), "sc", k = 2, bufferFactor = 2)
+    val e = intercept[IllegalStateException] {
+      TopKDelta.maintain(t, ev(("b", "b1", 9.0, null, null, "I")),
+        base, Seq("g"), Seq("id"), "sc", k = 2, bufferFactor = 2)
+    }
+    assert(e.getMessage.contains("already-buffered"))
+    assert(answer(t, 2) == Set(("a", "a1", 80.0, 1), ("a", "a2", 70.0, 2),
+      ("b", "b1", 5.0, 1), ("b", "b2", 4.0, 2)))
+  }
+
+  test("groups entering a batch unsaturated restart the retraction meter (no premature refill)") {
+    val s = spark
+    import s.implicits._
+    val t = mkState("tk8")
+    // m=4: three items — unsaturated
+    TopKDelta.bootstrap(t, facts(("c", "c1", 30), ("c", "c2", 20), ("c", "c3", 10)),
+      Seq("g"), Seq("id"), "sc", k = 2, bufferFactor = 2)
+    // batch 1: one buffered delete + two inserts — still unsaturated, meter 0
+    TopKDelta.maintain(t, ev(
+      (null, "c1", null, "c", 30.0, "D"),
+      ("c", "c4", 8.0, null, null, "I"), ("c", "c5", 6.0, null, null, "I")),
+      sys.error("unsaturated: no refill"),
+      Seq("g"), Seq("id"), "sc", k = 2, bufferFactor = 2, batchId = Some("e1"))
+    // batch 2: saturate from a fully-covered candidate — meter restarts at 0
+    TopKDelta.maintain(t, ev(("c", "c6", 4.0, null, null, "I")),
+      sys.error("fresh saturation: exact top-m, no refill"),
+      Seq("g"), Seq("id"), "sc", k = 2, bufferFactor = 2, batchId = Some("e2"))
+    // batch 3: two buffered deletes — guarantee m-2=2 >= k holds ONLY if the
+    // meter restarted; stale accumulation from batch 1 would force a refill
+    TopKDelta.maintain(t, ev(
+      (null, "c2", null, "c", 20.0, "D"), (null, "c3", null, "c", 10.0, "D")),
+      sys.error("meter must have restarted at saturation"),
+      Seq("g"), Seq("id"), "sc", k = 2, bufferFactor = 2, batchId = Some("e3"))
+    assert(answer(t, 2) == Set(("c", "c4", 8.0, 1), ("c", "c5", 6.0, 2)))
+  }
+
   test("retraction missing its row in an unsaturated buffer fails loudly; redelivery no-ops") {
     val t = mkState("tk6")
     TopKDelta.bootstrap(t, base, Seq("g"), Seq("id"), "sc", k = 2, bufferFactor = 2)
