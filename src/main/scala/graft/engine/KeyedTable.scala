@@ -472,8 +472,14 @@ final class KeyedTable(
     val checked0 = batch.withColumn(opCol, Ops.checkedOp(opCol, "mergeCdc"))
     val checked = Ops.latestPerKey(checked0, keys, seqCol,
       tieBreak = orderableColumns(batch, excluded = seqCol))
+    // Bootstrap derives the table schema from the batch; besides op/seq,
+    // drop `_old_*` before-image columns (the JoinDelta/TopKDelta feed
+    // convention) — the exists path drops them implicitly via
+    // current.columns, and baking them into a table bootstrapped by an
+    // image-carrying feed (CdcFlow auto-first-batch) would be permanent.
     val cols = if (exists) current.columns.toSeq
-               else batch.columns.filterNot(c => c == opCol || c == seqCol).toSeq
+               else batch.columns.filterNot(c =>
+                 c == opCol || c == seqCol || c.startsWith("_old_")).toSeq
     val upserts = checked.filter(col(opCol) =!= "D")
       .select(cols.map(col).toIndexedSeq: _*)
     replaceKeys(checked.select(keys.map(col).toIndexedSeq: _*), upserts, tag)

@@ -139,8 +139,18 @@ object Scd2 {
         lit(s"Scd2: sequence column '$seqCol' must cast to a non-null long, got "),
         coalesce(col(seqCol).cast("string"), lit("null")))))
     }
+    // same class of trap for the NATURAL KEY: a null-keyed event passes the
+    // seq/op checks, but replaceKeys' key equality is null-unsafe, so its
+    // "group" never matches prior rows and every batch appends a fresh
+    // duplicate history row for the null key — silent, unbounded corruption.
+    // Keys are identity here (not payload), so null is a contract violation
+    // and fails in-plan like the null seq does.
+    def keyChecked(k: String) =
+      when(col(k).isNotNull, col(k)).otherwise(raise_error(
+        lit(s"Scd2: natural-key column '$k' must be non-null"))).as(k)
     val ev = batch.select(
-      (payload.map(col) :+ seqChecked.as("_vseq")
+      (payload.map(c => if (keys.contains(c)) keyChecked(c) else col(c))
+        :+ seqChecked.as("_vseq")
         :+ Ops.checkedOp(opCol, "Scd2").as("_vop")).toIndexedSeq: _*)
 
     // pinned: the touched-key frame feeds the state read, the guard join

@@ -25,6 +25,19 @@ import org.apache.spark.sql.functions._
   * that never saturate (bounded domains) never re-derive at all. The
   * fact table is passed BY NAME and only evaluated on refill.
   *
+  * == Refill cost (the operational cliff) ==
+  * Facts are keyed by ITEM, not group, so the refill read cannot bucket-
+  * prune: ONE hungry group costs a full fact-table scan (left-semi
+  * filtered to hungry groups, but every bucket is read), and a delete
+  * burst concentrated on few groups re-triggers it batch after batch.
+  * Size `bufferFactor` against the observed per-batch retraction rate:
+  * with r buffered retractions per group per batch, a saturated group
+  * refills every ~(bufferFactor−1)·k/r batches — pick the factor so that
+  * interval stays comfortably above your batch cadence (state cost is
+  * only groups × bufferFactor·k rows). At 100 TB, either widen the
+  * factor or maintain a group-keyed replica of the facts so the refill
+  * read prunes like every other maintainer (SCALING.md, TopKDelta row).
+  *
   * Contracts (the [[JoinDelta]] conventions): one event per item per
   * batch, the OLD GROUP under `oldPrefix` for U/D (retraction matches on
   * (old group, item) — the old score is not needed), groups non-null,

@@ -15,6 +15,17 @@ package graft.streaming
   * caller-controlled.
   */
 private[streaming] object FlowTags {
-  def prefix(checkpoint: String): String = f"ck${checkpoint.hashCode}%08x-"
+  /** SHA-256 truncated to 64 bits, not String.hashCode: two distinct
+    * checkpoint paths colliding in 32 bits (1 in 2^32 — reachable across a
+    * fleet of streams) plus a matching epoch id would false-match `lastTag`
+    * and silently drop a batch, the exact lost-update this prefix exists to
+    * prevent. 64 bits of a cryptographic digest puts collision odds past
+    * birthday range for any realistic stream count.
+    */
+  def prefix(checkpoint: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(checkpoint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    "ck" + d.take(8).map(b => f"$b%02x").mkString + "-"
+  }
   def tag(prefix: String, epochId: Long): String = s"${prefix}epoch-$epochId"
 }

@@ -524,4 +524,24 @@ class KeyedTableSpec extends SparkSpec {
     val m = t2.current.collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(m == Map("a" -> "A1", "b" -> "B1"))
   }
+
+  test("mergeCdc bootstrap drops _old_* before-image columns from the derived schema") {
+    val s = spark
+    import s.implicits._
+    // a JoinDelta/TopKDelta-convention feed bootstrapping a fresh table
+    // (CdcFlow auto-first-batch) must not bake transport columns into the
+    // table schema permanently — the exists path drops them via
+    // current.columns, the bootstrap path must match
+    val t = KeyedTable(spark, tmpDir("cdcold"), Seq("id"))
+    val feed = Seq(("a", "A1", null: String, "I", 1), ("b", "B1", "oldB", "U", 2))
+      .toDF("id", "payload", "_old_payload", "_op", "_seq")
+    t.mergeCdc(feed)
+    assert(t.current.columns.toSeq == Seq("id", "payload"),
+      s"bootstrap schema leaked transport columns: ${t.current.columns.mkString(",")}")
+    // and a follow-up image-carrying batch merges into the same clean schema
+    t.mergeCdc(Seq(("a", "A2", "A1", "U", 3)).toDF("id", "payload", "_old_payload", "_op", "_seq"))
+    assert(t.current.columns.toSeq == Seq("id", "payload"))
+    val m = t.current.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m == Map("a" -> "A2", "b" -> "B1"))
+  }
 }

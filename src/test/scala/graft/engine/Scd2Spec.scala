@@ -135,6 +135,23 @@ class Scd2Spec extends SparkSpec {
     assert(rows(t) == Set(("a", "a0", 0L, None, true)))
   }
 
+  test("null natural key fails in-plan — never silent duplicate history rows") {
+    val s = spark
+    import s.implicits._
+    val t = hist(tmpDir("scd2nk"))
+    Scd2.bootstrap(t, Seq(("a", "a0")).toDF("id", "v"))
+    // a null-keyed event passes seq/op checks, but replaceKeys' null-unsafe
+    // key equality never matches its prior rows — each batch would append a
+    // fresh duplicate history row for the null key, silently
+    val bad = Seq((null.asInstanceOf[String], "z0", "I", 5))
+      .toDF("id", "v", "_op", "_seq")
+    val e = intercept[Exception] { Scd2.maintain(t, bad) }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("must be non-null"), chain)
+    assert(rows(t) == Set(("a", "a0", 0L, None, true)))
+  }
+
   test("asOf: covering row per key, from-inclusive to-exclusive, gaps empty") {
     val s = spark
     import s.implicits._
