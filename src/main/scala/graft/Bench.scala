@@ -70,12 +70,20 @@ object Bench {
         // round-7 stored-state builds (CDC table + the three maintained
         // states) — same bodies the accessors install, same no-drift rule
         "cdc" -> timed(graft.queries.Td.buildCdcOrdersInto(spark, sfDir, s"$tmpRoot/cdc")),
+        // each stress build (~50% of keys churned) is followed by ONE
+        // realistic ~1%-of-keys epoch applied to the root it just built —
+        // the daily-batch figure a capacity planner needs ("jm1" next to
+        // "jm"), in the artifact instead of probe prose (r7 verdict #2)
         "am" -> timed(graft.queries.Td.buildAggMaintainInto(spark, sfDir, s"$tmpRoot/am")),
+        "am1" -> timed(graft.queries.Td.epoch1AggMaintain(spark, sfDir, s"$tmpRoot/am")),
         "hm" -> timed(graft.queries.Td.buildHistMaintainInto(spark, sfDir, s"$tmpRoot/hm")),
         "ds" -> timed(graft.queries.Td.buildDistinctStateInto(spark, sfDir, s"$tmpRoot/ds")),
         "scd2" -> timed(graft.queries.Td.buildScd2OrdersInto(spark, sfDir, s"$tmpRoot/scd2")),
+        "scd2_1" -> timed(graft.queries.Td.epoch1Scd2Orders(spark, sfDir, s"$tmpRoot/scd2")),
         "jm" -> timed(graft.queries.Td.buildJoinMaintainInto(spark, sfDir, s"$tmpRoot/jm")),
-        "tk" -> timed(graft.queries.Td.buildTopkMaintainInto(spark, sfDir, s"$tmpRoot/tk")))
+        "jm1" -> timed(graft.queries.Td.epoch1JoinMaintain(spark, sfDir, s"$tmpRoot/jm")),
+        "tk" -> timed(graft.queries.Td.buildTopkMaintainInto(spark, sfDir, s"$tmpRoot/tk")),
+        "tk1" -> timed(graft.queries.Td.epoch1TopkMaintain(spark, sfDir, s"$tmpRoot/tk")))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
       out
     }
@@ -141,8 +149,13 @@ object Bench {
     // fast success AND inflate the stall ratio with a phantom min (r6
     // ADVICE). stderr carries the per-run exception for diagnosis.
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Queries whose min was never corroborated even after retries — the
+    // residual "don't trust this entry" set, reported out-of-band.
+    val stalledQ = scala.collection.mutable.ArrayBuffer.empty[String]
+    var retriedQ = 0
+    val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "3").toInt
     val results0 = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { i =>
+      def runOnce(i: Int): Double = {
         // Snapshot registered RDD ids BEFORE the run and release only what
         // the run itself registered: operators that localCheckpoint slim
         // intermediates (minhashDedup, dupClusters, dedupAgainstIndex) can
@@ -169,18 +182,39 @@ object Bench {
         spark.sparkContext.getPersistentRDDs
           .foreach { case (id, rdd) => if (!before(id)) rdd.unpersist(blocking = false) }
         t
-      }.filterNot(_.isNaN).sorted
-      // In-band contention evidence: max/min across this query's runs. A
-      // quiet box stays near 1; external CPU stalls (the r4/r5 phantom-
-      // regression cause) push individual queries 5-100×, and the battery-
-      // level max lands in the JSON so a reader can see "runs disagree
-      // wildly — don't trust the absolute numbers" from the artifact
-      // itself, without re-measuring.
+      }
+      var times = (1 to runs).map(runOnce).filterNot(_.isNaN).sorted
+      // Self-healing (r7 verdict #1): run disagreement past 3× means some
+      // run was stalled by external contention. The MIN is immune unless
+      // EVERY run was hit — so instead of trusting it blindly, CORROBORATE
+      // it: the min counts as certified once a second run lands within
+      // 1.5× of it. While the ratio is past 3 and the min is uncorroborated,
+      // re-run (up to maxRetries extra) — each retry is a fresh chance at a
+      // clean pair. A query that exhausts retries uncorroborated is carried
+      // in the out-of-band "stalled" list and counted in nstall; a query
+      // whose min IS corroborated reports the agreement ratio (2nd-best /
+      // best, ~1) instead of the raw max/min, so one stalled run out of
+      // three no longer poisons the battery's health keys the way r7's
+      // artifact poisoned itself.
+      def ratio = times.last / math.max(times.head, 0.001)
+      def corroborated = times.count(_ <= times.head * 1.5) >= 2
+      var extra = 0
+      while (times.nonEmpty && ratio > 3 && !corroborated && extra < maxRetries) {
+        extra += 1
+        System.err.println(f"BENCHRETRY $name#${runs + extra} min=${times.head}%.2f ratio=$ratio%.1f")
+        val t = runOnce(runs + extra)
+        if (!t.isNaN) times = (times :+ t).sorted
+      }
+      if (extra > 0) retriedQ += 1
       if (times.nonEmpty && times.head > 0) {
-        val ratio = times.last / math.max(times.head, 0.001)
-        ratios += ratio
-        if (ratio > 3)
-          System.err.println(f"BENCHSTALL $name min=${times.head}%.2f max=${times.last}%.2f ratio=$ratio%.1f")
+        val health =
+          if (times.size >= 2 && corroborated) times(1) / math.max(times.head, 0.001)
+          else ratio
+        ratios += health
+        if (health > 3) {
+          stalledQ += name
+          System.err.println(f"BENCHSTALL $name min=${times.head}%.2f max=${times.last}%.2f ratio=$health%.1f UNCORROBORATED")
+        }
       }
       val stat = sys.env.getOrElse("SPARK_GRAFT_BENCH_STAT", "min")
       if (times.isEmpty) { failed += name; name -> Double.NaN }
@@ -212,10 +246,18 @@ object Bench {
     // external contention — the r5 bench was unusable with no in-band way
     // to see it), "nstall" (queries past 3×), "ib" (fresh stored-index
     // build seconds, invisible before behind build-once installs).
+    // Post-heal semantics: "stall"/"nstall" now measure RESIDUAL
+    // uncertainty (queries whose min was never corroborated, even after
+    // retries); "nretry" carries the raw ambient-contention evidence (how
+    // many queries needed any retry). A clean artifact reads stall≈1,
+    // nstall=0; a noisy-but-healed one reads nstall=0 with nretry>0; only
+    // entries named in "stalled" are untrustworthy.
     val stallPart = {
       val stallRatio = if (ratios.isEmpty) 1.0 else ratios.max
-      s""""stall":${fmt(1)(stallRatio)},"nstall":${ratios.count(_ > 3)},"""
+      s""""stall":${fmt(1)(stallRatio)},"nstall":${ratios.count(_ > 3)},"nretry":$retriedQ,"""
     }
+    val stalledPart = if (stalledQ.isEmpty) ""
+      else stalledQ.map("\"" + _.stripPrefix("q_") + "\"").mkString("\"stalled\":[", ",", "],")
     val ibPart = if (idxBuild.isEmpty) ""
       else idxBuild.map { case (k, v) => "\"" + k + "\":" + fmt(1)(v) }
         .mkString("\"ib\":{", ",", "},")
@@ -240,7 +282,7 @@ object Bench {
       val fastPart = if (fast.isEmpty) ""
         else s""""fast_n":${fast.size},"fast_sum":${fmt(2)(fast.map(_._2).sum)},""" +
           s""""fast_max":${fmt(2)(fast.map(_._2).max)},"""
-      s"""{$head$stallPart$errPart$ibPart$hint$fastPart"queries":$qs$sf}"""
+      s"""{$head$stallPart$stalledPart$errPart$ibPart$hint$fastPart"queries":$qs$sf}"""
     }
     // tail budget is 2000 bytes including the trailing newline. The elide
     // levels fold queries under the threshold into fast_n/fast_sum/fast_max

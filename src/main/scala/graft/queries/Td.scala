@@ -734,6 +734,102 @@ object Td {
       k = 5, bufferFactor = 2, batchId = Some("tm-1"))
   }
 
+  // ---- realistic-delta maintenance epochs (bench-only) -------------------
+  //
+  // The `ib` stress builds above deliberately hammer ~50% of keys so the
+  // maintenance machinery is exercised hard; the number a capacity planner
+  // actually plans around is the ~1%-of-keys DAILY-BATCH epoch (the regime
+  // JoinMaintProbe measures). Each helper below applies ONE such epoch to
+  // the root its stress build just created (same tmpRoot the bench deletes
+  // afterwards), so BENCH_r{N}.json carries both figures mechanically —
+  // `jm` next to `jm1`, `am` next to `am1` — instead of the realistic
+  // figure living only in probe prose. Before-images are derived from the
+  // post-build state algebra, so the epochs honor every maintainer
+  // contract (monotone seqs, exact old images) and would fail in-plan if
+  // the build algebra drifted.
+
+  /** One ~1% fact-side epoch (re-price, no dim-ref move — the common case)
+    * against the [[buildJoinMaintainInto]] root: one JoinDelta apply =
+    * fact merge + index upkeep + view recompute of affected keys.
+    */
+  private[graft] def epoch1JoinMaintain(s: SparkSession, d: String, tmp: String): Unit = {
+    val o = orders(s, d)
+    val k = col("o_orderkey")
+    val fact = graft.engine.KeyedTable(s, s"$tmp/fact", Seq("o_orderkey"))
+    val dim = graft.engine.KeyedTable(s, s"$tmp/dim", Seq("c_custkey"))
+    val view = graft.engine.KeyedTable(s, s"$tmp/view", Seq("o_orderkey"))
+    val idx = graft.engine.KeyedTable(s, s"$tmp/index", Seq("o_custkey", "o_orderkey"))
+    // present in fact post-build = not tombstoned by e1 (%7 del hit
+    // %3≠0 ∧ %5≠0; k%100=4 ⇒ k%5=4, so only the %7∧%3≠0 arm applies);
+    // custkey never moved for these keys ⇒ old image = own custkey
+    val fd = o.filter(k % 100 === 4 && !(k % 7 === 0 && k % 3 =!= 0))
+      .withColumn("o_totalprice", col("o_totalprice") * 1.2)
+      .withColumn("_old_o_custkey", col("o_custkey"))
+      .withColumn("_op", lit("U")).withColumn("_seq", lit(3))
+    graft.engine.JoinDelta.maintain(fact, dim, view, idx, Some(fd), None,
+      "o_custkey", "c_custkey", batchId = "jm-e3", joinType = "inner")
+  }
+
+  /** One ~1% in-place re-price epoch against the [[buildAggMaintainInto]]
+    * root (U events, exact decimal old images from the post-build state).
+    */
+  private[graft] def epoch1AggMaintain(s: SparkSession, d: String, tmp: String): Unit = {
+    val o = orders(s, d)
+    val agg = graft.engine.KeyedTable(s, tmp, Seq("o_orderstatus"))
+    val k = col("o_orderkey")
+    val d3 = "decimal(19,3)"
+    val p3 = col("o_totalprice").cast("decimal(18,2)").cast(d3)
+    // k%100=1 ⇒ k%5=1 (never re-priced by batch-1); %7 keys were deleted;
+    // %3 keys were inserted as status N at price p3 — so current state is
+    // (N|orig status, p3) exactly
+    val cur = when(k % 3 === 0, lit("N")).otherwise(col("o_orderstatus"))
+    val b = o.filter(k % 100 === 1 && k % 7 =!= 0).select(
+      cur.as("o_orderstatus"),
+      (col("o_totalprice").cast("decimal(18,2)") *
+        lit(new java.math.BigDecimal("1.2"))).cast(d3).as("o_totalprice"),
+      cur.as("_old_o_orderstatus"), p3.as("_old_o_totalprice"),
+      lit("U").as("_op"))
+    graft.engine.AggDelta.maintain(agg, b, Seq("o_orderstatus"), Seq("o_totalprice"),
+      valueType = d3, accType = "decimal(29,3)", batchId = Some("am-e2"))
+  }
+
+  /** One ~1% re-score epoch against the [[buildTopkMaintainInto]] root:
+    * fact CDC apply + buffered top-k maintenance (groups unchanged).
+    */
+  private[graft] def epoch1TopkMaintain(s: SparkSession, d: String, tmp: String): Unit = {
+    val o = orders(s, d)
+    val k = col("o_orderkey")
+    val fact = graft.engine.KeyedTable(s, s"$tmp/fact", Seq("o_orderkey"))
+    val st = graft.engine.KeyedTable(s, s"$tmp/state", Seq("o_orderstatus"))
+    // k%100=2 ⇒ k%5=2: never status-moved by tm-1; tombstoned iff %7∧%3≠0;
+    // %3 keys arrived as status N at their own price
+    val curSt = when(k % 3 === 0, lit("N")).otherwise(col("o_orderstatus"))
+    val b = o.filter(k % 100 === 2 && !(k % 7 === 0 && k % 3 =!= 0)).select(
+      curSt.as("o_orderstatus"), k.as("o_orderkey"),
+      (col("o_totalprice") * 1.05).as("o_totalprice"),
+      curSt.as("_old_o_orderstatus"), col("o_totalprice").as("_old_o_totalprice"),
+      lit("U").as("_op"), lit(2).as("_seq"))
+    fact.mergeCdc(b, tag = Some("tm-2"))
+    graft.engine.TopKDelta.maintain(st, b, fact.current,
+      Seq("o_orderstatus"), Seq("o_orderkey"), "o_totalprice",
+      k = 5, bufferFactor = 2, batchId = Some("tm-2"))
+  }
+
+  /** One ~1% update epoch against the [[buildScd2OrdersInto]] root at the
+    * next sequence — each touched key closes its open row and opens a new
+    * one (bucket-pruned history rewrite of the touched keys only).
+    */
+  private[graft] def epoch1Scd2Orders(s: SparkSession, d: String, tmp: String): Unit = {
+    val o = orders(s, d)
+    val k = col("o_orderkey")
+    val t = graft.engine.KeyedTable(s, tmp, Seq("o_orderkey"))
+    val b = o.filter(k % 100 === 3)
+      .withColumn("o_orderstatus", lit("X"))
+      .withColumn("o_totalprice", col("o_totalprice") * 1.2)
+      .withColumn("_op", lit("U")).withColumn("_seq", lit(4))
+    graft.engine.Scd2.maintain(t, b, batchId = Some("scd2-b3"))
+  }
+
   /** Per-session co-bucketed catalog tables over `events` — facts
     * (event_id, user_id, value) and dims (event_id, event_type), both
     * bucketed 32 ways on event_id. Catalog entries are in-memory and
