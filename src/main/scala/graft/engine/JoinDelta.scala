@@ -102,10 +102,12 @@ object JoinDelta {
     * [[JoinDelta]] for snowflakes): the change-propagation graph. The
     * emission is derived from pre-apply view state, so it exists only on
     * the epoch that actually applies — on a `batchId`-redelivered epoch
-    * this returns None, so a production chain must apply (or persist) the
-    * emitted delta under the DOWNSTREAM table's own tag before this epoch
-    * is acknowledged; a crash between the view commit and the downstream
-    * apply otherwise loses the link (same rule as any MV log consumer).
+    * this returns None. A production chain should therefore NOT consume
+    * the return value directly: use [[Chain.epoch]], which passes a
+    * durable `changeLog` here (the emission commits into it BEFORE the
+    * view commits) and feeds the downstream maintainer from that log —
+    * closing the crash window between the view commit and the downstream
+    * apply that hand-wiring loses the link in (ChainSpec pins the resume).
     */
   def maintain(factTable: KeyedTable, dimTable: KeyedTable, view: KeyedTable,
                index: KeyedTable, factDelta: Option[DataFrame],
@@ -113,7 +115,8 @@ object JoinDelta {
                batchId: String, joinType: String = "inner",
                opCol: String = "_op", seqCol: String = "_seq",
                oldPrefix: String = "_old_",
-               emitChanges: Boolean = false): Option[DataFrame] = {
+               emitChanges: Boolean = false,
+               changeLog: Option[KeyedTable] = None): Option[DataFrame] = {
     requireIndexShape(view, index, dimRef)
     require(Seq(factTable, dimTable, view, index).forall(_.exists),
       "bootstrap all four tables before maintaining")
@@ -193,11 +196,28 @@ object JoinDelta {
     val dims = dimTable.currentForKeys(facts.select(col(dimRef).as(dimKey)))
     val post = viewPlan(facts, dims, dimRef, dimKey, joinType).localCheckpoint()
     // change emission reads PRE-apply view rows — derive before the swap
-    val changes = if (!emitChanges) None
+    val changes = if (!emitChanges && changeLog.isEmpty) None
       else Some(viewChanges(view.currentForKeys(affected).localCheckpoint(),
         post, fk, opCol, oldPrefix))
+    // MV log: the emitted delta becomes DURABLE (keyed by epoch, so the
+    // write is a pure append) BEFORE the view commits — the write-ahead
+    // ordering that closes the crash window [[Chain.epoch]] exists for. A
+    // replay after a crash between log and view commit re-derives the
+    // identical emission (pre-apply view state is unchanged) and skips the
+    // tagged log write.
+    changeLog.foreach { log =>
+      require(log.keys == Chain.EpochCol +: fk,
+        s"change log must be keyed (${Chain.EpochCol}, ${fk.mkString(", ")}), got ${log.keys.mkString(", ")}")
+      require(!post.columns.contains(Chain.EpochCol),
+        s"view column '${Chain.EpochCol}' collides with the change-log epoch column")
+      if (fresh(log)) {
+        val tagged = changes.get.withColumn(Chain.EpochCol, lit(batchId))
+        log.replaceKeys(tagged.select((Chain.EpochCol +: fk).map(col).toIndexedSeq: _*),
+          tagged, Some(batchId))
+      }
+    }
     view.replaceKeys(affected, post, Some(batchId))
-    changes
+    if (emitChanges) changes else None
   }
 
   /** The view's op-coded delta between its pre-apply rows and the

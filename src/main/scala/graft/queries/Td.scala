@@ -644,10 +644,16 @@ object Td {
     viewL.overwrite(graft.engine.JoinDelta.viewPlan(fact.current, dim.current,
       "o_custkey", "c_custkey", "left"))
     // chained layer: segment counts over the inner view, maintained from
-    // the view's own emitted change feed
+    // the view's own emitted change feed — wired through Chain.epoch, so
+    // the emission is write-ahead-logged and the hand-off is crash-safe
+    // (ChainSpec pins the crash-between-commits resume)
     val aggSeg = graft.engine.KeyedTable(s, s"$tmp/aggseg", Seq("c_mktsegment"),
       numBuckets = 8)
     graft.engine.AggDelta.bootstrap(aggSeg, view.current, Seq("c_mktsegment"), Nil)
+    val chainLog = graft.engine.Chain.changeLog(s, s"$tmp/chainlog", view.keys)
+    def segApply(ch: org.apache.spark.sql.DataFrame, bid: String): Unit =
+      graft.engine.AggDelta.maintain(aggSeg, ch, Seq("c_mktsegment"), Nil,
+        batchId = Some(bid))
     val ins = o.filter(k % 3 === 0)
       .withColumn("o_orderstatus", lit("N"))
       .withColumn("_old_o_custkey", lit(null).cast("bigint"))
@@ -661,11 +667,8 @@ object Td {
       .withColumn("_old_o_custkey", col("o_custkey"))
       .withColumn("_op", lit("D")).withColumn("_seq", lit(1))
     val e1 = ins.unionByName(upd).unionByName(del)
-    val ch1 = graft.engine.JoinDelta.maintain(fact, dim, view, idx, Some(e1), None,
-      "o_custkey", "c_custkey", batchId = "jm-e1", joinType = "inner",
-      emitChanges = true)
-    graft.engine.AggDelta.maintain(aggSeg, ch1.get, Seq("c_mktsegment"), Nil,
-      batchId = Some("jm-e1"))
+    graft.engine.Chain.epoch(fact, dim, view, idx, chainLog, Some(e1), None,
+      "o_custkey", "c_custkey", "jm-e1", joinType = "inner")(segApply)
     graft.engine.JoinDelta.maintain(fact, dim, viewL, idx, Some(e1), None,
       "o_custkey", "c_custkey", batchId = "jm-e1", joinType = "left")
     val ck = col("c_custkey")
@@ -676,11 +679,8 @@ object Td {
     val cd = c.filter(ck % 9 === 0)
       .withColumn("_op", lit("D")).withColumn("_seq", lit(2))
     val e2 = cu.unionByName(cd)
-    val ch2 = graft.engine.JoinDelta.maintain(fact, dim, view, idx, None, Some(e2),
-      "o_custkey", "c_custkey", batchId = "jm-e2", joinType = "inner",
-      emitChanges = true)
-    graft.engine.AggDelta.maintain(aggSeg, ch2.get, Seq("c_mktsegment"), Nil,
-      batchId = Some("jm-e2"))
+    graft.engine.Chain.epoch(fact, dim, view, idx, chainLog, None, Some(e2),
+      "o_custkey", "c_custkey", "jm-e2", joinType = "inner")(segApply)
     graft.engine.JoinDelta.maintain(fact, dim, viewL, idx, None, Some(e2),
       "o_custkey", "c_custkey", batchId = "jm-e2", joinType = "left")
   }
