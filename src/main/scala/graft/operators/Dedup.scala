@@ -891,13 +891,29 @@ object Dedup {
     * (exact-dup collapse) — both leave this operator's plan unchanged.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val bounds = simhashChunkBounds(maxHamming)
+                   maxHamming: Int = 3): DataFrame =
+    hammingPairs(df.select(col(idCol).cast("long").as("id"),
+        TextOps.simHash(TextOps.tokens(col(textCol))).as("sh")),
+      "id", "sh", TextOps.SimHashBits, maxHamming)
+
+  /** EXACT Hamming-ball pair mining over ANY precomputed long signature —
+    * the pigeonhole machinery of [[simhashPairs]] factored out so other
+    * signature families (perceptual image hashes —
+    * [[Multimodal.imageNearDupPairs]] — audio fingerprints, …) reuse the
+    * plan: k+1 disjoint bit chunks, (chunk_idx, chunk_val) equi-self-join,
+    * per-candidate popcount verify, each qualifying pair emitted once from
+    * its first agreeing chunk. Same scale shape and caveats as
+    * [[simhashPairs]]; `bits` is the signature width (chunk width =
+    * bits/(k+1) drives bucket selectivity — 64-bit signatures afford a
+    * larger k than 30-bit ones at equal selectivity).
+    */
+  def hammingPairs(sig0: DataFrame, idCol: String, sigCol: String,
+                   bits: Int, maxHamming: Int): DataFrame = {
+    val bounds = chunkBounds(bits, maxHamming)
     // materialize the slim (id, sh) relation: the self-join would otherwise
     // recompute every signature once per side
-    val sig = df.select(col(idCol).cast("long").as("id"),
-      TextOps.simHash(TextOps.tokens(col(textCol))).as("sh"))
-      .localCheckpoint()
+    val sig = sig0.select(col(idCol).cast("long").as("id"),
+      col(sigCol).cast("long").as("sh")).localCheckpoint()
     val exploded = explodeChunks(sig, bounds)
     // Each qualifying pair is emitted ONCE, from its first agreeing chunk —
     // a pure codegen predicate over the two signatures, replacing a
@@ -953,10 +969,18 @@ object Dedup {
   }
 
   /** [lo, hi) bit ranges of the maxHamming+1 pigeonhole chunks. */
-  private def simhashChunkBounds(maxHamming: Int): Seq[Int] = {
-    val bits = TextOps.SimHashBits
+  private def simhashChunkBounds(maxHamming: Int): Seq[Int] =
+    chunkBounds(TextOps.SimHashBits, maxHamming)
+
+  private def chunkBounds(bits: Int, maxHamming: Int): Seq[Int] = {
+    require(bits >= 1 && bits <= 64, s"signature width must be in [1, 64], got $bits")
     require(maxHamming >= 0 && maxHamming < bits,
       s"maxHamming must be in [0, $bits), got $maxHamming")
+    // a single 64-bit chunk (maxHamming = 0 over a full long) would need a
+    // mask (1L << 64) - 1, which wraps to 0 — exact-signature equality is
+    // a plain groupBy, not a banded join, so reject rather than special-case
+    require(bits < 64 || maxHamming >= 1,
+      "maxHamming = 0 over a 64-bit signature is exact equality — groupBy the signature instead")
     (0 to maxHamming + 1).map(c => c * bits / (maxHamming + 1))
   }
 

@@ -152,6 +152,38 @@ object Multimodal {
     * the corpus silently.
     */
   def decodeBmp24(bytes: Array[Byte]): Bmp24Stats = {
+    val (width, height, offset, rowSize) = bmpGeometry(bytes)
+    val bytesPerRow = width * 3
+    var sumB = 0L; var sumG = 0L; var sumR = 0L
+    var mn = 255; var mx = 0
+    var stored = 0
+    while (stored < height) {
+      val base = offset + stored * rowSize
+      var i = 0
+      while (i < bytesPerRow) {
+        val v = bytes(base + i) & 0xff
+        (i % 3: @annotation.switch) match {
+          case 0 => sumB += v
+          case 1 => sumG += v
+          case _ => sumR += v
+        }
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        i += 1
+      }
+      stored += 1
+    }
+    Bmp24Stats(width, height, sumB, sumG, sumR, mn, mx)
+  }
+
+  /** The validated-header core shared by [[decodeBmp24]] and
+    * [[imageDHash]]: `(width, height, pixelDataOffset, paddedRowSize)`,
+    * every geometry/offset/truncation require applied. STORED row `s`
+    * starts at `offset + s·rowSize` and holds logical (top-down) row
+    * `height − 1 − s` as B,G,R triples. Same throw contract as the public
+    * decoder.
+    */
+  private[operators] def bmpGeometry(bytes: Array[Byte]): (Int, Int, Int, Int) = {
     require(bytes.length >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
       "not a BMP (missing BM magic)")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -183,28 +215,7 @@ object Multimodal {
       s"truncated pixel data (row stride $rowSizeL exceeds payload)")
     require(rowSizeL * height <= bytes.length.toLong - offset,
       "truncated pixel data")
-    val bytesPerRow = bytesPerRowL.toInt
-    val rowSize = rowSizeL.toInt
-    var sumB = 0L; var sumG = 0L; var sumR = 0L
-    var mn = 255; var mx = 0
-    var stored = 0
-    while (stored < height) {
-      val base = offset + stored * rowSize
-      var i = 0
-      while (i < bytesPerRow) {
-        val v = bytes(base + i) & 0xff
-        (i % 3: @annotation.switch) match {
-          case 0 => sumB += v
-          case 1 => sumG += v
-          case _ => sumR += v
-        }
-        if (v < mn) mn = v
-        if (v > mx) mx = v
-        i += 1
-      }
-      stored += 1
-    }
-    Bmp24Stats(width, height, sumB, sumG, sumR, mn, mx)
+    (width, height, offset, rowSizeL.toInt)
   }
 
   // --------------------------------------------------------------- WAV ---
@@ -328,6 +339,37 @@ object Multimodal {
     * wrap).
     */
   def decodePng24(bytes: Array[Byte]): PngStats = {
+    val (width, height, scan) = pngReconstruct(bytes)
+    val bpr = width * 3
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var minPx = 256; var maxPx = -1
+    var y = 0
+    while (y < height) {
+      val base = y * (1 + bpr)
+      var i = 0
+      while (i < bpr) {
+        val v = scan(base + 1 + i) & 0xFF
+        (i % 3: @annotation.switch) match {
+          case 0 => sumR += v
+          case 1 => sumG += v
+          case 2 => sumB += v
+        }
+        if (v < minPx) minPx = v
+        if (v > maxPx) maxPx = v
+        i += 1
+      }
+      y += 1
+    }
+    PngStats(width, height, sumR, sumG, sumB, minPx, maxPx)
+  }
+
+  /** The parse → inflate → unfilter core shared by [[decodePng24]] (stats)
+    * and [[imageDHash]] (perceptual hashing): returns `(width, height,
+    * scan)` where the reconstructed pixel byte `(y, i)` lives at
+    * `scan(y * (1 + 3·width) + 1 + i)` (the filter-type byte prefixes each
+    * scanline). Same throw contract as the public decoder.
+    */
+  private[operators] def pngReconstruct(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
     require(bytes.length >= 8 + 25 + 12 + 12, "png: truncated container")
     require(PngSignature.indices.forall(i => bytes(i) == PngSignature(i)),
       "png: bad signature")
@@ -403,8 +445,6 @@ object Multimodal {
     require(got == expected, s"png: scanline bytes $got != expected $expected")
     // reconstruct in place: recon(y,i) overwrites the filtered byte
     def recon(y: Int, i: Int): Int = scan(y * (1 + bpr) + 1 + i) & 0xFF
-    var sumR = 0L; var sumG = 0L; var sumB = 0L
-    var minPx = 256; var maxPx = -1
     var y = 0
     while (y < height) {
       val base = y * (1 + bpr)
@@ -425,20 +465,12 @@ object Multimodal {
             val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
             if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
         }
-        val v = ((scan(base + 1 + i) & 0xFF) + pred) & 0xFF
-        scan(base + 1 + i) = v.toByte
-        (i % 3: @annotation.switch) match {
-          case 0 => sumR += v
-          case 1 => sumG += v
-          case 2 => sumB += v
-        }
-        if (v < minPx) minPx = v
-        if (v > maxPx) maxPx = v
+        scan(base + 1 + i) = (((scan(base + 1 + i) & 0xFF) + pred) & 0xFF).toByte
         i += 1
       }
       y += 1
     }
-    PngStats(width, height, sumR, sumG, sumB, minPx, maxPx)
+    (width, height, scan)
   }
 
   /** Wrap any (id, text) frame as a table of REAL PCM-16 mono WAV
@@ -767,4 +799,98 @@ object Multimodal {
       }
     spark.createDataFrame(out, featureSchema)
   }
+
+  // ---------------------------------------------- perceptual image hash ---
+
+  /** 64-bit difference hash (dHash) over the DECODED pixel content of real
+    * image containers — where [[Dedup.simhashPairs]] fingerprints text,
+    * this fingerprints pixels, composing the codec family with the dedup
+    * family (an LLM-corpus pipeline dedupes its images too).
+    *
+    * Per image: the 3-channel luma `r+g+b` of each pixel (channel-ORDER
+    * free, so the same payload hashes identically through PNG's R,G,B and
+    * BMP's bottom-up B,G,R — any cross-container divergence is a decoder
+    * bug, pinned by the spec), rows pooled into 8 horizontal bands
+    * (`[b·h/8, (b+1)·h/8)` — height-invariant, the resize step of classic
+    * dHash), per-band column luma sums, bit `b·8+x` set iff column `x+1`
+    * outsums column `x`. Gradient signs survive brightness/contrast shifts
+    * and local edits, which is exactly the near-dup robustness aHash's
+    * absolute-mean comparison lacks. Requires width ≥ 9 (8 adjacent-column
+    * comparisons); bands shorter than a row (h < 8) contribute zero sums
+    * on both comparison sides — deterministic, and mirrored by the oracle.
+    *
+    * Output: (media_id, width, height, dhash). Null payloads yield no row
+    * (nothing to pair); unsupported media types throw — same routing
+    * contract as the decoders.
+    */
+  def imageDHash(spark: SparkSession, media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("dhash", LongType)))
+    val out = media.select("media_id", "content", "media_type")
+      .rdd.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]]("content")
+          r.getAs[String]("media_type") match {
+            case _ if bytes == null => None
+            case "image/png" =>
+              val (w, h, scan) = pngReconstruct(bytes)
+              val stride = 1 + w * 3
+              def luma(y: Int, x: Int): Int =
+                (scan(y * stride + 1 + 3 * x) & 0xFF) +
+                  (scan(y * stride + 2 + 3 * x) & 0xFF) +
+                  (scan(y * stride + 3 + 3 * x) & 0xFF)
+              Some(Row(r.getAs[Long]("media_id"), w, h, dHash64(w, h, luma)))
+            case "image/bmp" =>
+              val (w, h, off, rowSize) = bmpGeometry(bytes)
+              def luma(y: Int, x: Int): Int = {
+                val base = off + (h - 1 - y) * rowSize + 3 * x
+                (bytes(base) & 0xFF) + (bytes(base + 1) & 0xFF) + (bytes(base + 2) & 0xFF)
+              }
+              Some(Row(r.getAs[Long]("media_id"), w, h, dHash64(w, h, luma)))
+            case t => throw new IllegalArgumentException(
+              s"imageDHash: unsupported media_type '$t' (want image/png or image/bmp)")
+          }
+        }
+      }
+    spark.createDataFrame(out, schema)
+  }
+
+  private def dHash64(width: Int, height: Int, luma: (Int, Int) => Int): Long = {
+    require(width >= 9, s"dHash needs width >= 9 (8 column comparisons), got $width")
+    var hash = 0L
+    var b = 0
+    while (b < 8) {
+      val y0 = b * height / 8
+      val y1 = (b + 1) * height / 8
+      val cs = new Array[Long](9)
+      var y = y0
+      while (y < y1) {
+        var x = 0
+        while (x < 9) { cs(x) += luma(y, x); x += 1 }
+        y += 1
+      }
+      var x = 0
+      while (x < 8) {
+        if (cs(x + 1) > cs(x)) hash |= 1L << (b * 8 + x)
+        x += 1
+      }
+      b += 1
+    }
+    hash
+  }
+
+  /** Image near-duplicate pairs: [[imageDHash]] signatures mined through
+    * the EXACT pigeonhole Hamming join ([[Dedup.hammingPairs]] — banded
+    * candidates, popcount verify, no pair within `maxHamming` missed).
+    * The decode cost is one codec pass per image; the join never touches
+    * pixels again — signatures are 8 bytes however large the image.
+    * Output: (id_a, id_b, hamming).
+    */
+  def imageNearDupPairs(spark: SparkSession, media: DataFrame,
+                        maxHamming: Int = 6): DataFrame =
+    Dedup.hammingPairs(imageDHash(spark, media), "media_id", "dhash",
+      bits = 64, maxHamming = maxHamming)
 }

@@ -335,6 +335,50 @@ object TextQueries {
              |         ELSE COALESCE(list_max([unicode(text[i]) for i in range(1, length(text)+1)]), 0) END AS mx
              |  FROM documents) t""".stripMargin)),
 
+    // ----- image near-dup: perceptual dHash over DECODED pixels ------------
+    // The codec and dedup families composed: each sampled document becomes a
+    // real PNG, imageDHash runs the full container decode (CRC walk, zlib
+    // inflate, five-filter reconstruction) and hashes the reconstructed
+    // pixels (8 row bands × adjacent-column luma-gradient signs), and the
+    // exact pigeonhole Hamming join mines pairs. The oracle recomputes the
+    // band/column luma sums and the 64 gradient bits from first principles
+    // (ASCII code points, zero padding, floor'd band bounds) and compares
+    // bit-by-bit — a wrong unfilter predictor, band boundary, or chunk mask
+    // changes some pair's hamming and hash-fails.
+    "q_image_neardup" -> Q(
+      (s, d) => {
+        val docs = Td.documents(s, d)
+          .filter(graft.operators.Sampling.hashBucket(col("doc_id")) < 25)
+        val media = Multimodal.asPngMediaTable(s, docs, "doc_id", "text", width = 10)
+        Multimodal.imageNearDupPairs(s, media, maxHamming = 6)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, text, length(text) AS len,
+             |    GREATEST(1, (length(text) + 29) // 30) AS h
+             |  FROM documents
+             |  WHERE text IS NOT NULL
+             |    AND (((doc_id % 1000003) * 2654435761) // 8192) % 100 < 25
+             |),
+             |cs AS (
+             |  SELECT doc_id,
+             |    [ COALESCE(list_sum([
+             |        (CASE WHEN (y*30 + 3*(k%10))   < len THEN unicode(text[y*30 + 3*(k%10) + 1]) ELSE 0 END) +
+             |        (CASE WHEN (y*30 + 3*(k%10)+1) < len THEN unicode(text[y*30 + 3*(k%10) + 2]) ELSE 0 END) +
+             |        (CASE WHEN (y*30 + 3*(k%10)+2) < len THEN unicode(text[y*30 + 3*(k%10) + 3]) ELSE 0 END)
+             |        for y in range((k//10)*h//8, ((k//10)+1)*h//8) ]), 0)
+             |      for k in range(0, 80) ] AS cs
+             |  FROM d
+             |),
+             |p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    list_sum([CASE WHEN (a.cs[(k//8)*10 + (k%8) + 2] > a.cs[(k//8)*10 + (k%8) + 1])
+             |                     != (b.cs[(k//8)*10 + (k%8) + 2] > b.cs[(k//8)*10 + (k%8) + 1])
+             |              THEN 1 ELSE 0 END for k in range(0, 64)]) AS hamming
+             |  FROM cs a JOIN cs b ON a.doc_id < b.doc_id
+             |)
+             |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+             |FROM p WHERE hamming <= 6""".stripMargin)),
+
     // ----- multimodal: REAL WAV containers, real parse -----------------------
     // Each document's bytes become the little-endian int16 sample stream of
     // a byte-valid PCM-16 mono RIFF/WAVE file; decodeAudioFeatures walks

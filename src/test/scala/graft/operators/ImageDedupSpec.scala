@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ImageDedupSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("id", "text")
+  }
+
+  private def hashes(df: org.apache.spark.sql.DataFrame,
+                     via: String): Map[Long, Long] = {
+    val media = via match {
+      case "png" => Multimodal.asPngMediaTable(spark, df, "id", "text", width = 10)
+      case "bmp" => Multimodal.asBmpMediaTable(spark, df, "id", "text", width = 10)
+    }
+    Multimodal.imageDHash(spark, media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("dhash")).toMap
+  }
+
+  private val base =
+    "The quick brown fox jumps over the lazy dog while seventeen other animals watch from a safe distance behind the old stone wall near the river crossing where traders rest."
+
+  test("same payload hashes identically through PNG and BMP containers") {
+    // PNG stores R,G,B top-down zlib-compressed; BMP stores B,G,R bottom-up
+    // padded — identical dHash proves both parsers recover the same logical
+    // pixels AND that the hash is channel-order free
+    val d = docs((1L, base), (2L, base.toUpperCase), (3L, "short text here padded"))
+    assert(hashes(d, "png") == hashes(d, "bmp"))
+  }
+
+  test("near-identical payloads land within small hamming; unrelated ones far") {
+    // SAME-LENGTH substitutions — the raster is built from the byte stream,
+    // so a length-changing edit shifts every downstream pixel (a genuinely
+    // different image); pixel-local edits are what dHash absorbs
+    val edited = base.replace("quick", "quack").replace("lazy", "cozy")
+    val unrelated = "Completely different content: zzz qqq 0123456789 " * 4
+    val h = hashes(docs((1L, base), (2L, edited), (3L, unrelated)), "png")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(2L)) <= 6, s"edit moved hash ${ham(h(1L), h(2L))} bits")
+    assert(ham(h(1L), h(3L)) > 6, s"unrelated only ${ham(h(1L), h(3L))} bits apart")
+  }
+
+  test("null payload yields no signature row") {
+    val d = docs((1L, base)).unionByName(
+      docs((99L, "x")).withColumn("text", lit(null).cast("string")))
+    assert(hashes(d, "png").keySet == Set(1L))
+  }
+
+  test("imageNearDupPairs == brute-force popcount over all pairs (pigeonhole exactness)") {
+    val variants = (0 until 12).map { i =>
+      (i.toLong, if (i % 3 == 0) base
+        else if (i % 3 == 1) base.replace("animals", s"creatures$i")
+        else s"Unrelated document number $i with its own words " * 3)
+    }
+    val d = docs(variants: _*)
+    val media = Multimodal.asPngMediaTable(spark, d, "id", "text", width = 10)
+    val got = Multimodal.imageNearDupPairs(spark, media, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val h = hashes(d, "png")
+    val want = (for {
+      a <- h.keys; b <- h.keys if a < b
+      ham = java.lang.Long.bitCount(h(a) ^ h(b)) if ham <= 6
+    } yield (a, b, ham.toLong)).toSet
+    assert(want.nonEmpty, "fixture must contain near-dup pairs")
+    assert(got == want)
+  }
+
+  test("unsupported media type fails loudly") {
+    val media = Multimodal.asMediaTable(docs((1L, base)), "id", "text") // video/raw-rgb24
+    val e = intercept[Exception] {
+      Multimodal.imageDHash(spark, media).collect()
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("unsupported media_type"), chain)
+  }
+}
