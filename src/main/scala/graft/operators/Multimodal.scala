@@ -242,6 +242,17 @@ object Multimodal {
                       payloadCol: String, width: Int = 10): DataFrame =
     wrapMediaTable(spark, df, idCol, payloadCol, "image/png", encodePng24(_, width))
 
+  /** Wrap any (id, text) frame as a table of REAL baseline JPEGs — the
+    * LOSSY format made exactly decodable: each payload byte becomes one
+    * constant 8×8 gray block ([[Jpeg.encodeGrayBlocks]] — DC-only, all-1s
+    * quantization), so the container is byte-valid JFIF any viewer opens
+    * AND every decoded statistic is recomputable from the text.
+    */
+  def asJpegMediaTable(spark: SparkSession, df: DataFrame, idCol: String,
+                       payloadCol: String, blocksPerRow: Int = 10): DataFrame =
+    wrapMediaTable(spark, df, idCol, payloadCol, "image/jpeg",
+      Jpeg.encodeGrayBlocks(_, blocksPerRow))
+
   private val PngSignature: Array[Byte] =
     Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
 
@@ -719,6 +730,11 @@ object Multimodal {
               Row(id, mediaType, nBytes, s.width, s.height, s.sumAll, s.maxPx,
                 featureVec(s.sumB, s.sumG, s.sumR, s.nPixels, s.nPixels, s.nPixels,
                   s.minPx, s.maxPx), true, null)
+            } else if (mediaType == "image/jpeg") {
+              val s = Jpeg.decode(bytes)
+              val n = s.nPixels * s.components
+              Row(id, mediaType, nBytes, s.width, s.height, s.sumPx, s.maxPx,
+                featureVec(s.sumPx, 0, 0, n, 0, 0, s.minPx, s.maxPx), true, null)
             } else {
               val (s0, s1, s2, mn, mx) = rawStats(bytes)
               val n = bytes.length.toLong
@@ -788,6 +804,12 @@ object Multimodal {
               s.sumAll, s.maxPx,
               featureVec(s.sumB, s.sumG, s.sumR, s.nPixels, s.nPixels, s.nPixels,
                 s.minPx, s.maxPx))
+          } else if (mediaType == "image/jpeg") {
+            val s = Jpeg.decode(bytes)
+            val n = s.nPixels * s.components
+            Row(r.getAs[Long]("media_id"), mediaType, nBytes, s.width, s.height,
+              s.sumPx, s.maxPx,
+              featureVec(s.sumPx, 0, 0, n, 0, 0, s.minPx, s.maxPx))
           } else {
             val (s0, s1, s2, mn, mx) = rawStats(bytes)
             val n = bytes.length.toLong

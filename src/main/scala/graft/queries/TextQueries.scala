@@ -335,6 +335,42 @@ object TextQueries {
              |         ELSE COALESCE(list_max([unicode(text[i]) for i in range(1, length(text)+1)]), 0) END AS mx
              |  FROM documents) t""".stripMargin)),
 
+    // ----- multimodal: REAL baseline JPEGs, real parse ---------------------
+    // The LOSSY format under the exact-oracle gate: each document byte
+    // becomes one constant 8x8 gray block (DC-only, all-1s quantization), a
+    // construction that round-trips bit-exactly through the full baseline
+    // machinery — marker walk, DHT canonical Huffman, entropy decode, DC
+    // prediction, dequant, double IDCT, level shift. The oracle recomputes
+    // geometry and pixel sums from code points (each byte paints 64 pixels
+    // of its value; zero-byte padding fills the block grid). AC paths,
+    // subsampled color and restart markers are spec-gated (JpegSpec)
+    // against an independent direct-form IDCT.
+    "q_jpeg_decode" -> Q(
+      (s, d) => {
+        val media = Multimodal.asJpegMediaTable(s, Td.documents(s, d), "doc_id", "text",
+          blocksPerRow = 10)
+        Multimodal.decodeFeatures(s, media)
+          .withColumn("mean_px",
+            col("sum_px").cast("double") / (col("width") * col("height")))
+          .select("media_id", "media_type", "width", "height",
+            "sum_px", "max_px", "mean_px")
+      },
+      Some("""SELECT doc_id AS media_id, 'image/jpeg' AS media_type,
+             |  CAST(CASE WHEN text IS NULL THEN NULL ELSE 80 END AS INT) AS width,
+             |  CAST(8*hb AS INT) AS height,
+             |  CAST(64*s AS BIGINT) AS sum_px,
+             |  CAST(CASE WHEN len % 10 != 0 OR len = 0 THEN GREATEST(mx, 0) ELSE mx END AS INT) AS max_px,
+             |  CAST(64*s AS DOUBLE) / (640*hb) AS mean_px
+             |FROM (
+             |  SELECT doc_id, text, length(text) AS len,
+             |    CASE WHEN text IS NULL THEN NULL
+             |         ELSE GREATEST(1, (length(text) + 9) // 10) END AS hb,
+             |    CASE WHEN text IS NULL THEN NULL
+             |         ELSE COALESCE(list_sum([unicode(text[i]) for i in range(1, length(text)+1)]), 0) END AS s,
+             |    CASE WHEN text IS NULL THEN NULL
+             |         ELSE COALESCE(list_max([unicode(text[i]) for i in range(1, length(text)+1)]), 0) END AS mx
+             |  FROM documents) t""".stripMargin)),
+
     // ----- image near-dup: perceptual dHash over DECODED pixels ------------
     // The codec and dedup families composed: each sampled document becomes a
     // real PNG, imageDHash runs the full container decode (CRC walk, zlib
