@@ -261,12 +261,34 @@ final class KeyedTable(
   /** Time travel: read the snapshot as of version `v` (must not have been
     * vacuumed). Unbucketed versions are whole directories; bucketed versions
     * resolve through that version's manifest.
+    *
+    * == Vacuum race contract (pinned by KeyedTableSpec) ==
+    * A concurrent `vacuum` that drops `v` makes the reader FAIL LOUDLY,
+    * never return partial or empty data: resolving `atVersion` after the
+    * drop throws here (missing version dir / missing manifest — without
+    * the explicit manifest check a vacuumed bucketed version would read as
+    * Map.empty and SILENTLY yield an empty snapshot); a DataFrame resolved
+    * BEFORE the drop fails at its next action with a missing-file error,
+    * because the file listing is pinned at resolution time and
+    * `spark.sql.files.ignoreMissingFiles` stays at its `false` default —
+    * flipping that config would downgrade this contract to silent partial
+    * reads. Coordination (e.g. only vacuuming versions older than the
+    * longest running query) is the operator's job; the engine's job is
+    * that the race is always an ERROR, not wrong data.
     */
   def atVersion(v: Long): DataFrame = {
     require(v > 0 && v <= currentVersion, s"version $v out of range 1..$currentVersion")
-    if (!bucketed) spark.read.parquet(s"$root/v=$v")
-    else {
-      val m = readManifest(fs, new Path(root, s"${ManifestPrefix}v$v"))
+    if (!bucketed) {
+      if (!fs.exists(new Path(root, s"v=$v")))
+        throw new IllegalStateException(
+          s"$root: version $v directory is gone — vacuumed while referenced?")
+      spark.read.parquet(s"$root/v=$v")
+    } else {
+      val mp = new Path(root, s"${ManifestPrefix}v$v")
+      if (!fs.exists(mp))
+        throw new IllegalStateException(
+          s"$root: version $v manifest is gone — vacuumed while referenced?")
+      val m = readManifest(fs, mp)
       val paths = m.toSeq.map { case (b, ver) => s"$root/v=$ver/$BucketCol=$b" }
       if (paths.isEmpty) emptyTyped else spark.read.parquet(paths: _*)
     }

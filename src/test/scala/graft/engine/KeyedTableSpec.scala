@@ -525,6 +525,37 @@ class KeyedTableSpec extends SparkSpec {
     assert(m == Map("a" -> "A1", "b" -> "B1"))
   }
 
+  test("vacuum-vs-reader race: a dropped version fails loudly, never reads empty or partial") {
+    val s = spark
+    import s.implicits._
+    // unbucketed: the version dir itself disappears
+    val t = KeyedTable(spark, tmpDir("vacrace"), Seq("id"))
+    t.overwrite(Seq(("a", 1), ("b", 2)).toDF("id", "n"))
+    t.merge(Seq(("a", 10)).toDF("id", "n"))
+    val held = t.atVersion(1) // resolved BEFORE the drop — file listing pinned
+    assert(held.count() == 2)
+    t.vacuum(keepVersions = 1)
+    // resolving after the drop: explicit loud failure
+    val e1 = intercept[IllegalStateException] { t.atVersion(1) }
+    assert(e1.getMessage.contains("vacuumed"), e1.getMessage)
+    // a reader holding the pre-drop frame: next action errors on missing
+    // files (ignoreMissingFiles=false default) — NEVER an empty result
+    intercept[Exception] { held.count() }
+    assert(t.current.count() == 2, "current snapshot unaffected")
+
+    // bucketed: the TRAP case — the dropped version's manifest is gone, and
+    // without the explicit check it would read as Map.empty → a silently
+    // EMPTY snapshot (wrong data, not an error)
+    val bt = KeyedTable(spark, tmpDir("vacraceb"), Seq("id"), numBuckets = 4)
+    bt.overwrite(Seq(("a", 1), ("b", 2), ("c", 3)).toDF("id", "n"))
+    bt.overwrite(Seq(("a", 10), ("b", 20), ("c", 30)).toDF("id", "n"))
+    assert(bt.atVersion(1).count() == 3)
+    bt.vacuum(keepVersions = 1)
+    val e2 = intercept[IllegalStateException] { bt.atVersion(1) }
+    assert(e2.getMessage.contains("vacuumed"), e2.getMessage)
+    assert(bt.atVersion(2).count() == 3, "retained version stays readable")
+  }
+
   test("mergeCdc bootstrap drops _old_* before-image columns from the derived schema") {
     val s = spark
     import s.implicits._
