@@ -186,7 +186,74 @@ object Jpeg {
     var acTbl = 0
   }
 
-  def decode(bytes: Array[Byte]): JpegStats = {
+  def decode(bytes: Array[Byte]): JpegStats = decodeImage(bytes).stats
+
+  /** Decoded planes + geometry — the pixel-level surface [[Multimodal
+    * .imageDHash]] hashes; [[decode]] derives its stats from the same
+    * object so the two can never disagree about reconstruction.
+    */
+  private[operators] final class DecodedImage(
+      val width: Int, val height: Int, val planes: Array[Array[Byte]],
+      planeW: Array[Int], sampH: Array[Int], sampV: Array[Int]) {
+    val components: Int = planes.length
+    private val hMax = sampH.max
+    private val vMax = sampV.max
+
+    private def sample(ci: Int, x: Int, y: Int): Int =
+      planes(ci)((y * sampV(ci) / vMax) * planeW(ci) + (x * sampH(ci) / hMax)) & 0xFF
+
+    private def clamp(d: Double): Int = {
+      val v = math.round(d).toInt
+      if (v < 0) 0 else if (v > 255) 255 else v
+    }
+
+    /** (r, g, b) at (x, y) — grayscale replicates the single plane. */
+    def rgb(x: Int, y: Int): (Int, Int, Int) =
+      if (components == 1) { val v = sample(0, x, y); (v, v, v) }
+      else {
+        val yv = sample(0, x, y)
+        val cb = sample(1, x, y) - 128
+        val cr = sample(2, x, y) - 128
+        (clamp(yv + 1.402 * cr),
+          clamp(yv - 0.344136 * cb - 0.714136 * cr),
+          clamp(yv + 1.772 * cb))
+      }
+
+    /** 3-channel luma r+g+b — the [[Multimodal.imageDHash]] convention. */
+    def luma(y: Int, x: Int): Int = {
+      val (r, g, b) = rgb(x, y)
+      r + g + b
+    }
+
+    def stats: JpegStats = {
+      var sum = 0L
+      var mn = 256
+      var mx = -1
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val (r, g, b) = rgb(x, y)
+          if (components == 1) {
+            sum += r
+            if (r < mn) mn = r
+            if (r > mx) mx = r
+          } else {
+            sum += r + g + b
+            val lo = math.min(r, math.min(g, b))
+            val hi = math.max(r, math.max(g, b))
+            if (lo < mn) mn = lo
+            if (hi > mx) mx = hi
+          }
+          x += 1
+        }
+        y += 1
+      }
+      JpegStats(width, height, components, sum, mn, mx)
+    }
+  }
+
+  private[operators] def decodeImage(bytes: Array[Byte]): DecodedImage = {
     req(bytes.length >= 4 && (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8,
       "missing SOI marker")
     def u16(p: Int): Int = {
@@ -201,8 +268,8 @@ object Jpeg {
     var restartInterval = 0
     var pos = 2
 
-    var stats: JpegStats = null
-    while (stats == null) {
+    var img: DecodedImage = null
+    while (img == null) {
       req(pos + 1 < bytes.length, "truncated before marker")
       req((bytes(pos) & 0xFF) == 0xFF, f"expected marker, got 0x${bytes(pos) & 0xFF}%02X")
       var m = bytes(pos + 1) & 0xFF
@@ -286,7 +353,7 @@ object Jpeg {
           val ss = bytes(pos + 3 + 2 * ns) & 0xFF
           val se = bytes(pos + 4 + 2 * ns) & 0xFF
           req(ss == 0 && se == 63, "spectral selection outside baseline")
-          stats = decodeScan(bytes, pos + len, comps, width, height,
+          img = decodeScan(bytes, pos + len, comps, width, height,
             qtables, dcTables, acTables, restartInterval)
         case 0x01 => () // TEM — standalone, no segment
         case r if r >= 0xD0 && r <= 0xD7 => fail("restart marker outside entropy stream")
@@ -295,13 +362,13 @@ object Jpeg {
           pos += len
       }
     }
-    stats
+    img
   }
 
   private def decodeScan(bytes: Array[Byte], start: Int, comps: Array[Component],
                          width: Int, height: Int, qtables: Array[Array[Int]],
                          dcTables: Array[HuffTable], acTables: Array[HuffTable],
-                         restartInterval: Int): JpegStats = {
+                         restartInterval: Int): DecodedImage = {
     val hMax = comps.map(_.h).max
     val vMax = comps.map(_.v).max
     val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
@@ -380,55 +447,8 @@ object Jpeg {
       my += 1
     }
     br.alignToMarker()
-
-    // stats over the CROPPED logical image
-    var sum = 0L
-    var mn = 256
-    var mx0 = -1
-    if (comps.length == 1) {
-      val pw = planeW(0)
-      var y = 0
-      while (y < height) {
-        var x = 0
-        while (x < width) {
-          val v = planes(0)(y * pw + x) & 0xFF
-          sum += v
-          if (v < mn) mn = v
-          if (v > mx0) mx0 = v
-          x += 1
-        }
-        y += 1
-      }
-    } else {
-      def sample(ci: Int, x: Int, y: Int): Int = {
-        val c = comps(ci)
-        planes(ci)((y * c.v / vMax) * planeW(ci) + (x * c.h / hMax)) & 0xFF
-      }
-      def clamp(d: Double): Int = {
-        val v = math.round(d).toInt
-        if (v < 0) 0 else if (v > 255) 255 else v
-      }
-      var y = 0
-      while (y < height) {
-        var x = 0
-        while (x < width) {
-          val yv = sample(0, x, y)
-          val cb = sample(1, x, y) - 128
-          val cr = sample(2, x, y) - 128
-          val r = clamp(yv + 1.402 * cr)
-          val g = clamp(yv - 0.344136 * cb - 0.714136 * cr)
-          val b = clamp(yv + 1.772 * cb)
-          sum += r + g + b
-          val lo = math.min(r, math.min(g, b))
-          val hi = math.max(r, math.max(g, b))
-          if (lo < mn) mn = lo
-          if (hi > mx0) mx0 = hi
-          x += 1
-        }
-        y += 1
-      }
-    }
-    JpegStats(width, height, comps.length, sum, mn, mx0)
+    new DecodedImage(width, height, planes, planeW,
+      comps.map(_.h), comps.map(_.v))
   }
 
   // ----------------------------------------------------------- encoders ---

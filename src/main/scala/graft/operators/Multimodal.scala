@@ -872,8 +872,15 @@ object Multimodal {
                 (bytes(base) & 0xFF) + (bytes(base + 1) & 0xFF) + (bytes(base + 2) & 0xFF)
               }
               Some(Row(r.getAs[Long]("media_id"), w, h, dHash64(w, h, luma)))
+            case "image/jpeg" =>
+              // luma = r+g+b over the decoded (possibly upsampled) planes —
+              // grayscale replicates, so the scale matches the 3-channel
+              // containers and thresholds carry across formats
+              val img = Jpeg.decodeImage(bytes)
+              Some(Row(r.getAs[Long]("media_id"), img.width, img.height,
+                dHash64(img.width, img.height, img.luma)))
             case t => throw new IllegalArgumentException(
-              s"imageDHash: unsupported media_type '$t' (want image/png or image/bmp)")
+              s"imageDHash: unsupported media_type '$t' (want image/png, image/bmp or image/jpeg)")
           }
         }
       }

@@ -69,6 +69,28 @@ class ImageDedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("JPEG images join the near-dup family: banded pairs == brute force, exact dups collide") {
+    val variants = (0 until 9).map { i =>
+      (i.toLong, if (i % 3 == 0) base else s"JPEG corpus member $i " * (3 + i))
+    }
+    val s0 = spark
+    import s0.implicits._
+    val d = variants.toDF("id", "text")
+    val media = Multimodal.asJpegMediaTable(spark, d, "id", "text", blocksPerRow = 10)
+    val sig = Multimodal.imageDHash(spark, media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("dhash")).toMap
+    // identical payloads → identical constant-block rasters → hamming 0
+    assert(sig(0L) == sig(3L) && sig(3L) == sig(6L))
+    val got = Multimodal.imageNearDupPairs(spark, media, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      a <- sig.keys; b <- sig.keys if a < b
+      ham = java.lang.Long.bitCount(sig(a) ^ sig(b)) if ham <= 6
+    } yield (a, b, ham.toLong)).toSet
+    assert(got == want)
+    assert(want.exists(_._3 == 0L), "exact-dup trio must pair at hamming 0")
+  }
+
   test("unsupported media type fails loudly") {
     val media = Multimodal.asMediaTable(docs((1L, base)), "id", "text") // video/raw-rgb24
     val e = intercept[Exception] {
