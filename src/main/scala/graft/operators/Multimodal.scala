@@ -534,6 +534,29 @@ object Multimodal {
     * route corrupt media, never average it in silently.
     */
   def decodeWavPcm16(bytes: Array[Byte]): WavStats = {
+    val (rate, dataOff, nSamples) = wavPcm16Data(bytes)
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var sum = 0L
+    var mn = 0
+    var mx = 0
+    if (nSamples > 0) { mn = Int.MaxValue; mx = Int.MinValue }
+    var k = 0
+    while (k < nSamples) {
+      val v = buf.getShort(dataOff + 2 * k).toInt // signed int16
+      sum += v
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      k += 1
+    }
+    WavStats(rate, nSamples.toLong, sum, mn, mx)
+  }
+
+  /** The validated RIFF chunk walk shared by [[decodeWavPcm16]] (stats) and
+    * [[audioDHash]]: `(sampleRate, dataOffset, nSamples)` — sample `k` is
+    * the signed little-endian int16 at `dataOffset + 2k`. Same throw
+    * contract as the public decoder.
+    */
+  private[operators] def wavPcm16Data(bytes: Array[Byte]): (Int, Int, Int) = {
     require(bytes.length >= 44, "too short for a WAV header")
     def tag(off: Int) = new String(bytes, off, 4, "US-ASCII")
     require(tag(0) == "RIFF" && tag(8) == "WAVE", "not a RIFF/WAVE container")
@@ -566,20 +589,7 @@ object Multimodal {
       pos += 8 + size + (size & 1) // chunks are word-aligned
     }
     require(fmtOk && dataOff >= 0, "missing fmt or data chunk")
-    val nSamples = dataLen / 2
-    var sum = 0L
-    var mn = 0
-    var mx = 0
-    if (nSamples > 0) { mn = Int.MaxValue; mx = Int.MinValue }
-    var k = 0
-    while (k < nSamples) {
-      val v = buf.getShort(dataOff + 2 * k).toInt // signed int16
-      sum += v
-      if (v < mn) mn = v
-      if (v > mx) mx = v
-      k += 1
-    }
-    WavStats(rate, nSamples.toLong, sum, mn, mx)
+    (rate, dataOff, dataLen / 2)
   }
 
   /** Decode audio containers over partition-local batches: `audio/wav`
@@ -921,5 +931,76 @@ object Multimodal {
   def imageNearDupPairs(spark: SparkSession, media: DataFrame,
                         maxHamming: Int = 6): DataFrame =
     Dedup.hammingPairs(imageDHash(spark, media), "media_id", "dhash",
+      bits = 64, maxHamming = maxHamming)
+
+  // ------------------------------------------------ perceptual audio hash ---
+
+  /** 64-bit energy-gradient fingerprint over DECODED PCM-16 WAV samples —
+    * the audio member of the near-dup family beside [[imageDHash]]. The
+    * sample stream is pooled into 8 time bands (`[b·n/8, (b+1)·n/8)` —
+    * duration-invariant), each band into 9 sub-windows of summed |sample|
+    * energy, and bit `b·8+j` is set iff sub-window `j+1` out-energies
+    * sub-window `j`. Gradient signs survive gain changes (scaling every
+    * sample preserves every comparison) and local edits — the same
+    * robustness argument as the image dHash, in time instead of space.
+    * All-integer arithmetic, so a SQL oracle recomputes every bit.
+    *
+    * Output: (media_id, n_samples, adhash). Null payloads yield no row;
+    * non-WAV media types throw (route upstream).
+    */
+  def audioDHash(spark: SparkSession, media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_samples", LongType),
+      StructField("adhash", LongType)))
+    val out = media.select("media_id", "content", "media_type")
+      .rdd.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]]("content")
+          r.getAs[String]("media_type") match {
+            case _ if bytes == null => None
+            case "audio/wav" =>
+              val (_, off, n) = wavPcm16Data(bytes)
+              val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+              var hash = 0L
+              var b = 0
+              while (b < 8) {
+                val y0 = b * n / 8
+                val y1 = (b + 1) * n / 8
+                val es = new Array[Long](9)
+                var j = 0
+                while (j < 9) {
+                  val lo = y0 + j * (y1 - y0) / 9
+                  val hi = y0 + (j + 1) * (y1 - y0) / 9
+                  var k = lo
+                  var acc = 0L
+                  while (k < hi) { acc += math.abs(buf.getShort(off + 2 * k).toInt); k += 1 }
+                  es(j) = acc
+                  j += 1
+                }
+                var x = 0
+                while (x < 8) {
+                  if (es(x + 1) > es(x)) hash |= 1L << (b * 8 + x)
+                  x += 1
+                }
+                b += 1
+              }
+              Some(Row(r.getAs[Long]("media_id"), n.toLong, hash))
+            case t => throw new IllegalArgumentException(
+              s"audioDHash: unsupported media_type '$t' (want audio/wav)")
+          }
+        }
+      }
+    spark.createDataFrame(out, schema)
+  }
+
+  /** Audio near-duplicate pairs: [[audioDHash]] fingerprints mined through
+    * the exact pigeonhole Hamming join — same plan shape and scale story
+    * as [[imageNearDupPairs]] (8-byte signatures, samples never ride the
+    * join). Output: (id_a, id_b, hamming).
+    */
+  def audioNearDupPairs(spark: SparkSession, media: DataFrame,
+                        maxHamming: Int = 6): DataFrame =
+    Dedup.hammingPairs(audioDHash(spark, media), "media_id", "adhash",
       bits = 64, maxHamming = maxHamming)
 }

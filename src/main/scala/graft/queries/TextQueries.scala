@@ -415,6 +415,48 @@ object TextQueries {
              |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
              |FROM p WHERE hamming <= 6""".stripMargin)),
 
+    // ----- audio near-dup: energy-gradient fingerprint over PCM samples ----
+    // The audio member of the near-dup family: each sampled document becomes
+    // a byte-valid PCM-16 WAV, audioDHash walks the real RIFF chunks and
+    // fingerprints the decoded sample stream (8 time bands x 9 sub-window
+    // |sample| energies, adjacent-gradient signs), and the exact pigeonhole
+    // Hamming join mines pairs. All-integer arithmetic: the oracle
+    // recomputes every energy and all 64 bits from code-point pairs
+    // (little-endian int16s, odd tail zero-padded) and compares bitwise.
+    "q_audio_neardup" -> Q(
+      (s, d) => {
+        val docs = Td.documents(s, d)
+          .filter(graft.operators.Sampling.hashBucket(col("doc_id")) < 25)
+        val media = Multimodal.asWavMediaTable(s, docs, "doc_id", "text", sampleRate = 8000)
+        Multimodal.audioNearDupPairs(s, media, maxHamming = 6)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, text, length(text) AS len,
+             |    (length(text) + 1) // 2 AS n
+             |  FROM documents
+             |  WHERE text IS NOT NULL
+             |    AND (((doc_id % 1000003) * 2654435761) // 8192) % 100 < 25
+             |),
+             |es AS (
+             |  SELECT doc_id,
+             |    [ COALESCE(list_sum([abs(
+             |        (CASE WHEN 2*i   < len THEN unicode(text[2*i + 1]) ELSE 0 END) +
+             |        256 * (CASE WHEN 2*i+1 < len THEN unicode(text[2*i + 2]) ELSE 0 END))
+             |        for i in range((k//9)*n//8 + (k%9)*(((k//9)+1)*n//8 - (k//9)*n//8)//9,
+             |                       (k//9)*n//8 + ((k%9)+1)*(((k//9)+1)*n//8 - (k//9)*n//8)//9) ]), 0)
+             |      for k in range(0, 72) ] AS es
+             |  FROM d
+             |),
+             |p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    list_sum([CASE WHEN (a.es[(k//8)*9 + (k%8) + 2] > a.es[(k//8)*9 + (k%8) + 1])
+             |                     != (b.es[(k//8)*9 + (k%8) + 2] > b.es[(k//8)*9 + (k%8) + 1])
+             |              THEN 1 ELSE 0 END for k in range(0, 64)]) AS hamming
+             |  FROM es a JOIN es b ON a.doc_id < b.doc_id
+             |)
+             |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+             |FROM p WHERE hamming <= 6""".stripMargin)),
+
     // ----- multimodal: REAL WAV containers, real parse -----------------------
     // Each document's bytes become the little-endian int16 sample stream of
     // a byte-valid PCM-16 mono RIFF/WAVE file; decodeAudioFeatures walks

@@ -91,6 +91,56 @@ class ImageDedupSpec extends SparkSpec {
     assert(want.exists(_._3 == 0L), "exact-dup trio must pair at hamming 0")
   }
 
+  test("audio fingerprint: gain-invariant, banded pairs == brute force, exact dups collide") {
+    val s0 = spark
+    import s0.implicits._
+    val variants = (0 until 9).map { i =>
+      (i.toLong, if (i % 3 == 0) base else s"Audio corpus member number $i " * (2 + i))
+    }
+    val d = variants.toDF("id", "text")
+    val media = Multimodal.asWavMediaTable(spark, d, "id", "text", sampleRate = 8000)
+    val sig = Multimodal.audioDHash(spark, media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("adhash")).toMap
+    assert(sig(0L) == sig(3L) && sig(3L) == sig(6L), "identical payloads must collide")
+    val got = Multimodal.audioNearDupPairs(spark, media, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      a <- sig.keys; b <- sig.keys if a < b
+      ham = java.lang.Long.bitCount(sig(a) ^ sig(b)) if ham <= 6
+    } yield (a, b, ham.toLong)).toSet
+    assert(got == want)
+    assert(want.exists(_._3 == 0L))
+
+    // gain invariance: scaling every sample preserves every energy
+    // comparison, so the fingerprint is unchanged — a signed synthetic
+    // signal and its 3x-gained twin (amplitudes kept clear of Short range)
+    val s1 = Array.tabulate(400)(k => ((k * 13 % 101) - 50).toShort)
+    val s2 = s1.map(v => (v * 3).toShort)
+    val Seq(h1, h2) = Seq(s1, s2).map { pcm =>
+      val payload = new Array[Byte](2 * pcm.length)
+      val bb = java.nio.ByteBuffer.wrap(payload).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      pcm.foreach(bb.putShort)
+      val wav = wavOf(payload)
+      val mediaRow = spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(7L, wav, "audio/wav", wav.length.toLong)),
+        Multimodal.mediaSchema)
+      Multimodal.audioDHash(spark, mediaRow).collect()(0).getAs[Long]("adhash")
+    }
+    assert(h1 == h2, "3x gain must not move the fingerprint")
+  }
+
+  private def wavOf(pcm: Array[Byte]): Array[Byte] = {
+    // minimal RIFF/WAVE wrapper around raw PCM-16 bytes (mono, 8 kHz)
+    val buf = java.nio.ByteBuffer.allocate(44 + pcm.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + pcm.length)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(pcm.length).put(pcm)
+    buf.array()
+  }
+
   test("unsupported media type fails loudly") {
     val media = Multimodal.asMediaTable(docs((1L, base)), "id", "text") // video/raw-rgb24
     val e = intercept[Exception] {
