@@ -385,6 +385,7 @@ object Jpeg {
     val br = new BitReader(bytes, start)
     val pred = new Array[Int](comps.length)
     val coef = new Array[Int](64)
+    val flat = new Array[Int](64)
     var mcu = 0
     var my = 0
     while (my < mcusY) {
@@ -409,6 +410,7 @@ object Jpeg {
               coef(0) = pred(ci) * q(0)
               var k = 1
               var open = true
+              var acNonzero = false
               while (open && k < 64) {
                 val rs = br.decodeHuff(acTables(c.acTbl))
                 val r = rs >> 4
@@ -420,10 +422,23 @@ object Jpeg {
                   k += r
                   req(k < 64, "AC run past block end")
                   coef(Zigzag(k)) = extend(br.receive(s), s) * q(k)
+                  acNonzero = true
                   k += 1
                 }
               }
-              val px = idctBlock(coef)
+              // DC-only fast path (flat blocks — common in real files, the
+              // whole corpus in the oracle construction): replicate the
+              // separable IDCT's exact double operations in the same order
+              // (B·(coef0·B)) so the skipped transform is BIT-identical,
+              // including the negative-half-rounding edge a naive coef0/8
+              // would miss
+              val px = if (!acNonzero) {
+                val b0 = Basis(0)(0)
+                val v0 = math.round(b0 * (coef(0) * b0)).toInt + 128
+                val v = if (v0 < 0) 0 else if (v0 > 255) 255 else v0
+                java.util.Arrays.fill(flat, v)
+                flat
+              } else idctBlock(coef)
               val baseX = (mx * c.h + bh) * 8
               val baseY = (my * c.v + bv) * 8
               var yy = 0
