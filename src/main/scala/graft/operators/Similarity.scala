@@ -1030,6 +1030,77 @@ object Similarity {
     * arithmetic is IEEE double over exactly-agreed floats, so codes and
     * reconstructions are engine-portable bit-for-bit.
     */
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication", 2023): cluster-then-dedupe semantic
+    * deduplication — the published scale path for embedding dedup, replacing
+    * the O(n²) all-pairs search with k-means cells and WITHIN-CELL pairwise
+    * cosine only. Documents connected by sim ≥ `tau` inside a cell form a
+    * duplicate group; each group keeps ONE member — per the paper, the one
+    * with the LOWEST cosine to its cluster centroid (the most "outlying"
+    * exemplar retains the most information), ties broken by id.
+    *
+    * Composition of existing verified parts: [[ivfBuild]] (deterministic
+    * Lloyd training + cell assignment) → per-cell pair mining with the whole
+    * predicate in the join condition (same rationale as [[nearDupPairs]]) →
+    * [[Dedup.dupClusters]] min-label components → keep-rule window.
+    *
+    * Scale shape: the only corpus-wide shuffles are the cell-keyed
+    * repartition and the component rounds over the (tiny) edge list;
+    * per-cell work is (n/nlist)² against nearDupPairs' n² — nlist grows
+    * with the corpus (paper: 50k cells for LAION) so cells stay bounded.
+    * Approximation contract: near-dup pairs split across cells are MISSED
+    * by design — that is SemDeDup's documented recall trade, priced against
+    * the exact twin the same way the ANN family prices recall.
+    *
+    * Output: one row per SURVIVING document — `id`, its `cluster_id`
+    * (min-label of the duplicate component) and `n_members` of the group it
+    * represents. Zero-norm vectors are directionless: excluded from pairing
+    * (like every cosine operator here), they survive as singletons.
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+               nlist: Int, tau: Double, iters: Int = 3): DataFrame = {
+    val spark0 = corpus.sparkSession
+    import spark0.implicits._
+    val idx = ivfBuild(corpus, idCol, vecCol, nlist, iters)
+    val a = idx.assigned.filter(col("__cn") > 0)
+      .select(col("cell"), col("neighbor_id").as("id_a"), col("__cv").as("__va"),
+        col("__cn").as("__na"))
+    val b = idx.assigned.filter(col("__cn") > 0)
+      .select(col("cell").as("__cellb"), col("neighbor_id").as("id_b"),
+        col("__cv").as("__vb"), col("__cn").as("__nb"))
+    val sim = dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))
+    val pairs = a.join(b,
+        col("cell") === col("__cellb") && col("id_a") < col("id_b") && sim >= tau)
+      .withColumn("sim", sim)
+      .select("id_a", "id_b", "sim")
+    val clusters = Dedup.dupClusters(corpus, idCol, pairs)
+    // Keep-rule score: cosine to the OWN-cell centroid. Centroid norms are
+    // computed once in Scala (same double arithmetic as nearestCell's
+    // literal guard) and shipped with the broadcast relation.
+    val cents = idx.centroids.zipWithIndex.map { case (c, i) =>
+      (i, c.toSeq, math.sqrt(c.map(x => x.toDouble * x).sum))
+    }.toDF("cell", "__cent", "__centn")
+    val csim = idx.assigned.join(broadcast(cents), Seq("cell"))
+      .select(col("neighbor_id").cast("long").as("id"),
+        when(col("__cn") > 0 && col("__centn") > 0,
+          dot(col("__cv"), col("__cent")) / (col("__cn") * col("__centn")))
+          .otherwise(lit(0.0)).as("__csim"))
+    val wRep = Window.partitionBy("cluster_id")
+      .orderBy(col("__csim").asc, col("id").asc)
+    val wCnt = Window.partitionBy("cluster_id")
+    clusters.join(csim, Seq("id"))
+      .withColumn("rep_id", first(col("id")).over(wRep))
+      .withColumn("n_members", count(lit(1)).over(wCnt))
+      .filter(col("id") === col("rep_id"))
+      .select(col("id"), col("cluster_id"), col("n_members"))
+  }
+
+  /** Per-dimension min-max scalar quantization (SQ8-style): learn
+    * `[min, max]` per dimension, map each component onto `levels` uniform
+    * codes, and emit the dequantized reconstruction + residual alongside —
+    * the storage layout an ANN index compresses vectors into (4 bytes/dim
+    * → 1 byte/dim at levels=256).
+    */
   def scalarQuantize(df: DataFrame, idCol: String, vecCol: String,
                      levels: Int = 256): DataFrame = {
     require(levels > 1, "levels must be > 1")

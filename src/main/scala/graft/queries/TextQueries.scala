@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Dedup, Multimodal, TextOps}
+import graft.operators.{Dedup, Multimodal, QualityOps, TextOps}
 import graft.queries.ParityQueries.Q
 import org.apache.spark.sql.functions._
 
@@ -927,6 +927,59 @@ object TextQueries {
               |  CAST(count(*) AS BIGINT) AS n_docs
               |FROM perdoc GROUP BY ngram
               |HAVING CAST(sum(cnt) AS BIGINT) >= 2""".stripMargin)),
+
+    // ----- C4 line-level cleaning (Raffel et al., JMLR 2020 §2.2) ----------
+    // The corpus is single-line (no '\n', no punctuation), so the query
+    // first LINE-IZES deterministically — tokens regrouped into lines of
+    // k = 4 + doc_id%5 words, both engines from the same token array — then
+    // runs the real c4Clean operator: ≥5-word lines survive, boilerplate
+    // markers drop, docs need ≥3 surviving lines. requireTerminalPunct is
+    // off here (nothing to match on this corpus); the punctuation rule is
+    // spec-covered on multi-line fixtures (QualityOpsSpec).
+    // k=4 docs lose EVERY full line to the 5-word rule → entire docs drop.
+    "q_c4_clean" -> Q(
+      (s, d) => {
+        val docs = Td.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("__t"),
+            (col("doc_id") % 5 + 4).cast("int").as("__k"))
+        val nl = ceil(size(col("__t")).cast("double") / col("__k").cast("double")).cast("int")
+        val lines = transform(sequence(lit(0), nl - 1),
+          i => concat_ws(" ", slice(col("__t"), i * col("__k") + 1, col("__k"))))
+        val lined = docs.select(col("doc_id"), array_join(lines, "\n").as("text"))
+        QualityOps.c4Clean(lined, "doc_id", "text", minLineWords = 5, minLines = 3,
+          requireTerminalPunct = false)
+      },
+      Some(c4CleanSql)),
+
+    // ----- Gopher document-quality gate (Rae et al. 2021, §A1.1) -----------
+    // Per-rule flags + the composite pass. On this corpus the word-count,
+    // stopword, and repetition rules bite; mean-word-length / symbol /
+    // alpha-word are evaluated but uniformly true (no symbols or digits in
+    // the synthetic text) — the flags prove it rather than assume it.
+    "q_gopher_gate" -> Q(
+      (s, d) => QualityOps.gopherGate(Td.documents(s, d), "doc_id", "text"),
+      Some(gopherGateSql)),
+
+    // ----- unigram-LM quality score, CCNet-style tiers ---------------------
+    // Corpus-trained add-one unigram LM; each doc scored by mean inverse
+    // token probability in FIXED-POINT integer arithmetic (the oracle hash
+    // covers the score exactly — no libm in the data path), then cut into
+    // head/middle/tail tiers like CCNet's perplexity buckets.
+    "q_lm_score" -> Q(
+      (s, d) => QualityOps.lmScore(Td.documents(s, d), "doc_id", "text"),
+      Some(lmScoreSql)),
+
+    // ----- DSIR importance weights (Xie et al., NeurIPS 2023) --------------
+    // Hashed-unigram log-likelihood ratio against the lang='en' target
+    // slice. Probabilities are quantized to a 1/4096 grid and log-mapped
+    // through a fixed-point table computed ONCE in Scala and embedded in
+    // BOTH plans — determinism by construction, so the weights themselves
+    // are hash-gated, not a rounding of them.
+    "q_dsir_weights" -> Q(
+      (s, d) => QualityOps.dsirWeights(Td.documents(s, d), "doc_id", "text",
+          targetPred = col("lang") === "en", buckets = 64)
+        .withColumn("is_target", col("is_target").cast("int")),
+      Some(dsirWeightsSql)),
   )
 
   /** DuckDB twin of [[TextOps.scrubDuplicateNgrams]]: list-comprehension
@@ -965,6 +1018,107 @@ object TextQueries {
 
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** DuckDB twin of the q_c4_clean composition: the same deterministic
+    * line-ization (lines of k = 4 + doc_id%5 words) followed by
+    * [[QualityOps.c4Clean]]'s keep rule with terminal punctuation off.
+    * Markers are generated from [[QualityOps.BoilerplateMarkers]] so the
+    * two engines can never drift.
+    */
+  private def c4CleanSql: String = {
+    val boiler = QualityOps.BoilerplateMarkers
+      .map(m => s"contains(lower(trim(x)), '$m')").mkString(" OR ")
+    s"""WITH t AS (SELECT doc_id, $toksSql AS w,
+       |    CAST(4 + doc_id % 5 AS INT) AS k FROM documents),
+       |l AS (SELECT doc_id,
+       |    [array_to_string(w[(i*k+1):(i*k+k)], ' ')
+       |     for i in range(0, CAST(ceil(len(w)*1.0/k) AS INT))] AS lines
+       |  FROM t),
+       |f AS (SELECT doc_id, len(lines) AS n_lines,
+       |    list_filter(lines, x ->
+       |      (CASE WHEN length(trim(x)) = 0 THEN 0
+       |            ELSE len(string_split_regex(trim(x), ' +')) END) >= 5
+       |      AND NOT ($boiler)) AS kept
+       |  FROM l)
+       |SELECT doc_id, n_lines, len(kept) AS n_lines_kept,
+       |  array_to_string(kept, chr(10)) AS clean_text
+       |FROM f WHERE len(kept) >= 3""".stripMargin
+  }
+
+  /** DuckDB twin of [[QualityOps.gopherGate]] at its default thresholds.
+    * Same mean-word-length identity (single-space norm ⇒ Σ|token| =
+    * len(norm) − (n−1)), same raw-text symbol ratio, same stopword profile.
+    */
+  private def gopherGateSql: String =
+    s"""WITH t AS (SELECT doc_id, text, $normSql AS nrm, $toksSql AS w FROM documents),
+       |s AS (SELECT doc_id, len(w) AS n_words,
+       |    CAST(length(nrm) - (len(w) - 1) AS DOUBLE)/len(w) AS mean_len,
+       |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
+       |      CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)/length(text) END AS sym_ratio,
+       |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)/len(w) AS alpha_frac,
+       |    len(list_filter(w, x -> list_contains(${sqlList(TextOps.StopwordProfiles.head._2)}, x))) AS stop_hits,
+       |    [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS bg
+       |  FROM t),
+       |f AS (SELECT doc_id, n_words,
+       |    CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS words_ok,
+       |    CAST(mean_len >= 3.0 AND mean_len <= 10.0 AS INT) AS mean_word_len_ok,
+       |    CAST(sym_ratio <= 0.1 AS INT) AS symbol_ratio_ok,
+       |    CAST(alpha_frac >= 0.8 AS INT) AS alpha_word_ok,
+       |    CAST(stop_hits >= 2 AS INT) AS stopword_ok,
+       |    CAST((CASE WHEN len(bg) = 0 THEN 0.0 ELSE
+       |      1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)/len(bg) END) <= 0.1 AS INT) AS repetition_ok
+       |  FROM s)
+       |SELECT doc_id, n_words, words_ok, mean_word_len_ok, symbol_ratio_ok,
+       |  alpha_word_ok, stopword_ok, repetition_ok,
+       |  CAST(words_ok + mean_word_len_ok + symbol_ratio_ok + alpha_word_ok
+       |       + stopword_ok + repetition_ok = 6 AS INT) AS pass
+       |FROM f""".stripMargin
+
+  /** DuckDB twin of [[QualityOps.lmScore]]: identical fixed-point integer
+    * contributions floor(Scale·(N+V)/(c+1)), one exactly-rounded final
+    * division, the same (avg, id) ntile ordering.
+    */
+  private def lmScoreSql: String = {
+    val k = QualityOps.LmScale
+    s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |lm AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM lm),
+       |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(($k * (n + v)) // (c + 1)) AS BIGINT) AS score_fp
+       |  FROM tok JOIN lm USING (tok) CROSS JOIN tot GROUP BY 1),
+       |z AS (SELECT *, CAST(score_fp AS DOUBLE)/($k * n_tokens) AS avg_inv_p FROM sc),
+       |r AS (SELECT *, ntile(3) OVER (ORDER BY avg_inv_p ASC, doc_id ASC) AS tr FROM z)
+       |SELECT doc_id, n_tokens, score_fp, avg_inv_p,
+       |  CASE WHEN tr = 1 THEN 'head' WHEN tr = 3 THEN 'tail' ELSE 'middle' END AS tier
+       |FROM r""".stripMargin
+  }
+
+  /** DuckDB twin of [[QualityOps.dsirWeights]] with target lang='en' and 64
+    * buckets. The fixed-point log2 lookup is embedded from the SAME Scala
+    * array the Spark plan uses ([[QualityOps.fpLog2Table]]) — neither
+    * engine's libm participates in cell values.
+    */
+  private def dsirWeightsSql: String = {
+    val lt = QualityOps.fpLog2Table.mkString("[", ", ", "]")
+    val q = QualityOps.QuantScale
+    val ls = QualityOps.LogScale
+    s"""WITH ltab AS (SELECT $lt AS lt),
+       |tok AS (SELECT doc_id, (lang = 'en') AS ist, unnest($toksSql) AS tok FROM documents),
+       |b AS (SELECT doc_id, ist, ${polyHashSql("tok")} % 64 AS bkt FROM tok),
+       |cnt AS (SELECT bkt, CAST(sum(CASE WHEN ist THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+       |               CAST(sum(CASE WHEN ist THEN 0 ELSE 1 END) AS BIGINT) AS cs
+       |        FROM b GROUP BY 1),
+       |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cs) AS BIGINT) AS ns FROM cnt),
+       |w AS (SELECT doc_id,
+       |    CAST(max(CASE WHEN ist THEN 1 ELSE 0 END) AS INT) AS is_target,
+       |    CAST(count(*) AS BIGINT) AS n_tokens,
+       |    CAST(sum(lt[CAST(((ct + 1) * $q) // (nt + 64) AS INT) + 1]
+       |           - lt[CAST(((cs + 1) * $q) // (ns + 64) AS INT) + 1]) AS BIGINT) AS w_fp
+       |  FROM b JOIN cnt USING (bkt) CROSS JOIN tot CROSS JOIN ltab GROUP BY doc_id)
+       |SELECT doc_id, is_target, n_tokens, w_fp,
+       |  CAST(w_fp AS DOUBLE)/($ls * n_tokens) AS avg_logratio
+       |FROM w""".stripMargin
+  }
 
   // DuckDB twin of TextOps.langId, shared by q_lang_id / q_lang_confusion:
   // per-profile stopword hit counts, then argmax with first-profile tie-break

@@ -302,6 +302,48 @@ object VectorQueries {
               |        WHERE y.vec_id < x.vec_id AND y.embedding = x.embedding
               |          AND y.nrm > 0 AND x.nrm > 0)""".stripMargin)),
 
+    // ----- SemDeDup: cluster-then-dedupe semantic dedup (Abbas et al. '23) --
+    // The k-means scale path for embedding dedup: WITHIN-CELL pairwise
+    // cosine only, keep-rule = lowest cosine to the cell centroid. Gating
+    // follows q_embed_lsh_dedup's structural construction: corpus = table +
+    // exact clones (%3 → +100000, %6 → +200000); tau = 0.9 admits ONLY
+    // clone pairs (measured max non-identical cosine 0.51/0.60 — see
+    // q_embed_lsh_dedup), and identical vectors land in the SAME k-means
+    // cell by determinism of the assignment argmax — so within-cell mining
+    // finds every true pair structurally (SemDeDup's cross-cell misses
+    // cannot occur for identical vectors) and the oracle states the result
+    // as embedding equality: per group, survivor = min id (the
+    // lowest-centroid-sim keep-rule ties on identical vectors and falls to
+    // the id tie-break; the rule itself is pinned on non-identical fixtures
+    // in SemDedupSpec). Zero-norm vectors survive as singletons. One wrong
+    // cell split, missed pair, CC round, or keep-rule tie changes rows and
+    // hash-fails.
+    "q_semantic_dedup" -> Q(
+      (s, d) => {
+        val base = Td.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val corpus = base
+          .union(base.filter(col("vec_id") % 3 === 0)
+            .select(col("vec_id") + 100000, col("embedding")))
+          .union(base.filter(col("vec_id") % 6 === 0)
+            .select(col("vec_id") + 200000, col("embedding")))
+        Similarity.semDedup(corpus, "vec_id", "embedding",
+            nlist = 8, tau = 0.9, iters = 2)
+          .select(col("id").as("vec_id"), col("cluster_id"), col("n_members"))
+      },
+      Some(s"""WITH c AS (SELECT vec_id, embedding FROM embeddings
+              |      UNION ALL SELECT vec_id + 100000, embedding FROM embeddings
+              |        WHERE vec_id % 3 = 0
+              |      UNION ALL SELECT vec_id + 200000, embedding FROM embeddings
+              |        WHERE vec_id % 6 = 0),
+              |n AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM c)
+              |SELECT CAST(min(vec_id) AS BIGINT) AS vec_id,
+              |  CAST(min(vec_id) AS BIGINT) AS cluster_id,
+              |  CAST(count(*) AS BIGINT) AS n_members
+              |FROM n WHERE nrm > 0 GROUP BY embedding
+              |UNION ALL
+              |SELECT CAST(vec_id AS BIGINT), CAST(vec_id AS BIGINT),
+              |  CAST(1 AS BIGINT) FROM n WHERE nrm = 0""".stripMargin)),
+
     // ----- LSH-bucketed approximate top-k (the 100 TB scale path) ----------
     // The sign-LSH candidate set is engine-internal, so the ORACLE-facing
     // output is the annGate derivation: exact top-k (DuckDB-recomputable) +

@@ -1,0 +1,166 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the quality-stage semantics the synthetic driver corpus cannot
+  * exercise (punctuation/boilerplate line rules, per-rule gate flips) and
+  * hand-computes the fixed-point scoring arithmetic the oracle gates only
+  * end-to-end.
+  */
+class QualityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------- c4Clean ----------------
+
+  test("c4Clean keeps punctuated >=5-word lines, drops boilerplate, enforces minLines") {
+    val doc1 =
+      "This is a good long sentence.\n" +
+        "short line\n" +
+        "Another proper sentence right here.\n" +
+        "buy now javascript click here please.\n" +
+        "And a third full sentence stands here."
+    val doc2 = "Only one good sentence lives here.\nAnd a second proper one is here."
+    val df = Seq((1L, doc1), (2L, doc2)).toDF("id", "text")
+    val out = QualityOps.c4Clean(df, "id", "text").collect()
+    assert(out.length == 1) // doc2 has only 2 surviving lines < minLines=3
+    val r = out.head
+    assert(r.getAs[Long]("id") == 1L)
+    assert(r.getAs[Int]("n_lines") == 5)
+    assert(r.getAs[Int]("n_lines_kept") == 3)
+    val kept = r.getAs[String]("clean_text").split("\n")
+    assert(kept.toSeq == Seq(
+      "This is a good long sentence.",
+      "Another proper sentence right here.",
+      "And a third full sentence stands here."))
+  }
+
+  test("c4Clean terminal-punctuation rule toggles") {
+    val doc = Seq.fill(3)("five words but no punct").mkString("\n")
+    val df = Seq((1L, doc)).toDF("id", "text")
+    assert(QualityOps.c4Clean(df, "id", "text", requireTerminalPunct = true).count() == 0)
+    val kept = QualityOps.c4Clean(df, "id", "text", requireTerminalPunct = false).collect()
+    assert(kept.length == 1 && kept.head.getAs[Int]("n_lines_kept") == 3)
+  }
+
+  // ---------------- gopherGate ----------------
+
+  private def gate(text: String) =
+    QualityOps.gopherGate(Seq((1L, text)).toDF("id", "text"), "id", "text")
+      .collect().head
+
+  test("gopherGate passes a clean document") {
+    // 52 words, stopwords present, no symbols, ordinary lengths
+    val good = ("the quick brown fox jumps over a lazy dog near the river bank " * 4).trim
+    val r = gate(good)
+    assert(r.getAs[Int]("words_ok") == 1)
+    assert(r.getAs[Int]("mean_word_len_ok") == 1)
+    assert(r.getAs[Int]("symbol_ratio_ok") == 1)
+    assert(r.getAs[Int]("alpha_word_ok") == 1)
+    assert(r.getAs[Int]("stopword_ok") == 1)
+    assert(r.getAs[Int]("pass") == (if (r.getAs[Int]("repetition_ok") == 1) 1 else 0))
+  }
+
+  test("gopherGate word-count rule flips") {
+    val r = gate("too short a doc here")
+    assert(r.getAs[Int]("words_ok") == 0 && r.getAs[Int]("pass") == 0)
+  }
+
+  test("gopherGate stopword rule flips") {
+    val words = (1 to 60).map(i => s"word$i").mkString(" ") // no stopwords
+    val r = gate(words)
+    assert(r.getAs[Int]("stopword_ok") == 0 && r.getAs[Int]("pass") == 0)
+  }
+
+  test("gopherGate repetition rule flips on duplicated bigrams") {
+    val r = gate(("the cat " * 30).trim) // one bigram pair repeated 30x
+    assert(r.getAs[Int]("repetition_ok") == 0)
+    assert(r.getAs[Int]("words_ok") == 1) // 60 words
+    assert(r.getAs[Int]("pass") == 0)
+  }
+
+  test("gopherGate symbol-ratio rule flips") {
+    val r = gate("the a " + ("foo%% bar%% " * 29).trim) // ~30% symbol chars
+    assert(r.getAs[Int]("symbol_ratio_ok") == 0 && r.getAs[Int]("pass") == 0)
+  }
+
+  test("gopherGate alpha-word rule flips on digit tokens") {
+    val r = gate("the a " + (1 to 58).map(i => s"${i}00").mkString(" "))
+    assert(r.getAs[Int]("alpha_word_ok") == 0 && r.getAs[Int]("pass") == 0)
+  }
+
+  // ---------------- lmScore ----------------
+
+  test("lmScore fixed-point arithmetic matches the hand computation") {
+    // corpus: d1 = "a a b", d2 = "b c"  =>  counts a:2 b:2 c:1, N=5, V=3
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("id", "text")
+    val out = QualityOps.lmScore(df, "id", "text")
+      .orderBy("id").collect()
+    val k = QualityOps.LmScale // 1048576
+    val contribC2 = (k * 8L) / 3L // tokens with count 2: floor(K*(N+V)/3)
+    val contribC1 = (k * 8L) / 2L // count 1
+    assert(out(0).getAs[Long]("score_fp") == 3 * contribC2) // a a b
+    assert(out(0).getAs[Long]("n_tokens") == 3L)
+    assert(out(1).getAs[Long]("score_fp") == contribC2 + contribC1) // b c
+    // d1 (common tokens) must rank ahead of d2 (rare token)
+    assert(out(0).getAs[Double]("avg_inv_p") < out(1).getAs[Double]("avg_inv_p"))
+    assert(out(0).getAs[String]("tier") == "head")
+  }
+
+  test("lmScore tiers cut the corpus into head/middle/tail") {
+    val docs = (1 to 9).map(i => (i.toLong, if (i <= 3) "x x x" else if (i <= 6) "x y" else "z w v"))
+    val out = QualityOps.lmScore(docs.toDF("id", "text"), "id", "text")
+    val tiers = out.groupBy("tier").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tiers == Map("head" -> 3L, "middle" -> 3L, "tail" -> 3L))
+    // the all-common-token docs are the head
+    val heads = out.filter(col("tier") === "head").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(heads == Set(1L, 2L, 3L))
+  }
+
+  // ---------------- dsirWeights ----------------
+
+  test("dsirWeights matches an independent plain-Scala computation") {
+    val rows = Seq(
+      (1L, "alpha alpha beta", true), // target
+      (2L, "gamma delta", false),
+      (3L, "alpha gamma", false))
+    val df = rows.toDF("id", "text", "t")
+    val out = QualityOps.dsirWeights(df, "id", "text", col("t"), buckets = 64)
+      .orderBy("id").collect()
+
+    // independent reference: bucket via the same polyHash column (values
+    // read back once), then plain-Scala quantized log-ratio
+    val hashes = df.select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .distinct()
+      .withColumn("b", pmod(TextOps.polyHash(col("tok")), lit(64)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val toks = rows.flatMap { case (_, text, t) => text.split(" ").map(w => (hashes(w), t)) }
+    val cT = toks.filter(_._2).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cS = toks.filterNot(_._2).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val (nT, nS) = (cT.values.sum, cS.values.sum)
+    def contrib(b: Long): Long = {
+      val qT = (((cT.getOrElse(b, 0L) + 1) * QualityOps.QuantScale) / (nT + 64)).toInt
+      val qS = (((cS.getOrElse(b, 0L) + 1) * QualityOps.QuantScale) / (nS + 64)).toInt
+      QualityOps.fpLog2Table(qT) - QualityOps.fpLog2Table(qS)
+    }
+    val expected = rows.map { case (id, text, _) =>
+      id -> text.split(" ").map(w => contrib(hashes(w))).sum
+    }.toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("w_fp") == expected(r.getAs[Long]("id")),
+        s"doc ${r.getAs[Long]("id")}")
+    }
+    // the target-only doc scores higher per token than the source-only doc
+    assert(out(0).getAs[Double]("avg_logratio") > out(1).getAs[Double]("avg_logratio"))
+    assert(out(0).getAs[Boolean]("is_target") && !out(1).getAs[Boolean]("is_target"))
+  }
+
+  test("fpLog2Table is monotone and anchored") {
+    val t = QualityOps.fpLog2Table
+    assert(t.length == QualityOps.QuantScale + 1)
+    assert(t.zip(t.tail).forall { case (a, b) => a <= b })
+    assert(t(QualityOps.QuantScale) == 0L) // log2(1) = 0
+  }
+}
