@@ -63,14 +63,32 @@ object QualityOps {
   def c4Clean(df: DataFrame, idCol: String, textCol: String,
               minLineWords: Int = 5, minLines: Int = 3,
               requireTerminalPunct: Boolean = true): DataFrame = {
-    val lines = split(col(textCol), "\n")
-    val kept = filter(lines, l => lineKeep(l, minLineWords, requireTerminalPunct))
-    df.select(
-        col(idCol),
-        size(lines).as("n_lines"),
-        size(kept).as("n_lines_kept"),
-        array_join(kept, "\n").as("clean_text"))
-      .filter(col("n_lines_kept") >= minLines)
+    // Three reference-counted projections, deliberately: `__lines` and
+    // `__kept` are each referenced more than once downstream, so
+    // CollapseProject keeps the Projects separate and every HOF subtree is
+    // evaluated ONCE per row (HOFs are CodegenFallback — codegen
+    // subexpression elimination never sees them, so a single collapsed
+    // projection would re-run the whole line pipeline per output column).
+    //
+    // The minLines gate is a TYPED filter, not a Column predicate, on
+    // measurement: PushDownPredicates rewrites a deterministic Column
+    // predicate through every Project unconditionally, re-inlining the
+    // full tokenize + line-ize + HOF pipeline into the scan's Filter node —
+    // one extra interpreted evaluation of everything (measured 4.5 s vs
+    // 1.1 s at sf0.1, examples/QualityProbe). The typed lambda is an
+    // optimizer black box: it stays put above the projections, costs one
+    // row-deserialize on an already-columnar-broken path, and keeps the
+    // operator zero-shuffle.
+    df.select(col(idCol), split(col(textCol), "\n").as("__lines"))
+      .select(col(idCol), col("__lines"),
+        filter(col("__lines"),
+          l => lineKeep(l, minLineWords, requireTerminalPunct)).as("__kept"))
+      .select(col(idCol),
+        size(col("__lines")).as("n_lines"),
+        size(col("__kept")).as("n_lines_kept"),
+        array_join(col("__kept"), "\n").as("clean_text"))
+      .filter((r: org.apache.spark.sql.Row) =>
+        r.getInt(r.fieldIndex("n_lines_kept")) >= minLines)
   }
 
   // ------------------------------------------------------------------
@@ -156,7 +174,11 @@ object QualityOps {
               tiers: Int = 3): DataFrame = {
     val toks = df.select(col(idCol), TextOps.tokens(col(textCol)).as("__t"))
       .select(col(idCol), explode(col("__t")).as("tok"))
-    val lm = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    // The LM relation is VOCABULARY-bounded, not corpus-bounded — pinning
+    // it is O(V) and saves the totals branch a third full corpus explode
+    // (same bounded-metadata rationale as the ANN centroid collects;
+    // measured in examples/QualityProbe).
+    val lm = toks.groupBy("tok").agg(count(lit(1)).as("c")).localCheckpoint()
     val totals = lm.agg(sum(col("c")).as("N"), count(lit(1)).as("V"))
     val scored = toks
       .join(broadcast(lm), Seq("tok"))
@@ -232,9 +254,11 @@ object QualityOps {
         TextOps.tokens(col(textCol)).as("__t"))
       .select(col(idCol), col("__is_target"), explode(col("__t")).as("tok"))
       .withColumn("bkt", pmod(TextOps.polyHash(col("tok")), lit(buckets)))
+    // Bucket-count relation is B rows (a constant) — pinned so the totals
+    // branch reads it instead of re-running the corpus explode + hash.
     val counts = toks.groupBy("bkt").agg(
       sum(when(col("__is_target"), 1L).otherwise(0L)).as("cT"),
-      sum(when(col("__is_target"), 0L).otherwise(1L)).as("cS"))
+      sum(when(col("__is_target"), 0L).otherwise(1L)).as("cS")).localCheckpoint()
     val totals = counts.agg(sum(col("cT")).as("NT"), sum(col("cS")).as("NS"))
     val logTab = typedLit(fpLog2Table.toSeq)
     toks

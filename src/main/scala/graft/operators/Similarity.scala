@@ -1058,10 +1058,22 @@ object Similarity {
     * (like every cosine operator here), they survive as singletons.
     */
   def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
-               nlist: Int, tau: Double, iters: Int = 3): DataFrame = {
+               nlist: Int, tau: Double, iters: Int = 3,
+               centroids: Option[Seq[Array[Float]]] = None): DataFrame = {
     val spark0 = corpus.sparkSession
     import spark0.implicits._
-    val idx = ivfBuild(corpus, idCol, vecCol, nlist, iters)
+    // Pre-trained centroids (e.g. from a stored IVF index) skip the Lloyd
+    // iterations — the production shape: train once per corpus (or on a
+    // sample), then one map-side assignment pass per dedup run. The result
+    // is identical for any FIXED centroid set when tau admits only
+    // identical vectors (same vector ⇒ same cell), and otherwise differs
+    // only in which near-dup pairs share a cell — SemDeDup's documented
+    // approximation knob.
+    val cs = centroids.getOrElse(trainCentroids(corpus, idCol, vecCol, nlist, iters))
+    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      l2Norm(col(vecCol)).as("__cn"),
+      nearestCell(col(vecCol), cs).as("cell"))
+    val idx = IvfIndex(cs, assigned)
     val a = idx.assigned.filter(col("__cn") > 0)
       .select(col("cell"), col("neighbor_id").as("id_a"), col("__cv").as("__va"),
         col("__cn").as("__na"))

