@@ -281,6 +281,39 @@ object TextOps {
         col("seq_first"), col("seq_last"), col("n_seqs"))
   }
 
+  /** Deterministic corpus sharding: assign every document (WHOLE — no
+    * splits) to a fixed-capacity output shard by its global token offset,
+    * `shard_id = tok_start div shardTokens`. This is OFFSET sharding: a doc
+    * straddling a boundary belongs to the shard where it starts, so shard
+    * sizes vary from the target by at most one document — the standard
+    * WebDataset/TFRecord shard-writing contract, computed without any
+    * sequential writer.
+    *
+    * Same two-level distributed prefix sum as [[packChunks]] (per-bucket
+    * totals → ONE small window over corpus/bucketSpan rows → within-bucket
+    * cumsum parallel per bucket); nothing sequential, nothing driver-side.
+    */
+  def shardAssign(df: DataFrame, idCol: String, textCol: String,
+                  shardTokens: Long, bucketSpan: Long = 1000000L): DataFrame = {
+    require(shardTokens >= 1, s"shardTokens must be >= 1, got $shardTokens")
+    require(bucketSpan >= 1, s"bucketSpan must be >= 1, got $bucketSpan")
+    val toks = df.select(col(idCol).cast("long").as("id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("bkt", expr(s"id div $bucketSpan"))
+    val wBkt = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy("bkt").agg(sum("n_tokens").as("__bt"))
+      .withColumn("bkt_offset", coalesce(sum("__bt").over(wBkt), lit(0L)))
+      .drop("__bt")
+    val wIn = Window.partitionBy("bkt").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("tok_start",
+        col("bkt_offset") + sum("n_tokens").over(wIn) - col("n_tokens"))
+      .withColumn("shard_id", expr(s"tok_start div $shardTokens"))
+      .select(col("id").as(idCol), col("n_tokens"), col("tok_start"), col("shard_id"))
+  }
+
   /** Token-budget corpus selection: walk documents in quality order (score
     * desc, id asc) and keep whole documents while the running token total
     * stays within `budget` — the selection step of a data-mixing recipe

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Relational, Similarity, Stats, TextOps, TimeSeries}
+import graft.operators.{Privacy, Relational, Similarity, Stats, TextOps, TimeSeries}
 import org.apache.spark.sql.expressions.Window
 import graft.queries.ParityQueries.Q
 import graft.queries.TextQueries.{normSql, polyHashSql, toksSql}
@@ -548,5 +548,49 @@ object StatQueries {
              |  CAST(max(cnt) AS DOUBLE) /
              |    (CAST(sum(cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS skew_ratio
              |FROM c""".stripMargin)),
+
+    // ----- k-anonymity risk report (Sweeney, IJUFKS 2002) -------------------
+    // Equivalence classes over (nation, segment, balance band): population,
+    // at-risk flag at k=4, and the worst-case re-identification probability
+    // 1/n (one exactly-rounded division). The balance band is
+    // floor(acctbal/5000) — deterministic double division + floor, cast to
+    // BIGINT on both engines.
+    "q_kanon_report" -> Q(
+      (s, d) => Privacy.kAnonymityReport(
+        Td.customer(s, d).select(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 5000).cast("long").as("balance_band")),
+        Seq("c_nationkey", "c_mktsegment", "balance_band"), k = 4),
+      Some("""WITH q AS (SELECT c_nationkey, c_mktsegment,
+             |    CAST(floor(c_acctbal / 5000) AS BIGINT) AS balance_band
+             |  FROM customer)
+             |SELECT c_nationkey, c_mktsegment, balance_band,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(*) < 4 AS INT) AS at_risk,
+             |  1.0 / CAST(count(*) AS DOUBLE) AS reid_risk
+             |FROM q GROUP BY 1, 2, 3""".stripMargin)),
+
+    // ----- k-anonymity cell suppression ------------------------------------
+    // Per-row sanitized relation: rows in equivalence classes smaller than
+    // k=4 get their quasi columns NULLed; one count-over-window, no
+    // self-join. A leaked quasi value in a small class (or an over-
+    // suppressed large class) changes cells and hash-fails.
+    "q_kanon_suppress" -> Q(
+      (s, d) => Privacy.suppressBelowK(
+        Td.customer(s, d).select(col("c_custkey"), col("c_nationkey"),
+          col("c_mktsegment"),
+          floor(col("c_acctbal") / 5000).cast("long").as("balance_band")),
+        Seq("c_nationkey", "c_mktsegment", "balance_band"), k = 4),
+      Some("""WITH q AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+             |    CAST(floor(c_acctbal / 5000) AS BIGINT) AS balance_band
+             |  FROM customer),
+             |n AS (SELECT *, count(*) OVER (
+             |    PARTITION BY c_nationkey, c_mktsegment, balance_band) AS nn
+             |  FROM q)
+             |SELECT c_custkey,
+             |  CASE WHEN nn < 4 THEN NULL ELSE c_nationkey END AS c_nationkey,
+             |  CASE WHEN nn < 4 THEN NULL ELSE c_mktsegment END AS c_mktsegment,
+             |  CASE WHEN nn < 4 THEN NULL ELSE balance_band END AS balance_band,
+             |  CAST(nn < 4 AS INT) AS suppressed
+             |FROM n""".stripMargin)),
   )
 }

@@ -928,6 +928,23 @@ object TextQueries {
               |FROM perdoc GROUP BY ngram
               |HAVING CAST(sum(cnt) AS BIGINT) >= 2""".stripMargin)),
 
+    // ----- deterministic corpus sharding (offset sharding) -----------------
+    // Whole docs assigned to fixed-capacity output shards by global token
+    // offset — the WebDataset shard-writing contract without a sequential
+    // writer. Oracle is the plain one-window cumsum; the Spark side is the
+    // two-level distributed prefix sum, so a mismatch anywhere in the
+    // bucket-offset algebra shifts shard boundaries and hash-fails.
+    "q_shard_assign" -> Q(
+      (s, d) => TextOps.shardAssign(Td.documents(s, d), "doc_id", "text",
+        shardTokens = 2000L, bucketSpan = 64L),
+      Some(s"""SELECT doc_id, n_tokens, cum - n_tokens AS tok_start,
+              |  (cum - n_tokens) // 2000 AS shard_id
+              |FROM (SELECT doc_id,
+              |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+              |    CAST(sum(CAST(len($toksSql) AS BIGINT)) OVER (
+              |      ORDER BY doc_id) AS BIGINT) AS cum
+              |  FROM documents) t""".stripMargin)),
+
     // ----- C4 line-level cleaning (Raffel et al., JMLR 2020 §2.2) ----------
     // The corpus is single-line (no '\n', no punctuation), so the query
     // first LINE-IZES deterministically — tokens regrouped into lines of
