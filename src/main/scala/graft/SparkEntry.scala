@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{MiscQueries, ParityQueries, RelationalQueries, StatQueries, TextQueries, VectorQueries}
+import graft.queries.{GraphQueries, MiscQueries, ParityQueries, RelationalQueries, StatQueries, TextQueries, VectorQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -19,7 +19,8 @@ object SparkEntry {
 
   private def all: Map[String, ParityQueries.Q] =
     ParityQueries.defs ++ TextQueries.defs ++ VectorQueries.defs ++
-      MiscQueries.defs ++ RelationalQueries.defs ++ StatQueries.defs
+      MiscQueries.defs ++ RelationalQueries.defs ++ StatQueries.defs ++
+      GraphQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.fn }

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Pins the graph operators against independent plain-Scala references: the
+  * exact fixed-point PageRank recurrence, and triangle counts with
+  * canonicalization (duplicate / reversed / self-loop edges).
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank matches the plain-Scala fixed-point recurrence") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+    val out = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // independent reference: same integer recurrence, maps + sorted loops
+    val s = Graph.RankScale
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.length.toLong
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(_ -> s / n).toMap
+    for (_ <- 1 to 3) {
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => r(u) / outdeg(u) }.sum).toMap
+      r = nodes.map(v => v -> ((15 * (s / n)) / 100 + (85 * in.getOrElse(v, 0L)) / 100)).toMap
+    }
+    assert(out == r)
+    // node 3 has two in-edges and should outrank the single-in nodes
+    assert(out(3L) > out(1L) && out(3L) > out(2L))
+  }
+
+  test("triangleCounts canonicalizes edges and counts per node") {
+    // triangles {1,2,3} and {2,3,4}; node 5 participates in none.
+    // (2,1) duplicates (1,2) reversed; (3,3) is a self-loop — both ignored.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (2L, 1L), (3L, 3L))
+    val out = Graph.triangleCounts(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+  }
+
+  test("pageRank total mass stays within floor-leakage of the scale") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+    val out = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters = 2)
+      .collect().map(_.getLong(1))
+    val total = out.sum
+    // no dangling nodes: mass loss is only floor truncation (< 1 unit per
+    // division per node per iteration — tiny against 2^40)
+    assert(total <= Graph.RankScale && total > Graph.RankScale - 1000L)
+  }
+}
