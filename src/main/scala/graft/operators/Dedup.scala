@@ -972,6 +972,39 @@ object Dedup {
   private def simhashChunkBounds(maxHamming: Int): Seq[Int] =
     chunkBounds(TextOps.SimHashBits, maxHamming)
 
+  /** [[hammingPairs]] with a BLOCKING column: pairs are mined only within
+    * equal `blockCol` values — the banded join key becomes (block, chunk
+    * idx, chunk val), so cross-block signature collisions never even reach
+    * the candidate stream. The temporal-alignment primitive for video
+    * near-dup ([[graft.operators.Multimodal.videoNearDupPairs]]): block =
+    * frame index, and at 100 TB the block key is also what keeps any one
+    * join bucket bounded by a single frame position's population.
+    * Output: (block, id_a, id_b, hamming).
+    */
+  def hammingPairsBlocked(sig0: DataFrame, idCol: String, blockCol: String,
+                          sigCol: String, bits: Int, maxHamming: Int): DataFrame = {
+    val bounds = chunkBounds(bits, maxHamming)
+    val sig = sig0.select(col(blockCol).cast("long").as("blk"),
+      col(idCol).cast("long").as("id"),
+      col(sigCol).cast("long").as("sh")).localCheckpoint()
+    val chunkCols = (0 until bounds.length - 1).map { c =>
+      struct(lit(c).as("cidx"),
+        chunkOf(col("sh"), bounds(c), bounds(c + 1) - bounds(c)).as("cval"))
+    }
+    val exploded = sig
+      .select(col("blk"), col("id"), col("sh"), explode(array(chunkCols: _*)).as("ch"))
+      .select(col("blk"), col("id"), col("sh"),
+        col("ch.cidx").as("cidx"), col("ch.cval").as("cval"))
+    exploded.as("a").join(exploded.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("a.cidx") === col("b.cidx") && col("a.cval") === col("b.cval") &&
+          col("a.id") < col("b.id"))
+      .filter(col("a.cidx") === firstAgreeingChunk(col("a.sh"), col("b.sh"), bounds))
+      .select(col("a.blk").as("block"), col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   private def chunkBounds(bits: Int, maxHamming: Int): Seq[Int] = {
     require(bits >= 1 && bits <= 64, s"signature width must be in [1, 64], got $bits")
     require(maxHamming >= 0 && maxHamming < bits,

@@ -253,6 +253,64 @@ object Multimodal {
     wrapMediaTable(spark, df, idCol, payloadCol, "image/jpeg",
       Jpeg.encodeGrayBlocks(_, blocksPerRow))
 
+  /** Wrap any (id, text) frame as a table of REAL AVI/MJPEG videos: the
+    * payload bytes split into `frameBytes`-byte slices, each slice encoded
+    * as one exactly-decodable JPEG frame ([[Jpeg.encodeGrayBlocks]]), the
+    * frames boxed into a byte-valid RIFF AVI container ([[Avi.encodeMjpeg]])
+    * with headers and keyframe index a real player accepts. Empty payloads
+    * still produce a one-frame video (the empty slice → one padding block),
+    * so every non-null row decodes.
+    */
+  def asAviMediaTable(spark: SparkSession, df: DataFrame, idCol: String,
+                      payloadCol: String, blocksPerRow: Int = 10,
+                      frameBytes: Int = 24): DataFrame = {
+    require(frameBytes > 0, "frameBytes must be positive")
+    wrapMediaTable(spark, df, idCol, payloadCol, "video/avi", { payload =>
+      val slices =
+        if (payload.isEmpty) Seq(Array.empty[Byte])
+        else payload.grouped(frameBytes).toSeq
+      val jpegs = slices.map(Jpeg.encodeGrayBlocks(_, blocksPerRow))
+      val nominalRows = math.max(1, (frameBytes + blocksPerRow - 1) / blocksPerRow)
+      Avi.encodeMjpeg(jpegs, width = 8 * blocksPerRow, height = 8 * nominalRows)
+    })
+  }
+
+  /** Per-frame decode of AVI/MJPEG media: container walk ([[Avi.decodeMjpeg]])
+    * then the full JPEG decode per frame. One output row per frame —
+    * (media_id, frame_idx, n_frames, width, height, sum_px); null payloads
+    * contribute no rows (nothing decodable), same contract as
+    * [[imageDHash]]. Partition-parallel by construction; a task holds one
+    * video's frames at a time.
+    */
+  def decodeVideoFrames(spark: SparkSession, media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("sum_px", LongType, nullable = false)))
+    val out = media.select("media_id", "content", "media_type")
+      .rdd.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]]("content")
+          val mt = r.getAs[String]("media_type")
+          if (bytes == null) Iterator.empty
+          else if (mt != "video/avi")
+            throw new IllegalArgumentException(s"decodeVideoFrames: unsupported media type $mt")
+          else {
+            val v = Avi.decodeMjpeg(bytes)
+            val n = v.frames.length
+            v.frames.iterator.zipWithIndex.map { case (f, i) =>
+              val s = Jpeg.decode(f)
+              Row(r.getAs[Long]("media_id"), i, n, s.width, s.height, s.sumPx)
+            }
+          }
+        }
+      }
+    spark.createDataFrame(out, schema)
+  }
+
   private val PngSignature: Array[Byte] =
     Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
 
@@ -932,6 +990,67 @@ object Multimodal {
                         maxHamming: Int = 6): DataFrame =
     Dedup.hammingPairs(imageDHash(spark, media), "media_id", "dhash",
       bits = 64, maxHamming = maxHamming)
+
+  /** Per-frame perceptual hashes of AVI/MJPEG videos: container walk, full
+    * JPEG decode per frame, then the same 64-bit [[dHash64]] the image
+    * family uses — so image and video near-dup share one signature space
+    * and one threshold calibration. Output: (media_id, frame_idx,
+    * n_frames, dhash); null payloads contribute no rows.
+    */
+  def videoFrameDHash(spark: SparkSession, media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("dhash", LongType, nullable = false)))
+    val out = media.select("media_id", "content", "media_type")
+      .rdd.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]]("content")
+          val mt = r.getAs[String]("media_type")
+          if (bytes == null) Iterator.empty
+          else if (mt != "video/avi")
+            throw new IllegalArgumentException(s"videoFrameDHash: unsupported media type $mt")
+          else {
+            val v = Avi.decodeMjpeg(bytes)
+            val n = v.frames.length
+            v.frames.iterator.zipWithIndex.map { case (f, i) =>
+              val img = Jpeg.decodeImage(f)
+              Row(r.getAs[Long]("media_id"), i, n,
+                dHash64(img.width, img.height, img.luma))
+            }
+          }
+        }
+      }
+    spark.createDataFrame(out, schema)
+  }
+
+  /** Video near-duplicate pairs with TEMPORAL ALIGNMENT: frame signatures
+    * are mined per frame position ([[Dedup.hammingPairsBlocked]] — the
+    * banded join key carries the frame index, so only same-position frames
+    * ever become candidates), and two videos pair when the fraction of
+    * matching aligned positions reaches `minMatchFrac` of the SHORTER
+    * video. Decode cost is one container+codec pass per video; the join
+    * moves 8-byte signatures only.
+    * Output: (id_a, id_b, n_matching, n_comparable, match_frac).
+    */
+  def videoNearDupPairs(spark: SparkSession, media: DataFrame,
+                        maxHamming: Int = 6,
+                        minMatchFrac: Double = 0.8): DataFrame = {
+    val h = videoFrameDHash(spark, media).localCheckpoint()
+    val lens = h.groupBy("media_id").agg(max(col("n_frames")).as("nf"))
+    val framePairs = Dedup.hammingPairsBlocked(h, "media_id", "frame_idx", "dhash",
+      bits = 64, maxHamming = maxHamming)
+    framePairs.groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_matching"))
+      .join(lens.select(col("media_id").as("id_a"), col("nf").as("__na")), Seq("id_a"))
+      .join(lens.select(col("media_id").as("id_b"), col("nf").as("__nb")), Seq("id_b"))
+      .withColumn("n_comparable", least(col("__na"), col("__nb")).cast("long"))
+      .withColumn("match_frac",
+        col("n_matching").cast("double") / col("n_comparable").cast("double"))
+      .filter(col("match_frac") >= minMatchFrac)
+      .select("id_a", "id_b", "n_matching", "n_comparable", "match_frac")
+  }
 
   // ------------------------------------------------ perceptual audio hash ---
 

@@ -371,6 +371,96 @@ object TextQueries {
              |         ELSE COALESCE(list_max([unicode(text[i]) for i in range(1, length(text)+1)]), 0) END AS mx
              |  FROM documents) t""".stripMargin)),
 
+    // ----- AVI/MJPEG video frame extraction (container × codec composed) ---
+    // Each document becomes a REAL RIFF AVI whose MJPEG stream holds one
+    // exactly-decodable JPEG frame per 24-byte text slice; the query walks
+    // the container (magic, chunk bounds, avih frame-count cross-check),
+    // decodes every frame through the full baseline-JFIF path, and emits
+    // per-frame geometry + pixel sums. The oracle recomputes every frame's
+    // stats from the text slices (width 8·bpr, height 8·ceil(slice/bpr),
+    // sum 64·Σ code points) — one byte in the wrong frame, a mis-walked
+    // chunk boundary, or a dropped last frame changes rows and hash-fails.
+    "q_avi_frames" -> Q(
+      (s, d) => {
+        val docs = Td.documents(s, d)
+          .filter(graft.operators.Sampling.hashBucket(col("doc_id")) < 40)
+        val media = Multimodal.asAviMediaTable(s, docs, "doc_id", "text",
+          blocksPerRow = 10, frameBytes = 24)
+        Multimodal.decodeVideoFrames(s, media)
+      },
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS len,
+             |    GREATEST(1, CAST(ceil(length(text) / 24.0) AS INT)) AS nf
+             |  FROM documents WHERE text IS NOT NULL
+             |    AND (((doc_id % 1000003) * 2654435761) // 8192) % 100 < 40),
+             |f AS (SELECT doc_id, text, len, nf, unnest(range(0, nf)) AS fi FROM d),
+             |s AS (SELECT doc_id, CAST(fi AS INT) AS frame_idx, nf AS n_frames,
+             |    LEAST(24, len - fi*24) AS fl,
+             |    COALESCE(list_sum([unicode(text[CAST(fi*24 + i AS INT)])
+             |      for i in range(1, CAST(LEAST(24, len - fi*24) AS INT) + 1)]), 0) AS fsum
+             |  FROM f)
+             |SELECT doc_id AS media_id, frame_idx, n_frames,
+             |  80 AS width,
+             |  CAST(8 * GREATEST(1, (fl + 9) // 10) AS INT) AS height,
+             |  CAST(64 * fsum AS BIGINT) AS sum_px
+             |FROM s""".stripMargin)),
+
+    // ----- video near-dup: temporally aligned per-frame dHash --------------
+    // The video member of the near-dup family: sampled docs become AVI/MJPEG
+    // videos (one JPEG frame per 48-byte slice) plus an exact clone
+    // (+100000) and a tail-edited clone (+200000, text + ' xyzzy' — only
+    // the final frame's bytes change), per-frame dHashes are mined with the
+    // BLOCKED pigeonhole join (candidates only at equal frame positions),
+    // and videos pair when ≥80% of aligned positions match within
+    // hamming 1. The oracle rebuilds every frame's 8-band × 9-column luma
+    // sums and all 64 gradient bits from the text slices — exact clones
+    // must land at match_frac 1.0, tail edits at (nc−1)/nc or 1.0, and any
+    // mis-walked container or mis-aligned band shifts a bit and hash-fails.
+    "q_video_neardup" -> Q(
+      (s, d) => {
+        val docs = Td.documents(s, d)
+          .filter(graft.operators.Sampling.hashBucket(col("doc_id")) < 15)
+        val vids = docs.select(col("doc_id"), col("text"))
+          .union(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+          .union(docs.select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" xyzzy")).as("text")))
+        val media = Multimodal.asAviMediaTable(s, vids, "doc_id", "text",
+          blocksPerRow = 10, frameBytes = 48)
+        Multimodal.videoNearDupPairs(s, media, maxHamming = 1, minMatchFrac = 0.8)
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents
+             |  WHERE (((doc_id % 1000003) * 2654435761) // 8192) % 100 < 15
+             |    AND text IS NOT NULL),
+             |v AS (SELECT doc_id AS vid, text FROM base
+             |  UNION ALL SELECT doc_id + 100000, text FROM base
+             |  UNION ALL SELECT doc_id + 200000, text || ' xyzzy' FROM base),
+             |d AS (SELECT vid, text, length(text) AS len,
+             |    GREATEST(1, CAST(ceil(length(text) / 48.0) AS INT)) AS nf FROM v),
+             |f AS (SELECT vid, text, len, nf, unnest(range(0, nf)) AS fi FROM d),
+             |g AS (SELECT vid, nf, fi,
+             |    CAST(LEAST(48, len - fi*48) AS INT) AS fl, text FROM f),
+             |cs AS (SELECT vid, nf, fi,
+             |    [ 3 * COALESCE(list_sum([
+             |        CASE WHEN ((y//8)*10 + (k%9)//8) < fl
+             |             THEN unicode(text[CAST(fi*48 + (y//8)*10 + (k%9)//8 + 1 AS INT)])
+             |             ELSE 0 END
+             |        for y in range((k//9) * GREATEST(1, (fl+9)//10),
+             |                       ((k//9)+1) * GREATEST(1, (fl+9)//10)) ]), 0)
+             |      for k in range(0, 72) ] AS cs
+             |  FROM g),
+             |p AS (SELECT a.vid AS id_a, b.vid AS id_b,
+             |    list_sum([CASE WHEN (a.cs[(k//8)*9 + (k%8) + 2] > a.cs[(k//8)*9 + (k%8) + 1])
+             |                    != (b.cs[(k//8)*9 + (k%8) + 2] > b.cs[(k//8)*9 + (k%8) + 1])
+             |              THEN 1 ELSE 0 END for k in range(0, 64)]) AS hamming
+             |  FROM cs a JOIN cs b ON a.fi = b.fi AND a.vid < b.vid),
+             |m AS (SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_matching
+             |  FROM p WHERE hamming <= 1 GROUP BY 1, 2),
+             |j AS (SELECT m.id_a, m.id_b, m.n_matching,
+             |    CAST(LEAST(la.nf, lb.nf) AS BIGINT) AS n_comparable
+             |  FROM m JOIN d la ON m.id_a = la.vid JOIN d lb ON m.id_b = lb.vid)
+             |SELECT id_a, id_b, n_matching, n_comparable,
+             |  CAST(n_matching AS DOUBLE) / n_comparable AS match_frac
+             |FROM j WHERE CAST(n_matching AS DOUBLE) / n_comparable >= 0.8""".stripMargin)),
+
     // ----- image near-dup: perceptual dHash over DECODED pixels ------------
     // The codec and dedup families composed: each sampled document becomes a
     // real PNG, imageDHash runs the full container decode (CRC walk, zlib

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** AVI/MJPEG container: round trip, strict-decode corruption contract, and
+  * the temporally-aligned video near-dup semantics. */
+class AviSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def jpeg(bytes: Array[Byte]) = Jpeg.encodeGrayBlocks(bytes, 2)
+
+  test("encode/decode round trip preserves frame payload bytes") {
+    val frames = Seq(
+      jpeg(Array[Byte](1, 2, 3, 4)),
+      jpeg(Array[Byte](9, 8, 7)),
+      jpeg((0 until 17).map(_.toByte).toArray))
+    val avi = Avi.encodeMjpeg(frames, width = 16, height = 16)
+    val v = Avi.decodeMjpeg(avi)
+    assert(v.width == 16 && v.height == 16)
+    assert(v.frames.length == 3)
+    v.frames.zip(frames).foreach { case (got, want) =>
+      assert(java.util.Arrays.equals(got, want))
+    }
+    // every extracted frame decodes through the real JPEG path
+    val stats = v.frames.map(Jpeg.decode)
+    assert(stats.head.sumPx == 64L * (1 + 2 + 3 + 4))
+    assert(stats(1).width == 16)
+  }
+
+  test("odd-sized frames get RIFF pad bytes and still walk correctly") {
+    // encodeGrayBlocks output length varies; force an odd chunk via a raw
+    // odd-length frame payload (decode of THAT frame would fail, but the
+    // container walk must still find its sibling)
+    val odd = Array[Byte](1, 2, 3) // not a JPEG; container-level only
+    val good = jpeg(Array[Byte](5))
+    val avi = Avi.encodeMjpeg(Seq(odd, good), 8, 8)
+    val v = Avi.decodeMjpeg(avi)
+    assert(v.frames.length == 2)
+    assert(java.util.Arrays.equals(v.frames(1), good))
+  }
+
+  test("strict decode: corruption fails loudly") {
+    val avi = Avi.encodeMjpeg(Seq(jpeg(Array[Byte](1))), 8, 8)
+    def mut(f: Array[Byte] => Array[Byte]): Array[Byte] = f(avi.clone())
+    // wrong magic
+    intercept[IllegalArgumentException] {
+      Avi.decodeMjpeg(mut { b => b(0) = 'X'.toByte; b })
+    }
+    // RIFF size disagrees with file length
+    intercept[IllegalArgumentException] {
+      Avi.decodeMjpeg(avi ++ Array[Byte](0))
+    }
+    // truncation
+    intercept[IllegalArgumentException] {
+      Avi.decodeMjpeg(avi.take(avi.length - 6))
+    }
+    // frame-count cross-check: lie in avih dwTotalFrames (offset: RIFF(12)
+    // + LIST hdr(12) + 'avih' chunk hdr(8) + 16 into avih)
+    intercept[IllegalArgumentException] {
+      Avi.decodeMjpeg(mut { b => b(12 + 12 + 8 + 16) = 9; b })
+    }
+  }
+
+  test("videoNearDupPairs: aligned clones pair, shuffled frames do not") {
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta " * 4 // 4 frames @48
+    val t2 = "one two three four five six seven eight nine ten " * 4
+    val docs = Seq(
+      (1L, t1), (2L, t2),
+      (11L, t1), // exact clone of 1
+    ).toDF("id", "text")
+    val media = Multimodal.asAviMediaTable(spark, docs, "id", "text",
+      blocksPerRow = 10, frameBytes = 48)
+    val pairs = Multimodal.videoNearDupPairs(spark, media,
+        maxHamming = 1, minMatchFrac = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("match_frac")).toMap
+    assert(pairs.contains((1L, 11L)) && pairs((1L, 11L)) == 1.0)
+    assert(!pairs.contains((1L, 2L)))
+  }
+
+  test("videoFrameDHash: tail edit changes only the final frame's hash") {
+    val t = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    val docs = Seq((1L, t), (2L, t + "QQQQ")).toDF("id", "text")
+    val media = Multimodal.asAviMediaTable(spark, docs, "id", "text",
+      blocksPerRow = 10, frameBytes = 48)
+    val h = Multimodal.videoFrameDHash(spark, media)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getAs[Long]("dhash")).toMap
+    val n = h.keys.filter(_._1 == 1L).map(_._2).max
+    (0 until n).foreach { i => assert(h((1L, i)) == h((2L, i)), s"frame $i") }
+  }
+}
