@@ -843,6 +843,51 @@ object Multimodal {
     spark.createDataFrame(out, routedAudioSchema)
   }
 
+  /** Two-layer quarantine routing for AVI/MJPEG video — the video
+    * counterpart of [[decodeFeaturesRouted]], with the layer distinction
+    * the PNG quarantine pins for chunks vs zlib: a CONTAINER-level failure
+    * (RIFF walk, header cross-checks) quarantines the whole video
+    * (`decode_ok` false), while a corrupt individual FRAME inside a valid
+    * container is counted (`n_bad_frames`) and excluded from the pixel
+    * stats without quarantining its siblings — a crawled corpus keeps a
+    * video whose stream has one damaged frame. Tri-state `decode_ok` as
+    * everywhere: null payload → null (absent, not corrupt). One summary
+    * row per video: (media_id, decode_ok, n_frames, n_bad_frames,
+    * sum_px_good).
+    */
+  def decodeVideoFramesRouted(spark: SparkSession, media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("decode_ok", BooleanType),
+      StructField("n_frames", IntegerType),
+      StructField("n_bad_frames", IntegerType),
+      StructField("sum_px_good", LongType)))
+    val out = media.select("media_id", "content", "media_type")
+      .rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("content")
+          val id = r.getAs[Long]("media_id")
+          val mt = r.getAs[String]("media_type")
+          if (bytes == null) Row(id, null, null, null, null)
+          else if (mt != "video/avi")
+            throw new IllegalArgumentException(s"decodeVideoFramesRouted: unsupported media type $mt")
+          else try {
+            val v = Avi.decodeMjpeg(bytes)
+            var bad = 0
+            var sum = 0L
+            v.frames.foreach { f =>
+              try sum += Jpeg.decode(f).sumPx
+              catch { case _: IllegalArgumentException => bad += 1 }
+            }
+            Row(id, true, v.frames.length, bad, sum)
+          } catch { case _: IllegalArgumentException =>
+            Row(id, false, null, null, null)
+          }
+        }
+      }
+    spark.createDataFrame(out, schema)
+  }
+
   /** Decode/feature-extract over partition-local batches, dispatching on
     * the container type: `image/bmp` rows run the real [[decodeBmp24]]
     * parser; anything else is treated as a packed raw-RGB stream (no

@@ -404,6 +404,53 @@ object TextQueries {
              |  CAST(64 * fsum AS BIGINT) AS sum_px
              |FROM s""".stripMargin)),
 
+    // ----- two-layer AVI quarantine (container vs frame corruption) --------
+    // In-plan corruption fixtures over the valid videos: doc_id%7 loses its
+    // RIFF magic (container layer → whole video quarantined), doc_id%11
+    // gets one byte zeroed INSIDE frame 0's JPEG (frame layer — the
+    // container walks fine, the bad frame is counted and excluded from the
+    // pixel stats, siblings survive). The frame-0 offset (235, 1-based) is
+    // a constant of the deterministic header layout (RIFF 12 + hdrl 200 +
+    // movi hdr 12 + chunk hdr 8 + 2 into the frame = the APP0 marker's
+    // 0xFF), pinned by AviSpec. The oracle states all three outcomes from
+    // doc_id arithmetic + text sums.
+    "q_avi_quarantine" -> Q(
+      (s, d) => {
+        val docs = Td.documents(s, d)
+          .filter(graft.operators.Sampling.hashBucket(col("doc_id")) < 40)
+        val media = Multimodal.asAviMediaTable(s, docs, "doc_id", "text",
+          blocksPerRow = 10, frameBytes = 24)
+        val corrupted = media.withColumn("content",
+          when(col("media_id") % 7 === 0,
+            concat(lit("X".getBytes("US-ASCII")), expr("substring(content, 2)")))
+            .when(col("media_id") % 11 === 0,
+              expr("overlay(content placing X'00' from 235)"))
+            .otherwise(col("content")))
+        Multimodal.decodeVideoFramesRouted(s, corrupted)
+      },
+      Some("""WITH base AS (SELECT doc_id, text, length(text) AS len,
+             |    GREATEST(1, CAST(ceil(length(text) / 24.0) AS INT)) AS nf
+             |  FROM documents
+             |  WHERE (((doc_id % 1000003) * 2654435761) // 8192) % 100 < 40),
+             |tot AS (SELECT doc_id, len, nf,
+             |    COALESCE(list_sum([unicode(text[i]) for i in range(1, len + 1)]), 0) AS s_all,
+             |    COALESCE(list_sum([unicode(text[i])
+             |      for i in range(1, LEAST(24, len) + 1)]), 0) AS s_f0
+             |  FROM base WHERE text IS NOT NULL)
+             |SELECT doc_id AS media_id,
+             |  CASE WHEN doc_id % 7 = 0 THEN CAST(0 AS BOOLEAN)
+             |       ELSE CAST(1 AS BOOLEAN) END AS decode_ok,
+             |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE nf END AS n_frames,
+             |  CASE WHEN doc_id % 7 = 0 THEN NULL
+             |       WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS n_bad_frames,
+             |  CASE WHEN doc_id % 7 = 0 THEN NULL
+             |       WHEN doc_id % 11 = 0 THEN CAST(64 * (s_all - s_f0) AS BIGINT)
+             |       ELSE CAST(64 * s_all AS BIGINT) END AS sum_px_good
+             |FROM tot
+             |UNION ALL
+             |SELECT doc_id, CAST(NULL AS BOOLEAN), NULL, NULL, NULL
+             |FROM base WHERE text IS NULL""".stripMargin)),
+
     // ----- video near-dup: temporally aligned per-frame dHash --------------
     // The video member of the near-dup family: sampled docs become AVI/MJPEG
     // videos (one JPEG frame per 48-byte slice) plus an exact clone

@@ -61,6 +61,39 @@ class AviSpec extends SparkSpec {
     }
   }
 
+  test("header layout constant: first frame data starts at byte 232") {
+    // q_avi_quarantine's in-plan corruption targets 1-based offset 235 =
+    // 0-based 234 = frame byte 2; the layout must stay RIFF(12) +
+    // hdrl(200) + movi LIST header(12) + chunk header(8)
+    val frame = jpeg(Array[Byte](42))
+    val avi = Avi.encodeMjpeg(Seq(frame), 8, 8)
+    assert(avi.slice(232, 232 + frame.length).sameElements(frame))
+    assert((avi(234) & 0xFF) == 0xFF) // the APP0 marker byte the fixture zeroes
+  }
+
+  test("decodeVideoFramesRouted splits container-level from frame-level corruption") {
+    import org.apache.spark.sql.functions.{col, concat, expr, lit, when}
+    val docs = Seq((1L, "good text here"), (7L, "container dies"),
+      (11L, "frame zero dies but later frames survive fine")).toDF("id", "text")
+    val media = Multimodal.asAviMediaTable(spark, docs, "id", "text",
+      blocksPerRow = 10, frameBytes = 24)
+    val corrupted = media.withColumn("content",
+      when(col("media_id") % 7 === 0,
+        concat(lit("X".getBytes("US-ASCII")), expr("substring(content, 2)")))
+        .when(col("media_id") % 11 === 0,
+          expr("overlay(content placing X'00' from 235)"))
+        .otherwise(col("content")))
+    val out = Multimodal.decodeVideoFramesRouted(spark, corrupted)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(1) && out(1L).getInt(3) == 0)
+    assert(!out(7L).getBoolean(1) && out(7L).isNullAt(2))
+    val r11 = out(11L)
+    assert(r11.getBoolean(1) && r11.getInt(2) == 2 && r11.getInt(3) == 1)
+    // surviving sum = only frame 1's bytes
+    val tail = "frame zero dies but later frames survive fine".substring(24)
+    assert(r11.getLong(4) == 64L * tail.map(_.toInt).sum)
+  }
+
   test("videoNearDupPairs: aligned clones pair, shuffled frames do not") {
     val t1 = "alpha beta gamma delta epsilon zeta eta theta " * 4 // 4 frames @48
     val t2 = "one two three four five six seven eight nine ten " * 4
