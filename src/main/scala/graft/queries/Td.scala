@@ -500,6 +500,55 @@ object Td {
       valueType = d3, accType = "decimal(29,3)", batchId = Some("batch-1"))
   }
 
+  /** Stored incrementally-maintained corpus-quality dashboard: counts and
+    * token totals per (lang, gopher pass) over `documents` — the quality
+    * family composed with the IVM family. Bootstrap covers the %3≠0 docs;
+    * the batch inserts the %3=0 docs, UPDATES the %5=0 base docs with four
+    * appended stopwords (which flips the stopword/repetition rules for
+    * some — a group MOVE across the pass dimension, the semantics
+    * retraction arithmetic must get right), and deletes the %7=0 survivors.
+    * The oracle recomputes the view from the final document state with the
+    * same generated Gopher-rule SQL the gate query uses.
+    */
+  private val QualityMaintFormat = 1
+  def qualityMaintainTable(s: SparkSession, d: String): graft.engine.KeyedTable = {
+    val docs = documents(s, d)
+    val root = indexRoot(s, "qualmaint", QualityMaintFormat, d, "documents", docs.count())
+    installDir(s, root)(buildQualityMaintainInto(s, d, _))
+    graft.engine.KeyedTable(s, root, Seq("lang", "pass"))
+  }
+
+  private[graft] def buildQualityMaintainInto(s: SparkSession, d: String, tmp: String): Unit = {
+    val docs = documents(s, d).filter(col("text").isNotNull)
+    val agg = graft.engine.KeyedTable(s, tmp, Seq("lang", "pass"), numBuckets = 8)
+    def qf(df: DataFrame): DataFrame =
+      graft.operators.QualityOps.gopherGate(df, "doc_id", "text")
+        .select(col("doc_id"), col("pass"), col("n_words").cast("long").as("n_words"))
+        .join(df.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val k = col("doc_id")
+    graft.engine.AggDelta.bootstrap(agg,
+      qf(docs.filter(k % 3 =!= 0)).select(col("lang"), col("pass"), col("n_words")),
+      Seq("lang", "pass"), Seq("n_words"), valueType = "bigint", accType = "bigint")
+    val ins = qf(docs.filter(k % 3 === 0)).select(
+      col("lang"), col("pass"), col("n_words"),
+      lit(null).cast("string").as("_old_lang"), lit(null).cast("int").as("_old_pass"),
+      lit(null).cast("bigint").as("_old_n_words"), lit("I").as("_op"))
+    val updDocs = docs.filter(k % 3 =!= 0 && k % 5 === 0)
+    val upd = qf(updDocs.withColumn("text", concat(col("text"), lit(" the the the the"))))
+      .join(qf(updDocs).select(col("doc_id"), col("lang").as("_old_lang"),
+        col("pass").as("_old_pass"), col("n_words").as("_old_n_words")), Seq("doc_id"))
+      .select(col("lang"), col("pass"), col("n_words"),
+        col("_old_lang"), col("_old_pass"), col("_old_n_words"), lit("U").as("_op"))
+    val del = qf(docs.filter(k % 3 =!= 0 && k % 5 =!= 0 && k % 7 === 0)).select(
+      lit(null).cast("string").as("lang"), lit(null).cast("int").as("pass"),
+      lit(null).cast("bigint").as("n_words"),
+      col("lang").as("_old_lang"), col("pass").as("_old_pass"),
+      col("n_words").as("_old_n_words"), lit("D").as("_op"))
+    graft.engine.AggDelta.maintain(agg, ins.unionByName(upd).unionByName(del),
+      Seq("lang", "pass"), Seq("n_words"), valueType = "bigint", accType = "bigint",
+      batchId = Some("batch-1"))
+  }
+
   /** Stored incrementally-maintained DISTINCT-count state over `orders`:
     * per-status HLL sketches of `o_custkey`, bootstrapped from the %3≠0
     * keys and grown with the %3=0 batch — after which the state covers ALL

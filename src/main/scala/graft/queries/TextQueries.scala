@@ -1123,6 +1123,36 @@ object TextQueries {
       (s, d) => QualityOps.lmScore(Td.documents(s, d), "doc_id", "text"),
       Some(lmScoreSql)),
 
+    // ----- maintained corpus-quality dashboard (QualityOps × AggDelta) -----
+    // The quality family composed with the IVM family: a STORED view of
+    // (lang, gopher pass) → doc count + token total, bootstrapped then
+    // maintained through one CDC batch whose updates append stopwords and
+    // MOVE documents across the pass dimension (retraction in the old
+    // group, addition in the new). The oracle recomputes the view from the
+    // final document state with the same generated rule SQL as
+    // q_gopher_gate — a mis-retracted move or stale group leaves a row off
+    // and hash-fails.
+    "q_quality_maintain" -> Q(
+      (s, d) => Td.qualityMaintainTable(s, d).current
+        .select(col("lang"), col("pass"), col("cnt"), col("sum_n_words")),
+      Some(s"""WITH fs AS (
+              |  SELECT lang, text FROM documents WHERE text IS NOT NULL
+              |    AND doc_id % 3 <> 0 AND doc_id % 5 <> 0 AND doc_id % 7 <> 0
+              |  UNION ALL
+              |  SELECT lang, text || ' the the the the' FROM documents
+              |  WHERE text IS NOT NULL AND doc_id % 3 <> 0 AND doc_id % 5 = 0
+              |  UNION ALL
+              |  SELECT lang, text FROM documents
+              |  WHERE text IS NOT NULL AND doc_id % 3 = 0),
+              |t AS (SELECT lang, text, $normSql AS nrm, $toksSql AS w FROM fs),
+              |${gopherStagesSql("lang")}
+              |SELECT lang,
+              |  CAST(words_ok + mean_word_len_ok + symbol_ratio_ok + alpha_word_ok
+              |       + stopword_ok + repetition_ok = 6 AS INT) AS pass,
+              |  CAST(count(*) AS BIGINT) AS cnt,
+              |  CAST(COALESCE(sum(n_words), 0) AS BIGINT) AS sum_n_words
+              |FROM f GROUP BY 1, 2""".stripMargin)),
+
     // ----- DSIR importance weights (Xie et al., NeurIPS 2023) --------------
     // Hashed-unigram log-likelihood ratio against the lang='en' target
     // slice. Probabilities are quantized to a 1/4096 grid and log-mapped
@@ -1199,13 +1229,13 @@ object TextQueries {
        |FROM f WHERE len(kept) >= 3""".stripMargin
   }
 
-  /** DuckDB twin of [[QualityOps.gopherGate]] at its default thresholds.
-    * Same mean-word-length identity (single-space norm ⇒ Σ|token| =
-    * len(norm) − (n−1)), same raw-text symbol ratio, same stopword profile.
+  /** Gopher-rule CTE chain shared by q_gopher_gate and the maintained-view
+    * oracle (q_quality_maintain): stats stage `s` and flag stage `f` over a
+    * CTE `t` exposing (text, nrm, w), with `carry` columns threaded
+    * through — generated once so the two oracles can never drift.
     */
-  private def gopherGateSql: String =
-    s"""WITH t AS (SELECT doc_id, text, $normSql AS nrm, $toksSql AS w FROM documents),
-       |s AS (SELECT doc_id, len(w) AS n_words,
+  private[queries] def gopherStagesSql(carry: String): String =
+    s"""s AS (SELECT $carry, len(w) AS n_words,
        |    CAST(length(nrm) - (len(w) - 1) AS DOUBLE)/len(w) AS mean_len,
        |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
        |      CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)/length(text) END AS sym_ratio,
@@ -1213,7 +1243,7 @@ object TextQueries {
        |    len(list_filter(w, x -> list_contains(${sqlList(TextOps.StopwordProfiles.head._2)}, x))) AS stop_hits,
        |    [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS bg
        |  FROM t),
-       |f AS (SELECT doc_id, n_words,
+       |f AS (SELECT $carry, n_words,
        |    CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS words_ok,
        |    CAST(mean_len >= 3.0 AND mean_len <= 10.0 AS INT) AS mean_word_len_ok,
        |    CAST(sym_ratio <= 0.1 AS INT) AS symbol_ratio_ok,
@@ -1221,7 +1251,15 @@ object TextQueries {
        |    CAST(stop_hits >= 2 AS INT) AS stopword_ok,
        |    CAST((CASE WHEN len(bg) = 0 THEN 0.0 ELSE
        |      1.0 - CAST(len(list_distinct(bg)) AS DOUBLE)/len(bg) END) <= 0.1 AS INT) AS repetition_ok
-       |  FROM s)
+       |  FROM s)""".stripMargin
+
+  /** DuckDB twin of [[QualityOps.gopherGate]] at its default thresholds.
+    * Same mean-word-length identity (single-space norm ⇒ Σ|token| =
+    * len(norm) − (n−1)), same raw-text symbol ratio, same stopword profile.
+    */
+  private def gopherGateSql: String =
+    s"""WITH t AS (SELECT doc_id, text, $normSql AS nrm, $toksSql AS w FROM documents),
+       |${gopherStagesSql("doc_id")}
        |SELECT doc_id, n_words, words_ok, mean_word_len_ok, symbol_ratio_ok,
        |  alpha_word_ok, stopword_ok, repetition_ok,
        |  CAST(words_ok + mean_word_len_ok + symbol_ratio_ok + alpha_word_ok
