@@ -84,7 +84,8 @@ object Bench {
         "jm1" -> timed(graft.queries.Td.epoch1JoinMaintain(spark, sfDir, s"$tmpRoot/jm")),
         "tk" -> timed(graft.queries.Td.buildTopkMaintainInto(spark, sfDir, s"$tmpRoot/tk")),
         "tk1" -> timed(graft.queries.Td.epoch1TopkMaintain(spark, sfDir, s"$tmpRoot/tk")),
-        "qm" -> timed(graft.queries.Td.buildQualityMaintainInto(spark, sfDir, s"$tmpRoot/qm")))
+        "qm" -> timed(graft.queries.Td.buildQualityMaintainInto(spark, sfDir, s"$tmpRoot/qm")),
+        "tm" -> timed(graft.queries.Td.buildTriangleMaintainInto(spark, sfDir, s"$tmpRoot/tm")))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
       out
     }
@@ -113,6 +114,7 @@ object Bench {
       graft.queries.Td.joinMaintainTables(spark, sfDir)._1.current.count()
       graft.queries.Td.topkMaintainTable(spark, sfDir).current.count()
       graft.queries.Td.qualityMaintainTable(spark, sfDir).current.count()
+      graft.queries.Td.triangleMaintainTables(spark, sfDir)._2.current.count()
     }
     // Optional dev filter: `runMain graft.Bench q_a,q_b` times only those
     // queries (the driver invokes with no args → full battery).

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.engine.KeyedTable
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -126,5 +127,135 @@ object Graph {
       .join(perNode, Seq("node"), "left_outer")
       .select(col("node"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
+  // --------------------------------------------- maintained triangle view ---
+
+  /** Canonical undirected edge form: a < b, no self-loops, distinct. */
+  private def canonEdges(edges: DataFrame, aCol: String, bCol: String): DataFrame =
+    edges.select(
+        least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+
+  /** Bootstrap the maintained triangle view: store the canonical edge SET
+    * (keyed by (a, b)) and the per-node triangle counts (keyed by node,
+    * zeros included for every node of the graph). Edges are a SET here —
+    * a support-counted multigraph (e.g. co-purchase edges backed by many
+    * orders) carries its multiplicity upstream and feeds this view edge
+    * CREATIONS and FINAL deletions only.
+    */
+  def triangleBootstrap(edgesT: KeyedTable, countsT: KeyedTable,
+                        edges: DataFrame, aCol: String, bCol: String): Unit = {
+    val e = canonEdges(edges, aCol, bCol)
+    edgesT.overwrite(e)
+    countsT.overwrite(triangleCounts(e, "a", "b").withColumnRenamed("n_triangles", "cnt"))
+  }
+
+  /** Incrementally maintain per-node triangle counts under an edge CDC
+    * batch — the graph member of the maintained-view family (AggDelta /
+    * JoinDelta / TopKDelta), with the same cost contract: work ∝ changed
+    * edges × local degree, the full graph is never recounted.
+    *
+    * `batch` carries (a, b, _op) with op I (edge created) or D (edge
+    * removed). Correctness argument: a triangle GAINED by the batch
+    * contains ≥1 inserted edge and no deleted one, so it is enumerable
+    * from its inserted edges against POST-state adjacency; a triangle LOST
+    * contains ≥1 deleted edge and existed in PRE-state, enumerable from
+    * its deleted edges against PRE-state adjacency; the two enumerations
+    * are disjoint (a triangle cannot contain both an inserted and a
+    * pre-existing-then-deleted edge in the state where it counts). Within
+    * each side a triangle holding k changed edges appears k times —
+    * deduped by charging it to its MINIMAL changed edge (lexicographic),
+    * the same charge-once discipline as the wedge orientation.
+    *
+    * Image-validity is enforced IN-PLAN like every maintainer here:
+    * inserting an existing edge or deleting an absent one `raise_error`s
+    * rather than silently corrupting counts.
+    *
+    * Counts move by a signed per-node delta applied through the keyed
+    * upsert (rows may reach 0 — kept, so the view's node set only grows;
+    * read with `cnt > 0` for the live triangle population).
+    */
+  def triangleMaintain(edgesT: KeyedTable, countsT: KeyedTable,
+                       batch: DataFrame, aCol: String, bCol: String,
+                       opCol: String = "_op", batchId: Option[String] = None): Long = {
+    if (batchId.isDefined && edgesT.lastTag == batchId) return edgesT.currentVersion
+    val e0 = edgesT.current.select(col("a"), col("b")).localCheckpoint()
+    val ch = batch.select(
+        least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"),
+        col(opCol).as("_op"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+    // in-plan image validation: I must be absent from, D present in, E0
+    val chk = ch.join(e0.withColumn("__in", lit(1)), Seq("a", "b"), "left_outer")
+      .select(col("a"), col("b"), col("_op"),
+        when(col("_op") === "I" && col("__in").isNotNull,
+          raise_error(concat(lit("triangleMaintain: insert of existing edge ("),
+            col("a"), lit(","), col("b"), lit(")"))))
+          .when(col("_op") === "D" && col("__in").isNull,
+            raise_error(concat(lit("triangleMaintain: delete of absent edge ("),
+              col("a"), lit(","), col("b"), lit(")"))))
+          .otherwise(lit(1)).as("__ok"))
+      .filter(col("__ok") === 1).drop("__ok")
+      .localCheckpoint()
+    val ins = chk.filter(col("_op") === "I").select("a", "b")
+    val del = chk.filter(col("_op") === "D").select("a", "b")
+    val e1 = e0.join(del, Seq("a", "b"), "left_anti").unionByName(ins).localCheckpoint()
+
+    // triangles touching `changed` edges in state `ex`, charged once to
+    // their minimal changed edge of this side; +/- `sign` per member node
+    def sideDelta(changed: DataFrame, ex: DataFrame, sign: Int): DataFrame = {
+      val adj = ex.select(col("a").as("x"), col("b").as("y"))
+        .unionByName(ex.select(col("b").as("x"), col("a").as("y")))
+      // w adjacent to u, then close (v, w) against the canonical edge set
+      val cand = changed.select(col("a").as("u"), col("b").as("v"))
+        .join(adj, col("u") === col("x"))
+        .select(col("u"), col("v"), col("y").as("w"))
+        .filter(col("w") =!= col("v"))
+        .join(ex.select(col("a").as("__ca"), col("b").as("__cb")),
+          least(col("v"), col("w")) === col("__ca") &&
+            greatest(col("v"), col("w")) === col("__cb"), "left_semi")
+      // charge-once: drop the triangle here unless (u,v) is its minimal
+      // changed edge of this side — the other two sides are (u,w), (v,w)
+      val chSide = changed.select(col("a").as("__ha"), col("b").as("__hb"))
+      def lesserChanged(p: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column) = {
+        val lo = least(p, q); val hi = greatest(p, q)
+        // changed edge (lo,hi) exists AND precedes (u,v) lexicographically
+        (lo < col("u")) || (lo === col("u") && hi < col("v"))
+      }
+      val deduped = cand
+        .join(chSide, least(col("u"), col("w")) === col("__ha") &&
+          greatest(col("u"), col("w")) === col("__hb") &&
+          lesserChanged(col("u"), col("w")), "left_anti")
+        .join(chSide, least(col("v"), col("w")) === col("__ha") &&
+          greatest(col("v"), col("w")) === col("__hb") &&
+          lesserChanged(col("v"), col("w")), "left_anti")
+      deduped.select(col("u").as("node"))
+        .unionByName(deduped.select(col("v").as("node")))
+        .unionByName(deduped.select(col("w").as("node")))
+        .groupBy("node").agg((count(lit(1)) * sign).as("d"))
+    }
+    val delta = sideDelta(ins, e1, +1)
+      .unionByName(sideDelta(del, e0, -1))
+      .groupBy("node").agg(sum(col("d")).as("d"))
+      .localCheckpoint() // delta-sized; feeds the count read AND the upsert
+    // touched-node state read is bucket-pruned (currentForKeys), and the
+    // per-table tag guards make the two applies crash-resumable under the
+    // family's redelivery rule: counts commit first, edges last, so the
+    // epoch-level early return keys off the LAST table
+    val updated = delta
+      .join(countsT.currentForKeys(delta).select(col("node"), col("cnt")),
+        Seq("node"), "left_outer")
+      .select(col("node"), (coalesce(col("cnt"), lit(0L)) + col("d")).as("cnt"),
+        lit("U").as("_op"), lit(1L).as("_seq"))
+    if (batchId.isEmpty || countsT.lastTag != batchId)
+      countsT.mergeCdc(updated, tag = batchId)
+    // edge set: deletes as tombstones, inserts as rows — one atomic version
+    val edgeCdc = ins.select(col("a"), col("b"), lit("I").as("_op"), lit(1L).as("_seq"))
+      .unionByName(del.select(col("a"), col("b"), lit("D").as("_op"), lit(1L).as("_seq")))
+    edgesT.mergeCdc(edgeCdc, tag = batchId)
   }
 }

@@ -82,33 +82,81 @@ object GraphQueries {
           .select(col("x.pk").as("pa"), col("y.pk").as("pb"))
         Graph.triangleCounts(pairs, "pa", "pb")
       },
-      Some(s"""WITH pr AS (SELECT o_orderkey FROM orders
-              |  WHERE o_orderpriority = '1-URGENT'),
-              |li AS (SELECT l_orderkey, l_partkey FROM lineitem
-              |  JOIN pr ON l_orderkey = o_orderkey),
-              |und AS (SELECT DISTINCT
-              |    CAST(least(a.l_partkey, b.l_partkey) AS BIGINT) AS a,
-              |    CAST(greatest(a.l_partkey, b.l_partkey) AS BIGINT) AS b
-              |  FROM li a JOIN li b
-              |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-              |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
-              |  FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
-              |  GROUP BY 1),
-              |sig AS (SELECT node, deg * ${1L << 40} + node AS s FROM deg),
-              |dir AS (SELECT
-              |    CASE WHEN sa.s < sb.s THEN und.a ELSE und.b END AS u,
-              |    CASE WHEN sa.s < sb.s THEN und.b ELSE und.a END AS v,
-              |    CASE WHEN sa.s < sb.s THEN sb.s ELSE sa.s END AS sv
-              |  FROM und JOIN sig sa ON und.a = sa.node
-              |           JOIN sig sb ON und.b = sb.node),
-              |w AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
-              |  FROM dir e1 JOIN dir e2 ON e1.u = e2.u AND e1.sv < e2.sv),
-              |t AS (SELECT x, y, z FROM w
-              |  WHERE EXISTS (SELECT 1 FROM dir WHERE dir.u = w.y AND dir.v = w.z)),
-              |cnt AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
-              |  FROM (SELECT x AS node FROM t UNION ALL SELECT y FROM t
-              |        UNION ALL SELECT z FROM t) GROUP BY 1)
-              |SELECT d.node, COALESCE(cnt.n_triangles, CAST(0 AS BIGINT)) AS n_triangles
-              |FROM deg d LEFT JOIN cnt USING (node)""".stripMargin)),
+      Some(trianglesSql(
+        s"""WITH pr AS (SELECT o_orderkey FROM orders
+           |  WHERE o_orderpriority = '1-URGENT'),
+           |li AS (SELECT l_orderkey, l_partkey FROM lineitem
+           |  JOIN pr ON l_orderkey = o_orderkey),
+           |und AS (SELECT DISTINCT
+           |    CAST(least(a.l_partkey, b.l_partkey) AS BIGINT) AS a,
+           |    CAST(greatest(a.l_partkey, b.l_partkey) AS BIGINT) AS b
+           |  FROM li a JOIN li b
+           |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey)""".stripMargin,
+        positiveOnly = false))),
+
+    // ----- MAINTAINED triangle counts (graph × IVM composition) ------------
+    // The stored co-purchase edge set + per-node triangle counts maintained
+    // through a mixed edge CDC batch: edges created by the %3=0 urgent
+    // orders inserted, base edges with (a+b)%17=0 deleted. Maintenance work
+    // is ∝ changed edges × local degree (gained triangles enumerated from
+    // inserted edges against POST-state adjacency, lost ones from deleted
+    // edges against PRE-state, each charged once to its minimal changed
+    // edge); the oracle RECOUNTS from the final edge set with the same
+    // σ-orientation SQL as q_triangles — one mis-charged or double-counted
+    // triangle anywhere shifts a node's count and hash-fails.
+    "q_triangle_maintain" -> Q(
+      (s, d) => Td.triangleMaintainTables(s, d)._2.current
+        .filter(col("cnt") > 0)
+        .select(col("node"), col("cnt").as("n_triangles")),
+      Some(trianglesSql(
+        s"""WITH pr AS (SELECT o_orderkey, o_orderkey % 3 = 0 AS newer FROM orders
+           |  WHERE o_orderpriority = '1-URGENT'),
+           |li AS (SELECT l_orderkey, l_partkey, newer FROM lineitem
+           |  JOIN pr ON l_orderkey = o_orderkey),
+           |ed AS (SELECT
+           |    CAST(least(a.l_partkey, b.l_partkey) AS BIGINT) AS a,
+           |    CAST(greatest(a.l_partkey, b.l_partkey) AS BIGINT) AS b,
+           |    a.newer
+           |  FROM li a JOIN li b
+           |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+           |e0 AS (SELECT DISTINCT a, b FROM ed WHERE NOT newer),
+           |ins AS (SELECT DISTINCT a, b FROM ed WHERE newer
+           |  AND NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = ed.a AND e0.b = ed.b)),
+           |und AS (SELECT a, b FROM e0 WHERE (a + b) % 17 <> 0
+           |  UNION ALL SELECT a, b FROM ins)""".stripMargin,
+        positiveOnly = true))),
   )
+
+  /** σ-orientation per-node triangle-count SQL over an `und(a, b)` canonical
+    * edge CTE — shared by q_triangles (zeros kept) and q_triangle_maintain
+    * (positive counts only), generated once so the two cannot drift.
+    */
+  private def trianglesSql(undCte: String, positiveOnly: Boolean): String = {
+    val base =
+      s"""$undCte,
+         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+         |  FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+         |  GROUP BY 1),
+         |sig AS (SELECT node, deg * ${1L << 40} + node AS s FROM deg),
+         |dir AS (SELECT
+         |    CASE WHEN sa.s < sb.s THEN und.a ELSE und.b END AS u,
+         |    CASE WHEN sa.s < sb.s THEN und.b ELSE und.a END AS v,
+         |    CASE WHEN sa.s < sb.s THEN sb.s ELSE sa.s END AS sv
+         |  FROM und JOIN sig sa ON und.a = sa.node
+         |           JOIN sig sb ON und.b = sb.node),
+         |w AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+         |  FROM dir e1 JOIN dir e2 ON e1.u = e2.u AND e1.sv < e2.sv),
+         |t AS (SELECT x, y, z FROM w
+         |  WHERE EXISTS (SELECT 1 FROM dir WHERE dir.u = w.y AND dir.v = w.z)),
+         |cnt AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+         |  FROM (SELECT x AS node FROM t UNION ALL SELECT y FROM t
+         |        UNION ALL SELECT z FROM t) GROUP BY 1)""".stripMargin
+    if (positiveOnly)
+      s"""$base
+         |SELECT node, n_triangles FROM cnt""".stripMargin
+    else
+      s"""$base
+         |SELECT d.node, COALESCE(cnt.n_triangles, CAST(0 AS BIGINT)) AS n_triangles
+         |FROM deg d LEFT JOIN cnt USING (node)""".stripMargin
+  }
 }

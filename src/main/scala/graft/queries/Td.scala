@@ -500,6 +500,52 @@ object Td {
       valueType = d3, accType = "decimal(29,3)", batchId = Some("batch-1"))
   }
 
+  /** Stored incrementally-maintained TRIANGLE counts — the graph member of
+    * the maintained-view family: the urgent-order co-purchase graph's edge
+    * set plus per-node triangle counts, bootstrapped from the %3≠0 orders
+    * and maintained through one mixed batch (edges newly created by the
+    * %3=0 orders inserted, base edges with (a+b)%17=0 deleted). Work is
+    * ∝ changed edges × local degree; the oracle recounts from the final
+    * edge set with the same σ-orientation SQL as q_triangles.
+    */
+  private val TriMaintFormat = 1
+  def triangleMaintainTables(s: SparkSession, d: String): (graft.engine.KeyedTable, graft.engine.KeyedTable) = {
+    val li = lineitem(s, d)
+    val root = indexRoot(s, "trimaint", TriMaintFormat, d, "lineitem", li.count())
+    installDir(s, root)(buildTriangleMaintainInto(s, d, _))
+    (graft.engine.KeyedTable(s, s"$root/edges", Seq("a", "b")),
+      graft.engine.KeyedTable(s, s"$root/counts", Seq("node")))
+  }
+
+  /** Canonical distinct co-purchase edges of URGENT orders passing `pred`. */
+  private def coEdges(s: SparkSession, d: String, pred: org.apache.spark.sql.Column): DataFrame = {
+    val ur = orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT" && pred)
+      .select(col("o_orderkey"))
+    val li = lineitem(s, d)
+      .join(ur, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") =!= col("y.pk"))
+      .select(least(col("x.pk"), col("y.pk")).cast("long").as("a"),
+        greatest(col("x.pk"), col("y.pk")).cast("long").as("b"))
+      .distinct()
+  }
+
+  private[graft] def buildTriangleMaintainInto(s: SparkSession, d: String, tmp: String): Unit = {
+    val edgesT = graft.engine.KeyedTable(s, s"$tmp/edges", Seq("a", "b"), numBuckets = 8)
+    val countsT = graft.engine.KeyedTable(s, s"$tmp/counts", Seq("node"), numBuckets = 8)
+    val e0 = coEdges(s, d, col("o_orderkey") % 3 =!= 0).localCheckpoint()
+    graft.operators.Graph.triangleBootstrap(edgesT, countsT, e0, "a", "b")
+    val ins = coEdges(s, d, col("o_orderkey") % 3 === 0)
+      .join(e0, Seq("a", "b"), "left_anti")
+      .select(col("a"), col("b"), lit("I").as("_op"))
+    val del = e0.filter((col("a") + col("b")) % 17 === 0)
+      .select(col("a"), col("b"), lit("D").as("_op"))
+    graft.operators.Graph.triangleMaintain(edgesT, countsT,
+      ins.unionByName(del), "a", "b", batchId = Some("batch-1"))
+  }
+
   /** Stored incrementally-maintained corpus-quality dashboard: counts and
     * token totals per (lang, gopher pass) over `documents` — the quality
     * family composed with the IVM family. Bootstrap covers the %3≠0 docs;

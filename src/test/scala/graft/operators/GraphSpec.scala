@@ -40,6 +40,51 @@ class GraphSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
   }
 
+  test("triangleMaintain: mixed insert/delete batch moves counts exactly") {
+    val tmp = tmpDir("trimaint")
+    val edgesT = graft.engine.KeyedTable(spark, s"$tmp/edges", Seq("a", "b"), numBuckets = 4)
+    val countsT = graft.engine.KeyedTable(spark, s"$tmp/counts", Seq("node"), numBuckets = 4)
+    // triangle {1,2,3} + pendant 3-4
+    Graph.triangleBootstrap(edgesT, countsT,
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b"), "a", "b")
+    def counts() = countsT.current.collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("cnt")).toMap
+    assert(counts() == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+    // delete (1,2) — kills {1,2,3}; insert (2,4),(1,4) — creates {1,3,4}
+    // and {2,3,4}; the would-be {1,2,4} must NOT count (its (1,2) edge is
+    // deleted in the same batch)
+    Graph.triangleMaintain(edgesT, countsT,
+      Seq((2L, 4L, "I"), (1L, 4L, "I"), (1L, 2L, "D")).toDF("a", "b", "_op"),
+      "a", "b", batchId = Some("b1"))
+    assert(counts() == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L))
+    // redelivered epoch no-ops
+    Graph.triangleMaintain(edgesT, countsT,
+      Seq((2L, 4L, "I"), (1L, 4L, "I"), (1L, 2L, "D")).toDF("a", "b", "_op"),
+      "a", "b", batchId = Some("b1"))
+    assert(counts() == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L))
+    // a triangle whose OTHER two edges are both in the same insert batch
+    // is charged exactly once
+    Graph.triangleMaintain(edgesT, countsT,
+      Seq((1L, 5L, "I"), (4L, 5L, "I"), (3L, 5L, "I")).toDF("a", "b", "_op"),
+      "a", "b", batchId = Some("b2"))
+    // new triangles: {1,4,5} ((1,4),(4,5),(1,5)), {3,4,5}, {1,3,5}
+    assert(counts() == Map(1L -> 3L, 2L -> 1L, 3L -> 4L, 4L -> 4L, 5L -> 3L))
+    // image violations fail loudly
+    intercept[Exception] {
+      Graph.triangleMaintain(edgesT, countsT,
+        Seq((2L, 3L, "I")).toDF("a", "b", "_op"), "a", "b")
+    }
+    intercept[Exception] {
+      Graph.triangleMaintain(edgesT, countsT,
+        Seq((1L, 9L, "D")).toDF("a", "b", "_op"), "a", "b")
+    }
+    // maintained state ≡ from-scratch recount of the final edge set
+    val recount = Graph.triangleCounts(edgesT.current, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c = counts()
+    recount.foreach { case (n, t) => assert(c(n) == t, s"node $n") }
+  }
+
   test("pageRank total mass stays within floor-leakage of the scale") {
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
     val out = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters = 2)
