@@ -182,7 +182,13 @@ object Graph {
                        batch: DataFrame, aCol: String, bCol: String,
                        opCol: String = "_op", batchId: Option[String] = None): Long = {
     if (batchId.isDefined && edgesT.lastTag == batchId) return edgesT.currentVersion
-    val e0 = edgesT.current.select(col("a"), col("b")).localCheckpoint()
+    val spark0 = batch.sparkSession
+    // not-yet-bootstrapped tables read as empty — a stream may boot the
+    // view from its own first epoch (all-I batch on an empty graph)
+    val e0 =
+      (if (edgesT.exists) edgesT.current.select(col("a"), col("b"))
+       else spark0.range(0).select(col("id").as("a"), col("id").as("b")))
+        .localCheckpoint()
     val ch = batch.select(
         least(col(aCol), col(bCol)).cast("long").as("a"),
         greatest(col(aCol), col(bCol)).cast("long").as("b"),
@@ -246,9 +252,11 @@ object Graph {
     // per-table tag guards make the two applies crash-resumable under the
     // family's redelivery rule: counts commit first, edges last, so the
     // epoch-level early return keys off the LAST table
+    val curCounts =
+      if (countsT.exists) countsT.currentForKeys(delta).select(col("node"), col("cnt"))
+      else spark0.range(0).select(col("id").as("node"), col("id").as("cnt"))
     val updated = delta
-      .join(countsT.currentForKeys(delta).select(col("node"), col("cnt")),
-        Seq("node"), "left_outer")
+      .join(curCounts, Seq("node"), "left_outer")
       .select(col("node"), (coalesce(col("cnt"), lit(0L)) + col("d")).as("cnt"),
         lit("U").as("_op"), lit(1L).as("_seq"))
     if (batchId.isEmpty || countsT.lastTag != batchId)
