@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{GraphQueries, MiscQueries, ParityQueries, RelationalQueries, StatQueries, TextQueries, VectorQueries}
+import graft.queries.{BpeQueries, GraphQueries, MiscQueries, ParityQueries, RelationalQueries, StatQueries, TextQueries, VectorQueries, WebQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,7 +20,7 @@ object SparkEntry {
   private def all: Map[String, ParityQueries.Q] =
     ParityQueries.defs ++ TextQueries.defs ++ VectorQueries.defs ++
       MiscQueries.defs ++ RelationalQueries.defs ++ StatQueries.defs ++
-      GraphQueries.defs
+      GraphQueries.defs ++ WebQueries.defs ++ BpeQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, q) => k -> q.fn }

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge TRAINING (Sennrich, Haddow & Birch, ACL'16
+  * "Neural Machine Translation of Rare Words with Subword Units") — the
+  * real thing, not the pre-token count heuristic (`TextOps.bpeTokenCount`
+  * remains the cheap estimator).
+  *
+  * Scale shape — the part that matters at 100 TB: training never iterates
+  * over the corpus. One corpus scan aggregates to the WORD-FREQUENCY
+  * table (vocabulary-bounded — Heaps' law puts it in the millions of rows
+  * for a 100 TB corpus, i.e. executor-trivial), and every merge iteration
+  * is (pair-explode → sum → argmax) + (one string replace) over that
+  * table only. The argmax collects exactly ONE row per iteration (bounded
+  * metadata, same license as the IVF centroid collects,
+  * Similarity.scala:452). Applying a learned merge table to the corpus is
+  * a per-row expression chain — zero shuffle, scan speed.
+  *
+  * Representation: a word is its symbol sequence joined by single spaces,
+  * with the terminal marker `</w>` as the last symbol ("low" → "l o w
+  * </w>"). Symbols never contain spaces (tokens are [a-z0-9]+ by
+  * `TextOps.normText`; `</w>` is space-free), so the space-delimited
+  * `replace(' '+sym+' ', ' a b ', ' ab ')` merge is exact, and its
+  * leftmost non-overlapping semantics are precisely BPE's greedy merge
+  * order ("a a a" + merge(a,a) → "aa a", never "a aa").
+  *
+  * Determinism: argmax ties break on the pair string ascending; counts
+  * are exact longs — bit-identical across engines, retries and partition
+  * layouts. The DuckDB oracle RE-TRAINS from scratch as one unrolled CTE
+  * chain (the PageRank shared-constants pattern, Graph.scala) — a wrong
+  * tie-break, a missed merged-symbol pair or an overlap bug diverges the
+  * merge table and hash-fails.
+  */
+object Bpe {
+
+  val EndMark = "</w>"
+
+  /** A learned merge: `pair` is "left right", `merged` the fused symbol. */
+  final case class Merge(step: Int, pair: String, merged: String, pairCount: Long)
+
+  private val SymbolOk = "^[a-z0-9</>w ]+$".r
+
+  /** Word-frequency table (word, cnt) → symbol-string form (sym, cnt).
+    * ONE corpus scan; everything after is vocabulary-bounded.
+    */
+  def wordTable(docs: DataFrame, textCol: Column): DataFrame =
+    docs.filter(textCol.isNotNull)
+      .select(explode(TextOps.tokens(textCol)).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(
+        concat(regexp_replace(col("word"), "(.)", "$1 "), lit(EndMark)).as("sym"),
+        col("cnt"))
+
+  /** Adjacent-pair counts over the symbol table, weighted by word count. */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      .select(split(col("sym"), " ").as("s"), col("cnt"))
+      .select(explode(zip_with(
+        slice(col("s"), lit(1), size(col("s")) - 1),
+        slice(col("s"), lit(2), size(col("s")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("pair"), col("cnt"))
+      .groupBy("pair").agg(sum("cnt").as("c"))
+
+  /** Space-delimited merge application: every non-overlapping leftmost
+    * occurrence of `pair` fuses into `merged`. Symbols are space-free by
+    * construction (asserted), so delimiter padding cannot false-match.
+    */
+  private def applyMergeCol(sym: Column, pair: String, merged: String): Column = {
+    require(SymbolOk.findFirstIn(pair).isDefined, s"unsafe merge pair '$pair'")
+    trim(replace(concat(lit(" "), sym, lit(" ")),
+      lit(s" $pair "), lit(s" $merged ")))
+  }
+
+  /** Learn `nMerges` merges from the corpus. Returns the merge list; the
+    * driver loop runs `nMerges` vocabulary-bounded jobs, each collecting
+    * one argmax row. Stops early if no pair remains (tiny corpora).
+    */
+  def train(docs: DataFrame, textCol: Column, nMerges: Int): Seq[Merge] = {
+    require(nMerges > 0, "nMerges must be positive")
+    // The corpus scan happens once: pin the word table, then every
+    // iteration replans only vocabulary-sized work on top of it.
+    var words = wordTable(docs, textCol).localCheckpoint()
+    val out = Seq.newBuilder[Merge]
+    var step = 0
+    var exhausted = false
+    while (step < nMerges && !exhausted) {
+      val best = pairCounts(words)
+        .orderBy(col("c").desc, col("pair").asc).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        val merged = pair.replace(" ", "")
+        out += Merge(step, pair, merged, best(0).getLong(1))
+        words = words
+          .select(applyMergeCol(col("sym"), pair, merged).as("sym"), col("cnt"))
+          .localCheckpoint()
+        step += 1
+      }
+    }
+    out.result()
+  }
+
+  /** The learned merge table as a DataFrame (query/report surface). */
+  def mergeTable(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF("step", "pair", "merged", "pair_count")
+  }
+
+  /** Segment one word-symbol-string column through the merge list in
+    * training order — the tokenizer's encode step, as a per-row
+    * expression chain (no shuffle, no UDF).
+    */
+  def applyMerges(sym: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(sym) { (c, m) => applyMergeCol(c, m.pair, m.merged) }
+
+  /** Per-document subword statistics under a learned merge list:
+    * (doc_id, n_tokens, n_subwords). Whole-corpus pass, zero shuffle:
+    * tokens → per-word symbol strings → merges → symbol counts, all
+    * inside array expressions.
+    */
+  def tokenize(docs: DataFrame, idCol: String, textCol: Column,
+               merges: Seq[Merge]): DataFrame = {
+    val words = filter(TextOps.tokens(textCol), w => length(w) > 0)
+    val syms = transform(words, w =>
+      applyMerges(concat(regexp_replace(w, "(.)", "$1 "), lit(EndMark)), merges))
+    val nSub = aggregate(syms, lit(0L), (acc, s) => acc + size(split(s, " ")))
+    docs.filter(textCol.isNotNull).select(
+      col(idCol),
+      size(words).cast("long").as("n_tokens"),
+      nSub.as("n_subwords"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins BPE training semantics against hand-computed merges: argmax
+  * tie-break, greedy leftmost-non-overlapping application, merged symbols
+  * re-entering the pair pool, early stop on exhaustion, and the
+  * tokenize(train) composition.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("train learns the hand-computed merge sequence on the classic corpus") {
+    // Sennrich's running example shape: {low ×5, lower ×2, newest ×6, widest ×3}
+    val docs = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val merges = Bpe.train(df, col("text"), 4)
+    // pair counts round 1: (e,s)=9, (s,t)=9, (t,</w>)=9 … tie → pair asc: "e s"
+    assert(merges(0).pair == "e s" && merges(0).pairCount == 9)
+    // "es" now pairs with t (9) — tie with (t,</w>)=9 → "es t" < "t </w>"
+    assert(merges(1).pair == "es t" && merges(1).merged == "est")
+    assert(merges(2).pair == "est </w>" && merges(2).pairCount == 9)
+    // next: l o =7 vs o w =7 vs w </w>=5 … → "l o"
+    assert(merges(3).pair == "l o" && merges(3).pairCount == 7)
+  }
+
+  test("merge application is greedy leftmost non-overlapping") {
+    // word "aaa": symbols a a a </w>; merge (a,a) must give [aa, a, </w>]
+    val df = Seq((1L, "aaa")).toDF("id", "text")
+    val merges = Seq(Bpe.Merge(0, "a a", "aa", 2))
+    val out = Bpe.tokenize(df, "id", col("text"), merges).collect().head
+    assert(out.getAs[Long]("n_tokens") == 1)
+    assert(out.getAs[Long]("n_subwords") == 3) // aa, a, </w>
+  }
+
+  test("train stops early when no pairs remain") {
+    val df = Seq((1L, "a b")).toDF("id", "text") // words a,b → "a </w>" each: 1 pair kind each
+    val merges = Bpe.train(df, col("text"), 10)
+    // "a </w>" and "b </w>" merge (tie → "a </w>" first), then nothing pairs
+    assert(merges.length == 2)
+    assert(merges.map(_.pair) == Seq("a </w>", "b </w>"))
+  }
+
+  test("tokenize composes with train: subword count shrinks, floor at one per word") {
+    val docs = (0L until 20L).map(i => (i, "lower newest lowest wide")).toDF("id", "text")
+    val none = Bpe.tokenize(docs, "id", col("text"), Nil).collect().head
+    // no merges: chars + </w> per word: (5+1)+(6+1)+(6+1)+(4+1)
+    assert(none.getAs[Long]("n_subwords") == 25)
+    val merges = Bpe.train(docs, col("text"), 6)
+    val out = Bpe.tokenize(docs, "id", col("text"), merges).collect()
+    assert(out.forall(_.getAs[Long]("n_tokens") == 4))
+    assert(out.forall(r => r.getAs[Long]("n_subwords") < 25 &&
+      r.getAs[Long]("n_subwords") >= 4))
+  }
+
+  test("null and empty texts: nulls dropped, empty yields zero counts") {
+    val df = Seq((1L, "ab"), (2L, null), (3L, "")).toDF("id", "text")
+    val out = Bpe.tokenize(df, "id", col("text"), Nil)
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(1L, 3L))
+    assert(out(1).getAs[Long]("n_tokens") == 0 && out(1).getAs[Long]("n_subwords") == 0)
+  }
+}

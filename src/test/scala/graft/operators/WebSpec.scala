@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the web-ingestion contracts the driver corpus cannot exercise:
+  * WARC framing edges (multi-record walk, unknown headers, empty body,
+  * digest catch, strict-throw vs routed-quarantine split), the HTML
+  * elision/entity-order rules, and URL parse structure incl. the
+  * public-suffix table.
+  */
+class WebSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def warcOf(recs: (String, String)*): Array[Byte] =
+    Web.encodeWarcFile(recs.map { case (u, b) => (u, b.getBytes("UTF-8")) })
+
+  // ---------------- WARC strict parse ----------------
+
+  test("parseWarc walks a multi-record file and reproduces identity + body") {
+    val bytes = warcOf(
+      "https://a/0" -> "hello world",
+      "https://a/1" -> "", // empty body is legal
+      "https://a/2" -> "third record body")
+    val df = Seq((7L, bytes)).toDF("file_id", "content")
+    val out = Web.parseWarc(spark, df).orderBy("rec_idx").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[String]("target_uri")).toSeq ==
+      Seq("https://a/0", "https://a/1", "https://a/2"))
+    assert(out.map(_.getAs[String]("body")).toSeq ==
+      Seq("hello world", "", "third record body"))
+    assert(out.map(_.getAs[Long]("content_length")).toSeq == Seq(11L, 0L, 17L))
+    assert(out.forall(_.getAs[String]("warc_type") == "response"))
+  }
+
+  test("parseWarc tolerates unknown headers, multibyte bodies count bytes not chars") {
+    // Splice an extra header into a record by rebuilding it manually.
+    val body = "café" // 5 bytes UTF-8, 4 chars
+    val rec = new String(warcOf("https://a/x" -> body), "ISO-8859-1")
+      .replaceFirst("WARC-Type", "X-Custom: v\r\nWARC-Type")
+    val df = Seq((1L, rec.getBytes("ISO-8859-1"))).toDF("file_id", "content")
+    val out = Web.parseWarc(spark, df).collect()
+    assert(out.head.getAs[Long]("content_length") == 5L)
+    assert(out.head.getAs[String]("body") == body)
+  }
+
+  test("parseWarc throws on bad magic, truncation, and digest mismatch") {
+    val good = warcOf("https://a/0" -> "hello world")
+    def run(b: Array[Byte]): Unit =
+      Web.parseWarc(spark, Seq((1L, b)).toDF("file_id", "content")).collect()
+    // bad magic
+    val badMagic = good.clone(); badMagic(0) = 'X'
+    assertThrows[org.apache.spark.SparkException](run(badMagic))
+    // truncated mid-body
+    assertThrows[org.apache.spark.SparkException](run(good.dropRight(6)))
+    // body flip → digest mismatch (framing still valid)
+    val flipped = good.clone(); flipped(good.length - 5) = 'X'
+    assertThrows[org.apache.spark.SparkException](run(flipped))
+  }
+
+  // ---------------- WARC routed quarantine ----------------
+
+  test("parseWarcRouted: container fault routes the file, digest fault counts the record") {
+    val good = warcOf("https://a/0" -> "ab", "https://a/1" -> "cd", "https://a/2" -> "ef")
+    val badMagic = good.clone(); badMagic(0) = 'X'
+    // flip the LAST body byte ('f' of record 2) — siblings must survive
+    val flipped = good.clone(); flipped(good.length - 5) = 'X'
+    val df = Seq((0L, good), (1L, badMagic), (2L, flipped), (3L, null))
+      .toDF("file_id", "content")
+    val out = Web.parseWarcRouted(spark, df).orderBy("file_id").collect()
+    val Seq(g, bm, fl, nl) = out.toSeq
+    assert(g.getAs[Boolean]("decode_ok") && g.getAs[Int]("n_records") == 3 &&
+      g.getAs[Int]("n_bad_records") == 0 &&
+      g.getAs[Long]("sum_body_cp") == "abcdef".map(_.toLong).sum)
+    assert(!bm.getAs[Boolean]("decode_ok") && bm.isNullAt(bm.fieldIndex("n_records")))
+    assert(fl.getAs[Boolean]("decode_ok") && fl.getAs[Int]("n_records") == 3 &&
+      fl.getAs[Int]("n_bad_records") == 1 &&
+      fl.getAs[Long]("sum_body_cp") == "abcd".map(_.toLong).sum)
+    assert(nl.isNullAt(nl.fieldIndex("decode_ok")))
+  }
+
+  test("parseWarcRouted quarantines on Content-Length past EOF and malformed header") {
+    val lied = new String(warcOf("https://a/0" -> "ab"), "ISO-8859-1")
+      .replaceFirst("Content-Length: 2", "Content-Length: 9999")
+    val noColon = new String(warcOf("https://a/0" -> "ab"), "ISO-8859-1")
+      .replaceFirst("WARC-Type: response", "WARC-Type response XX")
+    val df = Seq((0L, lied.getBytes("ISO-8859-1")), (1L, noColon.getBytes("ISO-8859-1")))
+      .toDF("file_id", "content")
+    val out = Web.parseWarcRouted(spark, df).collect()
+    assert(out.forall(r => !r.getAs[Boolean]("decode_ok")))
+  }
+
+  // ---------------- HTML extraction ----------------
+
+  private def html(s: String): String = {
+    val df = Seq(Tuple1(s)).toDF("h")
+    df.select(Web.htmlText(col("h")).as("t")).collect().head.getAs[String]("t")
+  }
+
+  test("htmlText strips comments, script/style subtrees, tags; collapses whitespace") {
+    assert(html("<p>a</p>\n\t<p>b</p>") == "a b")
+    assert(html("x<!-- multi\nline <p>comment</p> -->y") == "x y")
+    assert(html("a<script>if (1 < 2) { x = '<p>'; }</script>b") == "a b")
+    assert(html("a<style>p > span { color: red }</style>b") == "a b")
+    assert(html("<SCRIPT src=\"x\">s</SCRIPT>k") == "k") // case-insensitive + attrs
+    assert(html("<div class=\"a\"><span>nested</span></div>") == "nested")
+  }
+
+  test("htmlText entity decode: amp last, so double-escapes single-decode") {
+    assert(html("a &amp; b") == "a & b")
+    assert(html("&lt;tag&gt;") == "<tag>")
+    assert(html("&amp;lt;") == "&lt;") // NOT "<" — the serializer order
+    assert(html("a&nbsp;&nbsp;b") == "a b")
+    assert(html("&quot;q&quot; &#39;s&#39;") == "\"q\" 's'")
+  }
+
+  // ---------------- URL parse ----------------
+
+  private def parts(u: String): Map[String, Any] = {
+    val df = Seq(Tuple1(u)).toDF("url")
+    val r = Web.withUrlParts(df, "url").collect().head
+    r.schema.fieldNames.map(n => n -> (if (r.isNullAt(r.fieldIndex(n))) null else r.get(r.fieldIndex(n)))).toMap
+  }
+
+  test("urlParts extracts scheme/host/port/path/query") {
+    val p = parts("https://data.example.co.uk:8443/a/b?x=1&y=2")
+    assert(p("scheme") == "https" && p("host") == "data.example.co.uk")
+    assert(p("port") == 8443 && p("path") == "/a/b" && p("query") == "x=1&y=2")
+    assert(p("reg_domain") == "example.co.uk") // two-label public suffix → 3 labels
+    val q = parts("http://www.example.com/only/path")
+    assert(q("port") == null && q("query") == null && q("reg_domain") == "example.com")
+  }
+
+  test("urlParts edges: bare 2-label host, single label, empty path, fragment-free query") {
+    assert(parts("https://example.org")("reg_domain") == "example.org")
+    assert(parts("https://localhost:9000/x")("reg_domain") == "localhost")
+    assert(parts("https://example.org")("path") == "")
+    assert(parts("https://a.example.com/p?k=v#frag")("query") == "k=v")
+  }
+}
