@@ -18,13 +18,18 @@ import org.apache.spark.sql.functions._
   * Similarity.scala:452). Applying a learned merge table to the corpus is
   * a per-row expression chain — zero shuffle, scan speed.
   *
-  * Representation: a word is its symbol sequence joined by single spaces,
-  * with the terminal marker `</w>` as the last symbol ("low" → "l o w
-  * </w>"). Symbols never contain spaces (tokens are [a-z0-9]+ by
-  * `TextOps.normText`; `</w>` is space-free), so the space-delimited
-  * `replace(' '+sym+' ', ' a b ', ' ab ')` merge is exact, and its
-  * leftmost non-overlapping semantics are precisely BPE's greedy merge
-  * order ("a a a" + merge(a,a) → "aa a", never "a aa").
+  * Representation: a word is its symbol sequence with each symbol
+  * paren-wrapped ("low" → "(l)(o)(w)(</w>)", `</w>` the terminal marker).
+  * Parens appear ONLY as delimiters (tokens are [a-z0-9]+ by
+  * `TextOps.normText`), so `replace(sym, '(a)(b)', '(ab)')` can match
+  * only whole adjacent symbols, and — because adjacent matches share no
+  * characters — its leftmost non-overlapping semantics are exactly BPE's
+  * greedy merge pass: "(a)(a)(a)" + merge(a,a) → "(aa)(a)", and
+  * back-to-back runs fully merge, "(q)(q)(q)(q)" → "(qq)(qq)". (A
+  * space-JOINED form is subtly wrong here: replacing " a b " consumes
+  * the shared trailing delimiter, so the second pair of a run no longer
+  * has its leading space and survives unmerged — caught by the
+  * BpeCount-kernel equivalence spec.)
   *
   * Determinism: argmax ties break on the pair string ascending; counts
   * are exact longs — bit-identical across engines, retries and partition
@@ -42,8 +47,9 @@ object Bpe {
 
   private val SymbolOk = "^[a-z0-9</>w ]+$".r
 
-  /** Word-frequency table (word, cnt) → symbol-string form (sym, cnt).
-    * ONE corpus scan; everything after is vocabulary-bounded.
+  /** Word-frequency table (word, cnt) → paren-wrapped symbol form
+    * (sym, cnt), e.g. "(l)(o)(w)(</w>)". ONE corpus scan; everything
+    * after is vocabulary-bounded.
     */
   def wordTable(docs: DataFrame, textCol: Column): DataFrame =
     docs.filter(textCol.isNotNull)
@@ -51,27 +57,36 @@ object Bpe {
       .filter(length(col("word")) > 0)
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .select(
-        concat(regexp_replace(col("word"), "(.)", "$1 "), lit(EndMark)).as("sym"),
+        concat(regexp_replace(col("word"), "(.)", "($1)"), lit(s"($EndMark)")).as("sym"),
         col("cnt"))
 
-  /** Adjacent-pair counts over the symbol table, weighted by word count. */
+  /** Symbol list of a paren-wrapped column: strip the outer parens, split
+    * on the ")(" seams.
+    */
+  private def symbolsOf(sym: Column): Column =
+    split(sym.substr(lit(2), length(sym) - 2), "[)][(]")
+
+  /** Adjacent-pair counts over the symbol table, weighted by word count.
+    * Pair display form is "left right" (space-joined) — symbols never
+    * contain spaces, so it splits back losslessly.
+    */
   private def pairCounts(words: DataFrame): DataFrame =
     words
-      .select(split(col("sym"), " ").as("s"), col("cnt"))
+      .select(symbolsOf(col("sym")).as("s"), col("cnt"))
       .select(explode(zip_with(
         slice(col("s"), lit(1), size(col("s")) - 1),
         slice(col("s"), lit(2), size(col("s")) - 1),
         (a, b) => concat(a, lit(" "), b))).as("pair"), col("cnt"))
       .groupBy("pair").agg(sum("cnt").as("c"))
 
-  /** Space-delimited merge application: every non-overlapping leftmost
-    * occurrence of `pair` fuses into `merged`. Symbols are space-free by
-    * construction (asserted), so delimiter padding cannot false-match.
+  /** One greedy merge pass: every non-overlapping leftmost occurrence of
+    * "(a)(b)" fuses into "(ab)". Adjacent matches share no characters, so
+    * back-to-back runs fully merge — see the representation note above.
     */
   private def applyMergeCol(sym: Column, pair: String, merged: String): Column = {
     require(SymbolOk.findFirstIn(pair).isDefined, s"unsafe merge pair '$pair'")
-    trim(replace(concat(lit(" "), sym, lit(" ")),
-      lit(s" $pair "), lit(s" $merged ")))
+    val Array(a, b) = pair.split(" ", 2)
+    replace(sym, lit(s"($a)($b)"), lit(s"($merged)"))
   }
 
   /** Learn `nMerges` merges from the corpus. Returns the merge list; the
@@ -109,6 +124,13 @@ object Bpe {
     merges.toDF("step", "pair", "merged", "pair_count")
   }
 
+  /** Merge list as (left, right) symbol pairs — the kernels' input form. */
+  def pairsOf(merges: Seq[Merge]): Seq[(String, String)] =
+    merges.map { m =>
+      val p = m.pair.split(" ", 2)
+      (p(0), p(1))
+    }
+
   /** Segment one word-symbol-string column through the merge list in
     * training order — the tokenizer's encode step, as a per-row
     * expression chain (no shuffle, no UDF).
@@ -117,16 +139,33 @@ object Bpe {
     merges.foldLeft(sym) { (c, m) => applyMergeCol(c, m.pair, m.merged) }
 
   /** Per-document subword statistics under a learned merge list:
-    * (doc_id, n_tokens, n_subwords). Whole-corpus pass, zero shuffle:
-    * tokens → per-word symbol strings → merges → symbol counts, all
-    * inside array expressions.
+    * (doc_id, n_tokens, n_subwords). Whole-corpus pass, zero shuffle,
+    * via the [[graft.functions.BpeCount]] codegen kernel — one tight
+    * loop per row instead of O(merges) interpreted string replaces per
+    * word (the HOF twin below stays as the equivalence gate).
     */
   def tokenize(docs: DataFrame, idCol: String, textCol: Column,
                merges: Seq[Merge]): DataFrame = {
     val words = filter(TextOps.tokens(textCol), w => length(w) > 0)
+    docs.filter(textCol.isNotNull).select(
+      col(idCol),
+      size(words).cast("long").as("n_tokens"),
+      graft.functions.BpeKernels.bpe_count(words, pairsOf(merges))
+        .as("n_subwords"))
+  }
+
+  /** The pure-expression twin of [[tokenize]] (HOF transform + the
+    * replace chain) — semantics reference for the kernel, spec-pinned
+    * equal on arbitrary corpora.
+    */
+  def tokenizeExpr(docs: DataFrame, idCol: String, textCol: Column,
+                   merges: Seq[Merge]): DataFrame = {
+    val words = filter(TextOps.tokens(textCol), w => length(w) > 0)
     val syms = transform(words, w =>
-      applyMerges(concat(regexp_replace(w, "(.)", "$1 "), lit(EndMark)), merges))
-    val nSub = aggregate(syms, lit(0L), (acc, s) => acc + size(split(s, " ")))
+      applyMerges(concat(regexp_replace(w, "(.)", "($1)"), lit(s"($EndMark)")), merges))
+    // n symbols == n opening parens: length minus length-without-'('
+    val nSub = aggregate(syms, lit(0L),
+      (acc, s) => acc + (length(s) - length(replace(s, lit("("), lit("")))).cast("long"))
     docs.filter(textCol.isNotNull).select(
       col(idCol),
       size(words).cast("long").as("n_tokens"),

@@ -257,6 +257,228 @@ object Web {
   }
 
   // ---------------------------------------------------------------------
+  // Gzip-member WARC (the production crawl-archive layout)
+  // ---------------------------------------------------------------------
+
+  /** One gzip member (RFC 1952: 10-byte header, raw-deflate body, CRC32 +
+    * ISIZE trailer) per payload. MTIME/XFL/OS pinned to zero for
+    * byte-determinism across JVMs and retries.
+    */
+  private[operators] def gzipMember(payload: Array[Byte]): Array[Byte] = {
+    val deflater = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, /* nowrap = raw deflate */ true)
+    deflater.setInput(payload)
+    deflater.finish()
+    val out = new java.io.ByteArrayOutputStream(payload.length / 2 + 64)
+    out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0))
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val crc = new java.util.zip.CRC32()
+    crc.update(payload)
+    val tail = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt((crc.getValue & 0xFFFFFFFFL).toInt)
+      .putInt(payload.length)
+    out.write(tail.array())
+    out.toByteArray
+  }
+
+  /** Walk one gzip member starting at `pos`: parse the RFC 1952 header
+    * (honoring FEXTRA/FNAME/FCOMMENT/FHCRC), inflate the raw deflate
+    * stream, verify CRC32 + ISIZE, and return (payload, bytesConsumed).
+    * Member length is discoverable only by inflating — exactly why the
+    * member-per-record convention exists: it makes each RECORD an
+    * independently decompressable unit.
+    */
+  private def gunzipMemberAt(bytes: Array[Byte], pos: Int): (Array[Byte], Int) = {
+    def fail(msg: String): Nothing = throw new WarcException(s"$msg at offset $pos")
+    if (pos + 10 > bytes.length || bytes(pos) != 0x1f || bytes(pos + 1) != 0x8b.toByte)
+      fail("bad gzip magic")
+    if (bytes(pos + 2) != 8) fail("unsupported gzip compression method")
+    val flg = bytes(pos + 3) & 0xFF
+    var p = pos + 10
+    if ((flg & 4) != 0) { // FEXTRA
+      if (p + 2 > bytes.length) fail("truncated FEXTRA")
+      p += 2 + ((bytes(p) & 0xFF) | ((bytes(p + 1) & 0xFF) << 8))
+    }
+    if ((flg & 8) != 0) { while (p < bytes.length && bytes(p) != 0) p += 1; p += 1 } // FNAME
+    if ((flg & 16) != 0) { while (p < bytes.length && bytes(p) != 0) p += 1; p += 1 } // FCOMMENT
+    if ((flg & 2) != 0) p += 2 // FHCRC
+    if (p >= bytes.length) fail("truncated gzip header")
+    val inflater = new java.util.zip.Inflater(/* nowrap */ true)
+    inflater.setInput(bytes, p, bytes.length - p)
+    val out = new java.io.ByteArrayOutputStream(8192)
+    val buf = new Array[Byte](8192)
+    try {
+      while (!inflater.finished()) {
+        val n = inflater.inflate(buf)
+        if (n == 0 && !inflater.finished()) fail("truncated or stalled deflate stream")
+        out.write(buf, 0, n)
+      }
+      val payload = out.toByteArray
+      val trailerAt = p + inflater.getBytesRead.toInt
+      if (trailerAt + 8 > bytes.length) fail("truncated gzip trailer")
+      def le32(o: Int): Long =
+        (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
+          ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+      val crc = new java.util.zip.CRC32()
+      crc.update(payload)
+      if (le32(trailerAt) != crc.getValue) fail("gzip CRC32 mismatch")
+      if (le32(trailerAt + 4) != (payload.length & 0xFFFFFFFFL)) fail("gzip ISIZE mismatch")
+      (payload, trailerAt + 8 - pos)
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        fail(s"corrupt deflate stream: ${e.getMessage}")
+    } finally inflater.end()
+  }
+
+  /** Pack an (id, text) frame into member-gzipped WARC files — ONE gzip
+    * member per record, concatenated — the production crawl-archive
+    * layout (it keeps every record independently decompressable, which is
+    * what makes record-level splitting and random access possible on a
+    * multi-GB archive member).
+    */
+  def asWarcGzTable(spark: SparkSession, df: DataFrame, idCol: String,
+                    payloadCol: String, recordsPerFile: Int = 5): DataFrame = {
+    require(recordsPerFile > 0, "recordsPerFile must be positive")
+    val out = df
+      .filter(col(payloadCol).isNotNull)
+      .select((col(idCol).cast("long") / recordsPerFile).cast("long").as("file_id"),
+        col(idCol).cast("long").as("id"),
+        encode(col(payloadCol), "UTF-8").as("payload"))
+      .groupBy("file_id")
+      .agg(sort_array(collect_list(struct(col("id"), col("payload")))).as("recs"))
+      .rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val fileId = r.getAs[Long]("file_id")
+          val recs = r.getAs[scala.collection.Seq[Row]]("recs")
+          val members = recs.map { rec =>
+            gzipMember(warcRecord(fixtureUri(rec.getAs[Long]("id")),
+              rec.getAs[Array[Byte]]("payload")))
+          }
+          val bytes = new Array[Byte](members.map(_.length).sum)
+          var posn = 0
+          members.foreach { m => System.arraycopy(m, 0, bytes, posn, m.length); posn += m.length }
+          Row(fileId, bytes, bytes.length.toLong)
+        }
+      }
+    spark.createDataFrame(out, warcFileSchema)
+  }
+
+  /** Strict parse of a member-gzipped WARC file: walk the concatenated
+    * gzip members (header parse → inflate → CRC/ISIZE verify), then parse
+    * each member's single WARC record. Output schema matches
+    * [[parseWarc]] plus the member index — compression is transparent to
+    * the record surface, which is the whole point.
+    */
+  def parseWarcGz(spark: SparkSession, warcGzFiles: DataFrame): DataFrame = {
+    val out = warcGzFiles.select(col("file_id").cast("long"), col("content"))
+      .rdd.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val fileId = r.getAs[Long]("file_id")
+          val bytes = r.getAs[Array[Byte]]("content")
+          new Iterator[Row] {
+            private var pos = 0
+            private var idx = 0
+            def hasNext: Boolean = pos < bytes.length
+            def next(): Row = {
+              val (member, consumed) = gunzipMemberAt(bytes, pos)
+              pos += consumed
+              val recs = walkWarc(member)
+              if (recs.length != 1)
+                throw new WarcException(
+                  s"member $idx of file $fileId holds ${recs.length} records, expected 1")
+              val rec = recs.head
+              if (!rec.digestOk)
+                throw new WarcException(s"block digest mismatch: file $fileId member $idx")
+              val row = Row(fileId, idx, rec.warcType, rec.uri, rec.contentLength,
+                new String(rec.body, "UTF-8"))
+              idx += 1
+              row
+            }
+          }
+        }
+      }
+    spark.createDataFrame(out, warcRecordSchema)
+  }
+
+  /** Two-layer quarantine for member-gzipped archives, one row per FILE:
+    * a corrupt member (bad gzip framing, CRC/ISIZE mismatch, malformed
+    * contained record, digest fail) is counted in `n_bad_records` and the
+    * walk RESYNCS — members behind the fault survive, the property the
+    * member-per-record layout exists to provide. Only a file that does
+    * not START with a gzip magic quarantines wholesale.
+    *
+    * Resync counts one corruption EPISODE as ONE bad record: after a
+    * failure the walk scans forward for the next offset that parses as a
+    * fully VALID member (gzip framing + CRC/ISIZE + well-formed record +
+    * digest), so 0x1f8b byte pairs that happen to occur inside the
+    * corrupted member's deflate stream cannot inflate the bad count —
+    * deterministic counts are what lets the oracle state this column.
+    */
+  def parseWarcGzRouted(spark: SparkSession, warcGzFiles: DataFrame): DataFrame = {
+    val out = warcGzFiles.select(col("file_id").cast("long"), col("content"))
+      .rdd.mapPartitions { rows =>
+        rows.map { r =>
+          val fileId = r.getAs[Long]("file_id")
+          val bytes = r.getAs[Array[Byte]]("content")
+          if (bytes == null) Row(fileId, null, null, null, null)
+          else if (bytes.length < 2 || bytes(0) != 0x1f || bytes(1) != 0x8b.toByte)
+            Row(fileId, false, null, null, null)
+          else {
+            def nextMagic(from: Int): Int = {
+              var i = math.max(from, 0)
+              while (i + 1 < bytes.length &&
+                !(bytes(i) == 0x1f && bytes(i + 1) == 0x8b.toByte)) i += 1
+              if (i + 1 < bytes.length) i else bytes.length
+            }
+            // full validation of the member at `pos`: (record, consumed)
+            def parseAt(pos: Int): (WarcRec, Int) = {
+              val (member, consumed) = gunzipMemberAt(bytes, pos)
+              val recs = walkWarc(member)
+              if (recs.length != 1) throw new WarcException(
+                s"member holds ${recs.length} records, expected 1")
+              if (!recs.head.digestOk) throw new WarcException("digest mismatch")
+              (recs.head, consumed)
+            }
+            var pos = 0
+            var n = 0
+            var bad = 0
+            var sum = 0L
+            while (pos < bytes.length) {
+              try {
+                val (rec, consumed) = parseAt(pos)
+                val s = new String(rec.body, "UTF-8")
+                var i = 0
+                while (i < s.length) {
+                  val cp = s.codePointAt(i); sum += cp; i += Character.charCount(cp)
+                }
+                n += 1
+                pos += consumed
+              } catch {
+                case _: WarcException | _: ArrayIndexOutOfBoundsException =>
+                  bad += 1; n += 1
+                  var cand = nextMagic(pos + 2)
+                  var found = -1
+                  while (found < 0 && cand < bytes.length) {
+                    try { parseAt(cand); found = cand }
+                    catch {
+                      case _: WarcException | _: ArrayIndexOutOfBoundsException =>
+                        cand = nextMagic(cand + 2)
+                    }
+                  }
+                  pos = if (found >= 0) found else bytes.length
+              }
+            }
+            Row(fileId, true, n, bad, sum)
+          }
+        }
+      }
+    spark.createDataFrame(out, warcRoutedSchema)
+  }
+
+  // ---------------------------------------------------------------------
   // HTML main-text extraction
   // ---------------------------------------------------------------------
 

