@@ -33,6 +33,33 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Seeded ±1 sign row j of the Johnson–Lindenstrauss projection matrix
+    * (Achlioptas JCSS'03's database-friendly variant, the ±1 case) —
+    * deterministic per (j, dim), shared with the oracle's literal lists.
+    * ±1.0f multiplies are IEEE-exact (x·±1 = ±x bit-for-bit), so the
+    * projection is a pure signed SUM of elements in index order — the
+    * same float-multiply/double-accumulate class every dot oracle uses.
+    */
+  def jlSigns(j: Int, dim: Int): Array[Float] = {
+    val rng = new java.util.Random(7000003L * (j + 1))
+    Array.fill(dim)(if (rng.nextBoolean()) 1.0f else -1.0f)
+  }
+
+  /** Random sign projection to k dims: p_j = ⟨v, s_j⟩/√k. Per-row, zero
+    * shuffle — the dimensionality-reduction front of an ANN pipeline
+    * (pairwise distances preserved within 1±ε for k = O(log n / ε²));
+    * each output dim is one [[dot]] against a plan-literal sign row, so
+    * the whole projection stays inside whole-stage codegen.
+    */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String,
+                k: Int, dim: Int): DataFrame = {
+    require(k > 0 && dim > 0, "k and dim must be positive")
+    val scale = math.sqrt(k.toDouble)
+    df.select(col(idCol) +: (0 until k).map { j =>
+      (dot(col(vecCol), typedLit(jlSigns(j, dim).toSeq)) / scale).as(s"p$j")
+    }: _*)
+  }
+
   /** Exact top-k cosine neighbors for each query row. `queries` is expected
     * to be small (it is broadcast); the corpus streams map-side — no corpus
     * shuffle. Norms are computed once per row BEFORE the pairwise stage (per

@@ -566,4 +566,31 @@ object Web {
   /** Attach the parsed URL columns to a frame. */
   def withUrlParts(df: DataFrame, urlCol: String): DataFrame =
     urlParts(col(urlCol)).foldLeft(df) { case (d, (name, c)) => d.withColumn(name, c) }
+
+  /** Crawl-frontier URL canonicalization — the transforms every crawler
+    * applies before frontier dedup (RFC 3986 §6 syntax-based
+    * normalization, the case+port+fragment subset):
+    * lowercase scheme and host (case-insensitive by spec), strip the
+    * scheme's default port (:80 http, :443 https), drop the fragment
+    * (never sent to the server), empty path → "/". Path and query keep
+    * their case — they are server-interpreted. Pure codegen expression
+    * chain; dot-segment resolution is out of scope (frontiers resolve
+    * relative references before this point).
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, s"(?i)$SchemeRe", 1))
+    val authority = regexp_extract(noFrag, s"(?i)$AuthorityRe", 1)
+    val host = lower(regexp_extract(authority, HostRe, 1))
+    val portS = regexp_extract(authority, PortRe, 1)
+    val dropPort = portS === "" ||
+      (scheme === "http" && portS === "80") ||
+      (scheme === "https" && portS === "443")
+    val path = regexp_extract(noFrag, s"(?i)$PathRe", 1)
+    val q = regexp_extract(noFrag, QueryRe, 1)
+    concat(scheme, lit("://"), host,
+      when(dropPort, lit("")).otherwise(concat(lit(":"), portS)),
+      when(path === "", lit("/")).otherwise(path),
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
+  }
 }

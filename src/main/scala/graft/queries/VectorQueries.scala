@@ -101,6 +101,31 @@ object VectorQueries {
 
   val defs: Map[String, Q] = Map(
 
+    // ----- Johnson–Lindenstrauss sign projection (dim reduction) ---------
+    // 64-dim embeddings → 8 signed sums (Achlioptas ±1 rows, seeded —
+    // the SAME arrays are plan literals in Spark and list literals in the
+    // oracle). ±1.0f multiplies are IEEE-exact, so both engines compute
+    // identical signed sums in index order with double accumulation —
+    // the proven float-dot oracle class, no tolerance needed.
+    "q_jl_project" -> Q(
+      (s, d) => Similarity.jlProject(Td.embeddings(s, d), "vec_id", "embedding",
+        k = 8, dim = 64),
+      Some {
+        val signCols = (0 until 8).map { j =>
+          val lits = Similarity.jlSigns(j, 64)
+            .map(v => if (v > 0) "1.0" else "-1.0").mkString(", ")
+          s"CAST([$lits] AS FLOAT[]) AS s$j"
+        }.mkString(",\n    ")
+        val projCols = (0 until 8).map { j =>
+          s"list_sum([e[i]*s$j[i] for i in range(1, 65)]) / sqrt(8) AS p$j"
+        }.mkString(",\n  ")
+        s"""SELECT vec_id,
+           |  $projCols
+           |FROM (SELECT vec_id, embedding AS e,
+           |    $signCols
+           |  FROM embeddings) t""".stripMargin
+      }),
+
     // ----- brute-force exact cosine top-k (baseline ANN) -------------------
     "q_cosine_topk" -> Q(
       (s, d) => {

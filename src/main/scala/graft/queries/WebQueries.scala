@@ -65,9 +65,46 @@ object WebQueries {
     when(col("doc_id") % 2 === 0, concat(lit("?q="), col("doc_id") % 13, lit("&lang=en")))
       .otherwise(lit("")))
 
-  private def caseBy5(vals: Seq[String]): String =
-    "CASE CAST(doc_id % 5 AS INT) " +
+  private def caseBy(mod: Int, vals: Seq[String]): String =
+    s"CASE CAST(doc_id % $mod AS INT) " +
       vals.zipWithIndex.map { case (v, i) => s"WHEN $i THEN '$v'" }.mkString(" ") + " END"
+
+  private def caseBy5(vals: Seq[String]): String = caseBy(5, vals)
+
+  // --- canonicalization fixture (mixed case/ports/fragments by doc_id) ---
+  private val SchemesRaw = Seq("HTTP", "https", "Http") // doc_id%3
+  private val CanonSchemes = Seq("http", "https", "http")
+  private val HostsRaw = Seq("WWW.Example.COM", "www.example.com",
+    "Data.Example.CO.UK", "cdn.example.org") // doc_id%4
+  private val PortsRaw = Seq(":80", ":443", ":8080", "", ":80") // doc_id%5
+
+  private def pick(vals: Seq[String], mod: Int) =
+    element_at(array(vals.map(lit): _*), (col("doc_id") % mod).cast("int") + 1)
+
+  private def canonFixture = concat(
+    pick(SchemesRaw, 3), lit("://"), pick(HostsRaw, 4), pick(PortsRaw, 5),
+    when(col("doc_id") % 2 === 1, lit("/A/b")).otherwise(lit("")),
+    when(col("doc_id") % 3 === 1, lit("?x=Y")).otherwise(lit("")),
+    when(col("doc_id") % 2 === 0, lit("#Sec1")).otherwise(lit("")))
+
+  private def canonFixtureSql: String =
+    s"${caseBy(3, SchemesRaw)} || '://' || ${caseBy(4, HostsRaw)} || ${caseBy(5, PortsRaw)} || " +
+      "(CASE WHEN doc_id % 2 = 1 THEN '/A/b' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 3 = 1 THEN '?x=Y' ELSE '' END) || " +
+      "(CASE WHEN doc_id % 2 = 0 THEN '#Sec1' ELSE '' END)"
+
+  /** Expected canonical form, restated from the CASE tables: lowercased
+    * scheme/host, default port dropped iff it matches the canonical
+    * scheme (:80 survives under https, :443 under http), fragment gone,
+    * empty path → "/".
+    */
+  private def canonExpectedSql: String =
+    s"${caseBy(3, CanonSchemes)} || '://' || ${caseBy(4, HostsRaw.map(_.toLowerCase))} || " +
+      "(CASE CAST(doc_id % 5 AS INT) WHEN 2 THEN ':8080' WHEN 3 THEN '' " +
+      "  WHEN 1 THEN (CASE WHEN doc_id % 3 = 1 THEN '' ELSE ':443' END) " +
+      "  ELSE (CASE WHEN doc_id % 3 = 1 THEN ':80' ELSE '' END) END) || " +
+      "(CASE WHEN doc_id % 2 = 1 THEN '/A/b' ELSE '/' END) || " +
+      "(CASE WHEN doc_id % 3 = 1 THEN '?x=Y' ELSE '' END)"
 
   val defs: Map[String, Q] = Map(
 
@@ -226,6 +263,29 @@ object WebQueries {
               |       THEN 'q=' || (doc_id % 13) || '&lang=en' END AS query,
               |  ${caseBy5(RegDomains)} AS reg_domain
               |FROM documents""".stripMargin)),
+
+    // ----- crawl-frontier URL canonicalization ---------------------------
+    // Mixed-case schemes/hosts, default and non-default ports, fragments
+    // and empty paths, generated from doc_id arithmetic; the oracle
+    // restates the canonical form from the same CASE table (first
+    // principles — no regex on the oracle side), plus a window count of
+    // how many corpus URLs collapse onto each canonical form (the
+    // frontier-dedup composition — every row must canonicalize exactly
+    // for any count to match).
+    "q_url_canonical" -> Q(
+      (s, d) => {
+        val raw = Td.documents(s, d).select(col("doc_id"), canonFixture.as("url"))
+        raw.withColumn("canon_url", Web.canonicalizeUrl(col("url")))
+          .withColumn("n_same_canon",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("canon_url"))))
+      },
+      Some(s"""WITH u AS (SELECT doc_id, $canonFixtureSql AS url,
+              |    $canonExpectedSql AS canon_url
+              |  FROM documents)
+              |SELECT doc_id, url, canon_url,
+              |  CAST(count(*) OVER (PARTITION BY canon_url) AS BIGINT) AS n_same_canon
+              |FROM u""".stripMargin)),
 
     // ----- per-registered-domain curation quota --------------------------
     // The quota composition a crawl curation pass runs: parse URLs, group

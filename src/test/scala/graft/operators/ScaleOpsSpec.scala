@@ -251,4 +251,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(del2 == Seq(1L, 2L))
     assert(u.current.collect()(0).getInt(2) == 3)
   }
+
+  test("jlProject: deterministic signs, basis vectors project to ±1/√k exactly") {
+    val s = spark
+    import s.implicits._
+    // seeded sign rows are stable across calls (plan literals must agree
+    // with any re-generated oracle)
+    assert(Similarity.jlSigns(3, 64).toSeq == Similarity.jlSigns(3, 64).toSeq)
+    // basis vector e_i projects to s_j(i)/√k exactly — signed-sum arithmetic
+    val dim = 16
+    val basis = (0 until dim).map { i =>
+      (i.toLong, Array.tabulate(dim)(x => if (x == i) 1.0f else 0.0f).toSeq)
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.jlProject(basis, "vec_id", "embedding", k = 4, dim = dim)
+      .orderBy("vec_id").collect()
+    val scale = math.sqrt(4.0)
+    for (i <- 0 until dim; j <- 0 until 4) {
+      val expected = Similarity.jlSigns(j, dim)(i) / scale
+      assert(out(i).getDouble(1 + j) == expected, s"vec $i dim $j")
+    }
+  }
 }

@@ -202,4 +202,23 @@ class WebSpec extends SparkSpec {
     assert(parts("https://example.org")("path") == "")
     assert(parts("https://a.example.com/p?k=v#frag")("query") == "k=v")
   }
+
+  // ---------------- URL canonicalization ----------------
+
+  private def canon(u: String): String = {
+    val df = Seq(Tuple1(u)).toDF("url")
+    df.select(Web.canonicalizeUrl(col("url")).as("c")).collect().head.getString(0)
+  }
+
+  test("canonicalizeUrl: case, default ports, fragments, empty path") {
+    assert(canon("HTTP://WWW.Example.COM:80/A/b#x") == "http://www.example.com/A/b")
+    assert(canon("https://Host.Example.org:443") == "https://host.example.org/")
+    // :80 is only default for http — https keeps it (and vice versa)
+    assert(canon("https://h.example:80/p") == "https://h.example:80/p")
+    assert(canon("http://h.example:443/p") == "http://h.example:443/p")
+    assert(canon("http://h.example:8080/p?Q=V#frag") == "http://h.example:8080/p?Q=V")
+    // path and query case preserved; fragment-only difference collapses
+    assert(canon("Http://E.com/Path?K=V#a") == canon("http://e.COM/Path?K=V#b"))
+    assert(canon("http://e.com/Path") != canon("http://e.com/path"))
+  }
 }
