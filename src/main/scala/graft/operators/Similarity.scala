@@ -60,6 +60,51 @@ object Similarity {
     }: _*)
   }
 
+  /** ANN via JL candidate generation: score query×corpus in the
+    * kProj-dim projected space (negative squared L2 — JL's native
+    * metric, division-free so zero-norm rows can't 0/0), keep the top
+    * `candidates` per query, then exact-cosine re-rank ONLY those in
+    * full dimension. The projected pass is the one that touches the
+    * whole corpus, carrying kProj floats per row instead of dim — the
+    * map-width reduction is the point at 100 TB; recall is priced by the
+    * same in-plan gate as every ANN operator.
+    */
+  def jlTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, dim: Int, kProj: Int = 8,
+             candidates: Int = 64): DataFrame = {
+    require(candidates >= k, "candidate pool must cover k")
+    val scale = math.sqrt(kProj.toDouble)
+    def proj(v: Column) = array((0 until kProj).map { j =>
+      dot(v, typedLit(jlSigns(j, dim).toSeq)) / scale
+    }: _*)
+    val c = corpus.filter(l2Norm(col(vecCol)) > 0).select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("__vc"),
+      proj(col(vecCol)).as("__pc"), l2Norm(col(vecCol)).as("__nc"))
+    val q = queries.filter(l2Norm(col(vecCol)) > 0).select(
+      col(idCol).as("query_id"), col(vecCol).as("__vq"),
+      proj(col(vecCol)).as("__pq"), l2Norm(col(vecCol)).as("__nq"))
+    // static 8-term sum — stays codegen'd (no HOF in the pairwise path)
+    def negL2(a: Column, b: Column): Column =
+      (0 until kProj).map { j =>
+        val dlt = element_at(a, j + 1) - element_at(b, j + 1)
+        dlt * dlt
+      }.reduce(_ + _) * -1d
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__d", negL2(col("__pq"), col("__pc")))
+    val wCand = Window.partitionBy("query_id")
+      .orderBy(col("__d").desc, col("neighbor_id"))
+    val cand = scored.withColumn("__cr", row_number().over(wCand))
+      .filter(col("__cr") <= candidates)
+    val sim = dot(col("__vq"), col("__vc")) / (col("__nq") * col("__nc"))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cand.withColumn("sim", sim)
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sim", "rank")
+  }
+
   /** Exact top-k cosine neighbors for each query row. `queries` is expected
     * to be small (it is broadcast); the corpus streams map-side — no corpus
     * shuffle. Norms are computed once per row BEFORE the pairwise stage (per

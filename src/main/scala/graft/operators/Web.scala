@@ -75,7 +75,7 @@ object Web {
     * payload) is what lets the routed parser catch body corruption —
     * WARC has no other in-band integrity check.
     */
-  private[operators] def warcRecord(uri: String, body: Array[Byte]): Array[Byte] = {
+  private[graft] def warcRecord(uri: String, body: Array[Byte]): Array[Byte] = {
     val header =
       s"$WarcMagic$CrLf" +
         s"WARC-Type: response$CrLf" +
@@ -264,7 +264,7 @@ object Web {
     * ISIZE trailer) per payload. MTIME/XFL/OS pinned to zero for
     * byte-determinism across JVMs and retries.
     */
-  private[operators] def gzipMember(payload: Array[Byte]): Array[Byte] = {
+  private[graft] def gzipMember(payload: Array[Byte]): Array[Byte] = {
     val deflater = new java.util.zip.Deflater(
       java.util.zip.Deflater.DEFAULT_COMPRESSION, /* nowrap = raw deflate */ true)
     deflater.setInput(payload)

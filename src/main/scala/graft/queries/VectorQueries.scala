@@ -382,6 +382,27 @@ object VectorQueries {
     // recall flags. Uniform random vectors are LSH's worst case — observed
     // mean recall 0.32 (sf0.01) / 0.50 (sf0.1), with individual queries at
     // 0 — so this gate bounds the MEAN only (0.15 = half the worst mean).
+    // ----- JL-projected ANN (dim-reduction candidate gen + exact re-rank) --
+    // The jlProject composition: the corpus-wide pass scores 16-dim
+    // projections (map width /4), only the per-query candidate pool pays
+    // full-dimension cosine. This corpus is JL's worst case — near-uniform
+    // vectors put every pairwise cosine in the noise floor, so projected
+    // ordering degrades hard (measured by examples/JlProbe across
+    // kProj × candidates: kProj 16 / pool 200 → mean recall 0.80 at
+    // sf0.01, 0.54 at sf0.1; an 8-dim projection bottoms at 0.20). Gate
+    // at hits ≥ 0, mean ≥ 0.3 — under both measurements, still catching a
+    // broken candidate path (~0.05 expected by chance at a 10% pool).
+    "q_ann_jl_topk" -> Q(
+      (s, d) => {
+        val emb = Td.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 10)
+        annGate(Similarity.cosineTopK(emb, queries, "vec_id", "embedding", k = 5),
+          Similarity.jlTopK(emb, queries, "vec_id", "embedding",
+            k = 5, dim = 64, kProj = 16, candidates = 200),
+          k = 5, minHits = 0, minMean = 0.3)
+      },
+      Some(annGateSql)),
+
     "q_ann_lsh_topk" -> Q(
       (s, d) => {
         val emb = Td.embeddings(s, d)
