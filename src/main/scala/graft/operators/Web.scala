@@ -577,6 +577,66 @@ object Web {
     * chain; dot-segment resolution is out of scope (frontiers resolve
     * relative references before this point).
     */
+  /** Anchor-href extraction + reference resolution (the RFC 3986 §5
+    * subset a crawl frontier needs): absolute links pass through,
+    * protocol-relative (`//h/p`) take the base scheme, root-relative
+    * (`/p`) take the base origin, relative paths resolve against the
+    * base directory; fragment-only and empty hrefs are dropped (same
+    * document). Returns one row per (id, link_idx, href, resolved) —
+    * explode-then-CASE keeps the resolution inside whole-stage codegen
+    * instead of an interpreted per-link lambda.
+    */
+  def extractLinks(df: DataFrame, idCol: String, htmlCol: String,
+                   baseUrlCol: String): DataFrame = {
+    val hrefs = expr(
+      s"""regexp_extract_all($htmlCol, '(?i)<a[^>]*href="([^"]*)"', 1)""")
+    val base = col(baseUrlCol)
+    val scheme = lower(regexp_extract(base, s"(?i)$SchemeRe", 1))
+    val origin = concat(scheme, lit("://"), regexp_extract(base, s"(?i)$AuthorityRe", 1))
+    val path = regexp_extract(base, s"(?i)$PathRe", 1)
+    // base directory: path up to and including the last '/' ('' → '/')
+    val dir = when(path === "", lit("/"))
+      .otherwise(regexp_replace(path, "[^/]*$", ""))
+    val exploded = df.select(col(idCol), posexplode(hrefs).as(Seq("link_idx", "href")),
+      scheme.as("__scheme"), origin.as("__origin"), dir.as("__dir"))
+    exploded
+      .filter(col("href") =!= "" && !col("href").startsWith("#"))
+      .withColumn("resolved",
+        when(col("href").rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"), col("href"))
+          .when(col("href").startsWith("//"), concat(col("__scheme"), lit(":"), col("href")))
+          .when(col("href").startsWith("/"), concat(col("__origin"), col("href")))
+          .otherwise(concat(col("__origin"), col("__dir"), col("href"))))
+      .select(idCol, "link_idx", "href", "resolved")
+  }
+
+  /** robots.txt allowance (RFC 9309 §2.2.2 longest-match): `rules` is the
+    * already-agent-selected group per registered domain —
+    * (reg_domain, rule ∈ {allow, disallow}, path_prefix). A URL row is
+    * judged by the longest path_prefix that prefix-matches its path;
+    * ties prefer allow; no matching rule (or no group) → allowed.
+    * Shuffle shape: the rule table is tiny by nature (it is hand-written
+    * by site owners) → broadcast join + one per-URL window over the few
+    * matching candidates.
+    */
+  def robotsAllow(urls: DataFrame, idCol: String, domainCol: String,
+                  pathCol: String, rules: DataFrame): DataFrame = {
+    val slim = urls.select(col(idCol), col(domainCol), col(pathCol))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+      .orderBy(length(col("path_prefix")).desc, col("rule").asc)
+    val winner = slim
+      .join(broadcast(rules.withColumnRenamed("reg_domain", domainCol)),
+        Seq(domainCol), "inner")
+      .filter(col(pathCol).startsWith(col("path_prefix")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("rule"), col("path_prefix"))
+    // URLs with no group or no matching prefix keep their row: allowed
+    slim.join(winner, Seq(idCol), "left_outer")
+      .select(col(idCol), col(domainCol), col(pathCol),
+        (col("rule").isNull || col("rule") === "allow").as("allowed"),
+        col("path_prefix").as("matched_prefix"))
+  }
+
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, s"(?i)$SchemeRe", 1))

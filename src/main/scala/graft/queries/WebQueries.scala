@@ -65,6 +65,27 @@ object WebQueries {
     when(col("doc_id") % 2 === 0, concat(lit("?q="), col("doc_id") % 13, lit("&lang=en")))
       .otherwise(lit("")))
 
+  /** Six-anchor page fixture for link extraction: absolute,
+    * protocol-relative, root-relative, path-relative, fragment-only,
+    * empty — one of each resolution class.
+    */
+  private def linkHtmlFixture = concat(
+    lit("<html><body><a href=\"https://ext.example.net/p/"), col("doc_id") % 23,
+    lit("\">x</a><a class=\"m\" href=\"//cdn.example.net/c/"), col("doc_id") % 19,
+    lit("\">y</a><a href=\"/local/"), col("doc_id") % 13,
+    lit("\">z</a><a href=\"item/"), col("doc_id") % 7,
+    lit("\">w</a><a href=\"#frag\">f</a><a href=\"\">e</a></body></html>"))
+
+  /** Four-anchor page for the frontier capstone: shouting-case absolute
+    * with a default :443, protocol-relative with a non-default port,
+    * root-relative, fragment.
+    */
+  private def frontierHtmlFixture = concat(
+    lit("<html><body><a href=\"HTTPS://Ext.Example.NET:443/p/"), col("doc_id") % 23,
+    lit("\">a</a><a href=\"//CDN.example.net:8443/c/"), col("doc_id") % 19,
+    lit("\">b</a><a href=\"/Local/"), col("doc_id") % 13,
+    lit("\">c</a><a href=\"#frag\">d</a></body></html>"))
+
   private def caseBy(mod: Int, vals: Seq[String]): String =
     s"CASE CAST(doc_id % $mod AS INT) " +
       vals.zipWithIndex.map { case (v, i) => s"WHEN $i THEN '$v'" }.mkString(" ") + " END"
@@ -304,6 +325,135 @@ object WebQueries {
               |    row_number() OVER (PARTITION BY ${caseBy5(RegDomains)}
               |      ORDER BY n_chars DESC, doc_id) AS rn
               |  FROM documents) t WHERE rn <= 25""".stripMargin)),
+
+    // ----- anchor extraction + reference resolution ----------------------
+    // Six anchors per page cover the RFC 3986 §5 resolution subset:
+    // absolute (passes through), protocol-relative (takes the base
+    // scheme), root-relative (takes the base origin incl. port),
+    // path-relative (resolves against the base directory — the 'item'
+    // leaf of the base path must be stripped), fragment-only and empty
+    // (dropped). The oracle restates every resolved URL from doc_id
+    // arithmetic — a wrong base directory or a kept fragment link
+    // changes rows and hash-fails.
+    "q_link_extract" -> Q(
+      (s, d) => {
+        val pages = Td.documents(s, d).select(col("doc_id"),
+          linkHtmlFixture.as("page"), urlFixture.as("base_url"))
+        Web.extractLinks(pages, "doc_id", "page", "base_url")
+      },
+      Some(s"""WITH b AS (SELECT doc_id,
+              |    (CASE WHEN doc_id % 4 = 0 THEN 'http' ELSE 'https' END) AS sch,
+              |    (CASE WHEN doc_id % 4 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+              |      ${caseBy5(Hosts)} ||
+              |      (CASE WHEN doc_id % 3 = 0 THEN ':8080' ELSE '' END) AS origin
+              |  FROM documents)
+              |SELECT doc_id, CAST(0 AS INT) AS link_idx,
+              |  'https://ext.example.net/p/' || (doc_id % 23) AS href,
+              |  'https://ext.example.net/p/' || (doc_id % 23) AS resolved FROM b
+              |UNION ALL SELECT doc_id, 1,
+              |  '//cdn.example.net/c/' || (doc_id % 19),
+              |  sch || '://cdn.example.net/c/' || (doc_id % 19) FROM b
+              |UNION ALL SELECT doc_id, 2,
+              |  '/local/' || (doc_id % 13),
+              |  origin || '/local/' || (doc_id % 13) FROM b
+              |UNION ALL SELECT doc_id, 3,
+              |  'item/' || (doc_id % 7),
+              |  origin || '/docs/' || (doc_id % 17) || '/item/' || (doc_id % 7) FROM b"""
+        .stripMargin)),
+
+    // ----- robots.txt allowance (RFC 9309 longest-match) -----------------
+    // Four domains, four rule shapes: plain disallow-all-docs with a
+    // deeper allow carve-out (longest match flips it), a single narrow
+    // disallow (which also catches /docs/1x via prefix semantics — the
+    // classic robots gotcha, deliberately pinned), an empty group
+    // (allowed by default), and allow+disallow at different depths. The
+    // oracle restates allowance and the matched prefix per doc from
+    // (domain CASE × path arithmetic).
+    "q_robots_filter" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val urls = Web.withUrlParts(
+          Td.documents(s, d).select(col("doc_id"), urlFixture.as("url")), "url")
+        val rules = Seq(
+          ("example.com", "disallow", "/docs/"),
+          ("example.com", "allow", "/docs/3/"),
+          ("example.co.uk", "disallow", "/docs/7"),
+          ("example.com.au", "allow", "/docs/"),
+          ("example.com.au", "disallow", "/docs/1"),
+        ).toDF("reg_domain", "rule", "path_prefix")
+        Web.robotsAllow(urls, "doc_id", "reg_domain", "path", rules)
+      },
+      Some(s"""SELECT doc_id, ${caseBy5(RegDomains)} AS reg_domain,
+              |  '/docs/' || (doc_id % 17) || '/item' AS path,
+              |  CASE CAST(doc_id % 5 AS INT)
+              |    WHEN 1 THEN (doc_id % 17) != 7
+              |    WHEN 3 THEN CAST(1 AS BOOLEAN)
+              |    WHEN 4 THEN NOT ((doc_id % 17) = 1 OR (doc_id % 17) >= 10)
+              |    ELSE (doc_id % 17) = 3 END AS allowed,
+              |  CASE CAST(doc_id % 5 AS INT)
+              |    WHEN 1 THEN (CASE WHEN (doc_id % 17) = 7 THEN '/docs/7' END)
+              |    WHEN 3 THEN NULL
+              |    WHEN 4 THEN (CASE WHEN (doc_id % 17) = 1 OR (doc_id % 17) >= 10
+              |                 THEN '/docs/1' ELSE '/docs/' END)
+              |    ELSE (CASE WHEN (doc_id % 17) = 3 THEN '/docs/3/' ELSE '/docs/' END)
+              |  END AS matched_prefix
+              |FROM documents""".stripMargin)),
+
+    // ----- frontier expansion: links → canonicalize → robots → quota -----
+    // The crawl-frontier capstone, one Catalyst plan: pages emit three
+    // live links each (a SHOUTING-case absolute with a default :443 to
+    // strip, a protocol-relative one with a non-default port to keep, a
+    // root-relative one against the base origin) plus a dropped
+    // fragment; resolved links canonicalize, robots rules kill the /c/
+    // namespace and the /Local/1 prefix class, survivors dedup by
+    // canonical form and a 10-per-registered-domain quota caps the
+    // frontier. The oracle rebuilds the surviving set from doc_id
+    // arithmetic and re-derives dedup + quota relationally.
+    "q_frontier_expand" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val pages = Td.documents(s, d).select(col("doc_id"),
+          frontierHtmlFixture.as("page"), urlFixture.as("base_url"))
+        val links = Web.extractLinks(pages, "doc_id", "page", "base_url")
+          .withColumn("canon_url", Web.canonicalizeUrl(col("resolved")))
+        val parsed = Web.withUrlParts(links.select("doc_id", "canon_url"), "canon_url")
+        val rules = Seq(
+          ("example.net", "disallow", "/c/"),
+          ("example.com", "disallow", "/Local/1"),
+        ).toDF("reg_domain", "rule", "path_prefix")
+        // the canonical URL is the natural row identity here — robots
+        // verdicts are a function of (domain, path), so identical links
+        // collapsing inside robotsAllow's per-id window is exactly the
+        // dedup the frontier wants anyway
+        val judged = Web.robotsAllow(parsed, "canon_url", "reg_domain", "path", rules)
+        Relational.capPerGroup(
+          judged.filter(col("allowed")).select("reg_domain", "canon_url").distinct(),
+          Seq("reg_domain"), Seq(col("canon_url").asc), n = 10)
+      },
+      Some(s"""WITH base AS (SELECT doc_id,
+              |    (CASE WHEN doc_id % 4 = 0 THEN 'http' ELSE 'https' END) AS sch,
+              |    ${caseBy5(Hosts)} AS host,
+              |    (CASE WHEN doc_id % 3 = 0 THEN ':8080' ELSE '' END) AS prt,
+              |    ${caseBy5(RegDomains)} AS bdom
+              |  FROM documents),
+              |links AS (
+              |  SELECT 'example.net' AS reg_domain,
+              |    'https://ext.example.net/p/' || (doc_id % 23) AS canon_url,
+              |    '/p/' || (doc_id % 23) AS path FROM base
+              |  UNION ALL SELECT 'example.net',
+              |    sch || '://cdn.example.net:8443/c/' || (doc_id % 19),
+              |    '/c/' || (doc_id % 19) FROM base
+              |  UNION ALL SELECT bdom,
+              |    sch || '://' || host || prt || '/Local/' || (doc_id % 13),
+              |    '/Local/' || (doc_id % 13) FROM base),
+              |alw AS (SELECT reg_domain, canon_url FROM links
+              |  WHERE NOT (reg_domain = 'example.net' AND path LIKE '/c/%')
+              |    AND NOT (reg_domain = 'example.com' AND path LIKE '/Local/1%')),
+              |ded AS (SELECT DISTINCT reg_domain, canon_url FROM alw)
+              |SELECT reg_domain, canon_url FROM (
+              |  SELECT reg_domain, canon_url, row_number() OVER (
+              |    PARTITION BY reg_domain ORDER BY canon_url) AS rn FROM ded) t
+              |WHERE rn <= 10""".stripMargin)),
 
     // ----- crawl pipeline: WARC → parse → HTML extract → token stats -----
     // The composed ingestion front: HTML pages packed into WARC files,

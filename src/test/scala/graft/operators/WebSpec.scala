@@ -210,6 +210,34 @@ class WebSpec extends SparkSpec {
     df.select(Web.canonicalizeUrl(col("url")).as("c")).collect().head.getString(0)
   }
 
+  // ---------------- link extraction + robots ----------------
+
+  test("extractLinks: resolution classes, no-anchor pages, bare-origin base") {
+    val df = Seq(
+      (1L, """<p>no links</p>""", "https://h.example/a/b"),
+      (2L, """<a href="x/y">r</a>""", "https://h.example"), // base path '' → dir '/'
+      (3L, """<a href="#s">f</a><a href="">e</a>""", "https://h.example/p"),
+    ).toDF("id", "page", "base")
+    val out = Web.extractLinks(df, "id", "page", "base").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("resolved"))).toSeq
+    assert(out == Seq((2L, "https://h.example/x/y"))) // 1: none; 3: both dropped
+  }
+
+  test("robotsAllow: allow wins length ties, unmatched and group-less domains pass") {
+    val urls = Seq(
+      (1L, "a.com", "/p/x"), (2L, "a.com", "/q/x"), (3L, "b.org", "/p/x"))
+      .toDF("id", "dom", "path")
+    val rules = Seq(
+      ("a.com", "disallow", "/p/"), ("a.com", "allow", "/p/")) // same length tie
+      .toDF("reg_domain", "rule", "path_prefix")
+    val out = Web.robotsAllow(urls, "id", "dom", "path", rules)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Boolean]("allowed"), Option(r.getAs[String]("matched_prefix")))).toMap
+    assert(out(1L) == ((true, Some("/p/")))) // tie → 'allow' < 'disallow'
+    assert(out(2L) == ((true, None)))        // group exists, nothing matches
+    assert(out(3L) == ((true, None)))        // no group at all
+  }
+
   test("canonicalizeUrl: case, default ports, fragments, empty path") {
     assert(canon("HTTP://WWW.Example.COM:80/A/b#x") == "http://www.example.com/A/b")
     assert(canon("https://Host.Example.org:443") == "https://host.example.org/")
