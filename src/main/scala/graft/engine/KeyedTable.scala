@@ -432,6 +432,36 @@ final class KeyedTable(
     }
   }
 
+  /** Metadata-only aggregation: global `min_c`/`max_c` for every stats
+    * column plus `n_rows`, answered ENTIRELY from the per-bucket sidecar —
+    * no data file is opened, so a 100 TB table's min/max/count costs the
+    * KBs the sidecars occupy. This is scan elision, the endpoint of the
+    * zone-map design: the same stats that prune range scans ARE the answer
+    * when the query is an extremum or a count.
+    *
+    * `None` when the sidecar cannot speak for every manifest bucket
+    * (unbucketed table, stats never configured, or buckets written before
+    * stats existed) — a partial sidecar would silently undercount, and a
+    * metadata path that can be subtly wrong is worse than none.
+    *
+    * NULL semantics fold correctly without special cases: an all-NULL
+    * bucket carries a NULL `min_c` that the outer `min` skips, so the
+    * global min is NULL iff the column is NULL everywhere — exactly what a
+    * data-path aggregate computes. `cnt` counts rows (not non-nulls), so
+    * `n_rows` matches `COUNT(*)`, never `COUNT(c)`.
+    */
+  def statsAggregate: Option[DataFrame] = bucketStats.flatMap { st =>
+    val covered = st.select("bucket").distinct().count()
+    if (covered != manifest.size) None
+    else {
+      val sc = effectiveStatsCols.filter(c => st.columns.contains(s"min_$c"))
+      val aggs = sc.flatMap(c => Seq(
+        min(col(s"min_$c")).as(s"min_$c"), max(col(s"max_$c")).as(s"max_$c"))) :+
+        sum(col("cnt")).as("n_rows")
+      Some(st.agg(aggs.head, aggs.tail: _*))
+    }
+  }
+
   /** Keyed insert/update merge (K1/K2). Never deletes — matching the
     * reference's `deletable: false` (`dataflow:169-172`).
     *

@@ -199,4 +199,94 @@ object Stats {
         col("max_cnt").cast("double") /
           (col("total_rows").cast("double") / col("n_keys").cast("double")))
   }
+
+  /** One-pass column profile: for each named column, a row with the table
+    * row count, null count, exact distinct count, numeric min/max (double,
+    * NULL for non-numeric types), and mean string length (NULL for
+    * non-strings). The shape every ingestion gate wants first — is this
+    * column dense, is its domain sane, did the feed's cardinality jump.
+    *
+    * Plan shape: ONE aggregation over one scan computes every statistic for
+    * every column (the per-column rows are unstacked from the single
+    * result row afterwards — a union of per-column aggregates would rescan
+    * the table once per column). The n exact `countDistinct`s share that
+    * aggregation through Catalyst's Expand rewrite, which multiplies the
+    * shuffled rows ×(n+1) — linear in column count, and each expanded row
+    * carries one column, so bytes shuffled stay ≈ table width. At 100 TB
+    * with wide tables, swap `countDistinct` for `approx_count_distinct`
+    * (HLL, no Expand) and drop the oracle to rows-only — the other columns
+    * are plain map-side-combinable aggregates either way.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType}
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val numeric: Set[org.apache.spark.sql.types.DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+    def nullD = lit(null).cast("double")
+    val aggs = cols.flatMap { c =>
+      val t = types.getOrElse(c, sys.error(s"profile: no column '$c' in ${df.columns.mkString(",")}"))
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        (if (numeric(t)) min(col(c)).cast("double") else nullD).as(s"__mn_$c"),
+        (if (numeric(t)) max(col(c)).cast("double") else nullD).as(s"__mx_$c"),
+        (if (t == StringType)
+           sum(length(col(c)).cast("long")).cast("double") / count(col(c)).cast("double")
+         else nullD).as(s"__al_$c"))
+    } :+ count(lit(1)).as("__n_rows")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { c =>
+      s"'${c.replace("'", "''")}', __n_rows - `__nn_$c`, `__nd_$c`, `__mn_$c`, `__mx_$c`, `__al_$c`"
+    }.mkString(", ")
+    one.select(
+      expr(s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_d, max_d, avg_len)"),
+      col("__n_rows").as("n_rows"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+        col("min_d"), col("max_d"), col("avg_len"))
+  }
+
+  /** Exact functional-dependency discovery over a column set: for every
+    * ordered pair (a, b), a ≠ b, report whether a → b holds — i.e. no value
+    * of `a` maps to two distinct non-null values of `b`. The profiling
+    * primitive behind candidate-key detection, denormalization checks, and
+    * "did this feed break the city→country invariant" data-quality gates.
+    *
+    * `max_branch` is the largest per-a-value distinct-b count (1 means the
+    * dependency holds exactly; 2+ counts its violations' width), `n_groups`
+    * the determinant's cardinality. NULL b values are ignored on both
+    * engines (`countDistinct` / `COUNT(DISTINCT)` skip nulls), so an
+    * all-null dependent column reads max_branch 0 and trivially holds.
+    *
+    * Plan shape: one groupBy per DETERMINANT (not per pair) — each computes
+    * the distinct-b widths for all other columns in a single aggregation,
+    * so n columns cost n shuffles instead of n². Within each, the multi
+    * `countDistinct` rides Catalyst's Expand (input ×(n-1), one column per
+    * expanded row). The 100 TB alternative when Expand's row blowup bites:
+    * per-pair two-level aggregation (groupBy(a,b) → groupBy(a) count, then
+    * max) shuffles only the distinct pairs — switch per-determinant when a
+    * profile (above) shows high pair cardinality.
+    */
+  def functionalDeps(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    require(cols.distinct.size == cols.size, "duplicate columns")
+    val perDet = cols.map { a =>
+      val deps = cols.filterNot(_ == a)
+      val cds = deps.map(b => countDistinct(col(b)).as(s"__cd_$b"))
+      val grouped = df.groupBy(col(a)).agg(cds.head, cds.tail: _*)
+      val tops = deps.map(b => max(col(s"__cd_$b")).as(s"__mx_$b")) :+
+        count(lit(1)).as("__n_groups")
+      val one = grouped.agg(tops.head, tops.tail: _*)
+      val stackArgs = deps.map(b =>
+        s"'${b.replace("'", "''")}', `__mx_$b`").mkString(", ")
+      one.select(
+        lit(a).as("determinant"),
+        expr(s"stack(${deps.size}, $stackArgs) AS (dependent, max_branch)"),
+        col("__n_groups").as("n_groups"))
+    }
+    perDet.reduce(_ unionByName _)
+      .select(col("determinant"), col("dependent"), col("n_groups"),
+        col("max_branch"),
+        (col("max_branch") <= 1).cast("int").as("holds"))
+  }
 }

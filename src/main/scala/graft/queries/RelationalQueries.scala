@@ -400,6 +400,31 @@ object RelationalQueries {
              |  AND ts <= TIMESTAMP '2024-01-12 23:59:59.999999'
              |GROUP BY event_type""".stripMargin)),
 
+    // ----- metadata-only aggregation (scan elision via the stats sidecar) ---
+    // min/max/count over the STORED range-bucketed events table answered
+    // entirely from the per-bucket zone-map sidecar: KeyedTable.statsAggregate
+    // opens ZERO data files — the in-band `meta_only` flag is computed from
+    // the plan's actual inputFiles (every one must live under _stats/), so a
+    // fallback to a data scan hash-fails the driver row. Values are gated
+    // against the oracle's full-table aggregate: metadata may never disagree
+    // with the data it summarizes — a stale or partial sidecar breaks the
+    // hash, not just the flag.
+    "q_zonemap_agg" -> Q(
+      (s, d) => {
+        val t = Td.rangeEventsTable(s, d)
+        val agg = t.statsAggregate
+          .getOrElse(sys.error("zone-map table cannot answer metadata-only"))
+        val files = agg.inputFiles
+        val metaOnly =
+          if (files.nonEmpty && files.forall(_.contains("/_stats/"))) 1 else 0
+        agg.withColumn("meta_only", lit(metaOnly))
+      },
+      Some("""SELECT CAST(min(value) AS DOUBLE) AS min_value,
+             |  CAST(max(value) AS DOUBLE) AS max_value,
+             |  min(ts) AS min_ts, max(ts) AS max_ts,
+             |  count(*) AS n_rows, 1 AS meta_only
+             |FROM events""".stripMargin)),
+
     // ----- co-located bucketed join (zero shuffle exchanges) -----------------
     // Facts and dims over events, both stored bucketBy(32, event_id)
     // (Td.cobucketTables) and joined with a pinned SortMergeJoin: both

@@ -15,7 +15,79 @@ import org.apache.spark.sql.functions._
   */
 object StatQueries {
 
+  /** Oracle twin of [[Stats.profile]]: one UNION ALL branch per column.
+    * `kind` ∈ num/str/other picks which stats are non-NULL, mirroring the
+    * type dispatch in the operator.
+    */
+  private def profileSql(table: String, cols: Seq[(String, String)]): String =
+    cols.map { case (c, kind) =>
+      val mn = if (kind == "num") s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      val mx = if (kind == "num") s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+      val al = if (kind == "str") s"CAST(sum(length($c)) AS DOUBLE) / CAST(count($c) AS DOUBLE)"
+               else "CAST(NULL AS DOUBLE)"
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_nulls, count(DISTINCT $c) AS n_distinct,
+         |  $mn AS min_d, $mx AS max_d, $al AS avg_len
+         |FROM $table""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  /** Oracle twin of [[Stats.functionalDeps]]: per determinant, one grouped
+    * subquery computing every dependent's max distinct-branch width, then
+    * one UNION ALL row per (determinant, dependent) pair.
+    */
+  private def fdSql(baseSql: String, cols: Seq[String]): String = {
+    val dets = cols.map { a =>
+      val deps = cols.filterNot(_ == a)
+      val cds = deps.zipWithIndex.map { case (b, i) =>
+        s"count(DISTINCT $b) AS cd_$i" }.mkString(", ")
+      val mxs = deps.indices.map(i => s"max(cd_$i) AS mx_$i").mkString(", ")
+      val sub = s"(SELECT count(*) AS n_groups, $mxs FROM " +
+        s"(SELECT $a, $cds FROM base GROUP BY 1) gi) go"
+      deps.zipWithIndex.map { case (b, i) =>
+        s"""SELECT '$a' AS determinant, '$b' AS dependent, n_groups,
+           |  mx_$i AS max_branch, CAST(mx_$i <= 1 AS INT) AS holds
+           |FROM $sub""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    }
+    s"WITH base AS ($baseSql)\n" + dets.mkString("\nUNION ALL\n")
+  }
+
   val defs: Map[String, Q] = Map(
+
+    // ----- one-pass column profile (ingestion-gate statistics) -------------
+    // Every statistic for every column from ONE aggregation over one scan
+    // (n_rows/nulls/exact distinct/numeric min-max/mean string length),
+    // unstacked to a row per column. The exact countDistincts share the
+    // aggregation via Catalyst's Expand (×7 row multiply here, linear in
+    // column count); the 100 TB swap is approx_count_distinct (no Expand) —
+    // see Stats.profile scaladoc.
+    "q_profile" -> Q(
+      (s, d) => Stats.profile(Td.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")),
+      Some(profileSql("orders", Seq(
+        "o_orderkey" -> "num", "o_custkey" -> "num", "o_orderstatus" -> "str",
+        "o_totalprice" -> "num", "o_orderdate" -> "other",
+        "o_orderpriority" -> "str")))),
+
+    // ----- exact functional-dependency discovery ---------------------------
+    // Ordered-pair FD check over orders + a derived o_year column: the
+    // operator must rediscover o_orderdate → o_year (a true dependency by
+    // construction) and reject the rest with their exact violation widths.
+    // One groupBy per determinant, all dependents' distinct widths in that
+    // single aggregation — n shuffles, not n².
+    "q_fd_discover" -> Q(
+      (s, d) => Stats.functionalDeps(
+        Td.orders(s, d).select(col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_orderdate"),
+          year(col("o_orderdate")).cast("long").as("o_year")),
+        Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate",
+          "o_year")),
+      Some(fdSql(
+        """SELECT o_custkey, o_orderstatus, o_orderpriority, o_orderdate,
+          |CAST(year(o_orderdate) AS BIGINT) AS o_year FROM orders""".stripMargin,
+        Seq("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate",
+          "o_year")))),
 
     // ----- fixed-grid resample + gap-fill + forward fill -------------------
     "q_resample_ffill" -> Q(

@@ -420,6 +420,38 @@ class KeyedTableSpec extends SparkSpec {
     assert(total == 500L)
   }
 
+  test("statsAggregate: metadata-only min/max/count, exact across merges and deletes") {
+    val s = spark
+    import s.implicits._
+    val t = KeyedTable(spark, tmpDir("ktmetaagg"), Seq("k"), numBuckets = 8,
+      rangeCol = Some("k"), statsCols = Seq("v"))
+    t.overwrite((1 to 1000).map(i => (i, i * 2)).toDF("k", "v"))
+    val a1 = t.statsAggregate.get.collect()(0)
+    assert(a1.getLong(a1.fieldIndex("n_rows")) == 1000L)
+    assert(a1.getInt(a1.fieldIndex("min_v")) == 2 && a1.getInt(a1.fieldIndex("max_v")) == 2000)
+    // the answer comes from the sidecar alone — no data file in the plan
+    val files = t.statsAggregate.get.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("/" + KeyedTable.StatsDir + "/")),
+      s"metadata aggregate read data files: ${files.mkString(",")}")
+
+    // a merge that moves the extremes must be reflected (stats follow the
+    // touched-bucket rewrite)
+    t.merge(Seq((1, -5), (2000, 7)).toDF("k", "v"))
+    val a2 = t.statsAggregate.get.collect()(0)
+    assert(a2.getLong(a2.fieldIndex("n_rows")) == 1001L)
+    assert(a2.getInt(a2.fieldIndex("min_v")) == -5)
+
+    // deletes shrink the count through the same metadata path
+    t.deleteKeys(Seq(1, 2, 3).toDF("k"))
+    val a3 = t.statsAggregate.get.collect()(0)
+    assert(a3.getLong(a3.fieldIndex("n_rows")) == 998L)
+
+    // an unbucketed table has no sidecar → no metadata answer, never a guess
+    val plain = KeyedTable(spark, tmpDir("ktmetaaggplain"), Seq("k"))
+    plain.overwrite(Seq((1, 1)).toDF("k", "v"))
+    assert(plain.statsAggregate.isEmpty)
+  }
+
   test("mergeCdc: latest op per key decides — D deletes, I/U upsert, one version") {
     val s = spark
     import s.implicits._

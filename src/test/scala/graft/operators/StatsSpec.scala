@@ -419,4 +419,80 @@ class StatsSpec extends SparkSpec {
     assert(r.getDouble(r.fieldIndex("p50")) == 1.5) // interpolated over 1,1,2,16
     assert(r.getDouble(r.fieldIndex("skew_ratio")) == 3.2)
   }
+
+  test("profile: per-column nulls/distinct/min-max/strlen from one pass") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, Some(10.0), Some("aa")),
+      (2L, Some(30.0), Some("bbbb")),
+      (3L, None, Some("aa")),
+      (4L, Some(10.0), None),
+    ).toDF("id", "x", "tag")
+    val out = Stats.profile(rows, Seq("id", "x", "tag"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("id", "x", "tag"))
+    val id = out("id")
+    assert(id.getLong(id.fieldIndex("n_rows")) == 4L)
+    assert(id.getLong(id.fieldIndex("n_nulls")) == 0L)
+    assert(id.getLong(id.fieldIndex("n_distinct")) == 4L)
+    assert(id.getDouble(id.fieldIndex("min_d")) == 1.0)
+    assert(id.getDouble(id.fieldIndex("max_d")) == 4.0)
+    assert(id.isNullAt(id.fieldIndex("avg_len"))) // numeric: no string stats
+    val x = out("x")
+    assert(x.getLong(x.fieldIndex("n_nulls")) == 1L)
+    assert(x.getLong(x.fieldIndex("n_distinct")) == 2L) // 10.0, 30.0
+    assert(x.getDouble(x.fieldIndex("min_d")) == 10.0)
+    assert(x.getDouble(x.fieldIndex("max_d")) == 30.0)
+    val tag = out("tag")
+    assert(tag.getLong(tag.fieldIndex("n_nulls")) == 1L)
+    assert(tag.getLong(tag.fieldIndex("n_distinct")) == 2L)
+    assert(tag.isNullAt(tag.fieldIndex("min_d"))) // string: no numeric stats
+    assert(tag.getDouble(tag.fieldIndex("avg_len")) == (2 + 4 + 2) / 3.0)
+    // the whole profile is ONE aggregation: a single scan of the input
+    val scans = Stats.profile(rows, Seq("id", "x", "tag"))
+      .queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+        case r: org.apache.spark.sql.execution.LogicalRDD => r
+      }
+    assert(scans.size == 1, s"profile must not rescan per column: $scans")
+  }
+
+  test("functionalDeps: rediscovers a true FD, measures violation width") {
+    val s = spark
+    import s.implicits._
+    // city → country holds; country → city does not (width 2 for FR);
+    // id → everything (unique determinant)
+    val rows = Seq(
+      (1L, "paris", "FR"), (2L, "lyon", "FR"), (3L, "berlin", "DE"),
+      (4L, "paris", "FR"), (5L, "berlin", "DE"),
+    ).toDF("id", "city", "country")
+    val out = Stats.functionalDeps(rows, Seq("id", "city", "country"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.size == 6)
+    def holds(a: String, b: String) = {
+      val r = out((a, b)); r.getInt(r.fieldIndex("holds")) == 1
+    }
+    assert(holds("id", "city") && holds("id", "country"))
+    assert(holds("city", "country"))
+    assert(!holds("country", "city"))
+    val cc = out(("country", "city"))
+    assert(cc.getLong(cc.fieldIndex("max_branch")) == 2L) // FR → {paris, lyon}
+    assert(cc.getLong(cc.fieldIndex("n_groups")) == 2L)
+    assert(!holds("city", "id") && !holds("country", "id"))
+  }
+
+  test("functionalDeps: null dependents are ignored, all-null trivially holds") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      ("a", Some("x")), ("a", None), ("b", None), ("b", None),
+    ).toDF("k", "v")
+    val out = Stats.functionalDeps(rows, Seq("k", "v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val kv = out(("k", "v"))
+    // a → {x} (null skipped), b → {} (width 0): FD holds
+    assert(kv.getLong(kv.fieldIndex("max_branch")) == 1L)
+    assert(kv.getInt(kv.fieldIndex("holds")) == 1)
+  }
 }
