@@ -949,6 +949,82 @@ object Td {
     (l, r)
   }
 
+  /** Stored MAINTAINED BM25 corpus statistics — the retrieval member of the
+    * IVM family: a CDC-maintained document store plus the two statistics
+    * relations BM25 needs at query time, document frequencies per term
+    * (AggDelta over distinct (doc, term) postings: `cnt` IS df) and the
+    * one-row corpus totals (`cnt` = N, `sum_dl` = T). Bootstrapped from the
+    * %10≠0 documents, epoch 1 inserts the %10=0 docs, epoch 2 deletes the
+    * %7=0 docs (old images = their posting lists — term-level retraction).
+    * Final corpus ≡ documents with doc_id %7 ≠ 0, which is what the oracle
+    * scores from scratch: a single df drifting by one, or T/N missing one
+    * doc's contribution, shifts integer score cells and hash-fails.
+    *
+    * This is the standing-deployment shape the Retrieval scaladoc promises:
+    * both corpus-wide passes of ad-hoc BM25 disappear — stats maintenance
+    * costs ∝ changed docs' postings, query cost ∝ matching postings.
+    */
+  private val Bm25StatsFormat = 1
+  def bm25StatsTables(s: SparkSession, d: String):
+      (graft.engine.KeyedTable, graft.engine.KeyedTable, graft.engine.KeyedTable) = {
+    val doc = documents(s, d)
+    val root = indexRoot(s, "bm25stats", Bm25StatsFormat, d, "documents", doc.count())
+    installDir(s, root)(buildBm25StatsInto(s, d, _))
+    (graft.engine.KeyedTable(s, s"$root/docs", Seq("doc_id")),
+      graft.engine.KeyedTable(s, s"$root/df", Seq("tok")),
+      graft.engine.KeyedTable(s, s"$root/corpus", Seq("scope")))
+  }
+
+  private[graft] def buildBm25StatsInto(s: SparkSession, d: String, tmp: String): Unit = {
+    import graft.operators.TextOps
+    val doc = documents(s, d).select(col("doc_id"), col("text"))
+    val id = col("doc_id")
+    val docsT = graft.engine.KeyedTable(s, s"$tmp/docs", Seq("doc_id"), numBuckets = 16)
+    val dfT = graft.engine.KeyedTable(s, s"$tmp/df", Seq("tok"), numBuckets = 8)
+    val corpusT = graft.engine.KeyedTable(s, s"$tmp/corpus", Seq("scope"))
+    // distinct (doc, term) postings: one event per term the doc contains
+    def postings(df: org.apache.spark.sql.DataFrame) = df.select(
+      id, explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+    def lengths(df: org.apache.spark.sql.DataFrame) = df.select(
+      lit("all").as("scope"), size(TextOps.tokens(col("text"))).cast("long").as("dl"))
+
+    val base = doc.filter(id % 10 =!= 0)
+    docsT.overwrite(base)
+    graft.engine.AggDelta.bootstrap(dfT, postings(base), Seq("tok"), Nil)
+    graft.engine.AggDelta.bootstrap(corpusT, lengths(base), Seq("scope"), Seq("dl"),
+      valueType = "decimal(18,0)", accType = "decimal(28,0)")
+
+    // epoch 1: the %10=0 docs arrive
+    val ins = doc.filter(id % 10 === 0)
+    docsT.mergeCdc(ins.withColumn("_op", lit("I")).withColumn("_seq", lit(1L)),
+      tag = Some("bm25-e1"))
+    graft.engine.AggDelta.maintain(dfT,
+      postings(ins).withColumn("_old_tok", lit(null).cast("string"))
+        .withColumn("_op", lit("I")),
+      Seq("tok"), Nil, batchId = Some("bm25-e1"))
+    graft.engine.AggDelta.maintain(corpusT,
+      lengths(ins).withColumn("_old_scope", lit(null).cast("string"))
+        .withColumn("_old_dl", lit(null).cast("long")).withColumn("_op", lit("I")),
+      Seq("scope"), Seq("dl"),
+      valueType = "decimal(18,0)", accType = "decimal(28,0)", batchId = Some("bm25-e1"))
+
+    // epoch 2: the %7=0 docs are retracted (old images from the base table)
+    val del = doc.filter(id % 7 === 0)
+    docsT.mergeCdc(del.select(id, lit(null).cast("string").as("text"))
+      .withColumn("_op", lit("D")).withColumn("_seq", lit(2L)),
+      tag = Some("bm25-e2"))
+    graft.engine.AggDelta.maintain(dfT,
+      postings(del).select(id, lit(null).cast("string").as("tok"),
+        col("tok").as("_old_tok")).withColumn("_op", lit("D")),
+      Seq("tok"), Nil, batchId = Some("bm25-e2"))
+    graft.engine.AggDelta.maintain(corpusT,
+      lengths(del).select(lit(null).cast("string").as("scope"),
+        lit(null).cast("long").as("dl"), lit("all").as("_old_scope"),
+        col("dl").as("_old_dl")).withColumn("_op", lit("D")),
+      Seq("scope"), Seq("dl"),
+      valueType = "decimal(18,0)", accType = "decimal(28,0)", batchId = Some("bm25-e2"))
+  }
+
   private val BandIndexFormat = 1
   def bandIndexTable(s: SparkSession, d: String): DataFrame = {
     val corpusDocs = documents(s, d)

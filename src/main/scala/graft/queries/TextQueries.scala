@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Dedup, Multimodal, QualityOps, TextOps}
+import graft.operators.{Dedup, Multimodal, QualityOps, Retrieval, TextOps}
 import graft.queries.ParityQueries.Q
 import org.apache.spark.sql.functions._
 
@@ -35,7 +35,79 @@ object TextQueries {
        |JOIN sizes sb ON id_b = sb.doc_id
        |WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5""".stripMargin
 
+  /** DuckDB twin of [[Retrieval.bm25TopK]]: same tokenizer, same embedded
+    * fixed-point log2 table, same 20·T-scaled integer tf normalization —
+    * every score cell is an exact long on both engines, so the top-k hash
+    * covers the ranking arithmetic itself, not a float tolerance.
+    */
+  private def bm25Sql(terms: Seq[String], k: Int, where: String = ""): String = {
+    val lt = QualityOps.fpLog2Table.mkString("[", ", ", "]")
+    val q = QualityOps.QuantScale
+    val in = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH ltab AS (SELECT $lt AS lt),
+       |toks AS (SELECT doc_id, $toksSql AS w FROM documents $where),
+       |tot AS (SELECT CAST(sum(len(w)) AS BIGINT) AS t_tot,
+       |               CAST(count(*) AS BIGINT) AS n_tot FROM toks),
+       |hits AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS tok
+       |         FROM toks),
+       |qh AS (SELECT * FROM hits WHERE tok IN $in),
+       |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf,
+       |              CAST(max(dl) AS BIGINT) AS dl FROM qh GROUP BY 1, 2),
+       |dfr AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT doc_id,
+       |    CAST(sum((-lt[CAST(((2*df+1) * $q) // (2*n_tot+2) AS INT) + 1]
+       |              * (44*tf*t_tot))
+       |             // (20*tf*t_tot + 6*t_tot + 18*dl*n_tot)) AS BIGINT)
+       |      AS score_fp,
+       |    CAST(count(*) AS BIGINT) AS n_terms
+       |  FROM tf JOIN dfr USING (tok) CROSS JOIN tot CROSS JOIN ltab
+       |  GROUP BY 1),
+       |r AS (SELECT *, row_number() OVER (ORDER BY score_fp DESC, doc_id ASC)
+       |        AS rank FROM sc)
+       |SELECT doc_id, n_terms, score_fp, CAST(rank AS INT) AS rank
+       |FROM r WHERE rank <= $k""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+
+    // ----- BM25 ranked retrieval (fixed-point Okapi scoring) ---------------
+    // Top-10 documents for a 4-term query. IDF and tf-normalization are
+    // integer by construction (embedded log2 table + 20T-scaled division),
+    // so the driver hash pins the exact ranking arithmetic; the corpus
+    // passes are linear and only matching postings ever shuffle — see
+    // Retrieval scaladoc for the 100 TB shape.
+    "q_bm25_topk" -> Q(
+      (s, d) => Retrieval.bm25TopK(Td.documents(s, d), "doc_id", "text",
+        Seq("window", "merge", "stream", "spark"), k = 10),
+      Some(bm25Sql(Seq("window", "merge", "stream", "spark"), k = 10))),
+
+    // ----- BM25 over MAINTAINED corpus statistics (retrieval × IVM) --------
+    // The same ranking, but df/N/T come from stored state maintained through
+    // two CDC epochs (inserts then deletes) instead of two corpus passes —
+    // the standing-deployment shape: stats upkeep ∝ changed docs' postings,
+    // query cost ∝ matching postings. The oracle scores the FINAL corpus
+    // (doc_id %7 ≠ 0) from scratch: incremental stats must reproduce the
+    // exact integer scores a full recompute yields, to the hash.
+    "q_bm25_maintain" -> Q(
+      (s, d) => {
+        val (docsT, dfT, corpusT) = Td.bm25StatsTables(s, d)
+        val terms = Seq("window", "merge", "stream", "spark")
+        val toks = docsT.current.select(col("doc_id"),
+          TextOps.tokens(col("text")).as("__w"))
+        val hits = toks.select(col("doc_id"),
+            size(col("__w")).cast("long").as("dl"), explode(col("__w")).as("tok"))
+          .filter(col("tok").isin(terms: _*))
+        val tf = hits.groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+        val dfr = dfT.current.filter(col("tok").isin(terms: _*))
+          .select(col("tok"), col("cnt").as("df"))
+        val tot = corpusT.current.select(
+          col("sum_dl").cast("long").as("N_T"), col("cnt").as("N_N"))
+        Retrieval.scoreAndRank(
+          tf.join(broadcast(dfr), "tok").crossJoin(broadcast(tot)), "doc_id", 10)
+      },
+      Some(bm25Sql(Seq("window", "merge", "stream", "spark"), k = 10,
+        where = "WHERE doc_id % 7 <> 0"))),
 
     // ----- exact dedup: first version per logical key ----------------------
     "q_dedup_exact" -> Q(
