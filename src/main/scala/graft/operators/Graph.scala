@@ -44,8 +44,19 @@ object Graph {
     * its barriers only because its convergence count() makes each round a
     * separate action).
     */
+  /** `init`: warm-start ranks `(node, r)` from a previous run — the
+    * practical incremental-PageRank recipe: after an edge delta, resume
+    * from the stored ranks and run the few iterations re-convergence needs
+    * instead of the full ladder from uniform. Nodes absent from `init`
+    * (newly arrived) start at the uniform `S div n` of the NEW graph;
+    * ranks for departed nodes are ignored (the node set always comes from
+    * the current edges). The composition is exact, not approximate:
+    * `pageRank(e, a+b) == pageRank(e, b, init = pageRank(e, a))` — the
+    * synchronous integer recurrence just continues (pinned in GraphSpec),
+    * so warm-started results stay oracle-reproducible from base tables.
+    */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int = 3): DataFrame = {
+               iters: Int = 3, init: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val s = RankScale
     val e = edges.select(col(srcCol).cast("long").as("src"),
@@ -57,7 +68,13 @@ object Graph {
     val nRow = nodes.agg(count(lit(1)).as("n"))
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val base = nodes.crossJoin(broadcast(nRow)).localCheckpoint()
-    var ranks = base.select(col("node"), expr(s"$s div n").as("r"))
+    var ranks = init match {
+      case None => base.select(col("node"), expr(s"$s div n").as("r"))
+      case Some(i0) => base
+        .join(i0.select(col("node"), col("r").as("__r0")), Seq("node"), "left_outer")
+        .select(col("node"),
+          coalesce(col("__r0"), expr(s"$s div n")).as("r"))
+    }
     // name-keyed joins over renamed projections: the outdeg/edge subtrees
     // recur inside each iteration's lineage, and dataset-attribute join
     // conditions (ranks("node") === outdeg("src")) would be ambiguous

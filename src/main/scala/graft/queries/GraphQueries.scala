@@ -40,6 +40,46 @@ object GraphQueries {
     sb.toString
   }
 
+  /** Warm-start oracle: `baseIters` over the old edges, then `warmIters`
+    * over the new edges with r0 = COALESCE(old final rank, S // n_new) —
+    * the same continuation [[Graph.pageRank]]'s `init` computes. Generated
+    * by the same loop shape as [[pageRankSql]], different CTE prefixes.
+    */
+  private def pageRankIncSql(oldEdgesSql: String, newEdgesSql: String,
+                             baseIters: Int, warmIters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH eo AS ($oldEdgesSql),\n"
+    sb ++= "nodeso AS (SELECT src AS node FROM eo UNION SELECT dst FROM eo),\n"
+    sb ++= "ndo AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodeso),\n"
+    sb ++= "dego AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM eo GROUP BY 1),\n"
+    sb ++= s"o0 AS (SELECT node, $S // n AS r FROM nodeso CROSS JOIN ndo),\n"
+    for (i <- 1 to baseIters) {
+      val prev = if (i == 1) "o0" else s"o${i - 1}"
+      sb ++= s"om$i AS (SELECT eo.dst AS node, CAST(sum(p.r // d.outdeg) AS BIGINT) AS m\n"
+      sb ++= s"  FROM eo JOIN $prev p ON eo.src = p.node JOIN dego d ON eo.src = d.src GROUP BY 1),\n"
+      sb ++= s"o$i AS (SELECT nodeso.node,\n"
+      sb ++= s"    (15 * ($S // n)) // 100 + (85 * COALESCE(om$i.m, CAST(0 AS BIGINT))) // 100 AS r\n"
+      sb ++= s"  FROM nodeso CROSS JOIN ndo LEFT JOIN om$i ON nodeso.node = om$i.node),\n"
+    }
+    sb ++= s"e AS ($newEdgesSql),\n"
+    sb ++= "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),\n"
+    sb ++= "nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),\n"
+    sb ++= "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),\n"
+    sb ++= s"r0 AS (SELECT nodes.node, COALESCE(ob.r, $S // n) AS r\n"
+    sb ++= s"  FROM nodes CROSS JOIN nd LEFT JOIN o$baseIters ob ON nodes.node = ob.node),\n"
+    for (i <- 1 to warmIters) {
+      val prev = if (i == 1) "r0" else s"r${i - 1}"
+      sb ++= s"m$i AS (SELECT e.dst AS node, CAST(sum(p.r // d.outdeg) AS BIGINT) AS m\n"
+      sb ++= s"  FROM e JOIN $prev p ON e.src = p.node JOIN deg d ON e.src = d.src GROUP BY 1),\n"
+      sb ++= s"r$i AS (SELECT nodes.node,\n"
+      sb ++= s"    (15 * ($S // n)) // 100 + (85 * COALESCE(m$i.m, CAST(0 AS BIGINT))) // 100 AS r\n"
+      sb ++= s"  FROM nodes CROSS JOIN nd LEFT JOIN m$i ON nodes.node = m$i.node)"
+      sb ++= (if (i < warmIters) ",\n" else "\n")
+    }
+    sb ++= s"SELECT node, r FROM r$warmIters"
+    sb.toString
+  }
+
   val defs: Map[String, Q] = Map(
 
     // ----- fixed-point PageRank over the supplier⇄part fulfillment graph ---
@@ -61,6 +101,34 @@ object GraphQueries {
         """SELECT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem
           |  UNION SELECT l_partkey * 2 + 1, l_suppkey * 2 FROM lineitem""".stripMargin,
         iters = 3))),
+
+    // ----- warm-start incremental PageRank ---------------------------------
+    // The %4=0 orders' edges arrive as a delta: ranks resume from the STORED
+    // pre-delta state (Td.pagerankTable, 3 iterations) for 2 warm
+    // iterations over the full graph — the practical incremental recipe,
+    // re-convergence from stored ranks instead of the full ladder from
+    // uniform. New nodes start at the new graph's uniform share. The oracle
+    // replays the exact continuation from base tables (old ladder, then
+    // warm ladder), so a stale stored rank or a mis-seeded new node shifts
+    // integer cells and hash-fails.
+    "q_pagerank_inc" -> Q(
+      (s, d) => {
+        val ranksT = Td.pagerankTable(s, d)
+        val li = Td.lineitem(s, d).select(
+          (col("l_suppkey") * 2).as("sn"), (col("l_partkey") * 2 + 1).as("pn"))
+        val all = li.select(col("sn").as("src"), col("pn").as("dst"))
+          .union(li.select(col("pn").as("src"), col("sn").as("dst")))
+        Graph.pageRank(all, "src", "dst", iters = 2,
+          init = Some(ranksT.current))
+      },
+      Some(pageRankIncSql(
+        """SELECT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem
+          |  WHERE l_orderkey % 4 <> 0
+          |  UNION SELECT l_partkey * 2 + 1, l_suppkey * 2 FROM lineitem
+          |  WHERE l_orderkey % 4 <> 0""".stripMargin,
+        """SELECT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM lineitem
+          |  UNION SELECT l_partkey * 2 + 1, l_suppkey * 2 FROM lineitem""".stripMargin,
+        baseIters = 3, warmIters = 2))),
 
     // ----- per-node triangle counts over the co-purchase graph -------------
     // Parts co-occurring in the same URGENT order form an undirected edge;

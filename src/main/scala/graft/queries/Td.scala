@@ -949,6 +949,28 @@ object Td {
     (l, r)
   }
 
+  /** Stored PageRank state over the PRE-delta supplier⇄part graph (the
+    * %4≠0 orders' lineitems), 3 iterations from uniform — the warm-start
+    * input for `q_pagerank_inc`: after the %4=0 edges arrive, ranks resume
+    * from here for 2 iterations instead of re-running the full ladder.
+    */
+  private val PrankFormat = 1
+  def pagerankTable(s: SparkSession, d: String): graft.engine.KeyedTable = {
+    val li = lineitem(s, d)
+    val root = indexRoot(s, "prank", PrankFormat, d, "lineitem", li.count())
+    installDir(s, root)(buildPrankInto(s, d, _))
+    graft.engine.KeyedTable(s, root, Seq("node"))
+  }
+
+  private[graft] def buildPrankInto(s: SparkSession, d: String, tmp: String): Unit = {
+    val li = lineitem(s, d).filter(col("l_orderkey") % 4 =!= 0).select(
+      (col("l_suppkey") * 2).as("sn"), (col("l_partkey") * 2 + 1).as("pn"))
+    val edges = li.select(col("sn").as("src"), col("pn").as("dst"))
+      .union(li.select(col("pn").as("src"), col("sn").as("dst")))
+    val t = graft.engine.KeyedTable(s, tmp, Seq("node"), numBuckets = 16)
+    t.overwrite(graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3))
+  }
+
   /** Stored MAINTAINED BM25 corpus statistics — the retrieval member of the
     * IVM family: a CDC-maintained document store plus the two statistics
     * relations BM25 needs at query time, document frequencies per term

@@ -94,4 +94,39 @@ class GraphSpec extends SparkSpec {
     // division per node per iteration — tiny against 2^40)
     assert(total <= Graph.RankScale && total > Graph.RankScale - 1000L)
   }
+
+  test("pageRank warm start is an exact continuation: (a)+(b) iters ≡ a+b") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val full = Graph.pageRank(edges, "src", "dst", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val first3 = Graph.pageRank(edges, "src", "dst", iters = 3)
+    val resumed = Graph.pageRank(edges, "src", "dst", iters = 2,
+        init = Some(first3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed == full)
+  }
+
+  test("pageRank warm start: new nodes seed uniform, departed ranks ignored") {
+    val oldEdges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val ranks = Graph.pageRank(oldEdges, "src", "dst", iters = 3)
+    // node 3 arrives, nothing departs: its r0 must be S div 3, not 0
+    val newEdges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val out = Graph.pageRank(newEdges, "src", "dst", iters = 1,
+        init = Some(ranks))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // node 3's only in-edge is from 2 (outdeg 2, warm rank S/2-ish):
+    // a zero-seeded new node would read just the teleport term; uniform
+    // seeding gives it incoming mass > teleport alone
+    val s = Graph.RankScale
+    val teleportOnly = (15L * (s / 3)) / 100
+    assert(out(3L) > teleportOnly)
+    // a departed node must not appear even though init carries it
+    val shrunk = Graph.pageRank(Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"),
+      "src", "dst", iters = 1,
+      init = Some(Graph.pageRank(newEdges, "src", "dst", iters = 1)))
+      .collect().map(_.getLong(0)).toSet
+    assert(shrunk == Set(1L, 2L))
+  }
 }
