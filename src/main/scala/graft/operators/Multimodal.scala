@@ -248,6 +248,14 @@ object Multimodal {
     * quantization), so the container is byte-valid JFIF any viewer opens
     * AND every decoded statistic is recomputable from the text.
     */
+  /** Wrap any (id, text) frame as REAL GIF89a containers: payload bytes
+    * become pixel indices into a 256-gray palette (so a byte IS its pixel
+    * value), LZW-packed rows of `width`. See [[Gif]] for the codec.
+    */
+  def asGifMediaTable(spark: SparkSession, df: DataFrame, idCol: String,
+                      payloadCol: String, width: Int = 10): DataFrame =
+    wrapMediaTable(spark, df, idCol, payloadCol, "image/gif", Gif.encode(_, width))
+
   def asJpegMediaTable(spark: SparkSession, df: DataFrame, idCol: String,
                        payloadCol: String, blocksPerRow: Int = 10): DataFrame =
     wrapMediaTable(spark, df, idCol, payloadCol, "image/jpeg",
@@ -803,6 +811,11 @@ object Multimodal {
               val n = s.nPixels * s.components
               Row(id, mediaType, nBytes, s.width, s.height, s.sumPx, s.maxPx,
                 featureVec(s.sumPx, 0, 0, n, 0, 0, s.minPx, s.maxPx), true, null)
+            } else if (mediaType == "image/gif") {
+              val s = Gif.decode(bytes)
+              Row(id, mediaType, nBytes, s.width, s.height, s.sumAll, s.maxPx,
+                featureVec(s.sumB, s.sumG, s.sumR, s.nPixels, s.nPixels, s.nPixels,
+                  s.minPx, s.maxPx), true, null)
             } else {
               val (s0, s1, s2, mn, mx) = rawStats(bytes)
               val n = bytes.length.toLong
@@ -923,6 +936,12 @@ object Multimodal {
             Row(r.getAs[Long]("media_id"), mediaType, nBytes, s.width, s.height,
               s.sumPx, s.maxPx,
               featureVec(s.sumPx, 0, 0, n, 0, 0, s.minPx, s.maxPx))
+          } else if (mediaType == "image/gif") {
+            val s = Gif.decode(bytes)
+            Row(r.getAs[Long]("media_id"), mediaType, nBytes, s.width, s.height,
+              s.sumAll, s.maxPx,
+              featureVec(s.sumB, s.sumG, s.sumR, s.nPixels, s.nPixels, s.nPixels,
+                s.minPx, s.maxPx))
           } else {
             val (s0, s1, s2, mn, mx) = rawStats(bytes)
             val n = bytes.length.toLong
@@ -992,8 +1011,12 @@ object Multimodal {
               val img = Jpeg.decodeImage(bytes)
               Some(Row(r.getAs[Long]("media_id"), img.width, img.height,
                 dHash64(img.width, img.height, img.luma)))
+            case "image/gif" =>
+              val img = Gif.decodeImage(bytes)
+              Some(Row(r.getAs[Long]("media_id"), img.width, img.height,
+                dHash64(img.width, img.height, img.luma)))
             case t => throw new IllegalArgumentException(
-              s"imageDHash: unsupported media_type '$t' (want image/png, image/bmp or image/jpeg)")
+              s"imageDHash: unsupported media_type '$t' (want image/png, image/bmp, image/jpeg or image/gif)")
           }
         }
       }

@@ -407,6 +407,78 @@ object TextQueries {
              |         ELSE COALESCE(list_max([unicode(text[i]) for i in range(1, length(text)+1)]), 0) END AS mx
              |  FROM documents) t""".stripMargin)),
 
+    // ----- multimodal: REAL GIF89a containers, real LZW --------------------
+    // Each document's bytes become pixel indices into a 256-gray palette,
+    // LZW-packed into a byte-valid GIF (width 10); the query runs the full
+    // decode walk — magic, screen descriptor, palette, sub-block walk,
+    // variable-width LZW with dictionary growth — and emits palette-mapped
+    // pixel stats. Gray palette ⇒ sum over RGB = 3·Σ code points, which is
+    // what the oracle recomputes; one mis-decoded index anywhere shifts a
+    // sum and hash-fails.
+    "q_gif_decode" -> Q(
+      (s, d) => {
+        val media = Multimodal.asGifMediaTable(s, Td.documents(s, d), "doc_id", "text", width = 10)
+        Multimodal.decodeFeatures(s, media)
+          .withColumn("mean_px",
+            col("sum_px").cast("double") / (lit(3) * col("width") * col("height")))
+          .select("media_id", "media_type", "width", "height",
+            "sum_px", "max_px", "mean_px")
+      },
+      Some("""SELECT doc_id AS media_id, 'image/gif' AS media_type,
+             |  CAST(CASE WHEN text IS NULL THEN NULL ELSE 10 END AS INT) AS width,
+             |  CAST(h AS INT) AS height,
+             |  CAST(3*s AS BIGINT) AS sum_px,
+             |  CAST(CASE WHEN len < 10*h THEN GREATEST(mx, 0) ELSE mx END AS INT) AS max_px,
+             |  CAST(3*s AS DOUBLE) / (30*h) AS mean_px
+             |FROM (
+             |  SELECT doc_id, text, length(text) AS len,
+             |    CASE WHEN text IS NULL THEN NULL
+             |         ELSE GREATEST(1, (length(text) + 9) // 10) END AS h,
+             |    CASE WHEN text IS NULL THEN NULL
+             |         ELSE COALESCE(list_sum([unicode(text[i]) for i in range(1, length(text)+1)]), 0) END AS s,
+             |    CASE WHEN text IS NULL THEN NULL
+             |         ELSE COALESCE(list_max([unicode(text[i]) for i in range(1, length(text)+1)]), 0) END AS mx
+             |  FROM documents) t""".stripMargin)),
+
+    // ----- GIF corruption quarantine routing -------------------------------
+    // Two corruption classes over the same containers: %7=3 truncates the
+    // stream mid-data (the LZW reader must hit its ends-before-EOI guard,
+    // never index past the buffer), %7=5 inflates the declared image height
+    // (pixel-coverage check: the index stream no longer covers w×h).
+    // Routed decode keeps healthy siblings' stats exact.
+    "q_gif_quarantine" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val media = Multimodal.asGifMediaTable(s, Td.documents(s, d), "doc_id", "text", width = 10)
+          .as[(Long, Array[Byte], String, Option[Long])].map { case (id, c0, t, nb) =>
+            val c = if (c0 == null || (id % 7 != 3 && id % 7 != 5)) c0
+              else if (id % 7 == 3) java.util.Arrays.copyOf(c0, c0.length - 20)
+              else {
+                val b = c0.clone()
+                // image descriptor height low byte: 13 (hdr+LSD) + 768 (GCT)
+                // + 7 into the descriptor
+                b(13 + 768 + 7) = ((b(13 + 768 + 7) + 1) & 0xFF).toByte
+                b
+              }
+            (id, c, t, nb)
+          }.toDF("media_id", "content", "media_type", "n_bytes")
+        Multimodal.decodeFeaturesRouted(s, media)
+          .groupBy(col("media_type"), col("decode_ok").cast("int").as("decode_ok"))
+          .agg(count(lit(1)).as("n"), sum(col("sum_px")).as("payload_sum"))
+      },
+      Some("""WITH pstat AS (
+             |  SELECT doc_id, text,
+             |    CASE WHEN text IS NULL THEN NULL
+             |         ELSE COALESCE(list_sum([unicode(text[i]) for i in range(1, length(text)+1)]), 0) END AS s
+             |  FROM documents)
+             |SELECT 'image/gif' AS media_type,
+             |  CAST(CASE WHEN text IS NULL THEN NULL
+             |       WHEN doc_id % 7 IN (3,5) THEN 0 ELSE 1 END AS INT) AS decode_ok,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN text IS NOT NULL AND doc_id % 7 NOT IN (3,5) THEN 3*s END) AS BIGINT) AS payload_sum
+             |FROM pstat
+             |GROUP BY 1, 2""".stripMargin)),
+
     // ----- multimodal: REAL baseline JPEGs, real parse ---------------------
     // The LOSSY format under the exact-oracle gate: each document byte
     // becomes one constant 8x8 gray block (DC-only, all-1s quantization), a

@@ -16,6 +16,7 @@ class ImageDedupSpec extends SparkSpec {
     val media = via match {
       case "png" => Multimodal.asPngMediaTable(spark, df, "id", "text", width = 10)
       case "bmp" => Multimodal.asBmpMediaTable(spark, df, "id", "text", width = 10)
+      case "gif" => Multimodal.asGifMediaTable(spark, df, "id", "text", width = 30)
     }
     Multimodal.imageDHash(spark, media).collect()
       .map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("dhash")).toMap
@@ -30,6 +31,18 @@ class ImageDedupSpec extends SparkSpec {
     // pixels AND that the hash is channel-order free
     val d = docs((1L, base), (2L, base.toUpperCase), (3L, "short text here padded"))
     assert(hashes(d, "png") == hashes(d, "bmp"))
+  }
+
+  test("GIF joins the dHash family: duplicates collide, the hash is real") {
+    // gray palette means luma = 3·byte per 1-byte pixel (different geometry
+    // than the 3-bytes-per-pixel containers, so no cross-format equality —
+    // within-format near-dup is the contract)
+    val d = docs((1L, base), (2L, base), (3L, "a completely different body of text with other words entirely, long enough to fill rows"))
+    val h = hashes(d, "gif")
+    assert(h(1L) == h(2L))
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) > 6)
+    // deterministic across evaluations
+    assert(hashes(d, "gif") == h)
   }
 
   test("near-identical payloads land within small hamming; unrelated ones far") {
