@@ -40,11 +40,14 @@ object TextQueries {
     * every score cell is an exact long on both engines, so the top-k hash
     * covers the ranking arithmetic itself, not a float tolerance.
     */
-  private def bm25Sql(terms: Seq[String], k: Int, where: String = ""): String = {
+  /** The shared 4-term query of the BM25 battery (and its hybrid rerank). */
+  private[queries] val Bm25Terms = Seq("window", "merge", "stream", "spark")
+
+  private[queries] def bm25CoreSql(terms: Seq[String], where: String = ""): String = {
     val lt = QualityOps.fpLog2Table.mkString("[", ", ", "]")
     val q = QualityOps.QuantScale
     val in = terms.map(t => s"'$t'").mkString("(", ", ", ")")
-    s"""WITH ltab AS (SELECT $lt AS lt),
+    s"""ltab AS (SELECT $lt AS lt),
        |toks AS (SELECT doc_id, $toksSql AS w FROM documents $where),
        |tot AS (SELECT CAST(sum(len(w)) AS BIGINT) AS t_tot,
        |               CAST(count(*) AS BIGINT) AS n_tot FROM toks),
@@ -63,10 +66,13 @@ object TextQueries {
        |  FROM tf JOIN dfr USING (tok) CROSS JOIN tot CROSS JOIN ltab
        |  GROUP BY 1),
        |r AS (SELECT *, row_number() OVER (ORDER BY score_fp DESC, doc_id ASC)
-       |        AS rank FROM sc)
+       |        AS rank FROM sc)""".stripMargin
+  }
+
+  private def bm25Sql(terms: Seq[String], k: Int, where: String = ""): String =
+    s"""WITH ${bm25CoreSql(terms, where)}
        |SELECT doc_id, n_terms, score_fp, CAST(rank AS INT) AS rank
        |FROM r WHERE rank <= $k""".stripMargin
-  }
 
   val defs: Map[String, Q] = Map(
 

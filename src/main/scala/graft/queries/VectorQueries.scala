@@ -101,6 +101,45 @@ object VectorQueries {
 
   val defs: Map[String, Q] = Map(
 
+    // ----- hybrid retrieval: BM25 candidates → embedding-cosine rerank -----
+    // The modern two-stage search shape: a cheap lexical pass (fixed-point
+    // BM25, top-50 by exact integer score) shrinks the corpus to a
+    // candidate set, then the expensive semantic scorer (float32-mul /
+    // float64-acc cosine against a query embedding) ranks ONLY those
+    // candidates — at 100 TB the vector pass touches k rows, not the
+    // corpus. Both stages are individually oracle-proven arithmetic
+    // (integer BM25, the proven cosine class); the composition pins the
+    // candidate-set boundary too: one document moving across the top-50
+    // line changes the rerank input and hash-fails.
+    "q_hybrid_rerank" -> Q(
+      (s, d) => {
+        val emb = Td.embeddings(s, d)
+        val cand = graft.operators.Retrieval.bm25TopK(
+          Td.documents(s, d), "doc_id", "text", TextQueries.Bm25Terms, k = 50)
+          .select(col("doc_id"), col("score_fp"))
+        val corpusE = emb.join(cand, col("vec_id") === col("doc_id"))
+          .select(col("vec_id"), col("embedding"))
+        val reranked = Similarity.cosineTopK(corpusE,
+          emb.filter(col("vec_id") === 3), "vec_id", "embedding", k = 10)
+        reranked.join(cand, col("neighbor_id") === col("doc_id"))
+          .select(col("doc_id"), col("score_fp"), col("sim"), col("rank"))
+      },
+      Some(s"""WITH ${TextQueries.bm25CoreSql(TextQueries.Bm25Terms)},
+              |cand AS (SELECT doc_id, score_fp FROM r WHERE rank <= 50),
+              |qv AS (SELECT embedding AS qe FROM embeddings
+              |       WHERE vec_id = 3 AND ${normSql("embedding")} > 0),
+              |scored AS (
+              |  SELECT c.doc_id, c.score_fp, $cosineSql AS sim
+              |  FROM cand c
+              |  JOIN (SELECT vec_id, embedding AS e FROM embeddings
+              |        WHERE ${normSql("embedding")} > 0) v ON v.vec_id = c.doc_id
+              |  CROSS JOIN qv
+              |  WHERE v.vec_id <> 3),
+              |rr AS (SELECT *, row_number() OVER (ORDER BY sim DESC, doc_id ASC)
+              |         AS rank FROM scored)
+              |SELECT doc_id, score_fp, sim, CAST(rank AS INT) AS rank
+              |FROM rr WHERE rank <= 10""".stripMargin)),
+
     // ----- Johnson–Lindenstrauss sign projection (dim reduction) ---------
     // 64-dim embeddings → 8 signed sums (Achlioptas ±1 rows, seeded —
     // the SAME arrays are plan literals in Spark and list literals in the
