@@ -400,6 +400,51 @@ object RelationalQueries {
              |  AND ts <= TIMESTAMP '2024-01-12 23:59:59.999999'
              |GROUP BY event_type""".stripMargin)),
 
+    // ----- 2-D Z-order zone-map pruning (rectangle data skipping) -----------
+    // The STORED Morton-clustered events table (Td.zorderEventsTable:
+    // rangeCol = zorderValue(day, user-band), stats on ts AND user_id) read
+    // through a (ts-window × user-window) rectangle: buckets admitted by
+    // BOTH sidecar ranges intersect, residual filters stay on top. Measured
+    // pruning (ZorderProbe): rectangle 4/32 buckets at sf0.01, 3/32 at
+    // sf0.1; user window ≤ 12/32 at both — the in-band flags assert the
+    // measured bounds at margin (rect ≤ ¼ of buckets, user < ½). The ts
+    // dimension alone is only asserted to prune at all: past ~250 users the
+    // curve's high bits are user-band bits, so single-dim ts tightness
+    // fades while the rectangle guarantee (the reason to z-order) holds —
+    // the classic Z-curve trade, stated rather than hidden. Values are
+    // gated the usual way: pruning may never drop a row.
+    "q_zorder_prune" -> Q(
+      (s, d) => {
+        val t = Td.zorderEventsTable(s, d)
+        val tsLo = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+        val tsHi = java.sql.Timestamp.valueOf("2024-01-12 23:59:59.999999")
+        val kTs = t.rangeScanBuckets("ts", tsLo, tsHi)
+          .getOrElse(sys.error("zorder table lost its stats sidecar"))
+        val kU = t.rangeScanBuckets("user_id", 40L, 55L)
+          .getOrElse(sys.error("zorder table lost its stats sidecar"))
+        val rect = kTs.toSet.intersect(kU.toSet).toSeq.sorted
+        val n = t.manifest.size
+        val ok = if (rect.nonEmpty && rect.size * 4 <= n &&
+          kU.size * 2 < n && kTs.size < n) 1 else 0
+        t.readBuckets(rect)
+          .filter(col("ts") >= lit(tsLo) && col("ts") <= lit(tsHi) &&
+            col("user_id") >= 40L && col("user_id") <= 55L)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+          .withColumn("prune_ok", lit(ok))
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+             |  count(DISTINCT user_id) AS n_users,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             |  1 AS prune_ok
+             |FROM events
+             |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+             |  AND ts <= TIMESTAMP '2024-01-12 23:59:59.999999'
+             |  AND user_id BETWEEN 40 AND 55
+             |GROUP BY event_type""".stripMargin)),
+
     // ----- metadata-only aggregation (scan elision via the stats sidecar) ---
     // min/max/count over the STORED range-bucketed events table answered
     // entirely from the per-bucket zone-map sidecar: KeyedTable.statsAggregate

@@ -949,6 +949,36 @@ object Td {
     (l, r)
   }
 
+  /** Stored Z-ORDER-clustered events table — the 2-D data-skipping layout:
+    * rows sorted/bucketed by the Morton interleave of (day-of-month,
+    * user-band), with zone-map stats on BOTH `ts` and `user_id`. A 1-D
+    * range layout prunes one dimension and nothing else; the Z-curve gives
+    * every bucket a bounded rectangle in (ts × user) space, so range scans
+    * on EITHER column — and rectangle scans on both — skip buckets. The
+    * curve is built from existing machinery alone: `zorderValue` as the
+    * range-bucketing key, stats sidecars for the pruning — no new engine
+    * code, which is the point (composability of the layout primitives).
+    */
+  private val ZorderEventsFormat = 1
+  def zorderEventsTable(s: SparkSession, d: String): graft.engine.KeyedTable = {
+    val ev = events(s, d)
+    val root = indexRoot(s, "zorderevents", ZorderEventsFormat, d, "events", ev.count())
+    installDir(s, root)(buildZorderEventsInto(s, d, _))
+    graft.engine.KeyedTable(s, root, Seq("zval", "event_id"))
+  }
+
+  private[graft] def buildZorderEventsInto(s: SparkSession, d: String, tmp: String): Unit = {
+    val ev = events(s, d)
+    // 8-bit grid each: day index (0..30) and user band (user_id div 8 —
+    // order-preserving, so per-bucket user_id min/max stay tight)
+    val zx = datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+    val zy = floor(col("user_id") / 8).cast("int")
+    val t = graft.engine.KeyedTable(s, tmp, Seq("zval", "event_id"), numBuckets = 32,
+      rangeCol = Some("zval"), statsCols = Seq("ts", "user_id"))
+    t.overwrite(ev.withColumn("zval",
+      graft.operators.Relational.zorderValue(zx, zy, 8)))
+  }
+
   /** Stored PageRank state over the PRE-delta supplier⇄part graph (the
     * %4≠0 orders' lineitems), 3 iterations from uniform — the warm-start
     * input for `q_pagerank_inc`: after the %4=0 edges arrive, ranks resume

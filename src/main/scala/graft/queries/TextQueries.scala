@@ -413,6 +413,31 @@ object TextQueries {
              |         ELSE COALESCE(list_max([unicode(text[i]) for i in range(1, length(text)+1)]), 0) END AS mx
              |  FROM documents) t""".stripMargin)),
 
+    // ----- maintained-state anti-entropy audit -----------------------------
+    // The operational IVM check as a first-class operator: Audit.viewAudit
+    // full-outer-compares the MAINTAINED document-frequency table (AggDelta
+    // state driven through insert+delete epochs) against a from-scratch
+    // recompute over the CURRENT stored corpus — output ∝ divergence,
+    // agreeing keys emit nothing. Healthy state reads all-zero diffs with
+    // audit_ok 1; the oracle pins the totals from the final corpus, so a
+    // maintainer bug that drifted even one term's count flips cells here
+    // AND in q_bm25_maintain.
+    "q_view_audit" -> Q(
+      (s, d) => {
+        val (docsT, dfT, _) = Td.bm25StatsTables(s, d)
+        val expected = docsT.current.select(col("doc_id"),
+            explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        graft.engine.Audit.viewAudit(dfT, expected, Seq("tok"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok
+              |             FROM documents WHERE doc_id % 7 <> 0),
+              |nd AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n FROM toks)
+              |SELECT n AS n_view, n AS n_expected,
+              |  CAST(0 AS BIGINT) AS n_missing, CAST(0 AS BIGINT) AS n_extra,
+              |  CAST(0 AS BIGINT) AS n_drift, 1 AS audit_ok
+              |FROM nd""".stripMargin)),
+
     // ----- multimodal: REAL GIF89a containers, real LZW --------------------
     // Each document's bytes become pixel indices into a 256-gray palette,
     // LZW-packed into a byte-valid GIF (width 10); the query runs the full
