@@ -1,0 +1,112 @@
+package graft.engine
+
+import graft.operators.TextOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of the BM25 statistics triple — the retrieval
+  * member of the maintained-view family. One op-coded document feed keeps
+  * three tables current per epoch:
+  *
+  *  - `docsT`   — the corpus itself (keyed by `idCol`, via [[KeyedTable.mergeCdc]]);
+  *  - `dfT`     — per-term document frequency (`cnt` IS df): [[AggDelta]]
+  *                over signed distinct-(doc, term) posting events;
+  *  - `corpusT` — the one-row totals (`cnt` = N, `sum_dl` = T).
+  *
+  * Cost ∝ the changed documents' postings; the stored corpus is never
+  * re-scanned. With these maintained, `Retrieval.scoreAndRank` answers
+  * queries without either of `bm25TopK`'s corpus passes.
+  *
+  * == Net-effect derivation ==
+  *
+  * A batch may chain several events for one document (I→U, U→D, …). The
+  * statistics must apply the batch's NET effect against pre-batch state, so
+  * per key the FIRST event (min `seqCol`) supplies the pre-image (its old
+  * image; absent when it is an `I`) and the LAST event (max `seqCol`)
+  * supplies the post-image (absent when it is a `D`). Term events are then
+  * the set difference per document — `array_except(post, pre)` inserts,
+  * `array_except(pre, post)` retracts; unchanged terms emit nothing.
+  *
+  * Contracts beyond [[AggDelta]]'s usual image rules: `(key, seq)` unique
+  * within a batch (CDC sequence numbers), and an `I` is only valid for a
+  * key absent from the store — an insert-shaped event for an existing key
+  * would make the pre-image read empty and leak its old postings into df
+  * forever. `mergeCdc` tolerates replayed Is; the statistics cannot, so
+  * feeds that replay must rely on the epoch tag (below), not per-row
+  * tolerance.
+  *
+  * == Crash-resumable epochs ==
+  *
+  * All three applies run under ONE `batchId` tag; `docsT` commits LAST, so
+  * the epoch-level early return keys off it (the family's rule): a crash
+  * after the stats commits but before the corpus commit leaves a
+  * redelivered epoch no-opping the stats (their tags match) and completing
+  * the corpus — never double-counting.
+  */
+object RetrievalDelta {
+
+  private def toks(c: Column): Column = TextOps.tokens(c)
+  private def postings(df: DataFrame, idCol: String, textCol: Column): DataFrame =
+    df.select(col(idCol), explode(array_distinct(toks(textCol))).as("tok"))
+
+  /** Build all three tables from a corpus snapshot. */
+  def bootstrap(docsT: KeyedTable, dfT: KeyedTable, corpusT: KeyedTable,
+                docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): Unit = {
+    docsT.overwrite(docs.select(col(idCol), col(textCol)))
+    AggDelta.bootstrap(dfT, postings(docs, idCol, col(textCol)), Seq("tok"), Nil)
+    AggDelta.bootstrap(corpusT,
+      docs.select(lit("all").as("scope"), size(toks(col(textCol))).cast("long").as("dl")),
+      Seq("scope"), Seq("dl"), valueType = "decimal(18,0)", accType = "decimal(28,0)")
+  }
+
+  /** Apply one op-coded epoch to all three tables. Returns the corpus
+    * table's committed version (current version when the epoch's tag shows
+    * the whole batch already applied).
+    */
+  def maintain(docsT: KeyedTable, dfT: KeyedTable, corpusT: KeyedTable,
+               batch: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text", opCol: String = "_op",
+               seqCol: String = "_seq", oldPrefix: String = "_old_",
+               batchId: Option[String] = None): Long = {
+    // docsT commits LAST — its matching tag proves the whole epoch landed
+    if (batchId.isDefined && docsT.lastTag == batchId) return docsT.currentVersion
+    val oldText = oldPrefix + textCol
+    require(batch.columns.contains(oldText),
+      s"RetrievalDelta batch must carry the before-image column '$oldText'")
+    val checked = batch.withColumn(opCol, Ops.checkedOp(opCol, "RetrievalDelta"))
+    // net effect per key: first event's pre-image, last event's post-image
+    val net = checked.groupBy(col(idCol)).agg(
+      min_by(struct(col(opCol).as("op"), col(oldText).as("old")), col(seqCol)).as("__f"),
+      max_by(struct(col(opCol).as("op"), col(textCol).as("new")), col(seqCol)).as("__l"))
+      .select(col(idCol),
+        when(col("__f.op") === "I", lit(null).cast("string"))
+          .otherwise(col("__f.old")).as("__pre"),
+        when(col("__l.op") === "D", lit(null).cast("string"))
+          .otherwise(col("__l.new")).as("__post"))
+      .withColumn("__preT", coalesce(array_distinct(toks(col("__pre"))), array()))
+      .withColumn("__postT", coalesce(array_distinct(toks(col("__post"))), array()))
+      .localCheckpoint() // feeds four event derivations below — one pass over the batch
+    val dfEvents =
+      net.select(explode(array_except(col("__postT"), col("__preT"))).as("tok"))
+        .withColumn("_old_tok", lit(null).cast("string")).withColumn("_op", lit("I"))
+        .unionByName(
+          net.select(explode(array_except(col("__preT"), col("__postT"))).as("_old_tok"))
+            .withColumn("tok", lit(null).cast("string")).withColumn("_op", lit("D")))
+    val dlNew = size(toks(col("__post"))).cast("long")
+    val dlOld = size(toks(col("__pre"))).cast("long")
+    val corpusEvents = net
+      .filter(col("__pre").isNotNull || col("__post").isNotNull)
+      .select(
+        when(col("__post").isNotNull, lit("all")).otherwise(lit(null)).as("scope"),
+        when(col("__post").isNotNull, dlNew).otherwise(lit(null)).cast("long").as("dl"),
+        when(col("__pre").isNotNull, lit("all")).otherwise(lit(null)).as("_old_scope"),
+        when(col("__pre").isNotNull, dlOld).otherwise(lit(null)).cast("long").as("_old_dl"),
+        when(col("__pre").isNull, lit("I"))
+          .when(col("__post").isNull, lit("D")).otherwise(lit("U")).as("_op"))
+    AggDelta.maintain(dfT, dfEvents, Seq("tok"), Nil, batchId = batchId)
+    AggDelta.maintain(corpusT, corpusEvents, Seq("scope"), Seq("dl"),
+      valueType = "decimal(18,0)", accType = "decimal(28,0)", batchId = batchId)
+    docsT.mergeCdc(checked, opCol = opCol, seqCol = seqCol, tag = batchId)
+  }
+}

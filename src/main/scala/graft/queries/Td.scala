@@ -1016,7 +1016,7 @@ object Td {
     * both corpus-wide passes of ad-hoc BM25 disappear — stats maintenance
     * costs ∝ changed docs' postings, query cost ∝ matching postings.
     */
-  private val Bm25StatsFormat = 1
+  private val Bm25StatsFormat = 2 // f2: built through RetrievalDelta (same final state)
   def bm25StatsTables(s: SparkSession, d: String):
       (graft.engine.KeyedTable, graft.engine.KeyedTable, graft.engine.KeyedTable) = {
     val doc = documents(s, d)
@@ -1028,53 +1028,27 @@ object Td {
   }
 
   private[graft] def buildBm25StatsInto(s: SparkSession, d: String, tmp: String): Unit = {
-    import graft.operators.TextOps
     val doc = documents(s, d).select(col("doc_id"), col("text"))
     val id = col("doc_id")
     val docsT = graft.engine.KeyedTable(s, s"$tmp/docs", Seq("doc_id"), numBuckets = 16)
     val dfT = graft.engine.KeyedTable(s, s"$tmp/df", Seq("tok"), numBuckets = 8)
     val corpusT = graft.engine.KeyedTable(s, s"$tmp/corpus", Seq("scope"))
-    // distinct (doc, term) postings: one event per term the doc contains
-    def postings(df: org.apache.spark.sql.DataFrame) = df.select(
-      id, explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
-    def lengths(df: org.apache.spark.sql.DataFrame) = df.select(
-      lit("all").as("scope"), size(TextOps.tokens(col("text"))).cast("long").as("dl"))
 
-    val base = doc.filter(id % 10 =!= 0)
-    docsT.overwrite(base)
-    graft.engine.AggDelta.bootstrap(dfT, postings(base), Seq("tok"), Nil)
-    graft.engine.AggDelta.bootstrap(corpusT, lengths(base), Seq("scope"), Seq("dl"),
-      valueType = "decimal(18,0)", accType = "decimal(28,0)")
-
+    graft.engine.RetrievalDelta.bootstrap(docsT, dfT, corpusT,
+      doc.filter(id % 10 =!= 0))
     // epoch 1: the %10=0 docs arrive
-    val ins = doc.filter(id % 10 === 0)
-    docsT.mergeCdc(ins.withColumn("_op", lit("I")).withColumn("_seq", lit(1L)),
-      tag = Some("bm25-e1"))
-    graft.engine.AggDelta.maintain(dfT,
-      postings(ins).withColumn("_old_tok", lit(null).cast("string"))
-        .withColumn("_op", lit("I")),
-      Seq("tok"), Nil, batchId = Some("bm25-e1"))
-    graft.engine.AggDelta.maintain(corpusT,
-      lengths(ins).withColumn("_old_scope", lit(null).cast("string"))
-        .withColumn("_old_dl", lit(null).cast("long")).withColumn("_op", lit("I")),
-      Seq("scope"), Seq("dl"),
-      valueType = "decimal(18,0)", accType = "decimal(28,0)", batchId = Some("bm25-e1"))
-
+    graft.engine.RetrievalDelta.maintain(docsT, dfT, corpusT,
+      doc.filter(id % 10 === 0)
+        .withColumn("_old_text", lit(null).cast("string"))
+        .withColumn("_op", lit("I")).withColumn("_seq", lit(1L)),
+      batchId = Some("bm25-e1"))
     // epoch 2: the %7=0 docs are retracted (old images from the base table)
-    val del = doc.filter(id % 7 === 0)
-    docsT.mergeCdc(del.select(id, lit(null).cast("string").as("text"))
-      .withColumn("_op", lit("D")).withColumn("_seq", lit(2L)),
-      tag = Some("bm25-e2"))
-    graft.engine.AggDelta.maintain(dfT,
-      postings(del).select(id, lit(null).cast("string").as("tok"),
-        col("tok").as("_old_tok")).withColumn("_op", lit("D")),
-      Seq("tok"), Nil, batchId = Some("bm25-e2"))
-    graft.engine.AggDelta.maintain(corpusT,
-      lengths(del).select(lit(null).cast("string").as("scope"),
-        lit(null).cast("long").as("dl"), lit("all").as("_old_scope"),
-        col("dl").as("_old_dl")).withColumn("_op", lit("D")),
-      Seq("scope"), Seq("dl"),
-      valueType = "decimal(18,0)", accType = "decimal(28,0)", batchId = Some("bm25-e2"))
+    graft.engine.RetrievalDelta.maintain(docsT, dfT, corpusT,
+      doc.filter(id % 7 === 0)
+        .select(id, lit(null).cast("string").as("text"),
+          col("text").as("_old_text"))
+        .withColumn("_op", lit("D")).withColumn("_seq", lit(2L)),
+      batchId = Some("bm25-e2"))
   }
 
   private val BandIndexFormat = 1
