@@ -529,6 +529,50 @@ object ParityQueries {
              |  CAST(COALESCE(SUM(pd), 0) AS DOUBLE) AS sum_price
              |FROM final_state GROUP BY 1, 2""".stripMargin)),
 
+    // ----- quantiles read off the MAINTAINED histogram ---------------------
+    // The dashboard payoff of q_hist_maintain's state: per status, the
+    // bin-resolution p50/p90 (smallest bin whose cumulative count clears
+    // the rank) derived from the maintained bins alone — no fact scan, all
+    // integer arithmetic (cum·2 ≥ total, cum·10 ≥ 9·total), so the cells
+    // hash exactly. The oracle re-derives the same quantiles from the
+    // final fact state: a single mis-binned maintenance retraction moves a
+    // cumulative boundary and flips a bin cell.
+    "q_quantile_maintain" -> Q(
+      (s, d) => {
+        val h = Td.histMaintainTable(s, d).current
+          .select(col("o_orderstatus"), col("price_bin"), col("cnt"))
+        val w = Window.partitionBy("o_orderstatus").orderBy("price_bin")
+        val cum = h.withColumn("cum", sum(col("cnt")).over(w))
+        val tot = h.groupBy("o_orderstatus").agg(sum(col("cnt")).as("total"))
+        cum.join(tot, Seq("o_orderstatus"))
+          .groupBy(col("o_orderstatus"))
+          .agg(max(col("total")).as("total"),
+            min(when(col("cum") * 2 >= col("total"), col("price_bin"))).as("p50_bin"),
+            min(when(col("cum") * 10 >= col("total") * 9, col("price_bin"))).as("p90_bin"))
+      },
+      Some("""WITH final_state AS (
+             |  SELECT o_orderstatus, o_totalprice AS p FROM orders
+             |  WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+             |  UNION ALL
+             |  SELECT 'U', o_totalprice * 1.1 FROM orders
+             |  WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+             |  UNION ALL
+             |  SELECT 'N', o_totalprice FROM orders
+             |  WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0),
+             |bins AS (
+             |  SELECT o_orderstatus, CAST(floor(p / 100000) AS BIGINT) AS price_bin,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM final_state GROUP BY 1, 2),
+             |c AS (
+             |  SELECT *, CAST(sum(cnt) OVER (PARTITION BY o_orderstatus
+             |      ORDER BY price_bin) AS BIGINT) AS cum,
+             |    CAST(sum(cnt) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS total
+             |  FROM bins)
+             |SELECT o_orderstatus, max(total) AS total,
+             |  min(CASE WHEN cum * 2 >= total THEN price_bin END) AS p50_bin,
+             |  min(CASE WHEN cum * 10 >= total * 9 THEN price_bin END) AS p90_bin
+             |FROM c GROUP BY 1""".stripMargin)),
+
     // ----- T5: schema-align casts ------------------------------------------
     // The decimal / date casts still run, but the *output* columns surface
     // as double / timestamp: DATE and DECIMAL physical output types hash

@@ -3,6 +3,7 @@ package graft.queries
 import graft.engine.Colocate
 import graft.operators.{Relational, Sampling, Sketches, SkewOps, TextOps}
 import graft.queries.ParityQueries.Q
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Extension queries: temporal/range/bloom joins, pivot & grouping sets,
@@ -399,6 +400,35 @@ object RelationalQueries {
              |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
              |  AND ts <= TIMESTAMP '2024-01-12 23:59:59.999999'
              |GROUP BY event_type""".stripMargin)),
+
+    // ----- column-level data lineage from the analyzed plan -----------------
+    // The impact-analysis tool as a query: lineage of a join+window+agg
+    // revenue report — every output column mapped to the leaf relation
+    // columns its VALUE is computed from (filter/join-key columns are
+    // control lineage, deliberately separate; see Lineage scaladoc). The
+    // oracle is the expected pair relation stated literally: a traversal
+    // bug that drops an alias hop or leaks a pass-through changes rows.
+    "q_lineage" -> Q(
+      (s, d) => {
+        val li = Td.lineitem(s, d)
+        val o = Td.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+        val shaped = joined
+          .withColumn("net_price",
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .withColumn("order_rank", row_number().over(w))
+        val report = shaped.groupBy(col("o_orderpriority").as("priority"))
+          .agg(sum(col("net_price")).as("revenue"),
+            max(col("order_rank")).as("max_rank"),
+            countDistinct(col("l_suppkey")).as("n_suppliers"))
+        graft.plans.Lineage.lineageDf(s, report)
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('priority', 'o_orderpriority'),
+             |  ('revenue', 'l_discount'), ('revenue', 'l_extendedprice'),
+             |  ('max_rank', 'o_custkey'), ('max_rank', 'o_orderdate'),
+             |  ('n_suppliers', 'l_suppkey')) t(out_col, src_col)""".stripMargin)),
 
     // ----- 2-D Z-order zone-map pruning (rectangle data skipping) -----------
     // The STORED Morton-clustered events table (Td.zorderEventsTable:
