@@ -56,6 +56,39 @@ object Gif {
     val height = math.max(1, (payload.length + width - 1) / width)
     require(height < 0x10000, s"payload needs height $height >= 65536 at width $width")
     val out = new java.io.ByteArrayOutputStream()
+    writeHeader(out, width, height)
+    writeImageBlock(out, payload, width, height)
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** Animated GIF89a: `payload` split into `frameBytes`-byte slices, one
+    * image block per slice (own geometry — the last slice may be shorter),
+    * each preceded by a graphic-control extension as real encoders emit.
+    */
+  def encodeAnimated(payload: Array[Byte], width: Int, frameBytes: Int): Array[Byte] = {
+    require(width > 0 && width < 0x10000, s"bad width $width")
+    require(frameBytes > 0, "frameBytes must be positive")
+    val nf = math.max(1, (payload.length + frameBytes - 1) / frameBytes)
+    val maxH = math.max(1, (math.min(payload.length, frameBytes) + width - 1) / width)
+    val out = new java.io.ByteArrayOutputStream()
+    writeHeader(out, width, maxH)
+    var fi = 0
+    while (fi < nf) {
+      val slice = java.util.Arrays.copyOfRange(payload,
+        fi * frameBytes, math.min(payload.length, (fi + 1) * frameBytes))
+      val h = math.max(1, (slice.length + width - 1) / width)
+      // graphic control extension: 10/100s delay, no disposal, no transparency
+      out.write(0x21); out.write(0xF9); out.write(4)
+      out.write(0); out.write(10); out.write(0); out.write(0); out.write(0)
+      writeImageBlock(out, slice, width, h)
+      fi += 1
+    }
+    out.write(0x3B)
+    out.toByteArray
+  }
+
+  private def writeHeader(out: java.io.ByteArrayOutputStream, width: Int, height: Int): Unit = {
     def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
     out.write("GIF89a".getBytes("US-ASCII"))
     u16(width); u16(height)
@@ -63,7 +96,15 @@ object Gif {
     out.write(0); out.write(0)
     var i = 0
     while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
-    out.write(0x2C) // image descriptor: full screen, no LCT, no interlace
+  }
+
+  /** One image block: descriptor + LZW literal data (pixels = payload bytes
+    * zero-padded to width×height), sub-block framing, terminator.
+    */
+  private def writeImageBlock(out: java.io.ByteArrayOutputStream,
+                              payload: Array[Byte], width: Int, height: Int): Unit = {
+    def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    out.write(0x2C) // image descriptor: no LCT, no interlace
     u16(0); u16(0); u16(width); u16(height); out.write(0)
     out.write(8) // LZW minimum code size
     // literal codes at a fixed 9-bit width: CLEAR every 250 literals keeps
@@ -91,8 +132,6 @@ object Gif {
       out.write(n); out.write(data, off, n); off += n
     }
     out.write(0) // block terminator
-    out.write(0x3B) // trailer
-    out.toByteArray
   }
 
   // ------------------------------------------------------------- decode ---
@@ -117,7 +156,20 @@ object Gif {
       if (mx == -1) 0 else mx)
   }
 
-  def decodeImage(bytes: Array[Byte]): GifImage = {
+  /** First frame (the single-image contract shared with the other codecs). */
+  def decodeImage(bytes: Array[Byte]): GifImage =
+    walk(bytes, firstOnly = true).head
+
+  /** EVERY frame of a (possibly animated) GIF, in stream order — the video
+    * counterpart: graphic-control extensions are walked like any other
+    * extension, each image block (its own geometry, optional local
+    * palette, interlace) decodes independently, and the trailer must
+    * close the stream.
+    */
+  def decodeFrames(bytes: Array[Byte]): Seq[GifImage] =
+    walk(bytes, firstOnly = false)
+
+  private def walk(bytes: Array[Byte], firstOnly: Boolean): Seq[GifImage] = {
     if (bytes.length < 13) fail(s"truncated header (${bytes.length} bytes)")
     val magic = new String(bytes, 0, 6, "US-ASCII")
     if (magic != "GIF87a" && magic != "GIF89a") fail(s"bad magic '$magic'")
@@ -135,6 +187,8 @@ object Gif {
       gct = java.util.Arrays.copyOfRange(bytes, pos, pos + n)
       pos += n
     }
+    val frames = Seq.newBuilder[GifImage]
+    var nFrames = 0
     while (true) {
       u8(pos) match {
         case 0x21 => // extension: label + sub-blocks, walked not guessed
@@ -163,6 +217,7 @@ object Gif {
             if (pos + 1 + len > bytes.length) fail("truncated image sub-block")
             data.write(bytes, pos + 1, len); pos += 1 + len; len = u8(pos)
           }
+          pos += 1 // sub-block terminator
           val nPix = iw * ih
           val indices = lzwDecode(data.toByteArray, minCodeSize, nPix, pal.length / 3)
           val deinterlaced =
@@ -180,8 +235,12 @@ object Gif {
               }
               outRows
             }
-          return GifImage(iw, ih, deinterlaced, pal)
-        case 0x3B => fail("trailer before any image data")
+          frames += GifImage(iw, ih, deinterlaced, pal)
+          nFrames += 1
+          if (firstOnly) return frames.result()
+        case 0x3B =>
+          if (nFrames == 0) fail("trailer before any image data")
+          return frames.result()
         case b => fail(f"unknown block 0x$b%02x at offset $pos")
       }
     }

@@ -256,6 +256,55 @@ object Multimodal {
                       payloadCol: String, width: Int = 10): DataFrame =
     wrapMediaTable(spark, df, idCol, payloadCol, "image/gif", Gif.encode(_, width))
 
+  /** Animated-GIF wrap: one frame per `frameBytes`-byte payload slice. */
+  def asGifAnimMediaTable(spark: SparkSession, df: DataFrame, idCol: String,
+                          payloadCol: String, width: Int = 10,
+                          frameBytes: Int = 30): DataFrame =
+    wrapMediaTable(spark, df, idCol, payloadCol, "image/gif",
+      Gif.encodeAnimated(_, width, frameBytes))
+
+  /** Per-frame stats over animated GIFs — the palette-indexed counterpart
+    * of [[decodeVideoFrames]]: every frame decodes through the full LZW
+    * path independently, emitting (media_id, frame_idx, n_frames, width,
+    * height, sum_px). Gray palettes make sum_px = 3·Σ payload code points
+    * per slice, which is what the oracle recomputes.
+    */
+  def gifFrames(spark: SparkSession, media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("sum_px", LongType, nullable = false)))
+    val out = media.select("media_id", "content", "media_type")
+      .rdd.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]]("content")
+          val mt = r.getAs[String]("media_type")
+          if (bytes == null) Iterator.empty
+          else if (mt != "image/gif")
+            throw new IllegalArgumentException(s"gifFrames: unsupported media type $mt")
+          else {
+            val frames = Gif.decodeFrames(bytes)
+            frames.iterator.zipWithIndex.map { case (img, fi) =>
+              var sum = 0L
+              var i = 0
+              while (i < img.indices.length) {
+                val p = (img.indices(i) & 0xFF) * 3
+                sum += (img.palette(p) & 0xFF) + (img.palette(p + 1) & 0xFF) +
+                  (img.palette(p + 2) & 0xFF)
+                i += 1
+              }
+              Row(r.getAs[Long]("media_id"), fi, frames.length,
+                img.width, img.height, sum)
+            }
+          }
+        }
+      }
+    spark.createDataFrame(out, schema)
+  }
+
   def asJpegMediaTable(spark: SparkSession, df: DataFrame, idCol: String,
                        payloadCol: String, blocksPerRow: Int = 10): DataFrame =
     wrapMediaTable(spark, df, idCol, payloadCol, "image/jpeg",

@@ -80,4 +80,29 @@ object Lineage {
     import spark.implicits._
     columnLineage(df).toDF("out_col", "src_col")
   }
+
+  /** CONTROL lineage: leaf columns that gate WHICH rows appear — filter
+    * predicates, join conditions, and aggregate grouping keys — without
+    * feeding any output value directly. The redaction-audit complement to
+    * [[columnLineage]]: dropping one of these changes the result even
+    * though no output cell is "computed from" it.
+    */
+  def controlLineage(df: DataFrame): Seq[String] = {
+    val plan = df.queryExecution.analyzed
+    val traced = scala.collection.mutable.Set.empty[String]
+    plan.foreach {
+      case f: Filter =>
+        f.condition.references.foreach(r => traced ++= trace(r, f.child))
+      case j: Join =>
+        j.condition.foreach(_.references.foreach { r =>
+          j.children.filter(_.outputSet.contains(r))
+            .foreach(c => traced ++= trace(r, c))
+        })
+      case a: Aggregate =>
+        a.groupingExpressions.foreach(_.references.foreach(r =>
+          traced ++= trace(r, a.child)))
+      case _ =>
+    }
+    traced.toSeq.sorted
+  }
 }

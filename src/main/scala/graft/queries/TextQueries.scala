@@ -471,6 +471,37 @@ object TextQueries {
              |         ELSE COALESCE(list_max([unicode(text[i]) for i in range(1, length(text)+1)]), 0) END AS mx
              |  FROM documents) t""".stripMargin)),
 
+    // ----- animated GIF frame extraction -----------------------------------
+    // Each document becomes a real multi-frame GIF89a (one image block per
+    // 30-byte text slice, graphic-control extensions between); the query
+    // walks every block and decodes every frame through the full LZW path
+    // independently. The oracle recomputes each frame's geometry and
+    // palette-mapped sum from its text slice — a mis-walked extension, a
+    // dropped last frame, or one byte in the wrong frame changes rows.
+    "q_gif_frames" -> Q(
+      (s, d) => {
+        val docs = Td.documents(s, d)
+          .filter(graft.operators.Sampling.hashBucket(col("doc_id")) < 40)
+        val media = Multimodal.asGifAnimMediaTable(s, docs, "doc_id", "text",
+          width = 10, frameBytes = 30)
+        Multimodal.gifFrames(s, media)
+      },
+      Some("""WITH d AS (SELECT doc_id, text, length(text) AS len,
+             |    GREATEST(1, CAST(ceil(length(text) / 30.0) AS INT)) AS nf
+             |  FROM documents WHERE text IS NOT NULL
+             |    AND (((doc_id % 1000003) * 2654435761) // 8192) % 100 < 40),
+             |f AS (SELECT doc_id, text, len, nf, unnest(range(0, nf)) AS fi FROM d),
+             |s AS (SELECT doc_id, CAST(fi AS INT) AS frame_idx, nf AS n_frames,
+             |    GREATEST(0, LEAST(30, len - fi*30)) AS fl,
+             |    COALESCE(list_sum([unicode(text[CAST(fi*30 + i AS INT)])
+             |      for i in range(1, CAST(GREATEST(0, LEAST(30, len - fi*30)) AS INT) + 1)]), 0) AS fsum
+             |  FROM f)
+             |SELECT doc_id AS media_id, frame_idx, n_frames,
+             |  10 AS width,
+             |  CAST(GREATEST(1, (fl + 9) // 10) AS INT) AS height,
+             |  CAST(3 * fsum AS BIGINT) AS sum_px
+             |FROM s""".stripMargin)),
+
     // ----- GIF corruption quarantine routing -------------------------------
     // Two corruption classes over the same containers: %7=3 truncates the
     // stream mid-data (the LZW reader must hit its ends-before-EOI guard,

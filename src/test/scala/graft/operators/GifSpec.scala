@@ -144,6 +144,26 @@ class GifSpec extends AnyFunSuite {
       Gif.decode(handGif(2, 2, 2, pal, Seq(4, 1, 1, 1, 1, 1, 5))))
   }
 
+  test("animated: frames round-trip independently, GCEs walked, last frame short") {
+    val payload = (0 until 73).map(i => (i % 251).toByte).toArray
+    val g = Gif.encodeAnimated(payload, width = 10, frameBytes = 30)
+    val frames = Gif.decodeFrames(g)
+    assert(frames.length == 3) // 30 + 30 + 13
+    assert(frames.map(f => (f.width, f.height)) == Seq((10, 3), (10, 3), (10, 2)))
+    def sliceSum(lo: Int, hi: Int) = (lo until hi).map(i => payload(i) & 0xFF).sum.toLong
+    def frameSum(f: Gif.GifImage) = f.indices.map(i => (i & 0xFF).toLong).sum
+    assert(frameSum(frames(0)) == sliceSum(0, 30))
+    assert(frameSum(frames(1)) == sliceSum(30, 60))
+    assert(frameSum(frames(2)) == sliceSum(60, 73)) // 7 padding zeros
+    // decodeImage = first frame; decode (stats) agrees with it
+    assert(Gif.decodeImage(g).indices.toSeq == frames(0).indices.toSeq)
+    // empty payload: one all-padding frame
+    assert(Gif.decodeFrames(Gif.encodeAnimated(Array.empty, 10, 30)).length == 1)
+    // a truncation that loses the trailer (multi-frame walk must notice)
+    intercept[IllegalArgumentException](
+      Gif.decodeFrames(java.util.Arrays.copyOf(g, g.length - 1)))
+  }
+
   test("code width grows with the dictionary (literal ladder past 2^codeSize)") {
     // minCode 2: after enough literals the decoder must switch 3→4→5-bit
     // reads in lockstep with the packer's mirrored growth

@@ -53,4 +53,21 @@ class LineageSpec extends SparkSpec {
     val ex = t.select(explode(array(col("g"), col("g"))).as("piece"))
     assert(pairs(ex) == Set("piece" -> "g"))
   }
+
+  test("controlLineage: filter/join/grouping columns, not output inputs") {
+    val s = spark
+    import s.implicits._
+    val l = Seq(LinL(1L, "pay")).toDS().toDF()
+    val r = Seq(LinR(1L, 9.0)).toDS().toDF()
+    val q = l.join(r, col("k") === col("k2"))
+      .filter(col("v") > 0)
+      .groupBy(col("payload")).agg(count(lit(1)).as("n"))
+    // data lineage of the output: payload only (n is a constant count)
+    assert(pairs(q) == Set("payload" -> "payload"))
+    // control: join keys, the filter column, and the grouping key
+    assert(Lineage.controlLineage(q) == Seq("k", "k2", "payload", "v"))
+    // a filter through an alias traces to the leaf
+    val aliased = l.select(col("payload").as("p2"), col("k")).filter(col("p2") === "x")
+    assert(Lineage.controlLineage(aliased).contains("payload"))
+  }
 }
