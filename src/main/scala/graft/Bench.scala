@@ -85,7 +85,13 @@ object Bench {
         "tk" -> timed(graft.queries.Td.buildTopkMaintainInto(spark, sfDir, s"$tmpRoot/tk")),
         "tk1" -> timed(graft.queries.Td.epoch1TopkMaintain(spark, sfDir, s"$tmpRoot/tk")),
         "qm" -> timed(graft.queries.Td.buildQualityMaintainInto(spark, sfDir, s"$tmpRoot/qm")),
-        "tm" -> timed(graft.queries.Td.buildTriangleMaintainInto(spark, sfDir, s"$tmpRoot/tm")))
+        "tm" -> timed(graft.queries.Td.buildTriangleMaintainInto(spark, sfDir, s"$tmpRoot/tm")),
+        // round-8 stored-state builds: maintained BM25 statistics (corpus +
+        // df + totals through two epochs), pre-delta PageRank ranks, and
+        // the Z-order-clustered events layout
+        "bm" -> timed(graft.queries.Td.buildBm25StatsInto(spark, sfDir, s"$tmpRoot/bm")),
+        "pr" -> timed(graft.queries.Td.buildPrankInto(spark, sfDir, s"$tmpRoot/pr")),
+        "zo" -> timed(graft.queries.Td.buildZorderEventsInto(spark, sfDir, s"$tmpRoot/zo")))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
       out
     }
@@ -115,6 +121,9 @@ object Bench {
       graft.queries.Td.topkMaintainTable(spark, sfDir).current.count()
       graft.queries.Td.qualityMaintainTable(spark, sfDir).current.count()
       graft.queries.Td.triangleMaintainTables(spark, sfDir)._2.current.count()
+      graft.queries.Td.bm25StatsTables(spark, sfDir)._2.current.count()
+      graft.queries.Td.pagerankTable(spark, sfDir).current.count()
+      graft.queries.Td.zorderEventsTable(spark, sfDir).current.count()
     }
     // Optional dev filter: `runMain graft.Bench q_a,q_b` times only those
     // queries (the driver invokes with no args → full battery).

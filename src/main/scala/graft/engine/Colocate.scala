@@ -59,6 +59,20 @@ object Colocate {
                    keys: Seq[String], joinType: String = "inner"): DataFrame =
     s.table(left).hint("merge").join(s.table(right), keys, joinType)
 
+  /** Aggregate a bucketed table on (a superset of) its bucket keys: the
+    * scan reports `HashPartitioning(keys, B)`, so the partial and final
+    * hash aggregates collapse into ONE stage with no Exchange — the
+    * group-by twin of [[bucketedJoin]]. At 100 TB this is the difference
+    * between an aggregation that re-shuffles the fact table on every
+    * dashboard refresh and one that only ever reads its buckets.
+    * `aggExprs` are ordinary aggregate Columns.
+    */
+  def bucketedAggregate(s: SparkSession, table: String, keys: Seq[String],
+                        aggExprs: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    require(keys.nonEmpty && aggExprs.nonEmpty, "need keys and aggregates")
+    s.table(table).groupBy(keys.map(col): _*).agg(aggExprs.head, aggExprs.tail: _*)
+  }
+
   /** Shuffle exchanges in the EXECUTED plan — the observability hook the
     * co-location gates pin to zero. Executes the frame once (AQE finalizes
     * the plan only on execution), then counts shuffle flavors in the final

@@ -401,6 +401,27 @@ object RelationalQueries {
              |  AND ts <= TIMESTAMP '2024-01-12 23:59:59.999999'
              |GROUP BY event_type""".stripMargin)),
 
+    // ----- co-located bucketed aggregation (zero shuffle exchanges) ----------
+    // The group-by twin of q_cobucket_join: aggregating the stored bucketed
+    // facts ON the bucket key collapses partial+final hash aggregation into
+    // one exchange-free stage (the scan already reports HashPartitioning).
+    // The in-band flag counts exchanges in the EXECUTED plan — a layout or
+    // planner regression that reintroduces the shuffle hash-fails the row.
+    // Values gated as a plain aggregate oracle.
+    "q_cobucket_agg" -> Q(
+      (s, d) => {
+        val t = Td.cobucketUserTable(s, d)
+        val agg = Colocate.bucketedAggregate(s, t, Seq("user_id"),
+          Seq(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value")))
+        val ok = if (Colocate.exchangeCount(agg) == 0) 1 else 0
+        agg.withColumn("colocated_ok", lit(ok))
+      },
+      Some("""SELECT user_id, count(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             |  1 AS colocated_ok
+             |FROM events GROUP BY user_id""".stripMargin)),
+
     // ----- column-level data lineage from the analyzed plan -----------------
     // The impact-analysis tool as a query: lineage of a join+window+agg
     // revenue report — every output column mapped to the leaf relation

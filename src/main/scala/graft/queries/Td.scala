@@ -1051,6 +1051,23 @@ object Td {
       batchId = Some("bm25-e2"))
   }
 
+  /** Bucketed-by-user_id events facts for the exchange-free AGGREGATION
+    * gate (q_cobucket_agg) — user_id is a real group key (events per user
+    * ≫ 1), unlike the join tables' unique event_id.
+    */
+  def cobucketUserTable(s: SparkSession, d: String): String = {
+    val sid = sessionId(s).replace("-", "").take(10)
+    val safe = d.replaceAll("[^A-Za-z0-9]", "_")
+    val name = s"graft_cb_user_${safe}_$sid"
+    if (!s.catalog.tableExists(name)) {
+      val base = System.getProperty("java.io.tmpdir")
+      graft.engine.Colocate.materialize(
+        events(s, d).select(col("user_id"), col("value")),
+        name, Seq("user_id"), 32, Some(s"$base/$name"))
+    }
+    name
+  }
+
   private val BandIndexFormat = 1
   def bandIndexTable(s: SparkSession, d: String): DataFrame = {
     val corpusDocs = documents(s, d)

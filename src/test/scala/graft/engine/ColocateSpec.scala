@@ -35,8 +35,13 @@ class ColocateSpec extends SparkSpec {
 
     // a groupBy ON the bucket key also rides the reported partitioning —
     // aggregation without an exchange is the same economics for rollups
-    val agg = spark.table("cb_spec_facts").groupBy("id").agg(sum("v"))
+    val agg = Colocate.bucketedAggregate(spark, "cb_spec_facts", Seq("id"),
+      Seq(sum("v").as("sv")))
     assert(Colocate.exchangeCount(agg) == 0, "bucket-key aggregation must not shuffle")
+    // ...and equals the plain aggregation
+    val aggPlain = facts.groupBy("id").agg(sum("v").as("sv")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(agg.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap == aggPlain)
 
     spark.sql("DROP TABLE IF EXISTS cb_spec_facts")
     spark.sql("DROP TABLE IF EXISTS cb_spec_dims")
