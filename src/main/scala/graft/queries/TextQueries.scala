@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
 object TextQueries {
 
   // --- DuckDB fragments mirroring TextOps (kept in lockstep) ---------------
-  private[queries] val normSql =
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
-  private[queries] val toksSql = s"string_split($normSql, ' ')"
+  private[queries] def normSqlOf(e: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($e), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+  private[queries] val normSql = normSqlOf("text")
+  private[queries] def toksSqlOf(e: String): String = s"string_split(${normSqlOf(e)}, ' ')"
+  private[queries] val toksSql = toksSqlOf("text")
   private[queries] def polyHashSql(s: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in split($s, '')]), (acc, c) -> (acc*31 + c) % ${TextOps.HashP})"
   private val shinglesSql = // distinct word 3-grams, matching TextOps.shingles(_, 3)
@@ -43,12 +45,14 @@ object TextQueries {
   /** The shared 4-term query of the BM25 battery (and its hybrid rerank). */
   private[queries] val Bm25Terms = Seq("window", "merge", "stream", "spark")
 
-  private[queries] def bm25CoreSql(terms: Seq[String], where: String = ""): String = {
+  private[queries] def bm25CoreSql(terms: Seq[String], where: String = "",
+                                   from: String = "documents",
+                                   textExpr: String = "text"): String = {
     val lt = QualityOps.fpLog2Table.mkString("[", ", ", "]")
     val q = QualityOps.QuantScale
     val in = terms.map(t => s"'$t'").mkString("(", ", ", ")")
     s"""ltab AS (SELECT $lt AS lt),
-       |toks AS (SELECT doc_id, $toksSql AS w FROM documents $where),
+       |toks AS (SELECT doc_id, ${toksSqlOf(textExpr)} AS w FROM $from $where),
        |tot AS (SELECT CAST(sum(len(w)) AS BIGINT) AS t_tot,
        |               CAST(count(*) AS BIGINT) AS n_tot FROM toks),
        |hits AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, unnest(w) AS tok

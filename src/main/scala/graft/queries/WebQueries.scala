@@ -461,6 +461,32 @@ object WebQueries {
     // Catalyst plan from archive bytes to per-record corpus stats. The
     // oracle rebuilds the same three stages from doc_id arithmetic, the
     // mirrored extraction chain and the shared normalizer fragment.
+    // ----- search-engine capstone: crawl archive → extracted corpus → BM25 --
+    // The web and retrieval families composed end to end in ONE plan: WARC
+    // containers parsed, every record's HTML main text extracted, and the
+    // resulting corpus BM25-ranked for the battery's shared 4-term query.
+    // The oracle rebuilds the whole chain — record restatement from doc_id
+    // arithmetic, the mirrored extraction chain, then the full fixed-point
+    // BM25 over the EXTRACTED text — so a drifted byte anywhere in the
+    // pipeline (a mis-framed record, a swallowed tag, one df off) moves an
+    // integer score cell and hash-fails.
+    "q_search_capstone" -> Q(
+      (s, d) => {
+        val pages = Td.documents(s, d).select(col("doc_id"), htmlFixture.as("page"))
+        val files = Web.asWarcTable(s, pages, "doc_id", "page", RecsPerFile)
+        val corpus = Web.parseWarc(s, files).select(
+          regexp_extract(col("target_uri"), "doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          Web.htmlText(col("body")).as("clean"))
+        graft.operators.Retrieval.bm25TopK(corpus, "doc_id", "clean",
+          TextQueries.Bm25Terms, k = 10)
+      },
+      Some(s"""WITH rec AS (
+              |  SELECT doc_id, ${htmlTextSql(s"($htmlFixtureSql)")} AS clean
+              |  FROM documents WHERE text IS NOT NULL),
+              |${TextQueries.bm25CoreSql(TextQueries.Bm25Terms, from = "rec", textExpr = "clean")}
+              |SELECT doc_id, n_terms, score_fp, CAST(rank AS INT) AS rank
+              |FROM r WHERE rank <= 10""".stripMargin)),
+
     "q_warc_pipeline" -> Q(
       (s, d) => {
         val pages = Td.documents(s, d).select(col("doc_id"), htmlFixture.as("page"))
