@@ -19,7 +19,7 @@ object StatQueries {
     * `kind` ∈ num/str/other picks which stats are non-NULL, mirroring the
     * type dispatch in the operator.
     */
-  private def profileSql(table: String, cols: Seq[(String, String)]): String =
+  private[queries] def profileSql(table: String, cols: Seq[(String, String)]): String =
     cols.map { case (c, kind) =>
       val mn = if (kind == "num") s"CAST(min($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
       val mx = if (kind == "num") s"CAST(max($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
@@ -69,6 +69,47 @@ object StatQueries {
         "o_orderkey" -> "num", "o_custkey" -> "num", "o_orderstatus" -> "str",
         "o_totalprice" -> "num", "o_orderdate" -> "other",
         "o_orderpriority" -> "str")))),
+
+    // ----- profile drift across STORED VERSIONS (profiling × time travel) --
+    // The ingestion-monitoring composition: the same one-pass profile run
+    // at version 1 of the CDC-maintained orders table (via atVersion) and
+    // at current, joined per column — the report that catches "this feed's
+    // cardinality/domain jumped" between loads. Drift is real by
+    // construction (the CDC batch adds two status values and scales
+    // prices); the oracle reconstructs BOTH states from base tables, so a
+    // manifest-resolution bug reading the wrong version breaks cells here
+    // before it corrupts anything downstream.
+    "q_profile_drift" -> Q(
+      (s, d) => {
+        val t = Td.cdcOrdersTable(s, d)
+        val cols = Seq("o_orderstatus", "o_totalprice", "o_custkey")
+        def slim(p: org.apache.spark.sql.DataFrame, tag: String) =
+          p.select(col("col_name"), col("n_rows").as(s"n_rows_$tag"),
+            col("n_distinct").as(s"n_distinct_$tag"), col("max_d").as(s"max_$tag"))
+        slim(Stats.profile(t.atVersion(1), cols), "v1")
+          .join(slim(Stats.profile(t.current, cols), "cur"), Seq("col_name"))
+      },
+      Some {
+        val cols = Seq("o_orderstatus" -> "str", "o_totalprice" -> "num",
+          "o_custkey" -> "num")
+        s"""WITH v1 AS (SELECT o_orderstatus, o_totalprice, o_custkey
+           |  FROM orders WHERE o_orderkey % 3 <> 0),
+           |cur AS (
+           |  SELECT o_orderstatus, o_totalprice, o_custkey FROM orders
+           |  WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+           |  UNION ALL
+           |  SELECT 'U', o_totalprice * 1.1, o_custkey FROM orders
+           |  WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+           |  UNION ALL
+           |  SELECT 'N', o_totalprice, o_custkey FROM orders
+           |  WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0),
+           |p1 AS (${profileSql("v1", cols)}),
+           |p2 AS (${profileSql("cur", cols)})
+           |SELECT p1.col_name,
+           |  p1.n_rows AS n_rows_v1, p1.n_distinct AS n_distinct_v1, p1.max_d AS max_v1,
+           |  p2.n_rows AS n_rows_cur, p2.n_distinct AS n_distinct_cur, p2.max_d AS max_cur
+           |FROM p1 JOIN p2 USING (col_name)""".stripMargin
+      }),
 
     // ----- exact functional-dependency discovery ---------------------------
     // Ordered-pair FD check over orders + a derived o_year column: the
