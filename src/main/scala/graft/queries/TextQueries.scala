@@ -417,6 +417,34 @@ object TextQueries {
              |         ELSE COALESCE(list_max([unicode(text[i]) for i in range(1, length(text)+1)]), 0) END AS mx
              |  FROM documents) t""".stripMargin)),
 
+    // ----- SQL over maintained state (catalog registration) ----------------
+    // The reference's warehouse tables are SQL-visible; so are ours:
+    // Catalog.sqlOver registers the maintained df + corpus-totals tables as
+    // temp views and answers an ad-hoc SQL question over them — the top-10
+    // most document-frequent terms with their corpus share, computed
+    // entirely from MAINTAINED state (no corpus scan; share is an exact
+    // ppm integer). Registration captures one consistent snapshot per
+    // name — SQL reports never straddle a maintenance commit.
+    "q_sql_over_state" -> Q(
+      (s, d) => {
+        val (_, dfT, corpusT) = Td.bm25StatsTables(s, d)
+        graft.engine.Catalog.sqlOver(s,
+          Map("term_df" -> dfT, "corpus_totals" -> corpusT),
+          """SELECT tok, cnt AS df,
+            |  (cnt * CAST(1000000 AS BIGINT)) div c.n AS df_ppm
+            |FROM term_df CROSS JOIN
+            |  (SELECT cnt AS n FROM corpus_totals) c
+            |ORDER BY df DESC, tok ASC LIMIT 10""".stripMargin)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok
+              |             FROM documents WHERE doc_id % 7 <> 0),
+              |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM toks),
+              |dfr AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              |        FROM toks GROUP BY 1)
+              |SELECT tok, df, (df * CAST(1000000 AS BIGINT)) // n.n AS df_ppm
+              |FROM dfr CROSS JOIN n
+              |ORDER BY df DESC, tok ASC LIMIT 10""".stripMargin)),
+
     // ----- maintained-state anti-entropy audit -----------------------------
     // The operational IVM check as a first-class operator: Audit.viewAudit
     // full-outer-compares the MAINTAINED document-frequency table (AggDelta
