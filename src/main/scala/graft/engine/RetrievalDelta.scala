@@ -49,11 +49,14 @@ object RetrievalDelta {
   private def postings(df: DataFrame, idCol: String, textCol: Column): DataFrame =
     df.select(col(idCol), explode(array_distinct(toks(textCol))).as("tok"))
 
-  /** Build all three tables from a corpus snapshot. */
+  /** Build all three tables from a corpus snapshot. The corpus table keeps
+    * `docs`' FULL schema (callers may carry payload columns — URIs,
+    * sources — beside the text); df/totals derive from `textCol` alone.
+    */
   def bootstrap(docsT: KeyedTable, dfT: KeyedTable, corpusT: KeyedTable,
                 docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text"): Unit = {
-    docsT.overwrite(docs.select(col(idCol), col(textCol)))
+    docsT.overwrite(docs)
     AggDelta.bootstrap(dfT, postings(docs, idCol, col(textCol)), Seq("tok"), Nil)
     AggDelta.bootstrap(corpusT,
       docs.select(lit("all").as("scope"), size(toks(col(textCol))).cast("long").as("dl")),

@@ -38,8 +38,13 @@ object CrawlFlow {
   /** One micro-batch of WARC files → corpus merge. `gz` selects the
     * member-gzipped walk. Exposed for batch-mode reuse and tests.
     */
-  def processBatch(spark: SparkSession, files: DataFrame, corpus: KeyedTable,
-                   gz: Boolean = false): BatchStats = {
+  /** Shared front half: routed parse → extraction → fingerprint →
+    * within-batch dedup. Returns the pinned page frame `(fp, target_uri,
+    * clean_text)` plus the batch's observability counts — reused by the
+    * searchable-crawl composition ([[SearchCrawlFlow]]).
+    */
+  private[streaming] def extractPages(spark: SparkSession, files: DataFrame,
+                                      gz: Boolean): (DataFrame, Long, Long, Long) = {
     // route first: a corrupt archive must not kill the batch
     val routed = (if (gz) Web.parseWarcGzRouted(spark, files)
                   else Web.parseWarcRouted(spark, files))
@@ -60,14 +65,19 @@ object CrawlFlow {
           .orderBy(col("target_uri"))))
       .filter(col("__rn") === 1).drop("__rn")
       .localCheckpoint() // pinned: probed once, merged once
-    val nRecs = recs.count()
+    (pages, quarantined, routed.count() - quarantined, recs.count())
+  }
+
+  def processBatch(spark: SparkSession, files: DataFrame, corpus: KeyedTable,
+                   gz: Boolean = false): BatchStats = {
+    val (pages, quarantined, filesOk, nRecs) = extractPages(spark, files, gz)
     val fresh =
       if (!corpus.exists) pages
       else pages.join(corpus.current.select("fp"), Seq("fp"), "left_anti")
     val kept = fresh.count()
     if (!corpus.exists) corpus.overwrite(pages)
     else if (kept > 0) corpus.merge(fresh)
-    BatchStats(routed.count() - quarantined, quarantined, nRecs, kept)
+    BatchStats(filesOk, quarantined, nRecs, kept)
   }
 
   /** Start the flow over a stream of (file_id, content) WARC files. */

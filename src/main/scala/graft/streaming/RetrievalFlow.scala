@@ -18,7 +18,11 @@ object RetrievalFlow {
                    batch: DataFrame, epochId: Long, idCol: String = "doc_id",
                    textCol: String = "text", tagPrefix: String = ""): Long = {
     if (!docsT.exists)
-      RetrievalDelta.bootstrap(docsT, dfT, corpusT, batch.limit(0), idCol, textCol)
+      // project to the document schema — bootstrap keeps its input's FULL
+      // schema, and the op/seq/old-image columns must not bake into it
+      RetrievalDelta.bootstrap(docsT, dfT, corpusT,
+        batch.select(org.apache.spark.sql.functions.col(idCol),
+          org.apache.spark.sql.functions.col(textCol)).limit(0), idCol, textCol)
     RetrievalDelta.maintain(docsT, dfT, corpusT, batch, idCol, textCol,
       batchId = Some(FlowTags.tag(tagPrefix, epochId)))
   }
