@@ -91,6 +91,11 @@ object Bench {
         // the Z-order-clustered events layout
         "bm" -> timed(graft.queries.Td.buildBm25StatsInto(spark, sfDir, s"$tmpRoot/bm")),
         "pr" -> timed(graft.queries.Td.buildPrankInto(spark, sfDir, s"$tmpRoot/pr")),
+        // warm-start vs from-scratch evidence for incremental PageRank:
+        // the recurring post-delta epoch (resume from the root just built,
+        // 2 iters over the full graph) next to the cold full ladder
+        "pr1" -> timed(graft.queries.Td.warmPagerankEpoch(spark, sfDir, s"$tmpRoot/pr")),
+        "prf" -> timed(graft.queries.Td.coldPagerankFull(spark, sfDir)),
         "zo" -> timed(graft.queries.Td.buildZorderEventsInto(spark, sfDir, s"$tmpRoot/zo")))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
       out

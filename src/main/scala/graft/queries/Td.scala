@@ -1001,6 +1001,31 @@ object Td {
     t.overwrite(graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3))
   }
 
+  private def fullBipartiteEdges(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val li = lineitem(s, d).select(
+      (col("l_suppkey") * 2).as("sn"), (col("l_partkey") * 2 + 1).as("pn"))
+    li.select(col("sn").as("src"), col("pn").as("dst"))
+      .union(li.select(col("pn").as("src"), col("sn").as("dst")))
+  }
+
+  /** Warm-start epoch: 2 iterations over the FULL edge set resuming from
+    * the stored pre-delta ranks at `root` — the recurring cost after each
+    * edge delta (bench key "pr1", next to the cold twin below).
+    */
+  private[graft] def warmPagerankEpoch(s: SparkSession, d: String, root: String): Unit = {
+    val init = graft.engine.KeyedTable(s, root, Seq("node")).current
+    graft.operators.Graph.pageRank(fullBipartiteEdges(s, d), "src", "dst",
+      iters = 2, init = Some(init)).count()
+  }
+
+  /** The from-scratch twin: the full uniform-start ladder over the same
+    * final edge set (bench key "prf") — what every delta would cost
+    * WITHOUT warm start. Same action shape as the epoch above.
+    */
+  private[graft] def coldPagerankFull(s: SparkSession, d: String): Unit =
+    graft.operators.Graph.pageRank(fullBipartiteEdges(s, d), "src", "dst",
+      iters = 3).count()
+
   /** Stored MAINTAINED BM25 corpus statistics — the retrieval member of the
     * IVM family: a CDC-maintained document store plus the two statistics
     * relations BM25 needs at query time, document frequencies per term
