@@ -78,10 +78,21 @@ object RetrievalDelta {
     require(batch.columns.contains(oldText),
       s"RetrievalDelta batch must carry the before-image column '$oldText'")
     val checked = batch.withColumn(opCol, Ops.checkedOp(opCol, "RetrievalDelta"))
-    // net effect per key: first event's pre-image, last event's post-image
+    // net effect per key: first event's pre-image, last event's post-image.
+    // (key, seq) uniqueness is enforced IN-PLAN, not trusted: duplicate
+    // seqs make min_by/max_by pick arbitrarily — the stats and the corpus
+    // collapse could then disagree forever, the silent-divergence class
+    // every maintainer here fails loudly on instead.
     val net = checked.groupBy(col(idCol)).agg(
       min_by(struct(col(opCol).as("op"), col(oldText).as("old")), col(seqCol)).as("__f"),
-      max_by(struct(col(opCol).as("op"), col(textCol).as("new")), col(seqCol)).as("__l"))
+      max_by(struct(col(opCol).as("op"), col(textCol).as("new")), col(seqCol)).as("__l"),
+      count(lit(1)).as("__n"), countDistinct(col(seqCol)).as("__nseq"))
+      .withColumn("__seq_ok",
+        when(col("__n") === col("__nseq"), lit(true)).otherwise(raise_error(concat(
+          lit(s"RetrievalDelta: duplicate $seqCol values for key "),
+          col(idCol).cast("string"),
+          lit(" — net-effect derivation needs unique sequence numbers per batch")))))
+      .filter(col("__seq_ok"))
       .select(col(idCol),
         when(col("__f.op") === "I", lit(null).cast("string"))
           .otherwise(col("__f.old")).as("__pre"),

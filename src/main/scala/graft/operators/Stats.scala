@@ -219,6 +219,7 @@ object Stats {
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column to profile")
+    require(cols.distinct.size == cols.size, "duplicate columns in profile list")
     import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType}
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val numeric: Set[org.apache.spark.sql.types.DataType] =

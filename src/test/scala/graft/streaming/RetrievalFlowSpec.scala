@@ -100,6 +100,27 @@ class RetrievalFlowSpec extends SparkSpec {
     auditClean(docsT, dfT, corpusT)
   }
 
+  test("duplicate sequence numbers for one key fail in-plan, never mis-derive") {
+    val s = spark
+    import s.implicits._
+    val (docsT, dfT, corpusT) = tables("rflow4")
+    RetrievalFlow.processBatch(docsT, dfT, corpusT,
+      Seq((1L, "base text", null.asInstanceOf[String], "I", 1L): Ev)
+        .toDF("doc_id", "text", "_old_text", "_op", "_seq"), epochId = 0L)
+    // two events for doc 1 sharing seq 5: min_by/max_by would pick
+    // arbitrarily — the guard must kill the job instead
+    val dup = Seq(
+      (1L, "edit a", "base text", "U", 5L): Ev,
+      (1L, "edit b", "edit a", "U", 5L): Ev)
+      .toDF("doc_id", "text", "_old_text", "_op", "_seq")
+    val e = intercept[Exception] {
+      RetrievalFlow.processBatch(docsT, dfT, corpusT, dup, epochId = 1L)
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("duplicate _seq"), chain)
+  }
+
   test("all documents deleted: totals empty-or-zero, df empty, corpus empty") {
     val s = spark
     import s.implicits._
