@@ -83,7 +83,7 @@ object RetrievalDelta {
     // seqs make min_by/max_by pick arbitrarily — the stats and the corpus
     // collapse could then disagree forever, the silent-divergence class
     // every maintainer here fails loudly on instead.
-    val net = checked.groupBy(col(idCol)).agg(
+    val net0 = checked.groupBy(col(idCol)).agg(
       min_by(struct(col(opCol).as("op"), col(oldText).as("old")), col(seqCol)).as("__f"),
       max_by(struct(col(opCol).as("op"), col(textCol).as("new")), col(seqCol)).as("__l"),
       count(lit(1)).as("__n"), countDistinct(col(seqCol)).as("__nseq"))
@@ -94,13 +94,39 @@ object RetrievalDelta {
           lit(" — net-effect derivation needs unique sequence numbers per batch")))))
       .filter(col("__seq_ok"))
       .select(col(idCol),
+        (col("__f.op") === "I").as("__ins"),
         when(col("__f.op") === "I", lit(null).cast("string"))
           .otherwise(col("__f.old")).as("__pre"),
         when(col("__l.op") === "D", lit(null).cast("string"))
           .otherwise(col("__l.new")).as("__post"))
       .withColumn("__preT", coalesce(array_distinct(toks(col("__pre"))), array()))
       .withColumn("__postT", coalesce(array_distinct(toks(col("__post"))), array()))
-      .localCheckpoint() // feeds four event derivations below — one pass over the batch
+    // The documented-but-previously-UNCHECKED contract, now enforced
+    // in-plan: an `I` for a key already in the store reads an empty
+    // pre-image, so the old document's postings would leak into df and the
+    // totals FOREVER (silent divergence — and an easy feed mistake, since
+    // mergeCdc deliberately tolerates replayed Is). Cost ∝ the batch: the
+    // store side is bucket-pruned + semi-joined to the batch's keys
+    // (currentForKeys), broadcast back against the one-row-per-key net
+    // frame.
+    val net = {
+      val netWithCheck =
+        if (!docsT.exists) net0
+        else {
+          val existing = docsT.currentForKeys(checked.select(col(idCol)).distinct())
+            .select(col(idCol)).withColumn("__ex", lit(true))
+          net0.join(broadcast(existing), Seq(idCol), "left_outer")
+            .withColumn("__i_ok",
+              when(col("__ins") && col("__ex"), raise_error(concat(
+                lit("RetrievalDelta: 'I' event for key "), col(idCol).cast("string"),
+                lit(" which is already present in the store — its old postings would " +
+                  "leak into df/totals; emit a 'U' with the before-image instead"))))
+                .otherwise(lit(true)))
+            .filter(col("__i_ok")).drop("__ex", "__i_ok")
+        }
+      netWithCheck.drop("__ins")
+        .localCheckpoint() // feeds four event derivations below — one pass over the batch
+    }
     val dfEvents =
       net.select(explode(array_except(col("__postT"), col("__preT"))).as("tok"))
         .withColumn("_old_tok", lit(null).cast("string")).withColumn("_op", lit("I"))

@@ -29,6 +29,12 @@ object Gif {
 
   private def fail(msg: String): Nothing = throw new IllegalArgumentException(s"GIF: $msg")
 
+  /** Per-frame decode cap (64 Mpixels ≈ 64 MB of indices + the same again
+    * for the deinterlace buffer) — large enough for any real single frame,
+    * small enough that a crafted header cannot DoS a scan task.
+    */
+  private val MaxDecodePixels = 1L << 26
+
   final case class GifStats(width: Int, height: Int,
                             sumR: Long, sumG: Long, sumB: Long,
                             minPx: Int, maxPx: Int) {
@@ -116,7 +122,10 @@ object Gif {
       while (nBits >= 8) { bits.write((acc & 0xFF).toInt); acc >>>= 8; nBits -= 8 }
     }
     put(256)
-    val nPix = width * height
+    // encoder-side geometry is caller-bounded, but keep the same Long rule
+    val nPixL = width.toLong * height
+    require(nPixL <= Int.MaxValue, s"encode geometry ${width}x$height overflows")
+    val nPix = nPixL.toInt
     var p = 0
     while (p < nPix) {
       if (p > 0 && p % 250 == 0) put(256)
@@ -218,7 +227,17 @@ object Gif {
             data.write(bytes, pos + 1, len); pos += 1 + len; len = u8(pos)
           }
           pos += 1 // sub-block terminator
-          val nPix = iw * ih
+          // Pixel-count math in Long (the PNG twin's rule): iw/ih are u16s,
+          // so a crafted header can push iw*ih past Int range — wrapped
+          // negative, `new Array[Byte](nPix)` would throw
+          // NegativeArraySizeException and ESCAPE the IAE quarantine
+          // contract; non-wrapping values near 2^31 would attempt multi-GB
+          // allocations (indices + deinterlace) from a few-hundred-byte
+          // container. Both fail here instead, inside the contract.
+          val nPixL = iw.toLong * ih
+          if (nPixL > MaxDecodePixels)
+            fail(s"image geometry ${iw}x$ih exceeds the decode cap ($MaxDecodePixels px)")
+          val nPix = nPixL.toInt
           val indices = lzwDecode(data.toByteArray, minCodeSize, nPix, pal.length / 3)
           val deinterlaced =
             if ((ipacked & 0x40) == 0) indices

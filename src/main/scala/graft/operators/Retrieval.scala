@@ -50,6 +50,11 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  /** Largest tf·N_T the 64-bit fixed-point score arithmetic tolerates:
+    * idf_fp·44·tf·N_T must stay under 2^63 (idf_fp is table-bounded).
+    */
+  val MaxTfNt = 6500000000000L
+
   /** Fixed-point BM25 top-k for a bag of query `terms`.
     * Output: `(doc_id, n_terms, score_fp, rank)`, rank 1..k.
     */
@@ -82,6 +87,20 @@ object Retrieval {
     val scored = postings
       .withColumn("__qinv", expr(s"((2 * df + 1) * $q) div (2 * N_N + 2)"))
       .withColumn("__idf_fp", -element_at(logTab, col("__qinv").cast("int") + 1))
+      // The scaladoc's long-range bound, ENFORCED in-plan (the repo's
+      // fail-loudly convention — compare RetrievalDelta's duplicate-seq
+      // raise_error): past tf·N_T ≈ 6.5e12 the integer numerator
+      // idf_fp·44·tf·N_T wraps and silently mis-ranks. The comparison runs
+      // in decimal so the GUARD itself cannot wrap; the hot path stays
+      // integer. Real corpora sit orders of magnitude below the bound —
+      // crossing it means score sharding is needed, not a bigger wrap.
+      .withColumn("__fp_ok",
+        when(col("tf").cast("decimal(38,0)") * col("N_T") <= lit(MaxTfNt), lit(true))
+          .otherwise(raise_error(concat(
+            lit(s"Retrieval: tf*N_T exceeds the fixed-point range bound $MaxTfNt "),
+            lit("(64-bit score arithmetic would wrap and mis-rank) for doc "),
+            col(idCol).cast("string")))))
+      .filter(col("__fp_ok"))
       .withColumn("__term_fp",
         expr("(__idf_fp * (44 * tf * N_T)) div (20 * tf * N_T + 6 * N_T + 18 * dl * N_N)"))
       .groupBy(col(idCol))

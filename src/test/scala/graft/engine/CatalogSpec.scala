@@ -37,10 +37,29 @@ class CatalogSpec extends SparkSpec {
     a.overwrite(Seq(("x", 10L), ("y", 20L)).toDF("k", "n"))
     val b = KeyedTable(spark, tmpDir("catalog2b"), Seq("k"))
     b.overwrite(Seq(("x", "first"), ("y", "second")).toDF("k", "label"))
-    val out = Catalog.sqlOver(spark, Map("ca" -> a, "cb" -> b),
+    val res = Catalog.sqlOver(spark, Map("ca" -> a, "cb" -> b),
       "SELECT ca.k, n, label FROM ca JOIN cb ON ca.k = cb.k ORDER BY n")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // no catalog residue: the views are gone BEFORE any action runs —
+    // spark.sql analyzed eagerly, so the plan survives the drop...
+    assert(!spark.catalog.tableExists("ca") && !spark.catalog.tableExists("cb"))
+    // ...and the result still computes from the captured snapshots
+    val out = res.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
     assert(out.toSeq == Seq(("x", 10L, "first"), ("y", 20L, "second")))
-    spark.catalog.dropTempView("ca"); spark.catalog.dropTempView("cb")
+  }
+
+  test("sqlOver refuses to shadow a relation it doesn't own") {
+    val s = spark
+    import s.implicits._
+    val a = KeyedTable(spark, tmpDir("catalog3"), Seq("k"))
+    a.overwrite(Seq(("x", 1L)).toDF("k", "n"))
+    // a caller-owned view of the binding's name: replace-then-drop would
+    // silently destroy it, so the call must fail up front instead
+    Seq(("pre", 9L)).toDF("k", "n").createOrReplaceTempView("cat_owned")
+    intercept[IllegalArgumentException] {
+      Catalog.sqlOver(spark, Map("cat_owned" -> a), "SELECT * FROM cat_owned")
+    }
+    // the pre-existing view is untouched
+    assert(spark.sql("SELECT n FROM cat_owned").head().getLong(0) == 9L)
+    spark.catalog.dropTempView("cat_owned")
   }
 }

@@ -164,6 +164,27 @@ class GifSpec extends AnyFunSuite {
       Gif.decodeFrames(java.util.Arrays.copyOf(g, g.length - 1)))
   }
 
+  test("crafted geometry fails INSIDE the IAE contract, never via allocation") {
+    val good = Gif.encode("payload".getBytes("US-ASCII"), 10)
+    // image descriptor sits after header(13) + GCT(768): 0x2C at 781,
+    // left/top at 782-785, width at 786-787, height at 788-789
+    assert(good(781) == 0x2C.toByte)
+    def withGeom(w: Int, h: Int): Array[Byte] = {
+      val b = good.clone()
+      b(786) = (w & 0xFF).toByte; b(787) = ((w >> 8) & 0xFF).toByte
+      b(788) = (h & 0xFF).toByte; b(789) = ((h >> 8) & 0xFF).toByte
+      b
+    }
+    // 65535×65535 wraps Int (≈4.29e9): without Long math this becomes a
+    // NegativeArraySizeException that ESCAPES the quarantine contract
+    val e1 = intercept[IllegalArgumentException](Gif.decode(withGeom(0xFFFF, 0xFFFF)))
+    assert(e1.getMessage.contains("decode cap"))
+    // 33000×33000 ≈ 1.09e9 does NOT wrap — the cap must still refuse the
+    // multi-GB allocation a few-hundred-byte container is demanding
+    val e2 = intercept[IllegalArgumentException](Gif.decodeFrames(withGeom(33000, 33000)))
+    assert(e2.getMessage.contains("decode cap"))
+  }
+
   test("code width grows with the dictionary (literal ladder past 2^codeSize)") {
     // minCode 2: after enough literals the decoder must switch 3→4→5-bit
     // reads in lockstep with the packer's mirrored growth

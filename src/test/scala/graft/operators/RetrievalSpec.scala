@@ -74,4 +74,24 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(viaState == direct)
   }
+
+  test("fixed-point range bound is enforced in-plan, not just documented") {
+    val s = spark
+    import s.implicits._
+    // tf·N_T = 1e7 · 1e6 = 1e13 > 6.5e12: past the documented 64-bit bound
+    // the numerator would wrap and silently mis-rank — the guard must kill
+    // the job instead (the repo's fail-loudly convention)
+    val postings = Seq((1L, "spark", 10000000L, 10000000L, 1L, 1000000L, 100L))
+      .toDF("doc_id", "tok", "tf", "dl", "df", "N_T", "N_N")
+    val e = intercept[Exception] {
+      Retrieval.scoreAndRank(postings, "doc_id", 5).collect()
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("fixed-point range bound"), chain)
+    // just UNDER the bound scores normally
+    val ok = Seq((1L, "spark", 1000L, 2000L, 1L, 1000000L, 100L))
+      .toDF("doc_id", "tok", "tf", "dl", "df", "N_T", "N_N")
+    assert(Retrieval.scoreAndRank(ok, "doc_id", 5).count() == 1)
+  }
 }

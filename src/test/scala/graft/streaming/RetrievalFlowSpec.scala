@@ -121,6 +121,36 @@ class RetrievalFlowSpec extends SparkSpec {
     assert(chain.contains("duplicate _seq"), chain)
   }
 
+  test("an 'I' for a key already in the store fails in-plan, never leaks postings") {
+    val s = spark
+    import s.implicits._
+    val (docsT, dfT, corpusT) = tables("rflow5")
+    RetrievalFlow.processBatch(docsT, dfT, corpusT,
+      Seq((1L, "alpha beta", null.asInstanceOf[String], "I", 1L): Ev)
+        .toDF("doc_id", "text", "_old_text", "_op", "_seq"), epochId = 0L)
+    // doc 1 exists; an I for it reads an empty pre-image, so "alpha beta"
+    // would stay in df/totals forever — the guard must fail the epoch
+    val clash = Seq((1L, "gamma delta", null.asInstanceOf[String], "I", 1L): Ev)
+      .toDF("doc_id", "text", "_old_text", "_op", "_seq")
+    val e = intercept[Exception] {
+      RetrievalFlow.processBatch(docsT, dfT, corpusT, clash, epochId = 1L)
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("already present"), chain)
+    // state unharmed: the failed epoch left df/totals at the pre-batch truth
+    assert(df(dfT) == Map("alpha" -> 1L, "beta" -> 1L))
+    auditClean(docsT, dfT, corpusT)
+    // the correct shape for the same edit — a U with the before-image —
+    // lands cleanly, and an I for a genuinely NEW key is still welcome
+    RetrievalFlow.processBatch(docsT, dfT, corpusT, Seq(
+      (1L, "gamma delta", "alpha beta", "U", 1L): Ev,
+      (2L, "epsilon", null.asInstanceOf[String], "I", 1L): Ev)
+      .toDF("doc_id", "text", "_old_text", "_op", "_seq"), epochId = 2L)
+    assert(df(dfT) == Map("gamma" -> 1L, "delta" -> 1L, "epsilon" -> 1L))
+    auditClean(docsT, dfT, corpusT)
+  }
+
   test("all documents deleted: totals empty-or-zero, df empty, corpus empty") {
     val s = spark
     import s.implicits._
