@@ -64,6 +64,40 @@ import java.nio.charset.StandardCharsets
   * touched buckets — the batch's `rangeCol` values route it exactly like
   * hash routing does.
   *
+  * == Merge-on-read mode (`mor = true`, bucketed tables only) ==
+  * Copy-on-write's write amplification is bounded by TOUCHED BUCKETS, and a
+  * hash-spread delta touches all of them: a uniform 1%-of-keys epoch routes
+  * into every bucket, so the "touched-bucket rewrite" degenerates to a
+  * full-table rewrite no matter the bucket count (measured: BENCH_r08's
+  * `scd2_1` 1%-epoch cost 75% of its own bootstrap). At 100 TB that is a
+  * ~100 TB write per daily 1% batch — fatal. MOR is the standard fix
+  * (the Delta/Iceberg merge-on-read shape): an apply writes only DELTA
+  * SEGMENTS, per bucket, recorded per version in a `_DELTAS_vN` sidecar
+  * beside the manifest:
+  * {{{
+  * root/
+  *   v=1/__bucket=0..B/...      // base (bootstrap)
+  *   v=2/__bucket=3/...         // delta segment: only the batch's rows
+  *   v=2/__bucket=7/...         //   (+ __tomb marker column)
+  *   _MANIFEST_v2               // bucket -> BASE version (v=1, unchanged)
+  *   _DELTAS_v2                 // "3,2" / "7,2": delta chain per bucket
+  * }}}
+  * Write cost is ∝ THE BATCH — base files are never rewritten. Readers
+  * coalesce: rows of a key's LATEST delta version win over base (and zero
+  * non-tombstone rows there = the key is gone — replace/delete semantics
+  * identical to [[KeyedTable.cdcMergePlan]]'s, now applied at read time).
+  * The read plan keeps the merge's scale shape: the base side is
+  * anti-joined against a BROADCAST of the uncompacted delta keys (no base
+  * shuffle); only the delta rows — small by the compaction contract — pay
+  * a per-key window. That read tax grows with the delta chain, so
+  * [[compactDeltas]] absorbs chains past a threshold back into base files
+  * (cost ∝ the delta-bearing buckets, never the table), and [[compact]] /
+  * [[compactBuckets]] clear whatever they rewrite. The per-bucket stats
+  * sidecar is written for delta versions too, so zone-map pruning stays
+  * CONSERVATIVE (a bucket is pruned only if base AND every delta segment
+  * rule it out); [[statsAggregate]] honestly declines while deltas are
+  * outstanding (replaced keys would double-count).
+  *
   * `statsCols` adds a per-bucket min/max/count sidecar (`_stats/v=N`
   * parquet, written from a column-pruned read-back of just the files that
   * version wrote — cost ∝ batch, never the table). [[scanRange]] consults
@@ -88,6 +122,7 @@ final class KeyedTable(
     val commitProtocol: KeyedTable.CommitProtocol = KeyedTable.RenameCommit,
     val rangeCol: Option[String] = None,
     val statsCols: Seq[String] = Nil,
+    val mor: Boolean = false,
 ) {
   import KeyedTable._
   private val hconf = spark.sparkContext.hadoopConfiguration
@@ -137,6 +172,29 @@ final class KeyedTable(
     readPointer(fs, new Path(root, BucketsMarker)).map(_.toInt).getOrElse(numBuckets)
 
   private def bucketed: Boolean = effectiveBuckets > 0
+
+  /** Merge-on-read is TABLE metadata persisted at creation, like the bucket
+    * count: a CoW reader opening a MOR table without the flag would miss
+    * the delta chain and silently serve stale base rows, so the stored
+    * marker is authoritative once the table exists.
+    */
+  def effectiveMor: Boolean =
+    fs.exists(new Path(root, MorMarker)) || (!exists && mor)
+
+  private def morActive: Boolean = bucketed && effectiveMor
+
+  /** bucket → ascending uncompacted delta-version chain, at the current
+    * version (empty for CoW tables and right after compaction).
+    */
+  def deltaMap: Map[Int, Seq[Long]] = deltaMapAt(currentVersion)
+
+  private def deltaMapAt(v: Long): Map[Int, Seq[Long]] =
+    readDeltaMap(fs, new Path(root, s"${DeltasPrefix}v$v"))
+
+  /** Uncompacted delta-segment count per bucket — the observability surface
+    * for the MOR read tax ([[compactDeltas]]' threshold input).
+    */
+  def deltaCount: Map[Int, Int] = deltaMap.view.mapValues(_.size).toMap
 
   require(rangeCol.forall(keys.contains),
     s"rangeCol ${rangeCol.getOrElse("")} must be a key column (bucket must be stable across updates)")
@@ -251,11 +309,40 @@ final class KeyedTable(
       val hasData = fs.listStatus(new Path(s"$root/v=$v"))
         .exists(st => st.isFile && st.getPath.getName.startsWith("part-"))
       if (hasData) spark.read.parquet(s"$root/v=$v") else emptyTyped
-    } else {
-      val paths = manifest.toSeq.map { case (b, ver) => s"$root/v=$ver/$BucketCol=$b" }
-      if (paths.isEmpty) emptyTyped
-      else spark.read.parquet(paths: _*)
-    }
+    } else resolve(manifest, if (morActive) deltaMap else Map.empty)
+  }
+
+  /** The bucketed read, base + delta coalesce. `m` maps buckets to their
+    * BASE version, `dm` to their uncompacted delta chains. With no deltas
+    * this is the plain manifest-resolved scan. With deltas, the merge
+    * algebra runs at READ time, in the same scale shape the write-side
+    * [[KeyedTable.cdcMergePlan]] uses: the base side streams through one
+    * anti-join against a BROADCAST of the delta keys (no base shuffle);
+    * the delta rows — bounded by the compaction contract — pay one
+    * per-key window to pick each key's latest segment, whose non-tombstone
+    * rows are the key's entire current group (zero rows = key deleted).
+    */
+  private def resolve(m: Map[Int, Long], dm: Map[Int, Seq[Long]]): DataFrame = {
+    val basePaths = m.toSeq.map { case (b, ver) => s"$root/v=$ver/$BucketCol=$b" }
+    val base = if (basePaths.isEmpty) emptyTyped else spark.read.parquet(basePaths: _*)
+    if (dm.isEmpty) return base
+    // one scan leg per delta VERSION (buckets of a version read together),
+    // tagged with its version so per-key latest-wins is decidable
+    val byVer = dm.toSeq.flatMap { case (b, vs) => vs.map(v => (v, b)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq.sortBy(_._1)
+    val deltas = byVer.map { case (v, bs) =>
+      spark.read.parquet(bs.map(b => s"$root/v=$v/$BucketCol=$b"): _*)
+        .withColumn(DeltaVerCol, lit(v))
+    }.reduce(_.unionByName(_))
+    val cols = base.columns.toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col).toIndexedSeq: _*)
+    val survivors = deltas
+      .withColumn("__maxv", max(col(DeltaVerCol)).over(w))
+      .filter(col(DeltaVerCol) === col("__maxv") && !col(TombCol))
+      .select(cols.map(col).toIndexedSeq: _*)
+    val deltaKeys = deltas.select(keys.map(col).toIndexedSeq: _*).distinct()
+    base.join(broadcast(deltaKeys), keys, "left_anti").unionByName(survivors)
   }
 
   /** Time travel: read the snapshot as of version `v` (must not have been
@@ -288,9 +375,10 @@ final class KeyedTable(
       if (!fs.exists(mp))
         throw new IllegalStateException(
           s"$root: version $v manifest is gone — vacuumed while referenced?")
-      val m = readManifest(fs, mp)
-      val paths = m.toSeq.map { case (b, ver) => s"$root/v=$ver/$BucketCol=$b" }
-      if (paths.isEmpty) emptyTyped else spark.read.parquet(paths: _*)
+      // the deltas sidecar lives and dies with its manifest (vacuum deletes
+      // both), so manifest-present + sidecar-absent is simply "no deltas"
+      resolve(readManifest(fs, mp),
+        if (effectiveMor) deltaMapAt(v) else Map.empty)
     }
   }
 
@@ -298,10 +386,9 @@ final class KeyedTable(
     * merge uses; also useful for key-range queries that know their buckets.
     */
   def readBuckets(buckets: Seq[Int]): DataFrame = {
-    val m = manifest
-    val paths = buckets.flatMap(b => m.get(b).map(ver => s"$root/v=$ver/$BucketCol=$b"))
-    if (paths.isEmpty) emptyTyped
-    else spark.read.parquet(paths: _*)
+    val keep = buckets.toSet
+    resolve(manifest.view.filterKeys(keep).toMap,
+      if (morActive) deltaMap.view.filterKeys(keep).toMap else Map.empty)
   }
 
   /** Truncate-and-reload (K5): write a fresh snapshot ignoring history.
@@ -316,6 +403,11 @@ final class KeyedTable(
         fs.listStatus(new Path(root)).exists(_.getPath.getName.startsWith("v="))
       if (staleVersions) throw new IllegalStateException(
         s"$root holds version dirs but no ${CurrentMarker} — crash mid-commit? restore the pointer manually")
+      if (mor) {
+        require(numBuckets > 0, "merge-on-read requires a bucketed table " +
+          "(delta segments are per-bucket)")
+        writeText(fs, new Path(root, MorMarker), "1")
+      }
       rangeCol.foreach { rc =>
         require(numBuckets > 0, s"range bucketing on $rc needs numBuckets > 0")
         writeText(fs, new Path(root, RangeColMarker), rc)
@@ -387,7 +479,14 @@ final class KeyedTable(
     */
   def bucketStats: Option[DataFrame] = {
     if (!bucketed || !exists || effectiveStatsCols.isEmpty) return None
-    val byVer = manifest.groupBy(_._2).view.mapValues(_.keys.toSeq).toSeq
+    // MOR buckets contribute one stats row per SEGMENT (base + each delta):
+    // consumers must treat a bucket's rows as a union of possibly-live
+    // ranges — deletes make bounds conservative-stale until compaction,
+    // which only ever widens, never misses.
+    val dm = if (morActive) deltaMap else Map.empty[Int, Seq[Long]]
+    val pairs = manifest.toSeq.map { case (b, v) => (v, b) } ++
+      dm.toSeq.flatMap { case (b, vs) => vs.map(v => (v, b)) }
+    val byVer = pairs.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
     val parts = byVer.flatMap { case (v, bks) =>
       val p = new Path(s"$root/$StatsDir/v=$v")
       if (fs.exists(p)) Some(spark.read.parquet(p.toString).filter(col("bucket").isin(bks: _*)))
@@ -418,17 +517,26 @@ final class KeyedTable(
   def rangeScanBuckets(c: String, lo: Any, hi: Any): Option[Seq[Int]] = {
     if (!bucketed || !exists || !effectiveStatsCols.contains(c)) return None
     bucketStats.map { st =>
-      // Prunable: the bucket's [min,max] misses [lo,hi] entirely, or the
-      // column is all-NULL there (cnt > 0 with a NULL min — a range
-      // predicate never matches NULL). Null comparisons stay conservative:
-      // an unknown bound evaluates to NULL → not prunable.
-      val prunable = st.filter(
-        (col(s"max_$c") < lit(lo)) || (col(s"min_$c") > lit(hi)) ||
-          (col(s"min_$c").isNull && col("cnt") > 0))
-        .select("bucket").collect().map(_.getInt(0)).toSet
-      // Manifest buckets with NO stats row (legacy versions) stay readable.
-      val withStats = st.select("bucket").collect().map(_.getInt(0)).toSet
-      manifest.keys.toSeq.filter(b => !withStats.contains(b) || !prunable.contains(b)).sorted
+      val dm = if (morActive) deltaMap else Map.empty[Int, Seq[Long]]
+      val allBuckets = (manifest.keySet ++ dm.keySet).toSeq
+      // A SEGMENT is prunable when its [min,max] misses [lo,hi] entirely,
+      // or its column is all-NULL (cnt > 0 with a NULL min — a range
+      // predicate never matches NULL; a tombstone-only delta reads the
+      // same way, correctly). Null comparisons stay conservative: an
+      // unknown bound evaluates to NULL → not prunable. A BUCKET prunes
+      // only when every segment covering it (base + each delta) both HAS
+      // a stats row and says prunable — one admitting or stats-less
+      // segment keeps the bucket readable.
+      val pruneRow = (col(s"max_$c") < lit(lo)) || (col(s"min_$c") > lit(hi)) ||
+        (col(s"min_$c").isNull && col("cnt") > 0)
+      val admits = st.filter(!coalesce(pruneRow, lit(false)))
+        .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+      val rowsPer = st.groupBy("bucket").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val needed = allBuckets.map(b => b ->
+        ((if (manifest.contains(b)) 1L else 0L) + dm.getOrElse(b, Seq.empty).size)).toMap
+      allBuckets.filter(b =>
+        admits.contains(b) || rowsPer.getOrElse(b, 0L) != needed(b)).sorted
     }
   }
 
@@ -450,15 +558,21 @@ final class KeyedTable(
     * data-path aggregate computes. `cnt` counts rows (not non-nulls), so
     * `n_rows` matches `COUNT(*)`, never `COUNT(c)`.
     */
-  def statsAggregate: Option[DataFrame] = bucketStats.flatMap { st =>
-    val covered = st.select("bucket").distinct().count()
-    if (covered != manifest.size) None
-    else {
-      val sc = effectiveStatsCols.filter(c => st.columns.contains(s"min_$c"))
-      val aggs = sc.flatMap(c => Seq(
-        min(col(s"min_$c")).as(s"min_$c"), max(col(s"max_$c")).as(s"max_$c"))) :+
-        sum(col("cnt")).as("n_rows")
-      Some(st.agg(aggs.head, aggs.tail: _*))
+  def statsAggregate: Option[DataFrame] = {
+    // outstanding MOR deltas: a replaced key is counted in base AND delta
+    // segment stats, so metadata-only sums would double-count — decline
+    // honestly; compaction restores the metadata path
+    if (morActive && deltaMap.nonEmpty) return None
+    bucketStats.flatMap { st =>
+      val covered = st.select("bucket").distinct().count()
+      if (covered != manifest.size) None
+      else {
+        val sc = effectiveStatsCols.filter(c => st.columns.contains(s"min_$c"))
+        val aggs = sc.flatMap(c => Seq(
+          min(col(s"min_$c")).as(s"min_$c"), max(col(s"max_$c")).as(s"max_$c"))) :+
+          sum(col("cnt")).as("n_rows")
+        Some(st.agg(aggs.head, aggs.tail: _*))
+      }
     }
   }
 
@@ -571,6 +685,22 @@ final class KeyedTable(
       tag.foreach(t => writeText(fs, new Path(root, s"${TagPrefix}v$next"), t))
       commitVersion(next)
       next
+    } else if (morActive) {
+      // MOR group replace: the delta segment carries the replacement rows
+      // plus an explicit tombstone for every touched key with NO
+      // replacement rows — so each touched key "appears" in the segment
+      // and the read-time latest-segment rule replaces its whole group
+      val cols = tableColumns
+      val repl = replacement.select(cols.map(col).toIndexedSeq: _*)
+        .withColumn(TombCol, lit(false))
+      val sch = storedSchema.get
+      val tombs = allKeys.join(
+          replacement.select(keys.map(col).toIndexedSeq: _*).distinct(), keys, "left_anti")
+      val tombRows = sch.fields.filterNot(f => keys.contains(f.name))
+        .foldLeft(tombs)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+        .select(cols.map(col).toIndexedSeq: _*)
+        .withColumn(TombCol, lit(true))
+      writeDeltaCommit(repl.unionByName(tombRows), tag)
     } else {
       val touched = bucketsOf(allKeys).get
       commitBucketsRewrite(touched,
@@ -699,10 +829,16 @@ final class KeyedTable(
     val cur = currentVersion
     if (cur == 0) return Seq.empty
     val keepManifests = ((cur - keepVersions + 1) max 1L) to cur
+    // a retained manifest's delta chains are as live as its base pointers:
+    // dropping a referenced delta version would make the coalesced read of
+    // a kept snapshot fail (loudly, per the vacuum-race contract — but a
+    // correctly-parameterized vacuum must never do it)
     val live: Set[Long] =
       if (!bucketed) keepManifests.toSet
-      else keepManifests.flatMap(v =>
-        readManifest(fs, new Path(root, s"${ManifestPrefix}v$v")).values).toSet ++ keepManifests
+      else keepManifests.flatMap { v =>
+        readManifest(fs, new Path(root, s"${ManifestPrefix}v$v")).values ++
+          readDeltaMap(fs, new Path(root, s"${DeltasPrefix}v$v")).values.flatten
+      }.toSet ++ keepManifests
     val all = fs.listStatus(new Path(root)).toSeq.map(_.getPath.getName)
     // never touch versions ABOVE the pointer: v=cur+1 (+ its _COMMIT claim)
     // is a crashed committer's half-finished transition — the conditional-
@@ -718,6 +854,7 @@ final class KeyedTable(
       fs.delete(new Path(root, s"v=$v"), true)
       fs.delete(new Path(root, s"$StatsDir/v=$v"), true) // stats sidecar dies with its version
       fs.delete(new Path(root, s"${ManifestPrefix}v$v"), false)
+      fs.delete(new Path(root, s"${DeltasPrefix}v$v"), false) // delta sidecar dies with its manifest
       fs.delete(new Path(root, s"_COMMIT_v$v"), false) // conditional-put claim
       fs.delete(new Path(root, s"${TagPrefix}v$v"), false) // batch tag dies with its version
     }
@@ -731,6 +868,7 @@ final class KeyedTable(
       .filter(v => v < keepManifests.head)
       .foreach { v =>
         fs.delete(new Path(root, s"${ManifestPrefix}v$v"), false)
+        fs.delete(new Path(root, s"${DeltasPrefix}v$v"), false)
         fs.delete(new Path(root, s"_COMMIT_v$v"), false)
         fs.delete(new Path(root, s"${TagPrefix}v$v"), false)
       }
@@ -819,6 +957,15 @@ final class KeyedTable(
         .write.mode("overwrite").parquet(s"$root/v=$next")
       commitVersion(next)
       next
+    } else if (morActive) {
+      // MOR delete: pure tombstone segment — write cost ∝ deleted keys
+      val sch = storedSchema.getOrElse(current.schema)
+      val tombRows = sch.fields.filterNot(f => keys.contains(f.name))
+        .foldLeft(k.select(keys.map(col).toIndexedSeq: _*))((d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType)))
+        .select(tableColumns.map(col).toIndexedSeq: _*)
+        .withColumn(TombCol, lit(true))
+      writeDeltaCommit(tombRows, None)
     } else {
       val touched = bucketsOf(k).get
       commitBucketsRewrite(touched, readBuckets(touched).join(k, keys, "left_anti"))
@@ -826,10 +973,62 @@ final class KeyedTable(
   }
 
   private def mergeBucketed(latest: DataFrame): Long = {
+    if (morActive)
+      // MOR upsert: the collapsed batch IS the delta segment — a key
+      // appearing in it replaces its current row at read time, identical
+      // to what the CoW anti-join+union would have materialized
+      return writeDeltaCommit(
+        latest.select(tableColumns.map(col).toIndexedSeq: _*)
+          .withColumn(TombCol, lit(false)), None)
     // Touched buckets: a driver-side collect of ≤ numBuckets ints.
     val touched = bucketsOf(latest).get
     val curTouched = readBuckets(touched)
     commitBucketsRewrite(touched, KeyedTable.mergePlan(curTouched, latest, keys, broadcastBatchKeys))
+  }
+
+  /** The table's data columns in stored-schema order — every delta segment
+    * is written at exactly this shape (+ the tombstone marker) so the
+    * multi-version delta union never needs schema merging.
+    */
+  private def tableColumns: Seq[String] =
+    storedSchema.map(_.fields.map(_.name).toSeq)
+      .getOrElse(current.columns.toSeq.filterNot(_ == BucketCol))
+
+  /** Commit one MOR delta segment as version N+1: the batch's rows (and
+    * tombstones) land bucket-routed under `v=N+1`, base manifest pointers
+    * are COPIED UNCHANGED, and the delta sidecar appends N+1 to each
+    * written bucket's chain. Write cost ∝ the batch — never the table.
+    */
+  private def writeDeltaCommit(deltaRows: DataFrame, tag: Option[String]): Long = {
+    val next = currentVersion + 1
+    reserveVersion(next)
+    writeBucketed(deltaRows, next)
+    val written = listBuckets(fs, new Path(s"$root/v=$next"))
+    val prevD = deltaMap
+    val nextD = prevD ++ written.map(b => b -> (prevD.getOrElse(b, Seq.empty) :+ next))
+    writeManifest(fs, new Path(root, s"${ManifestPrefix}v$next"), manifest)
+    if (nextD.nonEmpty)
+      writeDeltaMap(fs, new Path(root, s"${DeltasPrefix}v$next"), nextD)
+    tag.foreach(t => writeText(fs, new Path(root, s"${TagPrefix}v$next"), t))
+    commitVersion(next)
+    next
+  }
+
+  /** Threshold compaction of the MOR read tax: rewrite ONLY the buckets
+    * whose uncompacted delta chain reached `maxDeltas`, absorbing base +
+    * chain into fresh base files (the coalesced read IS the rewrite input,
+    * so this is read-path-equivalent by construction); their chains clear,
+    * other buckets keep base + deltas untouched. Cost ∝ the delta-bearing
+    * buckets — the compaction cadence bounds both the read tax and this
+    * rewrite's amplification, and [[deltaCount]] makes the trigger state
+    * observable. Returns None when no chain crossed the threshold.
+    */
+  def compactDeltas(maxDeltas: Int = 4): Option[Long] = {
+    require(morActive, "compactDeltas applies to merge-on-read bucketed tables")
+    require(maxDeltas >= 1, "maxDeltas must be >= 1")
+    val frag = deltaMap.collect { case (b, vs) if vs.size >= maxDeltas => b }.toSeq.sorted
+    if (frag.isEmpty) None
+    else Some(commitBucketsRewrite(frag, readBuckets(frag)))
   }
 
   /** Write `newData` as the new content of `touched` buckets at version N+1;
@@ -845,6 +1044,13 @@ final class KeyedTable(
     val prev = manifest
     val nextManifest = (prev -- touched) ++ written.map(_ -> next).toMap
     writeManifest(fs, new Path(root, s"${ManifestPrefix}v$next"), nextManifest)
+    // a CoW rewrite of a MOR bucket absorbed its delta chain (the input
+    // was the coalesced read) — clear it; untouched chains carry forward
+    if (morActive) {
+      val nextD = deltaMap -- touched
+      if (nextD.nonEmpty)
+        writeDeltaMap(fs, new Path(root, s"${DeltasPrefix}v$next"), nextD)
+    }
     tag.foreach(t => KeyedTable.writeText(fs, new Path(root, s"${TagPrefix}v$next"), t))
     commitVersion(next)
     next
@@ -862,6 +1068,10 @@ object KeyedTable {
   val TagPrefix = "_TAG_"
   val BoundsDir = "_bounds"
   val StatsDir = "_stats"
+  val MorMarker = "_MORMODE"
+  val DeltasPrefix = "_DELTAS_"
+  val TombCol = "__tomb"
+  val DeltaVerCol = "__dv"
 
   /** The merge as a pure logical plan: rows of `current` whose key is NOT in
     * `batch` (anti-join against a broadcast of the batch's key columns — zero
@@ -1067,9 +1277,10 @@ object KeyedTable {
 
   def apply(spark: SparkSession, root: String, keys: Seq[String],
             orderCol: Option[String] = None, numBuckets: Int = 0,
-            rangeCol: Option[String] = None, statsCols: Seq[String] = Nil): KeyedTable =
+            rangeCol: Option[String] = None, statsCols: Seq[String] = Nil,
+            mor: Boolean = false): KeyedTable =
     new KeyedTable(spark, root, keys, orderCol, numBuckets,
-      rangeCol = rangeCol, statsCols = statsCols)
+      rangeCol = rangeCol, statsCols = statsCols, mor = mor)
 
   private[engine] def readText(fs: FileSystem, p: Path): Option[String] =
     if (!fs.exists(p)) None
@@ -1116,6 +1327,21 @@ object KeyedTable {
 
   private def writeManifest(fs: FileSystem, p: Path, m: Map[Int, Long]): Unit =
     writeText(fs, p, m.toSeq.sorted.map { case (b, v) => s"$b,$v" }.mkString("\n"))
+
+  /** Delta sidecar format mirrors the manifest: one line per bucket,
+    * `bucket,v1,v2,...` with the chain ascending. Absent file = no deltas.
+    */
+  private def readDeltaMap(fs: FileSystem, p: Path): Map[Int, Seq[Long]] =
+    readText(fs, p).map(
+      _.split("\n").map(_.trim).filter(_.nonEmpty).map { line =>
+        val parts = line.split(",")
+        parts.head.toInt -> parts.tail.map(_.toLong).toSeq
+      }.toMap
+    ).getOrElse(Map.empty)
+
+  private def writeDeltaMap(fs: FileSystem, p: Path, m: Map[Int, Seq[Long]]): Unit =
+    writeText(fs, p, m.toSeq.sortBy(_._1)
+      .map { case (b, vs) => (b +: vs).mkString(",") }.mkString("\n"))
 
   private def listBuckets(fs: FileSystem, dir: Path): Seq[Int] =
     if (!fs.exists(dir)) Seq.empty

@@ -202,6 +202,33 @@ object ParityQueries {
              |FROM orders
              |WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0""".stripMargin)),
 
+    // ----- merge-on-read CDC apply (delta segments + read-time coalesce) ---
+    // Same op algebra as q_cdc_merge, but the epoch landed as PER-BUCKET
+    // DELTA SEGMENTS on a `mor = true` table and was deliberately not
+    // compacted — the read must mask tombstones, let the latest segment win
+    // per key, and anti-join base rows against the broadcast delta key set.
+    // `mor_pending = 1` is computed from the table's LIVE delta sidecar, so
+    // the row hash fails if the install ever compacts (or never wrote
+    // deltas) and the query silently stops exercising the coalesce path.
+    "q_mor_read" -> Q(
+      (s, d) => {
+        val t = Td.morOrdersTable(s, d)
+        t.current.withColumn("mor_pending",
+          lit(if (t.deltaMap.nonEmpty) 1 else 0))
+      },
+      Some("""SELECT *, 1 AS mor_pending FROM (
+             |SELECT * FROM orders WHERE o_orderkey % 3 <> 0
+             |  AND o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+             |UNION ALL
+             |SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             |       o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+             |FROM orders WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+             |UNION ALL
+             |SELECT o_orderkey, o_custkey, 'N' AS o_orderstatus,
+             |       o_totalprice, o_orderdate, o_orderpriority
+             |FROM orders
+             |WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0)""".stripMargin)),
+
     // ----- SCD-2 history maintenance (Scd2.bootstrap/maintain) -------------
     // Reads the STORED history table Td.scd2OrdersTable built bootstrap →
     // two CDC batches (updates+tombstones, then re-inserts), so the bytes

@@ -440,6 +440,40 @@ object Td {
     t.mergeCdc(ins.unionByName(upd).unionByName(del))
   }
 
+  /** Stored MERGE-ON-READ KeyedTable over `orders`, SAME base→CDC algebra
+    * as [[buildCdcOrdersInto]] but `mor = true` and deliberately left
+    * UNCOMPACTED: the CDC epoch lives as per-bucket delta segments, so the
+    * gated query (`q_mor_read`) exercises the live base+delta coalesce —
+    * tombstone masking, latest-segment wins, broadcast-keys anti-join —
+    * not a compacted shortcut, and its in-band flag pins that chains were
+    * outstanding at read time. The oracle recomputes the final snapshot
+    * set-algebraically (identical to `q_cdc_merge`'s), so CoW apply and
+    * MOR read-coalesce are hash-pinned to the same answer.
+    */
+  private val MorOrdersFormat = 1
+  def morOrdersTable(s: SparkSession, d: String): graft.engine.KeyedTable = {
+    val o = orders(s, d)
+    val root = indexRoot(s, "mororders", MorOrdersFormat, d, "orders", o.count())
+    installDir(s, root)(buildMorCdcOrdersInto(s, d, _))
+    graft.engine.KeyedTable(s, root, Seq("o_orderkey"))
+  }
+
+  private[graft] def buildMorCdcOrdersInto(s: SparkSession, d: String, tmp: String): Unit = {
+    val o = orders(s, d)
+    val t = graft.engine.KeyedTable(s, tmp, Seq("o_orderkey"), numBuckets = 32, mor = true)
+    t.overwrite(o.filter(col("o_orderkey") % 3 =!= 0))
+    val ins = o.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_orderstatus", lit("N"))
+      .withColumn("_op", lit("I")).withColumn("_seq", lit(1))
+    val upd = o.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      .withColumn("_op", lit("U")).withColumn("_seq", lit(2))
+    val del = o.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("_op", lit("D")).withColumn("_seq", lit(3))
+    t.mergeCdc(ins.unionByName(upd).unionByName(del))
+  }
+
   /** Stored incrementally-MAINTAINED aggregate over `orders`, grouped by
     * `o_orderstatus` — the group column MOVES under the CDC batch (updates
     * set status 'U', inserts arrive as 'N'), so maintenance exercises
@@ -908,6 +942,56 @@ object Td {
     graft.engine.TopKDelta.maintain(st, b, fact.current,
       Seq("o_orderstatus"), Seq("o_orderkey"), "o_totalprice",
       k = 5, bufferFactor = 2, batchId = Some("tm-2"))
+  }
+
+  /** MERGE-ON-READ twin of the SCD-2 stress build: identical bootstrap +
+    * two epochs into a `mor = true` table — bench keys `scd2m`/`scd2_1m`
+    * sit beside `scd2`/`scd2_1` so the r8 verdict's copy-on-write
+    * write-amplification finding (a hash-spread 1% epoch cost 75% of a
+    * full bootstrap) is answered with a measured A/B, not prose. The
+    * realistic 1% epoch reuses [[epoch1Scd2Orders]] verbatim: the stored
+    * `_MORMODE` marker routes it to delta segments.
+    */
+  private[graft] def buildScd2OrdersMorInto(s: SparkSession, d: String, tmp: String): Unit = {
+    val o = orders(s, d)
+    val k = col("o_orderkey")
+    val t = graft.engine.KeyedTable(s, tmp, Seq("o_orderkey"), numBuckets = 32, mor = true)
+    graft.engine.Scd2.bootstrap(t, o, seq0 = 0L)
+    val upd = o.filter(k % 5 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      .withColumn("_op", lit("U")).withColumn("_seq", lit(1))
+    val del = o.filter(k % 7 === 0)
+      .withColumn("_op", lit("D")).withColumn("_seq", lit(2))
+    graft.engine.Scd2.maintain(t, upd.unionByName(del), batchId = Some("scd2-b1"))
+    val ins = o.filter(k % 11 === 0)
+      .withColumn("o_orderstatus", lit("R"))
+      .withColumn("_op", lit("I")).withColumn("_seq", lit(3))
+    graft.engine.Scd2.maintain(t, ins, batchId = Some("scd2-b2"))
+  }
+
+  /** MOR read-tax instrumentation (bench keys mor/me1/mr0/mr1/mr8/morc/mrc):
+    * a plain MOR KeyedTable over `orders`, 1%-of-keys re-price epochs, and
+    * a full-scan aggregate that forces the base+delta coalesce — so the
+    * compaction-cadence contract (read cost at 0, 1, N uncompacted delta
+    * chains, then the compaction that resets it) is measured numbers in
+    * the artifact, not SCALING.md prose.
+    */
+  private[graft] def buildMorOrdersInto(s: SparkSession, d: String, tmp: String): Unit =
+    graft.engine.KeyedTable(s, tmp, Seq("o_orderkey"), numBuckets = 32, mor = true)
+      .overwrite(orders(s, d))
+
+  private[graft] def epochMorOrders(s: SparkSession, d: String, tmp: String, m: Int): Unit = {
+    val o = orders(s, d)
+    graft.engine.KeyedTable(s, tmp, Seq("o_orderkey"))
+      .merge(o.filter(col("o_orderkey") % 100 === m)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.01))
+  }
+
+  private[graft] def scanMorOrders(s: SparkSession, tmp: String): Unit = {
+    graft.engine.KeyedTable(s, tmp, Seq("o_orderkey")).current
+      .agg(count(lit(1)), sum(col("o_totalprice"))).collect()
+    ()
   }
 
   /** One ~1% update epoch against the [[buildScd2OrdersInto]] root at the

@@ -19,4 +19,35 @@ class TdSpec extends SparkSpec {
     assert(p1.sparkSession eq s1)
     assert(p2.sparkSession eq s2)
   }
+
+  test("MOR bench bodies run end-to-end and read-path-equal their CoW twins") {
+    val d = "/root/testdata/sf0.001"
+    val tmp = tmpDir("td-mor-bench")
+    // the exact bodies Bench times (scd2m/scd2_1m and the mor/me/mr ladder)
+    Td.buildScd2OrdersMorInto(spark, d, s"$tmp/scd2m")
+    Td.epoch1Scd2Orders(spark, d, s"$tmp/scd2m")
+    Td.buildScd2OrdersInto(spark, d, s"$tmp/scd2c")
+    Td.epoch1Scd2Orders(spark, d, s"$tmp/scd2c")
+    val m = graft.engine.KeyedTable(spark, s"$tmp/scd2m", Seq("o_orderkey"))
+    val c = graft.engine.KeyedTable(spark, s"$tmp/scd2c", Seq("o_orderkey"))
+    assert(m.effectiveMor && m.deltaMap.nonEmpty, "epochs must land as delta segments")
+    assert(m.manifest.values.toSet.size == 1, "base pointers all at the bootstrap version")
+    def sortedRows(t: graft.engine.KeyedTable) = {
+      val cols = t.current.columns.sorted.toIndexedSeq
+      t.current.select(cols.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    }
+    assert(sortedRows(m) == sortedRows(c), "MOR SCD-2 history ≡ CoW history")
+    // read-tax ladder bodies
+    Td.buildMorOrdersInto(spark, d, s"$tmp/mor")
+    Td.scanMorOrders(spark, s"$tmp/mor")
+    (1 to 5).foreach(i => Td.epochMorOrders(spark, d, s"$tmp/mor", i))
+    Td.scanMorOrders(spark, s"$tmp/mor")
+    val t = graft.engine.KeyedTable(spark, s"$tmp/mor", Seq("o_orderkey"))
+    val n = t.current.count()
+    assert(t.deltaCount.values.max >= 4)
+    assert(t.compactDeltas(maxDeltas = 4).nonEmpty)
+    assert(t.current.count() == n, "compaction is layout-only")
+    assert(t.current.count() == Td.orders(spark, d).count(), "re-price epochs add no rows")
+  }
 }
