@@ -1,6 +1,103 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Renders the single JSON stdout line the driver keeps (last 2000 bytes).
+   *
+   * Compact values (2 decimals, trailing zeros stripped): full-precision
+   * doubles pushed the 87-query line past the budget in r4, truncating 22
+   * entries. Fallback ladder: shed precision, then the uniform "q_" key
+   * prefix (flagged in-band via "qprefix"), then constant boilerplate
+   * ("unit"/"sf", then "metric"), then fold queries under an `elide`
+   * threshold into fast_n/fast_sum/fast_max summary keys — those sit at the
+   * measurement noise floor and every one is still correctness-gated by
+   * Verify.
+   *
+   * Key ORDER is part of the contract (r9 verdict #1): the driver keeps the
+   * LAST 2000 stdout bytes, so if a line somehow overflows, front-truncation
+   * must eat per-query detail, not certification. The bulky "queries" map
+   * leads; every health/certification key (ib/err/stalled/stall/nstall/
+   * nretry/pmax/npx) trails it, with "value" the very last key on the line.
+   * BENCH_r09 had the opposite order and lost every health key to a
+   * ~120-byte overflow.
+   *
+   * The elide ladder is ADAPTIVE (r9 verdict #1): the old final fallback was
+   * an unchecked getOrElse at elide=0.35 — a stall-heavy round names more
+   * slow queries, overflows the budget, and the driver's window truncates
+   * the line into unparseable JSON (BENCH_r09 parsed:null). The ladder keeps
+   * raising elide until the line fits; the terminal level folds EVERY query
+   * into the summary keys, leaving a line of pure health keys that always
+   * fits. BenchRenderSpec pins both guarantees under a deliberately
+   * stall-heavy synthetic battery.
+   *
+   * Health-key semantics: "stall" = max over queries of the post-heal
+   * agreement ratio (~1 quiet); "nstall" = queries whose min was never
+   * corroborated (>3× disagreement after retries); "nretry" = raw
+   * ambient-contention evidence; "pmax"/"npx" = vs-prior certification (max
+   * min/prior, and queries still >2× prior after retries — each also named
+   * in "stalled"). "err" lists queries whose every run threw — a missing
+   * entry must read as FAILED, never as fast.
+   */
+  def render(results: Seq[(String, Double)], sfName: String,
+      stallRatio: Double, nstall: Int, nretry: Int, priorMax: Option[Double],
+      npx: Int, stalledQ: Seq[String], failed: Seq[String],
+      idxBuild: Seq[(String, Double)], budget: Int = 1995): String = {
+    def fmt(prec: Int)(v: Double): String =
+      BigDecimal(v).setScale(prec, BigDecimal.RoundingMode.HALF_UP)
+        .bigDecimal.stripTrailingZeros.toPlainString
+    val total = results.map(_._2).sum
+    val stallPart = {
+      val priorPart = priorMax.map(p =>
+        s""""pmax":${fmt(1)(p)},"npx":$npx,""").getOrElse("")
+      s""""stall":${fmt(1)(stallRatio)},"nstall":$nstall,"nretry":$nretry,$priorPart"""
+    }
+    val ibPart = if (idxBuild.isEmpty) ""
+      else idxBuild.map { case (k, v) => "\"" + k + "\":" + fmt(1)(v) }
+        .mkString("\"ib\":{", ",", "},")
+    def line(prec: Int, strip: Boolean, slim: Int, elide: Double): String = {
+      // stalled/err names strip the "q_" prefix in LOCKSTEP with the query
+      // keys: the prior loader applies one qprefix rule to both, so a line
+      // with unstripped queries but stripped stalled names would fail to
+      // exclude stalled entries from the prior set
+      def nm(s: String) = if (strip) s.stripPrefix("q_") else s
+      val stalledPart = if (stalledQ.isEmpty) ""
+        else stalledQ.map("\"" + nm(_) + "\"").mkString("\"stalled\":[", ",", "],")
+      val errPart = if (failed.isEmpty) ""
+        else failed.map("\"" + nm(_) + "\"").mkString("\"err\":[", ",", "],")
+      val (fast, kept) = results.partition(_._2 < elide)
+      val qs = kept.map { case (k, v) =>
+        val key = if (strip) k.stripPrefix("q_") else k
+        "\"" + key + "\":" + fmt(prec)(v)
+      }.mkString("{", ",", "}")
+      val hint = if (strip) "\"qprefix\":\"q_\"," else ""
+      val head = slim match {
+        case 0 => s""""metric":"total","unit":"sec","""
+        case 1 => s""""metric":"total","""
+        case _ => ""
+      }
+      val sf = if (slim == 0) s""""sf":"$sfName",""" else ""
+      val fastPart = if (fast.isEmpty) ""
+        else s""""fast_n":${fast.size},"fast_sum":${fmt(2)(fast.map(_._2).sum)},""" +
+          s""""fast_max":${fmt(2)(fast.map(_._2).max)},"""
+      s"""{$head$hint$fastPart"queries":$qs,$sf$ibPart$errPart$stalledPart$stallPart"value":${fmt(2)(total)}}"""
+    }
+    val levels = Seq(
+      line(2, false, 0, 0.0), line(1, false, 0, 0.0), line(1, true, 0, 0.0),
+      line(1, true, 1, 0.0), line(1, true, 2, 0.0), line(1, true, 2, 0.05),
+      line(1, true, 2, 0.15))
+    val adaptive = Iterator.iterate(0.35)(_ * 1.4).take(30).map(line(1, true, 2, _))
+    val best = (levels.iterator ++ adaptive ++ Iterator(line(1, true, 2, Double.MaxValue)))
+      .find(_.length <= budget)
+      .getOrElse(line(1, true, 2, Double.MaxValue))
+    if (best.length <= budget) best
+    else {
+      // Pathological floor (every query stalled AND failed lists huge): even
+      // the terminal level's out-of-band name lists can overflow. Collapse
+      // them to counts — a parseable line with the certification keys beats
+      // a truncated one with names.
+      s"""{"queries":{},"nstalled":${stalledQ.size},"nerr":${failed.size},$stallPart"value":${fmt(2)(total)}}"""
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -210,16 +307,28 @@ object Bench {
     // flagged — it cannot hide, only noise gets healed.
     val priorTimes: Map[String, Double] = {
       val explicit = sys.env.get("SPARK_GRAFT_BENCH_PRIOR").map(new java.io.File(_))
+      // Auto-discovery walks candidates NEWEST-FIRST and falls back to the
+      // next artifact when one yields no usable priors (r9: BENCH_r09.json
+      // was front-truncated into garbage — the old single-candidate pick
+      // would have loaded zero priors instead of falling back to r8).
+      // SPARK_GRAFT_BENCH_ROUND=N (optional) excludes BENCH_rN.json so a
+      // re-run inside round N cannot compare against its own output
+      // (ADVICE r9: same-round self-comparison silently weakens the
+      // cross-round stall check).
+      val selfRound = sys.env.get("SPARK_GRAFT_BENCH_ROUND").map(_.toInt)
       val auto = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-        .sortBy(f => "\\d+".r.findFirstIn(f.getName).get.toInt).lastOption
-      explicit.orElse(auto).filter(_.isFile).map { file =>
+        .filterNot(f => selfRound.contains("\\d+".r.findFirstIn(f.getName).get.toInt))
+        .sortBy(f => -"\\d+".r.findFirstIn(f.getName).get.toInt).toSeq
+      val candidates = explicit.map(Seq(_)).getOrElse(auto)
+      candidates.filter(_.isFile).iterator.map { file =>
         // the driver wraps the bench's stdout line as an ESCAPED string
         // inside its own JSON ("tail": "...\"queries\":{...}...") —
-        // unescape before matching so both the raw line and the wrapper
-        // parse identically
-        val txt = scala.io.Source.fromFile(file, "UTF-8").mkString
-          .replace("\\\"", "\"")
+        // unescape only when needed (a raw line already containing an
+        // unescaped "queries":{ is matched as-is; blanket-unescaping a raw
+        // line could corrupt doubly-escaped wrapper content — ADVICE r9)
+        val raw = scala.io.Source.fromFile(file, "UTF-8").mkString
+        val txt = if (raw.contains("\"queries\":{")) raw else raw.replace("\\\"", "\"")
         // a prior from a different scale factor is not a prior at all
         // (sf0.01 dev runs must not "heal" against sf0.1 numbers)
         val curSf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir.split('/').last).map(_.group(1))
@@ -241,7 +350,7 @@ object Bench {
             .getOrElse(Map.empty[String, Double])
           qs -- stalledPrior
         }
-      }.getOrElse(Map.empty)
+      }.find(_.nonEmpty).getOrElse(Map.empty)
     }
     if (priorTimes.nonEmpty)
       System.err.println(s"BENCHPRIOR ${priorTimes.size} per-query priors loaded")
@@ -340,87 +449,12 @@ object Bench {
       else name -> (if (stat == "median") times(times.length / 2) else times.head)
     }
     val results = results0.filterNot(_._2.isNaN)
-    // Compact values (2 decimals, trailing zeros stripped): the driver keeps
-    // only the LAST 2000 stdout bytes, and full-precision doubles pushed the
-    // 87-query line past that, truncating 22 entries per round. The sf field
-    // is the basename (the driver records the numeric sf itself), and if the
-    // battery ever grows past the budget anyway, precision degrades to 1
-    // decimal rather than losing entries off the front.
-    def fmt(prec: Int)(v: Double): String =
-      BigDecimal(v).setScale(prec, BigDecimal.RoundingMode.HALF_UP)
-        .bigDecimal.stripTrailingZeros.toPlainString
-    val total = results.map(_._2).sum
-    val sfName = sfDir.split('/').last
-    // Third fallback level: the uniform "q_" key prefix costs 2 bytes ×
-    // battery size (~194 at 97 queries) — strip it rather than drop entries
-    // or precision below 0.1 s, and say so in-band via the "qprefix" key.
-    // Fourth/fifth levels (the battery crossed 100 queries): shed the
-    // constant-per-round boilerplate ("unit":"sec" and the sf basename,
-    // which the driver already records numerically; then "metric":"total")
-    // before ever touching per-query signal. Sixth level: fold queries
-    // under `elide` seconds into fast_n/fast_sum summary keys — coarse, but
-    // entries dropping off the FRONT of the tail window would be worse.
-    // In-band measurement health + index-build cost — kept at EVERY level:
-    // "stall" (max over queries of run_max/run_min; ~1 quiet, 5-100× under
-    // external contention — the r5 bench was unusable with no in-band way
-    // to see it), "nstall" (queries past 3×), "ib" (fresh stored-index
-    // build seconds, invisible before behind build-once installs).
-    // Post-heal semantics: "stall"/"nstall" now measure RESIDUAL
-    // uncertainty (queries whose min was never corroborated, even after
-    // retries); "nretry" carries the raw ambient-contention evidence (how
-    // many queries needed any retry). A clean artifact reads stall≈1,
-    // nstall=0; a noisy-but-healed one reads nstall=0 with nretry>0; only
-    // entries named in "stalled" are untrustworthy.
-    val stallPart = {
-      val stallRatio = if (ratios.isEmpty) 1.0 else ratios.max
-      // pmax: max post-heal min/prior over queries with a prior (≈1 when
-      // this round matches the last artifact); npx: queries STILL > 2×
-      // prior after retries — each of those is also named in "stalled",
-      // so no query exceeds its prior without being flagged untrustworthy
-      val priorPart = if (priorRatios.isEmpty) ""
-        else s""""pmax":${fmt(1)(priorRatios.max)},"npx":$priorStalled,"""
-      s""""stall":${fmt(1)(stallRatio)},"nstall":${ratios.count(_ > 3)},"nretry":$retriedQ,$priorPart"""
-    }
-    val stalledPart = if (stalledQ.isEmpty) ""
-      else stalledQ.distinct.map("\"" + _.stripPrefix("q_") + "\"").mkString("\"stalled\":[", ",", "],")
-    val ibPart = if (idxBuild.isEmpty) ""
-      else idxBuild.map { case (k, v) => "\"" + k + "\":" + fmt(1)(v) }
-        .mkString("\"ib\":{", ",", "},")
-    // Failed queries (every run threw), out-of-band — kept at EVERY
-    // fallback level: a missing entry must be readable as "FAILED", never
-    // as "fast". Absent when the battery is clean (the normal case).
-    val errPart = if (failed.isEmpty) ""
-      else failed.map("\"" + _.stripPrefix("q_") + "\"").mkString("\"err\":[", ",", "],")
-    def line(prec: Int, strip: Boolean, slim: Int, elide: Double): String = {
-      val (fast, kept) = results.partition(_._2 < elide)
-      val qs = kept.map { case (k, v) =>
-        val key = if (strip) k.stripPrefix("q_") else k
-        s"\"" + key + "\":" + fmt(prec)(v)
-      }.mkString("{", ",", "}")
-      val hint = if (strip) "\"qprefix\":\"q_\"," else ""
-      val head = slim match {
-        case 0 => s""""metric":"total","value":${fmt(2)(total)},"unit":"sec","""
-        case 1 => s""""metric":"total","value":${fmt(2)(total)},"""
-        case _ => s""""value":${fmt(2)(total)},"""
-      }
-      val sf = if (slim == 0) s""","sf":"$sfName"""" else ""
-      val fastPart = if (fast.isEmpty) ""
-        else s""""fast_n":${fast.size},"fast_sum":${fmt(2)(fast.map(_._2).sum)},""" +
-          s""""fast_max":${fmt(2)(fast.map(_._2).max)},"""
-      s"""{$head$stallPart$stalledPart$errPart$ibPart$hint$fastPart"queries":$qs$sf}"""
-    }
-    // tail budget is 2000 bytes including the trailing newline. The elide
-    // levels fold queries under the threshold into fast_n/fast_sum/fast_max
-    // — those sit at the measurement noise floor (~0.1-0.2 s of fixed
-    // per-query overhead at this SF), are still individually correctness-
-    // gated by Verify, and folding them keeps full per-query visibility for
-    // every query expensive enough to matter. The final level (0.35 s)
-    // keeps ~all operator-family queries visible with ~1 kB of headroom.
-    val levels = Seq(
-      line(2, false, 0, 0.0), line(1, false, 0, 0.0), line(1, true, 0, 0.0),
-      line(1, true, 1, 0.0), line(1, true, 2, 0.0), line(1, true, 2, 0.05),
-      line(1, true, 2, 0.15))
-    val out = levels.find(_.length <= 1995).getOrElse(line(1, true, 2, 0.35))
+    val out = render(results, sfDir.split('/').last,
+      stallRatio = if (ratios.isEmpty) 1.0 else ratios.max,
+      nstall = ratios.count(_ > 3), nretry = retriedQ,
+      priorMax = if (priorRatios.isEmpty) None else Some(priorRatios.max),
+      npx = priorStalled, stalledQ = stalledQ.distinct.toSeq,
+      failed = failed.toSeq, idxBuild = idxBuild)
     // This MUST stay the final stdout line (nothing may print after it), so
     // the whole battery survives the driver's tail window.
     println(out)

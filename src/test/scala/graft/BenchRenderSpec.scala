@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench artifact-line contract (r9 verdict #1): the driver keeps
+ * only the LAST 2000 stdout bytes, so the line must (a) ALWAYS fit the
+ * 1995-byte budget — even for a deliberately stall-heavy battery where the
+ * old fixed elide=0.35 fallback overflowed and front-truncation destroyed
+ * the health keys (BENCH_r09 parsed:null) — and (b) order keys so that if a
+ * line ever did overflow, truncation eats query detail, not certification:
+ * "queries" first, health keys after, "value" last.
+ */
+class BenchRenderSpec extends AnyFunSuite {
+
+  // strict JSON validation via Spark's bundled jackson
+  private def parseable(s: String): Boolean =
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      mapper.readTree(s) != null
+    } catch { case _: Throwable => false }
+
+  private def mkBattery(n: Int, sec: Double): Seq[(String, Double)] =
+    (1 to n).map(i => f"q_synthetic_query_name_$i%03d" -> sec)
+
+  test("clean battery: fits budget, parses, value is the last key") {
+    val line = Bench.render(mkBattery(190, 0.1), "sf0.1",
+      stallRatio = 1.2, nstall = 0, nretry = 0, priorMax = Some(1.1),
+      npx = 0, stalledQ = Nil, failed = Nil,
+      idxBuild = Seq("ivf" -> 2.8, "pq" -> 1.9))
+    assert(line.length <= 1995, s"len=${line.length}")
+    assert(parseable(line))
+    assert(line.endsWith("}"))
+    // value is the FINAL key — survives any front-truncation
+    assert("\"value\":[0-9.]+\\}$".r.findFirstIn(line).isDefined, line.takeRight(60))
+    // queries precede the health keys
+    assert(line.indexOf("\"queries\":") < line.indexOf("\"stall\":"))
+    assert(line.indexOf("\"queries\":") < line.indexOf("\"ib\":"))
+  }
+
+  test("stall-heavy battery (every query slow + long stalled list) still fits and keeps health keys") {
+    // 200 queries all at 1.7 s — nothing under any fixed elide threshold
+    // below 1.7, so the old fixed-0.35 fallback would emit ~200 entries
+    // (>4 kB) and overflow; 40 stalled names + priors loaded, the exact
+    // regime that destroyed BENCH_r09
+    val stalled = (1 to 40).map(i => f"q_synthetic_query_name_$i%03d")
+    val line = Bench.render(mkBattery(200, 1.7), "sf0.1",
+      stallRatio = 8.3, nstall = 12, nretry = 31, priorMax = Some(4.2),
+      npx = 9, stalledQ = stalled, failed = Seq("q_synthetic_query_name_201"),
+      idxBuild = (1 to 25).map(i => s"ib$i" -> 9.9))
+    assert(line.length <= 1995, s"len=${line.length}")
+    assert(parseable(line))
+    for (k <- Seq("\"stall\":", "\"nstall\":", "\"nretry\":", "\"pmax\":",
+        "\"npx\":", "\"stalled\":", "\"err\":", "\"value\":"))
+      assert(line.contains(k), s"missing $k in ${line.takeRight(400)}")
+    // the last 120 bytes alone carry the certification keys (tail-window
+    // survivability even under a hypothetical overflow)
+    val tail = line.takeRight(120)
+    assert(tail.contains("\"value\":"))
+  }
+
+  test("pathological floor: every query stalled AND failed — counts replace name lists, line still parses") {
+    val names = (1 to 300).map(i => f"q_synthetic_query_name_$i%03d")
+    val line = Bench.render(mkBattery(300, 2.0), "sf0.1",
+      stallRatio = 50.0, nstall = 300, nretry = 300, priorMax = Some(9.9),
+      npx = 300, stalledQ = names, failed = names,
+      idxBuild = (1 to 25).map(i => s"ib$i" -> 9.9))
+    assert(line.length <= 1995, s"len=${line.length}")
+    assert(parseable(line))
+    assert(line.contains("\"value\":"))
+    assert(line.contains("\"stall\":"))
+  }
+
+  test("prior parsing round-trip: next round's regexes read the new key order") {
+    // the exact regexes Bench's prior loader uses, applied to a rendered line
+    val line = Bench.render(Seq("q_alpha" -> 1.2, "q_beta" -> 0.8), "sf0.1",
+      stallRatio = 1.1, nstall = 0, nretry = 0, priorMax = None, npx = 0,
+      stalledQ = Seq("q_beta"), failed = Nil, idxBuild = Seq("ivf" -> 2.0))
+    val prefix = if (line.contains("\"qprefix\":\"q_\"")) "q_" else ""
+    val qs = "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(line).map(_.group(1))
+      .map("\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(_)
+        .map(m => (prefix + m.group(1)) -> m.group(2).toDouble).toMap)
+      .getOrElse(Map.empty[String, Double])
+    assert(qs.keySet == Set("q_alpha", "q_beta"), qs)
+    val stalledPrior = "\"stalled\":\\[([^\\]]*)\\]".r.findFirstMatchIn(line)
+      .map(_.group(1).split(",").map(x => prefix + x.trim.stripPrefix("\"").stripSuffix("\"")).toSet)
+      .getOrElse(Set.empty[String])
+    assert(stalledPrior == Set("q_beta"))
+    val priorSf = "\"sf\"\\s*:\\s*\"?(?:sf)?([0-9.]+)\"?".r.findFirstMatchIn(line).map(_.group(1))
+    assert(priorSf.contains("0.1"))
+  }
+}
