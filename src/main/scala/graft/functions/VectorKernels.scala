@@ -24,12 +24,18 @@ object Kernels {
     * loop runs in plain Java.
     */
   def polyHash(s: UTF8String): Long = {
+    // Folds Unicode CODE POINTS, not UTF-16 units: DuckDB's oracle twin
+    // (`unicode(c)`/`ascii(c)` over a per-character split) is codepoint-
+    // based, so a UTF-16 fold would silently diverge on any astral-plane
+    // character (emoji, Gothic, CJK ext B) — r9 verdict #2. Max codepoint
+    // 0x10FFFF keeps every intermediate < 2^35, same as before.
     val str = s.toString
     var h = 0L
     var i = 0
     while (i < str.length) {
-      h = (h * 31 + str.charAt(i)) % 1000000007L
-      i += 1
+      val cp = str.codePointAt(i)
+      h = (h * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
     }
     h
   }
@@ -117,10 +123,13 @@ case class SimHashFold(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
-/** Polynomial rolling string hash: fold(code units, h = (h*31 + c) mod 1e9+7).
-  * Equal to `aggregate(split(s,''), 0L, (h,c) -> (h*31 + ascii(c)) % 1e9+7)`
-  * — `split('')` yields UTF-16 code units and `ascii` of a one-code-unit
-  * string is that unit's value, so `charAt` matches exactly.
+/** Polynomial rolling string hash: fold(code POINTS, h = (h*31 + c) mod
+  * 1e9+7). Matches DuckDB's `list_reduce([ascii(c) for c in split(s,'')],…)`
+  * twin exactly: both engines' per-character split yields whole code points
+  * (DuckDB splits UTF-8 characters; Java regex refuses to split surrogate
+  * pairs), and `ascii`/`unicode` of a one-character string is its code
+  * point. Combining sequences hash as their component code points (NFC vs
+  * NFD input differs — normalize upstream if that matters).
   */
 case class PolyHash(child: Expression)
   extends UnaryExpression {

@@ -56,28 +56,48 @@ object Dedup {
       .toDF("id", "s")
   }
 
-  /** Pure-Scala twin of normText→tokens→shingles (ASCII-faithful).
+  /** Pure-Scala twin of normText→tokens→shingles (Unicode-faithful).
     *
-    * Single-pass char-loop tokenizer: the regex formulation
-    * (`toLowerCase.replaceAll("[^a-z0-9 ]"," ").replaceAll(" +"," ")`)
-    * recompiles both patterns on every document and rewrites the string
-    * twice — measured ~4 s of the sf0.1 jaccard/minhash wall-time just to
-    * shingle 1.5 MB of text. This loop emits identical tokens (lowercase
-    * runs of [a-z0-9]; `Character.toLowerCase` for the non-ASCII long tail)
-    * with zero regex work. Semantics pinned by the DuckDB oracle on
-    * q_jaccard_pairs / q_minhash_bands.
+    * Single-pass codepoint-loop tokenizer: the regex formulation
+    * recompiles its patterns on every document and rewrites the string
+    * several times — measured ~4 s of the sf0.1 jaccard/minhash wall-time
+    * just to shingle 1.5 MB of text. This loop emits identical tokens with
+    * zero regex work: lowercase runs of `\p{L}`/`\p{Nd}` codepoints, with
+    * CJK ideographs/kana/hangul ([[TextOps.CjkCharClass]] ranges) each
+    * their own token — the per-character tokenization normText applies to
+    * scriptio-continua scripts. ASCII keeps the branch-free fast path.
+    *
+    * Case contract (same as normText's): per-codepoint simple lowercase —
+    * equal to String.toLowerCase for every 1:1 context-free mapping;
+    * contextual/1:M cases (final sigma, Turkish dotted I) may differ from
+    * the regex form, exactly as the ASCII twin's long-tail did. Semantics
+    * pinned by the DuckDB oracle on q_jaccard_pairs / q_minhash_bands /
+    * q_unicode_dedup and the regex-twin property in OperatorsSpec.
     */
   private[operators] def shingleSet(text: String, n: Int): Seq[String] = {
+    def isCjk(cp: Int): Boolean =
+      (cp >= 0x3040 && cp <= 0x30FF) || (cp >= 0x3400 && cp <= 0x4DBF) ||
+      (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0xAC00 && cp <= 0xD7AF)
     val toks = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new java.lang.StringBuilder(16)
     var i = 0
     while (i < text.length) {
-      var c = text.charAt(i)
-      if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
-      else if (c > 127) c = Character.toLowerCase(c)
-      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
-      else if (sb.length > 0) { toks += sb.toString; sb.setLength(0) }
-      i += 1
+      val cp0 = text.codePointAt(i)
+      i += Character.charCount(cp0)
+      if (cp0 < 128) { // ASCII fast path: no category lookups
+        var c = cp0.toChar
+        if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+        if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+        else if (sb.length > 0) { toks += sb.toString; sb.setLength(0) }
+      } else {
+        val cp = Character.toLowerCase(cp0)
+        if (isCjk(cp)) {
+          if (sb.length > 0) { toks += sb.toString; sb.setLength(0) }
+          toks += new String(Character.toChars(cp))
+        } else if (Character.isLetter(cp) || Character.isDigit(cp)) {
+          sb.appendCodePoint(cp)
+        } else if (sb.length > 0) { toks += sb.toString; sb.setLength(0) }
+      }
     }
     if (sb.length > 0) toks += sb.toString
     // regex twin: fully-blank text normalized to "" then split to [""], so

@@ -21,9 +21,39 @@ object TextOps {
     */
   val HashP = 1000000007L
 
-  /** Lowercase, strip non-alphanumerics, collapse runs of spaces, trim. */
-  def normText(c: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+  /** CJK character class shared VERBATIM between the Java-regex (Spark) and
+    * RE2 (DuckDB oracle) formulations — written as literal-character ranges
+    * (Hiragana, Katakana, CJK ext A, CJK Unified, Hangul syllables) rather
+    * than `\p{script=…}` because the two engines spell script classes
+    * differently but treat a codepoint range identically.
+    */
+  val CjkCharClass: String = // Hiragana+Katakana, CJK ext A, CJK Unified, Hangul syllables
+    "[぀-ヿ㐀-䶿一-鿿가-힯]"
+
+  /** Lowercase, strip every char that is not a Unicode letter/decimal digit
+    * (`\p{L}`/`\p{Nd}` — valid in both Java regex and RE2, so the oracle
+    * shares the pattern), space-separate CJK ideographs/kana/hangul so
+    * scriptio-continua text tokenizes per character, collapse runs of
+    * spaces, trim.
+    *
+    * The ASCII-only predecessor (`[^a-z0-9 ]`) normalized every non-Latin
+    * document to "" — all CJK/Cyrillic/Arabic docs shared fingerprint("")
+    * and silently collapsed as duplicates (r8/r9 verdict). For pure-ASCII
+    * input the two are bit-identical (post-lower, `\p{L}`∩ASCII = [a-z],
+    * `\p{Nd}`∩ASCII = [0-9]), so every ASCII oracle row is unchanged.
+    *
+    * Case contract: both engines apply their own Unicode lowercase (Spark
+    * `lower` = java.lang.String.toLowerCase, DuckDB = utf8proc simple
+    * mapping). These agree on 1:1 context-free mappings (Latin, Cyrillic,
+    * Greek non-final, armenian, …) and may differ on contextual/1:M cases
+    * (final sigma, Turkish dotted I) — same class of caveat the rest of the
+    * repo's collation notes carry.
+    */
+  def normText(c: Column): Column = {
+    val kept = regexp_replace(lower(c), "[^\\p{L}\\p{Nd} ]", " ")
+    val spaced = regexp_replace(kept, "(" + CjkCharClass + ")", " $1 ")
+    trim(regexp_replace(spaced, " +", " "))
+  }
 
   /** Whitespace tokens of the normalized text. */
   def tokens(c: Column): Column = split(normText(c), " ")
@@ -60,6 +90,11 @@ object TextOps {
     "es" -> Seq("el", "la", "de", "y", "que", "en", "los", "se", "del", "un"),
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
     "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "im", "ist"),
+    // non-Latin profiles (r9 verdict #2): Cyrillic function words, and the
+    // highest-frequency Chinese characters — single-char tokens under the
+    // CJK per-character tokenization normText applies
+    "ru" -> Seq("и", "в", "не", "на", "я", "что", "с", "это", "как", "по"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"),
   )
 
   /** Language-ID: argmax of per-language stopword hit counts, ties broken by
@@ -100,12 +135,15 @@ object TextOps {
   def fingerprint(c: Column): Column = polyHash(normText(c))
 
   /** BPE-ish token-count regex: letter runs, digit runs, and single
-    * non-alnum-non-space marks — the pre-tokenization split most BPE
-    * vocabularies (GPT-2 style) apply before merges, minus the
-    * lookahead-dependent whitespace rules (kept lookahead-free so the same
-    * pattern runs on Java regex and RE2-family engines alike).
+    * non-letter-non-digit-non-space marks — the pre-tokenization split most
+    * BPE vocabularies (GPT-2 style) apply before merges, minus the
+    * lookahead-dependent whitespace rules (kept lookahead-free and on
+    * `\p{L}`/`\p{Nd}` classes so the same pattern runs on Java regex and
+    * RE2-family engines alike — identical to the old ASCII classes on
+    * ASCII input, and no longer counting every non-Latin letter as a
+    * standalone mark).
     */
-  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  val BpeTokenPattern = "\\p{L}+|\\p{Nd}+|[^\\p{L}\\p{Nd}\\s]"
 
   /** Approximate LLM token count: the number of BPE-style pre-tokens. A
     * true BPE merge table would refine each pre-token into subwords; the

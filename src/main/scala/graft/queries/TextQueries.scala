@@ -12,8 +12,13 @@ import org.apache.spark.sql.functions._
 object TextQueries {
 
   // --- DuckDB fragments mirroring TextOps (kept in lockstep) ---------------
+  // RE2 twin of TextOps.normText: same `\p{L}`/`\p{Nd}` classes (valid in
+  // both Java regex and RE2), the SAME CjkCharClass constant (literal
+  // codepoint ranges, engine-neutral), RE2's `\1` backref where Java uses $1
   private[queries] def normSqlOf(e: String): String =
-    s"trim(regexp_replace(regexp_replace(lower($e), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    s"trim(regexp_replace(regexp_replace(regexp_replace(lower($e), " +
+      s"'[^\\p{L}\\p{Nd} ]', ' ', 'g'), " +
+      s"'(${TextOps.CjkCharClass})', ' \\1 ', 'g'), ' +', ' ', 'g'))"
   private[queries] val normSql = normSqlOf("text")
   private[queries] def toksSqlOf(e: String): String = s"string_split(${normSqlOf(e)}, ' ')"
   private[queries] val toksSql = toksSqlOf("text")
@@ -21,6 +26,27 @@ object TextQueries {
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in split($s, '')]), (acc, c) -> (acc*31 + c) % ${TextOps.HashP})"
   private val shinglesSql = // distinct word 3-grams, matching TextOps.shingles(_, 3)
     "list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])"
+  /** Mixed-script fixture texts (shared verbatim with the oracle SQL).
+    * Scripts chosen to stay inside the engines' shared case contract
+    * (1:1 context-free lowercase mappings): Cyrillic, Han, Arabic
+    * (caseless), precomposed accented Latin, kana, Hangul-free, and astral
+    * Gothic — no final-sigma / dotted-I / combining-mark forms.
+    */
+  private[queries] val UniTexts: Seq[String] = Seq(
+    "Наш поезд отправился в путь ровно в полночь", // ru A (capital Н: Unicode lower)
+    "его письмо не пришло сегодня утром",          // ru B — distinct, must NOT collapse
+    "我们的火车在午夜出发",                          // zh A — per-char tokens
+    "他们的飞机在早晨到达",                          // zh B — distinct, must NOT collapse
+    "القطار غادر في منتصف الليل",                  // ar — caseless RTL
+    "le café était déjà fermé à minuit",           // fr — precomposed accents
+    "真夜中に列車が出発した",                        // ja — Han + kana mix
+    "наш поезд отправился в путь ровно в полночь", // ru A lowercased — MUST merge with text 0
+    "the train left exactly at midnight",          // en
+    "𐌰𐌱𐌲 поезд 123",                               // astral letters + digits
+  )
+  private def uniTextsSqlList: String =
+    UniTexts.map(t => s"'$t'").mkString("[", ", ", "]")
+
   private val jaccardPairsSql =
     s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
        |sh AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
@@ -191,6 +217,47 @@ object TextQueries {
       (s, d) => Td.documents(s, d).select(
         col("doc_id"), TextOps.fingerprint(col("text")).as("fp")),
       Some(s"SELECT doc_id, ${polyHashSql(normSql)} AS fp FROM documents")),
+
+    // ----- Unicode text stack (r9 verdict #2) ------------------------------
+    // Mixed-script fixture over the first 60 docs (doc_id%10 picks one of
+    // ten texts: two DISTINCT Russian sentences, two DISTINCT Chinese
+    // sentences, Arabic, accented French, Japanese, a case-folded Russian
+    // duplicate of text 0, English, and astral Gothic letters + digits).
+    // Groups by fingerprint: the two distinct Russian docs and the two
+    // distinct Chinese docs must NOT collapse (the old ASCII normalizer
+    // mapped every non-Latin doc to fingerprint("") and silently deduped
+    // them all), while text 7 — the lowercased twin of text 0 — MUST merge
+    // with it (Unicode case-fold dedup). lang_pred pins the ru/zh stopword
+    // profiles and the per-character CJK tokenization; n_toks pins the
+    // Unicode token split; n_bpe pins the \p{L}/\p{Nd} pre-token classes;
+    // the astral row pins the codepoint (not UTF-16) polyHash fold.
+    "q_unicode_dedup" -> Q(
+      (s, d) => {
+        val u = element_at(array(UniTexts.map(lit): _*),
+          (col("doc_id") % 10).cast("int") + 1)
+        Td.documents(s, d).filter(col("doc_id") < 60)
+          .select(col("doc_id"), u.as("utext"))
+          .select(col("doc_id"),
+            TextOps.fingerprint(col("utext")).as("fp"),
+            TextOps.langId(TextOps.tokens(col("utext"))).as("lang_pred"),
+            size(TextOps.tokens(col("utext"))).as("n_toks"),
+            TextOps.bpeTokenCount(col("utext")).as("n_bpe"))
+          .groupBy("fp", "lang_pred", "n_toks", "n_bpe")
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"))
+      },
+      Some(s"""WITH u AS (SELECT doc_id,
+              |    ${uniTextsSqlList}[CAST(doc_id % 10 AS INT) + 1] AS utext
+              |  FROM documents WHERE doc_id < 60),
+              |t AS (SELECT doc_id, utext, ${toksSqlOf("utext")} AS w FROM u),
+              |f AS (SELECT doc_id,
+              |    ${polyHashSql(normSqlOf("utext"))} AS fp,
+              |    CAST(len(w) AS INT) AS n_toks,
+              |    CAST(len(regexp_extract_all(utext, '${TextOps.BpeTokenPattern}')) AS BIGINT) AS n_bpe,
+              |    $langScoresSql
+              |  FROM t)
+              |SELECT fp, $langPredCaseSql AS lang_pred, n_toks, n_bpe,
+              |  CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS min_id
+              |FROM f GROUP BY 1, 2, 3, 4""".stripMargin)),
 
     // ----- exact n-gram Jaccard near-dup pairs (inverted index) ------------
     "q_jaccard_pairs" -> Q(

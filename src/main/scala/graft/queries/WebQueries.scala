@@ -507,8 +507,7 @@ object WebQueries {
               |  FROM documents WHERE text IS NOT NULL)
               |SELECT file_id, rec_idx, target_uri,
               |  CAST(length(clean) AS BIGINT) AS n_chars_clean,
-              |  CAST(len(string_split(trim(regexp_replace(regexp_replace(
-              |    lower(clean), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))
+              |  CAST(len(string_split(${TextQueries.normSqlOf("clean")}, ' '))
               |    AS BIGINT) AS n_tokens
               |FROM rec""".stripMargin)),
   )

@@ -45,10 +45,14 @@ class OperatorsSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
-  test("shingleSet char-loop tokenizer matches the regex formulation") {
+  test("shingleSet codepoint-loop tokenizer matches the regex formulation") {
+    // the exact normText pipeline as Java regex (lower → strip non-L/Nd →
+    // per-char CJK spacing → collapse), per-codepoint loop must agree
     def regexTwin(text: String, n: Int): Seq[String] = {
       val toks = text.toLowerCase
-        .replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+        .replaceAll("[^\\p{L}\\p{Nd} ]", " ")
+        .replaceAll("(" + TextOps.CjkCharClass + ")", " $1 ")
+        .replaceAll(" +", " ").trim
         .split(" ", -1)
       if (toks.length < n) Seq.empty
       else (0 to toks.length - n).map(i => toks.slice(i, i + n).mkString(" ")).distinct
@@ -57,6 +61,14 @@ class OperatorsSpec extends SparkSpec {
       "The quick, brown FOX!! jumps--over  \t the lazy dog",
       "", "   ", "a", "a b", "a b c", "a b c a b c a b c",
       "punct.only,!!", "123 456 789 abc123 9x9 9x9 9x9",
+      // Unicode: Cyrillic case-fold, CJK per-char split, Arabic RTL,
+      // precomposed accents, kana, astral Gothic, mixed-script adjacency
+      "Наш ПОЕЗД отправился в путь",
+      "我们的火车在午夜出发", "abc中文def 123",
+      "القطار غادر في منتصف الليل",
+      "le café était déjà fermé",
+      "真夜中に列車が出発した",
+      "𐌰𐌱𐌲 поезд 123", "ё-ö_ß9", "한국어 텍스트",
     )
     for (t <- cases; n <- Seq(1, 2, 3))
       assert(Dedup.shingleSet(t, n).toSet == regexTwin(t, n).toSet, s"text='$t' n=$n")

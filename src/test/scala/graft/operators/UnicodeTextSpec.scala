@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pins the Unicode text-stack contract (r9 verdict #2): before round 10,
+  * `normText` stripped every non-ASCII character, so every non-Latin
+  * document normalized to "" and shared fingerprint("") — distinct
+  * CJK/Cyrillic/Arabic documents silently collapsed as duplicates. These
+  * tests pin the corrected semantics end-to-end: Unicode letter/digit
+  * classes, per-character CJK tokenization, codepoint (not UTF-16) hashing,
+  * and the ru/zh language profiles.
+  */
+class UnicodeTextSpec extends SparkSpec {
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any = {
+    val s = spark
+    import s.implicits._
+    Seq(text).toDF("text").select(c).collect()(0).get(0)
+  }
+
+  test("distinct non-Latin docs get DISTINCT fingerprints; case-folded twin merges") {
+    val ruA = "Наш поезд отправился в путь ровно в полночь"
+    val ruA2 = "наш поезд отправился в путь ровно в полночь" // lowercased twin
+    val ruB = "его письмо не пришло сегодня утром"
+    val zhA = "我们的火车在午夜出发"
+    val zhB = "他们的飞机在早晨到达"
+    def fp(t: String) = one(t, TextOps.fingerprint(col("text"))).asInstanceOf[Long]
+    assert(fp(ruA) == fp(ruA2), "Unicode lower must fold the Cyrillic capital")
+    assert(fp(ruA) != fp(ruB), "distinct Russian docs must not collapse")
+    assert(fp(zhA) != fp(zhB), "distinct Chinese docs must not collapse")
+    assert(fp(ruA) != 0L && fp(zhA) != 0L, "non-Latin text must not normalize to empty")
+  }
+
+  test("CJK text tokenizes per character; mixed-script boundaries split") {
+    def toks(t: String) =
+      one(t, TextOps.tokens(col("text"))).asInstanceOf[scala.collection.Seq[String]].toSeq
+    assert(toks("我们的火车") == Seq("我", "们", "的", "火", "车"))
+    assert(toks("abc中文def 123") == Seq("abc", "中", "文", "def", "123"))
+    assert(toks("真夜中に列車が出発した").length == 11) // kana + han, one token each
+    assert(toks("القطار غادر في منتصف الليل").length == 5) // Arabic words keep spaces
+  }
+
+  test("polyHash folds code POINTS — astral chars hash as one codepoint, matching the DuckDB twin") {
+    // Gothic 𐌰 = U+10330 (surrogate pair in UTF-16). The kernel must fold
+    // 0x10330, not 0xD800DF30's two units — DuckDB's unicode()/ascii() twin
+    // is codepoint-based.
+    val h = graft.functions.Kernels.polyHash(UTF8String.fromString("𐌰"))
+    assert(h == 0x10330L % 1000000007L)
+    val hAb = graft.functions.Kernels.polyHash(UTF8String.fromString("a𐌰b"))
+    val expected = ((('a'.toLong * 31 + 0x10330L) % 1000000007L) * 31 + 'b'.toLong) % 1000000007L
+    assert(hAb == expected)
+  }
+
+  test("langId detects ru and zh via the new profiles; und elsewhere") {
+    def lang(t: String) = one(t, TextOps.langId(TextOps.tokens(col("text")))).asInstanceOf[String]
+    assert(lang("Наш поезд отправился в путь ровно в полночь") == "ru") // 'в' ×2
+    assert(lang("我们的火车在午夜出发") == "zh") // 的/在/我 single-char tokens
+    assert(lang("القطار غادر في منتصف الليل") == "und") // no ar profile
+    assert(lang("the train left exactly at midnight") == "en")
+    assert(lang("") == "und")
+  }
+
+  test("bpeTokenCount counts non-Latin letter runs as runs, not per-mark noise") {
+    def n(t: String) = one(t, TextOps.bpeTokenCount(col("text"))).asInstanceOf[Long]
+    assert(n("поезд отправился") == 2L) // letter runs, not 15 single marks
+    assert(n("café 123!") == 3L)        // café | 123 | !
+    assert(n("我们的") == 1L)            // one \p{L}+ run (raw text, no norm)
+    assert(n("the train") == 2L)
+  }
+
+  test("ASCII behavior is bit-identical to the old normalizer") {
+    // the entire pre-round-10 oracle battery rides on this equivalence
+    def old(t: String): String =
+      t.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+    val cases = Seq("The quick, brown FOX!! jumps--over  \t the lazy dog",
+      "punct.only,!!", "123 456 789 abc123 9x9", "", "a")
+    for (t <- cases)
+      assert(one(t, TextOps.normText(col("text"))) == old(t), s"text='$t'")
+  }
+}
