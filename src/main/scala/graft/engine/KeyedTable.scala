@@ -342,7 +342,14 @@ final class KeyedTable(
       .filter(col(DeltaVerCol) === col("__maxv") && !col(TombCol))
       .select(cols.map(col).toIndexedSeq: _*)
     val deltaKeys = deltas.select(keys.map(col).toIndexedSeq: _*).distinct()
-    base.join(broadcast(deltaKeys), keys, "left_anti").unionByName(survivors)
+    // Honor the table's broadcastBatchKeys escape hatch on the READ side
+    // too (r9 ADVICE): between compactions the delta key set is up to
+    // maxDeltas batches' worth of keys per bucket, so a table configured
+    // for large epochs must not be forced into a driver broadcast on every
+    // read — plain left_anti lets AQE pick the join (same rule the
+    // write-side mergePlan applies).
+    val dk = if (broadcastBatchKeys) broadcast(deltaKeys) else deltaKeys
+    base.join(dk, keys, "left_anti").unionByName(survivors)
   }
 
   /** Time travel: read the snapshot as of version `v` (must not have been
@@ -677,10 +684,28 @@ final class KeyedTable(
     // distinct so the broadcast key set never carries one copy per
     // replacement row — callers legitimately pass multi-row key frames
     val allKeys = keysDf.select(keys.map(col).toIndexedSeq: _*).distinct()
+    // Covered-keys contract, ENFORCED in-plan (r9 ADVICE): replacement keys
+    // must be ⊆ keysDf. On contract-violating input the two apply modes
+    // diverge SILENTLY — CoW's cdcMergePlan algebra duplicates an uncovered
+    // key's rows (current group kept + replacement unioned), while a MOR
+    // delta segment replaces the current group (any key in the segment wins
+    // at read time). Fail loudly instead; the check rides the write action
+    // (no extra job) and the probe join reuses the same broadcast the apply
+    // itself makes of the touched-key set.
+    val covered = allKeys.withColumn("__covered", lit(true))
+    val coveredB = if (broadcastBatchKeys) broadcast(covered) else covered
+    val replacement0 = replacement.join(coveredB, keys.toSeq, "left_outer")
+      .withColumn("__kchk", when(col("__covered").isNotNull, lit(true)).otherwise(
+        raise_error(concat(
+          lit("KeyedTable.replaceKeys: replacement carries key(s) not in keysDf ("),
+          concat_ws(",", keys.map(k => col(k).cast("string")).toIndexedSeq: _*),
+          lit(") - the covered-keys contract; CoW and MOR would diverge silently")))))
+      .filter(col("__kchk"))
+      .drop("__covered", "__kchk")
     if (!bucketed) {
       val next = currentVersion + 1
       reserveVersion(next)
-      KeyedTable.cdcMergePlan(current, replacement, allKeys, keys)
+      KeyedTable.cdcMergePlan(current, replacement0, allKeys, keys)
         .write.mode("overwrite").parquet(s"$root/v=$next")
       tag.foreach(t => writeText(fs, new Path(root, s"${TagPrefix}v$next"), t))
       commitVersion(next)
@@ -691,11 +716,11 @@ final class KeyedTable(
       // replacement rows — so each touched key "appears" in the segment
       // and the read-time latest-segment rule replaces its whole group
       val cols = tableColumns
-      val repl = replacement.select(cols.map(col).toIndexedSeq: _*)
+      val repl = replacement0.select(cols.map(col).toIndexedSeq: _*)
         .withColumn(TombCol, lit(false))
       val sch = storedSchema.get
       val tombs = allKeys.join(
-          replacement.select(keys.map(col).toIndexedSeq: _*).distinct(), keys, "left_anti")
+          replacement0.select(keys.map(col).toIndexedSeq: _*).distinct(), keys, "left_anti")
       val tombRows = sch.fields.filterNot(f => keys.contains(f.name))
         .foldLeft(tombs)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
         .select(cols.map(col).toIndexedSeq: _*)
@@ -704,7 +729,7 @@ final class KeyedTable(
     } else {
       val touched = bucketsOf(allKeys).get
       commitBucketsRewrite(touched,
-        KeyedTable.cdcMergePlan(readBuckets(touched), replacement, allKeys, keys),
+        KeyedTable.cdcMergePlan(readBuckets(touched), replacement0, allKeys, keys),
         tag)
     }
   }

@@ -25,18 +25,26 @@ import org.apache.spark.sql.functions._
   * that never saturate (bounded domains) never re-derive at all. The
   * fact table is passed BY NAME and only evaluated on refill.
   *
-  * == Refill cost (the operational cliff) ==
-  * Facts are keyed by ITEM, not group, so the refill read cannot bucket-
-  * prune: ONE hungry group costs a full fact-table scan (left-semi
-  * filtered to hungry groups, but every bucket is read), and a delete
-  * burst concentrated on few groups re-triggers it batch after batch.
-  * Size `bufferFactor` against the observed per-batch retraction rate:
-  * with r buffered retractions per group per batch, a saturated group
-  * refills every ~(bufferFactor−1)·k/r batches — pick the factor so that
-  * interval stays comfortably above your batch cadence (state cost is
-  * only groups × bufferFactor·k rows). At 100 TB, either widen the
-  * factor or maintain a group-keyed replica of the facts so the refill
-  * read prunes like every other maintainer (SCALING.md, TopKDelta row).
+  * == Refill cost (the cliff, and its structural fix) ==
+  * Facts are keyed by ITEM, not group, so a refill against the fact table
+  * cannot bucket-prune: ONE hungry group costs a full fact-table scan
+  * (left-semi filtered to hungry groups, but every bucket is read), and a
+  * delete burst concentrated on few groups re-triggers it batch after
+  * batch. Two mitigations, composable:
+  *
+  *  - Size `bufferFactor` against the observed per-batch retraction rate:
+  *    with r buffered retractions per group per batch, a saturated group
+  *    refills every ~(bufferFactor−1)·k/r batches — pick the factor so
+  *    that interval stays comfortably above your batch cadence (state
+  *    cost is only groups × bufferFactor·k rows).
+  *  - Pass `factsReplica` — a GROUP-KEYED replica of the facts (keyed
+  *    `(groups…, idCols…)`, range-bucketed on the head group column;
+  *    [[replicaBootstrap]] builds it, [[maintain]] keeps it current under
+  *    the same epoch tag at ∝-batch cost). Refills then open only the
+  *    hungry groups' buckets — the refill prunes like every other
+  *    maintainer's state read, and the cliff is gone: worst case is the
+  *    hungry groups' OWN rows, never the table. Storage cost is one extra
+  *    copy of (groups, idCols, score) — the classic index trade.
   *
   * Contracts (the [[JoinDelta]] conventions): one event per item per
   * batch, the OLD GROUP under `oldPrefix` for U/D (retraction matches on
@@ -52,6 +60,93 @@ import org.apache.spark.sql.functions._
 object TopKDelta {
   val SatCol = "_sat"
   val DretCol = "_dret"
+
+  /** Shape contract for the optional GROUP-KEYED fact replica (the refill
+    * cliff's structural fix — SCALING.md TopKDelta row, r8/r9 verdicts):
+    * keyed `(groups…, idCols…)` and, when bucketed, RANGE-routed on the
+    * first group column — so a refill probe carrying only group values can
+    * bucket-prune (the same shape contract [[JoinDelta]] pins on its join
+    * index). Hash routing over the full key would make the group probe
+    * unanswerable without the item ids it exists to find. Multi-column
+    * groups route on `groups.head` alone — still correct (all rows of a
+    * group share the head value), pruning selectivity just follows the
+    * head column's cardinality.
+    */
+  private def requireReplicaShape(replica: KeyedTable, groups: Seq[String],
+                                  idCols: Seq[String]): Unit = {
+    require(replica.keys == groups ++ idCols,
+      s"fact replica must be keyed (${(groups ++ idCols).mkString(", ")}), " +
+        s"got (${replica.keys.mkString(", ")})")
+    require(replica.effectiveBuckets == 0 || replica.effectiveRangeCol.contains(groups.head),
+      s"a bucketed fact replica must be range-bucketed on '${groups.head}' " +
+        s"(rangeCol = Some(${groups.head}))")
+  }
+
+  /** Bootstrap the group-keyed fact replica from a full fact scan — the
+    * one-time layout cost that buys bucket-pruned refills forever after.
+    */
+  def replicaBootstrap(replica: KeyedTable, facts: DataFrame, groups: Seq[String],
+                       idCols: Seq[String], scoreCol: String): Long = {
+    requireReplicaShape(replica, groups, idCols)
+    replica.overwrite(facts.select((groups ++ idCols :+ scoreCol).map(col).toIndexedSeq: _*))
+  }
+
+  /** Apply one CDC batch to the fact replica — cost ∝ batch (mergeCdc on
+    * the touched (group, item) keys; range routing sends each event to its
+    * group's buckets). The item-keyed feed becomes (group, item)-keyed
+    * events: I lands under the new group, D under the OLD group, and a U
+    * that MOVES groups becomes a D(old group) + I(new group) pair — two
+    * distinct keys, so the per-key latest-wins collapse never conflates
+    * them. Exactly-once via the same `batchId` tag as the state apply.
+    */
+  def replicaMaintain(replica: KeyedTable, cdc: DataFrame, groups: Seq[String],
+                      idCols: Seq[String], scoreCol: String,
+                      opCol: String = "_op", oldPrefix: String = "_old_",
+                      batchId: Option[String] = None): Long = {
+    requireReplicaShape(replica, groups, idCols)
+    // exactly-once under redelivery: the caller-side lastTag convention
+    // every maintainer applies (a crash between the replica commit and the
+    // state commit redelivers the epoch — the replica must no-op it)
+    if (batchId.isDefined && replica.lastTag == batchId) return replica.currentVersion
+    val newG = groups.map(col)
+    val oldG = groups.map(g => col(oldPrefix + g))
+    val moved = groups.map(g => !(col(g) <=> col(oldPrefix + g))).reduce(_ || _)
+    val ins = cdc.filter(col(opCol) === "I")
+      .select((newG ++ idCols.map(col) :+ col(scoreCol)).toIndexedSeq: _*)
+      .withColumn(opCol, lit("I")).withColumn("_rseq", lit(1))
+    val dels = cdc.filter(col(opCol) === "D")
+      .select((groups.map(g => col(oldPrefix + g).as(g)) ++ idCols.map(col)
+        :+ lit(null).cast(cdc.schema(scoreCol).dataType).as(scoreCol)).toIndexedSeq: _*)
+      .withColumn(opCol, lit("D")).withColumn("_rseq", lit(1))
+    val updStay = cdc.filter(col(opCol) === "U" && !moved)
+      .select((newG ++ idCols.map(col) :+ col(scoreCol)).toIndexedSeq: _*)
+      .withColumn(opCol, lit("U")).withColumn("_rseq", lit(1))
+    val updMoveD = cdc.filter(col(opCol) === "U" && moved)
+      .select((groups.map(g => col(oldPrefix + g).as(g)) ++ idCols.map(col)
+        :+ lit(null).cast(cdc.schema(scoreCol).dataType).as(scoreCol)).toIndexedSeq: _*)
+      .withColumn(opCol, lit("D")).withColumn("_rseq", lit(1))
+    val updMoveI = cdc.filter(col(opCol) === "U" && moved)
+      .select((newG ++ idCols.map(col) :+ col(scoreCol)).toIndexedSeq: _*)
+      .withColumn(opCol, lit("I")).withColumn("_rseq", lit(2))
+    val events = Seq(ins, dels, updStay, updMoveD, updMoveI).reduce(_ unionByName _)
+    replica.mergeCdc(events, opCol = opCol, seqCol = "_rseq", tag = batchId)
+  }
+
+  /** The refill source read off the replica: only the hungry groups' BUCKETS
+    * are opened (range routing on the head group column), then a broadcast
+    * semi-join narrows to exactly the hungry groups — the same probe shape
+    * as [[JoinDelta]]'s dim-side index walk. Never a full fact scan.
+    */
+  private def replicaRows(replica: KeyedTable, hungry: DataFrame,
+                          groups: Seq[String], idCols: Seq[String],
+                          scoreCol: String): DataFrame = {
+    val rows = replica.bucketsOf(hungry) match {
+      case Some(bs) => replica.readBuckets(bs)
+      case None     => replica.current
+    }
+    rows.join(broadcast(hungry), groups, "left_semi")
+      .select((groups ++ idCols :+ scoreCol).map(col).toIndexedSeq: _*)
+  }
 
   private def rankCols(scoreCol: String, idCols: Seq[String]): Seq[Column] =
     col(scoreCol).desc +: idCols.map(col(_).asc)
@@ -95,9 +190,17 @@ object TopKDelta {
                groups: Seq[String], idCols: Seq[String], scoreCol: String,
                k: Int, bufferFactor: Int = 2, opCol: String = "_op",
                oldPrefix: String = "_old_",
-               batchId: Option[String] = None): Long = {
+               batchId: Option[String] = None,
+               factsReplica: Option[KeyedTable] = None): Long = {
     require(state.exists, "bootstrap the top-k state before maintaining it")
     if (batchId.isDefined && state.lastTag == batchId) return state.currentVersion
+    // The group-keyed replica is maintained FIRST, under the same batchId
+    // tag (its apply is ∝ batch and idempotent on redelivery), so a refill
+    // this epoch reads POST-APPLY facts — same contract the `facts`
+    // parameter documents. Crash between the two commits → redelivery
+    // no-ops the replica and applies the state.
+    factsReplica.foreach(r =>
+      replicaMaintain(r, cdc, groups, idCols, scoreCol, opCol, oldPrefix, batchId))
     val m = k * bufferFactor
 
     // one event per item + op validity, woven into the op column; pinned
@@ -200,8 +303,15 @@ object TopKDelta {
     val refilled =
       if (hungry.isEmpty) kept
       else {
-        val re = topM(facts.join(broadcast(hungry), groups, "left_semi")
-            .select((groups ++ idCols :+ scoreCol).map(col).toIndexedSeq: _*),
+        // refill source: the group-keyed replica when provided (bucket-
+        // pruned read of only the hungry groups' buckets — the cliff fix),
+        // else the item-keyed fact table (full scan, left-semi filtered)
+        val src = factsReplica match {
+          case Some(r) => replicaRows(r, hungry, groups, idCols, scoreCol)
+          case None => facts.join(broadcast(hungry), groups, "left_semi")
+            .select((groups ++ idCols :+ scoreCol).map(col).toIndexedSeq: _*)
+        }
+        val re = topM(src,
           groups, scoreCol, idCols, m)
           .withColumn(SatCol, col("_gn") > m)
           .withColumn(DretCol, lit(0))

@@ -29,10 +29,11 @@ import org.apache.spark.sql.functions._
   *  - `score_fp = Σ term_fp` is an exact long: partition order cannot move
   *    a single bit, and the rank tie-break is (score desc, doc_id asc).
   *
-  * Long-range bound: `idf_fp·44·tf·T < 2^63` caps `tf·T` at ~6.5×10^12
-  * (idf_fp ≤ ~12·2^20). A 100 TB corpus exceeds it in the raw encoding —
-  * there, route the same integers through `decimal(38,0)` (exact in both
-  * engines) or pre-scale T; the *shape* of the plan is unchanged.
+  * Long-range bound: `idf_fp·44·tf·T < 2^63` caps `tf·T` at ~1.54×10^10
+  * (idf_fp ≤ 13·2^20, the log-table maximum at p = 2^-13). A 100 TB
+  * corpus exceeds it in the raw encoding — there, route the same integers
+  * through `decimal(38,0)` (exact in both engines) or pre-scale T; the
+  * *shape* of the plan is unchanged.
   *
   * == Plan shape (the 100 TB story) ==
   *
@@ -51,9 +52,14 @@ import org.apache.spark.sql.functions._
 object Retrieval {
 
   /** Largest tf·N_T the 64-bit fixed-point score arithmetic tolerates:
-    * idf_fp·44·tf·N_T must stay under 2^63 (idf_fp is table-bounded).
+    * idf_fp·44·tf·N_T must stay under 2^63, with idf_fp bounded by the
+    * TABLE MAXIMUM — the rarest-term bucket maps to p = 0.5/QuantScale =
+    * 2^-13, so idf_fp ≤ 13·LogScale = 13·2^20 — giving
+    * 2^63/(44·13·2^20) ≈ 1.54×10^10. DERIVED, not transcribed: the old
+    * hand-written 6.5e12 figure was ~420× past the real wrap point, so
+    * the in-plan guard could pass while the score wrapped (r9 ADVICE).
     */
-  val MaxTfNt = 6500000000000L
+  val MaxTfNt: Long = Long.MaxValue / (44L * 13L * QualityOps.LogScale)
 
   /** Fixed-point BM25 top-k for a bag of query `terms`.
     * Output: `(doc_id, n_terms, score_fp, rank)`, rank 1..k.
@@ -89,8 +95,8 @@ object Retrieval {
       .withColumn("__idf_fp", -element_at(logTab, col("__qinv").cast("int") + 1))
       // The scaladoc's long-range bound, ENFORCED in-plan (the repo's
       // fail-loudly convention — compare RetrievalDelta's duplicate-seq
-      // raise_error): past tf·N_T ≈ 6.5e12 the integer numerator
-      // idf_fp·44·tf·N_T wraps and silently mis-ranks. The comparison runs
+      // raise_error): past tf·N_T ≈ 1.54e10 the integer numerator
+      // idf_fp·44·tf·N_T can wrap and silently mis-rank. The comparison runs
       // in decimal so the GUARD itself cannot wrap; the hot path stays
       // integer. Real corpora sit orders of magnitude below the bound —
       // crossing it means score sharding is needed, not a bigger wrap.

@@ -190,4 +190,31 @@ class KeyedTableMorSpec extends SparkSpec {
     assert(reopened.manifest.values.toSet == Set(1L))
     assert(reopened.current.filter(col("k") === 1L).head().getString(1) == "a2")
   }
+
+  test("replaceKeys rejects replacement keys not covered by keysDf — on BOTH modes") {
+    // r9 ADVICE: on contract-violating input CoW's algebra silently
+    // DUPLICATED the uncovered key's rows while MOR silently REPLACED the
+    // current group — two different wrong answers. Both must fail loudly.
+    val s = spark
+    import s.implicits._
+    for (mor <- Seq(true, false)) {
+      val t = KeyedTable(spark, tmpDir(s"rk-contract-$mor"), Seq("k"),
+        numBuckets = 4, mor = mor)
+      t.overwrite(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"))
+      val e = intercept[Exception] {
+        // keysDf covers only key 1, replacement smuggles key 2
+        t.replaceKeys(Seq(1L).toDF("k"),
+          Seq((1L, "a2"), (2L, "SMUGGLED")).toDF("k", "v"))
+      }
+      val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+      assert(chain.contains("covered-keys contract"), s"mor=$mor: $chain")
+      // the failed apply must not have committed anything
+      assert(t.current.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+        Set((1L, "a"), (2L, "b"), (3L, "c")), s"mor=$mor")
+      // a covered apply still works
+      t.replaceKeys(Seq(1L).toDF("k"), Seq((1L, "a2")).toDF("k", "v"))
+      assert(t.current.filter(col("k") === 1L).head().getString(1) == "a2")
+    }
+  }
 }

@@ -160,4 +160,63 @@ class TopKDeltaSpec extends SparkSpec {
     assert(answer(t, 2) == Set(("a", "a1", 80.0, 1), ("a", "a2", 70.0, 2),
       ("b", "b1", 5.0, 1), ("b", "b2", 4.0, 2)))
   }
+
+  test("group-keyed fact replica: refill never scans the fact table, prunes by group, matches the twin") {
+    val s = spark
+    import s.implicits._
+    val t = mkState("tkrep")
+    val twin = mkState("tkrep2")
+    // the replica: keyed (g, id), RANGE-routed on g — the refill-cliff fix
+    val replica = KeyedTable(spark, tmpDir("tkrep-r"), Seq("g", "id"),
+      numBuckets = 4, rangeCol = Some("g"))
+    TopKDelta.replicaBootstrap(replica, base, Seq("g"), Seq("id"), "sc")
+    TopKDelta.bootstrap(t, base, Seq("g"), Seq("id"), "sc", k = 2, bufferFactor = 2)
+    TopKDelta.bootstrap(twin, base, Seq("g"), Seq("id"), "sc", k = 2, bufferFactor = 2)
+    // range routing separates the groups — a one-group probe opens a
+    // different (pruned) bucket set, the property the replica exists for
+    val bsA = replica.bucketsOf(Seq("a").toDF("g")).get
+    val bsB = replica.bucketsOf(Seq("b").toDF("g")).get
+    assert(bsA.toSet != bsB.toSet, s"group routing must separate groups: a=$bsA b=$bsB")
+    // epoch 1 — insert + re-score + GROUP MOVE; replica maintained in-epoch
+    val e1 = ev(("b", "b3", 99.0, null, null, "I"),
+      ("a", "a2", 15.0, "a", 70.0, "U"),
+      ("b", "a3", 60.0, "a", 60.0, "U"))
+    TopKDelta.maintain(t, e1, sys.error("no refill in e1"), Seq("g"), Seq("id"), "sc",
+      k = 2, bufferFactor = 2, batchId = Some("e1"), factsReplica = Some(replica))
+    TopKDelta.maintain(twin, e1, sys.error("no refill in e1"), Seq("g"), Seq("id"), "sc",
+      k = 2, bufferFactor = 2, batchId = Some("e1"))
+    // the move landed: a3 now lives under b in the replica, not a
+    val a3Rows = replica.current.filter($"id" === "a3").collect()
+    assert(a3Rows.map(_.getString(0)).toSeq == Seq("b"), a3Rows.mkString(","))
+    // epoch 2 — delete erodes a's guarantee below k → refill. The facts
+    // thunk is sys.error: with the replica present, EVALUATING it would
+    // mean the refill touched the item-keyed fact table
+    val e2 = ev((null, "a1", null, "a", 80.0, "D"))
+    TopKDelta.maintain(t, e2, sys.error("replica refill must not read the fact table"),
+      Seq("g"), Seq("id"), "sc", k = 2, bufferFactor = 2, batchId = Some("e2"),
+      factsReplica = Some(replica))
+    // the twin refills the classic way, from post-apply facts
+    val postFacts = facts(
+      ("a", "a2", 15), ("a", "a4", 50), ("a", "a5", 40), ("a", "a6", 30),
+      ("a", "a7", 20), ("a", "a8", 10),
+      ("b", "b1", 5), ("b", "b2", 4), ("b", "b3", 99), ("b", "a3", 60))
+    TopKDelta.maintain(twin, e2, postFacts, Seq("g"), Seq("id"), "sc",
+      k = 2, bufferFactor = 2, batchId = Some("e2"))
+    assert(answer(t, 2) == answer(twin, 2))
+    // a5 was never buffered — only a (replica-sourced) refill finds it
+    assert(answer(t, 2) == Set(("a", "a4", 50.0, 1), ("a", "a5", 40.0, 2),
+      ("b", "b3", 99.0, 1), ("b", "a3", 60.0, 2)))
+    // redelivered epoch no-ops state AND replica
+    val (vs, vr) = (t.currentVersion, replica.currentVersion)
+    TopKDelta.maintain(t, e2, sys.error("redelivered epoch must no-op"),
+      Seq("g"), Seq("id"), "sc", k = 2, bufferFactor = 2, batchId = Some("e2"),
+      factsReplica = Some(replica))
+    assert(t.currentVersion == vs && replica.currentVersion == vr)
+    // shape contract fails loudly: hash-routed replica can't answer group probes
+    val bad = KeyedTable(spark, tmpDir("tkrep-bad"), Seq("g", "id"), numBuckets = 4)
+    val err = intercept[IllegalArgumentException] {
+      TopKDelta.replicaBootstrap(bad, base, Seq("g"), Seq("id"), "sc")
+    }
+    assert(err.getMessage.contains("range-bucketed"))
+  }
 }

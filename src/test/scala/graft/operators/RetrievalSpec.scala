@@ -78,9 +78,11 @@ class RetrievalSpec extends SparkSpec {
   test("fixed-point range bound is enforced in-plan, not just documented") {
     val s = spark
     import s.implicits._
-    // tf·N_T = 1e7 · 1e6 = 1e13 > 6.5e12: past the documented 64-bit bound
-    // the numerator would wrap and silently mis-rank — the guard must kill
-    // the job instead (the repo's fail-loudly convention)
+    // tf·N_T = 1e7 · 1e6 = 1e13 > MaxTfNt (~1.54e10, derived from the
+    // table-max idf_fp = 13·2^20): past the 64-bit bound the numerator
+    // would wrap and silently mis-rank — the guard must kill the job
+    // instead (the repo's fail-loudly convention)
+    assert(Retrieval.MaxTfNt == Long.MaxValue / (44L * 13L * (1L << 20)))
     val postings = Seq((1L, "spark", 10000000L, 10000000L, 1L, 1000000L, 100L))
       .toDF("doc_id", "tok", "tf", "dl", "df", "N_T", "N_N")
     val e = intercept[Exception] {
