@@ -146,6 +146,16 @@ object Bench {
       def timed(f: => Unit): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
+      // recursive on-disk size in MB — the write-volume instrument for the
+      // CoW-vs-MOR epoch A/B (dir growth across an epoch == bytes written,
+      // since nothing is vacuumed mid-epoch)
+      def dirMb(path: String): Double = {
+        def walk(f: java.io.File): Long =
+          if (f.isFile) f.length
+          else Option(f.listFiles).map(_.iterator.map(walk).sum).getOrElse(0L)
+        walk(new java.io.File(path)) / 1e6
+      }
+      var scd2Bytes = 0.0
       val out = Seq(
         "band" -> timed(graft.queries.Td.buildBandIndexInto(spark, sfDir, s"$tmpRoot/band")),
         "ivf" -> timed(graft.queries.Td.buildIvfInto(spark, sfDir, s"$tmpRoot/ivf")),
@@ -176,13 +186,34 @@ object Bench {
         "hm" -> timed(graft.queries.Td.buildHistMaintainInto(spark, sfDir, s"$tmpRoot/hm")),
         "ds" -> timed(graft.queries.Td.buildDistinctStateInto(spark, sfDir, s"$tmpRoot/ds")),
         "scd2" -> timed(graft.queries.Td.buildScd2OrdersInto(spark, sfDir, s"$tmpRoot/scd2")),
-        "scd2_1" -> timed(graft.queries.Td.epoch1Scd2Orders(spark, sfDir, s"$tmpRoot/scd2")),
+        "scd2_1" -> { scd2Bytes = dirMb(s"$tmpRoot/scd2")
+          timed(graft.queries.Td.epoch1Scd2Orders(spark, sfDir, s"$tmpRoot/scd2")) },
+        // BYTES written by the 1% epoch (r9 verdict #6): at sf0.1 the epoch
+        // is read/compute-dominated, so the CoW-vs-MOR TIME A/B is ~parity
+        // and the write-amplification win only shows in write VOLUME —
+        // dir-size delta across the epoch (nothing is vacuumed mid-epoch,
+        // so growth == bytes written). Expect scd2_1_mb >> scd2_1m_mb.
+        "scd2_1_mb" -> (dirMb(s"$tmpRoot/scd2") - scd2Bytes),
         // merge-on-read A/B (round-9): the SAME stress build + the SAME 1%
         // epoch against a MOR table — scd2_1m vs scd2_1 is the measured
         // answer to r8's CoW write-amplification verdict (a hash-spread 1%
         // epoch rewrote ~the whole table; the MOR epoch writes ∝ batch)
         "scd2m" -> timed(graft.queries.Td.buildScd2OrdersMorInto(spark, sfDir, s"$tmpRoot/scd2m")),
-        "scd2_1m" -> timed(graft.queries.Td.epoch1Scd2Orders(spark, sfDir, s"$tmpRoot/scd2m")),
+        "scd2_1m" -> { scd2Bytes = dirMb(s"$tmpRoot/scd2m")
+          timed(graft.queries.Td.epoch1Scd2Orders(spark, sfDir, s"$tmpRoot/scd2m")) },
+        "scd2_1m_mb" -> (dirMb(s"$tmpRoot/scd2m") - scd2Bytes),
+        // compaction cadence on the MAINTAINED root (r9 verdict #7): the mr
+        // ladder covers a plain table; these keys pin the same contract
+        // under the maintainer's replaceKeys delta writes — read tax with
+        // the accumulated chains (s2r1), threshold compaction (s2c), and
+        // the post-compaction reset (s2r0)
+        "s2r1" -> timed(graft.queries.Td.scanMorOrders(spark, s"$tmpRoot/scd2m")),
+        "s2c" -> timed {
+          graft.engine.KeyedTable(spark, s"$tmpRoot/scd2m", Seq("o_orderkey"))
+            .compactDeltas(maxDeltas = 1)
+          ()
+        },
+        "s2r0" -> timed(graft.queries.Td.scanMorOrders(spark, s"$tmpRoot/scd2m")),
         // MOR read-tax ladder: full-scan aggregate at 0 / 1 / 8 uncompacted
         // delta chains, the 1% epoch itself, the threshold compaction, and
         // the post-compaction read — the compaction-cadence contract as

@@ -67,7 +67,8 @@ object Chain {
             factDelta: Option[DataFrame], dimDelta: Option[DataFrame],
             dimRef: String, dimKey: String, batchId: String,
             joinType: String = "inner", opCol: String = "_op",
-            seqCol: String = "_seq", oldPrefix: String = "_old_")(
+            seqCol: String = "_seq", oldPrefix: String = "_old_",
+            consumer: Option[String] = None)(
             applyDownstream: (DataFrame, String) => Unit): Unit = {
     JoinDelta.maintain(factTable, dimTable, view, index, factDelta, dimDelta,
       dimRef, dimKey, batchId, joinType, opCol, seqCol, oldPrefix,
@@ -76,6 +77,10 @@ object Chain {
     // on the crash-resume path maintain returned without emitting, and the
     // log is the only place the epoch's delta still exists
     applyDownstream(emitted(log, batchId), batchId)
+    // acknowledge AFTER the downstream apply: a crash before this line
+    // re-runs the epoch (downstream no-ops via its tag) and the ack lands
+    // on the retry — [[pruneAcked]] can then compute the safe set itself
+    consumer.foreach(c => ack(log, c, batchId))
   }
 
   /** The emitted delta `log` holds for `batchId` (empty if the epoch
@@ -86,14 +91,87 @@ object Chain {
     log.current.filter(col(EpochCol) === batchId).drop(EpochCol)
   }
 
-  /** Drop log rows of epochs other than `keepEpochs` — run once every
-    * chained consumer has acknowledged them (each consumer's own tag says
-    * so). Kept explicit rather than automatic: the log cannot know how
-    * many downstream readers exist.
+  /** Drop log rows of epochs other than `keepEpochs` — the MANUAL prune.
+    * Prefer [[pruneAcked]], which computes the safe set from recorded
+    * consumer acknowledgements instead of taking it on faith from the
+    * caller (the same caller-discipline hole [[epoch]] closed one level
+    * up — r8/r9 verdicts).
     */
   def prune(log: KeyedTable, keepEpochs: Set[String]): Long = {
     val stale = log.current.filter(!col(EpochCol).isInCollection(keepEpochs.toSeq))
       .select(log.keys.map(col).toIndexedSeq: _*)
     log.replaceKeys(stale, log.current.limit(0))
+  }
+
+  // ---- consumer acknowledgements (the prune safe-set, computed) ----------
+
+  /** Sentinel epoch for a registration row — makes a consumer VISIBLE to
+    * [[pruneAcked]] before its first applied epoch, so the log cannot be
+    * pruned out from under a known-but-lagging reader.
+    */
+  val RegisteredEpoch = "_registered"
+  private val ConsumerCol = "_consumer"
+
+  /** The log's consumer-acknowledgement sidecar: keyed (consumer, epoch),
+    * one row per applied epoch per consumer plus one registration row each.
+    * An ordinary [[KeyedTable]] under the log root — acks are durable,
+    * atomic, and replay-idempotent like every other commit here.
+    */
+  def ackTable(log: KeyedTable): KeyedTable =
+    KeyedTable(log.spark, s"${log.root}/_acks", Seq(ConsumerCol, EpochCol))
+
+  /** Make `consumer` known to [[pruneAcked]] BEFORE its first epoch.
+    * [[ack]] also registers implicitly; explicit registration matters for
+    * a consumer that is deployed but has not applied anything yet.
+    */
+  def registerConsumer(log: KeyedTable, consumer: String): Unit =
+    ack(log, consumer, RegisteredEpoch)
+
+  /** Record that `consumer` has durably applied `epoch` (idempotent).
+    * [[epoch]] calls this automatically when given a `consumer` name;
+    * hand-wired chains call it after their downstream tag commits.
+    */
+  def ack(log: KeyedTable, consumer: String, epoch: String): Unit = {
+    val s = log.spark
+    import s.implicits._
+    // every ack also (re)writes the registration row: pruneAcked retires
+    // acks of pruned epochs, and a consumer known ONLY through epoch acks
+    // would otherwise vanish from the registered set after cleanup — and
+    // with it the protection of its future unacked epochs
+    val rows = if (epoch == RegisteredEpoch) Seq((consumer, epoch))
+               else Seq((consumer, epoch), (consumer, RegisteredEpoch))
+    ackTable(log).merge(rows.toDF(ConsumerCol, EpochCol))
+  }
+
+  /** Prune with the safe set COMPUTED from acknowledgements: an epoch's
+    * rows are dropped only when EVERY registered consumer has acked it.
+    * Refuses to run with zero registered consumers — an empty ack table
+    * means "nobody is protected", not "everything is safe". Ack rows of
+    * fully-pruned epochs are cleaned up with the same commit cadence.
+    * Driver-side cost: one count plus one ≤|epochs| collect — control
+    * plane, not data plane.
+    */
+  def pruneAcked(log: KeyedTable): Long = {
+    val acks = ackTable(log)
+    require(acks.exists, "Chain.pruneAcked: no consumers registered — " +
+      "register/ack at least one consumer (or use the explicit prune)")
+    val a = acks.current
+    val nConsumers = a.select(ConsumerCol).distinct().count()
+    require(nConsumers > 0, "Chain.pruneAcked: no consumers registered")
+    val fullyAcked = a.filter(col(EpochCol) =!= RegisteredEpoch)
+      .groupBy(EpochCol)
+      .agg(countDistinct(col(ConsumerCol)).as("__n"))
+      .filter(col("__n") === nConsumers)
+      .select(EpochCol)
+    val stale = log.current.join(fullyAcked, Seq(EpochCol), "left_semi")
+      .select(log.keys.map(col).toIndexedSeq: _*)
+    val v = log.replaceKeys(stale, log.current.limit(0))
+    // retire the ack rows of epochs no longer in the log (keep registrations)
+    val live = log.current.select(EpochCol).distinct()
+    val staleAcks = a.filter(col(EpochCol) =!= RegisteredEpoch)
+      .join(live, Seq(EpochCol), "left_anti")
+      .select(acks.keys.map(col).toIndexedSeq: _*)
+    acks.replaceKeys(staleAcks, a.limit(0))
+    v
   }
 }

@@ -104,4 +104,38 @@ class ChainSpec extends SparkSpec {
     assert(Chain.emitted(log, "e1").count() == 0)
     assert(Chain.emitted(log, "e2").count() == 1)
   }
+
+  test("pruneAcked computes the safe set from consumer acks — keeps exactly the unacked suffix") {
+    val (f, dm, v, ix, log, agg) = boot()
+    // consumer "agg" acks through Chain.epoch's consumer param
+    Chain.epoch(f, dm, v, ix, log, Some(fd(("f4", "d2", 40, null, "I"))), None,
+      "dref", "did", "e1", consumer = Some("agg"))(downstream(agg))
+    Chain.epoch(f, dm, v, ix, log, Some(fd(("f5", "d1", 50, null, "I"))), None,
+      "dref", "did", "e2", consumer = Some("agg"))(downstream(agg))
+    // a second, LAGGING consumer has only applied e1
+    Chain.registerConsumer(log, "audit")
+    Chain.ack(log, "audit", "e1")
+    Chain.pruneAcked(log)
+    // e1 acked by both → dropped; e2 acked only by "agg" → kept, even
+    // though the caller never had to name it
+    assert(Chain.emitted(log, "e1").count() == 0)
+    assert(Chain.emitted(log, "e2").count() == 1)
+    // the laggard catches up → e2 becomes safe and goes too
+    Chain.ack(log, "audit", "e2")
+    Chain.pruneAcked(log)
+    assert(Chain.emitted(log, "e2").count() == 0)
+    // registrations survive pruning; acks of pruned epochs are retired
+    val acks = Chain.ackTable(log).current.collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(acks == Set("agg" -> Chain.RegisteredEpoch, "audit" -> Chain.RegisteredEpoch))
+  }
+
+  test("pruneAcked refuses to run with no registered consumers") {
+    val (f, dm, v, ix, log, agg) = boot()
+    Chain.epoch(f, dm, v, ix, log, Some(fd(("f4", "d2", 40, null, "I"))), None,
+      "dref", "did", "e1")(downstream(agg))
+    val e = intercept[IllegalArgumentException] { Chain.pruneAcked(log) }
+    assert(e.getMessage.contains("no consumers registered"))
+    assert(Chain.emitted(log, "e1").count() == 1, "refusal must not prune anything")
+  }
 }
