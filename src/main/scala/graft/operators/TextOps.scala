@@ -55,6 +55,14 @@ object TextOps {
     trim(regexp_replace(spaced, " +", " "))
   }
 
+  /** Unicode NFC canonical composition ([[graft.functions.NfcNormalize]]) —
+    * run it BEFORE [[normText]]/[[fingerprint]] on corpora that may carry
+    * decomposed (NFD) text: normText strips bare combining marks (Mn is not
+    * `\p{L}`), so un-composed "e"+U+0301 would fingerprint as its
+    * mark-stripped skeleton and falsely collide with the plain form.
+    */
+  def nfc(c: Column): Column = graft.functions.UnicodeKernels.nfc_normalize(c)
+
   /** Whitespace tokens of the normalized text. */
   def tokens(c: Column): Column = split(normText(c), " ")
 

@@ -47,6 +47,22 @@ object TextQueries {
   private def uniTextsSqlList: String =
     UniTexts.map(t => s"'$t'").mkString("[", ", ", "]")
 
+  /** Canonical-equivalence fixture for q_nfc_dedup: NFC/NFD twins (Latin
+    * combining acute/grave, Hangul syllables vs conjoining Jamo) plus
+    * distinct plain texts. Texts 0≡1 and 3≡4 are the SAME string under
+    * Unicode canonical equivalence, different codepoint sequences raw.
+    */
+  private[queries] val NfcTexts: Seq[String] = Seq(
+    "caf\u00e9 r\u00e9sum\u00e9 d\u00e9j\u00e0",  // 0: NFC precomposed Latin
+    "cafe\u0301 re\u0301sume\u0301 de\u0301ja\u0300", // 1: NFD twin of 0
+    "cafe resume deja",                             // 2: plain — genuinely distinct
+    "\uD55C\uAD6D\uC5B4 \uBB38\uC11C",              // 3: NFC Hangul syllables
+    "\u1112\u1161\u11AB\u1100\u116E\u11A8\u110B\u1165 \u1106\u116E\u11AB\u1109\u1165", // 4: NFD Jamo twin of 3
+    "\u03a9\u03bc\u03ad\u03b3\u03b1 \u03c4\u03ad\u03bb\u03bf\u03c2", // 5: Greek NFC (word-final ς stays ς under lower)
+  )
+  private def nfcTextsSqlList: String =
+    NfcTexts.map(t => s"'$t'").mkString("[", ", ", "]")
+
   private val jaccardPairsSql =
     s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
        |sh AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
@@ -258,6 +274,40 @@ object TextQueries {
               |SELECT fp, $langPredCaseSql AS lang_pred, n_toks, n_bpe,
               |  CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS min_id
               |FROM f GROUP BY 1, 2, 3, 4""".stripMargin)),
+
+    // ----- NFC canonical-equivalence dedup ---------------------------------
+    // Canonically-equivalent strings in different forms (precomposed é vs
+    // e+combining-acute; Hangul syllables vs conjoining Jamo) must dedup as
+    // ONE document after NFC composition — and the raw fingerprints must
+    // STILL differ (n_raw_forms = 2 for the twin groups), proving the
+    // composition did the work rather than the fixture being accidentally
+    // identical. Both engines run the same UAX #15 algorithm
+    // (java.text.Normalizer vs utf8proc nfc_normalize), so the hash match
+    // pins the normalization itself.
+    "q_nfc_dedup" -> Q(
+      (s, d) => {
+        val u = element_at(array(NfcTexts.map(lit): _*),
+          (col("doc_id") % 6).cast("int") + 1)
+        Td.documents(s, d).filter(col("doc_id") < 60)
+          .select(col("doc_id"), u.as("utext"))
+          .select(col("doc_id"),
+            TextOps.fingerprint(TextOps.nfc(col("utext"))).as("fp"),
+            TextOps.fingerprint(col("utext")).as("fp_raw"))
+          .groupBy("fp")
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"),
+            countDistinct(col("fp_raw")).as("n_raw_forms"))
+      },
+      Some(s"""WITH u AS (SELECT doc_id,
+              |    ${nfcTextsSqlList}[CAST(doc_id % 6 AS INT) + 1] AS utext
+              |  FROM documents WHERE doc_id < 60),
+              |f AS (SELECT doc_id,
+              |    ${polyHashSql(normSqlOf("nfc_normalize(utext)"))} AS fp,
+              |    ${polyHashSql(normSqlOf("utext"))} AS fp_raw
+              |  FROM u)
+              |SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,
+              |  min(doc_id) AS min_id,
+              |  CAST(count(DISTINCT fp_raw) AS BIGINT) AS n_raw_forms
+              |FROM f GROUP BY 1""".stripMargin)),
 
     // ----- exact n-gram Jaccard near-dup pairs (inverted index) ------------
     "q_jaccard_pairs" -> Q(

@@ -70,6 +70,27 @@ class UnicodeTextSpec extends SparkSpec {
     assert(n("the train") == 2L)
   }
 
+  test("NFC composition: NFD twins fingerprint identically after nfc(), differently raw") {
+    val nfcLatin = "café résumé"
+    val nfdLatin = "café résumé"
+    val nfcHangul = "한국어"
+    val nfdJamo = "한국어"
+    def fp(t: String) =
+      one(t, TextOps.fingerprint(TextOps.nfc(col("text")))).asInstanceOf[Long]
+    def fpRaw(t: String) =
+      one(t, TextOps.fingerprint(col("text"))).asInstanceOf[Long]
+    assert(fp(nfcLatin) == fp(nfdLatin))
+    assert(fpRaw(nfcLatin) != fpRaw(nfdLatin), "raw forms must differ — else the fixture proves nothing")
+    assert(fp(nfcHangul) == fp(nfdJamo))
+    assert(fpRaw(nfcHangul) != fpRaw(nfdJamo))
+    // identity on already-NFC text (the fast path) and on ASCII
+    assert(one(nfcLatin, TextOps.nfc(col("text"))) == nfcLatin)
+    assert(one("plain ascii", TextOps.nfc(col("text"))) == "plain ascii")
+    // the kernel agrees with java.text.Normalizer directly
+    assert(one(nfdJamo, TextOps.nfc(col("text"))) ==
+      java.text.Normalizer.normalize(nfdJamo, java.text.Normalizer.Form.NFC))
+  }
+
   test("ASCII behavior is bit-identical to the old normalizer") {
     // the entire pre-round-10 oracle battery rides on this equivalence
     def old(t: String): String =
