@@ -123,6 +123,44 @@ object TextOps {
     when(total === 0, 0.0).otherwise(hits.cast("double") / total.cast("double"))
   }
 
+  /** Script classes for [[scriptProfile]] — literal-codepoint ranges only
+    * (engine-neutral: the same class string runs on Java regex and RE2),
+    * ordered by tie-break priority. Approximate by design — the BMP ranges
+    * that carry ~all real-web text per script; the point is a cheap
+    * deterministic mix signal for corpus routing, not ISO 15924 fidelity.
+    */
+  val ScriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-zÀ-ɏ]",
+    "cyrillic" -> "[Ѐ-ӿ]",
+    "greek" -> "[Ͱ-Ͽ]",
+    "arabic" -> "[؀-ۿ]",
+    "cjk" -> CjkCharClass,
+  )
+
+  /** Per-document Unicode script distribution: one count + ratio per
+    * [[ScriptClasses]] entry plus the dominant script ("und" when no class
+    * hits). The routing signal a multilingual-crawl pipeline gates on
+    * before per-language processing (which tokenizer, which quality
+    * profile, which dedup shard). Pure per-row codegen'd expression work —
+    * the [[charClassRatio]] length-difference trick per class, no shuffle,
+    * linear in the corpus.
+    */
+  def scriptProfile(text: Column): Seq[(String, Column)] = {
+    val total = length(text)
+    val counts = ScriptClasses.map { case (name, cls) =>
+      name -> (total - length(regexp_replace(text, cls, "")))
+    }
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    val dominant = counts.foldLeft(when(best === 0, lit("und"))) {
+      case (acc, (name, cnt)) => acc.when(cnt === best, lit(name))
+    }.otherwise(lit("und"))
+    counts.map { case (name, cnt) => s"n_$name" -> cnt.cast("long") } ++
+      counts.map { case (name, cnt) =>
+        s"${name}_ratio" -> when(total === 0, 0.0)
+          .otherwise(cnt.cast("double") / total.cast("double"))
+      } :+ ("script" -> dominant)
+  }
+
   /** 30-bit SimHash over the distinct tokens' polynomial hashes: bit i is set
     * iff sum over tokens of ±1 (by the token hash's bit i) is positive.
     * One tokenize + one codegen'd fold over the hash array

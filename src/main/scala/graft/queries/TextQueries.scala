@@ -275,6 +275,43 @@ object TextQueries {
               |  CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS min_id
               |FROM f GROUP BY 1, 2, 3, 4""".stripMargin)),
 
+    // ----- Unicode script-distribution profile -----------------------------
+    // The per-document script mix (counts + ratios per class, dominant
+    // label) — the routing signal a multilingual-crawl pipeline gates on
+    // before per-language processing. Generated from TextOps.ScriptClasses
+    // so both engines run the identical literal-range classes; pure per-row
+    // expression work, no shuffle.
+    "q_script_profile" -> Q(
+      (s, d) => {
+        val u = element_at(array(UniTexts.map(lit): _*),
+          (col("doc_id") % 10).cast("int") + 1)
+        Td.documents(s, d).filter(col("doc_id") < 60)
+          .select(col("doc_id"), u.as("utext"))
+          .select(col("doc_id") +:
+            TextOps.scriptProfile(col("utext")).map { case (n, c) => c.as(n) }: _*)
+      },
+      Some {
+        val names = TextOps.ScriptClasses.map(_._1)
+        val cnt = TextOps.ScriptClasses.map { case (n, cls) =>
+          s"length(utext) - length(regexp_replace(utext, '$cls', '', 'g')) AS n_$n"
+        }.mkString(",\n              |    ")
+        val best = s"greatest(${names.map("n_" + _).mkString(", ")})"
+        val cases = names.map(n => s"WHEN n_$n = $best THEN '$n'").mkString(" ")
+        s"""WITH u AS (SELECT doc_id,
+           |    ${uniTextsSqlList}[CAST(doc_id % 10 AS INT) + 1] AS utext
+           |  FROM documents WHERE doc_id < 60),
+           |c AS (SELECT doc_id, length(utext) AS len,
+           |    $cnt
+           |  FROM u)
+           |SELECT doc_id,
+           |  ${names.map(n => s"CAST(n_$n AS BIGINT) AS n_$n").mkString(", ")},
+           |  ${names.map(n =>
+               s"CASE WHEN len=0 THEN 0.0 ELSE CAST(n_$n AS DOUBLE)/len END AS ${n}_ratio")
+             .mkString(",\n           |  ")},
+           |  CASE WHEN $best = 0 THEN 'und' $cases ELSE 'und' END AS script
+           |FROM c""".stripMargin
+      }),
+
     // ----- NFC canonical-equivalence dedup ---------------------------------
     // Canonically-equivalent strings in different forms (precomposed é vs
     // e+combining-acute; Hangul syllables vs conjoining Jamo) must dedup as

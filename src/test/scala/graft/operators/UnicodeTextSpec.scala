@@ -91,6 +91,29 @@ class UnicodeTextSpec extends SparkSpec {
       java.text.Normalizer.normalize(nfdJamo, java.text.Normalizer.Form.NFC))
   }
 
+  test("scriptProfile: dominant script and ratios per text") {
+    val s = spark
+    import s.implicits._
+    def profile(t: String): Map[String, Any] = {
+      val cols = TextOps.scriptProfile(col("text"))
+      val row = Seq(t).toDF("text").select(cols.map { case (n, c) => c.as(n) }: _*).head()
+      cols.map(_._1).zipWithIndex.map { case (n, i) => n -> row.get(i) }.toMap
+    }
+    assert(profile("the quick brown fox")("script") == "latin")
+    assert(profile("наш поезд отправился")("script") == "cyrillic")
+    assert(profile("我们的火车在午夜出发")("script") == "cjk")
+    assert(profile("القطار غادر")("script") == "arabic")
+    assert(profile("ωμέγα τέλος")("script") == "greek")
+    assert(profile("12345 !!!")("script") == "und")
+    assert(profile("")("script") == "und")
+    // mixed: counts split, ratios sum ≤ 1 (spaces/digits counted by none)
+    val m = profile("abc 中文")
+    assert(m("n_latin") == 3L && m("n_cjk") == 2L)
+    assert(m("latin_ratio").asInstanceOf[Double] == 3.0 / 6.0)
+    // tie-break follows ScriptClasses order (latin first)
+    assert(profile("ab яж")("script") == "latin")
+  }
+
   test("ASCII behavior is bit-identical to the old normalizer") {
     // the entire pre-round-10 oracle battery rides on this equivalence
     def old(t: String): String =
