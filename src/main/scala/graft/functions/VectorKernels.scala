@@ -100,12 +100,55 @@ object Kernels {
     sig
   }
 
+  /** One-pass Unicode tokenizer — bit-identical to
+    * `split(TextOps.normText(c), " ")` (lower → strip non-`\p{L}`/`\p{Nd}`
+    * → per-char CJK split → collapse → trim → split), which remains the
+    * spec-pinned semantics reference and the DuckDB oracle's form. The
+    * regex chain rewrites the string three times and splits a fourth;
+    * this is one whole-string lowercase plus one codepoint loop.
+    *
+    * Edge contract mirrored exactly: text with NO tokens (empty,
+    * whitespace, punctuation-only) returns `[""]` — `split("", " ")`
+    * yields one empty element on both engines, and `size(tokens)` of 1
+    * for empty docs is baked into the oracle battery.
+    */
+  def normTokens(s: UTF8String): ArrayData = {
+    // whole-string lowercase, matching Spark's `lower` non-ASCII path
+    // (String.toLowerCase — contextual mappings included), not the
+    // per-codepoint simple mapping Dedup.shingleSet documents
+    val str = s.toString.toLowerCase
+    val toks = new java.util.ArrayList[Any](16)
+    val sb = new java.lang.StringBuilder(16)
+    def flush(): Unit = if (sb.length > 0) { toks.add(UTF8String.fromString(sb.toString)); sb.setLength(0) }
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      if (cp < 128) {
+        val c = cp.toChar
+        if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+        else flush()
+      } else if ((cp >= 0x3040 && cp <= 0x30FF) || (cp >= 0x3400 && cp <= 0x4DBF) ||
+                 (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0xAC00 && cp <= 0xD7AF)) {
+        flush()
+        toks.add(UTF8String.fromString(new String(Character.toChars(cp))))
+      } else if (Character.isLetter(cp) || Character.isDigit(cp)) {
+        sb.appendCodePoint(cp)
+      } else flush()
+    }
+    flush()
+    if (toks.isEmpty) toks.add(UTF8String.fromString(""))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(toks.toArray)
+  }
+
   /** Column wrappers. */
   def poly_hash(c: Column): Column = GraftColumnBridge.column(PolyHash(GraftColumnBridge.expression(c)))
   def float_dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(FloatDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   def vocab_count(c: Column, vocab: Seq[String]): Column =
     GraftColumnBridge.column(VocabCount(GraftColumnBridge.expression(c), vocab))
+  def norm_tokens(c: Column): Column =
+    GraftColumnBridge.column(NormTokens(GraftColumnBridge.expression(c)))
   def simhash_fold(c: Column, bits: Int): Column =
     GraftColumnBridge.column(SimHashFold(GraftColumnBridge.expression(c), bits))
 }
@@ -120,6 +163,18 @@ case class SimHashFold(child: Expression, bits: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.simhashFold($c, $bits)")
   override protected def withNewChildInternal(newChild: Expression): SimHashFold =
+    copy(child = newChild)
+}
+
+/** See [[Kernels.normTokens]]; returns array<string> of normalized tokens. */
+case class NormTokens(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.normTokens(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.normTokens($c)")
+  override protected def withNewChildInternal(newChild: Expression): NormTokens =
     copy(child = newChild)
 }
 

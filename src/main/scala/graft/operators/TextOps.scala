@@ -49,7 +49,16 @@ object TextOps {
     * (final sigma, Turkish dotted I) — same class of caveat the rest of the
     * repo's collation notes carry.
     */
-  def normText(c: Column): Column = {
+  def normText(c: Column): Column = concat_ws(" ", tokens(c))
+
+  /** The regex formulation of [[normText]] — the spec-pinned semantics
+    * reference the [[graft.functions.Kernels.normTokens]] kernel must match
+    * bit-for-bit (OperatorsSpec kernel-vs-regex property; the DuckDB oracle
+    * runs this form). Production paths use the kernel: the chain rewrites
+    * the string three times and splits a fourth, the kernel is one
+    * lowercase + one codepoint loop.
+    */
+  private[operators] def normTextRegex(c: Column): Column = {
     val kept = regexp_replace(lower(c), "[^\\p{L}\\p{Nd} ]", " ")
     val spaced = regexp_replace(kept, "(" + CjkCharClass + ")", " $1 ")
     trim(regexp_replace(spaced, " +", " "))
@@ -63,8 +72,12 @@ object TextOps {
     */
   def nfc(c: Column): Column = graft.functions.UnicodeKernels.nfc_normalize(c)
 
-  /** Whitespace tokens of the normalized text. */
-  def tokens(c: Column): Column = split(normText(c), " ")
+  /** Whitespace tokens of the normalized text — the codegen'd
+    * [[graft.functions.Kernels.normTokens]] kernel (one lowercase + one
+    * codepoint loop), bit-identical to `split(normTextRegex(c), " ")`
+    * including the token-less → `[""]` edge the oracle battery bakes in.
+    */
+  def tokens(c: Column): Column = graft.functions.Kernels.norm_tokens(c)
 
   /** Deterministic polynomial rolling hash of a string:
     * fold(chars, h = (h*31 + codepoint) mod 1e9+7). Used as the shared,

@@ -72,6 +72,18 @@ class OperatorsSpec extends SparkSpec {
     )
     for (t <- cases; n <- Seq(1, 2, 3))
       assert(Dedup.shingleSet(t, n).toSet == regexTwin(t, n).toSet, s"text='$t' n=$n")
+
+    // the production tokens() kernel must equal the regex chain IN-ENGINE
+    // too (same cases + the [""]-for-empty edge the oracle battery bakes in)
+    val s = spark
+    import s.implicits._
+    val df = cases.toDF("text").select(
+      TextOps.tokens(col("text")).as("kernel"),
+      split(TextOps.normTextRegex(col("text")), " ").as("regex"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"kernel=${r.getSeq[String](0)} regex=${r.getSeq[String](1)}")
+    }
   }
 
   test("minhashDedup: LSH candidates ⊇ exact pairs here; survivor keeps smaller id") {
