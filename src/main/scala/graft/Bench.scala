@@ -236,6 +236,13 @@ object Bench {
         "jm1" -> timed(graft.queries.Td.epoch1JoinMaintain(spark, sfDir, s"$tmpRoot/jm")),
         "tk" -> timed(graft.queries.Td.buildTopkMaintainInto(spark, sfDir, s"$tmpRoot/tk")),
         "tk1" -> timed(graft.queries.Td.epoch1TopkMaintain(spark, sfDir, s"$tmpRoot/tk")),
+        // refill-cliff A/B (r10): one-time group-keyed replica bootstrap,
+        // then the SAME 6-delete burst forcing a refill — "tkd" reads the
+        // item-keyed fact table (every bucket), "tkdr" reads only the
+        // hungry group's replica buckets
+        "tkr" -> timed(graft.queries.Td.buildTopkReplicaInto(spark, sfDir, s"$tmpRoot/tk")),
+        "tkd" -> timed(graft.queries.Td.epochTopkRefill(spark, sfDir, s"$tmpRoot/tk", "F", 3, useReplica = false)),
+        "tkdr" -> timed(graft.queries.Td.epochTopkRefill(spark, sfDir, s"$tmpRoot/tk", "O", 4, useReplica = true)),
         "qm" -> timed(graft.queries.Td.buildQualityMaintainInto(spark, sfDir, s"$tmpRoot/qm")),
         "tm" -> timed(graft.queries.Td.buildTriangleMaintainInto(spark, sfDir, s"$tmpRoot/tm")),
         // round-8 stored-state builds: maintained BM25 statistics (corpus +

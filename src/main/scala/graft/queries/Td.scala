@@ -994,6 +994,56 @@ object Td {
     ()
   }
 
+  /** One-time group-keyed fact-replica bootstrap on the
+    * [[buildTopkMaintainInto]] root (bench key "tkr") — the layout that
+    * turns TopKDelta's refill from a fact-table scan into a bucket-pruned
+    * read (keys (group, item), range-routed on the group column).
+    */
+  private[graft] def buildTopkReplicaInto(s: SparkSession, d: String, tmp: String): Unit = {
+    val fact = graft.engine.KeyedTable(s, s"$tmp/fact", Seq("o_orderkey"))
+    val rep = graft.engine.KeyedTable(s, s"$tmp/replica",
+      Seq("o_orderstatus", "o_orderkey"), numBuckets = 8,
+      rangeCol = Some("o_orderstatus"))
+    graft.engine.TopKDelta.replicaBootstrap(rep,
+      fact.current.select("o_orderstatus", "o_orderkey", "o_totalprice"),
+      Seq("o_orderstatus"), Seq("o_orderkey"), "o_totalprice")
+  }
+
+  /** A delete-burst epoch that FORCES a refill on `group` (6 buffered
+    * deletes erode the m=10 guarantee below k=5) against the
+    * [[buildTopkMaintainInto]] root — the refill-cliff A/B: "tkd" refills
+    * from the item-keyed fact table (every bucket read), "tkdr" from the
+    * group-keyed replica (only the hungry group's buckets). Old images are
+    * taken from the buffered state itself, so they are exact by
+    * construction. The no-replica variant still catches the replica up
+    * afterwards (∝ batch) so the next burst reads current state.
+    */
+  private[graft] def epochTopkRefill(s: SparkSession, d: String, tmp: String,
+                                     group: String, seq: Int,
+                                     useReplica: Boolean): Unit = {
+    val fact = graft.engine.KeyedTable(s, s"$tmp/fact", Seq("o_orderkey"))
+    val st = graft.engine.KeyedTable(s, s"$tmp/state", Seq("o_orderstatus"))
+    val rep = graft.engine.KeyedTable(s, s"$tmp/replica",
+      Seq("o_orderstatus", "o_orderkey"), rangeCol = Some("o_orderstatus"))
+    val b = st.current.filter(col("o_orderstatus") === group)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(6)
+      .select(lit(null).cast("string").as("o_orderstatus"), col("o_orderkey"),
+        lit(null).cast("double").as("o_totalprice"),
+        lit(group).as("_old_o_orderstatus"),
+        col("o_totalprice").as("_old_o_totalprice"),
+        lit("D").as("_op"), lit(seq).as("_seq"))
+      .localCheckpoint()
+    fact.mergeCdc(b, tag = Some(s"tkd-$seq"))
+    graft.engine.TopKDelta.maintain(st, b, fact.current,
+      Seq("o_orderstatus"), Seq("o_orderkey"), "o_totalprice",
+      k = 5, bufferFactor = 2, batchId = Some(s"tkd-$seq"),
+      factsReplica = if (useReplica) Some(rep) else None)
+    if (!useReplica)
+      graft.engine.TopKDelta.replicaMaintain(rep, b,
+        Seq("o_orderstatus"), Seq("o_orderkey"), "o_totalprice",
+        batchId = Some(s"tkd-$seq"))
+  }
+
   /** One ~1% update epoch against the [[buildScd2OrdersInto]] root at the
     * next sequence — each touched key closes its open row and opens a new
     * one (bucket-pruned history rewrite of the touched keys only).

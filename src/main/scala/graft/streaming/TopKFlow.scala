@@ -19,17 +19,25 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object TopKFlow {
 
-  /** Apply one epoch. Exposed for batch-mode reuse and tests. */
+  /** Apply one epoch. Exposed for batch-mode reuse and tests.
+    * `factsReplica` threads [[TopKDelta.maintain]]'s group-keyed replica
+    * (r10): the replica is maintained inside the same tagged apply, so a
+    * refill in any micro-batch bucket-prunes instead of scanning the fact
+    * table — the streaming cadence is exactly where the refill cliff hurts
+    * most (a delete-heavy burst triggers it repeatedly).
+    */
   def processBatch(factTable: KeyedTable, state: KeyedTable, batch: DataFrame,
                    epochId: Long, groups: Seq[String], idCols: Seq[String],
                    scoreCol: String, k: Int, bufferFactor: Int = 2,
                    opCol: String = "_op", seqCol: String = "_seq",
-                   oldPrefix: String = "_old_", tagPrefix: String = ""): Long = {
+                   oldPrefix: String = "_old_", tagPrefix: String = "",
+                   factsReplica: Option[KeyedTable] = None): Long = {
     val tag = FlowTags.tag(tagPrefix, epochId)
     if (!factTable.lastTag.contains(tag))
       factTable.mergeCdc(batch, opCol, seqCol, Some(tag))
     TopKDelta.maintain(state, batch, factTable.current, groups, idCols,
-      scoreCol, k, bufferFactor, opCol, oldPrefix, batchId = Some(tag))
+      scoreCol, k, bufferFactor, opCol, oldPrefix, batchId = Some(tag),
+      factsReplica = factsReplica)
   }
 
   /** Start the flow over `stream` (fact columns + `oldPrefix` group images
@@ -40,13 +48,15 @@ object TopKFlow {
             checkpoint: String, groups: Seq[String], idCols: Seq[String],
             scoreCol: String, k: Int, bufferFactor: Int = 2,
             opCol: String = "_op", seqCol: String = "_seq",
-            oldPrefix: String = "_old_"): StreamingQuery =
+            oldPrefix: String = "_old_",
+            factsReplica: Option[KeyedTable] = None): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: DataFrame, epochId: Long) =>
         processBatch(factTable, state, b, epochId, groups, idCols, scoreCol,
           k, bufferFactor, opCol, seqCol, oldPrefix,
-          tagPrefix = FlowTags.prefix(checkpoint))
+          tagPrefix = FlowTags.prefix(checkpoint),
+          factsReplica = factsReplica)
         ()
       }
       .start()

@@ -50,4 +50,33 @@ class TdSpec extends SparkSpec {
     assert(t.current.count() == n, "compaction is layout-only")
     assert(t.current.count() == Td.orders(spark, d).count(), "re-price epochs add no rows")
   }
+
+  test("TopKDelta refill A/B bench bodies: both burst paths land on the from-scratch answer") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val tmp = tmpDir("td-tkr")
+    Td.buildTopkMaintainInto(spark, d, tmp)
+    Td.epoch1TopkMaintain(spark, d, tmp)
+    Td.buildTopkReplicaInto(spark, d, tmp)
+    // the exact bodies Bench times: fact-scan refill on F, replica refill on O
+    Td.epochTopkRefill(spark, d, tmp, "F", 3, useReplica = false)
+    Td.epochTopkRefill(spark, d, tmp, "O", 4, useReplica = true)
+    val st = graft.engine.KeyedTable(spark, s"$tmp/state", Seq("o_orderstatus"))
+    val fact = graft.engine.KeyedTable(spark, s"$tmp/fact", Seq("o_orderkey"))
+    val ans = graft.engine.TopKDelta.topK(st.current,
+        Seq("o_orderstatus"), Seq("o_orderkey"), "o_totalprice", 5)
+      .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val exp = fact.current.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"), col("rank"))
+      .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    assert(ans == exp, "maintained answer after both refill paths must equal from-scratch rank")
+    // the replica equals the fact table's (group, item, score) projection
+    val rep = graft.engine.KeyedTable(spark, s"$tmp/replica",
+      Seq("o_orderstatus", "o_orderkey"), rangeCol = Some("o_orderstatus"))
+    assert(rep.current.count() == fact.current.count(), "replica row set tracks the facts")
+  }
 }

@@ -71,4 +71,38 @@ class TopKFlowSpec extends SparkSpec {
     assert(st.current.count() == 2) // a redelivered insert must not duplicate
     assert(answer(st, 2) == Set(("a", "a2", 90.0, 1), ("a", "a1", 80.0, 2)))
   }
+
+  test("streaming with a group-keyed replica: refills ride the replica, replica stays current") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = tmpDir("tkflow3")
+    val fact = KeyedTable(spark, s"$d/fact", Seq("id"), numBuckets = 4)
+    val st = KeyedTable(spark, s"$d/state", Seq("g"), numBuckets = 4)
+    val rep = KeyedTable(spark, s"$d/replica", Seq("g", "id"),
+      numBuckets = 4, rangeCol = Some("g"))
+    val base = Seq(("a", "a1", 80.0), ("a", "a2", 70.0), ("a", "a3", 60.0),
+      ("a", "a4", 50.0), ("a", "a5", 40.0), ("a", "a6", 30.0)).toDF("g", "id", "sc")
+    fact.overwrite(base)
+    TopKDelta.bootstrap(st, base, Seq("g"), Seq("id"), "sc", k = 2, bufferFactor = 2)
+    TopKDelta.replicaBootstrap(rep, base, Seq("g"), Seq("id"), "sc")
+    val ckpt = tmpDir("tkflow3-ckpt")
+    val input = MemoryStream[Ev]
+    val q = TopKFlow.start(input.toDF().toDF(cols: _*), fact, st, ckpt,
+      Seq("g"), Seq("id"), "sc", k = 2, bufferFactor = 2,
+      factsReplica = Some(rep))
+    input.addData(("a", "a0", 99.0, null, "I", 1): Ev)
+    q.processAllAvailable()
+    // delete the buffered top — the refill must find a5/a6, which only
+    // CURRENT (post-delete, post-insert) fact state contains
+    input.addData(
+      (null, "a0", null, "a", "D", 2): Ev, (null, "a1", null, "a", "D", 2): Ev,
+      (null, "a2", null, "a", "D", 2): Ev, (null, "a3", null, "a", "D", 2): Ev)
+    q.processAllAvailable()
+    q.stop()
+    assert(answer(st, 2) == Set(("a", "a4", 50.0, 1), ("a", "a5", 40.0, 2)))
+    // the replica tracked both epochs (insert then 4 deletes): 6+1-4 rows
+    assert(rep.current.count() == fact.current.count())
+    assert(rep.current.count() == 3)
+  }
 }
