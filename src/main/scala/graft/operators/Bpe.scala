@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   *
   * Representation: a word is its symbol sequence with each symbol
   * paren-wrapped ("low" → "(l)(o)(w)(</w>)", `</w>` the terminal marker).
-  * Parens appear ONLY as delimiters (tokens are [a-z0-9]+ by
-  * `TextOps.normText`), so `replace(sym, '(a)(b)', '(ab)')` can match
+  * Parens appear ONLY as delimiters (tokens are `\p{L}`/`\p{Nd}` runs by
+  * `TextOps.normText` — parens can never survive normalization), so
+  * `replace(sym, '(a)(b)', '(ab)')` can match
   * only whole adjacent symbols, and — because adjacent matches share no
   * characters — its leftmost non-overlapping semantics are exactly BPE's
   * greedy merge pass: "(a)(a)(a)" + merge(a,a) → "(aa)(a)", and
@@ -45,7 +46,14 @@ object Bpe {
   /** A learned merge: `pair` is "left right", `merged` the fused symbol. */
   final case class Merge(step: Int, pair: String, merged: String, pairCount: Long)
 
-  private val SymbolOk = "^[a-z0-9</>w ]+$".r
+  // The representation's ONLY structural requirement: symbols must not
+  // contain the paren delimiters (then "(a)(b)" literal replace can match
+  // whole adjacent symbols and nothing else). TextOps.tokens guarantees it
+  // (parens are stripped by normalization). The old ASCII whitelist
+  // ([a-z0-9</>w ]) predates the Unicode tokenizer and would reject every
+  // non-Latin merge pair — training on a multilingual corpus threw on its
+  // first Cyrillic/CJK argmax (r10).
+  private val SymbolOk = "^[^()]+$".r
 
   /** Word-frequency table (word, cnt) → paren-wrapped symbol form
     * (sym, cnt), e.g. "(l)(o)(w)(</w>)". ONE corpus scan; everything

@@ -99,4 +99,18 @@ class BpeSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("id")).toSeq == Seq(1L, 3L))
     assert(out(1).getAs[Long]("n_tokens") == 0 && out(1).getAs[Long]("n_subwords") == 0)
   }
+
+  test("training on a non-Latin corpus learns non-ASCII merges (r10 guard fix)") {
+    // the old ASCII whitelist threw 'unsafe merge pair' on the first
+    // Cyrillic argmax — multilingual BPE must train, merge, and count
+    val df = Seq.fill(4)("поезд поезд ночь").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val merges = Bpe.train(df, col("text"), nMerges = 3)
+    assert(merges.nonEmpty, "training must produce merges on Cyrillic text")
+    assert(merges.exists(m => m.merged.exists(_ > 127)), merges.map(_.pair).mkString("; "))
+    // the learned merges drive segmentation: "поезд" fuses below char count
+    val toks = Bpe.tokenize(df, "id", col("text"), merges).collect()
+    assert(toks.forall(_.getAs[Long]("n_subwords") <
+      "поезд поезд ночь".count(_ != ' ') + 3), "merges must fuse symbols")
+  }
 }
