@@ -125,14 +125,18 @@ object QualityOps {
     // norm is single-space-joined: sum of token lengths = len(norm)-(n-1),
     // so mean word length is one exact integer division (no HOF fold).
     val meanLen = (length(col("__norm")) - (n - 1)).cast("double") / n.cast("double")
-    val alphaFrac = size(filter(t, x => x.rlike("[a-z]"))).cast("double") / n.cast("double")
+    // \p{L}, not [a-z]: under the Unicode tokenizer a Cyrillic/CJK word
+    // contains no ASCII letter, so the ASCII class would flunk every
+    // non-Latin document on alpha fraction (and count its letters as
+    // "symbols" below) — the gate must judge quality, not script
+    val alphaFrac = size(filter(t, x => x.rlike("\\p{L}"))).cast("double") / n.cast("double")
     val bigrams = TextOps.ngramsRaw(t, 2)
     val dupFrac = when(size(bigrams) === 0, lit(0.0))
       .otherwise(lit(1.0) - size(array_distinct(bigrams)).cast("double") / size(bigrams).cast("double"))
     val flags = Seq(
       "words_ok" -> (n >= minWords && n <= maxWords),
       "mean_word_len_ok" -> (meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen),
-      "symbol_ratio_ok" -> (TextOps.charClassRatio(col(textCol), "[^a-zA-Z0-9 ]") <= maxSymbolRatio),
+      "symbol_ratio_ok" -> (TextOps.charClassRatio(col(textCol), "[^\\p{L}\\p{Nd} ]") <= maxSymbolRatio),
       "alpha_word_ok" -> (alphaFrac >= minAlphaWordFrac),
       "stopword_ok" -> (TextOps.vocabHits(t, stopwords) >= minStopwordHits),
       "repetition_ok" -> (dupFrac <= maxBigramDupFrac),

@@ -89,6 +89,23 @@ class QualityOpsSpec extends SparkSpec {
     assert(r.getAs[Int]("alpha_word_ok") == 0 && r.getAs[Int]("pass") == 0)
   }
 
+  test("gopherGate judges quality, not script: non-Latin prose is not penalized (r10)") {
+    // the old ASCII classes flunked every non-Latin doc on alpha fraction
+    // AND counted its letters as symbols — a Russian document of ordinary
+    // prose must clear both rules (stopword_ok legitimately needs the
+    // caller to pass a ru profile; alpha/symbol must not fail on script)
+    val ru = ("наш поезд отправился в путь ровно в полночь и прибыл утром " * 6).trim
+    val r = gate(ru)
+    assert(r.getAs[Int]("alpha_word_ok") == 1, "Cyrillic words ARE alphabetic")
+    assert(r.getAs[Int]("symbol_ratio_ok") == 1, "Cyrillic letters are NOT symbols")
+    assert(r.getAs[Int]("words_ok") == 1)
+    // with the matching stopword profile the whole gate passes
+    val r2 = QualityOps.gopherGate(Seq((1L, ru)).toDF("id", "text"), "id", "text",
+      stopwords = graft.operators.TextOps.StopwordProfiles.toMap.apply("ru"),
+      maxBigramDupFrac = 1.0) // the repeated fixture line is deliberately repetitive
+    assert(r2.collect().head.getAs[Int]("pass") == 1)
+  }
+
   // ---------------- lmScore ----------------
 
   test("lmScore fixed-point arithmetic matches the hand computation") {
