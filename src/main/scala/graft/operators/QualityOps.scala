@@ -32,8 +32,13 @@ object QualityOps {
   val BoilerplateMarkers: Seq[String] =
     Seq("lorem ipsum", "javascript", "cookie policy", "privacy policy", "terms of use")
 
-  /** Terminal punctuation accepted by the C4 end-of-sentence line rule. */
-  val TerminalPunct: Seq[String] = Seq(".", "!", "?", "\"")
+  /** Terminal punctuation accepted by the C4 end-of-sentence line rule —
+    * the paper's ASCII set plus the CJK/fullwidth terminals (。！？…) and
+    * closing quote (」), so the mC4-style multilingual variant of the rule
+    * does not drop every CJK sentence (r10; ASCII lines are unaffected).
+    */
+  val TerminalPunct: Seq[String] =
+    Seq(".", "!", "?", "\"", "。", "！", "？", "…", "」")
 
   private def lineWordCount(line: Column): Column = {
     val t = trim(line)

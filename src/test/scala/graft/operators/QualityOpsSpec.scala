@@ -43,6 +43,21 @@ class QualityOpsSpec extends SparkSpec {
     assert(kept.length == 1 && kept.head.getAs[Int]("n_lines_kept") == 3)
   }
 
+  test("c4Clean accepts CJK fullwidth sentence terminals (r10)") {
+    // isolate the punct rule (minLineWords=1 — C4's word rule counts RAW
+    // whitespace words, which scriptio-continua lines legitimately fail;
+    // mC4 swaps that rule per-language): the fullwidth 。 must count as
+    // terminal punctuation or every CJK sentence would drop on punct alone
+    val doc = Seq.fill(3)("我们的火车在午夜出发。").mkString("\n")
+    val kept = QualityOps.c4Clean(Seq((1L, doc)).toDF("id", "text"), "id", "text",
+      minLineWords = 1, requireTerminalPunct = true).collect()
+    assert(kept.length == 1 && kept.head.getAs[Int]("n_lines_kept") == 3)
+    // the ASCII terminals still gate: same line without 。 drops
+    val bare = Seq.fill(3)("我们的火车在午夜出发").mkString("\n")
+    assert(QualityOps.c4Clean(Seq((1L, bare)).toDF("id", "text"), "id", "text",
+      minLineWords = 1, requireTerminalPunct = true).count() == 0)
+  }
+
   // ---------------- gopherGate ----------------
 
   private def gate(text: String) =
