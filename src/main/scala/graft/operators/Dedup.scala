@@ -840,8 +840,10 @@ object Dedup {
     * relation: per-partition counts + offsets in one extra job, never a
     * single-partition window - rank assignment stays fully distributed at
     * any scale. Ordering is total (norm text, then id), so ranks and
-    * therefore candidates are deterministic and engine-portable (norm text
-    * is [a-z0-9 ] ASCII - binary collation agrees across engines).
+    * therefore candidates are deterministic and engine-portable: norm text
+    * compares under BINARY collation on both engines, and UTF-8 byte order
+    * equals codepoint order, so Unicode norm text (r10) sorts identically
+    * in Spark's UTF8String and DuckDB's default collation.
     */
   def sortedNeighborPairs(df: DataFrame, idCol: String, textCol: String,
                           n: Int = 3, tau: Double = 0.5,
