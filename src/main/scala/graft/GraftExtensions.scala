@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatDot, PolyHash, SimHashFold}
+import graft.functions.{FloatDot, NfcNormalize, NormTokens, PolyHash, SimHashFold}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -28,6 +28,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash_fold"),
       new ExpressionInfo(classOf[SimHashFold].getName, "graft_simhash_fold"),
       exprs => SimHashFold(exprs.head, graft.operators.TextOps.SimHashBits)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_norm_tokens"),
+      new ExpressionInfo(classOf[NormTokens].getName, "graft_norm_tokens"),
+      exprs => NormTokens(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc_normalize"),
+      exprs => NfcNormalize(exprs.head)))
     ext.injectOptimizerRule(_ => graft.plans.RewriteFloatDot)
   }
 }
@@ -42,5 +50,7 @@ object GraftExtensions {
     reg.createOrReplaceTempFunction("graft_float_dot", exprs => FloatDot(exprs.head, exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash_fold",
       exprs => SimHashFold(exprs.head, graft.operators.TextOps.SimHashBits), "built-in")
+    reg.createOrReplaceTempFunction("graft_norm_tokens", exprs => NormTokens(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
   }
 }

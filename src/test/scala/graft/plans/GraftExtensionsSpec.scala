@@ -36,6 +36,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT graft_float_dot(array(CAST(1.5 AS FLOAT), CAST(2 AS FLOAT)), array(CAST(4 AS FLOAT), CAST(0.5 AS FLOAT))) AS d")
       .head().getDouble(0)
     assert(d == 1.5f * 4f + 2f * 0.5f)
+    // r10 kernels: Unicode tokenizer and NFC composition on the SQL surface
+    val toks = ext.sql("SELECT graft_norm_tokens('Abc 中文 123!') AS t")
+      .head().getSeq[String](0)
+    assert(toks == Seq("abc", "中", "文", "123"))
+    val nfc = ext.sql("SELECT graft_nfc_normalize('café') AS s").head().getString(0)
+    assert(nfc == "café")
   }
 
   test("optimizer rule rewrites the HOF dot idiom into FloatDot") {
