@@ -113,28 +113,35 @@ object Kernels {
     * for empty docs is baked into the oracle battery.
     */
   def normTokens(s: UTF8String): ArrayData = {
-    // whole-string lowercase, matching Spark's `lower` non-ASCII path
-    // (String.toLowerCase — contextual mappings included), not the
-    // per-codepoint simple mapping Dedup.shingleSet documents
-    val str = s.toString.toLowerCase
+    // PER-CODEPOINT simple lowercase (Character.toLowerCase), matching
+    // Spark 4's `lower` on UTF8_BINARY (codepoint-wise, NOT the contextual
+    // java.lang.String.toLowerCase — Spark maps a word-final Σ to σ where
+    // String.toLowerCase picks final ς; NormTokensFuzzSpec caught the
+    // mismatch) and DuckDB's utf8proc simple mapping — one case contract
+    // across all three evaluators, shared with Dedup.shingleSet
+    val str = s.toString
     val toks = new java.util.ArrayList[Any](16)
     val sb = new java.lang.StringBuilder(16)
     def flush(): Unit = if (sb.length > 0) { toks.add(UTF8String.fromString(sb.toString)); sb.setLength(0) }
     var i = 0
     while (i < str.length) {
-      val cp = str.codePointAt(i)
-      i += Character.charCount(cp)
-      if (cp < 128) {
-        val c = cp.toChar
+      val cp0 = str.codePointAt(i)
+      i += Character.charCount(cp0)
+      if (cp0 < 128) {
+        var c = cp0.toChar
+        if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
         if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
         else flush()
-      } else if ((cp >= 0x3040 && cp <= 0x30FF) || (cp >= 0x3400 && cp <= 0x4DBF) ||
-                 (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0xAC00 && cp <= 0xD7AF)) {
-        flush()
-        toks.add(UTF8String.fromString(new String(Character.toChars(cp))))
-      } else if (Character.isLetter(cp) || Character.isDigit(cp)) {
-        sb.appendCodePoint(cp)
-      } else flush()
+      } else {
+        val cp = Character.toLowerCase(cp0)
+        if ((cp >= 0x3040 && cp <= 0x30FF) || (cp >= 0x3400 && cp <= 0x4DBF) ||
+            (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0xAC00 && cp <= 0xD7AF)) {
+          flush()
+          toks.add(UTF8String.fromString(new String(Character.toChars(cp))))
+        } else if (Character.isLetter(cp) || Character.isDigit(cp)) {
+          sb.appendCodePoint(cp)
+        } else flush()
+      }
     }
     flush()
     if (toks.isEmpty) toks.add(UTF8String.fromString(""))

@@ -30,6 +30,18 @@ object TextOps {
   val CjkCharClass: String = // Hiragana+Katakana, CJK ext A, CJK Unified, Hangul syllables
     "[぀-ヿ㐀-䶿一-鿿가-힯]"
 
+  /** The normalizer's KEEP class: Unicode letters/digits, the CJK ranges,
+    * and the space separator. The CJK blocks are kept BY RANGE rather than
+    * through `\p{L}` — codepoints assigned to those blocks between Unicode
+    * versions (e.g. U+9FFF, added in Unicode 14) are letters under RE2's
+    * newer tables but unassigned under JDK 17's Unicode 13, so deciding
+    * them by category would silently diverge the two engines (and the
+    * codegen kernel, which tests the ranges directly). Found by
+    * NormTokensFuzzSpec.
+    */
+  val KeptCharClass: String =
+    "[^\\p{L}\\p{Nd}" + CjkCharClass.stripPrefix("[").stripSuffix("]") + " ]"
+
   /** Lowercase, strip every char that is not a Unicode letter/decimal digit
     * (`\p{L}`/`\p{Nd}` — valid in both Java regex and RE2, so the oracle
     * shares the pattern), space-separate CJK ideographs/kana/hangul so
@@ -42,12 +54,15 @@ object TextOps {
     * input the two are bit-identical (post-lower, `\p{L}`∩ASCII = [a-z],
     * `\p{Nd}`∩ASCII = [0-9]), so every ASCII oracle row is unchanged.
     *
-    * Case contract: both engines apply their own Unicode lowercase (Spark
-    * `lower` = java.lang.String.toLowerCase, DuckDB = utf8proc simple
-    * mapping). These agree on 1:1 context-free mappings (Latin, Cyrillic,
-    * Greek non-final, armenian, …) and may differ on contextual/1:M cases
-    * (final sigma, Turkish dotted I) — same class of caveat the rest of the
-    * repo's collation notes carry.
+    * Case contract: PER-CODEPOINT SIMPLE lowercase — the production kernel
+    * (`Character.toLowerCase` per codepoint) deliberately matches DuckDB's
+    * utf8proc `lower` (the oracle), NOT Spark's own `lower` (ICU full
+    * contextual lowercase). The two contracts differ on exactly two
+    * normalization-visible characters, both pinned by NormTokensFuzzSpec:
+    * final capital sigma (ICU ς vs simple σ) and İ U+0130 (ICU emits
+    * i+combining-dot, which the strip turns into a token boundary; simple
+    * keeps one token). Everything else — Latin, Cyrillic, Greek non-final,
+    * the entire caseless families — is identical under both.
     */
   def normText(c: Column): Column = concat_ws(" ", tokens(c))
 
@@ -59,7 +74,7 @@ object TextOps {
     * lowercase + one codepoint loop.
     */
   private[operators] def normTextRegex(c: Column): Column = {
-    val kept = regexp_replace(lower(c), "[^\\p{L}\\p{Nd} ]", " ")
+    val kept = regexp_replace(lower(c), KeptCharClass, " ")
     val spaced = regexp_replace(kept, "(" + CjkCharClass + ")", " $1 ")
     trim(regexp_replace(spaced, " +", " "))
   }

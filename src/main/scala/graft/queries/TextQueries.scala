@@ -17,7 +17,7 @@ object TextQueries {
   // codepoint ranges, engine-neutral), RE2's `\1` backref where Java uses $1
   private[queries] def normSqlOf(e: String): String =
     s"trim(regexp_replace(regexp_replace(regexp_replace(lower($e), " +
-      s"'[^\\p{L}\\p{Nd} ]', ' ', 'g'), " +
+      s"'${TextOps.KeptCharClass}', ' ', 'g'), " +
       s"'(${TextOps.CjkCharClass})', ' \\1 ', 'g'), ' +', ' ', 'g'))"
   private[queries] val normSql = normSqlOf("text")
   private[queries] def toksSqlOf(e: String): String = s"string_split(${normSqlOf(e)}, ' ')"

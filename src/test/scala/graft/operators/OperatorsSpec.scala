@@ -50,7 +50,7 @@ class OperatorsSpec extends SparkSpec {
     // per-char CJK spacing → collapse), per-codepoint loop must agree
     def regexTwin(text: String, n: Int): Seq[String] = {
       val toks = text.toLowerCase
-        .replaceAll("[^\\p{L}\\p{Nd} ]", " ")
+        .replaceAll(TextOps.KeptCharClass, " ")
         .replaceAll("(" + TextOps.CjkCharClass + ")", " $1 ")
         .replaceAll(" +", " ").trim
         .split(" ", -1)
