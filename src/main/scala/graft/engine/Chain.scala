@@ -125,21 +125,40 @@ object Chain {
     * a consumer that is deployed but has not applied anything yet.
     */
   def registerConsumer(log: KeyedTable, consumer: String): Unit =
-    ack(log, consumer, RegisteredEpoch)
+    commitAcks(log, Seq((consumer, RegisteredEpoch)))
 
   /** Record that `consumer` has durably applied `epoch` (idempotent).
     * [[epoch]] calls this automatically when given a `consumer` name;
     * hand-wired chains call it after their downstream tag commits.
+    * Rejects the reserved sentinel name: a REAL epoch literally named
+    * "_registered" would be misread as a registration row, excluded from
+    * the fully-acked set, and its log rows would become unprunable (r10
+    * ADVICE) — use [[registerConsumer]] for registration.
     */
-  def ack(log: KeyedTable, consumer: String, epoch: String): Unit = {
-    val s = log.spark
-    import s.implicits._
+  def ack(log: KeyedTable, consumer: String, epoch: String): Unit =
+    ackAll(log, Seq(consumer), epoch)
+
+  /** [[ack]] for MANY consumers of one epoch in ONE ack-table commit — at
+    * high epoch cadence the per-(consumer, epoch) commit machinery (a
+    * version dir + manifest + pointer swap each) is the chain's dominant
+    * overhead once consumers multiply; a fan-out epoch should ack all its
+    * appliers in one batch (r10 verdict #4; SCALING.md bounds the cadence).
+    */
+  def ackAll(log: KeyedTable, consumers: Seq[String], epoch: String): Unit = {
+    require(epoch != RegisteredEpoch,
+      s"Chain.ack: epoch name '$RegisteredEpoch' is reserved for registration " +
+        "rows (use registerConsumer); a real epoch under this name could never be pruned")
+    require(consumers.nonEmpty, "Chain.ackAll: empty consumer list")
     // every ack also (re)writes the registration row: pruneAcked retires
     // acks of pruned epochs, and a consumer known ONLY through epoch acks
     // would otherwise vanish from the registered set after cleanup — and
     // with it the protection of its future unacked epochs
-    val rows = if (epoch == RegisteredEpoch) Seq((consumer, epoch))
-               else Seq((consumer, epoch), (consumer, RegisteredEpoch))
+    commitAcks(log, consumers.flatMap(c => Seq((c, epoch), (c, RegisteredEpoch))))
+  }
+
+  private def commitAcks(log: KeyedTable, rows: Seq[(String, String)]): Unit = {
+    val s = log.spark
+    import s.implicits._
     ackTable(log).merge(rows.toDF(ConsumerCol, EpochCol))
   }
 

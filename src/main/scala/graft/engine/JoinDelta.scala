@@ -44,6 +44,17 @@ import org.apache.spark.sql.functions._
   *    applied state (enforced non-null in-plan; a WRONG image strands a
   *    stale index pair — same silent-corruption class as AggDelta's
   *    mis-imaged retraction, and same remedy: transactional CDC images).
+  *    Feeds whose dim reference is genuinely NULLABLE (a left-join fact
+  *    with no dim) opt in via `nullableRef = true`, which reads a null
+  *    image as "the old reference WAS null" — the same trust level the
+  *    engine already extends to image VALUES — instead of "image missing".
+  *  - NULL dim references never enter the index (r10 ADVICE): a NULL ref
+  *    matches no dim row, so a (NULL, factKey) pair could never be probed
+  *    (the dim-delta semi-join is null-intolerant) — and NULL keys are
+  *    unaddressable by [[KeyedTable]]'s anti-join algebra, which now
+  *    rejects them loudly. Facts with NULL refs still flow through the
+  *    VIEW correctly (they ride the Δfact term; the left join emits their
+  *    row with null dim columns).
   *  - `batchId` is REQUIRED: one epoch writes up to four tables (fact,
   *    dim, index, view), and the per-table version tags are what make a
   *    crash-interrupted epoch resumable — redelivery skips the tables that
@@ -76,7 +87,10 @@ object JoinDelta {
                 joinType: String = "inner"): Unit = {
     requireIndexShape(view, index, dimRef)
     view.overwrite(viewPlan(facts, dims, dimRef, dimKey, joinType))
-    index.overwrite(facts.select((dimRef +: view.keys).map(col).toIndexedSeq: _*))
+    // NULL refs never enter the index — unprobeable and unaddressable (see
+    // the contract above); the maintenance path filters them identically
+    index.overwrite(facts.filter(col(dimRef).isNotNull)
+      .select((dimRef +: view.keys).map(col).toIndexedSeq: _*))
   }
 
   private def requireIndexShape(view: KeyedTable, index: KeyedTable, dimRef: String): Unit = {
@@ -116,7 +130,8 @@ object JoinDelta {
                opCol: String = "_op", seqCol: String = "_seq",
                oldPrefix: String = "_old_",
                emitChanges: Boolean = false,
-               changeLog: Option[KeyedTable] = None): Option[DataFrame] = {
+               changeLog: Option[KeyedTable] = None,
+               nullableRef: Boolean = false): Option[DataFrame] = {
     requireIndexShape(view, index, dimRef)
     require(Seq(factTable, dimTable, view, index).forall(_.exists),
       "bootstrap all four tables before maintaining")
@@ -142,7 +157,10 @@ object JoinDelta {
       val oneEvent = when(dup === 1, base).otherwise(raise_error(concat(
         lit("JoinDelta: one event per key per epoch — collapse chains upstream; key "),
         concat_ws(",", keyCols.map(col).toIndexedSeq: _*))))
-      val guarded = if (!needOldImage) oneEvent else
+      // nullableRef reads a null old image as "old ref WAS null" (legal for
+      // a left-join fact) rather than "image missing" — strict mode keeps
+      // the forgotten-image trap for schemas whose refs are non-null
+      val guarded = if (!needOldImage || nullableRef) oneEvent else
         when(col(opCol).isin("U", "D") && col(oldPrefix + dimRef).isNull,
           raise_error(concat(
             lit(s"JoinDelta: U/D fact event missing before-image '$oldPrefix$dimRef' for key "),
@@ -157,13 +175,17 @@ object JoinDelta {
     fd.foreach(d => if (fresh(factTable)) factTable.mergeCdc(d, opCol, seqCol, Some(batchId)))
     dd.foreach(d => if (fresh(dimTable)) dimTable.mergeCdc(d, opCol, seqCol, Some(batchId)))
 
-    // 3: join index from the fact delta's image transitions
+    // 3: join index from the fact delta's image transitions. NULL refs are
+    // excluded on BOTH sides (r10 ADVICE): a (NULL, factKey) pair is dead
+    // weight the dim probe can never reach, and a NULL key tuple would trip
+    // KeyedTable's NULL-key rejection — previously it hit the covered-keys
+    // error with a misleading message, hard-failing legal left-join epochs.
     fd.foreach { d =>
       if (fresh(index)) {
         val pairCols = (dimRef +: fk).map(col).toIndexedSeq
-        val oldPairs = d.filter(col(opCol).isin("U", "D"))
+        val oldPairs = d.filter(col(opCol).isin("U", "D") && col(oldPrefix + dimRef).isNotNull)
           .select((col(oldPrefix + dimRef).as(dimRef) +: fk.map(col)).toIndexedSeq: _*)
-        val newPairs = d.filter(col(opCol) =!= "D").select(pairCols: _*)
+        val newPairs = d.filter(col(opCol) =!= "D" && col(dimRef).isNotNull).select(pairCols: _*)
         index.replaceKeys(oldPairs.unionByName(newPairs), newPairs, Some(batchId))
       }
     }

@@ -681,9 +681,28 @@ final class KeyedTable(
       return v
     }
     if (storedSchema.isEmpty) writeText(fs, new Path(root, SchemaMarker), current.schema.json)
+    // NULL-key rejection, ENFORCED in-plan with a DEDICATED error (r10
+    // ADVICE): the merge algebra is anti-join-based and join equality never
+    // matches NULL, so a NULL key tuple is unaddressable — CoW would keep
+    // the current group AND union the replacement (duplicate) while a MOR
+    // segment's read-time window (null-safe partitioning) would replace it:
+    // the exact silent CoW/MOR divergence this method guards against.
+    // Callers with genuinely nullable key sources (e.g. a left-join fact's
+    // NULL dim reference) must filter or surrogate them upstream —
+    // [[JoinDelta]] excludes NULL-ref pairs from its index for this reason.
+    // The check rides the write action (no extra job), like the covered-keys
+    // probe below.
+    def nullKeyError(where: String) = raise_error(concat(
+      lit(s"KeyedTable.replaceKeys: NULL key value in $where ("),
+      concat_ws(",", keys.map(k => coalesce(col(k).cast("string"), lit("NULL"))).toIndexedSeq: _*),
+      lit(") - the anti-join merge algebra cannot address NULL keys; " +
+        "filter or surrogate them upstream")))
+    val anyNullKey = keys.map(col(_).isNull).reduce(_ || _)
     // distinct so the broadcast key set never carries one copy per
     // replacement row — callers legitimately pass multi-row key frames
     val allKeys = keysDf.select(keys.map(col).toIndexedSeq: _*).distinct()
+      .withColumn("__knull", when(anyNullKey, nullKeyError("keysDf")).otherwise(lit(true)))
+      .filter(col("__knull")).drop("__knull")
     // Covered-keys contract, ENFORCED in-plan (r9 ADVICE): replacement keys
     // must be ⊆ keysDf. On contract-violating input the two apply modes
     // diverge SILENTLY — CoW's cdcMergePlan algebra duplicates an uncovered
@@ -691,11 +710,15 @@ final class KeyedTable(
     // delta segment replaces the current group (any key in the segment wins
     // at read time). Fail loudly instead; the check rides the write action
     // (no extra job) and the probe join reuses the same broadcast the apply
-    // itself makes of the touched-key set.
+    // itself makes of the touched-key set. A NULL-key replacement row gets
+    // the dedicated NULL error above, not a misleading "not in keysDf" (it
+    // can never probe-match even when keysDf holds the identical NULL tuple).
     val covered = allKeys.withColumn("__covered", lit(true))
     val coveredB = if (broadcastBatchKeys) broadcast(covered) else covered
     val replacement0 = replacement.join(coveredB, keys.toSeq, "left_outer")
-      .withColumn("__kchk", when(col("__covered").isNotNull, lit(true)).otherwise(
+      .withColumn("__kchk",
+        when(anyNullKey, nullKeyError("replacement"))
+        .when(col("__covered").isNotNull, lit(true)).otherwise(
         raise_error(concat(
           lit("KeyedTable.replaceKeys: replacement carries key(s) not in keysDf ("),
           concat_ws(",", keys.map(k => col(k).cast("string")).toIndexedSeq: _*),

@@ -194,18 +194,15 @@ object TopKDelta {
                factsReplica: Option[KeyedTable] = None): Long = {
     require(state.exists, "bootstrap the top-k state before maintaining it")
     if (batchId.isDefined && state.lastTag == batchId) return state.currentVersion
-    // The group-keyed replica is maintained FIRST, under the same batchId
-    // tag (its apply is ∝ batch and idempotent on redelivery), so a refill
-    // this epoch reads POST-APPLY facts — same contract the `facts`
-    // parameter documents. Crash between the two commits → redelivery
-    // no-ops the replica and applies the state.
-    factsReplica.foreach(r =>
-      replicaMaintain(r, cdc, groups, idCols, scoreCol, opCol, oldPrefix, batchId))
     val m = k * bufferFactor
 
     // one event per item + op validity, woven into the op column; pinned
-    // so every check fires before any state write and the batch is scanned
-    // once for its several consumers
+    // (localCheckpoint is an action) so every check fires before ANY durable
+    // write — including the replica's below: committing the replica from the
+    // raw batch first would let a malformed batch corrupt it durably, and a
+    // corrected redelivery under the same batchId would then no-op via
+    // lastTag, silently diverging replica from facts (r10 ADVICE). The batch
+    // is also scanned once for its several consumers.
     val dup = count(lit(1)).over(Window.partitionBy(idCols.map(col).toIndexedSeq: _*))
     val checked = cdc.withColumn(opCol,
       when(dup > 1, raise_error(concat(
@@ -213,6 +210,14 @@ object TopKDelta {
           concat_ws(",", idCols.map(col).toIndexedSeq: _*))))
         .otherwise(Ops.checkedOp(opCol, "TopKDelta")))
       .localCheckpoint()
+
+    // The group-keyed replica is maintained FIRST among the durable writes,
+    // under the same batchId tag (its apply is ∝ batch and idempotent on
+    // redelivery), so a refill this epoch reads POST-APPLY facts — same
+    // contract the `facts` parameter documents. Crash between the two
+    // commits → redelivery no-ops the replica and applies the state.
+    factsReplica.foreach(r =>
+      replicaMaintain(r, checked, groups, idCols, scoreCol, opCol, oldPrefix, batchId))
 
     // touched groups: new homes of I/U plus old homes of U/D
     val newGroups = checked.filter(col(opCol) =!= "D")

@@ -130,18 +130,25 @@ object QualityOps {
     // norm is single-space-joined: sum of token lengths = len(norm)-(n-1),
     // so mean word length is one exact integer division (no HOF fold).
     val meanLen = (length(col("__norm")) - (n - 1)).cast("double") / n.cast("double")
-    // \p{L}, not [a-z]: under the Unicode tokenizer a Cyrillic/CJK word
-    // contains no ASCII letter, so the ASCII class would flunk every
-    // non-Latin document on alpha fraction (and count its letters as
-    // "symbols" below) — the gate must judge quality, not script
-    val alphaFrac = size(filter(t, x => x.rlike("\\p{L}"))).cast("double") / n.cast("double")
+    // LetterCharClass (\p{L} + the literal CJK ranges), not [a-z]: under the
+    // Unicode tokenizer a Cyrillic/CJK word contains no ASCII letter, so the
+    // ASCII class would flunk every non-Latin document on alpha fraction
+    // (and count its letters as "symbols" below) — the gate must judge
+    // quality, not script. The CJK ranges ride along BY RANGE (not just
+    // \p{L}) so codepoints the two engines' Unicode tables disagree on
+    // (e.g. U+9FFF) gate identically — the same version-skew rule as the
+    // normalizer's keep class (r10 ADVICE).
+    val alphaFrac = size(filter(t, x => x.rlike(TextOps.LetterCharClass)))
+      .cast("double") / n.cast("double")
     val bigrams = TextOps.ngramsRaw(t, 2)
     val dupFrac = when(size(bigrams) === 0, lit(0.0))
       .otherwise(lit(1.0) - size(array_distinct(bigrams)).cast("double") / size(bigrams).cast("double"))
     val flags = Seq(
       "words_ok" -> (n >= minWords && n <= maxWords),
       "mean_word_len_ok" -> (meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen),
-      "symbol_ratio_ok" -> (TextOps.charClassRatio(col(textCol), "[^\\p{L}\\p{Nd} ]") <= maxSymbolRatio),
+      // the symbol class IS the normalizer's keep class — one shared
+      // constant, so the CJK version-skew rule can never drift between them
+      "symbol_ratio_ok" -> (TextOps.charClassRatio(col(textCol), TextOps.KeptCharClass) <= maxSymbolRatio),
       "alpha_word_ok" -> (alphaFrac >= minAlphaWordFrac),
       "stopword_ok" -> (TextOps.vocabHits(t, stopwords) >= minStopwordHits),
       "repetition_ok" -> (dupFrac <= maxBigramDupFrac),

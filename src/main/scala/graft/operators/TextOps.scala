@@ -42,6 +42,17 @@ object TextOps {
   val KeptCharClass: String =
     "[^\\p{L}\\p{Nd}" + CjkCharClass.stripPrefix("[").stripSuffix("]") + " ]"
 
+  /** Positive letter class with the same version-skew-proof CJK-by-range
+    * rule as [[KeptCharClass]]: `\p{L}` plus the literal CJK ranges, so a
+    * codepoint the two engines' Unicode tables disagree on (e.g. U+9FFF —
+    * letter under RE2's newer tables, unassigned under JDK 17) is decided
+    * identically everywhere. Used by quality gates that classify "letters"
+    * (gopherGate's alpha-word rule) — mirroring the keep class keeps the
+    * gate's verdicts engine-identical on skewed codepoints (r10 ADVICE).
+    */
+  val LetterCharClass: String =
+    "[\\p{L}" + CjkCharClass.stripPrefix("[").stripSuffix("]") + "]"
+
   /** Lowercase, strip every char that is not a Unicode letter/decimal digit
     * (`\p{L}`/`\p{Nd}` — valid in both Java regex and RE2, so the oracle
     * shares the pattern), space-separate CJK ideographs/kana/hangul so
@@ -89,8 +100,15 @@ object TextOps {
 
   /** Whitespace tokens of the normalized text — the codegen'd
     * [[graft.functions.Kernels.normTokens]] kernel (one lowercase + one
-    * codepoint loop), bit-identical to `split(normTextRegex(c), " ")`
-    * including the token-less → `[""]` edge the oracle battery bakes in.
+    * codepoint loop). Identical to `split(normTextRegex(c), " ")` — including
+    * the token-less → `[""]` edge the oracle battery bakes in — EXCEPT the
+    * two pinned case-contract divergences (NormTokensFuzzSpec): the kernel's
+    * per-codepoint simple lowercase maps word-final capital sigma to σ where
+    * Spark's contextual `lower` (which normTextRegex rides) picks final ς,
+    * and İ U+0130 to i where contextual lower emits i+combining-dot (a token
+    * boundary after the strip). The kernel side is the production contract —
+    * it matches the DuckDB oracle's utf8proc simple lowercase; see
+    * [[normText]] for the full case-contract rationale.
     */
   def tokens(c: Column): Column = graft.functions.Kernels.norm_tokens(c)
 
@@ -131,6 +149,16 @@ object TextOps {
     // CJK per-character tokenization normText applies
     "ru" -> Seq("и", "в", "не", "на", "я", "что", "с", "это", "как", "по"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"),
+    // same-script discrimination (r10 verdict #6): Portuguese vs the other
+    // Romance profiles ("de"/"que" overlap es — the pt-unique o/do/da/em/um
+    // carry the signal), and Arabic vs Persian, which share the Arabic
+    // script (the script profiler can't separate them) but almost no
+    // function words. Appended so existing profiles' tie-break order is
+    // untouched; the oracle SQL is generated from this list, so both
+    // engines shift together.
+    "pt" -> Seq("o", "a", "de", "que", "e", "do", "da", "em", "um", "para"),
+    "ar" -> Seq("في", "من", "على", "أن", "إلى", "عن", "مع", "هذا", "كان", "لا"),
+    "fa" -> Seq("در", "به", "از", "که", "را", "با", "این", "است", "برای", "آن"),
   )
 
   /** Language-ID: argmax of per-language stopword hit counts, ties broken by

@@ -1630,8 +1630,8 @@ object TextQueries {
     s"""s AS (SELECT $carry, len(w) AS n_words,
        |    CAST(length(nrm) - (len(w) - 1) AS DOUBLE)/len(w) AS mean_len,
        |    CASE WHEN length(text) = 0 THEN 0.0 ELSE
-       |      CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{Nd} ]', '', 'g')) AS DOUBLE)/length(text) END AS sym_ratio,
-       |    CAST(len(list_filter(w, x -> regexp_matches(x, '\\p{L}'))) AS DOUBLE)/len(w) AS alpha_frac,
+       |      CAST(length(text) - length(regexp_replace(text, '${TextOps.KeptCharClass}', '', 'g')) AS DOUBLE)/length(text) END AS sym_ratio,
+       |    CAST(len(list_filter(w, x -> regexp_matches(x, '${TextOps.LetterCharClass}'))) AS DOUBLE)/len(w) AS alpha_frac,
        |    len(list_filter(w, x -> list_contains(${sqlList(TextOps.StopwordProfiles.head._2)}, x))) AS stop_hits,
        |    [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS bg
        |  FROM t),

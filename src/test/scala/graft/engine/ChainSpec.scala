@@ -130,6 +130,30 @@ class ChainSpec extends SparkSpec {
     assert(acks == Set("agg" -> Chain.RegisteredEpoch, "audit" -> Chain.RegisteredEpoch))
   }
 
+  test("ack rejects the reserved sentinel; ackAll acks a consumer fan-out in ONE commit") {
+    val (f, dm, v, ix, log, agg) = boot()
+    Chain.epoch(f, dm, v, ix, log, Some(fd(("f4", "d2", 40, null, "I"))), None,
+      "dref", "did", "e1")(downstream(agg))
+    // r10 ADVICE: a real epoch literally named "_registered" would be
+    // misread as a registration row — excluded from fullyAcked, its log
+    // rows unprunable forever. The name is reserved, loudly.
+    val e = intercept[IllegalArgumentException] {
+      Chain.ack(log, "rogue", Chain.RegisteredEpoch)
+    }
+    assert(e.getMessage.contains("reserved"))
+    // r10 verdict #4: one ack-table commit per (consumer, epoch) pair makes
+    // the commit machinery the chain's dominant overhead once consumers
+    // multiply — a fan-out epoch acks every applier in one batched commit
+    Seq("c1", "c2", "c3").foreach(Chain.registerConsumer(log, _))
+    val acks = Chain.ackTable(log)
+    val v0 = acks.currentVersion
+    Chain.ackAll(log, Seq("c1", "c2", "c3"), "e1")
+    assert(acks.currentVersion == v0 + 1, "one commit for the whole fan-out")
+    // the batched acks count toward pruneAcked's safe set like singles
+    Chain.pruneAcked(log)
+    assert(Chain.emitted(log, "e1").count() == 0)
+  }
+
   test("pruneAcked refuses to run with no registered consumers") {
     val (f, dm, v, ix, log, agg) = boot()
     Chain.epoch(f, dm, v, ix, log, Some(fd(("f4", "d2", 40, null, "I"))), None,

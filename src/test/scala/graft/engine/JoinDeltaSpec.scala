@@ -201,6 +201,46 @@ class JoinDeltaSpec extends SparkSpec {
       scratch.exceptAll(v2.current).count() == 0)
   }
 
+  test("nullableRef left join: NULL dim refs flow through the view, never the index") {
+    // r10 ADVICE (medium): a left-join fact with a NULL dim reference put
+    // (NULL, fk) into the index's replaceKeys call, which hard-failed the
+    // whole epoch with the misleading covered-keys error. NULL-ref pairs
+    // are now excluded from the index on both sides (a NULL ref matches no
+    // dim, so the pair is unprobeable dead weight), and nullableRef=true
+    // reads a NULL old image as "the old ref WAS null".
+    val (fT, dm, v, ix) = mk("jd-null")
+    fT.overwrite(facts(("f1", "d1", 10), ("f2", null, 20)))
+    dm.overwrite(dims(("d1", "one"), ("d2", "two")))
+    JoinDelta.bootstrap(v, ix, fT.current, dm.current, "dref", "did", "left")
+    assert(idxPairs(ix) == Set(("d1", "f1")), "bootstrap excludes NULL-ref pairs")
+    assert(viewRows(v) == Set(("f1", "d1", 10, "one"), ("f2", null, 20, null)))
+    // one epoch: insert a null-ref fact, move f2 NULL→d2 (null old image),
+    // move f1 d1→NULL — every transition involving a null ref in one batch
+    JoinDelta.maintain(fT, dm, v, ix, Some(fd(
+      ("f3", null, 30, null, "I"),
+      ("f2", "d2", 21, null, "U"),
+      ("f1", null, 11, "d1", "U"))), None, "dref", "did", batchId = "e1",
+      joinType = "left", nullableRef = true)
+    assert(viewRows(v) == Set(("f1", null, 11, null), ("f2", "d2", 21, "two"),
+      ("f3", null, 30, null)))
+    assert(idxPairs(ix) == Set(("d2", "f2")), "index tracks only non-null refs")
+    // a dim epoch still reaches exactly the referencing facts
+    JoinDelta.maintain(fT, dm, v, ix, None, Some(dd(("d2", "TWO", "U"))),
+      "dref", "did", batchId = "e2", joinType = "left", nullableRef = true)
+    assert(viewRows(v) == Set(("f1", null, 11, null), ("f2", "d2", 21, "TWO"),
+      ("f3", null, 30, null)))
+    // the whole maintained view equals a from-scratch left join
+    val scratch = JoinDelta.viewPlan(fT.current, dm.current, "dref", "did", "left")
+    assert(v.current.exceptAll(scratch).count() == 0 &&
+      scratch.exceptAll(v.current).count() == 0)
+    // strict mode (default) still traps a missing before-image loudly
+    val e = intercept[Exception] {
+      JoinDelta.maintain(fT, dm, v, ix, Some(fd(("f2", "d1", 22, null, "U"))),
+        None, "dref", "did", batchId = "e3", joinType = "left")
+    }
+    assert(e.getMessage.contains("before-image"))
+  }
+
   test("dim probe resolves affected facts through pruned index buckets") {
     val (f, dm, v, ix) = boot()
     // the probe frame carries only the rangeCol — bucketsOf must resolve

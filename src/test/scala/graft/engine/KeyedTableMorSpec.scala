@@ -217,4 +217,31 @@ class KeyedTableMorSpec extends SparkSpec {
       assert(t.current.filter(col("k") === 1L).head().getString(1) == "a2")
     }
   }
+
+  test("replaceKeys rejects NULL key values with a DEDICATED error — on BOTH modes") {
+    // r10 ADVICE: a NULL key tuple present in BOTH keysDf and replacement
+    // used to trip the covered-keys probe (null-intolerant equality never
+    // matches) with a misleading "not in keysDf" message. NULL keys are
+    // genuinely unaddressable by the anti-join algebra (CoW would duplicate
+    // where MOR replaces), so the rejection is correct — but it must say so.
+    val s = spark
+    import s.implicits._
+    for (mor <- Seq(true, false)) {
+      val t = KeyedTable(spark, tmpDir(s"rk-null-$mor"), Seq("k"),
+        numBuckets = 4, mor = mor)
+      t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+      val e = intercept[Exception] {
+        t.replaceKeys(Seq(Option(1L), Option.empty[Long]).toDF("k"),
+          Seq((Option(1L), "a2"), (Option.empty[Long], "GHOST")).toDF("k", "v"))
+      }
+      val chain = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+      assert(chain.contains("NULL key value"), s"mor=$mor: $chain")
+      // nothing committed; non-null applies still work
+      assert(t.current.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+        Set((1L, "a"), (2L, "b")), s"mor=$mor")
+      t.replaceKeys(Seq(1L).toDF("k"), Seq((1L, "a2")).toDF("k", "v"))
+      assert(t.current.filter(col("k") === 1L).head().getString(1) == "a2")
+    }
+  }
 }

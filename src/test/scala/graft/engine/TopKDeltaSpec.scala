@@ -219,4 +219,38 @@ class TopKDeltaSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("range-bucketed"))
   }
+
+  test("malformed batch fails BEFORE the replica commits; the corrected redelivery applies") {
+    // r10 ADVICE: replicaMaintain used to commit the replica (tagged with
+    // batchId) before maintain's batch-validity checks ran — a malformed
+    // batch durably corrupted the replica, and the CORRECTED batch
+    // redelivered under the same batchId then no-op'd it via lastTag,
+    // silently diverging replica from facts and poisoning future refills.
+    val s = spark
+    import s.implicits._
+    val t = mkState("tkval")
+    val replica = KeyedTable(spark, tmpDir("tkval-r"), Seq("g", "id"),
+      numBuckets = 4, rangeCol = Some("g"))
+    TopKDelta.replicaBootstrap(replica, base, Seq("g"), Seq("id"), "sc")
+    TopKDelta.bootstrap(t, base, Seq("g"), Seq("id"), "sc", k = 2, bufferFactor = 2)
+    val (vs, vr) = (t.currentVersion, replica.currentVersion)
+    // two events for one item in one batch — violates the one-event contract
+    val badBatch = ev(("a", "a2", 71.0, "a", 70.0, "U"),
+      ("a", "a2", 72.0, "a", 71.0, "U"))
+    val e = intercept[Exception] {
+      TopKDelta.maintain(t, badBatch, sys.error("no refill"), Seq("g"), Seq("id"),
+        "sc", k = 2, bufferFactor = 2, batchId = Some("e1"),
+        factsReplica = Some(replica))
+    }
+    assert(e.getMessage.contains("one event per item"))
+    assert(replica.currentVersion == vr, "replica must not commit a malformed batch")
+    assert(t.currentVersion == vs)
+    // the corrected batch under the SAME batchId applies to BOTH tables
+    TopKDelta.maintain(t, ev(("a", "a2", 71.0, "a", 70.0, "U")),
+      sys.error("no refill"), Seq("g"), Seq("id"), "sc",
+      k = 2, bufferFactor = 2, batchId = Some("e1"), factsReplica = Some(replica))
+    assert(replica.current.filter($"id" === "a2").head().getAs[Double]("sc") == 71.0)
+    assert(answer(t, 2) == Set(("a", "a1", 80.0, 1), ("a", "a2", 71.0, 2),
+      ("b", "b1", 5.0, 1), ("b", "b2", 4.0, 2)))
+  }
 }

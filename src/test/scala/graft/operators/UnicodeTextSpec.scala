@@ -53,13 +53,20 @@ class UnicodeTextSpec extends SparkSpec {
     assert(hAb == expected)
   }
 
-  test("langId detects ru and zh via the new profiles; und elsewhere") {
+  test("langId: ru/zh profiles, and same-script discrimination (pt vs es, ar vs fa)") {
     def lang(t: String) = one(t, TextOps.langId(TextOps.tokens(col("text")))).asInstanceOf[String]
     assert(lang("Наш поезд отправился в путь ровно в полночь") == "ru") // 'в' ×2
     assert(lang("我们的火车在午夜出发") == "zh") // 的/在/我 single-char tokens
-    assert(lang("القطار غادر في منتصف الليل") == "und") // no ar profile
     assert(lang("the train left exactly at midnight") == "en")
     assert(lang("") == "und")
+    // r11: same-script pairs the script profiler cannot separate — the
+    // stopword profiles carry the signal. Portuguese hits o/para/a/em/um
+    // (es shares only 'de'/'que'); Spanish keeps winning its own sentences.
+    assert(lang("o comboio partiu para a cidade em um minuto") == "pt")
+    assert(lang("el tren de la noche se fue") == "es")
+    // Arabic vs Persian: same script, nearly disjoint function words
+    assert(lang("القطار غادر في منتصف الليل") == "ar") // في/من hit ar
+    assert(lang("قطار در نیمه شب از ایستگاه به راه افتاد") == "fa") // در/از/به hit fa
   }
 
   test("bpeTokenCount counts non-Latin letter runs as runs, not per-mark noise") {
