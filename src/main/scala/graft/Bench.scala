@@ -33,14 +33,21 @@ object Bench {
    * agreement ratio (~1 quiet); "nstall" = queries whose min was never
    * corroborated (>3× disagreement after retries); "nretry" = raw
    * ambient-contention evidence; "pmax"/"npx" = vs-prior certification (max
-   * min/prior, and queries still >2× prior after retries — each also named
-   * in "stalled"). "err" lists queries whose every run threw — a missing
-   * entry must read as FAILED, never as fast.
+   * min/prior, and queries still >2× prior after retries — each named in
+   * "regressed" when its runs AGREE with each other, "stalled" when they
+   * never converged). The r10 classifier conflated the two: a converged
+   * plateau shift (trustworthy measurement, real slowdown) carried the same
+   * "untrustworthy entry" label as a genuine stall, so the one real signal
+   * of the round was filed as noise (r10 verdict #2). A "regressed" entry's
+   * value ships and stays a usable prior; a "stalled" entry's does not.
+   * "err" lists queries whose every run threw — a missing entry must read
+   * as FAILED, never as fast.
    */
   def render(results: Seq[(String, Double)], sfName: String,
       stallRatio: Double, nstall: Int, nretry: Int, priorMax: Option[Double],
       npx: Int, stalledQ: Seq[String], failed: Seq[String],
-      idxBuild: Seq[(String, Double)], budget: Int = 1995): String = {
+      idxBuild: Seq[(String, Double)], budget: Int = 1995,
+      regressedQ: Seq[String] = Nil): String = {
     def fmt(prec: Int)(v: Double): String =
       BigDecimal(v).setScale(prec, BigDecimal.RoundingMode.HALF_UP)
         .bigDecimal.stripTrailingZeros.toPlainString
@@ -61,6 +68,8 @@ object Bench {
       def nm(s: String) = if (strip) s.stripPrefix("q_") else s
       val stalledPart = if (stalledQ.isEmpty) ""
         else stalledQ.map("\"" + nm(_) + "\"").mkString("\"stalled\":[", ",", "],")
+      val regressedPart = if (regressedQ.isEmpty) ""
+        else regressedQ.map("\"" + nm(_) + "\"").mkString("\"regressed\":[", ",", "],")
       val errPart = if (failed.isEmpty) ""
         else failed.map("\"" + nm(_) + "\"").mkString("\"err\":[", ",", "],")
       val (fast, kept) = results.partition(_._2 < elide)
@@ -78,7 +87,7 @@ object Bench {
       val fastPart = if (fast.isEmpty) ""
         else s""""fast_n":${fast.size},"fast_sum":${fmt(2)(fast.map(_._2).sum)},""" +
           s""""fast_max":${fmt(2)(fast.map(_._2).max)},"""
-      s"""{$head$hint$fastPart"queries":$qs,$sf$ibPart$errPart$stalledPart$stallPart"value":${fmt(2)(total)}}"""
+      s"""{$head$hint$fastPart"queries":$qs,$sf$ibPart$errPart$regressedPart$stalledPart$stallPart"value":${fmt(2)(total)}}"""
     }
     val levels = Seq(
       line(2, false, 0, 0.0), line(1, false, 0, 0.0), line(1, true, 0, 0.0),
@@ -94,9 +103,24 @@ object Bench {
       // the terminal level's out-of-band name lists can overflow. Collapse
       // them to counts — a parseable line with the certification keys beats
       // a truncated one with names.
-      s"""{"queries":{},"nstalled":${stalledQ.size},"nerr":${failed.size},$stallPart"value":${fmt(2)(total)}}"""
+      s"""{"queries":{},"nstalled":${stalledQ.size},"nregressed":${regressedQ.size},"nerr":${failed.size},$stallPart"value":${fmt(2)(total)}}"""
     }
   }
+
+  /** Files a query still OVER its prior after all retries (r10 verdict #2):
+   * None = within prior (min ≤ 2× prior, or within the 0.3 s noise floor);
+   * Some("regressed") = over prior but CONVERGED (a second run within 1.5×
+   * of the min corroborates it — the same rule the stall healer uses), so
+   * the value is a trustworthy measurement of a real plateau shift;
+   * Some("stalled") = over prior and never corroborated — untrustworthy.
+   * r10 filed both under "stalled", which told the reader to distrust the
+   * one entry whose runs agreed perfectly (minhash_dedup) exactly as much
+   * as the one that never converged (regional_revenue).
+   */
+  def priorVerdict(times: Seq[Double], prior: Double): Option[String] =
+    if (times.isEmpty || !(times.head > 2 * prior && times.head - prior > 0.3)) None
+    else if (times.count(_ <= times.head * 1.5) >= 2) Some("regressed")
+    else Some("stalled")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -329,6 +353,10 @@ object Bench {
     // Queries whose min was never corroborated even after retries — the
     // residual "don't trust this entry" set, reported out-of-band.
     val stalledQ = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Queries CONVERGED but >2× prior after retries — trustworthy values,
+    // real plateau shifts; reported out-of-band as "regressed" and kept as
+    // priors for the next round (r10 verdict #2).
+    val regressedQ = scala.collection.mutable.ArrayBuffer.empty[String]
     var retriedQ = 0
     val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "3").toInt
     // Cross-round prior (r8 verdict Next #3): the corroboration rule above
@@ -462,13 +490,19 @@ object Bench {
       }
       prior.foreach { p =>
         if (times.nonEmpty) priorRatios += times.head / math.max(p, 0.05)
-      }
-      if (priorExceeded) {
-        priorStalled += 1
-        if (!stalledQ.contains(name)) {
-          stalledQ += name
-          System.err.println(f"BENCHPSTALL $name min=${times.head}%.2f " +
-            f"prior=${prior.get}%.2f UNCORROBORATED-VS-PRIOR")
+        priorVerdict(times, p).foreach { verdict =>
+          priorStalled += 1
+          if (verdict == "regressed") {
+            if (!regressedQ.contains(name)) {
+              regressedQ += name
+              System.err.println(f"BENCHPREGRESS $name min=${times.head}%.2f " +
+                f"prior=$p%.2f CONVERGED-OVER-PRIOR")
+            }
+          } else if (!stalledQ.contains(name)) {
+            stalledQ += name
+            System.err.println(f"BENCHPSTALL $name min=${times.head}%.2f " +
+              f"prior=$p%.2f UNCORROBORATED-VS-PRIOR")
+          }
         }
       }
       if (extra > 0 || pExtra > 0) retriedQ += 1
@@ -492,7 +526,8 @@ object Bench {
       nstall = ratios.count(_ > 3), nretry = retriedQ,
       priorMax = if (priorRatios.isEmpty) None else Some(priorRatios.max),
       npx = priorStalled, stalledQ = stalledQ.distinct.toSeq,
-      failed = failed.toSeq, idxBuild = idxBuild)
+      failed = failed.toSeq, idxBuild = idxBuild,
+      regressedQ = regressedQ.distinct.toSeq)
     // This MUST stay the final stdout line (nothing may print after it), so
     // the whole battery survives the driver's tail window.
     println(out)

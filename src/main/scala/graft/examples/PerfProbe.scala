@@ -20,6 +20,47 @@ object PerfProbe {
       docs.select("doc_id","text"), "doc_id", "text", 3, 32), 8, 4).count())
     time("lshCandidates")(Dedup.lshCandidates(docs, "doc_id", "text").count())
     time("minhashDedup")(Dedup.minhashDedup(docs, "doc_id", "text", tau = 0.5).count())
+    // Unicode-workload split (r10→r11): the ASCII-era normalizer mapped
+    // every non-ASCII doc to "" (zero shingles — absent from the whole
+    // minhash pipeline); the Unicode tokenizer makes them real
+    // participants. These counts separate "the kernel got slower" from
+    // "the corpus got bigger" for q_minhash_dedup's 0.9→1.5 s move.
+    val ascii = docs.filter(!col("text").rlike("[^\\x00-\\x7F]"))
+    time("docs ascii-only")(ascii.count())
+    time("docs total")(docs.count())
+    time("shingles ascii-only")(Dedup.explodedShingles(ascii, "doc_id", "text", 3).count())
+    time("minhashDedup ascii-only")(Dedup.minhashDedup(ascii, "doc_id", "text", tau = 0.5).count())
+    time("minhashDedup full (again)")(Dedup.minhashDedup(docs, "doc_id", "text", tau = 0.5).count())
+    // Kernel A/B, in-JVM (no Spark): the r9 ASCII-era fold vs the r10
+    // codepoint fold over the real shingle strings — isolates "the kernel
+    // got slower" from every plan/infra effect.
+    locally {
+      val sh = Dedup.explodedShingles(docs, "doc_id", "text", 3)
+        .select("s").collect().map(_.getString(0))
+      def utf16Fold(s: String): Long = { // r9 kernel, verbatim semantics
+        var h = 0L; var i = 0
+        while (i < s.length) { h = (h * 31 + s.charAt(i)) % 1000000007L; i += 1 }
+        h
+      }
+      def cpFold(s: String): Long = { // r10 kernel (codepoint)
+        var h = 0L; var i = 0
+        while (i < s.length) {
+          val cp = s.codePointAt(i); h = (h * 31 + cp) % 1000000007L
+          i += Character.charCount(cp)
+        }
+        h
+      }
+      def bench(name: String)(f: String => Long): Unit = {
+        var sink = 0L
+        val t0 = System.nanoTime()
+        var r = 0
+        while (r < 10) { var i = 0; while (i < sh.length) { sink += f(sh(i)); i += 1 }; r += 1 }
+        println(f"PROBE kern $name%-22s 10x${sh.length} strs ${(System.nanoTime()-t0)/1e9}%8.3f s (sink=$sink)")
+      }
+      bench("warmup-cp")(cpFold); bench("warmup-16")(utf16Fold)
+      bench("polyHash utf16 (r9)")(utf16Fold)
+      bench("polyHash codepoint (r10)")(cpFold)
+    }
     spark.stop()
   }
 }

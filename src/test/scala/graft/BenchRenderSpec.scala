@@ -70,6 +70,39 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(line.contains("\"stall\":"))
   }
 
+  test("vs-prior filing: converged plateau shift → regressed, unconverged → stalled (r10 verdict #2)") {
+    // the exact r10 confusion, as the synthetic case the verdict asked for:
+    // one CONVERGED plateau shift (minhash_dedup's shape — three runs agree,
+    // all >2× prior) and one true stall (regional_revenue's shape — runs
+    // never converge) must carry DISTINCT labels
+    assert(Bench.priorVerdict(Seq(1.56, 1.60, 1.62), prior = 0.6).contains("regressed"))
+    assert(Bench.priorVerdict(Seq(2.1, 5.0, 7.2), prior = 0.9).contains("stalled"))
+    // within 2× prior, or within the 0.3 s noise floor → no filing
+    assert(Bench.priorVerdict(Seq(1.7, 1.8), prior = 0.9).isEmpty)
+    assert(Bench.priorVerdict(Seq(0.5, 0.52), prior = 0.2).isEmpty)
+    assert(Bench.priorVerdict(Nil, prior = 0.9).isEmpty)
+    // rendered: distinct out-of-band lists; the regressed entry's value
+    // ships in "queries" (trustworthy) and is NOT excluded by the prior
+    // loader, which only strips "stalled" names
+    val line = Bench.render(Seq("q_alpha" -> 1.56, "q_beta" -> 2.1), "sf0.1",
+      stallRatio = 1.1, nstall = 1, nretry = 2, priorMax = Some(2.3), npx = 2,
+      stalledQ = Seq("q_beta"), failed = Nil, idxBuild = Nil,
+      regressedQ = Seq("q_alpha"))
+    assert(parseable(line))
+    val prefix = if (line.contains("\"qprefix\":\"q_\"")) "q_" else ""
+    assert("\"regressed\":\\[\"(q_)?alpha\"\\]".r.findFirstIn(line).isDefined, line)
+    assert("\"stalled\":\\[\"(q_)?beta\"\\]".r.findFirstIn(line).isDefined, line)
+    // loader regexes: stalled strips beta from priors, alpha survives
+    val qs = "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(line).map(_.group(1))
+      .map("\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(_)
+        .map(m => (prefix + m.group(1)) -> m.group(2).toDouble).toMap)
+      .getOrElse(Map.empty[String, Double])
+    val stalledPrior = "\"stalled\":\\[([^\\]]*)\\]".r.findFirstMatchIn(line)
+      .map(_.group(1).split(",").map(x => prefix + x.trim.stripPrefix("\"").stripSuffix("\"")).toSet)
+      .getOrElse(Set.empty[String])
+    assert((qs -- stalledPrior).keySet == Set("q_alpha"))
+  }
+
   test("prior parsing round-trip: next round's regexes read the new key order") {
     // the exact regexes Bench's prior loader uses, applied to a rendered line
     val line = Bench.render(Seq("q_alpha" -> 1.2, "q_beta" -> 0.8), "sf0.1",
