@@ -348,7 +348,23 @@ final class KeyedTable(
     // for large epochs must not be forced into a driver broadcast on every
     // read — plain left_anti lets AQE pick the join (same rule the
     // write-side mergePlan applies).
-    val dk = if (broadcastBatchKeys) broadcast(deltaKeys) else deltaKeys
+    //
+    // ADAPTIVE guard on top of the manual hatch (r10 verdict #5): the
+    // forced broadcast is derived from the delta segments' ON-DISK bytes —
+    // a control-plane file listing, no extra Spark job — against the
+    // session's autoBroadcastJoinThreshold. A long-uncompacted table (delta
+    // mass past the threshold) degrades to the plain join AUTOMATICALLY
+    // instead of failing the broadcast; raw segment bytes upper-bound the
+    // distinct key set's size, so the guard only ever declines broadcasts,
+    // and AQE can still promote the join from runtime stats when the
+    // distinct keys turn out small. Threshold ≤ 0 (auto-broadcast disabled
+    // by the operator) declines the forced broadcast too.
+    val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+    def deltaBytes: Long = byVer.iterator.flatMap { case (v, bs) =>
+      bs.iterator.map(b => fs.getContentSummary(new Path(s"$root/v=$v/$BucketCol=$b")).getLength)
+    }.sum
+    val dk = if (broadcastBatchKeys && threshold > 0 && deltaBytes <= threshold)
+      broadcast(deltaKeys) else deltaKeys
     base.join(dk, keys, "left_anti").unionByName(survivors)
   }
 

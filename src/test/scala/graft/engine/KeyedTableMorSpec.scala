@@ -218,6 +218,34 @@ class KeyedTableMorSpec extends SparkSpec {
     }
   }
 
+  test("MOR read declines the forced delta-key broadcast past the broadcast threshold") {
+    // r10 verdict #5: the default read path used to broadcast up to
+    // maxDeltas batches of keys UNCONDITIONALLY — a long-uncompacted table
+    // would fail the driver broadcast outright. The guard derives the
+    // decision from the delta segments' on-disk bytes vs the session's
+    // autoBroadcastJoinThreshold (control-plane listing, no extra job).
+    val s = spark
+    import s.implicits._
+    val t = KeyedTable(spark, tmpDir("mor-bguard"), Seq("k"), numBuckets = 4, mor = true)
+    t.overwrite((1L to 200L).map(i => (i, s"v$i")).toDF("k", "v"))
+    t.mergeCdc((1L to 50L).map(i => (i, s"u$i", "U", 1L)).toDF("k", "v", "_op", "_seq"))
+    // default threshold (10 MB) ≫ these tiny segments → forced broadcast kept
+    assert(t.current.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force "delta mass over threshold": 1-byte threshold stands in for a
+      // huge uncompacted delta set — the guard must decline the hint and
+      // leave join strategy to the planner/AQE; the read stays correct
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      assert(!t.current.queryExecution.analyzed.toString.contains("ResolvedHint"))
+      assert(t.current.count() == 200)
+      assert(t.current.filter(col("k") === 1L).head().getString(1) == "u1")
+      // operator-disabled auto-broadcast (-1) also declines the forced hint
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(!t.current.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("replaceKeys rejects NULL key values with a DEDICATED error — on BOTH modes") {
     // r10 ADVICE: a NULL key tuple present in BOTH keysDf and replacement
     // used to trip the covered-keys probe (null-intolerant equality never
