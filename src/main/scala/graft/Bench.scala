@@ -164,8 +164,12 @@ object Bench {
     // Full-battery runs only: a filtered dev run (`runMain graft.Bench q_x`)
     // should not pay four index builds it may never probe — index queries
     // in a filtered run install their roots on demand via Td.
+    // SPARK_GRAFT_BENCH_IB=1 forces the ib ladder in a filtered run — the
+    // sf1 spot-battery (r10 verdict #3) measures a handful of queries plus
+    // the full build ladder without paying 193 queries at 10× data.
     val fullBattery = args.headOption.isEmpty
-    val idxBuild: Seq[(String, Double)] = if (!fullBattery) Seq.empty else {
+    val runIb = fullBattery || sys.env.contains("SPARK_GRAFT_BENCH_IB")
+    val idxBuild: Seq[(String, Double)] = if (!runIb) Seq.empty else {
       val tmpRoot = java.nio.file.Files.createTempDirectory("graft-bench-ib").toString
       def timed(f: => Unit): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

@@ -63,6 +63,48 @@ object TextQueries {
   private def nfcTextsSqlList: String =
     NfcTexts.map(t => s"'$t'").mkString("[", ", ", "]")
 
+  /** One sentence per stopword profile (same order as
+    * [[TextOps.StopwordProfiles]]) plus an und row — each text scores
+    * STRICTLY highest on its own profile, including the same-script pairs
+    * the r11 profiles exist to separate (pt vs es/fr share 'de'/'que' but
+    * the pt-unique o/do/da/em/um/para dominate; ar vs fa share the Arabic
+    * script and zero of these function words). Case-contract-safe: no
+    * final-sigma / dotted-I forms.
+    */
+  private[queries] val LangTexts: Seq[String] = Seq(
+    "the train left the station and it was late for the night",            // en
+    "el tren de la noche se fue y los pasajeros del andén",                // es
+    "le train de la nuit est parti et les passagers du quai",              // fr
+    "der zug von der nacht ist mit den koffern im bahnhof",                // de
+    "наш поезд отправился в путь и я не знал что это как всегда по расписанию", // ru
+    "我们的火车是在午夜出发了就不等人",                                      // zh
+    "o comboio partiu para a cidade em um minuto do dia",                  // pt
+    "القطار غادر في منتصف الليل من المحطة إلى المدينة مع الركاب",          // ar
+    "قطار در نیمه شب از ایستگاه به شهر با مسافران راه افتاد",              // fa
+    "7492 8301 5517",                                                      // und — zero hits
+  )
+  private def langTextsSqlList: String =
+    LangTexts.map(t => s"'$t'").mkString("[", ", ", "]")
+
+  /** Unicode-version-skew fixture for q_gopher_skew: U+9FFE/U+9FFF are CJK
+    * Unified ideographs since Unicode 14 — letters under RE2's newer
+    * tables, UNASSIGNED under JDK 17's Unicode 13. Deciding them by
+    * `\p{L}` made the Gopher gate's symbol/alpha verdicts diverge between
+    * Spark and the DuckDB oracle (r10 ADVICE); the shared
+    * LetterCharClass/KeptCharClass range rule must make both engines gate
+    * them identically. Texts exercise both affected rules: 0/2 flip
+    * symbol_ratio_ok AND alpha_word_ok if the skewed chars are judged
+    * non-letters; 1 and 3 are symbol-heavy / clean ASCII controls.
+    */
+  private[queries] val SkewTexts: Seq[String] = Seq(
+    "鿿鿾一二三 train at night",
+    "data 123 !!! ### $$$ %%%",
+    "ある夜 鿿鿿鿿",
+    "plain english words only here",
+  )
+  private def skewTextsSqlList: String =
+    SkewTexts.map(t => s"'$t'").mkString("[", ", ", "]")
+
   private val jaccardPairsSql =
     s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
        |sh AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
@@ -345,6 +387,57 @@ object TextQueries {
               |  min(doc_id) AS min_id,
               |  CAST(count(DISTINCT fp_raw) AS BIGINT) AS n_raw_forms
               |FROM f GROUP BY 1""".stripMargin)),
+
+    // ----- language-ID over the full profile battery (r11) ------------------
+    // One text per stopword profile + an und row. The same-script pairs the
+    // r11 profiles added carry the signal the script profiler cannot:
+    // pt-vs-es/fr (shared 'de'/'que' but the pt-unique o/do/da/em/um
+    // dominate) and ar-vs-fa (same script, disjoint function words). The
+    // oracle's scores + argmax are GENERATED from TextOps.StopwordProfiles,
+    // so a profile change moves both engines together — the hash pins the
+    // discrimination, not a frozen answer.
+    "q_lang_id_multi" -> Q(
+      (s, d) => {
+        val u = element_at(array(LangTexts.map(lit): _*),
+          (col("doc_id") % 10).cast("int") + 1)
+        Td.documents(s, d).filter(col("doc_id") < 100)
+          .select(col("doc_id"), u.as("utext"))
+          .select(col("doc_id"),
+            TextOps.langId(TextOps.tokens(col("utext"))).as("lang_pred"))
+      },
+      Some(s"""WITH u AS (SELECT doc_id,
+              |    ${langTextsSqlList}[CAST(doc_id % 10 AS INT) + 1] AS utext
+              |  FROM documents WHERE doc_id < 100),
+              |t AS (SELECT doc_id, ${toksSqlOf("utext")} AS w FROM u),
+              |f AS (SELECT doc_id, $langScoresSql FROM t)
+              |SELECT doc_id, $langPredCaseSql AS lang_pred FROM f""".stripMargin)),
+
+    // ----- Gopher gate under Unicode version skew (r11) ---------------------
+    // U+9FFE/U+9FFF are letters under RE2's newer Unicode tables but
+    // UNASSIGNED under JDK 17's — a `\p{L}`-decided gate flunks text 0 on
+    // alpha fraction and counts its ideographs as symbols on ONE engine
+    // only (r10 ADVICE). The shared LetterCharClass/KeptCharClass range
+    // rule must make symbol_ratio_ok and alpha_word_ok agree bit-for-bit;
+    // the symbol-heavy and clean-ASCII controls pin that the classes still
+    // reject real symbols.
+    "q_gopher_skew" -> Q(
+      (s, d) => {
+        val u = element_at(array(SkewTexts.map(lit): _*),
+          (col("doc_id") % 4).cast("int") + 1)
+        QualityOps.gopherGate(
+          Td.documents(s, d).filter(col("doc_id") < 40)
+            .select(col("doc_id"), u.as("utext")), "doc_id", "utext")
+      },
+      Some(s"""WITH u AS (SELECT doc_id,
+              |    ${skewTextsSqlList}[CAST(doc_id % 4 AS INT) + 1] AS text
+              |  FROM documents WHERE doc_id < 40),
+              |t AS (SELECT doc_id, text, ${normSqlOf("text")} AS nrm, ${toksSqlOf("text")} AS w FROM u),
+              |${gopherStagesSql("doc_id")}
+              |SELECT doc_id, n_words, words_ok, mean_word_len_ok, symbol_ratio_ok,
+              |  alpha_word_ok, stopword_ok, repetition_ok,
+              |  CAST(words_ok + mean_word_len_ok + symbol_ratio_ok + alpha_word_ok
+              |       + stopword_ok + repetition_ok = 6 AS INT) AS pass
+              |FROM f""".stripMargin)),
 
     // ----- exact n-gram Jaccard near-dup pairs (inverted index) ------------
     "q_jaccard_pairs" -> Q(
