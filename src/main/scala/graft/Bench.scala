@@ -190,6 +190,9 @@ object Bench {
         "pq" -> timed(graft.queries.Td.buildPqInto(spark, sfDir, s"$tmpRoot/pq")),
         "ivfpq" -> timed(graft.queries.Td.buildIvfPqInto(spark, sfDir, s"$tmpRoot/ivfpq")),
         "cc" -> timed(graft.queries.Td.buildClustersInto(spark, sfDir, s"$tmpRoot/cc")),
+        // banded twin of "cc" (r11): the exact pair mine measured ~29× on
+        // 10× data — ccl is its designated escape path, in the same artifact
+        "ccl" -> timed(graft.queries.Td.buildClustersLshInto(spark, sfDir, s"$tmpRoot/ccl")),
         // append-vs-rebuild evidence: one batch appended to a fresh base
         // (base build untimed — "ivf"/"ivfpq" already report rebuild cost);
         // the claim "append ≪ rebuild" must be readable from the artifact

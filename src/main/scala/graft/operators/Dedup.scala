@@ -429,8 +429,36 @@ object Dedup {
   /** MinHash-LSH near-dedup: candidates from LSH, verified with exact n-gram
     * Jaccard, then drop every doc that has a verified near-dup with a
     * smaller id (deterministic survivor rule). Returns the kept rows.
+    * The pair relation it derives is public as [[minhashPairs]] — cluster
+    * builds want pairs, not survivors.
     */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, tau: Double = 0.5,
+                   persistIntermediate: Boolean = true,
+                   shingles: Option[DataFrame] = None,
+                   maxBucketWidth: Int = Int.MaxValue): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, n, tau,
+      persistIntermediate, shingles, maxBucketWidth)
+    val drop = pairs.select(col("id_b").as("__drop_id")).distinct()
+    df.join(drop, df(idCol).cast("long") === col("__drop_id"), "left_anti")
+  }
+
+  /** Verified near-dup pairs via MinHash-LSH banding — [[lshCandidates]]'s
+    * bucket self-join verified with EXACT shingle Jaccard from the same
+    * one-pass state relation, returned as (id_a, id_b, jaccard) with
+    * id_a < id_b. This is the SCALE-PATH pair miner for cluster builds
+    * ([[dupClusters]]/[[clusterRepresentatives]]): [[jaccardPairs]]'s
+    * inverted index emits Σ C(df,2) candidates and goes quadratic when
+    * common-shingle df scales with the corpus (measured ~100× on 10× data,
+    * SCALING.md r11 slope table), while banding's cost is ∝ bucket
+    * collision mass. Recall contract = lshCandidates' (banding can MISS
+    * pairs below its S-curve; emitted pairs are never false positives —
+    * verification is exact). On the battery corpus the planted near-dup
+    * sims clear the 8×4 banding losslessly, and q_dup_clusters_lsh's
+    * oracle recomputes clusters from EXACT pairs — the hash match measures
+    * that losslessness rather than assuming it.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, tau: Double = 0.5,
                    persistIntermediate: Boolean = true,
                    shingles: Option[DataFrame] = None,
@@ -454,7 +482,7 @@ object Dedup {
     // signatures, both verify sides) would otherwise each re-derive shingles
     // + re-aggregate. One row per doc — the cache write is cheap relative to
     // the upstream it saves (unlike the raw shingle relation, see
-    // Td.docShingles). Released below once the drop-set is materialized, so
+    // Td.docShingles). Released below once the pair set is materialized, so
     // repeated invocations in a long-lived session don't accumulate cached
     // relations.
     val state0 = minhashVerifyState(ex, numHashes)
@@ -479,23 +507,24 @@ object Dedup {
       .distinct()
     // exact verify from the same state relation
     val verified = verifyPairs(cands, state, state, "id_a", "id_b", tau)
-    val drop0 = verified.select(col("id_b").as("__drop_id")).distinct()
-    // Materialize the (slim, one-column) drop-set eagerly via localCheckpoint
-    // so the persisted intermediates can be released NOW rather than leaking
-    // for the session's lifetime. localCheckpoint (not persist) on purpose:
-    // its blocks are owned by the RDD and reclaimed by the ContextCleaner
-    // when the result is garbage collected, whereas a CacheManager entry
-    // would survive until an explicit unpersist nobody is positioned to
-    // call. With persistIntermediate=false everything stays lazy (the caller
-    // opted out of materialization side-effects) and there is nothing to
-    // release.
-    val drop = if (persistIntermediate) {
-      val d = drop0.localCheckpoint() // eager: runs candidates + verify
+      .select("id_a", "id_b", "jaccard")
+    // Materialize the (slim, collision-bounded) pair set eagerly via
+    // localCheckpoint so the persisted intermediates can be released NOW
+    // rather than leaking for the session's lifetime. localCheckpoint (not
+    // persist) on purpose: its blocks are owned by the RDD and reclaimed by
+    // the ContextCleaner when the result is garbage collected, whereas a
+    // CacheManager entry would survive until an explicit unpersist nobody
+    // is positioned to call. The checkpoint also means a consumer that
+    // re-joins the pairs (CC's per-round edge probes, minhashDedup's
+    // anti-join) never re-mines them. With persistIntermediate=false
+    // everything stays lazy (the caller opted out of materialization
+    // side-effects) and there is nothing to release.
+    if (persistIntermediate) {
+      val p = verified.localCheckpoint() // eager: runs candidates + verify
       state.unpersist()
       ownExList.foreach(_.unpersist())
-      d
-    } else drop0
-    df.join(drop, df(idCol).cast("long") === col("__drop_id"), "left_anti")
+      p
+    } else verified
   }
 
   /** Minhash+verify state from an exploded shingle relation: one groupBy(id)

@@ -208,6 +208,22 @@ object Td {
       .overwrite(graft.operators.Dedup.dupClusters(docs, "doc_id", pairs))
   }
 
+  /** The banded twin of [[buildClustersInto]] — pairs from
+    * `Dedup.minhashPairs` (LSH candidates + exact verify, ∝ collision mass)
+    * instead of the inverted index's Σ C(df,2). Benched as the `ccl` ib key
+    * next to `cc`, so the exact build's measured superlinear slope (sf1
+    * ~29×, SCALING.md) sits beside its escape path's number in the same
+    * artifact. Same output relation on corpora where banding is lossless
+    * (q_dup_clusters_lsh's oracle gates exactly that).
+    */
+  private[graft] def buildClustersLshInto(s: SparkSession, d: String, tmp: String): Unit = {
+    val docs = documents(s, d)
+    val pairs = graft.operators.Dedup.minhashPairs(docs, "doc_id", "text",
+      n = 3, tau = 0.5, shingles = Some(docShingles(s, d, 3)))
+    graft.engine.KeyedTable(s, tmp, Seq("id"))
+      .overwrite(graft.operators.Dedup.dupClusters(docs, "doc_id", pairs))
+  }
+
   /** INCREMENTALLY-GROWN index builds: base trained on the hash-bucket < 60
     * slice of `embeddings`, then two append batches ([60,80) and [80,100))
     * land through the no-retrain append path — centroids/codebooks never

@@ -1343,6 +1343,34 @@ object TextQueries {
               |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
               |FROM reach GROUP BY a""".stripMargin)),
 
+    // ----- duplicate clusters from the BANDED pair miner (r11) --------------
+    // The scale-path twin of q_dup_clusters: pairs from minhashPairs
+    // (LSH candidates + exact verify, cost ∝ collision mass) instead of
+    // the inverted index's Σ C(df,2) — the escape from the cc build's
+    // measured ~29× slope at sf1 (SCALING.md). LIVE mine+CC, so the full
+    // banded pipeline stays oracle-exercised. The oracle recomputes the
+    // closure from the EXACT pair relation, so the hash match MEASURES
+    // that the 8×4 banding is lossless on this corpus's planted
+    // similarities — a recall drop would change a component and fail.
+    "q_dup_clusters_lsh" -> Q(
+      (s, d) => {
+        val docs = Td.documents(s, d)
+        val pairs = Dedup.minhashPairs(docs, "doc_id", "text", n = 3, tau = 0.5,
+          shingles = Some(Td.docShingles(s, d, 3)))
+        Dedup.dupClusters(docs, "doc_id", pairs)
+          .select(col("id").as("doc_id"), col("cluster_id"))
+      },
+      Some(s"""WITH RECURSIVE
+              |p AS ($jaccardPairsSql),
+              |edges AS (SELECT id_a AS a, id_b AS b FROM p
+              |          UNION SELECT id_b, id_a FROM p),
+              |reach(a, b) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+              |SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+              |FROM reach GROUP BY a""".stripMargin)),
+
     // ----- per-cluster representative selection ----------------------------
     // The survivor policy after CC: keep each near-dup cluster's LONGEST
     // member (n_chars desc, id asc) instead of the smallest id. Oracle =

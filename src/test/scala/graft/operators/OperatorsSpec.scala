@@ -36,6 +36,24 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.toSet == Set((1L, 2L)))
   }
 
+  test("minhashPairs: no false positives (⊆ exact pairs) and lossless on the real corpus") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = canon(Dedup.jaccardPairs(real, "doc_id", "text", n = 3, tau = 0.5))
+    val banded = canon(Dedup.minhashPairs(real, "doc_id", "text", n = 3, tau = 0.5))
+    // verification is exact, so banded ⊆ exact ALWAYS; on this corpus the
+    // planted sims clear the 8×4 banding, so the sets are equal (the
+    // property q_dup_clusters_lsh's oracle gates at sf0.01)
+    assert(banded.subsetOf(exact), (banded -- exact).take(3).toString)
+    assert(banded.nonEmpty && banded == exact)
+    // survivor consistency: minhashDedup drops exactly the id_b side
+    val kept = Dedup.minhashDedup(real, "doc_id", "text", tau = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == real.select("doc_id").collect().map(_.getLong(0)).toSet --
+      banded.map(_._2))
+  }
+
   test("jaccardPairsPrefix (AllPairs) equals the inverted-index formulation") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def canon(df: org.apache.spark.sql.DataFrame) =
