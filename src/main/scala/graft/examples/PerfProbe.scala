@@ -8,7 +8,7 @@ object PerfProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.1"
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     val docs = spark.read.parquet(s"$d/documents.parquet")
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
@@ -16,6 +16,34 @@ object PerfProbe {
     }
     time("explodedShingles")(Dedup.explodedShingles(docs, "doc_id", "text", 3).count())
     time("jaccardPairs")(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5).count())
+    // prefix-filtered AllPairs — the third exact-pair mitigation next to
+    // the df cap and minhash banding; its slope on a df-scaled corpus is
+    // the number SCALING.md's mitigation table cites
+    time("jaccardPairsPrefix")(Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5).count())
+    time("minhashPairs")(Dedup.minhashPairs(docs, "doc_id", "text", 3, 0.5).count())
+    // banding recall vs exact, with the missed pairs' similarity range —
+    // misses should hug tau (the 8×4 S-curve's soft edge), never sit high
+    locally {
+      val ex = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      val mh = Dedup.minhashPairs(docs, "doc_id", "text", 3, 0.5)
+      val missed = ex.join(mh.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+        .agg(count(lit(1)), min("jaccard"), max("jaccard")).head()
+      println(s"PROBE banding-missed n=${missed.getLong(0)} " +
+        s"simRange=[${missed.get(1)}, ${missed.get(2)}]")
+      // forensics: do the missed pairs share a band (candidate-stage bug)
+      // or genuinely collide in no band (S-curve miss)?
+      val missedPairs = ex.join(mh.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+        .select("id_a", "id_b", "jaccard").limit(5).collect()
+      val bands = Dedup.bandIndex(docs, "doc_id", "text", 3)
+      missedPairs.foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        val shared = bands.as("x").join(bands.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_val") === col("y.band_val") &&
+            col("x.id") === a && col("y.id") === b).count()
+        println(s"PROBE missed pair ($a,$b) J=${r.getDouble(2)} sharedBands=$shared")
+      }
+    }
     time("minhash bands")(Dedup.withBands(Dedup.withMinHashes(
       docs.select("doc_id","text"), "doc_id", "text", 3, 32), 8, 4).count())
     time("lshCandidates")(Dedup.lshCandidates(docs, "doc_id", "text").count())
