@@ -43,6 +43,10 @@ object PerfProbe {
             col("x.id") === a && col("y.id") === b).count()
         println(s"PROBE missed pair ($a,$b) J=${r.getDouble(2)} sharedBands=$shared")
       }
+      // the recall knob, measured: 16×2 banding's collision probability at
+      // the missed pairs' J range is ~1 — recall should close to 100%
+      time("minhashPairs 16x2")(Dedup.minhashPairs(docs, "doc_id", "text", 3, 0.5,
+        bands = 16, rowsPerBand = 2).count())
     }
     time("minhash bands")(Dedup.withBands(Dedup.withMinHashes(
       docs.select("doc_id","text"), "doc_id", "text", 3, 32), 8, 4).count())

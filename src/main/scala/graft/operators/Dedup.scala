@@ -462,7 +462,10 @@ object Dedup {
                    n: Int = 3, tau: Double = 0.5,
                    persistIntermediate: Boolean = true,
                    shingles: Option[DataFrame] = None,
-                   maxBucketWidth: Int = Int.MaxValue): DataFrame = {
+                   maxBucketWidth: Int = Int.MaxValue,
+                   bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    require(bands * rowsPerBand <= 32,
+      s"bands*rowsPerBand must fit the 32 minhash permutations, got $bands x $rowsPerBand")
     // One shingle pass, ONE groupBy(id): the 32 minhash permutations, the
     // full shingle array (for exact verification), and the set size all come
     // out of a single aggregation — the unfused plan paid a second
@@ -490,14 +493,18 @@ object Dedup {
       state0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else state0
     // candidate pairs: band the signatures, explode (id, band) only — the
-    // arrays stay behind in `state` and never ride the bucket fan-out
+    // arrays stay behind in `state` and never ride the bucket fan-out.
+    // The 8×4 default trades ~1% recall in the J∈[0.77,0.9] small-document
+    // tail for half the bucket fan-out of 16×2 (both measured at sf1 —
+    // SCALING.md r11); raise `bands` when the corpus's near-dup sims sit
+    // near tau.
     val sig = withBands(state.select(("id" +: (0 until numHashes).map(i => s"mh$i")).map(col): _*),
-      bands = 8, rowsPerBand = 4)
+      bands = bands, rowsPerBand = rowsPerBand)
     // maxBucketWidth: same contract as lshCandidates — over-wide band
     // buckets (boilerplate hot-spots emitting C(w,2) pairs from one task)
     // are dropped before the self-join; recall-only, verification exact.
     val buckets = capBuckets(sig.select(col("id"), posexplode(
-        array((0 until 8).map(j => col(s"band$j")): _*)).as(Seq("band_idx", "band_val")))
+        array((0 until bands).map(j => col(s"band$j")): _*)).as(Seq("band_idx", "band_val")))
       .filter(col("band_val").isNotNull), maxBucketWidth)
     val cands = buckets.as("a").join(buckets.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
