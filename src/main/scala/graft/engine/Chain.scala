@@ -152,8 +152,10 @@ object Chain {
     // every ack also (re)writes the registration row: pruneAcked retires
     // acks of pruned epochs, and a consumer known ONLY through epoch acks
     // would otherwise vanish from the registered set after cleanup — and
-    // with it the protection of its future unacked epochs
-    commitAcks(log, consumers.flatMap(c => Seq((c, epoch), (c, RegisteredEpoch))))
+    // with it the protection of its future unacked epochs. distinct: a
+    // repeated consumer name would put duplicate keys into one merge
+    // batch, breaking the ack table's one-row-per-key invariant
+    commitAcks(log, consumers.distinct.flatMap(c => Seq((c, epoch), (c, RegisteredEpoch))))
   }
 
   private def commitAcks(log: KeyedTable, rows: Seq[(String, String)]): Unit = {
