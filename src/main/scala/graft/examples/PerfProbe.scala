@@ -48,6 +48,17 @@ object PerfProbe {
       time("minhashPairs 16x2")(Dedup.minhashPairs(docs, "doc_id", "text", 3, 0.5,
         bands = 16, rowsPerBand = 2).count())
     }
+    // SemDeDup cell-count knob: in-cell pair mass ∝ Σ C(cell,2), so holding
+    // nlist fixed while the corpus grows 10× grows in-cell pairs ~100×/cell
+    // count. "Raise nlist with the corpus" is the documented advice — these
+    // two lines make it a measured number at whatever scale `args(0)` is.
+    locally {
+      val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      time("semDedup nlist=16")(
+        Similarity.semDedup(emb, "vec_id", "embedding", nlist = 16, tau = 0.9).count())
+      time("semDedup nlist=64")(
+        Similarity.semDedup(emb, "vec_id", "embedding", nlist = 64, tau = 0.9).count())
+    }
     time("minhash bands")(Dedup.withBands(Dedup.withMinHashes(
       docs.select("doc_id","text"), "doc_id", "text", 3, 32), 8, 4).count())
     time("lshCandidates")(Dedup.lshCandidates(docs, "doc_id", "text").count())
