@@ -1096,6 +1096,100 @@ object Multimodal {
     hash
   }
 
+  /** Box-average grayscale RESIZE over the DECODED pixel content of real
+    * image containers — the standalone form of the pooling step
+    * [[imageDHash]] embeds, exposed because a vision-preprocessing pipeline
+    * resizes to a model input grid as its own stage (decode → resize →
+    * feature), not only inside a hash.
+    *
+    * Per image: the 3-channel luma `r+g+b` of each source pixel
+    * (channel-order free — the same cross-container invariance contract as
+    * dHash), block-pooled onto a `gw × gh` target grid with the
+    * floor-boundary mapping `[g·h/gh, (g+1)·h/gh) × [c·w/gw, (c+1)·w/gw)`
+    * (height/width-invariant, every source pixel in exactly one block);
+    * target pixel = floor(block luma sum / block pixel count). Blocks made
+    * EMPTY by a source smaller than the grid (h < gh or w < gw) emit 0 —
+    * the deterministic zero-sum rule dHash's short bands use, mirrored by
+    * the oracle. Integer arithmetic end-to-end, so the resized grid is
+    * hash-comparable across engines.
+    *
+    * Output: (media_id, width, height, pixels) with `pixels` the row-major
+    * `gw·gh` resized grid. Null payloads yield no row; unsupported media
+    * types throw — the decoder family's routing contract.
+    */
+  def resizeGray(spark: SparkSession, media: DataFrame, gw: Int, gh: Int): DataFrame = {
+    require(gw >= 1 && gh >= 1, s"target grid must be >= 1x1, got ${gw}x$gh")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("pixels", ArrayType(IntegerType, containsNull = false))))
+    val out = media.select("media_id", "content", "media_type")
+      .rdd.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]]("content")
+          r.getAs[String]("media_type") match {
+            case _ if bytes == null => None
+            case "image/png" =>
+              val (w, h, scan) = pngReconstruct(bytes)
+              val stride = 1 + w * 3
+              def luma(y: Int, x: Int): Int =
+                (scan(y * stride + 1 + 3 * x) & 0xFF) +
+                  (scan(y * stride + 2 + 3 * x) & 0xFF) +
+                  (scan(y * stride + 3 + 3 * x) & 0xFF)
+              Some(Row(r.getAs[Long]("media_id"), w, h, grayResize(w, h, luma, gw, gh)))
+            case "image/bmp" =>
+              val (w, h, off, rowSize) = bmpGeometry(bytes)
+              def luma(y: Int, x: Int): Int = {
+                val base = off + (h - 1 - y) * rowSize + 3 * x
+                (bytes(base) & 0xFF) + (bytes(base + 1) & 0xFF) + (bytes(base + 2) & 0xFF)
+              }
+              Some(Row(r.getAs[Long]("media_id"), w, h, grayResize(w, h, luma, gw, gh)))
+            case "image/jpeg" =>
+              val img = Jpeg.decodeImage(bytes)
+              Some(Row(r.getAs[Long]("media_id"), img.width, img.height,
+                grayResize(img.width, img.height, img.luma, gw, gh)))
+            case "image/gif" =>
+              val img = Gif.decodeImage(bytes)
+              Some(Row(r.getAs[Long]("media_id"), img.width, img.height,
+                grayResize(img.width, img.height, img.luma, gw, gh)))
+            case t => throw new IllegalArgumentException(
+              s"resizeGray: unsupported media_type '$t' (want image/png, image/bmp, image/jpeg or image/gif)")
+          }
+        }
+      }
+    spark.createDataFrame(out, schema)
+  }
+
+  private def grayResize(width: Int, height: Int,
+                         luma: (Int, Int) => Int, gw: Int, gh: Int): Seq[Int] = {
+    val out = new Array[Int](gw * gh)
+    var g = 0
+    while (g < gh) {
+      val y0 = g * height / gh
+      val y1 = (g + 1) * height / gh
+      var c = 0
+      while (c < gw) {
+        val x0 = c * width / gw
+        val x1 = (c + 1) * width / gw
+        val n = (y1 - y0).toLong * (x1 - x0)
+        if (n > 0) {
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { sum += luma(y, x); x += 1 }
+            y += 1
+          }
+          out(g * gw + c) = (sum / n).toInt
+        }
+        c += 1
+      }
+      g += 1
+    }
+    out.toSeq
+  }
+
   /** Image near-duplicate pairs: [[imageDHash]] signatures mined through
     * the EXACT pigeonhole Hamming join ([[Dedup.hammingPairs]] — banded
     * candidates, popcount verify, no pair within `maxHamming` missed).

@@ -628,6 +628,39 @@ object TextQueries {
              |         ELSE COALESCE(list_max([unicode(text[i]) for i in range(1, length(text)+1)]), 0) END AS mx
              |  FROM documents) t""".stripMargin)),
 
+    // ----- multimodal: box-average grayscale resize (r11) -------------------
+    // decode → resize to a 5×4 model-input grid over the same BMP fixture:
+    // the oracle recomputes every resized pixel from first principles
+    // (block boundaries g·h/4 / 2-column x-blocks, 3-byte luma from the
+    // ASCII code points, zero padding beyond len, integer floor mean, and
+    // the empty-block→0 rule for docs shorter than 4 rows). A mis-mapped
+    // block boundary, row order, or padding byte shifts a pixel and
+    // hash-fails.
+    "q_image_resize" -> Q(
+      (s, d) => {
+        val media = Multimodal.asBmpMediaTable(s, Td.documents(s, d), "doc_id", "text", width = 10)
+        // the grid rides the compare as a CSV string — the hash comparator
+        // sorts/hashes scalar cells, not arrays (same limitation driver-side)
+        Multimodal.resizeGray(s, media, gw = 5, gh = 4)
+          .select(col("media_id"), col("width"), col("height"),
+            concat_ws(",", col("pixels")).as("pixels_csv"))
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(10 AS INT) AS width, CAST(h AS INT) AS height,
+             |  array_to_string(
+             |  [CAST(CASE WHEN ((gc//5)+1)*h//4 = (gc//5)*h//4 THEN 0
+             |     ELSE list_sum(
+             |       [list_sum([CASE WHEN 30*yy + 6*(gc%5) + k < len
+             |                       THEN unicode(text[30*yy + 6*(gc%5) + k + 1])
+             |                       ELSE 0 END
+             |                  for k in range(0, 6)])
+             |        for yy in range((gc//5)*h//4, ((gc//5)+1)*h//4)])
+             |       // ((((gc//5)+1)*h//4 - (gc//5)*h//4) * 2)
+             |   END AS INT) for gc in range(0, 20)], ',') AS pixels_csv
+             |FROM (SELECT doc_id, text, length(text) AS len,
+             |        GREATEST(1, (length(text) + 29) // 30) AS h
+             |      FROM documents WHERE text IS NOT NULL) t""".stripMargin)),
+
     // ----- multimodal: REAL PNG containers (compressed), real parse ----------
     // The third image format, and the first COMPRESSED one: each document's
     // bytes become the R,G,B pixel stream of a byte-valid 8-bit truecolor

@@ -33,6 +33,46 @@ class ImageDedupSpec extends SparkSpec {
     assert(hashes(d, "png") == hashes(d, "bmp"))
   }
 
+  test("resizeGray: exact box means, cross-container identical, empty blocks zero") {
+    val d = docs((1L, base), (2L, "tiny"))
+    def grids(via: String): Map[Long, List[Int]] = {
+      val media = via match {
+        case "png" => Multimodal.asPngMediaTable(spark, d, "id", "text", width = 10)
+        case "bmp" => Multimodal.asBmpMediaTable(spark, d, "id", "text", width = 10)
+      }
+      Multimodal.resizeGray(spark, media, gw = 5, gh = 4).collect()
+        .map(r => r.getAs[Long]("media_id") ->
+          r.getAs[scala.collection.Seq[Int]]("pixels").toList).toMap
+    }
+    val bmp = grids("bmp")
+    // cross-container: PNG (R,G,B top-down compressed) and BMP (B,G,R
+    // bottom-up padded) must resize to the SAME grid — channel-order-free
+    // luma + consistent row order, the dHash invariance carried over
+    assert(bmp == grids("png"))
+    // first-principles recompute for doc 1: byte k of the payload is
+    // base's ASCII code (zero-padded to 30·h), pixel (y,x) luma = 3
+    // consecutive bytes, block = rows [g·h/4,(g+1)·h/4) × cols [2c,2c+2)
+    val bytes = base.getBytes("US-ASCII")
+    val h = math.max(1, (bytes.length + 29) / 30)
+    def t(k: Int): Int = if (k < bytes.length) bytes(k) & 0xFF else 0
+    val expect = for (g <- 0 until 4; c <- 0 until 5) yield {
+      val (y0, y1) = (g * h / 4, (g + 1) * h / 4)
+      if (y1 == y0) 0
+      else {
+        val sum = (for (y <- y0 until y1; k <- 0 until 6) yield
+          t(30 * y + 6 * c + k).toLong).sum
+        (sum / ((y1 - y0) * 2)).toInt
+      }
+    }
+    assert(bmp(1L) == expect.toList)
+    // "tiny" is one row (h=1 < gh=4): three of the four row-bands are
+    // empty and must read 0, the populated band holds the means
+    val tiny = bmp(2L)
+    assert(tiny.size == 20)
+    val bandSums = tiny.grouped(5).map(_.sum).toSeq
+    assert(bandSums.count(_ > 0) == 1, tiny.toString)
+  }
+
   test("GIF joins the dHash family: duplicates collide, the hash is real") {
     // gray palette means luma = 3·byte per 1-byte pixel (different geometry
     // than the 3-bytes-per-pixel containers, so no cross-format equality —
