@@ -436,9 +436,10 @@ object Dedup {
                    n: Int = 3, tau: Double = 0.5,
                    persistIntermediate: Boolean = true,
                    shingles: Option[DataFrame] = None,
-                   maxBucketWidth: Int = Int.MaxValue): DataFrame = {
+                   maxBucketWidth: Int = Int.MaxValue,
+                   bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     val pairs = minhashPairs(df, idCol, textCol, n, tau,
-      persistIntermediate, shingles, maxBucketWidth)
+      persistIntermediate, shingles, maxBucketWidth, bands, rowsPerBand)
     val drop = pairs.select(col("id_b").as("__drop_id")).distinct()
     df.join(drop, df(idCol).cast("long") === col("__drop_id"), "left_anti")
   }
