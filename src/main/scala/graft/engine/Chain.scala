@@ -68,11 +68,12 @@ object Chain {
             dimRef: String, dimKey: String, batchId: String,
             joinType: String = "inner", opCol: String = "_op",
             seqCol: String = "_seq", oldPrefix: String = "_old_",
-            consumer: Option[String] = None)(
+            consumer: Option[String] = None,
+            nullableRef: Boolean = false)(
             applyDownstream: (DataFrame, String) => Unit): Unit = {
     JoinDelta.maintain(factTable, dimTable, view, index, factDelta, dimDelta,
       dimRef, dimKey, batchId, joinType, opCol, seqCol, oldPrefix,
-      changeLog = Some(log))
+      changeLog = Some(log), nullableRef = nullableRef)
     // feed downstream from the DURABLE log, not the in-memory emission —
     // on the crash-resume path maintain returned without emitting, and the
     // log is the only place the epoch's delta still exists
