@@ -73,6 +73,35 @@ class ImageDedupSpec extends SparkSpec {
     assert(bandSums.count(_ > 0) == 1, tiny.toString)
   }
 
+  test("resizeGray property: seeded random payloads match the reference at every padding edge") {
+    // lengths straddling every boundary the decoder walks: empty-ish rows,
+    // the 30-byte row edge, the 4-row grid edge (h=4 ⇒ first non-empty
+    // bands), and long bodies — each compared against an independent
+    // pure-Scala recompute of block boundaries, zero padding, floor means
+    val rnd = new scala.util.Random(11)
+    val lengths = Seq(1, 5, 29, 30, 31, 59, 60, 90, 119, 120, 121, 200, 333)
+    val d = docs(lengths.zipWithIndex.map { case (len, i) =>
+      (i.toLong, (1 to len).map(_ => (32 + rnd.nextInt(95)).toChar).mkString)
+    }: _*)
+    val media = Multimodal.asBmpMediaTable(spark, d, "id", "text", width = 10)
+    val got = Multimodal.resizeGray(spark, media, gw = 5, gh = 4).collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        r.getAs[scala.collection.Seq[Int]]("pixels").toList).toMap
+    d.collect().foreach { row =>
+      val (id, text) = (row.getLong(0), row.getString(1))
+      val bytes = text.getBytes("US-ASCII")
+      val h = math.max(1, (bytes.length + 29) / 30)
+      def t(k: Int): Int = if (k < bytes.length) bytes(k) & 0xFF else 0
+      val expect = (for (g <- 0 until 4; c <- 0 until 5) yield {
+        val (y0, y1) = (g * h / 4, (g + 1) * h / 4)
+        if (y1 == y0) 0
+        else ((for (y <- y0 until y1; k <- 0 until 6) yield
+          t(30 * y + 6 * c + k).toLong).sum / ((y1 - y0) * 2)).toInt
+      }).toList
+      assert(got(id) == expect, s"len=${bytes.length}")
+    }
+  }
+
   test("GIF joins the dHash family: duplicates collide, the hash is real") {
     // gray palette means luma = 3·byte per 1-byte pixel (different geometry
     // than the 3-bytes-per-pixel containers, so no cross-format equality —
