@@ -122,6 +122,67 @@ object Bench {
     else if (times.count(_ <= times.head * 1.5) >= 2) Some("regressed")
     else Some("stalled")
 
+  /** One artifact's USABLE priors: (per-query seconds, ib-ladder seconds).
+   *
+   * Entries named in the artifact's "stalled" list are excluded (they never
+   * converged — untrustworthy values), and so are entries in "regressed"
+   * (r11 verdict #1): a regressed value DID converge, but only on its own
+   * box, and r11 proved twice that single-box convergence is not a real
+   * plateau — the driver's embed_dedup filed at 6.7 s while a quiet box
+   * read 2.29 s. Loading 6.7 as the prior would move the 2×-prior trip
+   * wire to 13.4 s, a 2.8× regression blind spot on that query. Excluded
+   * entries are not lost: the caller merges artifacts newest-first, so an
+   * excluded query FALLS BACK to the next-newest artifact that carries it.
+   *
+   * `curSf` gates cross-scale contamination exactly as before: a prior from
+   * a different scale factor is not a prior at all. The raw text may be the
+   * driver's wrapper JSON with the bench line embedded as an escaped string;
+   * unescape only when no raw queries block is present (blanket-unescaping
+   * could corrupt doubly-escaped wrapper content — ADVICE r9).
+   */
+  def parsePriors(raw: String, curSf: Option[String])
+      : (Map[String, Double], Map[String, Double]) = {
+    val txt = if (raw.contains("\"queries\":{")) raw else raw.replace("\\\"", "\"")
+    val priorSf = "\"sf\"\\s*:\\s*\"?(?:sf)?([0-9.]+)\"?".r
+      .findFirstMatchIn(txt).map(_.group(1))
+    val sfOk = (priorSf, curSf) match {
+      case (Some(a), Some(b)) => a == b
+      case _ => true
+    }
+    if (!sfOk) (Map.empty, Map.empty)
+    else {
+      val prefix = if (txt.contains("\"qprefix\":\"q_\"")) "q_" else ""
+      def nameList(key: String): Set[String] =
+        ("\"" + key + "\":\\[([^\\]]*)\\]").r.findFirstMatchIn(txt)
+          .map(_.group(1).split(",").iterator
+            .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+            .filter(_.nonEmpty).map(prefix + _).toSet)
+          .getOrElse(Set.empty)
+      def numMap(body: String): Map[String, Double] =
+        "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val qs = "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(txt).map(_.group(1))
+        .map(numMap(_).map { case (k, v) => (prefix + k) -> v })
+        .getOrElse(Map.empty[String, Double])
+      val ib = "\"ib\":\\{([^}]*)\\}".r.findFirstMatchIn(txt).map(_.group(1))
+        .map(numMap).getOrElse(Map.empty[String, Double])
+      (qs -- (nameList("stalled") ++ nameList("regressed")), ib)
+    }
+  }
+
+  /** Newest-first merge of per-artifact priors: the newest artifact that
+   * carries a query wins; a query its newest artifact EXCLUDED (stalled or
+   * regressed) or elided (fast bucket) falls back to the next-newest one.
+   * Depth-capped so a long-retired query's ancient value cannot resurrect
+   * and spray phantom npx trips across the battery.
+   */
+  def mergePriors(parsed: Seq[(Map[String, Double], Map[String, Double])],
+      depth: Int = 4): (Map[String, Double], Map[String, Double]) = {
+    val kept = parsed.filter(p => p._1.nonEmpty || p._2.nonEmpty).take(depth)
+    (kept.map(_._1).foldLeft(Map.empty[String, Double])((acc, m) => m ++ acc),
+     kept.map(_._2).foldLeft(Map.empty[String, Double])((acc, m) => m ++ acc))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -169,6 +230,32 @@ object Bench {
     // the full build ladder without paying 193 queries at 10× data.
     val fullBattery = args.headOption.isEmpty
     val runIb = fullBattery || sys.env.contains("SPARK_GRAFT_BENCH_IB")
+    // Cross-round priors, loaded BEFORE the ib ladder so ladder keys can be
+    // adjudicated against their own priors in-flight. Auto-discovery walks
+    // candidates NEWEST-FIRST; per parsePriors/mergePriors, stalled AND
+    // regressed entries fall back to the next-newest artifact (r11 verdict
+    // #1 — a regressed value converged on one box only; r9: a front-
+    // truncated artifact yields nothing and the merge walks past it).
+    // SPARK_GRAFT_BENCH_ROUND=N (optional) excludes BENCH_rN.json so a
+    // re-run inside round N cannot compare against its own output
+    // (ADVICE r9: same-round self-comparison silently weakens the
+    // cross-round stall check).
+    val (priorTimes, ibPriors): (Map[String, Double], Map[String, Double]) = {
+      val explicit = sys.env.get("SPARK_GRAFT_BENCH_PRIOR").map(new java.io.File(_))
+      val selfRound = sys.env.get("SPARK_GRAFT_BENCH_ROUND").map(_.toInt)
+      val auto = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+        .filterNot(f => selfRound.contains("\\d+".r.findFirstIn(f.getName).get.toInt))
+        .sortBy(f => -"\\d+".r.findFirstIn(f.getName).get.toInt).toSeq
+      val candidates = explicit.map(Seq(_)).getOrElse(auto)
+      val curSf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir.split('/').last).map(_.group(1))
+      mergePriors(candidates.filter(_.isFile).map { f =>
+        parsePriors(scala.io.Source.fromFile(f, "UTF-8").mkString, curSf)
+      })
+    }
+    if (priorTimes.nonEmpty)
+      System.err.println(s"BENCHPRIOR ${priorTimes.size} per-query priors, " +
+        s"${ibPriors.size} ib priors loaded (newest-first merge)")
     val idxBuild: Seq[(String, Double)] = if (!runIb) Seq.empty else {
       val tmpRoot = java.nio.file.Files.createTempDirectory("graft-bench-ib").toString
       def timed(f: => Unit): Double = {
@@ -287,8 +374,87 @@ object Bench {
         "pr1" -> timed(graft.queries.Td.warmPagerankEpoch(spark, sfDir, s"$tmpRoot/pr")),
         "prf" -> timed(graft.queries.Td.coldPagerankFull(spark, sfDir)),
         "zo" -> timed(graft.queries.Td.buildZorderEventsInto(spark, sfDir, s"$tmpRoot/zo")))
+      // ib self-adjudication vs box noise (r11 verdict #5): ib keys are
+      // single-run, and they were r11's noisiest channel — the driver filed
+      // cdc 11.1 / am 4.9 / ivfpqa 3.7 where a quiet box read 4.1 / 2.6 /
+      // 1.1. A key landing >1.5× its own prior (and >0.3 s absolute) gets
+      // ONE fresh re-run into a throwaway dir and the MIN ships. Keys whose
+      // measurement depends on state mutated mid-ladder by OTHER keys
+      // (mr1/mr8 read after specific epoch bursts, s2c compacts accumulated
+      // chains, tkd/tkdr replay a delete burst) are not reproducible in
+      // isolation — they are logged (BENCHIBX) and ship as measured. _mb
+      // keys are byte volumes, not timings: never adjudicated. Re-runs are
+      // capped so garbage priors can't double the ladder's wall time.
+      def ibRerun(key: String): Option[() => Double] = {
+        val d = s"$tmpRoot/rr_$key"
+        import graft.queries.Td
+        val recipes: PartialFunction[String, () => Double] = {
+          case "band"   => () => timed(Td.buildBandIndexInto(spark, sfDir, d))
+          case "ivf"    => () => timed(Td.buildIvfInto(spark, sfDir, d))
+          case "pq"     => () => timed(Td.buildPqInto(spark, sfDir, d))
+          case "ivfpq"  => () => timed(Td.buildIvfPqInto(spark, sfDir, d))
+          case "cc"     => () => timed(Td.buildClustersInto(spark, sfDir, d))
+          case "ccl"    => () => timed(Td.buildClustersLshInto(spark, sfDir, d))
+          case "vdd"    => () => timed(Td.buildVecDedupInto(spark, sfDir, d))
+          case "ivfa"   => () => { Td.buildIvfIncBaseInto(spark, sfDir, d)
+            timed(Td.appendIvfInc(spark, sfDir, d, 60, 80)) }
+          case "ivfpqa" => () => { Td.buildIvfPqIncBaseInto(spark, sfDir, d)
+            timed(Td.appendIvfPqInc(spark, sfDir, d, 60, 80)) }
+          case "cdc"    => () => timed(Td.buildCdcOrdersInto(spark, sfDir, d))
+          case "am"     => () => timed(Td.buildAggMaintainInto(spark, sfDir, d))
+          case "am1"    => () => { Td.buildAggMaintainInto(spark, sfDir, d)
+            timed(Td.epoch1AggMaintain(spark, sfDir, d)) }
+          case "hm"     => () => timed(Td.buildHistMaintainInto(spark, sfDir, d))
+          case "ds"     => () => timed(Td.buildDistinctStateInto(spark, sfDir, d))
+          case "scd2"   => () => timed(Td.buildScd2OrdersInto(spark, sfDir, d))
+          case "scd2_1" => () => { Td.buildScd2OrdersInto(spark, sfDir, d)
+            timed(Td.epoch1Scd2Orders(spark, sfDir, d)) }
+          case "scd2m"  => () => timed(Td.buildScd2OrdersMorInto(spark, sfDir, d))
+          case "scd2_1m" => () => { Td.buildScd2OrdersMorInto(spark, sfDir, d)
+            timed(Td.epoch1Scd2Orders(spark, sfDir, d)) }
+          case "mor"    => () => timed(Td.buildMorOrdersInto(spark, sfDir, d))
+          case "jm"     => () => timed(Td.buildJoinMaintainInto(spark, sfDir, d))
+          case "jm1"    => () => { Td.buildJoinMaintainInto(spark, sfDir, d)
+            timed(Td.epoch1JoinMaintain(spark, sfDir, d)) }
+          case "tk"     => () => timed(Td.buildTopkMaintainInto(spark, sfDir, d))
+          case "tk1"    => () => { Td.buildTopkMaintainInto(spark, sfDir, d)
+            timed(Td.epoch1TopkMaintain(spark, sfDir, d)) }
+          // tkr bootstraps on the post-epoch state, exactly as the ladder
+          // does (tk → tk1 → tkr)
+          case "tkr"    => () => { Td.buildTopkMaintainInto(spark, sfDir, d)
+            Td.epoch1TopkMaintain(spark, sfDir, d)
+            timed(Td.buildTopkReplicaInto(spark, sfDir, d)) }
+          case "qm"     => () => timed(Td.buildQualityMaintainInto(spark, sfDir, d))
+          case "tm"     => () => timed(Td.buildTriangleMaintainInto(spark, sfDir, d))
+          case "bm"     => () => timed(Td.buildBm25StatsInto(spark, sfDir, d))
+          case "pr"     => () => timed(Td.buildPrankInto(spark, sfDir, d))
+          case "pr1"    => () => { Td.buildPrankInto(spark, sfDir, d)
+            timed(Td.warmPagerankEpoch(spark, sfDir, d)) }
+          case "prf"    => () => timed(Td.coldPagerankFull(spark, sfDir))
+          case "zo"     => () => timed(Td.buildZorderEventsInto(spark, sfDir, d))
+        }
+        recipes.lift(key)
+      }
+      var ibRetries = 0
+      val adjudicated = out.map { case (k, v) =>
+        val over = !k.endsWith("_mb") &&
+          ibPriors.get(k).exists(p => v > 1.5 * p && v - p > 0.3)
+        if (!over) k -> v
+        else ibRerun(k) match {
+          case Some(thunk) if ibRetries < 8 =>
+            ibRetries += 1
+            System.err.println(f"BENCHIBRETRY $k first=$v%.2f prior=${ibPriors(k)}%.2f")
+            val v2 = try thunk() catch { case e: Throwable =>
+              System.err.println(s"BENCHIBERR $k ${e.getClass.getSimpleName}: ${e.getMessage}")
+              Double.NaN }
+            k -> (if (v2.isNaN) v else math.min(v, v2))
+          case _ =>
+            System.err.println(f"BENCHIBX $k first=$v%.2f prior=${ibPriors(k)}%.2f ships as measured")
+            k -> v
+        }
+      }
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
-      out
+      adjudicated
     }
     // Shared-root installs (build-once, amortized across every later
     // batch/query — Td scaladoc): force them here so timed runs measure the
@@ -378,59 +544,16 @@ object Bench {
     // stalled are excluded; elided fast-bucket queries simply have no
     // prior. A genuine regression still ships — slower, retried, and
     // flagged — it cannot hide, only noise gets healed.
-    val priorTimes: Map[String, Double] = {
-      val explicit = sys.env.get("SPARK_GRAFT_BENCH_PRIOR").map(new java.io.File(_))
-      // Auto-discovery walks candidates NEWEST-FIRST and falls back to the
-      // next artifact when one yields no usable priors (r9: BENCH_r09.json
-      // was front-truncated into garbage — the old single-candidate pick
-      // would have loaded zero priors instead of falling back to r8).
-      // SPARK_GRAFT_BENCH_ROUND=N (optional) excludes BENCH_rN.json so a
-      // re-run inside round N cannot compare against its own output
-      // (ADVICE r9: same-round self-comparison silently weakens the
-      // cross-round stall check).
-      val selfRound = sys.env.get("SPARK_GRAFT_BENCH_ROUND").map(_.toInt)
-      val auto = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-        .filterNot(f => selfRound.contains("\\d+".r.findFirstIn(f.getName).get.toInt))
-        .sortBy(f => -"\\d+".r.findFirstIn(f.getName).get.toInt).toSeq
-      val candidates = explicit.map(Seq(_)).getOrElse(auto)
-      candidates.filter(_.isFile).iterator.map { file =>
-        // the driver wraps the bench's stdout line as an ESCAPED string
-        // inside its own JSON ("tail": "...\"queries\":{...}...") —
-        // unescape only when needed (a raw line already containing an
-        // unescaped "queries":{ is matched as-is; blanket-unescaping a raw
-        // line could corrupt doubly-escaped wrapper content — ADVICE r9)
-        val raw = scala.io.Source.fromFile(file, "UTF-8").mkString
-        val txt = if (raw.contains("\"queries\":{")) raw else raw.replace("\\\"", "\"")
-        // a prior from a different scale factor is not a prior at all
-        // (sf0.01 dev runs must not "heal" against sf0.1 numbers)
-        val curSf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir.split('/').last).map(_.group(1))
-        val priorSf = "\"sf\"\\s*:\\s*\"?(?:sf)?([0-9.]+)\"?".r
-          .findFirstMatchIn(txt).map(_.group(1))
-        val sfOk = (priorSf, curSf) match {
-          case (Some(a), Some(b)) => a == b
-          case _ => true
-        }
-        if (!sfOk) Map.empty[String, Double]
-        else {
-          val prefix = if (txt.contains("\"qprefix\":\"q_\"")) "q_" else ""
-          val stalledPrior = "\"stalled\":\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
-            .map(_.group(1).split(",").map(x => prefix + x.trim.stripPrefix("\"").stripSuffix("\""))
-              .toSet).getOrElse(Set.empty[String])
-          val qs = "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(txt).map(_.group(1))
-            .map("\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(_)
-              .map(m => (prefix + m.group(1)) -> m.group(2).toDouble).toMap)
-            .getOrElse(Map.empty[String, Double])
-          qs -- stalledPrior
-        }
-      }.find(_.nonEmpty).getOrElse(Map.empty)
-    }
-    if (priorTimes.nonEmpty)
-      System.err.println(s"BENCHPRIOR ${priorTimes.size} per-query priors loaded")
-    val priorRatios = scala.collection.mutable.ArrayBuffer.empty[Double]
-    var priorStalled = 0
-    val results0 = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def runOnce(i: Int): Double = {
+    // Per-query vs-prior bookkeeping is BY NAME (r11 verdict #5): the
+    // post-battery adjudication pass below can improve a regressed query's
+    // min, and pmax must then reflect the improved ratio, not the stale one.
+    val priorRatioByName = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // One timed run of one query — shared by the battery loop and the
+    // post-battery adjudication pass (r11 verdict #5), so a re-run measures
+    // EXACTLY what the battery measured, just in a different order/
+    // contention population.
+    def runQueryOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        i: Int): Double = {
         // Snapshot registered RDD ids BEFORE the run and release only what
         // the run itself registered: operators that localCheckpoint slim
         // intermediates (minhashDedup, dupClusters, dedupAgainstIndex) can
@@ -457,7 +580,10 @@ object Bench {
         spark.sparkContext.getPersistentRDDs
           .foreach { case (id, rdd) => if (!before(id)) rdd.unpersist(blocking = false) }
         t
-      }
+    }
+    val priorFlagged = scala.collection.mutable.LinkedHashSet.empty[String]
+    val results0 = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def runOnce(i: Int): Double = runQueryOnce(name, fn, i)
       var times = (1 to runs).map(runOnce).filterNot(_.isNaN).sorted
       // Self-healing (r7 verdict #1): run disagreement past 3× means some
       // run was stalled by external contention. The MIN is immune unless
@@ -496,9 +622,9 @@ object Bench {
         if (!t.isNaN) times = (times :+ t).sorted
       }
       prior.foreach { p =>
-        if (times.nonEmpty) priorRatios += times.head / math.max(p, 0.05)
+        if (times.nonEmpty) priorRatioByName(name) = times.head / math.max(p, 0.05)
         priorVerdict(times, p).foreach { verdict =>
-          priorStalled += 1
+          priorFlagged += name
           if (verdict == "regressed") {
             if (!regressedQ.contains(name)) {
               regressedQ += name
@@ -527,12 +653,36 @@ object Bench {
       if (times.isEmpty) { failed += name; name -> Double.NaN }
       else name -> (if (stat == "median") times(times.length / 2) else times.head)
     }
-    val results = results0.filterNot(_._2.isNaN)
+    // Post-battery self-adjudication (r11 verdict #5): "converged over prior"
+    // on ONE box is still not a real plateau — all four of the driver's r11
+    // movers (embed_dedup 6.7 s, ib cdc 11.1 / am 4.9 / ivfpqa 3.7) re-
+    // measured clean in isolation (2.29 / 4.1 / 2.6 / 1.1). Every regressed-
+    // flagged query gets ONE more run here, after the whole battery — a
+    // fresh ordering/contention population, the cheapest cross-population
+    // witness available in-process. The min ships; a re-run that lands back
+    // within prior clears the flag (and npx), one that stays over
+    // corroborates the regression before the artifact names it.
+    val resultMap = scala.collection.mutable.LinkedHashMap(results0: _*)
+    for (name <- regressedQ.toList) {
+      val p = priorTimes(name)
+      System.err.println(f"BENCHREADJ $name min=${resultMap(name)}%.2f prior=$p%.2f re-running")
+      val t = runQueryOnce(name, SparkEntry.queries(name), -1)
+      if (!t.isNaN && t < resultMap(name)) {
+        resultMap(name) = t
+        priorRatioByName(name) = t / math.max(p, 0.05)
+        if (priorVerdict(Seq(t), p).isEmpty) {
+          regressedQ -= name
+          priorFlagged -= name
+          System.err.println(f"BENCHREADJOK $name t=$t%.2f back within prior - flag cleared")
+        }
+      }
+    }
+    val results = resultMap.toSeq.filterNot(_._2.isNaN)
     val out = render(results, sfDir.split('/').last,
       stallRatio = if (ratios.isEmpty) 1.0 else ratios.max,
       nstall = ratios.count(_ > 3), nretry = retriedQ,
-      priorMax = if (priorRatios.isEmpty) None else Some(priorRatios.max),
-      npx = priorStalled, stalledQ = stalledQ.distinct.toSeq,
+      priorMax = if (priorRatioByName.isEmpty) None else Some(priorRatioByName.values.max),
+      npx = priorFlagged.size, stalledQ = stalledQ.distinct.toSeq,
       failed = failed.toSeq, idxBuild = idxBuild,
       regressedQ = regressedQ.distinct.toSeq)
     // This MUST stay the final stdout line (nothing may print after it), so

@@ -94,8 +94,15 @@ object ScaleUp {
     write("lineitem", replicate(li, Map("l_orderkey" -> ordSpan)))
 
     val ev = read("events")
+    // user_id's key domain is the CUSTOMER key space (queries join
+    // o_custkey = user_id — RelationalQueries q_asof_join/q_range_join), so
+    // it must shift by custSpan, the domain's home-table span, exactly like
+    // orders.o_custkey does. Shifting by events' own max(user_id)+1 (r11
+    // ADVICE) landed replica i's events inside replica 0's order-key range:
+    // the enrichment joins cross-wired instead of replicating, skewing every
+    // user_id⋈o_custkey slope the sf1 battery certifies.
     write("events", replicate(ev,
-      Map("event_id" -> shiftOf(ev, "event_id"), "user_id" -> shiftOf(ev, "user_id"))))
+      Map("event_id" -> shiftOf(ev, "event_id"), "user_id" -> custSpan)))
 
     val docs = read("documents")
     val docSpan = shiftOf(docs, "doc_id")

@@ -82,8 +82,10 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(Bench.priorVerdict(Seq(0.5, 0.52), prior = 0.2).isEmpty)
     assert(Bench.priorVerdict(Nil, prior = 0.9).isEmpty)
     // rendered: distinct out-of-band lists; the regressed entry's value
-    // ships in "queries" (trustworthy) and is NOT excluded by the prior
-    // loader, which only strips "stalled" names
+    // ships in "queries" (a trustworthy measurement of ITS box). Since r12
+    // the prior LOADER nevertheless excludes it too (see the parsePriors
+    // cases below): single-box convergence is not a real plateau, and the
+    // newest-first merge falls back to an older artifact's value instead.
     val line = Bench.render(Seq("q_alpha" -> 1.56, "q_beta" -> 2.1), "sf0.1",
       stallRatio = 1.1, nstall = 1, nretry = 2, priorMax = Some(2.3), npx = 2,
       stalledQ = Seq("q_beta"), failed = Nil, idxBuild = Nil,
@@ -120,5 +122,51 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(stalledPrior == Set("q_beta"))
     val priorSf = "\"sf\"\\s*:\\s*\"?(?:sf)?([0-9.]+)\"?".r.findFirstMatchIn(line).map(_.group(1))
     assert(priorSf.contains("0.1"))
+  }
+
+  test("parsePriors excludes BOTH stalled and regressed entries; ib priors parsed (r11 verdict #1)") {
+    // the r11 shape: embed_dedup filed at 6.7 s as regressed (converged on
+    // the driver's box; a quiet box read 2.29 s). Its value must NOT load
+    // as a prior — otherwise the 2×-prior trip wire moves to 13.4 s, a 2.8×
+    // blind spot on exactly the query the flag was about.
+    val line = Bench.render(
+      Seq("q_embed_dedup" -> 6.7, "q_minhash_dedup" -> 0.7, "q_pagerank" -> 0.9),
+      "sf0.1", stallRatio = 2.1, nstall = 0, nretry = 2, priorMax = Some(2.8),
+      npx = 1, stalledQ = Seq("q_pagerank"), failed = Nil,
+      idxBuild = Seq("jm" -> 28.9, "cdc" -> 11.1), regressedQ = Seq("q_embed_dedup"))
+    val (qs, ib) = Bench.parsePriors(line, curSf = Some("0.1"))
+    assert(qs == Map("q_minhash_dedup" -> 0.7), qs) // stalled AND regressed both gone
+    assert(ib == Map("jm" -> 28.9, "cdc" -> 11.1), ib)
+    // a driver-wrapped (escaped) copy of the same line parses identically
+    val wrapped = "{\"n\": 11, \"tail\": \"" + line.replace("\"", "\\\"") + "\"}"
+    assert(Bench.parsePriors(wrapped, Some("0.1")) == ((qs, ib)))
+    // cross-scale gate unchanged: an sf0.1 artifact yields nothing at sf1
+    assert(Bench.parsePriors(line, Some("1")) == ((Map.empty, Map.empty)))
+  }
+
+  test("mergePriors: excluded/elided queries fall back to the next-newest artifact") {
+    val newest = Bench.render(Seq("q_embed_dedup" -> 6.7, "q_tfidf" -> 0.5), "sf0.1",
+      stallRatio = 1.1, nstall = 0, nretry = 0, priorMax = None, npx = 1,
+      stalledQ = Nil, failed = Nil, idxBuild = Seq("jm" -> 28.9),
+      regressedQ = Seq("q_embed_dedup"))
+    val older = Bench.render(Seq("q_embed_dedup" -> 2.4, "q_tfidf" -> 1.0,
+      "q_retired" -> 3.0), "sf0.1",
+      stallRatio = 1.1, nstall = 0, nretry = 0, priorMax = None, npx = 0,
+      stalledQ = Nil, failed = Nil, idxBuild = Seq("jm" -> 24.2, "cdc" -> 4.1))
+    val parsed = Seq(newest, older).map(Bench.parsePriors(_, Some("0.1")))
+    val (qs, ib) = Bench.mergePriors(parsed)
+    // the regressed 6.7 does NOT become the prior; the older 2.4 does
+    assert(qs("q_embed_dedup") == 2.4, qs)
+    // the newest artifact wins where it carries a usable value
+    assert(qs("q_tfidf") == 0.5, qs)
+    // a query only the older artifact carries still gets a prior
+    assert(qs("q_retired") == 3.0, qs)
+    assert(ib == Map("jm" -> 28.9, "cdc" -> 4.1), ib)
+    // depth cap: an ancient artifact past the cap contributes nothing
+    val ancient = Bench.render(Seq("q_fossil" -> 9.0), "sf0.1",
+      stallRatio = 1.0, nstall = 0, nretry = 0, priorMax = None, npx = 0,
+      stalledQ = Nil, failed = Nil, idxBuild = Nil)
+    val five = Seq(newest, older, older, older, ancient).map(Bench.parsePriors(_, Some("0.1")))
+    assert(!Bench.mergePriors(five)._1.contains("q_fossil"))
   }
 }
