@@ -48,6 +48,18 @@ import org.apache.spark.sql.functions._
   *    with no dim) opt in via `nullableRef = true`, which reads a null
   *    image as "the old reference WAS null" — the same trust level the
   *    engine already extends to image VALUES — instead of "image missing".
+  *    The opt-in is feed-WIDE, not per-transition (r11 ADVICE): it
+  *    disables the missing-image trap for EVERY U/D event, so a buggy feed
+  *    that drops a genuinely non-null old image no longer fails loudly —
+  *    the stale (old-ref, factKey) pair just stays in the index as dead
+  *    weight (never probed for the view, but re-joined on every dim epoch
+  *    touching that ref, and ACCUMULATING WITHOUT BOUND under a
+  *    chronically image-dropping feed). View results stay correct either
+  *    way; the costs are index bloat and recompute. Operators of nullable
+  *    feeds should reconcile periodically: rebuild the index from fact
+  *    state (`bootstrap` onto a fresh root) or diff
+  *    `index.current.count()` against the fact table's non-null-ref count
+  *    — a growing gap is the dropped-image signature.
   *  - NULL dim references never enter the index (r10 ADVICE): a NULL ref
   *    matches no dim row, so a (NULL, factKey) pair could never be probed
   *    (the dim-delta semi-join is null-intolerant) — and NULL keys are

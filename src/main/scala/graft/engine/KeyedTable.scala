@@ -183,6 +183,13 @@ final class KeyedTable(
 
   private def morActive: Boolean = bucketed && effectiveMor
 
+  /** (delta-chain snapshot → summed on-disk bytes) memo for [[resolve]]'s
+    * broadcast guard. Delta segments are immutable once written, so the sum
+    * is fully determined by the chain map itself; any epoch or compaction
+    * invalidates the entry by producing a different map.
+    */
+  @transient private var deltaBytesCache: (Map[Int, Seq[Long]], Long) = null
+
   /** bucket → ascending uncompacted delta-version chain, at the current
     * version (empty for CoW tables and right after compaction).
     */
@@ -354,15 +361,31 @@ final class KeyedTable(
     // a control-plane file listing, no extra Spark job — against the
     // session's autoBroadcastJoinThreshold. A long-uncompacted table (delta
     // mass past the threshold) degrades to the plain join AUTOMATICALLY
-    // instead of failing the broadcast; raw segment bytes upper-bound the
-    // distinct key set's size, so the guard only ever declines broadcasts,
-    // and AQE can still promote the join from runtime stats when the
-    // distinct keys turn out small. Threshold ≤ 0 (auto-broadcast disabled
-    // by the operator) declines the forced broadcast too.
+    // instead of failing the broadcast. The size check is a HEURISTIC,
+    // consistent with Spark's own file-size-based plan estimates (r11
+    // ADVICE): dictionary/RLE-encoded parquet can be much smaller on disk
+    // than the in-memory broadcast relation, so "bytes ≤ threshold" does
+    // not strictly bound broadcast memory — it declines the obviously-
+    // oversized cases, and AQE can still promote the plain join from
+    // runtime stats when the distinct keys turn out small. Threshold ≤ 0
+    // (auto-broadcast disabled by the operator) declines the forced
+    // broadcast too. Bytes are CACHED per delta-chain snapshot (r11
+    // ADVICE): one epoch resolves the same table several times (maintain
+    // plans, covered-keys probes, chained layers), and re-listing every
+    // (version, bucket) segment on each resolve turned the control-plane
+    // listing into a measurable per-epoch tax on multi-table builds.
     val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
-    def deltaBytes: Long = byVer.iterator.flatMap { case (v, bs) =>
-      bs.iterator.map(b => fs.getContentSummary(new Path(s"$root/v=$v/$BucketCol=$b")).getLength)
-    }.sum
+    def deltaBytes: Long = {
+      val cached = deltaBytesCache
+      if (cached != null && cached._1 == dm) cached._2
+      else {
+        val b = byVer.iterator.flatMap { case (v, bs) =>
+          bs.iterator.map(b => fs.getContentSummary(new Path(s"$root/v=$v/$BucketCol=$b")).getLength)
+        }.sum
+        deltaBytesCache = (dm, b)
+        b
+      }
+    }
     val dk = if (broadcastBatchKeys && threshold > 0 && deltaBytes <= threshold)
       broadcast(deltaKeys) else deltaKeys
     base.join(dk, keys, "left_anti").unionByName(survivors)

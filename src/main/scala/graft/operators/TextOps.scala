@@ -159,6 +159,22 @@ object TextOps {
     "pt" -> Seq("o", "a", "de", "que", "e", "do", "da", "em", "um", "para"),
     "ar" -> Seq("في", "من", "على", "أن", "إلى", "عن", "مع", "هذا", "كان", "لا"),
     "fa" -> Seq("در", "به", "از", "که", "را", "با", "این", "است", "برای", "آن"),
+    // Devanagari same-script family (r11 verdict Next #3): Hindi, Marathi
+    // and Nepali share one script — the script profiler routes all three to
+    // a single bucket; only function words separate them. Profiles are
+    // stated in NORMALIZED TOKEN SPACE: Devanagari vowel signs (matras) and
+    // anusvara/virama are combining marks (Mn/Mc), which the shared
+    // tokenizer contract strips as non-`\p{L}` — identically in both
+    // engines — so a word like नहीं survives as its consonant skeleton नह
+    // (and a mid-word matra SPLITS the token: नाही → न + ह). Entries below
+    // are the normalized skeletons of high-frequency function words chosen
+    // so the skeletons stay multi-character and pairwise disjoint across
+    // the three profiles: hi और/नहीं/इस/उस/कर/पर/हम/वह/अब/एक; mr
+    // आहे/आणि/पण/तर/मग/जर/असा/कसा/तसा/मला; ne छ/छन्/पनि/भने/अनि/तथा/
+    // गर/भएको/रहेको/उनले.
+    "hi" -> Seq("और", "नह", "इस", "उस", "कर", "पर", "हम", "वह", "अब", "एक"),
+    "mr" -> Seq("आह", "आण", "पण", "तर", "मग", "जर", "अस", "कस", "तस", "मल"),
+    "ne" -> Seq("छ", "छन", "पन", "भन", "अन", "तथ", "गर", "भएक", "रह", "उनल"),
   )
 
   /** Language-ID: argmax of per-language stopword hit counts, ties broken by

@@ -81,6 +81,15 @@ object TextQueries {
     "o comboio partiu para a cidade em um minuto do dia",                  // pt
     "القطار غادر في منتصف الليل من المحطة إلى المدينة مع الركاب",          // ar
     "قطار در نیمه شب از ایستگاه به شهر با مسافران راه افتاد",              // fa
+    // Devanagari same-script triple (r11 verdict Next #3): hi/mr/ne share
+    // the script, so only the stopword profiles separate them. Matras are
+    // Mn — stripped by the shared tokenizer — so scoring runs on consonant
+    // skeletons (नहीं→नह; a MID-word matra splits: बार→ब+र); the fixtures
+    // were chosen so each scores strictly highest on its own profile with
+    // ZERO cross-profile hits (skeleton sets are pairwise disjoint).
+    "और हम इस घर पर अब एक बार नहीं कहते वह उस समय आते",                    // hi
+    "घरात मला आहे आणि पण तर मग जर असा कसा तसा",                            // mr
+    "उनले भने छ र छन् पनि अनि तथा गर भएको रहेको",                           // ne
     "7492 8301 5517",                                                      // und — zero hits
   )
   private def langTextsSqlList: String =
@@ -399,14 +408,14 @@ object TextQueries {
     "q_lang_id_multi" -> Q(
       (s, d) => {
         val u = element_at(array(LangTexts.map(lit): _*),
-          (col("doc_id") % 10).cast("int") + 1)
+          (col("doc_id") % LangTexts.size).cast("int") + 1)
         Td.documents(s, d).filter(col("doc_id") < 100)
           .select(col("doc_id"), u.as("utext"))
           .select(col("doc_id"),
             TextOps.langId(TextOps.tokens(col("utext"))).as("lang_pred"))
       },
       Some(s"""WITH u AS (SELECT doc_id,
-              |    ${langTextsSqlList}[CAST(doc_id % 10 AS INT) + 1] AS utext
+              |    ${langTextsSqlList}[CAST(doc_id % ${LangTexts.size} AS INT) + 1] AS utext
               |  FROM documents WHERE doc_id < 100),
               |t AS (SELECT doc_id, ${toksSqlOf("utext")} AS w FROM u),
               |f AS (SELECT doc_id, $langScoresSql FROM t)

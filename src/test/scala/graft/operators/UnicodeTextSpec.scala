@@ -67,6 +67,16 @@ class UnicodeTextSpec extends SparkSpec {
     // Arabic vs Persian: same script, nearly disjoint function words
     assert(lang("القطار غادر في منتصف الليل") == "ar") // في/من hit ar
     assert(lang("قطار در نیمه شب از ایستگاه به راه افتاد") == "fa") // در/از/به hit fa
+    // r12: the Devanagari triple (hi/mr/ne). Matras are Mn — the tokenizer
+    // strips them — so the profiles score consonant SKELETONS (नहीं→नह) and
+    // a mid-word matra splits its token (बार→ब+र). The three skeleton sets
+    // are pairwise disjoint; each sentence must hit only its own profile.
+    assert(lang("और हम इस घर पर अब नहीं कहते") == "hi")   // और/हम/इस/पर/अब/नह
+    assert(lang("मला आहे आणि पण तर मग") == "mr")           // मल/आह/आण/पण/तर/मग
+    assert(lang("उनले भने छ छन् पनि अनि तथा") == "ne")     // उनल/भन/छ/छन/पन/अन/तथ
+    // script-identical confusables stay separated: a Hindi sentence with a
+    // Marathi-looking skeleton in it still resolves by majority
+    assert(lang("और हम इस घर पर तर") == "hi") // 5 hi hits vs 1 mr hit
   }
 
   test("bpeTokenCount counts non-Latin letter runs as runs, not per-mark noise") {
