@@ -1,4 +1,4 @@
-package graft.operators
+package graft.examples
 import graft.operators.Similarity.{trainCentroids, ivfBuild}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
