@@ -109,12 +109,23 @@ object ScaleUp {
     write("documents", replicate(docs, Map("doc_id" -> docSpan), (d, i) =>
       if (i == 0) d
       else {
-        // splice "zrep<i>" after every 4th token: 2 of every 4 original
-        // 3-gram shingles survive, cross-replica jaccard ~0.25-0.29 << 0.5
+        // splice a replica tag after every 4th token: 2 of every 4 original
+        // 3-gram shingles survive, cross-replica jaccard ~0.25-0.29 << 0.5.
+        // The tag LENGTH varies per replica (r12): the old fixed-width
+        // "zrep<i>" made replicas i,j of one source doc differ by a SINGLE
+        // BYTE per splice, which the gradient-robust perceptual hashes
+        // cannot see — the sf1 corpus carried ~39× the video near-dup pair
+        // mass of a real 10× crawl (every source doc's 9 replicas were
+        // frame-level near-dups of each other; measured via
+        // VideoSlopeProbe). Varying the length shifts every downstream
+        // byte, so replica frame streams misalign and byte-level near-dup
+        // structure stays intra-replica, exactly like the text-level
+        // jaccard and embedding constructions already guaranteed.
         val toks = split(col("text"), " ")
+        val tag = " " + ("z" * (i + 1)) + s"rep$i"
         val tagged = transform(
           sequence(lit(0), ((size(toks) - 1) / 4).cast("int")),
-          g => concat(concat_ws(" ", slice(toks, g * 4 + 1, lit(4))), lit(s" zrep$i")))
+          g => concat(concat_ws(" ", slice(toks, g * 4 + 1, lit(4))), lit(tag)))
         d.withColumn("text", concat_ws(" ", tagged))
           .withColumn("n_chars", length(col("text")).cast("long"))
       }))
