@@ -259,17 +259,34 @@ object Relational {
     */
   def mergeIntervals(df: DataFrame, keys: Seq[String],
                      startCol: String, endCol: String): DataFrame = {
+    // Collapse IDENTICAL (key, start, end) rows to one weighted row BEFORE
+    // the window pass (r12). Correctness first: the two stacked window
+    // functions below share an ORDER BY that is only total when interval
+    // rows are unique — with duplicates, the tie-DEPENDENT `__head` flag
+    // computed by the first pass attaches to one arbitrary member of the
+    // tie group, and a parallel window implementation is free to order the
+    // ties DIFFERENTLY in the second pass, running the sum over a head=0
+    // twin before its head=1 sibling and splitting an island in two. This
+    // is not hypothetical: DuckDB 1.0's parallel windows produced exactly
+    // that (per-run-varying, ~tens of cells at 600k rows) while Spark's
+    // single Window operator happened to keep one physical order — either
+    // engine is ENTITLED to reorder ties, so the operator must not let the
+    // result depend on it. Identical intervals always share an island, so
+    // pre-aggregation is semantics-free; it also shrinks the sort input —
+    // the only super-linear stage — on duplicate-heavy corpora.
+    val uniq = df.groupBy((keys :+ startCol :+ endCol).map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(startCol), col(endCol))
     val prevMax = max(col(endCol))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
     val head = when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L)
-    df.withColumn("__head", head)
+    uniq.withColumn("__head", head)
       .withColumn("island",
         sum(col("__head")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy((keys.map(col) :+ col("island")): _*)
       .agg(min(col(startCol)).as("interval_start"),
         max(col(endCol)).as("interval_end"),
-        count(lit(1)).as("n_merged"))
+        sum(col("__cnt")).as("n_merged"))
   }
 
   /** Z-order (Morton) value of two non-negative integer keys: the low

@@ -327,12 +327,18 @@ object RelationalQueries {
           col("l_suppkey"), col("l_shipdate").cast("date").as("ship_start"),
           date_add(col("l_shipdate").cast("date"), col("l_linenumber")).as("ship_end")),
         Seq("l_suppkey"), "ship_start", "ship_end"),
+      // The innermost GROUP BY mirrors the operator's duplicate-interval
+      // collapse (r12): it makes the window ORDER BY total, which both
+      // engines NEED — with tied (start, end) rows, the head flag from the
+      // first window pass can meet a different tie order in the second
+      // (sum) pass under parallel window execution, mis-assigning islands
+      // per run (observed in DuckDB at sf0.1; see mergeIntervals scaladoc).
       Some("""SELECT l_suppkey, island,
              |  min(ship_start) AS interval_start,
              |  max(ship_end) AS interval_end,
-             |  CAST(count(*) AS BIGINT) AS n_merged
+             |  CAST(sum(cnt) AS BIGINT) AS n_merged
              |FROM (
-             |  SELECT l_suppkey, ship_start, ship_end,
+             |  SELECT l_suppkey, ship_start, ship_end, cnt,
              |    CAST(sum(head) OVER (PARTITION BY l_suppkey
              |      ORDER BY ship_start, ship_end
              |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
@@ -340,13 +346,14 @@ object RelationalQueries {
              |    SELECT *, CASE WHEN prev_max IS NULL OR ship_start > prev_max
              |                   THEN 1 ELSE 0 END AS head
              |    FROM (
-             |      SELECT l_suppkey, ship_start, ship_end,
+             |      SELECT l_suppkey, ship_start, ship_end, cnt,
              |        max(ship_end) OVER (PARTITION BY l_suppkey
              |          ORDER BY ship_start, ship_end
              |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
              |      FROM (SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_start,
-             |              CAST(l_shipdate AS DATE) + CAST(l_linenumber AS INTEGER) AS ship_end
-             |            FROM lineitem) t) t0) t1) t2
+             |              CAST(l_shipdate AS DATE) + CAST(l_linenumber AS INTEGER) AS ship_end,
+             |              count(*) AS cnt
+             |            FROM lineitem GROUP BY 1, 2, 3) t) t0) t1) t2
              |GROUP BY 1, 2""".stripMargin)),
 
     // ----- z-order (Morton) clustering value ---------------------------------

@@ -165,6 +165,20 @@ class RelationalSpec extends SparkSpec {
         rows.orderBy(col("e").desc).repartition(4), Seq("k"), "s", "e")
       .collect().map(r => (r.getString(0), r.getInt(2), r.getInt(3), r.getLong(4))).toSet
     assert(shuffled == out)
+    // DUPLICATE intervals (r12): identical (k, s, e) rows made the window
+    // ORDER BY non-total, and the head flag from the first window pass
+    // could meet a DIFFERENT tie order in the second (sum) pass under a
+    // parallel window implementation — splitting one island in two
+    // (observed per-run in DuckDB at sf0.1 before the operator collapsed
+    // duplicates up front). Dups must count in n_merged and never split.
+    val dups = Seq(
+      ("a", 1, 5), ("a", 1, 5), ("a", 1, 5), // triple of one interval
+      ("a", 3, 9),                           // overlaps the triple
+      ("a", 20, 21), ("a", 20, 21),          // isolated duplicate pair
+    ).toDF("k", "s", "e")
+    val dout = Relational.mergeIntervals(dups.repartition(3), Seq("k"), "s", "e")
+      .collect().map(r => (r.getString(0), r.getInt(2), r.getInt(3), r.getLong(4))).toSet
+    assert(dout == Set(("a", 1, 9, 4L), ("a", 20, 21, 2L)))
   }
 
   test("zorderValue interleaves bits and clusters both dimensions") {
