@@ -977,6 +977,24 @@ object Dedup {
     // Each qualifying pair is emitted ONCE, from its first agreeing chunk —
     // a pure codegen predicate over the two signatures, replacing a
     // distinct() that would re-shuffle the (quadratic) candidate stream.
+    //
+    // Plan note (r12): a distinct-signature collapse before this join —
+    // the simhashDedup recipe, generalized to pair MINING — was implemented
+    // twice and measured REJECTED, with the sf1 video corpus as the test
+    // bench (215 827 frames, only 2 058 unique (position, signature)
+    // groups). The collapse does shrink the CANDIDATE stream 25 000×
+    // (460M → 18k rows), but the qualifying pair OUTPUT is 143M rows either
+    // way, and every expansion strategy pays more per emitted row than this
+    // codegen'd join: naive member-list cross-expansion read 186 s vs the
+    // join's 33 s; factoring counts through (member-set-a, member-set-b)
+    // pairs — hoping clone videos collapse all their positions into one
+    // row — read 73 s, because set-level redundancy measured ~nil (7 271
+    // group pairs → 7 266 distinct set pairs: membership drifts across
+    // positions). Lesson: when output ≈ candidates, the join IS the cheap
+    // emitter; a collapse only pays where candidates ≫ output (sub-S-curve
+    // verification-heavy regimes — minhashPairs' world), not in a
+    // small-radius Hamming ball over concentrated signatures, where nearly
+    // every candidate qualifies.
     exploded.as("a").join(exploded.as("b"),
         col("a.cidx") === col("b.cidx") && col("a.cval") === col("b.cval") &&
           col("a.id") < col("b.id"))
