@@ -47,7 +47,8 @@ object Bench {
       stallRatio: Double, nstall: Int, nretry: Int, priorMax: Option[Double],
       npx: Int, stalledQ: Seq[String], failed: Seq[String],
       idxBuild: Seq[(String, Double)], budget: Int = 1995,
-      regressedQ: Seq[String] = Nil): String = {
+      regressedQ: Seq[String] = Nil,
+      isoQ: Seq[(String, Double)] = Nil, xpopQ: Seq[String] = Nil): String = {
     def fmt(prec: Int)(v: Double): String =
       BigDecimal(v).setScale(prec, BigDecimal.RoundingMode.HALF_UP)
         .bigDecimal.stripTrailingZeros.toPlainString
@@ -61,6 +62,18 @@ object Bench {
       else idxBuild.map { case (k, v) => "\"" + k + "\":" + fmt(1)(v) }
         .mkString("\"ib\":{", ",", "},")
     def line(prec: Int, strip: Boolean, slim: Int, elide: Double): String = {
+      // "iso": isolated (post-battery, fresh-ordering) re-run measurements —
+      // the SAME-POPULATION baselines future rounds compare their own
+      // isolated re-runs against (r12 verdict Next #1: warm-battery and
+      // isolated values are different measurement populations; three rounds
+      // of phantom movers came from comparing across them). "xpop": queries
+      // whose only prior was cross-population — informational, not counted
+      // in npx; their iso baseline above makes next round's comparison
+      // like-with-like. Key names shrink in lockstep with query keys.
+      val isoPart = if (isoQ.isEmpty) ""
+        else isoQ.map { case (k, v) =>
+          "\"" + (if (strip) k.stripPrefix("q_") else k) + "\":" + fmt(2)(v)
+        }.mkString("\"iso\":{", ",", "},")
       // stalled/err names strip the "q_" prefix in LOCKSTEP with the query
       // keys: the prior loader applies one qprefix rule to both, so a line
       // with unstripped queries but stripped stalled names would fail to
@@ -70,6 +83,8 @@ object Bench {
         else stalledQ.map("\"" + nm(_) + "\"").mkString("\"stalled\":[", ",", "],")
       val regressedPart = if (regressedQ.isEmpty) ""
         else regressedQ.map("\"" + nm(_) + "\"").mkString("\"regressed\":[", ",", "],")
+      val xpopPart = if (xpopQ.isEmpty) ""
+        else xpopQ.map("\"" + nm(_) + "\"").mkString("\"xpop\":[", ",", "],")
       val errPart = if (failed.isEmpty) ""
         else failed.map("\"" + nm(_) + "\"").mkString("\"err\":[", ",", "],")
       val (fast, kept) = results.partition(_._2 < elide)
@@ -83,11 +98,15 @@ object Bench {
         case 1 => s""""metric":"total","""
         case _ => ""
       }
-      val sf = if (slim == 0) s""""sf":"$sfName",""" else ""
+      // "sf" survives EVERY shrink level (ADVICE r12): a slim artifact that
+      // drops it used to slip through the cross-scale prior gate (priorSf =
+      // None read as "matches anything"), so a budget-squeezed sf1 artifact
+      // could feed priors to an sf0.1 run. It costs ~12 bytes — keep it.
+      val sf = s""""sf":"$sfName","""
       val fastPart = if (fast.isEmpty) ""
         else s""""fast_n":${fast.size},"fast_sum":${fmt(2)(fast.map(_._2).sum)},""" +
           s""""fast_max":${fmt(2)(fast.map(_._2).max)},"""
-      s"""{$head$hint$fastPart"queries":$qs,$sf$ibPart$errPart$regressedPart$stalledPart$stallPart"value":${fmt(2)(total)}}"""
+      s"""{$head$hint$fastPart"queries":$qs,$sf$ibPart$isoPart$errPart$regressedPart$xpopPart$stalledPart$stallPart"value":${fmt(2)(total)}}"""
     }
     val levels = Seq(
       line(2, false, 0, 0.0), line(1, false, 0, 0.0), line(1, true, 0, 0.0),
@@ -103,7 +122,7 @@ object Bench {
       // the terminal level's out-of-band name lists can overflow. Collapse
       // them to counts — a parseable line with the certification keys beats
       // a truncated one with names.
-      s"""{"queries":{},"nstalled":${stalledQ.size},"nregressed":${regressedQ.size},"nerr":${failed.size},$stallPart"value":${fmt(2)(total)}}"""
+      s"""{"queries":{},"sf":"$sfName","nstalled":${stalledQ.size},"nregressed":${regressedQ.size},"nxpop":${xpopQ.size},"nerr":${failed.size},$stallPart"value":${fmt(2)(total)}}"""
     }
   }
 
@@ -122,7 +141,21 @@ object Bench {
     else if (times.count(_ <= times.head * 1.5) >= 2) Some("regressed")
     else Some("stalled")
 
-  /** One artifact's USABLE priors: (per-query seconds, ib-ladder seconds).
+  /** One artifact's USABLE priors: (per-query seconds, ib-ladder seconds,
+   * isolated-population seconds).
+   *
+   * The third map is the artifact's "iso" block — post-battery isolated
+   * re-run measurements (r12 verdict Next #1). Battery values and isolated
+   * values are DIFFERENT measurement populations: a warm full battery lets
+   * alphabetical neighbors share Td installs and page cache, so the same
+   * query on the same tree reads materially faster in-battery than alone
+   * (minhash_dedup r11: 0.9 warm vs 1.3-1.7 isolated; dup_clusters_lsh r12:
+   * 1.1 warm vs 2.2 isolated). Three rounds running, comparing across the
+   * populations manufactured a phantom "regression" costing a worktree A/B
+   * to adjudicate. iso priors let the post-battery adjudication compare its
+   * isolated re-run like-with-like. Regressed names KEEP their iso entry
+   * (the iso value is the trustworthy baseline the flag was adjudicated
+   * against); stalled names lose theirs (never converged anywhere).
    *
    * Entries named in the artifact's "stalled" list are excluded (they never
    * converged — untrustworthy values), and so are entries in "regressed"
@@ -141,15 +174,20 @@ object Bench {
    * could corrupt doubly-escaped wrapper content — ADVICE r9).
    */
   def parsePriors(raw: String, curSf: Option[String])
-      : (Map[String, Double], Map[String, Double]) = {
+      : (Map[String, Double], Map[String, Double], Map[String, Double]) = {
     val txt = if (raw.contains("\"queries\":{")) raw else raw.replace("\\\"", "\"")
     val priorSf = "\"sf\"\\s*:\\s*\"?(?:sf)?([0-9.]+)\"?".r
       .findFirstMatchIn(txt).map(_.group(1))
     val sfOk = (priorSf, curSf) match {
       case (Some(a), Some(b)) => a == b
+      // an artifact that carries NO sf key is not a wildcard (ADVICE r12):
+      // when the current scale is known, require a positive match — render
+      // now keeps "sf" at every shrink level, so a missing key means a
+      // foreign/degenerate artifact, not a slim one
+      case (None, Some(_)) => false
       case _ => true
     }
-    if (!sfOk) (Map.empty, Map.empty)
+    if (!sfOk) (Map.empty, Map.empty, Map.empty)
     else {
       val prefix = if (txt.contains("\"qprefix\":\"q_\"")) "q_" else ""
       def nameList(key: String): Set[String] =
@@ -166,7 +204,11 @@ object Bench {
         .getOrElse(Map.empty[String, Double])
       val ib = "\"ib\":\\{([^}]*)\\}".r.findFirstMatchIn(txt).map(_.group(1))
         .map(numMap).getOrElse(Map.empty[String, Double])
-      (qs -- (nameList("stalled") ++ nameList("regressed")), ib)
+      val iso = "\"iso\":\\{([^}]*)\\}".r.findFirstMatchIn(txt).map(_.group(1))
+        .map(numMap(_).map { case (k, v) => (prefix + k) -> v })
+        .getOrElse(Map.empty[String, Double])
+      val stalled = nameList("stalled")
+      (qs -- (stalled ++ nameList("regressed")), ib, iso -- stalled)
     }
   }
 
@@ -175,12 +217,29 @@ object Bench {
    * regressed) or elided (fast bucket) falls back to the next-newest one.
    * Depth-capped so a long-retired query's ancient value cannot resurrect
    * and spray phantom npx trips across the battery.
+   *
+   * The depth cap is PER MAP (ADVICE r12): a degenerate artifact that
+   * carries ib but an empty queries block (render's terminal elide level
+   * keeps ibPart) must not burn a query-prior slot, and vice versa — each
+   * map folds over the first `depth` artifacts that actually contribute to
+   * IT. ib priors take the PER-KEY MIN across the window instead of
+   * newest-wins (ADVICE r12): the ib channel has no stalled/regressed
+   * exclusion, so one noise-contaminated artifact's inflated value (r11:
+   * cdc filed 11.1 s vs quiet-box 4.1) would otherwise become the prior and
+   * move the 1.5× re-run trip wire to ~16.6 s, disabling in-ladder
+   * adjudication for that key for a round. The min is immune to any number
+   * of inflated artifacts; a genuine build slowdown still ships (slower,
+   * re-run once, logged) — it just keeps being re-checked until the old
+   * fast rounds age out of the window.
    */
-  def mergePriors(parsed: Seq[(Map[String, Double], Map[String, Double])],
-      depth: Int = 4): (Map[String, Double], Map[String, Double]) = {
-    val kept = parsed.filter(p => p._1.nonEmpty || p._2.nonEmpty).take(depth)
-    (kept.map(_._1).foldLeft(Map.empty[String, Double])((acc, m) => m ++ acc),
-     kept.map(_._2).foldLeft(Map.empty[String, Double])((acc, m) => m ++ acc))
+  def mergePriors(parsed: Seq[(Map[String, Double], Map[String, Double], Map[String, Double])],
+      depth: Int = 4): (Map[String, Double], Map[String, Double], Map[String, Double]) = {
+    def newestWins(maps: Seq[Map[String, Double]]): Map[String, Double] =
+      maps.filter(_.nonEmpty).take(depth)
+        .foldLeft(Map.empty[String, Double])((acc, m) => m ++ acc)
+    val ib = parsed.map(_._2).filter(_.nonEmpty).take(depth)
+      .flatten.groupMapReduce(_._1)(_._2)(math.min)
+    (newestWins(parsed.map(_._1)), ib, newestWins(parsed.map(_._3)))
   }
 
   def main(args: Array[String]): Unit = {
@@ -240,7 +299,7 @@ object Bench {
     // re-run inside round N cannot compare against its own output
     // (ADVICE r9: same-round self-comparison silently weakens the
     // cross-round stall check).
-    val (priorTimes, ibPriors): (Map[String, Double], Map[String, Double]) = {
+    val (priorTimes, ibPriors, isoPriors): (Map[String, Double], Map[String, Double], Map[String, Double]) = {
       val explicit = sys.env.get("SPARK_GRAFT_BENCH_PRIOR").map(new java.io.File(_))
       val selfRound = sys.env.get("SPARK_GRAFT_BENCH_ROUND").map(_.toInt)
       val auto = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty[java.io.File])
@@ -253,9 +312,10 @@ object Bench {
         parsePriors(scala.io.Source.fromFile(f, "UTF-8").mkString, curSf)
       })
     }
-    if (priorTimes.nonEmpty)
+    if (priorTimes.nonEmpty || isoPriors.nonEmpty)
       System.err.println(s"BENCHPRIOR ${priorTimes.size} per-query priors, " +
-        s"${ibPriors.size} ib priors loaded (newest-first merge)")
+        s"${ibPriors.size} ib priors, ${isoPriors.size} iso priors loaded " +
+        "(newest-first merge; ib per-key min)")
     val idxBuild: Seq[(String, Double)] = if (!runIb) Seq.empty else {
       val tmpRoot = java.nio.file.Files.createTempDirectory("graft-bench-ib").toString
       def timed(f: => Unit): Double = {
@@ -385,8 +445,8 @@ object Bench {
       // isolation — they are logged (BENCHIBX) and ship as measured. _mb
       // keys are byte volumes, not timings: never adjudicated. Re-runs are
       // capped so garbage priors can't double the ladder's wall time.
-      def ibRerun(key: String): Option[() => Double] = {
-        val d = s"$tmpRoot/rr_$key"
+      def ibRerun(key: String, tag: String = "a"): Option[() => Double] = {
+        val d = s"$tmpRoot/rr_${key}_$tag"
         import graft.queries.Td
         val recipes: PartialFunction[String, () => Double] = {
           case "band"   => () => timed(Td.buildBandIndexInto(spark, sfDir, d))
@@ -435,8 +495,35 @@ object Bench {
         }
         recipes.lift(key)
       }
+      // ib min-of-N (r12 verdict Next #3): the sf0.1 ladder got >1.5×-prior
+      // re-run adjudication in r12, but a first-ever scale's ladder (sf1 has
+      // no in-repo artifacts, hence no ib priors) is single-run with ~15%
+      // per-key spread (jm 70 vs 60.2 across r12's two sf1 batteries).
+      // SPARK_GRAFT_BENCH_IB_RUNS=N re-runs every recipe-able key N-1 more
+      // times into fresh dirs and ships the MIN, logging the spread
+      // (BENCHIBSPREAD) so the artifact's reader can see the noise band.
+      // State-coupled keys (mr1/mr8/s2c/tkd/... — no isolation recipe) and
+      // _mb byte volumes ship single-run as before (BENCHIBX1).
+      val ibRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_IB_RUNS", "1").toInt
+      val outMinned = if (ibRuns <= 1) out else out.map { case (k, v) =>
+        if (k.endsWith("_mb") || ibRerun(k).isEmpty) {
+          if (!k.endsWith("_mb"))
+            System.err.println(s"BENCHIBX1 $k single-run (state-coupled recipe)")
+          k -> v
+        } else {
+          val extras = (2 to ibRuns).flatMap { i =>
+            try Some(ibRerun(k, s"m$i").get.apply()) catch { case e: Throwable =>
+              System.err.println(s"BENCHIBERR $k#$i ${e.getClass.getSimpleName}: ${e.getMessage}")
+              None
+            }
+          }
+          val all = v +: extras
+          System.err.println(f"BENCHIBSPREAD $k min=${all.min}%.2f max=${all.max}%.2f runs=${all.size}")
+          k -> all.min
+        }
+      }
       var ibRetries = 0
-      val adjudicated = out.map { case (k, v) =>
+      val adjudicated = outMinned.map { case (k, v) =>
         val over = !k.endsWith("_mb") &&
           ibPriors.get(k).exists(p => v > 1.5 * p && v - p > 0.3)
         if (!over) k -> v
@@ -530,6 +617,12 @@ object Bench {
     // real plateau shifts; reported out-of-band as "regressed" and kept as
     // priors for the next round (r10 verdict #2).
     val regressedQ = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Isolated post-battery re-run measurements — shipped in the artifact's
+    // "iso" block as next round's same-population baselines (verdict r12 #1).
+    val isoQ = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Queries whose only prior was cross-population: movement unadjudicable,
+    // iso baseline established instead of a flag. Informational, not npx.
+    val xpopQ = scala.collection.mutable.ArrayBuffer.empty[String]
     var retriedQ = 0
     val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "3").toInt
     // Cross-round prior (r8 verdict Next #3): the corroboration rule above
@@ -611,8 +704,20 @@ object Bench {
       // than the 0.3 s noise floor; exhausting retries still over the bar
       // puts the query in the stalled list (untrustworthy entry)
       val prior = priorTimes.get(name)
+      // Population veto (r12 verdict Next #1): a battery value within 2× of
+      // the query's ISOLATED prior is clean even when it towers over a
+      // warm-battery prior — isolated runs are the slower population (no
+      // warm neighbors), so clearing that bar means the movement is context,
+      // not code. Retries and filing are both skipped; the dominating prior
+      // stays loaded for pmax bookkeeping.
+      def isoVeto = isoPriors.get(name).exists(ip =>
+        times.nonEmpty && !(times.head > 2 * ip && times.head - ip > 0.3))
       def priorExceeded = prior.exists(p =>
-        times.nonEmpty && times.head > 2 * p && times.head - p > 0.3)
+        times.nonEmpty && times.head > 2 * p && times.head - p > 0.3) && !isoVeto
+      if (prior.exists(p => times.nonEmpty && times.head > 2 * p &&
+          times.head - p > 0.3) && isoVeto)
+        System.err.println(f"BENCHISOOK $name min=${times.head}%.2f " +
+          f"prior=${prior.get}%.2f isoPrior=${isoPriors(name)}%.2f within iso - no flag")
       var pExtra = 0
       while (priorExceeded && pExtra < maxRetries) {
         pExtra += 1
@@ -622,8 +727,9 @@ object Bench {
         if (!t.isNaN) times = (times :+ t).sorted
       }
       prior.foreach { p =>
-        if (times.nonEmpty) priorRatioByName(name) = times.head / math.max(p, 0.05)
-        priorVerdict(times, p).foreach { verdict =>
+        if (times.nonEmpty) priorRatioByName(name) =
+          times.head / math.max(if (isoVeto) isoPriors(name) else p, 0.05)
+        if (!isoVeto) priorVerdict(times, p).foreach { verdict =>
           priorFlagged += name
           if (verdict == "regressed") {
             if (!regressedQ.contains(name)) {
@@ -667,13 +773,47 @@ object Bench {
       val p = priorTimes(name)
       System.err.println(f"BENCHREADJ $name min=${resultMap(name)}%.2f prior=$p%.2f re-running")
       val t = runQueryOnce(name, SparkEntry.queries(name), -1)
-      if (!t.isNaN && t < resultMap(name)) {
-        resultMap(name) = t
-        priorRatioByName(name) = t / math.max(p, 0.05)
-        if (priorVerdict(Seq(t), p).isEmpty) {
+      if (!t.isNaN) {
+        // the isolated measurement ships in the artifact's "iso" block
+        // regardless of the verdict below — it is next round's
+        // same-population baseline (verdict r12 #1)
+        isoQ(name) = t
+        if (t < resultMap(name)) {
+          resultMap(name) = t
+          priorRatioByName(name) = t / math.max(p, 0.05)
+        }
+        if (priorVerdict(Seq(resultMap(name)), p).isEmpty) {
+          // the fresh-population run landed back within the battery prior —
+          // plain contention noise, healed
           regressedQ -= name
           priorFlagged -= name
           System.err.println(f"BENCHREADJOK $name t=$t%.2f back within prior - flag cleared")
+        } else isoPriors.get(name) match {
+          case Some(ip) if priorVerdict(Seq(t), ip).isEmpty =>
+            // like-with-like: the isolated run is within the isolated prior,
+            // so the battery movement was population context, not code
+            regressedQ -= name
+            priorFlagged -= name
+            priorRatioByName(name) = t / math.max(ip, 0.05)
+            System.err.println(f"BENCHXPOPOK $name iso=$t%.2f isoPrior=$ip%.2f " +
+              "within iso - flag cleared")
+          case Some(ip) =>
+            // over BOTH populations' priors — a corroborated real regression;
+            // the flag stands and the artifact names it
+            System.err.println(f"BENCHREADJX $name iso=$t%.2f isoPrior=$ip%.2f " +
+              "still over - regression corroborated in both populations")
+          case None =>
+            // only prior is cross-population (warm-battery vs isolated) —
+            // unadjudicable this round; establish the iso baseline, file
+            // informationally as xpop, drop the invalid ratio (verdict r12
+            // #1: "a query whose only prior is cross-population gets an
+            // automatic isolated baseline measure instead of a flag")
+            regressedQ -= name
+            priorFlagged -= name
+            priorRatioByName.remove(name)
+            xpopQ += name
+            System.err.println(f"BENCHXPOP $name iso=$t%.2f battery-prior=$p%.2f " +
+              "cross-population - iso baseline established")
         }
       }
     }
@@ -684,7 +824,22 @@ object Bench {
       priorMax = if (priorRatioByName.isEmpty) None else Some(priorRatioByName.values.max),
       npx = priorFlagged.size, stalledQ = stalledQ.distinct.toSeq,
       failed = failed.toSeq, idxBuild = idxBuild,
-      regressedQ = regressedQ.distinct.toSeq)
+      regressedQ = regressedQ.distinct.toSeq,
+      isoQ = isoQ.toSeq, xpopQ = xpopQ.distinct.toSeq)
+    // Stdout is a shared channel: the r12 sf1 run saw a JVM GC warning print
+    // AHEAD of the artifact line, and the contract survived only because the
+    // JSON prints last (verdict r12 #7). Belt-and-braces: the exact line is
+    // ALSO written to a dedicated file (SPARK_GRAFT_BENCH_OUT, default
+    // tmp/BENCH_last.json under the working dir) that a driver can prefer
+    // over tail-scraping; the write happens BEFORE the println and swallows
+    // its own failures so it can never contaminate stdout. The prior loader
+    // is noise-tolerant either way (regex scan — BenchRenderSpec pins it).
+    try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "tmp/BENCH_last.json"))
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, (out + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     // This MUST stay the final stdout line (nothing may print after it), so
     // the whole battery survives the driver's tail window.
     println(out)

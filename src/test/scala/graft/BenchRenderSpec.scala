@@ -134,14 +134,16 @@ class BenchRenderSpec extends AnyFunSuite {
       "sf0.1", stallRatio = 2.1, nstall = 0, nretry = 2, priorMax = Some(2.8),
       npx = 1, stalledQ = Seq("q_pagerank"), failed = Nil,
       idxBuild = Seq("jm" -> 28.9, "cdc" -> 11.1), regressedQ = Seq("q_embed_dedup"))
-    val (qs, ib) = Bench.parsePriors(line, curSf = Some("0.1"))
+    val (qs, ib, _) = Bench.parsePriors(line, curSf = Some("0.1"))
     assert(qs == Map("q_minhash_dedup" -> 0.7), qs) // stalled AND regressed both gone
     assert(ib == Map("jm" -> 28.9, "cdc" -> 11.1), ib)
     // a driver-wrapped (escaped) copy of the same line parses identically
     val wrapped = "{\"n\": 11, \"tail\": \"" + line.replace("\"", "\\\"") + "\"}"
-    assert(Bench.parsePriors(wrapped, Some("0.1")) == ((qs, ib)))
+    assert(Bench.parsePriors(wrapped, Some("0.1"))._1 == qs)
+    assert(Bench.parsePriors(wrapped, Some("0.1"))._2 == ib)
     // cross-scale gate unchanged: an sf0.1 artifact yields nothing at sf1
-    assert(Bench.parsePriors(line, Some("1")) == ((Map.empty, Map.empty)))
+    assert(Bench.parsePriors(line, Some("1")) ==
+      ((Map.empty, Map.empty, Map.empty)))
   }
 
   test("mergePriors: excluded/elided queries fall back to the next-newest artifact") {
@@ -154,19 +156,112 @@ class BenchRenderSpec extends AnyFunSuite {
       stallRatio = 1.1, nstall = 0, nretry = 0, priorMax = None, npx = 0,
       stalledQ = Nil, failed = Nil, idxBuild = Seq("jm" -> 24.2, "cdc" -> 4.1))
     val parsed = Seq(newest, older).map(Bench.parsePriors(_, Some("0.1")))
-    val (qs, ib) = Bench.mergePriors(parsed)
+    val (qs, ib, _) = Bench.mergePriors(parsed)
     // the regressed 6.7 does NOT become the prior; the older 2.4 does
     assert(qs("q_embed_dedup") == 2.4, qs)
     // the newest artifact wins where it carries a usable value
     assert(qs("q_tfidf") == 0.5, qs)
     // a query only the older artifact carries still gets a prior
     assert(qs("q_retired") == 3.0, qs)
-    assert(ib == Map("jm" -> 28.9, "cdc" -> 4.1), ib)
+    // ib priors take the PER-KEY MIN across the window (ADVICE r12): the ib
+    // channel has no stalled/regressed exclusion, so a noise-inflated value
+    // (jm 28.9 here) must not displace the older quiet 24.2 — an inflated
+    // prior would move the 1.5× re-run trip wire out of reach
+    assert(ib == Map("jm" -> 24.2, "cdc" -> 4.1), ib)
     // depth cap: an ancient artifact past the cap contributes nothing
     val ancient = Bench.render(Seq("q_fossil" -> 9.0), "sf0.1",
       stallRatio = 1.0, nstall = 0, nretry = 0, priorMax = None, npx = 0,
       stalledQ = Nil, failed = Nil, idxBuild = Nil)
     val five = Seq(newest, older, older, older, ancient).map(Bench.parsePriors(_, Some("0.1")))
     assert(!Bench.mergePriors(five)._1.contains("q_fossil"))
+  }
+
+  test("mergePriors depth cap is PER MAP: an ib-only artifact does not burn a query-prior slot (ADVICE r12)") {
+    // a terminal-elide artifact keeps ibPart but folds every query away —
+    // it must not count against the query-prior window
+    val ibOnly = (Map.empty[String, Double], Map("jm" -> 9.9), Map.empty[String, Double])
+    val withQ = (Map("q_alpha" -> 1.0), Map.empty[String, Double], Map.empty[String, Double])
+    // four ib-only artifacts ahead of the only query-bearing one: the old
+    // shared cap would exhaust all 4 slots before reaching q_alpha
+    val (qs, ib, _) = Bench.mergePriors(Seq(ibOnly, ibOnly, ibOnly, ibOnly, withQ))
+    assert(qs == Map("q_alpha" -> 1.0), qs)
+    assert(ib == Map("jm" -> 9.9), ib)
+  }
+
+  test("population tagging round-trip: iso map rendered, parsed back, survives a regressed flag; xpop list rendered (verdict r12 #1)") {
+    // the r12 dup_clusters_lsh shape: battery value 2.3 flagged regressed vs
+    // a warm-battery prior 1.1, the post-battery isolated re-run read 2.2 —
+    // that iso value must ship AND load back so next round compares
+    // isolated-vs-isolated instead of re-flagging forever
+    // shape 1 (xpop): no iso prior existed, flag cleared, filed as xpop —
+    // the battery value stays a usable prior AND the iso baseline ships
+    val line = Bench.render(
+      Seq("q_dup_clusters_lsh" -> 2.3, "q_other" -> 0.5), "sf0.1",
+      stallRatio = 1.1, nstall = 0, nretry = 1, priorMax = Some(1.2), npx = 0,
+      stalledQ = Seq("q_other"), failed = Nil, idxBuild = Nil,
+      isoQ = Seq("q_dup_clusters_lsh" -> 2.2, "q_other" -> 0.6),
+      xpopQ = Seq("q_dup_clusters_lsh"))
+    assert(parseable(line), line)
+    assert(line.contains("\"iso\":{"), line)
+    assert("\"xpop\":\\[\"(q_)?dup_clusters_lsh\"\\]".r.findFirstIn(line).isDefined, line)
+    val (qs, _, iso) = Bench.parsePriors(line, Some("0.1"))
+    // the stalled name loses its iso entry (never converged anywhere);
+    // the xpop name keeps both its battery value and its iso baseline
+    assert(iso == Map("q_dup_clusters_lsh" -> 2.2), iso)
+    assert(qs == Map("q_dup_clusters_lsh" -> 2.3), qs)
+    // shape 2 (corroborated regression): the name stays in "regressed" — its
+    // battery value is excluded from priors as before, but its iso entry
+    // SURVIVES (it is the adjudicated baseline the flag was tested against)
+    val line2 = Bench.render(
+      Seq("q_dup_clusters_lsh" -> 2.3), "sf0.1",
+      stallRatio = 1.1, nstall = 0, nretry = 1, priorMax = Some(2.1), npx = 1,
+      stalledQ = Nil, failed = Nil, idxBuild = Nil,
+      regressedQ = Seq("q_dup_clusters_lsh"),
+      isoQ = Seq("q_dup_clusters_lsh" -> 2.2))
+    val (qs2, _, iso2) = Bench.parsePriors(line2, Some("0.1"))
+    assert(qs2 == Map.empty, qs2)
+    assert(iso2 == Map("q_dup_clusters_lsh" -> 2.2), iso2)
+  }
+
+  test("artifact line extracted through interleaved stdout noise (verdict r12 #7)") {
+    // the r12 sf1 run printed a GCLocker warning ahead of the JSON line; the
+    // prior loader must still find every block in a noisy tail capture
+    val clean = Bench.render(Seq("q_alpha" -> 1.2), "sf0.1",
+      stallRatio = 1.0, nstall = 0, nretry = 0, priorMax = None, npx = 0,
+      stalledQ = Nil, failed = Nil, idxBuild = Seq("jm" -> 24.0),
+      isoQ = Seq("q_alpha" -> 1.3))
+    val noisy = "26/08/15 08:30:01 WARN MapPartitionsRDD: RDD 19266 was locally " +
+      "checkpointed, its lineage has been truncated\n" +
+      "[3.805s][warning][gc,alloc] Executor task launch worker: Retried waiting " +
+      "for GCLocker too often allocating 524290 words\n" + clean +
+      "\n26/08/15 08:30:02 INFO SparkContext: Successfully stopped SparkContext"
+    val (qs, ib, iso) = Bench.parsePriors(noisy, Some("0.1"))
+    assert(qs == Map("q_alpha" -> 1.2), qs)
+    assert(ib == Map("jm" -> 24.0), ib)
+    assert(iso == Map("q_alpha" -> 1.3), iso)
+  }
+
+  test("missing sf key is NOT a wildcard when the current scale is known (ADVICE r12)") {
+    // handcrafted degenerate artifact with no sf anywhere: must yield no
+    // priors at a known scale (render now keeps sf at every shrink level,
+    // so a missing key means a foreign artifact)
+    val noSf = """{"queries":{"alpha":1.2},"qprefix":"q_","ib":{"jm":9.0},"stall":1.0,"value":1.2}"""
+    assert(Bench.parsePriors(noSf, Some("0.1")) ==
+      ((Map.empty, Map.empty, Map.empty)))
+    // with an unknown current scale it still loads (explicit-prior dev path)
+    assert(Bench.parsePriors(noSf, None)._1 == Map("q_alpha" -> 1.2))
+  }
+
+  test("sf key survives every shrink level (ADVICE r12)") {
+    // force deep elide levels with a huge stall-heavy battery and check the
+    // chosen line still carries sf
+    val stalled = (1 to 60).map(i => f"q_synthetic_query_name_$i%03d")
+    val line = Bench.render(mkBattery(300, 1.7), "sf0.1",
+      stallRatio = 9.0, nstall = 40, nretry = 60, priorMax = Some(5.0),
+      npx = 20, stalledQ = stalled, failed = Nil,
+      idxBuild = (1 to 25).map(i => s"ib$i" -> 9.9))
+    assert(line.length <= 1995)
+    assert(parseable(line))
+    assert(line.contains("\"sf\":\"sf0.1\""), line.takeRight(300))
   }
 }
