@@ -168,13 +168,24 @@ object TextOps {
     // engines — so a word like नहीं survives as its consonant skeleton नह
     // (and a mid-word matra SPLITS the token: नाही → न + ह). Entries below
     // are the normalized skeletons of high-frequency function words chosen
-    // so the skeletons stay multi-character and pairwise disjoint across
-    // the three profiles: hi और/नहीं/इस/उस/कर/पर/हम/वह/अब/एक; mr
-    // आहे/आणि/पण/तर/मग/जर/असा/कसा/तसा/मला; ne छ/छन्/पनि/भने/अनि/तथा/
-    // गर/भएको/रहेको/उनले.
+    // pairwise disjoint across the three profiles: hi और/नहीं/इस/उस/कर/पर/
+    // हम/वह/अब/एक; mr आहे/आणि/पण/तर/मग/जर/असा/कसा/तसा/मला; ne छ/छन्/पनि/
+    // भने/अनि/तथा/गर/भएको/रहेको/उनले. Most skeletons are multi-character;
+    // ne's छ is a deliberate single-character entry — it IS the standalone
+    // Nepali copula ("is"), not a truncation artifact, and no hi/mr profile
+    // word normalizes to it (ADVICE r12).
     "hi" -> Seq("और", "नह", "इस", "उस", "कर", "पर", "हम", "वह", "अब", "एक"),
     "mr" -> Seq("आह", "आण", "पण", "तर", "मग", "जर", "अस", "कस", "तस", "मल"),
     "ne" -> Seq("छ", "छन", "पन", "भन", "अन", "तथ", "गर", "भएक", "रह", "उनल"),
+    // Urdu (r12 verdict Next #5): the highest-volume Arabic-script language
+    // still falling through to script-level routing after ar/fa. Separable
+    // exactly like fa: Urdu's function words ride Urdu-specific letterforms
+    // — yeh barree U+06D2 ے, heh goal U+06C1 ہ, noon ghunna U+06BA ں, keheh
+    // U+06A9 ک — so none of these strings appears in the ar or fa lists
+    // (fa's که is kaf+heh U+0647, distinct from ur کے kaf+yeh-barree). All
+    // letters are category Lo (no combining marks): the shared tokenizer
+    // keeps every word whole in both engines.
+    "ur" -> Seq("کے", "میں", "اور", "ہے", "کی", "کا", "سے", "نے", "کو", "ہیں"),
   )
 
   /** Language-ID: argmax of per-language stopword hit counts, ties broken by

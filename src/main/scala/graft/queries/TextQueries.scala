@@ -90,6 +90,11 @@ object TextQueries {
     "और हम इस घर पर अब एक बार नहीं कहते वह उस समय आते",                    // hi
     "घरात मला आहे आणि पण तर मग जर असा कसा तसा",                            // mr
     "उनले भने छ र छन् पनि अनि तथा गर भएको रहेको",                           // ne
+    // Urdu (r12 verdict Next #5): third member of the Arabic-script family.
+    // Five ur-profile hits (سے کی اور کے ہیں), zero hits on ar or fa — the
+    // Urdu-specific letterforms (ے ہ ں ک) keep every token out of those
+    // lists, and the filler words appear in no profile.
+    "اسٹیشن سے رات کی گاڑی چلی اور سب لوگ گھر کے اندر ہیں",                 // ur
     "7492 8301 5517",                                                      // und — zero hits
   )
   private def langTextsSqlList: String =

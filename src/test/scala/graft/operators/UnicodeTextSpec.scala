@@ -77,6 +77,13 @@ class UnicodeTextSpec extends SparkSpec {
     // script-identical confusables stay separated: a Hindi sentence with a
     // Marathi-looking skeleton in it still resolves by majority
     assert(lang("और हम इस घर पर तर") == "hi") // 5 hi hits vs 1 mr hit
+    // r13: Urdu — third member of the Arabic-script family. Its function
+    // words ride Urdu-specific letterforms (ے ہ ں ک), so کے/سے/کی/ہیں hit
+    // only ur; the ar and fa sentences above must keep winning their own
+    // profiles with the ur profile present (zero cross-hits)
+    assert(lang("رات کی گاڑی اسٹیشن سے چلی اور سب لوگ گھر کے اندر ہیں") == "ur")
+    assert(lang("القطار غادر في منتصف الليل من المحطة") == "ar")
+    assert(lang("قطار در نیمه شب از ایستگاه به راه افتاد") == "fa")
   }
 
   test("bpeTokenCount counts non-Latin letter runs as runs, not per-mark noise") {
