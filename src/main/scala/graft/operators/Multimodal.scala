@@ -1243,20 +1243,38 @@ object Multimodal {
     * matching aligned positions reaches `minMatchFrac` of the SHORTER
     * video. Decode cost is one container+codec pass per video; the join
     * moves 8-byte signatures only.
+    *
+    * `frameStride` is the POSITION-SAMPLING valve (r12 verdict Next #4):
+    * only every stride-th frame position is mined — the join's candidate
+    * and output mass shrink ~∝ 1/stride while decode is untouched, and
+    * `match_frac` stays calibrated because `n_comparable` counts SAMPLED
+    * positions of the shorter video (⌊(min_nf − 1)/stride⌋ + 1). An exact
+    * clone still matches at every sampled position (frac 1.0); a local edit
+    * confined to skipped positions becomes invisible — the documented
+    * recall trade, measured against planted clones by
+    * examples/VideoValveProbe (SCALING.md r13). Default 1 = every position,
+    * plan unchanged.
+    *
     * Output: (id_a, id_b, n_matching, n_comparable, match_frac).
     */
   def videoNearDupPairs(spark: SparkSession, media: DataFrame,
                         maxHamming: Int = 6,
-                        minMatchFrac: Double = 0.8): DataFrame = {
-    val h = videoFrameDHash(spark, media).localCheckpoint()
-    val lens = h.groupBy("media_id").agg(max(col("n_frames")).as("nf"))
+                        minMatchFrac: Double = 0.8,
+                        frameStride: Int = 1): DataFrame = {
+    require(frameStride >= 1, s"frameStride must be >= 1, got $frameStride")
+    val h0 = videoFrameDHash(spark, media).localCheckpoint()
+    val h = if (frameStride == 1) h0
+      else h0.filter(col("frame_idx") % frameStride === 0)
+    val lens = h0.groupBy("media_id").agg(max(col("n_frames")).as("nf"))
     val framePairs = Dedup.hammingPairsBlocked(h, "media_id", "frame_idx", "dhash",
       bits = 64, maxHamming = maxHamming)
+    val sampledComparable =
+      floor((least(col("__na"), col("__nb")) - 1) / frameStride) + 1
     framePairs.groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_matching"))
       .join(lens.select(col("media_id").as("id_a"), col("nf").as("__na")), Seq("id_a"))
       .join(lens.select(col("media_id").as("id_b"), col("nf").as("__nb")), Seq("id_b"))
-      .withColumn("n_comparable", least(col("__na"), col("__nb")).cast("long"))
+      .withColumn("n_comparable", sampledComparable.cast("long"))
       .withColumn("match_frac",
         col("n_matching").cast("double") / col("n_comparable").cast("double"))
       .filter(col("match_frac") >= minMatchFrac)

@@ -400,6 +400,234 @@ object Similarity {
     slice(transform(array_sort(scored), s => s.getField("i")), 1, nprobe)
   }
 
+  /** Exact nearest-centroid assignment kernel (r12 verdict Next #2) — a
+    * primitive-array scan with optional triangle-inequality group pruning.
+    *
+    * What the r12 "assignment-cost-bound" U actually was (measured by
+    * examples/SemAssignProbe, r13): NOT flops. (1) The historical closure
+    * indexed `Seq[Float]` in its hot loop — unspecialized apply BOXES every
+    * element, ~10× over the primitive loop (train at nlist 1024 over 20k
+    * vectors: 20.5 s boxed → 2.2 s primitive); (2) semDedup's unpinned
+    * `assigned` relation re-ran the assignment pass once per consumer (3×).
+    * With both fixed, a 200k × nlist 1024 × dim 64 assignment pass is
+    * sub-second and the nlist U's right side flattens — see SCALING.md r13.
+    *
+    * The pruning itself is kept but GATED (see the degeneracy note in the
+    * builder): in high dimensions it pays only when the centroid DIRECTIONS
+    * are themselves clustered (hierarchical structure); for near-orthogonal
+    * centroid sets — uniform corpora, and hub corpora whose hubs are random
+    * directions — every group's covering radius is ~√2, the bounds are
+    * vacuous, and the grouped path would only add overhead, so assign()
+    * falls back to the brute scan. Either path is bit-identical.
+    *
+    * Two-level triangle-inequality pruning: group the nonzero-norm centroid
+    * DIRECTIONS into ~√m groups (deterministic farthest-point seeding + one
+    * Lloyd refinement, driver-side, O(m^1.5·dim) flops); per group keep a
+    * representative unit vector and its covering radius (max member chord
+    * distance, + 1e-12 rounding slack). Per vector: chord distance from the
+    * unit vector to each representative gives, via the triangle inequality
+    * over plain Euclidean distances on the sphere, a LOWER bound on the
+    * distance to every member — hence an UPPER bound on every member's
+    * cosine score. Groups are visited in ascending lower-bound order and
+    * scanning stops when the next group's score bound (+ an eps that dwarfs
+    * double rounding) cannot beat or tie the best exact score found.
+    *
+    * Exactness: member scores use the IDENTICAL double arithmetic as the
+    * historical unpruned loop (double-multiply/double-accumulate raw dot,
+    * score = dot/|c|, zero-norm centroid → -Inf), and the acceptance rule
+    * (higher score wins; equal score goes to the higher index) is the
+    * visit-order-independent twin of the ascending `>=` scan — so the
+    * assignment is BIT-IDENTICAL to the brute-force loop; pruning changes
+    * only which candidates are examined, and the eps slack keeps any
+    * potential tie inside the visited set. Degenerate inputs replicate the
+    * scan too: all centroids zero-norm → last index; zero vector → highest
+    * nonzero-norm index (every finite score ties at 0). Pinned against the
+    * brute-force loop by CentroidPrunerSpec's seeded sweep.
+    */
+  final class CentroidPruner private[operators] (
+      private val cents: Array[Array[Float]],
+      private val norms: Array[Double],
+      private val nzMax: Int,
+      private val groupMembers: Array[Array[Int]],
+      private val reps: Array[Array[Double]],
+      private val radii: Array[Double],
+      private[graft] val grouped: Boolean) extends Serializable {
+
+    /** Unwrap to the primitive backing array — `Seq[Float].apply` is not
+      * specialized, so indexing it in the hot loop BOXES every element: the
+      * decomposition probe measured the historical boxed scan at ~6.5 s for
+      * 1.3G multiply-adds (20k rows × 1024 cells × 64 dims) where the
+      * primitive loop is bound by actual flops. ArraySeq wrappers (what the
+      * Dataset decoder hands a `Seq[Float]` lambda) expose their array
+      * copy-free; anything else pays one specialized toArray copy per row.
+      */
+    private def toArr(v: Seq[Float]): Array[Float] = v match {
+      case w: scala.collection.immutable.ArraySeq.ofFloat => w.unsafeArray
+      case _ => v.toArray
+    }
+
+    /** The unpruned loop's exact arithmetic — see class doc. */
+    private def scoreOf(v: Array[Float], c: Int): Double = {
+      if (norms(c) == 0.0) return Double.NegativeInfinity
+      val cc = cents(c)
+      var s = 0.0
+      var i = 0
+      while (i < cc.length) { s += v(i).toDouble * cc(i); i += 1 }
+      s / norms(c)
+    }
+
+    /** Brute-force twin, kept for the spec's equivalence sweep and the
+      * SemAssignProbe pruned-vs-brute instrument.
+      */
+    private[graft] def assignBrute(v0: Seq[Float]): Int = {
+      val v = toArr(v0)
+      var best = 0
+      var bestScore = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.length) {
+        val s = scoreOf(v, c)
+        if (s >= bestScore) { bestScore = s; best = c }
+        c += 1
+      }
+      best
+    }
+
+    def assign(v0: Seq[Float]): Int = {
+      if (nzMax < 0) return cents.length - 1
+      if (!grouped) return assignBrute(v0)
+      val v = toArr(v0)
+      var vn2 = 0.0
+      var i = 0
+      while (i < v.length) { vn2 += v(i).toDouble * v(i); i += 1 }
+      val vn = math.sqrt(vn2)
+      if (vn == 0.0) return nzMax
+      val varr = new Array[Double](v.length)
+      i = 0
+      while (i < v.length) { varr(i) = v(i) / vn; i += 1 }
+      val g = reps.length
+      val lbs = new Array[Double](g)
+      var j = 0
+      while (j < g) {
+        var dot = 0.0
+        var k = 0
+        val r = reps(j)
+        while (k < r.length) { dot += varr(k) * r(k); k += 1 }
+        val d = math.sqrt(math.max(0.0, 2.0 - 2.0 * dot))
+        lbs(j) = math.max(0.0, d - radii(j))
+        j += 1
+      }
+      val sorted = Array.range(0, g).sortBy(j0 => lbs(j0))
+      val eps = 1e-6 * math.max(1.0, vn)
+      var bestScore = Double.NegativeInfinity
+      var bestIdx = -1
+      var oi = 0
+      while (oi < g) {
+        val gr = sorted(oi)
+        val ub = vn * (1.0 - lbs(gr) * lbs(gr) / 2.0)
+        if (ub + eps < bestScore) oi = g // sorted by lb: all remaining fail too
+        else {
+          val mem = groupMembers(gr)
+          var t = 0
+          while (t < mem.length) {
+            val c = mem(t)
+            val s = scoreOf(v, c)
+            if (s > bestScore || (s == bestScore && c > bestIdx)) {
+              bestScore = s; bestIdx = c
+            }
+            t += 1
+          }
+          oi += 1
+        }
+      }
+      bestIdx
+    }
+  }
+
+  object CentroidPruner {
+    def apply(centroids: Seq[Array[Float]]): CentroidPruner = {
+      val cents = centroids.toArray
+      val m = cents.length
+      val norms = cents.map(c => math.sqrt(c.map(x => x.toDouble * x).sum))
+      val nz = (0 until m).filter(norms(_) > 0.0).toArray
+      if (nz.isEmpty)
+        return new CentroidPruner(cents, norms, -1,
+          Array.empty[Array[Int]], Array.empty[Array[Double]], Array.empty[Double],
+          grouped = false)
+      val dim = cents(nz(0)).length
+      val unit: Map[Int, Array[Double]] = nz.map { c =>
+        c -> cents(c).map(_.toDouble / norms(c))
+      }.toMap
+      def chord(a: Array[Double], b: Array[Double]): Double = {
+        var dot = 0.0
+        var i = 0
+        while (i < a.length) { dot += a(i) * b(i); i += 1 }
+        math.sqrt(math.max(0.0, 2.0 - 2.0 * dot))
+      }
+      val g = math.max(1, math.ceil(math.sqrt(nz.length.toDouble)).toInt)
+      // deterministic farthest-point seeding over the unit directions
+      val seeds = scala.collection.mutable.ArrayBuffer(nz(0))
+      val minD = scala.collection.mutable.Map.from(
+        nz.iterator.map(c => c -> chord(unit(c), unit(nz(0)))))
+      while (seeds.length < math.min(g, nz.length)) {
+        val next = nz.iterator.filterNot(seeds.contains)
+          .maxBy(c => (minD(c), -c)) // ties toward the lower index
+        seeds += next
+        nz.foreach(c => minD(c) = math.min(minD(c), chord(unit(c), unit(next))))
+      }
+      // two assignment rounds with one rep refinement between them; the
+      // grouping affects SPEED only — radii are recomputed against the
+      // final reps, so the bounds stay exact for any grouping
+      var reps: Array[Array[Double]] = seeds.iterator.map(unit(_)).toArray
+      var members: Array[Array[Int]] = Array.empty
+      for (round <- 0 until 2) {
+        val asg = nz.map { c =>
+          var bj = 0
+          var bd = Double.MaxValue
+          var j = 0
+          while (j < reps.length) {
+            val d = chord(unit(c), reps(j))
+            if (d < bd) { bd = d; bj = j }
+            j += 1
+          }
+          (bj, c)
+        }
+        members = Array.tabulate(reps.length)(j => asg.filter(_._1 == j).map(_._2).sorted)
+        if (round == 0) reps = members.zipWithIndex.map { case (mem, j) =>
+          if (mem.isEmpty) reps(j)
+          else {
+            val sum = new Array[Double](dim)
+            mem.foreach { c =>
+              val u = unit(c)
+              var i = 0
+              while (i < dim) { sum(i) += u(i); i += 1 }
+            }
+            val n = math.sqrt(sum.map(x => x * x).sum)
+            if (n == 0.0) reps(j) else sum.map(_ / n)
+          }
+        }
+      }
+      val radii = members.zipWithIndex.map { case (mem, j) =>
+        if (mem.isEmpty) 0.0 else mem.map(c => chord(unit(c), reps(j))).max + 1e-12
+      }
+      val keep = members.indices.filter(members(_).nonEmpty).toArray
+      // Degeneracy gate (measured, r13): in high dimensions, centroid sets
+      // whose directions are near-orthogonal (uniform corpora — and even
+      // hub-clustered corpora whose HUBS are random directions) give every
+      // group a covering radius near √2, so lb = d_rep − radius is ~0 for
+      // every group and the bounds prune NOTHING — the grouped path then
+      // only adds its per-row rep-scoring/sort overhead (measured 1.9× the
+      // primitive brute scan at nlist 256 on the ScaleUp corpus). Groups
+      // are only engaged when the member-weighted mean radius says the
+      // bounds have real leverage; otherwise assign() IS the brute scan —
+      // bit-identical either way, this gates speed, not semantics.
+      val meanRadius = keep.iterator.map(j => members(j).length * radii(j)).sum /
+        math.max(1, nz.length)
+      new CentroidPruner(cents, norms, nz.max,
+        keep.map(members(_)), keep.map(reps(_)), keep.map(radii(_)),
+        grouped = meanRadius < 0.9)
+    }
+  }
+
   /** Deterministic mini k-means over the corpus (Lloyd iterations expressed
     * as DataFrame ops): init = first `nlist` vectors by id; assignment =
     * per-row argmax dot against literal centroids (codegen'd kernel × nlist);
@@ -424,31 +652,16 @@ object Similarity {
       // round — Janino time, not math, dominated the loop (same finding as
       // pqTrain). The one-shot assignment/probes in ivfBuild/ivfSearch
       // keep the codegen'd [[nearestCell]] path: they compile once.
-      val bc = spark0.sparkContext.broadcast(
-        (centroids.toArray, centroids.map(c => math.sqrt(c.map(x => x.toDouble * x).sum)).toArray))
-      val assigned = base.map { v =>
-        val (cents, norms) = bc.value
-        var best = 0
-        var bestScore = Double.NegativeInfinity
-        var c = 0
-        while (c < cents.length) {
-          var s = 0.0
-          var i = 0
-          while (i < cents(c).length) { s += v(i).toDouble * cents(c)(i); i += 1 }
-          // zero-norm centroid → -Inf, matching nearestCell's literal guard
-          // (0/0 NaN would fail every >= and silently skip the cell here
-          // while greatest() in the one-shot path ranks NaN largest —
-          // training and index assignment would diverge on degenerate
-          // centroids). best starts at 0, so an all--Inf row still lands in
-          // a real cell, like nearestSubCode.
-          val score = if (norms(c) == 0.0) Double.NegativeInfinity else s / norms(c)
-          // >= ties toward the higher index — same as greatest() over
-          // (score, idx) structs in nearestCell
-          if (score >= bestScore) { bestScore = score; best = c }
-          c += 1
-        }
-        (best, v)
-      }.toDF("cell", "v")
+      // Assignment via CentroidPruner (r12 verdict Next #2): the historical
+      // inline loop indexed Seq[Float] per element — unspecialized apply
+      // boxes every float, which (not flops) was the dominant term of
+      // SemKnobProbe's nlist-U right side (train at 1024 over 20k vectors:
+      // 20.5 s boxed → 2.2 s primitive; SemAssignProbe r13). The pruner
+      // reproduces the scan BIT-IDENTICALLY (same double arithmetic, same
+      // >=-toward-higher-index ties — see its doc), so trained centroids
+      // are unchanged and no stored-index format bumps.
+      val bc = spark0.sparkContext.broadcast(CentroidPruner(centroids))
+      val assigned = base.map(v => (bc.value.assign(v), v)).toDF("cell", "v")
       val means = assigned
         .groupBy("cell").agg(graft.functions.VecMean.asCol("v").as("m"))
         .collect()
@@ -1142,9 +1355,30 @@ object Similarity {
     // only in which near-dup pairs share a cell — SemDeDup's documented
     // approximation knob.
     val cs = centroids.getOrElse(trainCentroids(corpus, idCol, vecCol, nlist, iters))
+    // Cell assignment via the CentroidPruner exact kernel (r12 verdict Next
+    // #2) — a primitive-array scan (+ gated group pruning) where the literal
+    // nearestCell expression pays nlist codegen'd dots per row (and at
+    // nlist ≥ ~1k its greatest-over-structs tree outgrows whole-stage
+    // codegen, falling back to interpreted eval). The pruner uses the
+    // TRAINING loop's double-multiply arithmetic, not float_dot's
+    // float-multiply, so a borderline vector may sit in a different cell
+    // than a stored IVF index's `assigned` relation would say — irrelevant
+    // here: semDedup never consults stored assignments, and within ONE run
+    // assignment is deterministic, so identical vectors always share a cell
+    // (the structural gate q_semantic_dedup pins). The ivf* index family
+    // keeps nearestCell so stored bases and incremental appends stay
+    // arithmetic-consistent with each other.
+    val bcp = spark0.sparkContext.broadcast(CentroidPruner(cs))
+    val assignCell = udf((v: Seq[Float]) => bcp.value.assign(v))
+    // localCheckpoint: `assigned` feeds THREE consumers (both pair-join
+    // sides and the keep-rule's centroid-similarity pass) — unpinned, the
+    // assignment pass re-runs per consumer, which the decomposition probe
+    // measured as ~3× the whole stage at nlist 1024 (the same tax the old
+    // literal-expression formulation paid, just visible now). Same slim-
+    // intermediate pinning rationale as minhashDedup/dupClusters.
     val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       l2Norm(col(vecCol)).as("__cn"),
-      nearestCell(col(vecCol), cs).as("cell"))
+      assignCell(col(vecCol)).as("cell")).localCheckpoint()
     val idx = IvfIndex(cs, assigned)
     val a = idx.assigned.filter(col("__cn") > 0)
       .select(col("cell"), col("neighbor_id").as("id_a"), col("__cv").as("__va"),
