@@ -44,16 +44,32 @@ object Graph {
     * its barriers only because its convergence count() makes each round a
     * separate action).
     */
-  /** `init`: warm-start ranks `(node, r)` from a previous run — the
-    * practical incremental-PageRank recipe: after an edge delta, resume
-    * from the stored ranks and run the few iterations re-convergence needs
-    * instead of the full ladder from uniform. Nodes absent from `init`
-    * (newly arrived) start at the uniform `S div n` of the NEW graph;
-    * ranks for departed nodes are ignored (the node set always comes from
-    * the current edges). The composition is exact, not approximate:
+  /** `init`: warm-start ranks `(node, r)` from a previous run. Nodes absent
+    * from `init` (newly arrived) start at the uniform `S div n` of the NEW
+    * graph; ranks for departed nodes are ignored (the node set always comes
+    * from the current edges). The composition is exact, not approximate:
     * `pageRank(e, a+b) == pageRank(e, b, init = pageRank(e, a))` — the
     * synchronous integer recurrence just continues (pinned in GraphSpec),
     * so warm-started results stay oracle-reproducible from base tables.
+    *
+    * WHAT WARM-START BUYS — measured, not assumed (examples/PrankWarmProbe,
+    * sf0.1 supplier⇄part graph, 21k nodes; settles the r8–r12 null result):
+    * it does NOT buy wall time at local scales. The cold ladder's marginal
+    * iteration is ~free here (cold 2/3/5/10 iters: 1.18/1.03/1.03/1.09 s —
+    * fixed per-iteration overhead dominates, not data), while the warm
+    * epoch pays an init join + pinning (warm 1/2 iters: 1.69/2.36 s), so
+    * the bench pair pr1-vs-prf reads warm ≥ cold at every SF tried (sf0.1
+    * and sf1) and will keep doing so until ONE iteration costs far more
+    * than the init join — i.e. when the edge shuffle, not the job
+    * scheduling, is the bill, which no local[32] SF constructs. What IS
+    * real is quality per iteration: against the cold-10 reference ranking,
+    * 2 warm iterations after a 25%-edge delta reproduce the top-100 at
+    * 98/100 where cold-3 reads 96/100 and warm-1 90/100 — the stored ranks
+    * carry usable signal across the delta. Exact integer convergence is
+    * NOT a usable target on this fixture: the graph is bipartite, so rank
+    * mass oscillates between the sides under damping and every node's
+    * integer rank still moves at iteration 10 (21000/21000) even as the
+    * top-k ordering stabilizes.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 3, init: Option[DataFrame] = None): DataFrame = {

@@ -1160,7 +1160,12 @@ object Td {
 
   /** Warm-start epoch: 2 iterations over the FULL edge set resuming from
     * the stored pre-delta ranks at `root` — the recurring cost after each
-    * edge delta (bench key "pr1", next to the cold twin below).
+    * edge delta (bench key "pr1", next to the cold twin below). Expected
+    * reading: pr1 ≥ prf at every local SF — the marginal cold iteration is
+    * ~free here while the init join is not; warm-start's measured value is
+    * ranking quality per iteration, not wall time (the r13 adjudication of
+    * the r8+ null result — numbers in [[graft.operators.Graph.pageRank]]'s
+    * `init` doc, from examples/PrankWarmProbe).
     */
   private[graft] def warmPagerankEpoch(s: SparkSession, d: String, root: String): Unit = {
     val init = graft.engine.KeyedTable(s, root, Seq("node")).current
