@@ -51,7 +51,10 @@ object VideoValveProbe {
     val (_, tDecode) = timed(Multimodal.videoFrameDHash(spark, media).count())
     println(f"PROBE decode+dhash $tDecode%7.2f s (paid once per corpus pass, valve-independent)")
 
-    for ((mh, stride) <- Seq((0, 1), (1, 1), (2, 1), (1, 2), (1, 4))) {
+    // mh=0 is rejected by design (exact equality → groupBy, not a pair
+    // join), so the hamming axis sweeps the query's own mh=1 and the looser
+    // mh=2; the tightening valves are minMatchFrac and frameStride.
+    for ((mh, stride) <- Seq((1, 1), (2, 1), (1, 2), (1, 4))) {
       val (pairs, t) = timed(
         Multimodal.videoNearDupPairs(spark, media, maxHamming = mh,
           minMatchFrac = 0.0, frameStride = stride).localCheckpoint())

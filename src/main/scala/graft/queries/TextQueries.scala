@@ -1040,6 +1040,65 @@ object TextQueries {
              |  CAST(n_matching AS DOUBLE) / n_comparable AS match_frac
              |FROM j WHERE CAST(n_matching AS DOUBLE) / n_comparable >= 0.8""".stripMargin)),
 
+    // ----- video near-dup, position-sampled (the frameStride valve) --------
+    // The r13 valve sweep's oracle pin: only every 2nd frame position is
+    // mined, and match_frac is calibrated against the SAMPLED position
+    // count of the shorter video (⌊(min_nf−1)/2⌋+1). Same corpus and
+    // hamming/frac knobs as q_video_neardup, so the two results differ
+    // EXACTLY by the sampling semantics — a wrong stride filter, a
+    // mis-calibrated denominator, or a sampled position leaking into
+    // n_comparable changes rows and hash-fails. (VideoValveProbe measures
+    // the knob's cost/recall curve; on this corpus's 3–13-frame videos the
+    // coarse denominator ADMITS more template pairs — the documented
+    // short-video hazard — while exact clones stay at frac 1.0.)
+    "q_video_neardup_s2" -> Q(
+      (s, d) => {
+        val docs = Td.documents(s, d)
+          .filter(graft.operators.Sampling.hashBucket(col("doc_id")) < 15)
+        val vids = docs.select(col("doc_id"), col("text"))
+          .union(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+          .union(docs.select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" xyzzy")).as("text")))
+        val media = Multimodal.asAviMediaTable(s, vids, "doc_id", "text",
+          blocksPerRow = 10, frameBytes = 48)
+        Multimodal.videoNearDupPairs(s, media, maxHamming = 1, minMatchFrac = 0.8,
+          frameStride = 2)
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents
+             |  WHERE (((doc_id % 1000003) * 2654435761) // 8192) % 100 < 15
+             |    AND text IS NOT NULL),
+             |v AS (SELECT doc_id AS vid, text FROM base
+             |  UNION ALL SELECT doc_id + 100000, text FROM base
+             |  UNION ALL SELECT doc_id + 200000, text || ' xyzzy' FROM base),
+             |d AS (SELECT vid, text, length(text) AS len,
+             |    GREATEST(1, CAST(ceil(length(text) / 48.0) AS INT)) AS nf FROM v),
+             |f AS (SELECT vid, text, len, nf, unnest(range(0, nf)) AS fi FROM d),
+             |g AS (SELECT vid, nf, fi,
+             |    CAST(LEAST(48, len - fi*48) AS INT) AS fl, text FROM f
+             |  WHERE fi % 2 = 0),
+             |cs AS (SELECT vid, nf, fi,
+             |    [ 3 * COALESCE(list_sum([
+             |        CASE WHEN ((y//8)*10 + (k%9)//8) < fl
+             |             THEN unicode(text[CAST(fi*48 + (y//8)*10 + (k%9)//8 + 1 AS INT)])
+             |             ELSE 0 END
+             |        for y in range((k//9) * GREATEST(1, (fl+9)//10),
+             |                       ((k//9)+1) * GREATEST(1, (fl+9)//10)) ]), 0)
+             |      for k in range(0, 72) ] AS cs
+             |  FROM g),
+             |p AS (SELECT a.vid AS id_a, b.vid AS id_b,
+             |    list_sum([CASE WHEN (a.cs[(k//8)*9 + (k%8) + 2] > a.cs[(k//8)*9 + (k%8) + 1])
+             |                    != (b.cs[(k//8)*9 + (k%8) + 2] > b.cs[(k//8)*9 + (k%8) + 1])
+             |              THEN 1 ELSE 0 END for k in range(0, 64)]) AS hamming
+             |  FROM cs a JOIN cs b ON a.fi = b.fi AND a.vid < b.vid),
+             |m AS (SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_matching
+             |  FROM p WHERE hamming <= 1 GROUP BY 1, 2),
+             |j AS (SELECT m.id_a, m.id_b, m.n_matching,
+             |    CAST((LEAST(la.nf, lb.nf) - 1) // 2 + 1 AS BIGINT) AS n_comparable
+             |  FROM m JOIN d la ON m.id_a = la.vid JOIN d lb ON m.id_b = lb.vid)
+             |SELECT id_a, id_b, n_matching, n_comparable,
+             |  CAST(n_matching AS DOUBLE) / n_comparable AS match_frac
+             |FROM j WHERE CAST(n_matching AS DOUBLE) / n_comparable >= 0.8""".stripMargin)),
+
     // ----- image near-dup: perceptual dHash over DECODED pixels ------------
     // The codec and dedup families composed: each sampled document becomes a
     // real PNG, imageDHash runs the full container decode (CRC walk, zlib
