@@ -1281,6 +1281,62 @@ object Multimodal {
       .select("id_a", "id_b", "n_matching", "n_comparable", "match_frac")
   }
 
+  /** TWO-TIER video near-dup (r13): the production recipe the valve sweep
+    * measured out. `frameStride` on a whole corpus backfires when videos are
+    * short — with 1–3 sampled positions the match_frac denominator is so
+    * coarse that template-similar pairs quantize to frac 1.0 (sf1 sweep:
+    * stride 4 read 50× the output and was NET slower; SCALING.md r13) —
+    * while on long videos it is pure join-cost win with nothing to inflate.
+    * So: pairs where BOTH videos are short (`n_frames < tierMinFrames`) are
+    * mined at FULL resolution; every other pair (at least one long side) is
+    * mined at `frameStride` positions with the sampled denominator. The two
+    * branches partition the pair space (both-short vs not), so the union is
+    * duplicate-free; decode runs ONCE for both. Cross-tier pairs lose
+    * nothing structurally — a short video has every position, so all of the
+    * long side's sampled positions align.
+    * Output: (id_a, id_b, n_matching, n_comparable, match_frac) — the same
+    * shape as [[videoNearDupPairs]]; `n_comparable` is full-resolution for
+    * both-short pairs and sampled otherwise.
+    */
+  def videoNearDupPairsTiered(spark: SparkSession, media: DataFrame,
+                              maxHamming: Int = 6,
+                              minMatchFrac: Double = 0.8,
+                              frameStride: Int = 2,
+                              tierMinFrames: Int = 8): DataFrame = {
+    require(frameStride >= 1, s"frameStride must be >= 1, got $frameStride")
+    val h0 = videoFrameDHash(spark, media).localCheckpoint()
+    val lens = h0.groupBy("media_id")
+      .agg(max(col("n_frames")).as("nf"))
+      .withColumn("short", col("nf") < tierMinFrames)
+    def agg(framePairs: DataFrame): DataFrame = framePairs
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_matching"))
+      .join(lens.select(col("media_id").as("id_a"), col("nf").as("__na"),
+        col("short").as("__sa")), Seq("id_a"))
+      .join(lens.select(col("media_id").as("id_b"), col("nf").as("__nb"),
+        col("short").as("__sb")), Seq("id_b"))
+    // both-short pairs: full resolution over the short tier's frames only
+    val shortFrames = h0.join(
+      lens.filter(col("short")).select(col("media_id")), Seq("media_id"))
+    val shortPairs = agg(Dedup.hammingPairsBlocked(shortFrames, "media_id",
+        "frame_idx", "dhash", bits = 64, maxHamming = maxHamming))
+      .withColumn("n_comparable", least(col("__na"), col("__nb")).cast("long"))
+    // every pair with a long side: strided positions over ALL videos, then
+    // drop the both-short pairs (they belong to the branch above)
+    val stridedFrames = if (frameStride == 1) h0
+      else h0.filter(col("frame_idx") % frameStride === 0)
+    val longPairs = agg(Dedup.hammingPairsBlocked(stridedFrames, "media_id",
+        "frame_idx", "dhash", bits = 64, maxHamming = maxHamming))
+      .filter(!(col("__sa") && col("__sb")))
+      .withColumn("n_comparable",
+        (floor((least(col("__na"), col("__nb")) - 1) / frameStride) + 1).cast("long"))
+    shortPairs.unionByName(longPairs)
+      .withColumn("match_frac",
+        col("n_matching").cast("double") / col("n_comparable").cast("double"))
+      .filter(col("match_frac") >= minMatchFrac)
+      .select("id_a", "id_b", "n_matching", "n_comparable", "match_frac")
+  }
+
   // ------------------------------------------------ perceptual audio hash ---
 
   /** 64-bit energy-gradient fingerprint over DECODED PCM-16 WAV samples —

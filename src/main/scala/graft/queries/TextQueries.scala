@@ -1099,6 +1099,66 @@ object TextQueries {
              |  CAST(n_matching AS DOUBLE) / n_comparable AS match_frac
              |FROM j WHERE CAST(n_matching AS DOUBLE) / n_comparable >= 0.8""".stripMargin)),
 
+    // ----- video near-dup, TWO-TIER (the production stride recipe) ---------
+    // The r13 valve sweep's conclusion as an operator: both-short pairs
+    // (nf < 8) mine at full resolution (stride's coarse denominator is
+    // precision-catastrophic on 1–3 sampled positions), pairs with a long
+    // side mine at stride 2 with the sampled denominator (pure join-cost
+    // win at real video lengths). The two branches partition the pair
+    // space, so one double-counted pair, one mis-tiered video, or a wrong
+    // branch denominator changes rows and hash-fails. Corpus spans both
+    // tiers (doc texts run 3–13 frames at 48 bytes/frame).
+    "q_video_neardup_tiered" -> Q(
+      (s, d) => {
+        val docs = Td.documents(s, d)
+          .filter(graft.operators.Sampling.hashBucket(col("doc_id")) < 15)
+        val vids = docs.select(col("doc_id"), col("text"))
+          .union(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+          .union(docs.select((col("doc_id") + 200000).as("doc_id"),
+            concat(col("text"), lit(" xyzzy")).as("text")))
+        val media = Multimodal.asAviMediaTable(s, vids, "doc_id", "text",
+          blocksPerRow = 10, frameBytes = 48)
+        Multimodal.videoNearDupPairsTiered(s, media, maxHamming = 1,
+          minMatchFrac = 0.8, frameStride = 2, tierMinFrames = 8)
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents
+             |  WHERE (((doc_id % 1000003) * 2654435761) // 8192) % 100 < 15
+             |    AND text IS NOT NULL),
+             |v AS (SELECT doc_id AS vid, text FROM base
+             |  UNION ALL SELECT doc_id + 100000, text FROM base
+             |  UNION ALL SELECT doc_id + 200000, text || ' xyzzy' FROM base),
+             |d AS (SELECT vid, text, length(text) AS len,
+             |    GREATEST(1, CAST(ceil(length(text) / 48.0) AS INT)) AS nf FROM v),
+             |f AS (SELECT vid, text, len, nf, unnest(range(0, nf)) AS fi FROM d),
+             |g AS (SELECT vid, nf, fi,
+             |    CAST(LEAST(48, len - fi*48) AS INT) AS fl, text FROM f),
+             |cs AS (SELECT vid, nf, fi,
+             |    [ 3 * COALESCE(list_sum([
+             |        CASE WHEN ((y//8)*10 + (k%9)//8) < fl
+             |             THEN unicode(text[CAST(fi*48 + (y//8)*10 + (k%9)//8 + 1 AS INT)])
+             |             ELSE 0 END
+             |        for y in range((k//9) * GREATEST(1, (fl+9)//10),
+             |                       ((k//9)+1) * GREATEST(1, (fl+9)//10)) ]), 0)
+             |      for k in range(0, 72) ] AS cs
+             |  FROM g),
+             |ham AS (SELECT a.vid AS id_a, b.vid AS id_b, a.fi AS fi,
+             |    a.nf AS na, b.nf AS nb,
+             |    list_sum([CASE WHEN (a.cs[(k//8)*9 + (k%8) + 2] > a.cs[(k//8)*9 + (k%8) + 1])
+             |                    != (b.cs[(k//8)*9 + (k%8) + 2] > b.cs[(k//8)*9 + (k%8) + 1])
+             |              THEN 1 ELSE 0 END for k in range(0, 64)]) AS hamming
+             |  FROM cs a JOIN cs b ON a.fi = b.fi AND a.vid < b.vid),
+             |ms AS (SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_matching,
+             |    CAST(LEAST(min(na), min(nb)) AS BIGINT) AS n_comparable
+             |  FROM ham WHERE hamming <= 1 AND na < 8 AND nb < 8 GROUP BY 1, 2),
+             |ml AS (SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_matching,
+             |    CAST((LEAST(min(na), min(nb)) - 1) // 2 + 1 AS BIGINT) AS n_comparable
+             |  FROM ham WHERE hamming <= 1 AND fi % 2 = 0
+             |    AND NOT (na < 8 AND nb < 8) GROUP BY 1, 2),
+             |u AS (SELECT * FROM ms UNION ALL SELECT * FROM ml)
+             |SELECT id_a, id_b, n_matching, n_comparable,
+             |  CAST(n_matching AS DOUBLE) / n_comparable AS match_frac
+             |FROM u WHERE CAST(n_matching AS DOUBLE) / n_comparable >= 0.8""".stripMargin)),
+
     // ----- image near-dup: perceptual dHash over DECODED pixels ------------
     // The codec and dedup families composed: each sampled document becomes a
     // real PNG, imageDHash runs the full container decode (CRC walk, zlib

@@ -110,6 +110,36 @@ class AviSpec extends SparkSpec {
     assert(!pairs.contains((1L, 2L)))
   }
 
+  test("videoNearDupPairsTiered: both-short pairs mine full-resolution, long pairs sampled, no double counting") {
+    val short = "alpha beta gamma delta epsilon zeta eta theta " * 5 // 5 frames @48
+    val long = "one two three four five six seven eight nine ten " * 10 // 11 frames
+    val docs = Seq(
+      (1L, short), (11L, short), // both-short exact clone pair
+      (2L, long), (12L, long),   // both-long exact clone pair
+      // tail-REPLACED short near-clone of 1: the whole 5th frame swapped for
+      // digit text (a small append wouldn't flip >1 dHash bit — the hash is
+      // edit-robust by design); same length class, so nf stays 5 and the
+      // match_frac is exactly 4/5 = the 0.8 threshold
+      (3L, short.take(192) + "9876543210 " * 4),
+    ).toDF("id", "text")
+    val media = Multimodal.asAviMediaTable(spark, docs, "id", "text",
+      blocksPerRow = 10, frameBytes = 48)
+    val rows = Multimodal.videoNearDupPairsTiered(spark, media,
+        maxHamming = 1, minMatchFrac = 0.8, frameStride = 2, tierMinFrames = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_comparable"), r.getAs[Double]("match_frac")))
+    // the union is duplicate-free: each pair appears exactly once
+    assert(rows.map(_._1).distinct.length == rows.length, rows.toSeq)
+    val pairs = rows.toMap
+    // both-short clone pair: FULL-resolution denominator (5 frames, frac 1)
+    assert(pairs((1L, 11L)) == ((5L, 1.0)), pairs)
+    // both-long clone pair: SAMPLED denominator (positions 0,2,4,6,8,10 of 11)
+    assert(pairs((2L, 12L)) == ((6L, 1.0)), pairs)
+    // short near-clone: frames 0-3 of 5 match (tail frame replaced) — full
+    // resolution keeps the 4/5 distinction a stride-2 mine would blur to 3/3
+    assert(pairs((1L, 3L))._2 == 0.8, pairs)
+  }
+
   test("videoFrameDHash: tail edit changes only the final frame's hash") {
     val t = "alpha beta gamma delta epsilon zeta eta theta " * 4
     val docs = Seq((1L, t), (2L, t + "QQQQ")).toDF("id", "text")
