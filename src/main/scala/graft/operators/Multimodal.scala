@@ -1287,7 +1287,9 @@ object Multimodal {
     * coarse that template-similar pairs quantize to frac 1.0 (sf1 sweep:
     * stride 4 read 50× the output and was NET slower; SCALING.md r13) —
     * while on long videos it is pure join-cost win with nothing to inflate.
-    * So: pairs where BOTH videos are short (`n_frames < tierMinFrames`) are
+    * So: pairs where BOTH videos are short (`n_frames < tierMinFrames`;
+    * default −1 resolves to 8·frameStride, giving every long-tier video
+    * ≥ 8 sampled positions — frac quantization ≤ 1/8) are
     * mined at FULL resolution; every other pair (at least one long side) is
     * mined at `frameStride` positions with the sampled denominator. The two
     * branches partition the pair space (both-short vs not), so the union is
@@ -1302,12 +1304,16 @@ object Multimodal {
                               maxHamming: Int = 6,
                               minMatchFrac: Double = 0.8,
                               frameStride: Int = 2,
-                              tierMinFrames: Int = 8): DataFrame = {
+                              tierMinFrames: Int = -1): DataFrame = {
     require(frameStride >= 1, s"frameStride must be >= 1, got $frameStride")
+    // Default tier boundary = 8·stride: a long-tier video then has ≥ 8
+    // sampled positions, keeping match_frac quantization ≤ 1/8 — the valve
+    // sweep's failure mode was exactly denominators of 1–3 positions.
+    val tierMin = if (tierMinFrames > 0) tierMinFrames else 8 * frameStride
     val h0 = videoFrameDHash(spark, media).localCheckpoint()
     val lens = h0.groupBy("media_id")
       .agg(max(col("n_frames")).as("nf"))
-      .withColumn("short", col("nf") < tierMinFrames)
+      .withColumn("short", col("nf") < tierMin)
     def agg(framePairs: DataFrame): DataFrame = framePairs
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_matching"))
