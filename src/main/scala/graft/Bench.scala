@@ -141,6 +141,32 @@ object Bench {
     else if (times.count(_ <= times.head * 1.5) >= 2) Some("regressed")
     else Some("stalled")
 
+  /** Post-battery adjudication verdict for one regressed-flagged query,
+   * given the battery min (after folding in the isolated re-run), the
+   * battery prior, the iso-population prior if one exists, and the isolated
+   * re-run time. Pure — the main loop applies the effects; BenchRenderSpec
+   * pins each branch (the logic used to live inline and was covered only by
+   * live synthetic drives).
+   *
+   *  - "healed": the shipped min is back within the battery prior — plain
+   *    contention noise; flag cleared.
+   *  - "xpopok": the ISOLATED run is within the ISOLATED prior — the
+   *    battery movement was measurement-population context, not code;
+   *    flag cleared, ratio restated against the iso prior.
+   *  - "corroborated": over BOTH populations' priors — a real regression;
+   *    the flag stands.
+   *  - "xpop": no same-population prior exists — unadjudicable this round;
+   *    flag cleared, ratio dropped, iso baseline establishes the prior.
+   */
+  def adjudicate(shippedMin: Double, prior: Double, isoPrior: Option[Double],
+      isoRun: Double): String =
+    if (priorVerdict(Seq(shippedMin), prior).isEmpty) "healed"
+    else isoPrior match {
+      case Some(ip) if priorVerdict(Seq(isoRun), ip).isEmpty => "xpopok"
+      case Some(_) => "corroborated"
+      case None => "xpop"
+    }
+
   /** One artifact's USABLE priors: (per-query seconds, ib-ladder seconds,
    * isolated-population seconds).
    *
@@ -782,32 +808,22 @@ object Bench {
           resultMap(name) = t
           priorRatioByName(name) = t / math.max(p, 0.05)
         }
-        if (priorVerdict(Seq(resultMap(name)), p).isEmpty) {
-          // the fresh-population run landed back within the battery prior —
-          // plain contention noise, healed
-          regressedQ -= name
-          priorFlagged -= name
-          System.err.println(f"BENCHREADJOK $name t=$t%.2f back within prior - flag cleared")
-        } else isoPriors.get(name) match {
-          case Some(ip) if priorVerdict(Seq(t), ip).isEmpty =>
-            // like-with-like: the isolated run is within the isolated prior,
-            // so the battery movement was population context, not code
+        adjudicate(resultMap(name), p, isoPriors.get(name), t) match {
+          case "healed" =>
+            regressedQ -= name
+            priorFlagged -= name
+            System.err.println(f"BENCHREADJOK $name t=$t%.2f back within prior - flag cleared")
+          case "xpopok" =>
+            val ip = isoPriors(name)
             regressedQ -= name
             priorFlagged -= name
             priorRatioByName(name) = t / math.max(ip, 0.05)
             System.err.println(f"BENCHXPOPOK $name iso=$t%.2f isoPrior=$ip%.2f " +
               "within iso - flag cleared")
-          case Some(ip) =>
-            // over BOTH populations' priors — a corroborated real regression;
-            // the flag stands and the artifact names it
-            System.err.println(f"BENCHREADJX $name iso=$t%.2f isoPrior=$ip%.2f " +
+          case "corroborated" =>
+            System.err.println(f"BENCHREADJX $name iso=$t%.2f isoPrior=${isoPriors(name)}%.2f " +
               "still over - regression corroborated in both populations")
-          case None =>
-            // only prior is cross-population (warm-battery vs isolated) —
-            // unadjudicable this round; establish the iso baseline, file
-            // informationally as xpop, drop the invalid ratio (verdict r12
-            // #1: "a query whose only prior is cross-population gets an
-            // automatic isolated baseline measure instead of a flag")
+          case _ => // "xpop"
             regressedQ -= name
             priorFlagged -= name
             priorRatioByName.remove(name)

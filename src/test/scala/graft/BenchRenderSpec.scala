@@ -223,6 +223,20 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(iso2 == Map("q_dup_clusters_lsh" -> 2.2), iso2)
   }
 
+  test("adjudicate: the four post-battery verdicts and their thresholds (verdict r12 #1)") {
+    // healed: shipped min back within 2x battery prior (or the 0.3s floor)
+    assert(Bench.adjudicate(shippedMin = 1.9, prior = 1.0, isoPrior = None, isoRun = 1.9) == "healed")
+    assert(Bench.adjudicate(shippedMin = 0.5, prior = 0.25, isoPrior = None, isoRun = 0.5) == "healed")
+    // xpopok: still over the battery prior, but the ISOLATED run is within
+    // the ISOLATED prior — population context, not code (dup_clusters r12:
+    // battery 2.3 vs warm prior 1.1, iso 2.2 vs iso prior 2.2)
+    assert(Bench.adjudicate(2.3, 1.1, Some(2.2), 2.2) == "xpopok")
+    // corroborated: over BOTH populations' priors — a real regression
+    assert(Bench.adjudicate(4.8, 1.1, Some(2.2), 4.9) == "corroborated")
+    // xpop: no same-population prior — unadjudicable, baseline established
+    assert(Bench.adjudicate(2.3, 1.1, None, 2.2) == "xpop")
+  }
+
   test("artifact line extracted through interleaved stdout noise (verdict r12 #7)") {
     // the r12 sf1 run printed a GCLocker warning ahead of the JSON line; the
     // prior loader must still find every block in a noisy tail capture
