@@ -28,8 +28,12 @@ object VecMean extends Aggregator[Seq[Float], VecMeanBuf, Seq[Float]] {
       b.counts = java.util.Arrays.copyOf(b.counts, n)
     }
 
-  override def reduce(b: Buf, v: Seq[Float]): Buf = {
-    if (v != null && v.nonEmpty) {
+  override def reduce(b: Buf, v0: Seq[Float]): Buf = {
+    if (v0 != null && v0.nonEmpty) {
+      // primitive unwrap (r13): Seq[Float].apply is unspecialized — indexing
+      // it boxes every element, the same ~10× hot-loop tax the SemDeDup
+      // assignment paid; this aggregator runs under every Lloyd mean
+      val v = Prim.floatArray(v0)
       grow(b, v.length)
       var i = 0
       while (i < v.length) { b.sums(i) += v(i); b.counts(i) += 1; i += 1 }

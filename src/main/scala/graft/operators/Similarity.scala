@@ -461,10 +461,8 @@ object Similarity {
       * Dataset decoder hands a `Seq[Float]` lambda) expose their array
       * copy-free; anything else pays one specialized toArray copy per row.
       */
-    private def toArr(v: Seq[Float]): Array[Float] = v match {
-      case w: scala.collection.immutable.ArraySeq.ofFloat => w.unsafeArray
-      case _ => v.toArray
-    }
+    private def toArr(v: Seq[Float]): Array[Float] =
+      graft.functions.Prim.floatArray(v)
 
     /** The unpruned loop's exact arithmetic — see class doc. */
     private def scoreOf(v: Array[Float], c: Int): Double = {
@@ -876,7 +874,7 @@ object Similarity {
     * codegen compilation for every training iteration (fresh literals →
     * fresh plan; measured: compile time, not math, dominated the build).
     */
-  private def nearestSubCode(v: Seq[Float], off: Int, sw: Int,
+  private def nearestSubCode(v: Array[Float], off: Int, sw: Int,
                              cents: Array[Array[Float]],
                              halves: Array[Double]): Int = {
     var best = 0
@@ -911,12 +909,15 @@ object Similarity {
     }
     for (_ <- 1 to iters) {
       val bc = spark0.sparkContext.broadcast((books, halfNorms(books)))
-      val assigned = base.flatMap { case (_, v) =>
+      // primitive unwrap once per ROW (r13 boxing sweep), then m subspace
+      // scans + m copyOfRange slices over the array
+      val assigned = base.flatMap { case (_, v0) =>
         val (bks, halves) = bc.value
+        val v = graft.functions.Prim.floatArray(v0)
         (0 until bks.length).iterator.map { s =>
           val off = s * sw
           (s, nearestSubCode(v, off, sw, bks(s), halves(s)),
-            v.slice(off, off + sw))
+            java.util.Arrays.copyOfRange(v, off, off + sw).toSeq)
         }
       }.toDF("sub", "cell", "v")
       val means = assigned.groupBy("sub", "cell")
@@ -946,8 +947,9 @@ object Similarity {
     val bc = spark0.sparkContext.broadcast((arr, halfNorms(arr)))
     corpus.select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("v"))
       .as[(Long, Seq[Float])]
-      .map { case (id, v) =>
+      .map { case (id, v0) =>
         val (bks, halves) = bc.value
+        val v = graft.functions.Prim.floatArray(v0)
         (id, Array.tabulate(bks.length)(s =>
           nearestSubCode(v, s * sw, sw, bks(s), halves(s))))
       }
@@ -977,9 +979,17 @@ object Similarity {
     import spark0.implicits._
     df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .as[(Long, Seq[Float])]
-      .map { case (id, v) =>
-        val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x))
-        (id, if (n == 0.0) v else v.map(x => (x / n).toFloat))
+      .map { case (id, v0) =>
+        val v = graft.functions.Prim.floatArray(v0)
+        var n2 = 0.0
+        var i = 0
+        while (i < v.length) { n2 += v(i).toDouble * v(i); i += 1 }
+        val n = math.sqrt(n2)
+        (id, if (n == 0.0) v0
+             else { val out = new Array[Float](v.length)
+               var j = 0
+               while (j < v.length) { out(j) = (v(j) / n).toFloat; j += 1 }
+               out.toSeq })
       }
       .toDF(idCol, vecCol)
   }
