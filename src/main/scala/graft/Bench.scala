@@ -328,10 +328,17 @@ object Bench {
     val (priorTimes, ibPriors, isoPriors): (Map[String, Double], Map[String, Double], Map[String, Double]) = {
       val explicit = sys.env.get("SPARK_GRAFT_BENCH_PRIOR").map(new java.io.File(_))
       val selfRound = sys.env.get("SPARK_GRAFT_BENCH_ROUND").map(_.toInt)
+      // Accepted names: the driver's BENCH_r<N>.json plus builder-saved
+      // per-scale artifacts like BENCH_sf1_r<N>.json / BENCH_sf1ib_r<N>.json
+      // (r13: the sf1 ladder now has adjudicated in-repo priors — the
+      // cross-scale sf gate in parsePriors keeps them out of sf0.1 runs).
+      // The ROUND is the r<N> suffix, not the first digit run (sf1's "1"
+      // must not win the sort or the self-round exclusion).
+      def roundOf(n: String) = "r(\\d+)\\.json".r.findFirstMatchIn(n).get.group(1).toInt
       val auto = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-        .filterNot(f => selfRound.contains("\\d+".r.findFirstIn(f.getName).get.toInt))
-        .sortBy(f => -"\\d+".r.findFirstIn(f.getName).get.toInt).toSeq
+        .filter(_.getName.matches("BENCH_\\w*r\\d+\\.json"))
+        .filterNot(f => selfRound.contains(roundOf(f.getName)))
+        .sortBy(f => -roundOf(f.getName)).toSeq
       val candidates = explicit.map(Seq(_)).getOrElse(auto)
       val curSf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir.split('/').last).map(_.group(1))
       mergePriors(candidates.filter(_.isFile).map { f =>
@@ -834,7 +841,16 @@ object Bench {
       }
     }
     val results = resultMap.toSeq.filterNot(_._2.isNaN)
-    val out = render(results, sfDir.split('/').last,
+    // Normalize the artifact's sf label to the canonical "sf<N>" form: a
+    // dir named graft-sf1 would otherwise render "sf":"graft-sf1", which
+    // the numeric prior-gate parse cannot read — the artifact would be
+    // unusable as a prior for its own scale (r13, found saving the first
+    // in-repo sf1 artifacts).
+    val sfLabel = {
+      val last = sfDir.split('/').last
+      "sf([0-9.]+)".r.findFirstMatchIn(last).map("sf" + _.group(1)).getOrElse(last)
+    }
+    val out = render(results, sfLabel,
       stallRatio = if (ratios.isEmpty) 1.0 else ratios.max,
       nstall = ratios.count(_ > 3), nretry = retriedQ,
       priorMax = if (priorRatioByName.isEmpty) None else Some(priorRatioByName.values.max),
