@@ -35,11 +35,20 @@ object VideoValveProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     val span = args.lift(1).map(_.toLong).getOrElse(5000L)
+    // optional 3rd arg: text replication factor — ×20 turns the 3–13-frame
+    // corpus into a 60–260-frame one, the LONG-video regime where the r13
+    // sweep's conclusion predicts stride is pure join-cost win (the sampled
+    // denominator stays fine-grained, so nothing inflates)
+    val xtext = args.lift(2).map(_.toInt).getOrElse(1)
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
-    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val docs0 = spark.read.parquet(s"$d/documents.parquet")
       .filter(Sampling.hashBucket(col("doc_id")) < 15)
+    val docs = if (xtext <= 1) docs0
+      else docs0.withColumn("text",
+        concat_ws(" ", (0 until xtext).map(i =>
+          concat(col("text"), lit(s" seg$i"))): _*))
     val vids = docs.select(col("doc_id"), col("text"))
       .union(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
       .union(docs.select((col("doc_id") + 200000).as("doc_id"),
