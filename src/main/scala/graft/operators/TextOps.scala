@@ -218,6 +218,11 @@ object TextOps {
     "greek" -> "[Ͱ-Ͽ]",
     "arabic" -> "[؀-ۿ]",
     "cjk" -> CjkCharClass,
+    // r13: the hi/mr/ne langId family routes through script-level detection
+    // first — Devanagari (U+0900–U+097F) was the one script with language
+    // profiles but no script class. Appended so existing tie-break order is
+    // untouched; the q_script_profile oracle is generated from this list.
+    "devanagari" -> "[ऀ-ॿ]",
   )
 
   /** Per-document Unicode script distribution: one count + ratio per

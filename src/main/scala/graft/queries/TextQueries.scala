@@ -43,6 +43,12 @@ object TextQueries {
     "наш поезд отправился в путь ровно в полночь", // ru A lowercased — MUST merge with text 0
     "the train left exactly at midnight",          // en
     "𐌰𐌱𐌲 поезд 123",                               // astral letters + digits
+    // 11th entry (r13): Devanagari WITH matras/anusvara — used only by
+    // q_script_profile (% UniTexts.size); q_unicode_dedup keeps % 10, so
+    // its carefully-built dup structure never sees this row. Pins the new
+    // "devanagari" script class against RE2 on real Devanagari bytes
+    // (combining signs count — the class is the whole block).
+    "और हम इस घर में नहीं रहते",                    // hi — Devanagari
   )
   private def uniTextsSqlList: String =
     UniTexts.map(t => s"'$t'").mkString("[", ", ", "]")
@@ -340,7 +346,7 @@ object TextQueries {
     "q_script_profile" -> Q(
       (s, d) => {
         val u = element_at(array(UniTexts.map(lit): _*),
-          (col("doc_id") % 10).cast("int") + 1)
+          (col("doc_id") % UniTexts.size).cast("int") + 1)
         Td.documents(s, d).filter(col("doc_id") < 60)
           .select(col("doc_id"), u.as("utext"))
           .select(col("doc_id") +:
@@ -354,7 +360,7 @@ object TextQueries {
         val best = s"greatest(${names.map("n_" + _).mkString(", ")})"
         val cases = names.map(n => s"WHEN n_$n = $best THEN '$n'").mkString(" ")
         s"""WITH u AS (SELECT doc_id,
-           |    ${uniTextsSqlList}[CAST(doc_id % 10 AS INT) + 1] AS utext
+           |    ${uniTextsSqlList}[CAST(doc_id % ${UniTexts.size} AS INT) + 1] AS utext
            |  FROM documents WHERE doc_id < 60),
            |c AS (SELECT doc_id, length(utext) AS len,
            |    $cnt

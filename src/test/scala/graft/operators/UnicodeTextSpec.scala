@@ -128,6 +128,9 @@ class UnicodeTextSpec extends SparkSpec {
     assert(profile("我们的火车在午夜出发")("script") == "cjk")
     assert(profile("القطار غادر")("script") == "arabic")
     assert(profile("ωμέγα τέλος")("script") == "greek")
+    // r13: Devanagari routes as its own script (incl. matras — the class is
+    // the whole block, unlike the tokenizer which strips Mn)
+    assert(profile("और हम नहीं कहते")("script") == "devanagari")
     assert(profile("12345 !!!")("script") == "und")
     assert(profile("")("script") == "und")
     // mixed: counts split, ratios sum ≤ 1 (spaces/digits counted by none)
