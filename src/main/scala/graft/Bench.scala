@@ -373,6 +373,10 @@ object Bench {
         // banded twin of "cc" (r11): the exact pair mine measured ~29× on
         // 10× data — ccl is its designated escape path, in the same artifact
         "ccl" -> timed(graft.queries.Td.buildClustersLshInto(spark, sfDir, s"$tmpRoot/ccl")),
+        // shared video-signature table (r14): the encode + container/codec
+        // decode the three near-dup variants amortize — the multimodal
+        // stage's build cost, visible per-round like every other install
+        "vh" -> timed(graft.queries.Td.buildVideoHashInto(spark, sfDir, s"$tmpRoot/vh")),
         // append-vs-rebuild evidence: one batch appended to a fresh base
         // (base build untimed — "ivf"/"ivfpq" already report rebuild cost);
         // the claim "append ≪ rebuild" must be readable from the artifact
@@ -488,6 +492,7 @@ object Bench {
           case "ivfpq"  => () => timed(Td.buildIvfPqInto(spark, sfDir, d))
           case "cc"     => () => timed(Td.buildClustersInto(spark, sfDir, d))
           case "ccl"    => () => timed(Td.buildClustersLshInto(spark, sfDir, d))
+          case "vh"     => () => timed(Td.buildVideoHashInto(spark, sfDir, d))
           case "vdd"    => () => timed(Td.buildVecDedupInto(spark, sfDir, d))
           case "ivfa"   => () => { Td.buildIvfIncBaseInto(spark, sfDir, d)
             timed(Td.appendIvfInc(spark, sfDir, d, 60, 80)) }
@@ -590,6 +595,7 @@ object Bench {
       graft.queries.Td.pqIndexTable(spark, sfDir).codes.count()
       graft.queries.Td.ivfpqIndexTable(spark, sfDir).codes.count()
       graft.queries.Td.clusterTable(spark, sfDir).count()
+      graft.queries.Td.videoHashTable(spark, sfDir).count()
       graft.queries.Td.ivfIncIndexTable(spark, sfDir)._1.assigned.count()
       graft.queries.Td.ivfpqIncIndexTable(spark, sfDir)._1.codes.count()
       graft.queries.Td.vecDedupTables(spark, sfDir)._2.count()

@@ -1260,9 +1260,24 @@ object Multimodal {
   def videoNearDupPairs(spark: SparkSession, media: DataFrame,
                         maxHamming: Int = 6,
                         minMatchFrac: Double = 0.8,
-                        frameStride: Int = 1): DataFrame = {
+                        frameStride: Int = 1): DataFrame =
+    videoNearDupPairsFromHashes(spark,
+      videoFrameDHash(spark, media).localCheckpoint(),
+      maxHamming, minMatchFrac, frameStride)
+
+  /** [[videoNearDupPairs]] over PRE-COMPUTED frame signatures — the shape a
+    * stored signature table feeds (r13 verdict Next #3: the three battery
+    * video queries each re-encoded and re-decoded the same corpus in-plan;
+    * a Td-installed hash table pays container+codec exactly once per corpus
+    * and every near-dup variant reads 8-byte rows). `hashes` must carry
+    * (media_id, frame_idx, n_frames, dhash) — [[videoFrameDHash]]'s schema.
+    */
+  def videoNearDupPairsFromHashes(spark: SparkSession, hashes: DataFrame,
+                                  maxHamming: Int = 6,
+                                  minMatchFrac: Double = 0.8,
+                                  frameStride: Int = 1): DataFrame = {
     require(frameStride >= 1, s"frameStride must be >= 1, got $frameStride")
-    val h0 = videoFrameDHash(spark, media).localCheckpoint()
+    val h0 = hashes
     val h = if (frameStride == 1) h0
       else h0.filter(col("frame_idx") % frameStride === 0)
     val lens = h0.groupBy("media_id").agg(max(col("n_frames")).as("nf"))
@@ -1287,56 +1302,82 @@ object Multimodal {
     * coarse that template-similar pairs quantize to frac 1.0 (sf1 sweep:
     * stride 4 read 50× the output and was NET slower; SCALING.md r13) —
     * while on long videos it is pure join-cost win with nothing to inflate.
-    * So: pairs where BOTH videos are short (`n_frames < tierMinFrames`;
-    * default −1 resolves to 8·frameStride, giving every long-tier video
-    * ≥ 8 sampled positions — frac quantization ≤ 1/8) are
-    * mined at FULL resolution; every other pair (at least one long side) is
-    * mined at `frameStride` positions with the sampled denominator. The two
-    * branches partition the pair space (both-short vs not), so the union is
-    * duplicate-free; decode runs ONCE for both. Cross-tier pairs lose
-    * nothing structurally — a short video has every position, so all of the
-    * long side's sampled positions align.
+    *
+    * Routing is by the SHORTER side of each pair (r13 ADVICE: the original
+    * both-short routing sent short×long pairs through the strided branch,
+    * where `n_comparable` = sampled positions of the SHORT side — 1..8 at
+    * the default boundary — reintroducing exactly the quantization hazard
+    * the tier split exists to fix). A pair whose shorter video has
+    * `n_frames < tierMinFrames` (default −1 resolves to 8·frameStride,
+    * giving every strided denominator ≥ 8 positions — frac quantization
+    * ≤ 1/8) is mined at FULL resolution; only both-long pairs are mined at
+    * `frameStride` positions with the sampled denominator. Three disjoint
+    * branches partition the pair space — short×short (self-join over the
+    * short tier's frames), short×long (the asymmetric
+    * [[graft.operators.Dedup.hammingPairsBlockedCross]], whose candidate
+    * mass is bounded by the short side; the long side is pre-cut to
+    * positions < tierMinFrames since a short video has no frames beyond
+    * its own length to align), and long×long (self-join over the long
+    * tier's STRIDED frames — the mass stride is protecting) — so the union
+    * is duplicate-free and decode runs ONCE for all three.
     * Output: (id_a, id_b, n_matching, n_comparable, match_frac) — the same
-    * shape as [[videoNearDupPairs]]; `n_comparable` is full-resolution for
-    * both-short pairs and sampled otherwise.
+    * shape as [[videoNearDupPairs]]; `n_comparable` is full-resolution
+    * whenever either side is short, sampled for both-long pairs.
     */
   def videoNearDupPairsTiered(spark: SparkSession, media: DataFrame,
                               maxHamming: Int = 6,
                               minMatchFrac: Double = 0.8,
                               frameStride: Int = 2,
-                              tierMinFrames: Int = -1): DataFrame = {
+                              tierMinFrames: Int = -1): DataFrame =
+    videoNearDupPairsTieredFromHashes(spark,
+      videoFrameDHash(spark, media).localCheckpoint(),
+      maxHamming, minMatchFrac, frameStride, tierMinFrames)
+
+  /** [[videoNearDupPairsTiered]] over pre-computed frame signatures — see
+    * [[videoNearDupPairsFromHashes]] for the stored-signature rationale.
+    */
+  def videoNearDupPairsTieredFromHashes(spark: SparkSession, hashes: DataFrame,
+                                        maxHamming: Int = 6,
+                                        minMatchFrac: Double = 0.8,
+                                        frameStride: Int = 2,
+                                        tierMinFrames: Int = -1): DataFrame = {
     require(frameStride >= 1, s"frameStride must be >= 1, got $frameStride")
-    // Default tier boundary = 8·stride: a long-tier video then has ≥ 8
-    // sampled positions, keeping match_frac quantization ≤ 1/8 — the valve
-    // sweep's failure mode was exactly denominators of 1–3 positions.
+    // Default tier boundary = 8·stride: every strided (both-long) pair then
+    // has a denominator of ≥ 8 sampled positions — the valve sweep's failure
+    // mode was exactly denominators of 1–3 positions.
     val tierMin = if (tierMinFrames > 0) tierMinFrames else 8 * frameStride
-    val h0 = videoFrameDHash(spark, media).localCheckpoint()
+    val h0 = hashes
     val lens = h0.groupBy("media_id")
       .agg(max(col("n_frames")).as("nf"))
       .withColumn("short", col("nf") < tierMin)
     def agg(framePairs: DataFrame): DataFrame = framePairs
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_matching"))
-      .join(lens.select(col("media_id").as("id_a"), col("nf").as("__na"),
-        col("short").as("__sa")), Seq("id_a"))
-      .join(lens.select(col("media_id").as("id_b"), col("nf").as("__nb"),
-        col("short").as("__sb")), Seq("id_b"))
-    // both-short pairs: full resolution over the short tier's frames only
+      .join(lens.select(col("media_id").as("id_a"), col("nf").as("__na")), Seq("id_a"))
+      .join(lens.select(col("media_id").as("id_b"), col("nf").as("__nb")), Seq("id_b"))
     val shortFrames = h0.join(
       lens.filter(col("short")).select(col("media_id")), Seq("media_id"))
-    val shortPairs = agg(Dedup.hammingPairsBlocked(shortFrames, "media_id",
-        "frame_idx", "dhash", bits = 64, maxHamming = maxHamming))
+    val longFrames = h0.join(
+      lens.filter(!col("short")).select(col("media_id")), Seq("media_id"))
+    // short×short: full resolution within the short tier
+    val shortSelf = Dedup.hammingPairsBlocked(shortFrames, "media_id",
+      "frame_idx", "dhash", bits = 64, maxHamming = maxHamming)
+    // short×long: full resolution; only the long side's first tierMin
+    // positions can ever align with a short video's frames, so the
+    // expensive relation enters the join pre-cut to a bounded prefix
+    val crossPairs = Dedup.hammingPairsBlockedCross(shortFrames,
+      longFrames.filter(col("frame_idx") < tierMin), "media_id",
+      "frame_idx", "dhash", bits = 64, maxHamming = maxHamming)
+    val fullPairs = agg(shortSelf.unionByName(crossPairs))
       .withColumn("n_comparable", least(col("__na"), col("__nb")).cast("long"))
-    // every pair with a long side: strided positions over ALL videos, then
-    // drop the both-short pairs (they belong to the branch above)
-    val stridedFrames = if (frameStride == 1) h0
-      else h0.filter(col("frame_idx") % frameStride === 0)
-    val longPairs = agg(Dedup.hammingPairsBlocked(stridedFrames, "media_id",
+    // long×long: strided positions over the long tier only
+    val stridedLong = if (frameStride == 1) longFrames
+      else longFrames.filter(col("frame_idx") % frameStride === 0)
+    val longPairs = agg(Dedup.hammingPairsBlocked(stridedLong, "media_id",
         "frame_idx", "dhash", bits = 64, maxHamming = maxHamming))
-      .filter(!(col("__sa") && col("__sb")))
       .withColumn("n_comparable",
         (floor((least(col("__na"), col("__nb")) - 1) / frameStride) + 1).cast("long"))
-    shortPairs.unionByName(longPairs)
+    fullPairs.unionByName(longPairs)
       .withColumn("match_frac",
         col("n_matching").cast("double") / col("n_comparable").cast("double"))
       .filter(col("match_frac") >= minMatchFrac)

@@ -217,12 +217,29 @@ object TextOps {
     "cyrillic" -> "[Ѐ-ӿ]",
     "greek" -> "[Ͱ-Ͽ]",
     "arabic" -> "[؀-ۿ]",
-    "cjk" -> CjkCharClass,
+    // r14: narrowed from CjkCharClass (which bundles kana + Hangul for the
+    // TOKENIZER's per-char-split rule) to the Han ideograph blocks only
+    // (ext A U+3400–U+4DBF + unified U+4E00–U+9FFF) — the kana and hangul
+    // classes below would otherwise TIE with cjk on every Japanese/Korean
+    // text and lose the tie-break to it, leaving the new classes dead.
+    // CjkCharClass itself is untouched: tokenization semantics stay pinned.
+    "cjk" -> "[㐀-䶿一-鿿]",
     // r13: the hi/mr/ne langId family routes through script-level detection
     // first — Devanagari (U+0900–U+097F) was the one script with language
     // profiles but no script class. Appended so existing tie-break order is
     // untouched; the q_script_profile oracle is generated from this list.
     "devanagari" -> "[ऀ-ॿ]",
+    // r14 tier-2 (verdict r13 #5): the next scripts by web-corpus volume
+    // that previously profiled "und" (or, for kana/hangul, vanished into
+    // the tokenizer-shaped cjk class). Literal BMP ranges as above —
+    // identical semantics under Java regex and RE2, no \p{script=} drift.
+    "bengali" -> "[ঀ-৿]",
+    // Jamo + compatibility Jamo + syllables: NFD Korean (conjoining Jamo)
+    // profiles hangul too, not just precomposed syllables.
+    "hangul" -> "[ᄀ-ᇿ㄰-㆏가-힯]",
+    "kana" -> "[ぁ-ヿ]",
+    "hebrew" -> "[֐-׿]",
+    "thai" -> "[฀-๿]",
   )
 
   /** Per-document Unicode script distribution: one count + ratio per

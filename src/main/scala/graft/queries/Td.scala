@@ -367,6 +367,43 @@ object Td {
     graft.engine.KeyedTable(s, root, Seq("id")).current
   }
 
+  /** The video near-dup family's shared corpus: sampled documents as
+    * AVI/MJPEG videos (one JPEG frame per 48-byte text slice) plus an exact
+    * clone (+100000) and a tail-edited clone (+200000, text + ' xyzzy' —
+    * only the final frame's bytes change). Kept in ONE place so the three
+    * battery variants (full / strided / tiered) cannot drift apart from
+    * each other or from [[videoHashTable]]'s stored signatures.
+    */
+  private[graft] def videoCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .filter(graft.operators.Sampling.hashBucket(col("doc_id")) < 15)
+    val vids = docs.select(col("doc_id"), col("text"))
+      .union(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .union(docs.select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" xyzzy")).as("text")))
+    graft.operators.Multimodal.asAviMediaTable(s, vids, "doc_id", "text",
+      blocksPerRow = 10, frameBytes = 48)
+  }
+
+  /** Per-frame dHash signatures over [[videoCorpus]], encoded + decoded once
+    * (r13 verdict Next #3: the three video near-dup queries each rebuilt the
+    * AVI bytes and re-ran the container+codec walk in-plan, ~23–25 s apiece
+    * at sf1). The signature table is the decode's only downstream product,
+    * so installing IT (not the AVI bytes) amortizes the whole multimodal
+    * stage; every near-dup variant then reads 8-byte signature rows.
+    */
+  private[graft] def buildVideoHashInto(s: SparkSession, d: String, tmp: String): Unit =
+    graft.operators.Multimodal.videoFrameDHash(s, videoCorpus(s, d))
+      .write.mode("overwrite").parquet(tmp)
+
+  private val VideoHashFormat = 1
+  def videoHashTable(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val root = indexRoot(s, "videohash", VideoHashFormat, d, "documents", docs.count())
+    installDir(s, root)(buildVideoHashInto(s, d, _))
+    s.read.parquet(root)
+  }
+
   /** Stored RANGE-bucketed KeyedTable over `events` — keyed `(ts, event_id)`
     * with `rangeCol = ts` and a `value` stats sidecar; the zone-map pruning
     * demonstrator the gated query scans. Built 90/10 (overwrite, then merge)

@@ -49,6 +49,15 @@ object TextQueries {
     // "devanagari" script class against RE2 on real Devanagari bytes
     // (combining signs count — the class is the whole block).
     "और हम इस घर में नहीं रहते",                    // hi — Devanagari
+    // r14 rows (verdict r13 #5): one per new tier-2 script class, reaching
+    // q_script_profile only (% UniTexts.size); q_unicode_dedup stays % 10.
+    // All five scripts are caseless (or, for kana, case-free) — inside the
+    // shared case contract by construction.
+    "আমরা এই ঘরে থাকি না",                          // bn — Bengali with matras
+    "우리는 이 집에 살지 않는다",                     // ko — precomposed Hangul syllables
+    "הרכבת יצאה בחצות הלילה",                      // he — Hebrew
+    "รถไฟออกเดินทางตอนเที่ยงคืน",                    // th — Thai (scriptio continua)
+    "ひらがなとカタカナのテキスト",                    // ja — pure kana (row 6 mixes Han)
   )
   private def uniTextsSqlList: String =
     UniTexts.map(t => s"'$t'").mkString("[", ", ", "]")
@@ -1001,17 +1010,14 @@ object TextQueries {
     // must land at match_frac 1.0, tail edits at (nc−1)/nc or 1.0, and any
     // mis-walked container or mis-aligned band shifts a bit and hash-fails.
     "q_video_neardup" -> Q(
-      (s, d) => {
-        val docs = Td.documents(s, d)
-          .filter(graft.operators.Sampling.hashBucket(col("doc_id")) < 15)
-        val vids = docs.select(col("doc_id"), col("text"))
-          .union(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
-          .union(docs.select((col("doc_id") + 200000).as("doc_id"),
-            concat(col("text"), lit(" xyzzy")).as("text")))
-        val media = Multimodal.asAviMediaTable(s, vids, "doc_id", "text",
-          blocksPerRow = 10, frameBytes = 48)
-        Multimodal.videoNearDupPairs(s, media, maxHamming = 1, minMatchFrac = 0.8)
-      },
+      // Corpus + signatures come from STORAGE (Td.videoHashTable — encode +
+      // container/codec decode run once per corpus, amortized across the
+      // whole family; r13 verdict Next #3): the query measures the
+      // recurring pair-mining cost, and the oracle recomputes the
+      // signatures from the text slices so the stored table's bytes are
+      // still pinned end-to-end.
+      (s, d) => Multimodal.videoNearDupPairsFromHashes(s, Td.videoHashTable(s, d),
+        maxHamming = 1, minMatchFrac = 0.8),
       Some("""WITH base AS (SELECT doc_id, text FROM documents
              |  WHERE (((doc_id % 1000003) * 2654435761) // 8192) % 100 < 15
              |    AND text IS NOT NULL),
@@ -1058,18 +1064,8 @@ object TextQueries {
     // coarse denominator ADMITS more template pairs — the documented
     // short-video hazard — while exact clones stay at frac 1.0.)
     "q_video_neardup_s2" -> Q(
-      (s, d) => {
-        val docs = Td.documents(s, d)
-          .filter(graft.operators.Sampling.hashBucket(col("doc_id")) < 15)
-        val vids = docs.select(col("doc_id"), col("text"))
-          .union(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
-          .union(docs.select((col("doc_id") + 200000).as("doc_id"),
-            concat(col("text"), lit(" xyzzy")).as("text")))
-        val media = Multimodal.asAviMediaTable(s, vids, "doc_id", "text",
-          blocksPerRow = 10, frameBytes = 48)
-        Multimodal.videoNearDupPairs(s, media, maxHamming = 1, minMatchFrac = 0.8,
-          frameStride = 2)
-      },
+      (s, d) => Multimodal.videoNearDupPairsFromHashes(s, Td.videoHashTable(s, d),
+        maxHamming = 1, minMatchFrac = 0.8, frameStride = 2),
       Some("""WITH base AS (SELECT doc_id, text FROM documents
              |  WHERE (((doc_id % 1000003) * 2654435761) // 8192) % 100 < 15
              |    AND text IS NOT NULL),
@@ -1106,27 +1102,20 @@ object TextQueries {
              |FROM j WHERE CAST(n_matching AS DOUBLE) / n_comparable >= 0.8""".stripMargin)),
 
     // ----- video near-dup, TWO-TIER (the production stride recipe) ---------
-    // The r13 valve sweep's conclusion as an operator: both-short pairs
-    // (nf < 8) mine at full resolution (stride's coarse denominator is
-    // precision-catastrophic on 1–3 sampled positions), pairs with a long
-    // side mine at stride 2 with the sampled denominator (pure join-cost
-    // win at real video lengths). The two branches partition the pair
-    // space, so one double-counted pair, one mis-tiered video, or a wrong
-    // branch denominator changes rows and hash-fails. Corpus spans both
-    // tiers (doc texts run 3–13 frames at 48 bytes/frame).
+    // The r13 valve sweep's conclusion as an operator, with r14's
+    // shorter-side routing (r13 ADVICE): any pair whose SHORTER video has
+    // nf < 8 mines at full resolution (stride's coarse denominator is
+    // precision-catastrophic on 1–8 sampled positions — and the
+    // denominator is always the shorter side's, so short×long pairs carry
+    // the hazard too), only both-long pairs mine at stride 2 with the
+    // sampled denominator (pure join-cost win at real video lengths). The
+    // branches partition the pair space, so one double-counted pair, one
+    // mis-tiered video, or a wrong branch denominator changes rows and
+    // hash-fails. Corpus spans both tiers (doc texts run 3–13 frames at
+    // 48 bytes/frame).
     "q_video_neardup_tiered" -> Q(
-      (s, d) => {
-        val docs = Td.documents(s, d)
-          .filter(graft.operators.Sampling.hashBucket(col("doc_id")) < 15)
-        val vids = docs.select(col("doc_id"), col("text"))
-          .union(docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
-          .union(docs.select((col("doc_id") + 200000).as("doc_id"),
-            concat(col("text"), lit(" xyzzy")).as("text")))
-        val media = Multimodal.asAviMediaTable(s, vids, "doc_id", "text",
-          blocksPerRow = 10, frameBytes = 48)
-        Multimodal.videoNearDupPairsTiered(s, media, maxHamming = 1,
-          minMatchFrac = 0.8, frameStride = 2, tierMinFrames = 8)
-      },
+      (s, d) => Multimodal.videoNearDupPairsTieredFromHashes(s, Td.videoHashTable(s, d),
+        maxHamming = 1, minMatchFrac = 0.8, frameStride = 2, tierMinFrames = 8),
       Some("""WITH base AS (SELECT doc_id, text FROM documents
              |  WHERE (((doc_id % 1000003) * 2654435761) // 8192) % 100 < 15
              |    AND text IS NOT NULL),
@@ -1155,11 +1144,11 @@ object TextQueries {
              |  FROM cs a JOIN cs b ON a.fi = b.fi AND a.vid < b.vid),
              |ms AS (SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_matching,
              |    CAST(LEAST(min(na), min(nb)) AS BIGINT) AS n_comparable
-             |  FROM ham WHERE hamming <= 1 AND na < 8 AND nb < 8 GROUP BY 1, 2),
+             |  FROM ham WHERE hamming <= 1 AND (na < 8 OR nb < 8) GROUP BY 1, 2),
              |ml AS (SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_matching,
              |    CAST((LEAST(min(na), min(nb)) - 1) // 2 + 1 AS BIGINT) AS n_comparable
              |  FROM ham WHERE hamming <= 1 AND fi % 2 = 0
-             |    AND NOT (na < 8 AND nb < 8) GROUP BY 1, 2),
+             |    AND na >= 8 AND nb >= 8 GROUP BY 1, 2),
              |u AS (SELECT * FROM ms UNION ALL SELECT * FROM ml)
              |SELECT id_a, id_b, n_matching, n_comparable,
              |  CAST(n_matching AS DOUBLE) / n_comparable AS match_frac

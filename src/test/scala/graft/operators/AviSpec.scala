@@ -110,7 +110,7 @@ class AviSpec extends SparkSpec {
     assert(!pairs.contains((1L, 2L)))
   }
 
-  test("videoNearDupPairsTiered: both-short pairs mine full-resolution, long pairs sampled, no double counting") {
+  test("videoNearDupPairsTiered: pairs route by the SHORTER side, no double counting") {
     val short = "alpha beta gamma delta epsilon zeta eta theta " * 5 // 5 frames @48
     val long = "one two three four five six seven eight nine ten " * 10 // 11 frames
     val docs = Seq(
@@ -121,6 +121,9 @@ class AviSpec extends SparkSpec {
       // edit-robust by design); same length class, so nf stays 5 and the
       // match_frac is exactly 4/5 = the 0.8 threshold
       (3L, short.take(192) + "9876543210 " * 4),
+      // CROSS-TIER pair (r13 ADVICE): a short video that is a frame-exact
+      // PREFIX of the long one — every one of its 5 positions aligns
+      (4L, long.take(240)),
     ).toDF("id", "text")
     val media = Multimodal.asAviMediaTable(spark, docs, "id", "text",
       blocksPerRow = 10, frameBytes = 48)
@@ -138,6 +141,12 @@ class AviSpec extends SparkSpec {
     // short near-clone: frames 0-3 of 5 match (tail frame replaced) — full
     // resolution keeps the 4/5 distinction a stride-2 mine would blur to 3/3
     assert(pairs((1L, 3L))._2 == 0.8, pairs)
+    // cross-tier pairs take the FULL-resolution branch: the denominator is
+    // the short side's 5 frames, not ⌊(5−1)/2⌋+1 = 3 sampled positions —
+    // the quantization hazard the shorter-side routing removes (both
+    // orientations: id order must not affect the routing)
+    assert(pairs((2L, 4L)) == ((5L, 1.0)), pairs)
+    assert(pairs((4L, 12L)) == ((5L, 1.0)), pairs)
   }
 
   test("videoFrameDHash: tail edit changes only the final frame's hash") {

@@ -131,6 +131,20 @@ class UnicodeTextSpec extends SparkSpec {
     // r13: Devanagari routes as its own script (incl. matras — the class is
     // the whole block, unlike the tokenizer which strips Mn)
     assert(profile("और हम नहीं कहते")("script") == "devanagari")
+    // r14 tier-2 classes — each previously profiled "und" (bn/he/th) or
+    // disappeared into the tokenizer-shaped cjk class (hangul/kana)
+    assert(profile("আমরা এই ঘরে থাকি না")("script") == "bengali")
+    assert(profile("우리는 이 집에 살지 않는다")("script") == "hangul")
+    // NFD Korean (conjoining Jamo) profiles hangul too — the class spans
+    // the Jamo block, not just precomposed syllables
+    assert(profile("한국")("script") == "hangul")
+    assert(profile("הרכבת יצאה בחצות")("script") == "hebrew")
+    assert(profile("รถไฟออกตอนเที่ยงคืน")("script") == "thai")
+    assert(profile("ひらがなとカタカナ")("script") == "kana")
+    // Japanese Han+kana mix: cjk is now Han-ONLY, so the counts split and
+    // the majority-Han sentence stays cjk-dominant with a real kana count
+    val ja = profile("真夜中に列車が出発した")
+    assert(ja("script") == "cjk" && ja("n_cjk") == 7L && ja("n_kana") == 4L)
     assert(profile("12345 !!!")("script") == "und")
     assert(profile("")("script") == "und")
     // mixed: counts split, ratios sum ≤ 1 (spaces/digits counted by none)
