@@ -478,10 +478,14 @@ object Bench {
       // ONE fresh re-run into a throwaway dir and the MIN ships. Keys whose
       // measurement depends on state mutated mid-ladder by OTHER keys
       // (mr1/mr8 read after specific epoch bursts, s2c compacts accumulated
-      // chains, tkd/tkdr replay a delete burst) are not reproducible in
-      // isolation — they are logged (BENCHIBX) and ship as measured. _mb
-      // keys are byte volumes, not timings: never adjudicated. Re-runs are
-      // capped so garbage priors can't double the ladder's wall time.
+      // chains, tkd/tkdr replay a delete burst) replay the ladder's exact
+      // build/epoch prefix into the fresh dir first (r14 — these were the
+      // last un-adjudicable channel and produced r13's only unexplained
+      // movers); their deterministic builds reproduce identical state, so
+      // the timed step measures the same operation. _mb keys are byte
+      // volumes, not timings: never adjudicated (BENCHIBX logs any other
+      // recipe gap). Re-runs are capped so garbage priors can't double the
+      // ladder's wall time.
       def ibRerun(key: String, tag: String = "a"): Option[() => Double] = {
         val d = s"$tmpRoot/rr_${key}_$tag"
         import graft.queries.Td
@@ -510,7 +514,64 @@ object Bench {
           case "scd2m"  => () => timed(Td.buildScd2OrdersMorInto(spark, sfDir, d))
           case "scd2_1m" => () => { Td.buildScd2OrdersMorInto(spark, sfDir, d)
             timed(Td.epoch1Scd2Orders(spark, sfDir, d)) }
+          // State-coupled keys (r13 verdict Next #1): until r14 these had no
+          // isolation recipe — they read state other ladder keys mutated, so
+          // they shipped single-run (BENCHIBX1) and were the only channel
+          // with no adjudication path; r13's only unexplained movers (tm
+          // 9.3→13.0, tkdr 4.8→6.2, scd2m 6.1→7.8 at sf0.1) all sat there.
+          // Their state IS rebuildable: each recipe replays the ladder's
+          // exact build/epoch prefix into a fresh dir and times only the
+          // ladder's own timed step, so the re-run measures the same
+          // operation minus mid-ladder ambient contention. The prefixes make
+          // these the EXPENSIVE recipes — they only run on a >1.5×-prior
+          // trip or under SPARK_GRAFT_BENCH_IB_RUNS min-of-N, same as all.
+          case "s2r1"   => () => { Td.buildScd2OrdersMorInto(spark, sfDir, d)
+            Td.epoch1Scd2Orders(spark, sfDir, d)
+            timed(Td.scanMorOrders(spark, d)) }
+          case "s2c"    => () => { Td.buildScd2OrdersMorInto(spark, sfDir, d)
+            Td.epoch1Scd2Orders(spark, sfDir, d)
+            timed {
+              graft.engine.KeyedTable(spark, d, Seq("o_orderkey"))
+                .compactDeltas(maxDeltas = 1)
+              ()
+            } }
+          case "s2r0"   => () => { Td.buildScd2OrdersMorInto(spark, sfDir, d)
+            Td.epoch1Scd2Orders(spark, sfDir, d)
+            graft.engine.KeyedTable(spark, d, Seq("o_orderkey"))
+              .compactDeltas(maxDeltas = 1)
+            timed(Td.scanMorOrders(spark, d)) }
           case "mor"    => () => timed(Td.buildMorOrdersInto(spark, sfDir, d))
+          case "mr0"    => () => { Td.buildMorOrdersInto(spark, sfDir, d)
+            timed(Td.scanMorOrders(spark, d)) }
+          case "me1"    => () => { Td.buildMorOrdersInto(spark, sfDir, d)
+            timed(Td.epochMorOrders(spark, sfDir, d, 1)) }
+          case "mr1"    => () => { Td.buildMorOrdersInto(spark, sfDir, d)
+            Td.epochMorOrders(spark, sfDir, d, 1)
+            timed(Td.scanMorOrders(spark, d)) }
+          case "mr8"    => () => { Td.buildMorOrdersInto(spark, sfDir, d)
+            (1 to 8).foreach(m => Td.epochMorOrders(spark, sfDir, d, m))
+            timed(Td.scanMorOrders(spark, d)) }
+          case "morc"   => () => { Td.buildMorOrdersInto(spark, sfDir, d)
+            (1 to 8).foreach(m => Td.epochMorOrders(spark, sfDir, d, m))
+            timed {
+              graft.engine.KeyedTable(spark, d, Seq("o_orderkey"))
+                .compactDeltas(maxDeltas = 4)
+              ()
+            } }
+          case "mrc"    => () => { Td.buildMorOrdersInto(spark, sfDir, d)
+            (1 to 8).foreach(m => Td.epochMorOrders(spark, sfDir, d, m))
+            graft.engine.KeyedTable(spark, d, Seq("o_orderkey"))
+              .compactDeltas(maxDeltas = 4)
+            timed(Td.scanMorOrders(spark, d)) }
+          case "tkd"    => () => { Td.buildTopkMaintainInto(spark, sfDir, d)
+            Td.epoch1TopkMaintain(spark, sfDir, d)
+            Td.buildTopkReplicaInto(spark, sfDir, d)
+            timed(Td.epochTopkRefill(spark, sfDir, d, "F", 3, useReplica = false)) }
+          case "tkdr"   => () => { Td.buildTopkMaintainInto(spark, sfDir, d)
+            Td.epoch1TopkMaintain(spark, sfDir, d)
+            Td.buildTopkReplicaInto(spark, sfDir, d)
+            Td.epochTopkRefill(spark, sfDir, d, "F", 3, useReplica = false)
+            timed(Td.epochTopkRefill(spark, sfDir, d, "O", 4, useReplica = true)) }
           case "jm"     => () => timed(Td.buildJoinMaintainInto(spark, sfDir, d))
           case "jm1"    => () => { Td.buildJoinMaintainInto(spark, sfDir, d)
             timed(Td.epoch1JoinMaintain(spark, sfDir, d)) }
@@ -540,8 +601,8 @@ object Bench {
       // SPARK_GRAFT_BENCH_IB_RUNS=N re-runs every recipe-able key N-1 more
       // times into fresh dirs and ships the MIN, logging the spread
       // (BENCHIBSPREAD) so the artifact's reader can see the noise band.
-      // State-coupled keys (mr1/mr8/s2c/tkd/... — no isolation recipe) and
-      // _mb byte volumes ship single-run as before (BENCHIBX1).
+      // Since r14 every timed key has a recipe (state-coupled keys replay
+      // their prefix); only _mb byte volumes ship single-run (BENCHIBX1).
       val ibRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_IB_RUNS", "1").toInt
       val outMinned = if (ibRuns <= 1) out else out.map { case (k, v) =>
         if (k.endsWith("_mb") || ibRerun(k).isEmpty) {
@@ -662,6 +723,16 @@ object Bench {
     // Queries whose only prior was cross-population: movement unadjudicable,
     // iso baseline established instead of a flag. Informational, not npx.
     val xpopQ = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Queries whose battery-prior breach was VETOED by the iso prior
+    // (BENCHISOOK). They get a post-battery isolated re-run of their own
+    // (ADVICE r13): the veto path never reached the regressed-adjudication
+    // loop, so a one-time inflated iso baseline would otherwise persist
+    // forever — only vetoed queries kept the stale entry alive, and every
+    // future round's movement up to 2× it stayed unflagged. The refresh
+    // re-measures the iso population each time the veto fires; a fresh run
+    // that is ITSELF over the iso bar (corroborated min-of-2) files the
+    // regression the veto would have hidden.
+    val isoVetoedQ = scala.collection.mutable.LinkedHashSet.empty[String]
     var retriedQ = 0
     val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "3").toInt
     // Cross-round prior (r8 verdict Next #3): the corroboration rule above
@@ -754,9 +825,11 @@ object Bench {
       def priorExceeded = prior.exists(p =>
         times.nonEmpty && times.head > 2 * p && times.head - p > 0.3) && !isoVeto
       if (prior.exists(p => times.nonEmpty && times.head > 2 * p &&
-          times.head - p > 0.3) && isoVeto)
+          times.head - p > 0.3) && isoVeto) {
+        isoVetoedQ += name
         System.err.println(f"BENCHISOOK $name min=${times.head}%.2f " +
           f"prior=${prior.get}%.2f isoPrior=${isoPriors(name)}%.2f within iso - no flag")
+      }
       var pExtra = 0
       while (priorExceeded && pExtra < maxRetries) {
         pExtra += 1
@@ -843,6 +916,49 @@ object Bench {
             xpopQ += name
             System.err.println(f"BENCHXPOP $name iso=$t%.2f battery-prior=$p%.2f " +
               "cross-population - iso baseline established")
+        }
+      }
+    }
+    // Iso-baseline refresh for veto'd queries (ADVICE r13): each gets one
+    // isolated re-run; a clean or corroborated-over run ships as the fresh
+    // "iso" entry (next round compares against CURRENT iso reality, not the
+    // entry that justified the veto), and the per-query ratio is restated
+    // iso-run/iso-prior — like-for-like, instead of the battery-min/iso-prior
+    // quotient that systematically understated pmax (battery is the faster
+    // population). Verdicts via priorVerdict on the re-run(s): None = clean
+    // refresh; "regressed" (min-of-2, runs agree over the iso bar) = the
+    // regression the veto would have hidden — filed and counted in npx;
+    // "stalled" (single over-bar run its second run disproved... or never
+    // corroborated) = untrustworthy — logged, iso entry NOT shipped, so the
+    // merge falls back to the prior artifact's baseline. Capped like the ib
+    // re-runs so a noisy box can't double the battery's wall time.
+    var isoRefreshes = 0
+    for (name <- isoVetoedQ.toList if !isoQ.contains(name) && isoRefreshes < 8) {
+      isoRefreshes += 1
+      val ip = isoPriors(name)
+      var runs2 = Seq(runQueryOnce(name, SparkEntry.queries(name), -2)).filterNot(_.isNaN)
+      if (runs2.nonEmpty && priorVerdict(runs2, ip).nonEmpty) {
+        val t2 = runQueryOnce(name, SparkEntry.queries(name), -3)
+        if (!t2.isNaN) runs2 = (runs2 :+ t2).sorted
+      }
+      if (runs2.nonEmpty) {
+        if (runs2.head < resultMap(name)) resultMap(name) = runs2.head
+        priorVerdict(runs2, ip) match {
+          case None =>
+            isoQ(name) = runs2.head
+            priorRatioByName(name) = runs2.head / math.max(ip, 0.05)
+            System.err.println(f"BENCHISOREF $name iso=${runs2.head}%.2f " +
+              f"isoPrior=$ip%.2f baseline refreshed")
+          case Some("regressed") =>
+            isoQ(name) = runs2.head
+            priorRatioByName(name) = runs2.head / math.max(ip, 0.05)
+            regressedQ += name
+            priorFlagged += name
+            System.err.println(f"BENCHISOX $name iso=${runs2.head}%.2f " +
+              f"isoPrior=$ip%.2f over in the iso population too - veto overturned")
+          case Some(_) =>
+            System.err.println(f"BENCHISOSTALL $name iso=${runs2.head}%.2f " +
+              f"isoPrior=$ip%.2f uncorroborated - baseline kept, not refreshed")
         }
       }
     }

@@ -60,6 +60,59 @@ object VideoValveProbe {
     val (_, tDecode) = timed(Multimodal.videoFrameDHash(spark, media).count())
     println(f"PROBE decode+dhash $tDecode%7.2f s (paid once per corpus pass, valve-independent)")
 
+    // ---- MIXED-corpus tier-boundary sweep (r13 verdict Next #4) ----------
+    // `xtext = 0` switches to a GRADED corpus — per-doc replication factor
+    // xf ∈ {1,7,13,19} by doc_id%4, spreading video lengths across
+    // ~3–13 / 21–91 / 39–169 / 57–247 frames — and sweeps
+    // videoNearDupPairsTiered's tierMinFrames at the production stride 2.
+    // The r13 sweep measured each tier half's behavior on a PURE corpus;
+    // is the first measurement of what the boundary actually adjudicates:
+    // a pair population containing shorts, longs, and cross-tier pairs at
+    // once. Planted truth as above (v01 = exact-clone recall floor); junk =
+    // xrep+xdoc at frac ≥ 0.8 — the quantization-inflated mass a too-low
+    // boundary readmits by letting small-denominator pairs ride the strided
+    // branch. Endpoints: tierMin=1 ≈ plain stride-2 everywhere (max junk,
+    // min wall), tierMin=256 ≈ full resolution everywhere (stride-1 twin).
+    if (xtext == 0) {
+      val graded = docs0
+        .withColumn("xf", ((col("doc_id") % 4) * 6 + 1).cast("int"))
+        .withColumn("text", expr(
+          "array_join(transform(sequence(0, xf - 1), i -> concat(text, ' seg', i)), ' ')"))
+      val gvids = graded.select(col("doc_id"), col("text"))
+        .union(graded.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .union(graded.select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" xyzzy")).as("text")))
+      val gmedia = Multimodal.asAviMediaTable(spark, gvids, "doc_id", "text",
+        blocksPerRow = 10, frameBytes = 48).localCheckpoint()
+      val gn = graded.count()
+      val hashes = Multimodal.videoFrameDHash(spark, gmedia).localCheckpoint()
+      println(s"PROBE graded bases=$gn videos=${gmedia.count()} frames=${hashes.count()}")
+      for (tierMin <- Seq(1, 4, 8, 16, 32, 64, 256)) {
+        val (pairs, t) = timed(
+          Multimodal.videoNearDupPairsTieredFromHashes(spark, hashes,
+            maxHamming = 1, minMatchFrac = 0.8, frameStride = 2,
+            tierMinFrames = tierMin).localCheckpoint())
+        val cls = pairs
+          .withColumn("ba", col("id_a") % 100000).withColumn("bb", col("id_b") % 100000)
+          .withColumn("va", (col("id_a") / 100000).cast("int"))
+          .withColumn("vb", (col("id_b") / 100000).cast("int"))
+          .withColumn("kind",
+            when(col("ba") === col("bb"),
+              when(col("va") + col("vb") === 1, "trio_v01").otherwise("trio_near"))
+              .when(col("ba") % span === col("bb") % span, "xrep")
+              .otherwise("xdoc"))
+          .groupBy("kind").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        println(f"PROBE tierMin=$tierMin%3d  mine=$t%7.2f s  pairs=${pairs.count()}%9d  " +
+          f"v01=${cls.getOrElse("trio_v01", 0L)}%6d/$gn%d  " +
+          f"near=${cls.getOrElse("trio_near", 0L)}%6d  " +
+          f"xrep=${cls.getOrElse("xrep", 0L)}%8d  xdoc=${cls.getOrElse("xdoc", 0L)}%9d")
+        pairs.unpersist()
+      }
+      spark.stop()
+      return
+    }
+
     // mh=0 is rejected by design (exact equality → groupBy, not a pair
     // join), so the hamming axis sweeps the query's own mh=1 and the looser
     // mh=2; the tightening valves are minMatchFrac and frameStride.

@@ -15,6 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object VectorQueries {
 
+  /** q_semantic_dedup_grouped's exact two-level centroid set (see the query
+    * comment for the geometry's derivation): cell k = 8·super + sub is 4.0f
+    * across superblock dims [16·super, 16·super+16), 20.0f on its two
+    * sub-dedicated dims {16·super+2·sub, +1}, 0 elsewhere — |c|² = 2·400 +
+    * 14·16 = 1024 for every cell, same-super center cosine exactly
+    * 512/1024 = 0.5 (chord 1.0, group radii ≈ 0.7), cross-super exactly 0
+    * (chord √2). The CentroidPruner's farthest-point seeding + meanRadius
+    * gate must ENGAGE on this geometry; the query hash-checks that.
+    */
+  private val GroupedCenters: Seq[Array[Float]] =
+    for (s <- 0 until 4; j <- 0 until 8) yield Array.tabulate(64) { i =>
+      if (i / 16 != s) 0.0f
+      else if (i % 16 == 2 * j || i % 16 == 2 * j + 1) 20.0f
+      else 4.0f
+    }
+
   private val dotSql = // dot(qe, e) in DuckDB, float mul + double acc
     "list_sum([qe[i]*e[i] for i in range(1, len(e)+1)])"
   private def normSql(v: String) =
@@ -414,6 +430,63 @@ object VectorQueries {
               |UNION ALL
               |SELECT CAST(vec_id AS BIGINT), CAST(vec_id AS BIGINT),
               |  CAST(1 AS BIGINT) FROM n WHERE nrm = 0""".stripMargin)),
+
+    // ----- SemDeDup on a CLUSTERED corpus: the grouped CentroidPruner branch
+    // (r13 verdict Next #6: the meanRadius<0.9 gate never fired on any
+    // oracle corpus — the table's near-uniform embeddings give every
+    // centroid group a ~√2 covering radius, so the grouped scan's tie-order
+    // contract was spec-pinned only). This corpus is CONSTRUCTED from
+    // vec_id with exact two-level geometry — 4 mutually-orthogonal 16-dim
+    // superblocks × 8 subclusters each (centroid = 4 on its block, 20 on
+    // its two sub-dedicated dims, 0 elsewhere; |c|² = 1024 for every cell),
+    // plus ±1.5 sign jitter on the 48 OFF-block dims (|j|² = 48·2.25 = 108
+    // EXACTLY for every vector, and j·c = 0 exactly — centroids are zero
+    // off-block). Every bound below is integer/float-exact arithmetic, not
+    // a measured tail, so it holds at ANY corpus size:
+    //   same-sub cosine ≥ (1024−108)/(1024+108) = 0.809   (admitted)
+    //   same-super cross-sub ≤ (512+108)/1132   = 0.548   (rejected)
+    //   cross-super         ≤ 144/1132          = 0.127   (rejected)
+    // so tau = 0.7 sits in a ±0.1 deterministic gap: cells = planted
+    // subclusters, every cell one component, and the keep-rule's
+    // centroid-cosine TIES across the whole cell (csim = |c|/|v| with both
+    // norms constant) → survivor = min id. The oracle is therefore pure id
+    // arithmetic: GROUP BY vec_id % 32. Two gate columns make the branch
+    // engagement hash-checked, not assumed: `grouped_ok` pins that the
+    // pruner's meanRadius gate ENGAGED on these centroids (super-group
+    // radii ≈ 0.7 < 0.9; reads 0 and hash-fails if the gate or geometry
+    // drifts), and `n_mismatch` re-assigns every corpus vector through BOTH
+    // the grouped scan and the brute twin in-plan — any tie-order or bound
+    // bug in the grouped branch shows up as a nonzero count, not as a
+    // silent wrong cell.
+    "q_semantic_dedup_grouped" -> Q(
+      (s, d) => {
+        val pruner = Similarity.CentroidPruner(GroupedCenters)
+        val sub = col("vec_id") % 32
+        val vec = transform(sequence(lit(0), lit(63)), i => {
+          val u = i.cast("long") % 16
+          val inBlock = (i.cast("long") / 16) === (sub / 8)
+          val tall = inBlock && (u === (sub % 8) * 2 || u === (sub % 8) * 2 + 1)
+          val h = (col("vec_id") * lit(2654435761L) + i.cast("long") * lit(40503L)) / 8192
+          when(tall, lit(20.0f)).when(inBlock, lit(4.0f))
+            .otherwise(when(h % 2 === 0, lit(1.5f)).otherwise(lit(-1.5f)))
+        })
+        val corpus = Td.embeddings(s, d).select(col("vec_id"), vec.as("embedding"))
+        val bc = s.sparkContext.broadcast(pruner)
+        val mm = udf((v: Seq[Float]) =>
+          if (bc.value.assign(v) == bc.value.assignBrute(v)) 0L else 1L)
+        val mis = corpus.agg(sum(mm(col("embedding"))).as("n_mismatch"))
+        Similarity.semDedup(corpus, "vec_id", "embedding",
+            nlist = 32, tau = 0.7, centroids = Some(GroupedCenters))
+          .select(col("id").as("vec_id"), col("cluster_id"), col("n_members"))
+          .withColumn("grouped_ok", lit(if (pruner.grouped) 1 else 0))
+          .crossJoin(broadcast(mis))
+      },
+      Some("""SELECT CAST(min(vec_id) AS BIGINT) AS vec_id,
+             |  CAST(min(vec_id) AS BIGINT) AS cluster_id,
+             |  CAST(count(*) AS BIGINT) AS n_members,
+             |  CAST(1 AS INT) AS grouped_ok,
+             |  CAST(0 AS BIGINT) AS n_mismatch
+             |FROM embeddings GROUP BY vec_id % 32""".stripMargin)),
 
     // ----- LSH-bucketed approximate top-k (the 100 TB scale path) ----------
     // The sign-LSH candidate set is engine-internal, so the ORACLE-facing
