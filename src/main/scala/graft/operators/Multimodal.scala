@@ -1257,6 +1257,17 @@ object Multimodal {
     *
     * Output: (id_a, id_b, n_matching, n_comparable, match_frac).
     */
+  /** Hash-distribute a signature relation to the session's shuffle width
+    * before an output-bound mine. An explicit partition count (not bare
+    * `repartition(col)`) so AQE's size-targeted coalescing cannot fold the
+    * tiny relation back to one partition; keyed by media_id so a video's
+    * frames colocate for the per-video aggregations downstream.
+    */
+  private def mineWidth(spark: SparkSession, hashes: DataFrame): DataFrame =
+    hashes.repartition(
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt,
+      col("media_id"))
+
   def videoNearDupPairs(spark: SparkSession, media: DataFrame,
                         maxHamming: Int = 6,
                         minMatchFrac: Double = 0.8,
@@ -1271,13 +1282,22 @@ object Multimodal {
     * a Td-installed hash table pays container+codec exactly once per corpus
     * and every near-dup variant reads 8-byte rows). `hashes` must carry
     * (media_id, frame_idx, n_frames, dhash) — [[videoFrameDHash]]'s schema.
+    *
+    * The input is width-normalized first ([[mineWidth]]): a signature table
+    * is tiny next to the pair OUTPUT (8 bytes/frame vs an output-bound
+    * mine), so Spark coalesces its parquet scan to ~1 partition AND
+    * broadcasts it as the hamming join's build side — leaving the probe
+    * side, i.e. the ENTIRE pair emission, serialized on that one scan task
+    * (measured at sf1: 98 s vs the in-plan path's decode-inclusive 25.5 s
+    * band). One explicit shuffle of the 8-byte rows restores the width the
+    * decode path used to provide for free.
     */
   def videoNearDupPairsFromHashes(spark: SparkSession, hashes: DataFrame,
                                   maxHamming: Int = 6,
                                   minMatchFrac: Double = 0.8,
                                   frameStride: Int = 1): DataFrame = {
     require(frameStride >= 1, s"frameStride must be >= 1, got $frameStride")
-    val h0 = hashes
+    val h0 = mineWidth(spark, hashes)
     val h = if (frameStride == 1) h0
       else h0.filter(col("frame_idx") % frameStride === 0)
     val lens = h0.groupBy("media_id").agg(max(col("n_frames")).as("nf"))
@@ -1346,7 +1366,7 @@ object Multimodal {
     // has a denominator of ≥ 8 sampled positions — the valve sweep's failure
     // mode was exactly denominators of 1–3 positions.
     val tierMin = if (tierMinFrames > 0) tierMinFrames else 8 * frameStride
-    val h0 = hashes
+    val h0 = mineWidth(spark, hashes)
     val lens = h0.groupBy("media_id")
       .agg(max(col("n_frames")).as("nf"))
       .withColumn("short", col("nf") < tierMin)
