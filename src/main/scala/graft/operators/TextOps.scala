@@ -266,6 +266,41 @@ object TextOps {
       } :+ ("script" -> dominant)
   }
 
+  /** Script→language routes for scripts that identify a SINGLE language in
+    * practice (the tier-2 classes' purpose): Bengali, Hangul, Hebrew, Thai
+    * and kana are each used by essentially one web language, and Greek by
+    * Greek — so the (cheap, per-row) script profile answers language-ID
+    * outright there, and the stopword profiles are only consulted for the
+    * genuinely shared scripts (Latin, Cyrillic, Arabic, Devanagari, Han).
+    * Shared verbatim with the oracle SQL generator — the routing table
+    * cannot drift between engines. Order is the when-chain order.
+    */
+  val ScriptUniqueLangs: Seq[(String, String)] = Seq(
+    "bengali" -> "bn", "hangul" -> "ko", "hebrew" -> "he",
+    "thai" -> "th", "greek" -> "el", "kana" -> "ja")
+
+  /** Script-first language routing — the production composition of
+    * [[scriptProfile]] and [[langId]]: (1) any kana in a Han-dominant text
+    * marks Japanese (kana is unique to Japanese, and running ja text always
+    * carries it — Han-only text falls through to the zh profile instead);
+    * (2) a script-unique dominant script maps directly per
+    * [[ScriptUniqueLangs]]; (3) everything else (shared scripts + und)
+    * falls through to the stopword-profile scorer, which exists exactly for
+    * those scripts (en/es/fr/de/pt on Latin, ru on Cyrillic, ar/fa/ur on
+    * Arabic, hi/mr/ne on Devanagari, zh on Han). Pure per-row codegen'd
+    * expression work — no shuffle, linear in the corpus, the first routing
+    * stage of a multilingual-crawl pipeline.
+    */
+  def langRoute(text: Column): Column = {
+    val prof = scriptProfile(text).toMap
+    val script = prof("script")
+    val routed = ScriptUniqueLangs.foldLeft(
+      when(script === "cjk" && prof("n_kana") > 0, lit("ja"))) {
+      case (acc, (scr, lang)) => acc.when(script === scr, lit(lang))
+    }
+    routed.otherwise(langId(tokens(text)))
+  }
+
   /** 30-bit SimHash over the distinct tokens' polynomial hashes: bit i is set
     * iff sum over tokens of ±1 (by the token hash's bit i) is positive.
     * One tokenize + one codegen'd fold over the hash array

@@ -115,6 +115,25 @@ object TextQueries {
   private def langTextsSqlList: String =
     LangTexts.map(t => s"'$t'").mkString("[", ", ", "]")
 
+  /** q_lang_route's fixture: every stopword-profile row (the shared-script
+    * fallback path) PLUS one row per script-unique route (r14 tier-2
+    * classes) and the two Japanese regimes — pure kana (dominant script is
+    * kana itself) and Han-dominant-with-kana (the presence override; a
+    * Han-ONLY text like LangTexts' zh row falls through to the zh profile
+    * instead). All rows lowercase/caseless — inside the case contract.
+    */
+  private[queries] val RouteTexts: Seq[String] = LangTexts ++ Seq(
+    "আমরা এই ঘরে থাকি না",                          // bn — Bengali (script-unique)
+    "우리는 이 집에 살지 않는다",                     // ko — Hangul
+    "הרכבת יצאה בחצות הלילה",                      // he — Hebrew
+    "รถไฟออกเดินทางตอนเที่ยงคืน",                    // th — Thai
+    "ο σιδηρόδρομος έφυγε τα μεσάνυχτα",           // el — Greek
+    "ひらがなとカタカナのテキスト",                    // ja — pure kana
+    "真夜中に列車が出発した",                         // ja — Han-dominant + kana
+  )
+  private def routeTextsSqlList: String =
+    RouteTexts.map(t => s"'$t'").mkString("[", ", ", "]")
+
   /** Unicode-version-skew fixture for q_gopher_skew: U+9FFE/U+9FFF are CJK
     * Unified ideographs since Unicode 14 — letters under RE2's newer
     * tables, UNASSIGNED under JDK 17's Unicode 13. Deciding them by
@@ -440,6 +459,53 @@ object TextQueries {
               |t AS (SELECT doc_id, ${toksSqlOf("utext")} AS w FROM u),
               |f AS (SELECT doc_id, $langScoresSql FROM t)
               |SELECT doc_id, $langPredCaseSql AS lang_pred FROM f""".stripMargin)),
+
+    // ----- script-first language routing (r14) ------------------------------
+    // The production composition the tier-2 script classes exist for: the
+    // cheap per-row script profile answers language-ID OUTRIGHT for
+    // script-unique scripts (bn/ko/he/th/el, kana→ja, plus the
+    // kana-presence override on Han-dominant text), and only the genuinely
+    // shared scripts fall through to the stopword scorer. The routing
+    // table (TextOps.ScriptUniqueLangs), the script classes, and the
+    // profile scores are ALL generated into the oracle from the same Scala
+    // data, so one drifted route, class range, or profile word hash-fails.
+    // The fixture spans every route: all 13 profile languages + und (the
+    // fallback path), the five script-unique rows, and both ja regimes.
+    "q_lang_route" -> Q(
+      (s, d) => {
+        val u = element_at(array(RouteTexts.map(lit): _*),
+          (col("doc_id") % RouteTexts.size).cast("int") + 1)
+        Td.documents(s, d).filter(col("doc_id") < 105)
+          .select(col("doc_id"), u.as("utext"))
+          .select(col("doc_id"), TextOps.langRoute(col("utext")).as("lang_route"))
+      },
+      Some {
+        val scrNames = TextOps.ScriptClasses.map(_._1)
+        val cnt = TextOps.ScriptClasses.map { case (n, cls) =>
+          s"length(utext) - length(regexp_replace(utext, '$cls', '', 'g')) AS n_$n"
+        }.mkString(",\n              |    ")
+        val best = s"greatest(${scrNames.map("n_" + _).mkString(", ")})"
+        val scases = scrNames.map(n => s"WHEN n_$n = $best THEN '$n'").mkString(" ")
+        val routes = TextOps.ScriptUniqueLangs
+          .map { case (scr, lang) => s"WHEN script = '$scr' THEN '$lang'" }
+          .mkString(" ")
+        s"""WITH u AS (SELECT doc_id,
+           |    ${routeTextsSqlList}[CAST(doc_id % ${RouteTexts.size} AS INT) + 1] AS utext
+           |  FROM documents WHERE doc_id < 105),
+           |c AS (SELECT doc_id, utext,
+           |    $cnt
+           |  FROM u),
+           |sc AS (SELECT doc_id, utext, n_kana,
+           |    CASE WHEN $best = 0 THEN 'und' $scases ELSE 'und' END AS script
+           |  FROM c),
+           |t AS (SELECT doc_id, script, n_kana, ${toksSqlOf("utext")} AS w FROM sc),
+           |f AS (SELECT doc_id, script, n_kana, $langScoresSql FROM t)
+           |SELECT doc_id,
+           |  CASE WHEN script = 'cjk' AND n_kana > 0 THEN 'ja'
+           |       $routes
+           |       ELSE $langPredCaseSql END AS lang_route
+           |FROM f""".stripMargin
+      }),
 
     // ----- Gopher gate under Unicode version skew (r11) ---------------------
     // U+9FFE/U+9FFF are letters under RE2's newer Unicode tables but

@@ -155,6 +155,31 @@ class UnicodeTextSpec extends SparkSpec {
     assert(profile("ab яж")("script") == "latin")
   }
 
+  test("langRoute: script-unique scripts answer directly, shared scripts fall to profiles") {
+    val s = spark
+    import s.implicits._
+    def route(t: String): String =
+      Seq(t).toDF("text").select(TextOps.langRoute(col("text"))).head().getString(0)
+    // script-unique: the profile scorer is never consulted
+    assert(route("আমরা এই ঘরে থাকি না") == "bn")
+    assert(route("우리는 이 집에 살지 않는다") == "ko")
+    assert(route("הרכבת יצאה בחצות") == "he")
+    assert(route("รถไฟออกตอนเที่ยงคืน") == "th")
+    assert(route("ο σιδηρόδρομος έφυγε") == "el")
+    // the two Japanese regimes: pure kana (dominant script = kana) and
+    // Han-dominant with kana present (the presence override)
+    assert(route("ひらがなとカタカナ") == "ja")
+    assert(route("真夜中に列車が出発した") == "ja")
+    // Han-ONLY text is NOT Japanese-routed — it falls to the zh profile
+    assert(route("我们的火车是在午夜出发了就不等人") == "zh")
+    // shared scripts route through the stopword profiles
+    assert(route("the train and the night of it") == "en")
+    assert(route("наш поезд и я не знал что это") == "ru")
+    assert(route("القطار غادر في منتصف الليل من المحطة إلى المدينة") == "ar")
+    // no script hit, no profile hit
+    assert(route("7492 8301") == "und")
+  }
+
   test("ASCII behavior is bit-identical to the old normalizer") {
     // the entire pre-round-10 oracle battery rides on this equivalence
     def old(t: String): String =
