@@ -933,7 +933,13 @@ object Bench {
     // merge falls back to the prior artifact's baseline. Capped like the ib
     // re-runs so a noisy box can't double the battery's wall time.
     var isoRefreshes = 0
-    for (name <- isoVetoedQ.toList if !isoQ.contains(name) && isoRefreshes < 8) {
+    for (name <- isoVetoedQ.toList if !isoQ.contains(name)) {
+      if (isoRefreshes >= 8) {
+        // Cap overflow must be VISIBLE (ADVICE r14): a 9th+ vetoed query
+        // silently keeping its stale iso baseline is exactly the
+        // invisibility this refresh pass exists to fix.
+        System.err.println(s"BENCHISOSKIP $name cap reached - iso baseline not refreshed")
+      } else {
       isoRefreshes += 1
       val ip = isoPriors(name)
       var runs2 = Seq(runQueryOnce(name, SparkEntry.queries(name), -2)).filterNot(_.isNaN)
@@ -961,8 +967,72 @@ object Bench {
               f"isoPrior=$ip%.2f uncorroborated - baseline kept, not refreshed")
         }
       }
+      }
     }
+    // Forced iso-baseline establishment (verdict r14 #1): after a box
+    // reprovision the CPU-parallel families genuinely read 1.5–1.8× their
+    // old-box priors on IDENTICAL code, and with no same-population entry
+    // every future artifact files phantom movement against the dead box.
+    // SPARK_GRAFT_BENCH_ISO_FORCE="ann_,embed_,semantic_" (comma-separated
+    // q_-stripped name prefixes) gives each matching battery query one
+    // post-battery isolated re-run shipped as an "iso" entry. With an iso
+    // prior the run adjudicates exactly like the refresh loop (min-of-2 on
+    // a breach; BENCHISOFX files a corroborated regression, BENCHISOFSTALL
+    // keeps the old baseline); with none it simply establishes this box's
+    // baseline (BENCHISOFORCE).
+    val isoForce = sys.env.get("SPARK_GRAFT_BENCH_ISO_FORCE")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+    var isoForced = 0
+    for (name <- resultMap.keys.toSeq.sorted
+         if isoForce.exists(p => name.stripPrefix("q_").startsWith(p))
+            && !isoQ.contains(name)) {
+      if (isoForced >= 40) {
+        System.err.println(s"BENCHISOSKIP $name force cap reached - iso baseline not established")
+      } else {
+        isoForced += 1
+        val ip = isoPriors.get(name)
+        var runs2 = Seq(runQueryOnce(name, SparkEntry.queries(name), -4)).filterNot(_.isNaN)
+        if (runs2.nonEmpty && ip.exists(p => priorVerdict(runs2, p).nonEmpty)) {
+          val t2 = runQueryOnce(name, SparkEntry.queries(name), -5)
+          if (!t2.isNaN) runs2 = (runs2 :+ t2).sorted
+        }
+        if (runs2.nonEmpty) {
+          if (runs2.head < resultMap(name)) resultMap(name) = runs2.head
+          ip match {
+            case None =>
+              isoQ(name) = runs2.head
+              System.err.println(f"BENCHISOFORCE $name iso=${runs2.head}%.2f " +
+                "baseline established (no iso prior)")
+            case Some(p) => priorVerdict(runs2, p) match {
+              case None =>
+                isoQ(name) = runs2.head
+                priorRatioByName(name) = runs2.head / math.max(p, 0.05)
+                System.err.println(f"BENCHISOFORCE $name iso=${runs2.head}%.2f " +
+                  f"isoPrior=$p%.2f refreshed")
+              case Some("regressed") =>
+                isoQ(name) = runs2.head
+                priorRatioByName(name) = runs2.head / math.max(p, 0.05)
+                regressedQ += name
+                priorFlagged += name
+                System.err.println(f"BENCHISOFX $name iso=${runs2.head}%.2f " +
+                  f"isoPrior=$p%.2f over in the iso population - filed")
+              case Some(_) =>
+                System.err.println(f"BENCHISOFSTALL $name iso=${runs2.head}%.2f " +
+                  f"isoPrior=$p%.2f uncorroborated - baseline kept")
+            }
+          }
+        }
+      }
+    }
+    // Ladder-vehicle rename (verdict r14 #7): a filtered SPARK_GRAFT_BENCH_IB
+    // run exists to measure the ib ladder, and its vehicle query's time is
+    // NOT an adjudicated query baseline — ship the key as "veh_<name>" so
+    // no future prior-merge can mistake it for one (no query bears that
+    // name; the ib block is the artifact's payload either way).
+    val vehicleRun = !fullBattery && sys.env.contains("SPARK_GRAFT_BENCH_IB")
     val results = resultMap.toSeq.filterNot(_._2.isNaN)
+      .map { case (n, v) =>
+        (if (vehicleRun) n.replaceFirst("^q_", "veh_") else n) -> v }
     // Normalize the artifact's sf label to the canonical "sf<N>" form: a
     // dir named graft-sf1 would otherwise render "sf":"graft-sf1", which
     // the numeric prior-gate parse cannot read — the artifact would be

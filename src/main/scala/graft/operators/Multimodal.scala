@@ -1367,9 +1367,15 @@ object Multimodal {
     // mode was exactly denominators of 1–3 positions.
     val tierMin = if (tierMinFrames > 0) tierMinFrames else 8 * frameStride
     val h0 = mineWidth(spark, hashes)
+    // lens (one row per media) feeds the tier split AND four agg-side joins;
+    // shortFrames/longFrames each feed two mining branches. The self-join
+    // primitive localCheckpoints its own input, but the cross miner does
+    // not — without pinning here the h0⋈lens plan (a full signature-table
+    // shuffle) re-executes once per consuming branch (ADVICE r14).
     val lens = h0.groupBy("media_id")
       .agg(max(col("n_frames")).as("nf"))
       .withColumn("short", col("nf") < tierMin)
+      .localCheckpoint()
     def agg(framePairs: DataFrame): DataFrame = framePairs
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_matching"))
@@ -1377,8 +1383,10 @@ object Multimodal {
       .join(lens.select(col("media_id").as("id_b"), col("nf").as("__nb")), Seq("id_b"))
     val shortFrames = h0.join(
       lens.filter(col("short")).select(col("media_id")), Seq("media_id"))
+      .localCheckpoint()
     val longFrames = h0.join(
       lens.filter(!col("short")).select(col("media_id")), Seq("media_id"))
+      .localCheckpoint()
     // short×short: full resolution within the short tier
     val shortSelf = Dedup.hammingPairsBlocked(shortFrames, "media_id",
       "frame_idx", "dhash", bits = 64, maxHamming = maxHamming)

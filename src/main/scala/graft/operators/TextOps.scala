@@ -240,6 +240,28 @@ object TextOps {
     "kana" -> "[ぁ-ヿ]",
     "hebrew" -> "[֐-׿]",
     "thai" -> "[฀-๿]",
+    // r15 tier-3 (verdict r14 #4): the remaining script-unique scripts that
+    // previously profiled "und" and fell through langRoute to stopword
+    // profiles that don't exist for them. One whole-BMP-block literal range
+    // each (written as \uXXXX escapes — resolved at compile time, so the
+    // runtime strings are the same literal-char classes as above and embed
+    // into the oracle SQL unchanged). Appended so the existing tie-break
+    // order is untouched; every one of these is one-language-per-script on
+    // the web, so a [[ScriptUniqueLangs]] row answers language-ID outright
+    // — no stopword profiles needed.
+    "armenian" -> "[԰-֏]",
+    "gurmukhi" -> "[਀-੿]",
+    "gujarati" -> "[઀-૿]",
+    "tamil" -> "[஀-௿]",
+    "telugu" -> "[ఀ-౿]",
+    "kannada" -> "[ಀ-೿]",
+    "malayalam" -> "[ഀ-ൿ]",
+    "sinhala" -> "[඀-෿]",
+    "lao" -> "[຀-໿]",
+    "myanmar" -> "[က-႟]",
+    "georgian" -> "[Ⴀ-ჿ]",
+    "ethiopic" -> "[ሀ-፿]",
+    "khmer" -> "[ក-៿]",
   )
 
   /** Per-document Unicode script distribution: one count + ratio per
@@ -277,12 +299,36 @@ object TextOps {
     */
   val ScriptUniqueLangs: Seq[(String, String)] = Seq(
     "bengali" -> "bn", "hangul" -> "ko", "hebrew" -> "he",
-    "thai" -> "th", "greek" -> "el", "kana" -> "ja")
+    "thai" -> "th", "greek" -> "el", "kana" -> "ja",
+    // r15 tier-3 routes (verdict r14 #4), one per new script class: Tamil,
+    // Telugu, Kannada, Malayalam, Gujarati, Punjabi (Gurmukhi), Sinhala,
+    // Burmese (Myanmar), Khmer, Lao, Georgian, Armenian, Amharic
+    // (Ethiopic — the dominant web language of the script). Appended; the
+    // scripts are pairwise disjoint so the when-chain order is immaterial,
+    // but stability keeps the generated oracle byte-identical.
+    "tamil" -> "ta", "telugu" -> "te", "kannada" -> "kn",
+    "malayalam" -> "ml", "gujarati" -> "gu", "gurmukhi" -> "pa",
+    "sinhala" -> "si", "myanmar" -> "my", "khmer" -> "km",
+    "lao" -> "lo", "georgian" -> "ka", "armenian" -> "hy",
+    "ethiopic" -> "am")
+
+  /** Kana-override threshold for [[langRoute]] (ADVICE r14): a Han-dominant
+    * text routes to ja only when kana make up at least `1/KanaRouteInv` of
+    * its characters. Bare kana PRESENCE over-fired: a Chinese document
+    * quoting one Japanese title or katakana brand name routed ja instead of
+    * falling through to the zh stopword profile — running Japanese prose is
+    * ~30–50% kana, so a 5% floor keeps every real ja text while releasing
+    * incidental-kana zh text. Integer form (n_kana·Inv ≥ length) so the
+    * oracle SQL generated from this constant is float-free.
+    */
+  val KanaRouteInv = 20
 
   /** Script-first language routing — the production composition of
-    * [[scriptProfile]] and [[langId]]: (1) any kana in a Han-dominant text
-    * marks Japanese (kana is unique to Japanese, and running ja text always
-    * carries it — Han-only text falls through to the zh profile instead);
+    * [[scriptProfile]] and [[langId]]: (1) a kana share of at least
+    * 1/[[KanaRouteInv]] in a Han-dominant text marks Japanese (kana is
+    * unique to Japanese and running ja text always carries far more —
+    * Han-only text, and zh text with an incidental quoted kana word, falls
+    * through to the zh profile instead);
     * (2) a script-unique dominant script maps directly per
     * [[ScriptUniqueLangs]]; (3) everything else (shared scripts + und)
     * falls through to the stopword-profile scorer, which exists exactly for
@@ -295,7 +341,8 @@ object TextOps {
     val prof = scriptProfile(text).toMap
     val script = prof("script")
     val routed = ScriptUniqueLangs.foldLeft(
-      when(script === "cjk" && prof("n_kana") > 0, lit("ja"))) {
+      when(script === "cjk" && prof("n_kana") * KanaRouteInv >= length(text),
+        lit("ja"))) {
       case (acc, (scr, lang)) => acc.when(script === scr, lit(lang))
     }
     routed.otherwise(langId(tokens(text)))

@@ -58,6 +58,26 @@ object TextQueries {
     "הרכבת יצאה בחצות הלילה",                      // he — Hebrew
     "รถไฟออกเดินทางตอนเที่ยงคืน",                    // th — Thai (scriptio continua)
     "ひらがなとカタカナのテキスト",                    // ja — pure kana (row 6 mixes Han)
+    // r15 rows (verdict r14 #4): one per tier-3 script class, reaching
+    // q_script_profile only (% UniTexts.size); q_unicode_dedup stays % 10.
+    // Every script here is caseless except Armenian/Georgian, whose rows
+    // are all-lowercase (Mkhedruli) — inside the shared case contract.
+    // Combining vowel signs (matras in the Indic rows, Khmer/Myanmar/Lao
+    // dependent vowels) are IN-BLOCK, so both engines count them under the
+    // same class regardless of normalization form.
+    "நாங்கள் இந்த வீட்டில் இல்லை",                     // ta — Tamil
+    "మేము ఈ ఇంట్లో లేము",                            // te — Telugu
+    "ನಾವು ಈ ಮನೆಯಲ್ಲಿ ಇಲ್ಲ",                          // kn — Kannada
+    "ഞങ്ങൾ ഈ വീട്ടിൽ ഇല്ല",                          // ml — Malayalam
+    "અમે આ ઘરમાં નથી",                              // gu — Gujarati
+    "ਅਸੀਂ ਇਸ ਘਰ ਵਿੱਚ ਨਹੀਂ",                          // pa — Gurmukhi
+    "අපි මේ ගෙදර නැහැ",                             // si — Sinhala
+    "ကျွန်တော်တို့ ဒီအိမ်မှာ မနေပါ",                      // my — Myanmar
+    "យើងមិននៅផ្ទះនេះទេ",                             // km — Khmer
+    "ພວກເຮົາບໍ່ຢູ່ເຮືອນນີ້",                              // lo — Lao
+    "ჩვენ ამ სახლში არ ვართ",                       // ka — Georgian (Mkhedruli)
+    "մենք այս տանը չենք",                           // hy — Armenian (lowercase)
+    "እኛ በዚህ ቤት አንኖርም",                            // am — Ethiopic
   )
   private def uniTextsSqlList: String =
     UniTexts.map(t => s"'$t'").mkString("[", ", ", "]")
@@ -129,7 +149,27 @@ object TextQueries {
     "รถไฟออกเดินทางตอนเที่ยงคืน",                    // th — Thai
     "ο σιδηρόδρομος έφυγε τα μεσάνυχτα",           // el — Greek
     "ひらがなとカタカナのテキスト",                    // ja — pure kana
-    "真夜中に列車が出発した",                         // ja — Han-dominant + kana
+    "真夜中に列車が出発した",                         // ja — Han-dominant + kana (4/11 kana)
+    // r15: the kana-override hazard row (ADVICE r14) — Han-dominant zh text
+    // of 28 chars quoting ONE katakana char (1·20 < 28, under the
+    // KanaRouteInv floor), so it must fall through to the zh stopword
+    // profile instead of routing ja on bare kana presence.
+    "我们的火车是在午夜出发了就不等人他们有和我一样的行李箱ノ", // zh + incidental kana
+    // r15 tier-3 script-unique rows (verdict r14 #4), one per new route —
+    // the same texts UniTexts carries for q_script_profile.
+    "நாங்கள் இந்த வீட்டில் இல்லை",                     // ta — Tamil
+    "మేము ఈ ఇంట్లో లేము",                            // te — Telugu
+    "ನಾವು ಈ ಮನೆಯಲ್ಲಿ ಇಲ್ಲ",                          // kn — Kannada
+    "ഞങ്ങൾ ഈ വീട്ടിൽ ഇല്ല",                          // ml — Malayalam
+    "અમે આ ઘરમાં નથી",                              // gu — Gujarati
+    "ਅਸੀਂ ਇਸ ਘਰ ਵਿੱਚ ਨਹੀਂ",                          // pa — Gurmukhi
+    "අපි මේ ගෙදර නැහැ",                             // si — Sinhala
+    "ကျွန်တော်တို့ ဒီအိမ်မှာ မနေပါ",                      // my — Myanmar
+    "យើងមិននៅផ្ទះនេះទេ",                             // km — Khmer
+    "ພວກເຮົາບໍ່ຢູ່ເຮືອນນີ້",                              // lo — Lao
+    "ჩვენ ამ სახლში არ ვართ",                       // ka — Georgian
+    "մենք այս տանը չենք",                           // hy — Armenian
+    "እኛ በዚህ ቤት አንኖርም",                            // am — Ethiopic
   )
   private def routeTextsSqlList: String =
     RouteTexts.map(t => s"'$t'").mkString("[", ", ", "]")
@@ -470,7 +510,9 @@ object TextQueries {
     // profile scores are ALL generated into the oracle from the same Scala
     // data, so one drifted route, class range, or profile word hash-fails.
     // The fixture spans every route: all 13 profile languages + und (the
-    // fallback path), the five script-unique rows, and both ja regimes.
+    // fallback path), every script-unique row (tier-2 + the r15 tier-3
+    // thirteen), both ja regimes, and the incidental-kana zh hazard row
+    // that pins the KanaRouteInv ratio floor (ADVICE r14).
     "q_lang_route" -> Q(
       (s, d) => {
         val u = element_at(array(RouteTexts.map(lit): _*),
@@ -492,16 +534,16 @@ object TextQueries {
         s"""WITH u AS (SELECT doc_id,
            |    ${routeTextsSqlList}[CAST(doc_id % ${RouteTexts.size} AS INT) + 1] AS utext
            |  FROM documents WHERE doc_id < 105),
-           |c AS (SELECT doc_id, utext,
+           |c AS (SELECT doc_id, utext, length(utext) AS tlen,
            |    $cnt
            |  FROM u),
-           |sc AS (SELECT doc_id, utext, n_kana,
+           |sc AS (SELECT doc_id, utext, tlen, n_kana,
            |    CASE WHEN $best = 0 THEN 'und' $scases ELSE 'und' END AS script
            |  FROM c),
-           |t AS (SELECT doc_id, script, n_kana, ${toksSqlOf("utext")} AS w FROM sc),
-           |f AS (SELECT doc_id, script, n_kana, $langScoresSql FROM t)
+           |t AS (SELECT doc_id, script, tlen, n_kana, ${toksSqlOf("utext")} AS w FROM sc),
+           |f AS (SELECT doc_id, script, tlen, n_kana, $langScoresSql FROM t)
            |SELECT doc_id,
-           |  CASE WHEN script = 'cjk' AND n_kana > 0 THEN 'ja'
+           |  CASE WHEN script = 'cjk' AND n_kana * ${TextOps.KanaRouteInv} >= tlen THEN 'ja'
            |       $routes
            |       ELSE $langPredCaseSql END AS lang_route
            |FROM f""".stripMargin
