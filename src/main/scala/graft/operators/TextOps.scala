@@ -348,6 +348,34 @@ object TextOps {
     routed.otherwise(langId(tokens(text)))
   }
 
+  /** Per-language stopword gate keyed by a ROUTED language column — the
+    * quality stage that follows [[langRoute]] in a multilingual corpus
+    * pipeline. A document must clear its own language's stopword profile
+    * (≥ `minHits` occurrences — the Gopher stopword rule, applied against
+    * the RIGHT profile instead of English-for-everyone); languages routed
+    * by a script-unique script carry no profile and pass (the script
+    * profile itself was their gate); "und" fails — an unroutable document
+    * has no language-conditioned processing downstream. Pure per-row
+    * codegen'd expression, generated into the oracle from
+    * [[StopwordProfiles]] verbatim.
+    *
+    * Shaped as ONE map lookup keyed by `lang` — not a when-chain over it —
+    * deliberately: `lang` is usually an alias of the whole [[langRoute]]
+    * expression, and Catalyst's projection-collapse/predicate-pushdown
+    * substitute the aliased tree into EVERY reference. A 15-branch when
+    * chain over `lang` inflates the plan by 15 copies of the routing tree
+    * (measured: driver OOM during optimization at 140 fixture rows); the
+    * map form references `lang` exactly once. Missing key (script-unique
+    * routes) → null → pass via coalesce; "und" is an explicit false entry.
+    */
+  def routedStopwordOk(toks: Column, lang: Column, minHits: Int = 2): Column = {
+    val entries = (lit("und"), lit(false)) +: StopwordProfiles.map {
+      case (l, words) => (lit(l), (vocabHits(toks, words) >= minHits))
+    }
+    coalesce(element_at(map(entries.flatMap(e => Seq(e._1, e._2)): _*), lang),
+      lit(true))
+  }
+
   /** 30-bit SimHash over the distinct tokens' polynomial hashes: bit i is set
     * iff sum over tokens of ±1 (by the token hash's bit i) is positive.
     * One tokenize + one codegen'd fold over the hash array

@@ -174,6 +174,67 @@ object TextQueries {
   private def routeTextsSqlList: String =
     RouteTexts.map(t => s"'$t'").mkString("[", ", ", "]")
 
+  /** Mixing tiers for q_route_pipeline: head languages are down-sampled
+    * hardest (50%), mid at 80%, everything else kept whole — shared
+    * verbatim with the oracle's IN-lists.
+    */
+  private[queries] val RouteHeadLangs: Seq[String] = Seq("en", "es", "fr", "de", "pt")
+  private[queries] val RouteMidLangs: Seq[String] = Seq("ru", "zh", "ar")
+
+  /** Shared CTE chain of the routing queries (q_lang_route /
+    * q_route_pipeline): fixture texts → per-class script counts + text
+    * length → dominant script → tokens → CTE `f` carrying (doc_id, script,
+    * tlen, n_kana, n_tokens, bkt, s_<lang>…). Generated from
+    * [[TextOps.ScriptClasses]] and [[TextOps.StopwordProfiles]] so the two
+    * engines cannot drift; `bkt` is the Sampling.hashBucket mirror.
+    */
+  private def routeCtesSql(limit: Int): String = {
+    val cnt = TextOps.ScriptClasses.map { case (n, cls) =>
+      s"length(utext) - length(regexp_replace(utext, '$cls', '', 'g')) AS n_$n"
+    }.mkString(",\n    ")
+    val scrNames = TextOps.ScriptClasses.map(_._1)
+    val best = s"greatest(${scrNames.map("n_" + _).mkString(", ")})"
+    val scases = scrNames.map(n => s"WHEN n_$n = $best THEN '$n'").mkString(" ")
+    s"""u AS (SELECT doc_id,
+       |    ${routeTextsSqlList}[CAST(doc_id % ${RouteTexts.size} AS INT) + 1] AS utext
+       |  FROM documents WHERE doc_id < $limit),
+       |c AS (SELECT doc_id, utext, length(utext) AS tlen,
+       |    $cnt
+       |  FROM u),
+       |sc AS (SELECT doc_id, utext, tlen, n_kana,
+       |    CASE WHEN $best = 0 THEN 'und' $scases ELSE 'und' END AS script
+       |  FROM c),
+       |t AS (SELECT doc_id, script, tlen, n_kana, ${toksSqlOf("utext")} AS w FROM sc),
+       |f AS (SELECT doc_id, script, tlen, n_kana, CAST(len(w) AS INT) AS n_tokens,
+       |    (((doc_id % 1000003) * 2654435761) // 8192) % 100 AS bkt,
+       |    $langScoresSql FROM t)""".stripMargin
+  }
+
+  /** DuckDB twin of [[TextOps.langRoute]]'s final CASE, over CTE `f`. */
+  private def routeCaseSql: String = {
+    val routes = TextOps.ScriptUniqueLangs
+      .map { case (scr, lang) => s"WHEN script = '$scr' THEN '$lang'" }
+      .mkString(" ")
+    s"CASE WHEN script = 'cjk' AND n_kana * ${TextOps.KanaRouteInv} >= tlen THEN 'ja' " +
+      s"$routes ELSE $langPredCaseSql END"
+  }
+
+  /** DuckDB twin of [[TextOps.routedStopwordOk]] over a `lang_route` column
+    * plus the s_<lang> score columns langScoresSql computed.
+    *
+    * The CTE carrying `lang_route` MUST be `AS MATERIALIZED`: DuckDB
+    * inlines plain CTEs recursively, so this 15-branch CASE re-expands the
+    * whole routing CASE — and through it the tokenizer chain — once per
+    * branch per greatest() arm (~15·15·14 copies; measured 235 s → 0.5 s
+    * on 140 fixture rows). The exact mirror of the Catalyst
+    * projection-collapse hazard routedStopwordOk's scaladoc documents.
+    */
+  private def routedGateSql(minHits: Int = 2): String =
+    "CASE WHEN lang_route = 'und' THEN FALSE " +
+      TextOps.StopwordProfiles.map { case (l, _) =>
+        s"WHEN lang_route = '$l' THEN s_$l >= $minHits" }.mkString(" ") +
+      " ELSE TRUE END"
+
   /** Unicode-version-skew fixture for q_gopher_skew: U+9FFE/U+9FFF are CJK
     * Unified ideographs since Unicode 14 — letters under RE2's newer
     * tables, UNASSIGNED under JDK 17's Unicode 13. Deciding them by
@@ -521,32 +582,77 @@ object TextQueries {
           .select(col("doc_id"), u.as("utext"))
           .select(col("doc_id"), TextOps.langRoute(col("utext")).as("lang_route"))
       },
+      Some(s"""WITH ${routeCtesSql(105)}
+              |SELECT doc_id, $routeCaseSql AS lang_route
+              |FROM f""".stripMargin)),
+
+    // ----- multilingual routing pipeline (r15, verdict r14 #5) -------------
+    // The production composition q_lang_route's routing stage exists FOR:
+    // route → per-language quality gate (each document judged against its
+    // OWN language's stopword profile — routedStopwordOk; script-unique
+    // routes pass, und fails) → deterministic weighted corpus mix (head
+    // languages down-sampled hardest, the standard pre-training recipe) →
+    // per-(mix_source, lang) rollup. The route+gate stage is ONE per-row
+    // codegen'd corpus pass; its (id, lang, n_tokens) output is pinned once
+    // (localCheckpoint) before the mix — the mix tiers are three filters
+    // over that routing table, and re-deriving the routing expression per
+    // tier would both triple the corpus passes at 100 TB and inflate the
+    // optimizer's tree with copies of the routing expression (measured:
+    // driver OOM when the mix branches re-expanded it). Map-side mix
+    // filters + union, one exchange at the final rollup — mirrors
+    // q_corpus_pipeline's composed-SQL oracle, every fragment (script
+    // classes, routes, profiles, gate, hash mix) generated from the same
+    // Scala constants.
+    "q_route_pipeline" -> Q(
+      (s, d) => {
+        import graft.operators.Sampling
+        val u = element_at(array(RouteTexts.map(lit): _*),
+          (col("doc_id") % RouteTexts.size).cast("int") + 1)
+        // The routing projection is pinned BEFORE the gate: the gate
+        // predicate references lang_route, and predicate-pushdown would
+        // otherwise substitute the whole routing expression into it — the
+        // plan crossed codegen's size limits (27 MiB task binary) and fell
+        // back to interpreted eval of the duplicated tree (62 s for 140
+        // fixture rows; 3 s pinned). Exactly the materialization boundary
+        // a production pipeline puts after routing anyway: route once,
+        // gate and mix over the routing table.
+        val routed = Td.documents(s, d).filter(col("doc_id") < 140)
+          .select(col("doc_id"), u.as("utext"))
+          .select(col("doc_id"),
+            TextOps.tokens(col("utext")).as("__t"),
+            TextOps.langRoute(col("utext")).as("lang_route"))
+          .localCheckpoint()
+        val gated = routed
+          .filter(TextOps.routedStopwordOk(col("__t"), col("lang_route")))
+          .select(col("doc_id"), col("lang_route"),
+            size(col("__t")).as("n_tokens"))
+          .localCheckpoint()
+        val mixed = Sampling.weightedMix(Seq(
+          ("head", gated.filter(col("lang_route").isin(RouteHeadLangs: _*)), 50),
+          ("mid", gated.filter(col("lang_route").isin(RouteMidLangs: _*)), 80),
+          ("tail", gated.filter(
+            !col("lang_route").isin(RouteHeadLangs ++ RouteMidLangs: _*)), 100)),
+          "doc_id")
+        mixed.groupBy(col("mix_source"), col("lang_route"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens").cast("long")).as("total_tokens"))
+      },
       Some {
-        val scrNames = TextOps.ScriptClasses.map(_._1)
-        val cnt = TextOps.ScriptClasses.map { case (n, cls) =>
-          s"length(utext) - length(regexp_replace(utext, '$cls', '', 'g')) AS n_$n"
-        }.mkString(",\n              |    ")
-        val best = s"greatest(${scrNames.map("n_" + _).mkString(", ")})"
-        val scases = scrNames.map(n => s"WHEN n_$n = $best THEN '$n'").mkString(" ")
-        val routes = TextOps.ScriptUniqueLangs
-          .map { case (scr, lang) => s"WHEN script = '$scr' THEN '$lang'" }
-          .mkString(" ")
-        s"""WITH u AS (SELECT doc_id,
-           |    ${routeTextsSqlList}[CAST(doc_id % ${RouteTexts.size} AS INT) + 1] AS utext
-           |  FROM documents WHERE doc_id < 105),
-           |c AS (SELECT doc_id, utext, length(utext) AS tlen,
-           |    $cnt
-           |  FROM u),
-           |sc AS (SELECT doc_id, utext, tlen, n_kana,
-           |    CASE WHEN $best = 0 THEN 'und' $scases ELSE 'und' END AS script
-           |  FROM c),
-           |t AS (SELECT doc_id, script, tlen, n_kana, ${toksSqlOf("utext")} AS w FROM sc),
-           |f AS (SELECT doc_id, script, tlen, n_kana, $langScoresSql FROM t)
-           |SELECT doc_id,
-           |  CASE WHEN script = 'cjk' AND n_kana * ${TextOps.KanaRouteInv} >= tlen THEN 'ja'
-           |       $routes
-           |       ELSE $langPredCaseSql END AS lang_route
-           |FROM f""".stripMargin
+        def inList(ls: Seq[String]) = ls.map(l => s"'$l'").mkString("(", ", ", ")")
+        s"""WITH ${routeCtesSql(140)},
+           |r AS MATERIALIZED (SELECT *, $routeCaseSql AS lang_route FROM f),
+           |g AS MATERIALIZED (SELECT doc_id, lang_route, n_tokens, bkt FROM r
+           |  WHERE ${routedGateSql()}),
+           |m AS (
+           |  SELECT 'head' AS mix_source, lang_route, n_tokens FROM g
+           |    WHERE lang_route IN ${inList(RouteHeadLangs)} AND bkt < 50
+           |  UNION ALL SELECT 'mid' AS mix_source, lang_route, n_tokens FROM g
+           |    WHERE lang_route IN ${inList(RouteMidLangs)} AND bkt < 80
+           |  UNION ALL SELECT 'tail' AS mix_source, lang_route, n_tokens FROM g
+           |    WHERE lang_route NOT IN ${inList(RouteHeadLangs ++ RouteMidLangs)})
+           |SELECT mix_source, lang_route, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens
+           |FROM m GROUP BY 1, 2""".stripMargin
       }),
 
     // ----- Gopher gate under Unicode version skew (r11) ---------------------

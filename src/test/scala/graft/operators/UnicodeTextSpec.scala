@@ -180,6 +180,51 @@ class UnicodeTextSpec extends SparkSpec {
     assert(route("7492 8301") == "und")
   }
 
+  test("langRoute r15: tier-3 script-unique routes and the kana ratio floor") {
+    val s = spark
+    import s.implicits._
+    def route(t: String): String =
+      Seq(t).toDF("text").select(TextOps.langRoute(col("text"))).head().getString(0)
+    // all 13 tier-3 routes answer from the script profile alone
+    assert(route("நாங்கள் இந்த வீட்டில் இல்லை") == "ta")
+    assert(route("మేము ఈ ఇంట్లో లేము") == "te")
+    assert(route("ನಾವು ಈ ಮನೆಯಲ್ಲಿ ಇಲ್ಲ") == "kn")
+    assert(route("ഞങ്ങൾ ഈ വീട്ടിൽ ഇല്ല") == "ml")
+    assert(route("અમે આ ઘરમાં નથી") == "gu")
+    assert(route("ਅਸੀਂ ਇਸ ਘਰ ਵਿੱਚ ਨਹੀਂ") == "pa")
+    assert(route("අපි මේ ගෙදර නැහැ") == "si")
+    assert(route("ကျွန်တော်တို့ ဒီအိမ်မှာ မနေပါ") == "my")
+    assert(route("យើងមិននៅផ្ទះនេះទេ") == "km")
+    assert(route("ພວກເຮົາບໍ່ຢູ່ເຮືອນນີ້") == "lo")
+    assert(route("ჩვენ ამ სახლში არ ვართ") == "ka")
+    assert(route("մենք այս տանը չենք") == "hy")
+    assert(route("እኛ በዚህ ቤት አንኖርም") == "am")
+    // kana override needs >= 1/KanaRouteInv kana (ADVICE r14): 28 Han-block
+    // chars quoting ONE katakana char fall through to the zh profile...
+    assert(route("我们的火车是在午夜出发了就不等人他们有和我一样的行李箱ノ") == "zh")
+    // ...while genuinely mixed ja prose (4/11 kana) still routes ja
+    assert(route("真夜中に列車が出発した") == "ja")
+  }
+
+  test("routedStopwordOk: own-profile gate, script-unique pass, und fails") {
+    val s = spark
+    import s.implicits._
+    def gate(t: String): Boolean =
+      Seq(t).toDF("text").select(
+        TextOps.routedStopwordOk(TextOps.tokens(col("text")),
+          TextOps.langRoute(col("text"))).as("ok")).head().getBoolean(0)
+    // profile languages must clear their OWN profile (>= 2 hits)
+    assert(gate("the train and the night of it"))          // en, many hits
+    assert(!gate("train station platform night"))          // routes en-ish? no:
+    // ^ zero stopword hits anywhere -> langId says "und" -> gate false
+    assert(gate("我们的火车是在午夜出发了就不等人他们有和我一样的行李箱ノ")) // zh route, 12 zh hits
+    // script-unique routes carry no profile and pass
+    assert(gate("நாங்கள் இந்த வீட்டில் இல்லை"))
+    assert(gate("ひらがなとカタカナ"))
+    // und always fails
+    assert(!gate("7492 8301"))
+  }
+
   test("ASCII behavior is bit-identical to the old normalizer") {
     // the entire pre-round-10 oracle battery rides on this equivalence
     def old(t: String): String =
