@@ -67,4 +67,73 @@ object Sampling {
     sources.map { case (tag, df, pct) =>
       hashSample(df, keyCol, pct).withColumn("mix_source", lit(tag))
     }.reduce(_ unionByName _)
+
+  /** Fine-grained deterministic bucket 0..buckets-1 — [[hashBucket]]'s hash
+    * with a caller-chosen modulus, for keep-rates that need more resolution
+    * than percent (temperature sampling thresholds land anywhere in
+    * [0, 10^6]). Same portable-arithmetic envelope: intermediates < 2^51.
+    * The mod-1000003 key reduction caps distinct hash inputs at ~10^6 — at
+    * corpus scale swap the reduction for xxhash64 if more than ~10^6
+    * distinct keys must bucket independently; the CONTRACT (threshold
+    * compare against a uniform deterministic bucket) is unchanged.
+    */
+  def hashBucketFine(key: Column, buckets: Long): Column = {
+    require(buckets > 0 && buckets <= 1000003L, s"buckets must be in [1, 1000003], got $buckets")
+    pmod(shiftright((key.cast("long") % 1000003L) * 2654435761L, 13), lit(buckets))
+  }
+
+  /** Exact integer square root as a column expression: `floor(sqrt(x))` for
+    * `0 <= x < 2^52`. Double sqrt is correctly rounded (IEEE), so after
+    * floor the candidate is off by at most one — the two integer-compare
+    * corrections make the result EXACT on both engines regardless of how
+    * the float value rounded, which is what lets sqrt-based sampling rates
+    * be hash-pinned (a raw `floor(sqrt(...))` can disagree across engines
+    * exactly at perfect squares). The same three-step form is generated
+    * into the oracle SQL.
+    */
+  def isqrt(x: Column): Column = {
+    val s0 = floor(sqrt(x.cast("double"))).cast("long")
+    val down = s0 - when(s0 * s0 > x, 1L).otherwise(0L)
+    down + when((down + 1L) * (down + 1L) <= x, 1L).otherwise(0L)
+  }
+
+  /** Temperature-balanced multilingual sampling at τ = 2 (UniMax / mT5
+    * style): resample a corpus whose natural language distribution is
+    * ∝ n_l toward q_l ∝ n_l^(1/τ) = sqrt(n_l), by keeping each document of
+    * language l with rate r_l = sqrt(n_min / n_l) — the smallest language
+    * is kept WHOLE and every larger one is down-sampled by the square root
+    * of its size advantage, flattening the head without starving it. τ = 2
+    * specifically because sqrt is exactly computable in integers on both
+    * engines ([[isqrt]]); other powers of two nest it (τ = 4 = isqrt∘isqrt).
+    *
+    * Mechanics: per-language counts (one partial-aggregated shuffle of the
+    * corpus — at 100 TB this is the metadata-sized aggregate), a global min
+    * over the ≤|langs|-row counts relation (unpartitioned window over the
+    * tiny aggregate, never over data), integer thresholds
+    * `isqrt(BucketSpace² · n_min div n_l)` joined back broadcast, and a
+    * map-side `hashBucketFine(key) < threshold` filter. Fully deterministic
+    * — retries and engines agree row-for-row. Output keeps the input
+    * columns plus `mix_n` (language count) and `mix_thr` (the threshold in
+    * bucket space, i.e. the keep-rate × 10^6).
+    */
+  val TemperatureBucketSpace: Long = 1000000L
+  def temperatureMix(df: DataFrame, langCol: String, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(langCol)).agg(count(lit(1)).as("mix_n"))
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // BucketSpace²·n_min stays in 64 bits for n_min ≤ 9.2·10^6; beyond that
+    // (a 100 TB corpus whose SMALLEST language tops 9M docs) right-shift
+    // both counts by a common k first — thresholds move < 1 bucket. div
+    // (integral divide), NOT `/`: Spark's `/` on longs is double division,
+    // which loses exactness past 2^53 and would un-pin the hash.
+    val thr = counts
+      .withColumn("__nmin", min(col("mix_n")).over(w))
+      .withColumn("mix_thr",
+        isqrt(call_function("div",
+          lit(TemperatureBucketSpace * TemperatureBucketSpace) * col("__nmin"),
+          col("mix_n"))))
+      .drop("__nmin")
+    df.join(broadcast(thr), Seq(langCol))
+      .filter(hashBucketFine(col(keyCol), TemperatureBucketSpace) < col("mix_thr"))
+  }
 }

@@ -190,6 +190,37 @@ object RelationalQueries {
              |SELECT doc_id, n_chars, 'tail' AS mix_source FROM documents
              |WHERE (((doc_id % 1000003) * 2654435761) // 8192) % 100 < 30""".stripMargin)),
 
+    // ----- temperature-balanced multilingual mix (τ = 2, UniMax/mT5) -------
+    // Natural language distribution ∝ n_l resampled toward sqrt(n_l): each
+    // document kept iff its fine hash bucket < isqrt(B²·n_min div n_l) —
+    // the smallest language rides whole, en (218 docs at sf0.01) keeps
+    // ~sqrt(64/218) ≈ 54%. All-integer thresholds: the oracle mirrors the
+    // SAME exact-isqrt correction (floor(sqrt(double)) ±1 by integer
+    // compares), so the hash pins the sampling arithmetic itself — a raw
+    // floor(sqrt(...)) could disagree across engines at perfect squares.
+    "q_temperature_mix" -> Q(
+      (s, d) => Sampling.temperatureMix(
+          Td.documents(s, d).select("doc_id", "lang"), "lang", "doc_id")
+        .groupBy(col("lang"), col("mix_n"), col("mix_thr"))
+        .agg(count(lit(1)).as("n_kept")),
+      Some {
+        val b = Sampling.TemperatureBucketSpace
+        s"""WITH counts AS (
+           |  SELECT lang, CAST(count(*) AS BIGINT) AS mix_n FROM documents GROUP BY 1),
+           |th AS (SELECT lang, mix_n,
+           |    (${b * b} * (SELECT min(mix_n) FROM counts)) // mix_n AS x FROM counts),
+           |t2 AS (SELECT lang, mix_n, x,
+           |    CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT) AS s0 FROM th),
+           |t3 AS (SELECT lang, mix_n, x,
+           |    s0 - CASE WHEN s0 * s0 > x THEN 1 ELSE 0 END AS sd FROM t2),
+           |thr AS (SELECT lang, mix_n,
+           |    sd + CASE WHEN (sd + 1) * (sd + 1) <= x THEN 1 ELSE 0 END AS mix_thr FROM t3)
+           |SELECT d.lang, t.mix_n, t.mix_thr, CAST(count(*) AS BIGINT) AS n_kept
+           |FROM documents d JOIN thr t ON d.lang = t.lang
+           |WHERE (((d.doc_id % 1000003) * 2654435761) // 8192) % $b < t.mix_thr
+           |GROUP BY 1, 2, 3""".stripMargin
+      }),
+
     // ----- approximate sketches (hard-gated via in-plan exact twins) -------
     // The sketch values themselves are engine-internal, so the oracle-facing
     // output pairs each estimate with its EXACT twin computed in the same

@@ -48,6 +48,45 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(counts("books") - 500L) < 100, counts.toString)
   }
 
+  test("isqrt: exact at and around perfect squares up to the 2^52 envelope") {
+    val s = spark
+    import s.implicits._
+    // perfect squares k² with k near 2^26, ±1 neighbors — where a raw
+    // floor(sqrt(double)) is most likely to land on the wrong side
+    val ks = Seq(3L, 1000003L, 33554431L, 66000001L)
+    val xs = ks.flatMap(k => Seq(k * k - 1, k * k, k * k + 1)) :+ 0L :+ 1L :+ 2L
+    val got = xs.toDF("x").select(col("x"), Sampling.isqrt(col("x")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (x <- xs) {
+      val expect = java.math.BigInteger.valueOf(x).sqrt().longValue()
+      assert(got(x) == expect, s"isqrt($x): got ${got(x)} want $expect")
+    }
+  }
+
+  test("temperatureMix: smallest language whole, rates ~ sqrt(n_min/n), deterministic") {
+    val s = spark
+    import s.implicits._
+    // three languages at 8000 / 2000 / 500 docs: keep-rates 0.25 / 0.5 / 1
+    val df = (1L to 10500L).map { i =>
+      (i, if (i <= 8000) "en" else if (i <= 10000) "de" else "is")
+    }.toDF("doc_id", "lang")
+    val out = Sampling.temperatureMix(df, "lang", "doc_id")
+    val kept = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("is") == 500L, kept.toString)                       // kept WHOLE
+    assert(math.abs(kept("de") - 1000L) < 120, kept.toString)       // sqrt(500/2000)=0.5
+    assert(math.abs(kept("en") - 2000L) < 200, kept.toString)       // sqrt(500/8000)=0.25
+    // thresholds are the exact integer contract
+    val thr = out.select("lang", "mix_thr").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = Sampling.TemperatureBucketSpace
+    assert(thr("is") == b)                                          // rate 1.0
+    assert(thr("de") == java.math.BigInteger.valueOf(b * b * 500L / 2000L).sqrt().longValue())
+    assert(thr("en") == java.math.BigInteger.valueOf(b * b * 500L / 8000L).sqrt().longValue())
+    // rerun → identical rows (deterministic, no rand())
+    assert(out.exceptAll(Sampling.temperatureMix(df, "lang", "doc_id")).count() == 0)
+  }
+
   test("sketches: HLL and approx percentiles within error bounds; heavy hitters exact") {
     val s = spark
     import s.implicits._
