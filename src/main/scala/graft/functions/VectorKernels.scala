@@ -23,14 +23,21 @@ object Kernels {
   /** Static helpers the generated code calls — one JVM-static call per row,
     * loop runs in plain Java.
     */
-  def polyHash(s: UTF8String): Long = {
+  def polyHash(s: UTF8String): Long = polyHashCont(0L, s)
+
+  /** The [[polyHash]] fold continued from a prior state `h0` — hashing a
+    * multi-part string (e.g. the bigram "a b") without materializing the
+    * concatenation: fold part 1, multiply-add the joiner codepoint, fold
+    * part 2.
+    */
+  def polyHashCont(h0: Long, s: UTF8String): Long = {
     // Folds Unicode CODE POINTS, not UTF-16 units: DuckDB's oracle twin
     // (`unicode(c)`/`ascii(c)` over a per-character split) is codepoint-
     // based, so a UTF-16 fold would silently diverge on any astral-plane
     // character (emoji, Gothic, CJK ext B) — r9 verdict #2. Max codepoint
     // 0x10FFFF keeps every intermediate < 2^35, same as before.
     val str = s.toString
-    var h = 0L
+    var h = h0
     var i = 0
     while (i < str.length) {
       val cp = str.codePointAt(i)
@@ -38,6 +45,34 @@ object Kernels {
       i += Character.charCount(cp)
     }
     h
+  }
+
+  /** Hashed bag-of-features linear score (fastText-style inference, Joulin
+    * et al. 2016): Σ weights(polyHash(feature) mod weights.length) over the
+    * token array's UNIGRAMS plus its adjacent word BIGRAMS (wordNgrams=2).
+    * A bigram "a b" hashes as polyHash(a || ' ' || b) WITHOUT building the
+    * joined string — the fold continues from the previous token's unigram
+    * hash through a space codepoint — so the kernel reads each token's
+    * characters at most twice and allocates nothing per feature. A null
+    * token element nulls the whole score (boxed return), matching the HOF
+    * fold a `list_sum` twin would compute.
+    */
+  def hashScore(arr: ArrayData, weights: Array[Long]): java.lang.Long = {
+    val n = arr.numElements()
+    val m = weights.length
+    var acc = 0L
+    var prev = 0L
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val t = arr.getUTF8String(i)
+      val h = polyHashCont(0L, t)
+      acc += weights((h % m).toInt)
+      if (i > 0) acc += weights((polyHashCont((prev * 31 + 32) % 1000000007L, t) % m).toInt)
+      prev = h
+      i += 1
+    }
+    acc
   }
 
   /** Equal-length dot; callers guard the length check (mismatch → null, the
@@ -158,6 +193,8 @@ object Kernels {
     GraftColumnBridge.column(NormTokens(GraftColumnBridge.expression(c)))
   def simhash_fold(c: Column, bits: Int): Column =
     GraftColumnBridge.column(SimHashFold(GraftColumnBridge.expression(c), bits))
+  def hash_score(c: Column, weights: Seq[Long]): Column =
+    GraftColumnBridge.column(HashScore(GraftColumnBridge.expression(c), weights))
 }
 
 /** See [[Kernels.simhashFold]]; `child` is an array<long> of token hashes. */
@@ -260,4 +297,37 @@ case class VocabCount(child: Expression, vocab: Seq[String])
     defineCodeGen(ctx, ev, c => s"graft.functions.Kernels.vocabCount($c, $setRef)")
   }
   override protected def withNewChildInternal(newChild: Expression): VocabCount = copy(child = newChild)
+}
+
+/** See [[Kernels.hashScore]] — hashed linear classifier inference over a
+  * token array. The weight table (a learned model's bucket weights, or a
+  * deterministic stand-in for oracle-pinned tests) rides the plan as a
+  * codegen reference object: shipped once per executor with the task
+  * binary, indexed per feature, never rebuilt per row. `weights` is a Seq
+  * so the case class keeps value equality for plan canonicalization; the
+  * eval path reads a memoized primitive array.
+  */
+case class HashScore(child: Expression, weights: Seq[Long])
+  extends UnaryExpression {
+  require(weights.nonEmpty, "hashScore needs a non-empty weight table")
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+
+  @transient private lazy val weightArr: Array[Long] = weights.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.hashScore(input.asInstanceOf[ArrayData], weightArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("hashScoreWeights", weightArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("graftHashScore")
+      s"""
+      java.lang.Long $r = graft.functions.Kernels.hashScore($c, $wRef);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r.longValue(); }"""
+    })
+  }
+  override protected def withNewChildInternal(newChild: Expression): HashScore = copy(child = newChild)
 }

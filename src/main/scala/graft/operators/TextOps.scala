@@ -613,6 +613,76 @@ object TextOps {
       .select(col("id").as(idCol), col("n_tokens"), col("tok_start"), col("shard_id"))
   }
 
+  /** Fixed-size overlapping token chunking — the RAG / long-context
+    * preprocessing stage that cuts each document into `chunkSize`-token
+    * windows every `stride` tokens (stride < chunkSize ⇒ adjacent chunks
+    * overlap by chunkSize − stride tokens, so no sentence is lost at a
+    * boundary). Chunk starts are 0, stride, 2·stride, … while they fall
+    * inside the document; the final chunk may run short. Each chunk carries
+    * its token offset, length, text, and [[polyHash]] fingerprint — the key
+    * chunk-level dedup and embedding stages join on downstream.
+    *
+    * Pure per-row Generate work: tokenize once per document (bound behind
+    * an alias BELOW the explode — Generate evaluation has no interpreted
+    * CSE, see [[ngramsRaw]]'s caller contract), explode the start indices,
+    * slice per chunk. Zero shuffle, scales linearly with corpus bytes; the
+    * output is ~chunkSize/stride × input tokens, the contracted expansion.
+    */
+  def chunkOverlap(df: DataFrame, idCol: String, textCol: String,
+                   chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(stride >= 1 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize], got $stride")
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), col("__t"), size(col("__t")).cast("long").as("__n"))
+      .select(col(idCol), col("__t"), col("__n"),
+        explode(sequence(lit(0L), expr(s"(__n - 1) div $stride"))).as("__i"))
+      .select(col(idCol),
+        col("__i").cast("int").as("chunk_idx"),
+        (col("__i") * stride).as("tok_start"),
+        least(lit(chunkSize.toLong), col("__n") - col("__i") * stride)
+          .cast("int").as("n_chunk_tokens"),
+        array_join(slice(col("__t"), (col("__i") * stride + 1).cast("int"),
+          lit(chunkSize)), " ").as("chunk_text"))
+      .withColumn("chunk_fp", polyHash(col("chunk_text")))
+  }
+
+  /** Weight-table buckets for [[hashClassify]]. */
+  val ClassifierBuckets = 4096
+
+  /** Deterministic stand-in weight table for [[hashClassify]]: bucket b
+    * weighs ((b·2654435761) mod [[HashP]]) mod 1001 − 500 — a symmetric
+    * integer spread in [−500, 500] both engines recompute exactly (the
+    * multiplier is Knuth's 2^32 golden-ratio constant, so adjacent buckets
+    * decorrelate). A production pipeline substitutes the learned bucket
+    * weights of a real quality/topic classifier here; everything else —
+    * feature hashing, kernel, threshold gate — is the deployment path.
+    */
+  def classifierWeights(buckets: Int = ClassifierBuckets): Array[Long] =
+    Array.tabulate(buckets)(b => ((b.toLong * 2654435761L) % HashP) % 1001L - 500L)
+
+  /** Model-based corpus filtering: fastText-style hashed bag-of-ngrams
+    * linear classifier inference (Joulin et al., "Bag of Tricks for
+    * Efficient Text Classification", 2016) — the architecture behind the
+    * LLaMA/CCNet-lineage quality filters. Features are the document's
+    * unigrams plus adjacent word bigrams, hashed into `weights.length`
+    * buckets; the score is the exact integer sum of bucket weights
+    * (integer, not float, so both engines agree bit-for-bit and the sum is
+    * reassociation-free); `kept` gates on score ≥ threshold.
+    *
+    * One codegen kernel call per row ([[graft.functions.HashScore]] — the
+    * weight table ships as a plan reference object, features never
+    * materialize), zero shuffle: the 100 TB shape is a map-only pass.
+    */
+  def hashClassify(df: DataFrame, idCol: String, textCol: String,
+                   weights: Seq[Long] = classifierWeights().toSeq,
+                   threshold: Long = 0L): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol),
+        (size(col("__t")) * 2 - 1).as("n_feats"),
+        graft.functions.Kernels.hash_score(col("__t"), weights).as("score"))
+      .withColumn("kept", (col("score") >= threshold).cast("int"))
+
   /** Token-budget corpus selection: walk documents in quality order (score
     * desc, id asc) and keep whole documents while the running token total
     * stays within `budget` — the selection step of a data-mixing recipe

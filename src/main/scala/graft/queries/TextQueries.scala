@@ -1876,6 +1876,47 @@ object TextQueries {
               |  (cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS n_seqs
               |FROM c""".stripMargin)),
 
+    // ----- fixed-size overlapping token chunking (RAG preprocessing) -------
+    // chunkSize 16 / stride 12 ⇒ 4-token overlap; the ~50-token corpus docs
+    // cut to 3–8 chunks each. The oracle recomputes every window, slice and
+    // fingerprint from the shared token array; the chunk_fp column pins the
+    // text byte-for-byte (a drifted boundary changes the polyhash).
+    "q_chunk_overlap" -> Q(
+      (s, d) => TextOps.chunkOverlap(Td.documents(s, d), "doc_id", "text",
+        chunkSize = 16, stride = 12),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+              |n AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM t),
+              |c AS (SELECT doc_id, w, n, unnest(range(0, (n-1)//12 + 1)) AS i
+              |  FROM n),
+              |sl AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+              |    i*12 AS tok_start,
+              |    CAST(least(16, n - i*12) AS INT) AS n_chunk_tokens,
+              |    array_to_string(w[(i*12+1):(i*12+16)], ' ') AS chunk_text
+              |  FROM c)
+              |SELECT doc_id, chunk_idx, tok_start, n_chunk_tokens, chunk_text,
+              |  ${polyHashSql("chunk_text")} AS chunk_fp
+              |FROM sl""".stripMargin)),
+
+    // ----- hashed linear classifier filtering (fastText-style inference) ---
+    // Model-based quality filtering with a hash-derived stand-in weight
+    // table (TextOps.classifierWeights — a learned model drops into the
+    // same kernel). Features = unigrams + adjacent bigrams; the oracle
+    // materializes the bigram strings and recomputes every bucket weight
+    // from the same integer formula, so a single hash/bucket/weight drift
+    // anywhere flips a score and hash-fails.
+    "q_hash_classifier" -> Q(
+      (s, d) => TextOps.hashClassify(Td.documents(s, d), "doc_id", "text"),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+              |f AS (SELECT doc_id, CAST(2*len(w) - 1 AS INT) AS n_feats,
+              |    list_concat(w, [w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS feats
+              |  FROM t),
+              |sc AS (SELECT doc_id, n_feats,
+              |    CAST(list_sum([(((${polyHashSql("x")} % ${TextOps.ClassifierBuckets}) * 2654435761) % ${TextOps.HashP}) % 1001 - 500
+              |      for x in feats]) AS BIGINT) AS score
+              |  FROM f)
+              |SELECT doc_id, n_feats, score, CAST(score >= 0 AS INT) AS kept
+              |FROM sc""".stripMargin)),
+
     // ----- asymmetric shingle containment (quote / subset detection) --------
     // |A∩B|/|A| per colliding ordered pair — catches a short doc quoted
     // inside a long one, which Jaccard's union denominator drowns. Shares

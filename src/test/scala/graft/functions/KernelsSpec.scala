@@ -28,6 +28,32 @@ class KernelsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // bit-exact
   }
 
+  test("HashScore equals the HOF unigram+bigram weight-sum formulation") {
+    val s = spark
+    import s.implicits._
+    val w = graft.operators.TextOps.classifierWeights(64).toSeq
+    val df = Seq(
+      Seq("hello", "world", "hello"),
+      Seq("a"),
+      Seq(""),                       // empty-doc token contract: [""]
+      Seq("поезд", "出发", "𐌰𐌱𐌲"),   // unicode incl. astral
+    ).toDF("t")
+    val wSql = w.zipWithIndex
+      .map { case (v, i) => s"WHEN $i THEN ${v}L" }
+      .mkString("CASE CAST(h % 64 AS INT) ", " ", " END")
+    val rows = df.select(
+      Kernels.hash_score(col("t"), w).as("kernel"),
+      expr(
+        s"""aggregate(
+           |  concat(transform(t, x -> aggregate(split(x, ''), CAST(0 AS BIGINT),
+           |    (acc, c) -> (acc*31 + ascii(c)) % 1000000007)),
+           |  transform(slice(t, 2, size(t)), (x, i) -> aggregate(split(concat(element_at(t, i+1), ' ', x), ''),
+           |    CAST(0 AS BIGINT), (acc, c) -> (acc*31 + ascii(c)) % 1000000007))),
+           |  CAST(0 AS BIGINT), (s, h) -> s + ($wSql))""".stripMargin).as("hof"),
+    ).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("kernels are SQL-callable after extension registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(

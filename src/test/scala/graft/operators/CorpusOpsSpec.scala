@@ -378,6 +378,59 @@ class CorpusOpsSpec extends SparkSpec {
     assert(wide.toSeq == out.toSeq)
   }
 
+  test("chunkOverlap: stride windows, overlap, short tail, fingerprints") {
+    val docs = Seq(
+      (1L, "a b c d e f g"), // 7 tokens, size 4 / stride 2 → starts 0,2,4,6
+      (2L, "x"),             // 1 token → exactly one (short) chunk
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkOverlap(docs, "doc_id", "text", chunkSize = 4, stride = 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val expect = Seq(
+      (1L, 0, 0L, 4, "a b c d"),
+      (1L, 1, 2L, 4, "c d e f"),
+      (1L, 2, 4L, 3, "e f g"),
+      (1L, 3, 6L, 1, "g"),
+      (2L, 0, 0L, 1, "x"),
+    )
+    assert(out.length == expect.length)
+    out.zip(expect).foreach { case (r, (id, idx, start, n, text)) =>
+      assert((r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getString(4)) ==
+        ((id, idx, start, n, text)))
+      // fingerprint is the polyhash of the chunk text
+      assert(r.getLong(5) ==
+        graft.functions.Kernels.polyHash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(text)))
+    }
+    // adjacent chunks overlap by chunkSize − stride tokens
+    assert(out(0).getString(4).split(" ").drop(2).toSeq ==
+      out(1).getString(4).split(" ").take(2).toSeq)
+  }
+
+  test("hashClassify: integer scores, threshold gate, empty-doc contract") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the quick brown fox"), // identical text → identical score
+      (3L, ""),                    // empty doc: one "" token, one feature
+    ).toDF("doc_id", "text")
+    val w = TextOps.classifierWeights(64).toSeq
+    val out = TextOps.hashClassify(docs, "doc_id", "text", weights = w)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(2) == out(1).getLong(2))
+    assert(out(0).getInt(1) == 7) // 4 unigrams + 3 bigrams
+    assert(out(2).getInt(1) == 1)
+    assert(out(2).getLong(2) == w(0)) // polyHash("") = 0 → bucket 0
+    out.foreach(r => assert((r.getInt(3) == 1) == (r.getLong(2) >= 0L)))
+    // score is the hand-computed feature-weight sum
+    val feats = Seq("the", "quick", "brown", "fox",
+      "the quick", "quick brown", "brown fox")
+    val expect = feats.map { f =>
+      val h = graft.functions.Kernels.polyHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(f))
+      w((h % 64).toInt)
+    }.sum
+    assert(out(0).getLong(2) == expect)
+  }
+
   test("containmentPairs: directional score catches a quoted subset doc") {
     val docs = Seq(
       (1L, "the quick brown fox"), // 2 shingles, both inside doc 2
