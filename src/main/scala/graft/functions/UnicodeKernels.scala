@@ -35,6 +35,66 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Precompiled table for [[ScriptRoute]]: the script classes' literal
+  * char-class strings parsed into sorted disjoint codepoint ranges, the
+  * script→language routes resolved to class indexes, and the kana-override
+  * constants. Built from the SAME `TextOps.ScriptClasses` /
+  * `ScriptUniqueLangs` / `KanaRouteInv` values the oracle SQL generator
+  * embeds — the kernel cannot drift from the regex formulation because its
+  * ranges are parsed out of the identical class strings.
+  */
+final class ScriptRouteTable(classes: Seq[(String, String)],
+                             routes: Seq[(String, String)],
+                             val kanaInv: Int) extends Serializable {
+  val nClasses: Int = classes.size
+  val (los, his, cls) = {
+    val rs = classes.zipWithIndex.flatMap { case ((_, cc), idx) =>
+      ScriptRouteTable.parseRanges(cc).map { case (lo, hi) => (lo, hi, idx) }
+    }.sortBy(_._1)
+    rs.sliding(2).foreach {
+      case Seq((_, hiA, _), (loB, _, _)) =>
+        require(hiA < loB, s"script-class ranges overlap: $hiA >= $loB — " +
+          "per-codepoint single-class counting would diverge from the " +
+          "independent per-class regex counts")
+      case _ =>
+    }
+    (rs.map(_._1).toArray, rs.map(_._2).toArray, rs.map(_._3).toArray)
+  }
+  val routeOf: Array[UTF8String] = {
+    val m = routes.toMap
+    classes.map { case (name, _) =>
+      m.get(name).map(UTF8String.fromString).orNull
+    }.toArray
+  }
+  val cjkIdx: Int = classes.indexWhere(_._1 == "cjk")
+  val kanaIdx: Int = classes.indexWhere(_._1 == "kana")
+  val ja: UTF8String = UTF8String.fromString("ja")
+}
+
+object ScriptRouteTable {
+  /** Parse a LITERAL character class ("[A-Za-zÀ-ɏ]") into inclusive
+    * codepoint ranges. Only bare chars and `x-y` ranges — any escape or
+    * metachar is a construction-time error, so a class string the regex
+    * engines would read differently can never silently reach the kernel.
+    */
+  private[functions] def parseRanges(cc: String): Seq[(Int, Int)] = {
+    require(cc.startsWith("[") && cc.endsWith("]"), s"not a literal class: $cc")
+    val body = cc.substring(1, cc.length - 1)
+    require(!body.exists(c => c == '\\' || c == '^' || c == '['),
+      s"non-literal class unsupported: $cc")
+    val cps = body.codePoints().toArray
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var i = 0
+    while (i < cps.length) {
+      if (i + 2 < cps.length && cps(i + 1) == '-') {
+        require(cps(i) <= cps(i + 2), s"inverted range in $cc")
+        out += ((cps(i), cps(i + 2))); i += 3
+      } else { out += ((cps(i), cps(i))); i += 1 }
+    }
+    out.toSeq
+  }
+}
+
 object UnicodeKernels {
   def nfc(s: UTF8String): UTF8String = {
     val str = s.toString
@@ -43,6 +103,81 @@ object UnicodeKernels {
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 
+  /** One-pass script routing — bit-identical to the expression formulation
+    * `TextOps.langRouteExpr` (24 per-class regex-strip counts → greatest →
+    * first-match dominant → kana-share override → script-unique route),
+    * which stays the spec-pinned semantics reference and the shape the
+    * DuckDB oracle runs. The expression form re-embeds the 24-regex
+    * `greatest` tree into every CASE branch (~500 regex nodes after
+    * Catalyst's alias substitution — ~2 s of optimizer+codegen per launch,
+    * and a full regex rewrite of the text per node wherever runtime CSE
+    * can't reach); this is one codepoint loop with a binary search over
+    * ~40 sorted ranges. Returns the routed language, or "" when the
+    * document must fall through to the stopword scorer (shared script or
+    * no script hit).
+    */
+  def scriptRoute(s: UTF8String, t: ScriptRouteTable): UTF8String = {
+    val str = s.toString
+    val counts = new Array[Int](t.nClasses)
+    var total = 0
+    val los = t.los; val his = t.his; val cls = t.cls
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      total += 1
+      var lo = 0
+      var hi = los.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (cp < los(mid)) hi = mid - 1
+        else if (cp > his(mid)) lo = mid + 1
+        else { counts(cls(mid)) += 1; hi = lo - 1 } // found → exit
+      }
+    }
+    var best = 0
+    var bi = -1
+    var k = 0
+    while (k < counts.length) { // strict > keeps the FIRST argmax (tie-break order)
+      if (counts(k) > best) { best = counts(k); bi = k }
+      k += 1
+    }
+    if (best == 0) return UTF8String.EMPTY_UTF8 // "und" → stopword scorer
+    if (bi == t.cjkIdx && t.kanaIdx >= 0 &&
+        counts(t.kanaIdx).toLong * t.kanaInv >= total) return t.ja
+    val r = t.routeOf(bi)
+    if (r == null) UTF8String.EMPTY_UTF8 else r
+  }
+
   def nfc_normalize(c: Column): Column =
     GraftColumnBridge.column(NfcNormalize(GraftColumnBridge.expression(c)))
+
+  def script_route(c: Column, classes: Seq[(String, String)],
+                   routes: Seq[(String, String)], kanaInv: Int): Column =
+    GraftColumnBridge.column(ScriptRoute(
+      GraftColumnBridge.expression(c), classes, routes, kanaInv))
+}
+
+/** See [[UnicodeKernels.scriptRoute]]. Class/route tables are Seq params so
+  * the case class keeps value equality for plan canonicalization; the
+  * parsed range table rides the plan as a codegen reference object.
+  */
+case class ScriptRoute(child: Expression, classes: Seq[(String, String)],
+                       routes: Seq[(String, String)], kanaInv: Int)
+  extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+
+  @transient private lazy val table = new ScriptRouteTable(classes, routes, kanaInv)
+
+  override def nullSafeEval(input: Any): Any =
+    UnicodeKernels.scriptRoute(input.asInstanceOf[UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("scriptRouteTable", table,
+      classOf[ScriptRouteTable].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.UnicodeKernels.scriptRoute($c, $tRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): ScriptRoute =
+    copy(child = newChild)
 }

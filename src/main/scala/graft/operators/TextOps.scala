@@ -338,6 +338,27 @@ object TextOps {
     * stage of a multilingual-crawl pipeline.
     */
   def langRoute(text: Column): Column = {
+    // One codegen kernel call for stages (1)+(2) (r15 — parsed from the
+    // SAME ScriptClasses/ScriptUniqueLangs/KanaRouteInv constants the
+    // oracle SQL embeds): the expression formulation below re-embeds the
+    // 24-regex `greatest` tree into every routing CASE branch after alias
+    // substitution (~500 regex nodes, ~2 s of optimizer+codegen per launch
+    // and a full-text regex rewrite per node beyond runtime CSE's reach);
+    // the kernel is one codepoint pass. "" marks fall-through to langId;
+    // spec-pinned ≡ langRouteExpr in UnicodeTextSpec.
+    val routed = graft.functions.UnicodeKernels.script_route(
+      text, ScriptClasses, ScriptUniqueLangs, KanaRouteInv)
+    when(routed =!= "", routed).otherwise(langId(tokens(text)))
+  }
+
+  /** The expression formulation of [[langRoute]] — the spec-pinned
+    * semantics reference (and the exact shape the generated DuckDB oracle
+    * runs): per-class regex-strip counts → greatest → first-match dominant
+    * → kana-share override → script-unique route → stopword fall-through.
+    * Kept for the kernel-equivalence property test; not a production path
+    * (see [[langRoute]] for why the alias substitution makes it explode).
+    */
+  private[operators] def langRouteExpr(text: Column): Column = {
     val prof = scriptProfile(text).toMap
     val script = prof("script")
     val routed = ScriptUniqueLangs.foldLeft(

@@ -206,6 +206,31 @@ class UnicodeTextSpec extends SparkSpec {
     assert(route("真夜中に列車が出発した") == "ja")
   }
 
+  test("langRoute kernel ≡ expression formulation (mixed-script fuzz)") {
+    val s = spark
+    import s.implicits._
+    // codepoint blocks spanning routed scripts, shared scripts, digits,
+    // space, and an astral block — ties, near-ties and the kana-share
+    // boundary all occur across 400 seeded samples
+    val blocks = Seq(
+      (0x41, 0x5A), (0x430, 0x44F), (0x5D0, 0x5EA), (0x631, 0x64A),
+      (0x4E00, 0x4E80), (0x3041, 0x3096), (0xAC00, 0xAC60),
+      (0x0B85, 0x0BB5), (0x10D0, 0x10F0), (0x30, 0x39), (0x20, 0x20),
+      (0x10330, 0x1034A))
+    val rnd = new scala.util.Random(42)
+    val texts = (0 until 400).map { _ =>
+      val n = rnd.nextInt(40)
+      (0 until n).map { _ =>
+        val (lo, hi) = blocks(rnd.nextInt(blocks.size))
+        new String(Character.toChars(lo + rnd.nextInt(hi - lo + 1)))
+      }.mkString
+    } :+ "" :+ "7492 8301"
+    val rows = texts.toDF("text").select(
+      TextOps.langRoute(col("text")).as("k"),
+      TextOps.langRouteExpr(col("text")).as("e")).collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
   test("routedStopwordOk: own-profile gate, script-unique pass, und fails") {
     val s = spark
     import s.implicits._
