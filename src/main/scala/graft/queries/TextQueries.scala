@@ -24,6 +24,25 @@ object TextQueries {
   private[queries] val toksSql = toksSqlOf("text")
   private[queries] def polyHashSql(s: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in split($s, '')]), (acc, c) -> (acc*31 + c) % ${TextOps.HashP})"
+  /** DuckDB twin of [[TextOps.chunkOverlap]] as a CTE chain ending in `ck`
+    * (doc_id, chunk_idx, tok_start, n_chunk_tokens, chunk_text, chunk_fp) —
+    * shared by q_chunk_overlap and q_chunk_dedup so the window enumeration,
+    * slice bounds and fingerprint can never drift between their oracles.
+    */
+  private def chunkCtesSql(size: Int, stride: Int): String =
+    s"""t AS (SELECT doc_id, $toksSql AS w FROM documents),
+       |n AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM t),
+       |c AS (SELECT doc_id, w, n, unnest(range(0, (n-1)//$stride + 1)) AS i
+       |  FROM n),
+       |sl AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       |    i*$stride AS tok_start,
+       |    CAST(least($size, n - i*$stride) AS INT) AS n_chunk_tokens,
+       |    array_to_string(w[(i*$stride+1):(i*$stride+$size)], ' ') AS chunk_text
+       |  FROM c),
+       |ck AS (SELECT doc_id, chunk_idx, tok_start, n_chunk_tokens, chunk_text,
+       |    ${polyHashSql("chunk_text")} AS chunk_fp
+       |  FROM sl)""".stripMargin
+
   private val shinglesSql = // distinct word 3-grams, matching TextOps.shingles(_, 3)
     "list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])"
   /** Mixed-script fixture texts (shared verbatim with the oracle SQL).
@@ -1884,18 +1903,40 @@ object TextQueries {
     "q_chunk_overlap" -> Q(
       (s, d) => TextOps.chunkOverlap(Td.documents(s, d), "doc_id", "text",
         chunkSize = 16, stride = 12),
-      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
-              |n AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM t),
-              |c AS (SELECT doc_id, w, n, unnest(range(0, (n-1)//12 + 1)) AS i
-              |  FROM n),
-              |sl AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
-              |    i*12 AS tok_start,
-              |    CAST(least(16, n - i*12) AS INT) AS n_chunk_tokens,
-              |    array_to_string(w[(i*12+1):(i*12+16)], ' ') AS chunk_text
-              |  FROM c)
+      Some(s"""WITH ${chunkCtesSql(16, 12)}
               |SELECT doc_id, chunk_idx, tok_start, n_chunk_tokens, chunk_text,
-              |  ${polyHashSql("chunk_text")} AS chunk_fp
-              |FROM sl""".stripMargin)),
+              |  chunk_fp
+              |FROM ck""".stripMargin)),
+
+    // ----- chunk-level exact dedup (CCNet-style paragraph dedup) -----------
+    // The stage chunkOverlap exists for: cut every document into
+    // NON-overlapping 16-token paragraphs (stride = chunkSize) and collapse
+    // exact duplicates corpus-wide by chunk fingerprint — the first
+    // occurrence (smallest doc_id, then chunk_idx) survives, so boilerplate
+    // repeated across documents is kept exactly once. Per-doc rollup of
+    // total vs surviving chunks; planted near-dup docs lose their shared
+    // aligned paragraphs here. One shuffle on the fingerprint (window) +
+    // the rollup — at 100 TB the fp shuffle carries (fp, ids), not text.
+    "q_chunk_dedup" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ch = TextOps.chunkOverlap(Td.documents(s, d), "doc_id", "text",
+          chunkSize = 16, stride = 16)
+        val w = Window.partitionBy("chunk_fp").orderBy("doc_id", "chunk_idx")
+        ch.select(col("doc_id"), col("chunk_idx"), col("chunk_fp"))
+          .withColumn("__rn", row_number().over(w))
+          .groupBy("doc_id").agg(
+            count(lit(1)).as("n_chunks"),
+            sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+      },
+      Some(s"""WITH ${chunkCtesSql(16, 16)},
+              |r AS (SELECT doc_id, chunk_idx, chunk_fp,
+              |    row_number() OVER (PARTITION BY chunk_fp
+              |      ORDER BY doc_id, chunk_idx) AS rn
+              |  FROM ck)
+              |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+              |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+              |FROM r GROUP BY doc_id""".stripMargin)),
 
     // ----- hashed linear classifier filtering (fastText-style inference) ---
     // Model-based quality filtering with a hash-derived stand-in weight
