@@ -235,4 +235,40 @@ class StreamOpsSpec extends SparkSpec {
     assert(a(2)._2.exists(z => math.abs(z - 10.0 / math.sqrt(200.0 / 3)) < 1e-12))
     assert(run("b") == a) // rerun identical
   }
+
+  test("chunkOverlap + hashClassify run stateless on a stream, batch-identical") {
+    // The r15 ingest stages are per-row Generate/kernel work, so they must
+    // compose into readStream → transform → writeStream with NO state store
+    // and produce bit-identical rows to the batch path — the contract that
+    // lets one pipeline definition serve backfill and live ingest.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    val docs = Seq((1L, "a b c d e f g"), (2L, "x"), (3L, "the quick brown fox"))
+    val w = TextOps.classifierWeights(64).toSeq
+
+    val input = MemoryStream[(Long, String)]
+    val streamed = TextOps.hashClassify(
+      TextOps.chunkOverlap(input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", chunkSize = 4, stride = 2)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_text").as("text")),
+      "doc_id", "text", weights = w)
+    val q = streamed.writeStream.format("memory").queryName("chunk_classify")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    input.addData(docs.drop(2): _*) // second micro-batch: no cross-batch state
+    q.processAllAvailable()
+    q.stop()
+
+    val batch = TextOps.hashClassify(
+      TextOps.chunkOverlap(docs.toDF("doc_id", "text"),
+        "doc_id", "text", chunkSize = 4, stride = 2)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_text").as("text")),
+      "doc_id", "text", weights = w)
+      .collect().map(_.toSeq).toSet
+    val live = spark.table("chunk_classify").collect().map(_.toSeq).toSet
+    assert(live == batch && batch.nonEmpty)
+  }
 }
