@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatDot, NfcNormalize, NormTokens, PolyHash, SimHashFold}
+import graft.functions.{FloatDot, NfcNormalize, NormTokens, PolyHash, ScriptRoute, SimHashFold}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc_normalize"),
       exprs => NfcNormalize(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_script_route"),
+      new ExpressionInfo(classOf[ScriptRoute].getName, "graft_script_route"),
+      exprs => GraftExtensions.scriptRoute(exprs.head)))
     ext.injectOptimizerRule(_ => graft.plans.RewriteFloatDot)
   }
 }
@@ -52,5 +56,16 @@ object GraftExtensions {
       exprs => SimHashFold(exprs.head, graft.operators.TextOps.SimHashBits), "built-in")
     reg.createOrReplaceTempFunction("graft_norm_tokens", exprs => NormTokens(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_script_route",
+      exprs => GraftExtensions.scriptRoute(exprs.head), "built-in")
   }
+
+  /** graft_script_route(text): the script-first routing kernel with the
+    * engine's routing tables baked in — "" means "fall through to the
+    * stopword scorer" (SQL callers pair it with a CASE over langId-style
+    * scores, exactly like [[graft.operators.TextOps.langRoute]]).
+    */
+  private[graft] def scriptRoute(child: org.apache.spark.sql.catalyst.expressions.Expression): ScriptRoute =
+    ScriptRoute(child, graft.operators.TextOps.ScriptClasses,
+      graft.operators.TextOps.ScriptUniqueLangs, graft.operators.TextOps.KanaRouteInv)
 }

@@ -406,6 +406,37 @@ class CorpusOpsSpec extends SparkSpec {
       out(1).getString(4).split(" ").take(2).toSeq)
   }
 
+  test("chunkOverlap invariants: full coverage, exact reconstruction (fuzz)") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 60L).map { id =>
+      val n = rnd.nextInt(40) // 0..39 tokens (0 → the [""] token contract)
+      (id, (1 to n).map(i => s"t${rnd.nextInt(9)}x$i").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    for ((size, stride) <- Seq((4, 2), (5, 5), (7, 3), (1, 1))) {
+      val out = TextOps.chunkOverlap(df, "doc_id", "text", size, stride)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(4)))
+        .groupBy(_._1)
+      docs.foreach { case (id, text) =>
+        // fixture is lowercase ASCII words, so normTokens ≡ whitespace
+        // split, with the [""] empty-doc token contract
+        val toks = if (text.isEmpty) Array("") else text.split(" ")
+        val chunks = out(id).sortBy(_._2)
+        // starts are exactly 0, stride, … while < n — so every token index
+        // falls inside at least one chunk (stride <= size)
+        assert(chunks.map(_._3).toSeq == chunks.indices.map(_.toLong * stride))
+        assert(chunks.last._3 < toks.length && chunks.length == (toks.length - 1) / stride + 1)
+        // each chunk is the exact token slice; stride==size tiles the doc
+        chunks.foreach { case (_, _, start, text2) =>
+          assert(text2 == toks.slice(start.toInt, start.toInt + size).mkString(" "))
+        }
+        if (stride == size)
+          assert(chunks.map(_._4).mkString(" ") == toks.mkString(" "))
+      }
+    }
+  }
+
   test("hashClassify: integer scores, threshold gate, empty-doc contract") {
     val docs = Seq(
       (1L, "the quick brown fox"),
