@@ -61,8 +61,8 @@ object GraftExtensions {
   }
 
   /** graft_script_route(text): the script-first routing kernel with the
-    * engine's routing tables baked in — "" means "fall through to the
-    * stopword scorer" (SQL callers pair it with a CASE over langId-style
+    * engine's routing tables baked in — NULL means "fall through to the
+    * stopword scorer" (SQL callers compose with COALESCE over langId-style
     * scores, exactly like [[graft.operators.TextOps.langRoute]]).
     */
   private[graft] def scriptRoute(child: org.apache.spark.sql.catalyst.expressions.Expression): ScriptRoute =

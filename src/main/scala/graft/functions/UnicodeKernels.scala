@@ -80,8 +80,11 @@ object ScriptRouteTable {
   private[functions] def parseRanges(cc: String): Seq[(Int, Int)] = {
     require(cc.startsWith("[") && cc.endsWith("]"), s"not a literal class: $cc")
     val body = cc.substring(1, cc.length - 1)
-    require(!body.exists(c => c == '\\' || c == '^' || c == '['),
-      s"non-literal class unsupported: $cc")
+    require(!body.exists(c => c == '\\' || c == '^' || c == '[' ||
+        c == ']' || c == '&'),
+      s"non-literal class unsupported: $cc") // ']' ends a regex class early;
+    // '&' could form Java's [a&&b] intersection — either would make the
+    // parsed ranges diverge from what the regex engines match
     val cps = body.codePoints().toArray
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     var i = 0
@@ -112,9 +115,11 @@ object UnicodeKernels {
     * Catalyst's alias substitution — ~2 s of optimizer+codegen per launch,
     * and a full regex rewrite of the text per node wherever runtime CSE
     * can't reach); this is one codepoint loop with a binary search over
-    * ~40 sorted ranges. Returns the routed language, or "" when the
+    * ~40 sorted ranges. Returns the routed language, or NULL when the
     * document must fall through to the stopword scorer (shared script or
-    * no script hit).
+    * no script hit) — null rather than a sentinel so the caller composes
+    * with ONE kernel reference (`coalesce(route, langId)`), not a CASE
+    * that would duplicate the node and lean on codegen CSE.
     */
   def scriptRoute(s: UTF8String, t: ScriptRouteTable): UTF8String = {
     val str = s.toString
@@ -142,11 +147,10 @@ object UnicodeKernels {
       if (counts(k) > best) { best = counts(k); bi = k }
       k += 1
     }
-    if (best == 0) return UTF8String.EMPTY_UTF8 // "und" → stopword scorer
+    if (best == 0) return null // "und" → stopword scorer
     if (bi == t.cjkIdx && t.kanaIdx >= 0 &&
         counts(t.kanaIdx).toLong * t.kanaInv >= total) return t.ja
-    val r = t.routeOf(bi)
-    if (r == null) UTF8String.EMPTY_UTF8 else r
+    t.routeOf(bi) // null for shared scripts → stopword scorer
   }
 
   def nfc_normalize(c: Column): Column =
@@ -166,6 +170,7 @@ case class ScriptRoute(child: Expression, classes: Seq[(String, String)],
                        routes: Seq[(String, String)], kanaInv: Int)
   extends UnaryExpression {
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
   override def dataType: DataType = StringType
 
   @transient private lazy val table = new ScriptRouteTable(classes, routes, kanaInv)
@@ -176,7 +181,14 @@ case class ScriptRoute(child: Expression, classes: Seq[(String, String)],
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val tRef = ctx.addReferenceObj("scriptRouteTable", table,
       classOf[ScriptRouteTable].getName)
-    defineCodeGen(ctx, ev, c => s"graft.functions.UnicodeKernels.scriptRoute($c, $tRef)")
+    nullSafeCodeGen(ctx, ev, c => { // result may be null (fall-through)
+      val r = ctx.freshName("graftRoute")
+      s"""
+      org.apache.spark.unsafe.types.UTF8String $r =
+        graft.functions.UnicodeKernels.scriptRoute($c, $tRef);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r; }"""
+    })
   }
   override protected def withNewChildInternal(newChild: Expression): ScriptRoute =
     copy(child = newChild)

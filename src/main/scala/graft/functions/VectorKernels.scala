@@ -20,6 +20,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object Kernels {
 
+  /** The polynomial-hash modulus — ONE definition for the unigram fold, the
+    * bigram continuation, and (via `TextOps.HashP`) the generated oracle
+    * SQL, so the three can never drift apart.
+    */
+  val HashP = 1000000007L
+
   /** Static helpers the generated code calls — one JVM-static call per row,
     * loop runs in plain Java.
     */
@@ -41,7 +47,7 @@ object Kernels {
     var i = 0
     while (i < str.length) {
       val cp = str.codePointAt(i)
-      h = (h * 31 + cp) % 1000000007L
+      h = (h * 31 + cp) % HashP
       i += Character.charCount(cp)
     }
     h
@@ -51,11 +57,13 @@ object Kernels {
     * et al. 2016): Σ weights(polyHash(feature) mod weights.length) over the
     * token array's UNIGRAMS plus its adjacent word BIGRAMS (wordNgrams=2).
     * A bigram "a b" hashes as polyHash(a || ' ' || b) WITHOUT building the
-    * joined string — the fold continues from the previous token's unigram
-    * hash through a space codepoint — so the kernel reads each token's
-    * characters at most twice and allocates nothing per feature. A null
-    * token element nulls the whole score (boxed return), matching the HOF
-    * fold a `list_sum` twin would compute.
+    * joined string, via the affine fold identity
+    * fold(h0, s) = (h0 · 31^cps(s) + fold(0, s)) mod P — the unigram pass
+    * tracks 31^cps alongside the hash, so each token is decoded and folded
+    * exactly ONCE per row (one toString, one codepoint loop) and nothing
+    * allocates per feature. Both factors are < P ≈ 10^9, so the product
+    * stays under 2^63. A null token element nulls the whole score (boxed
+    * return), matching the HOF fold a `list_sum` twin would compute.
     */
   def hashScore(arr: ArrayData, weights: Array[Long]): java.lang.Long = {
     val n = arr.numElements()
@@ -65,10 +73,21 @@ object Kernels {
     var i = 0
     while (i < n) {
       if (arr.isNullAt(i)) return null
-      val t = arr.getUTF8String(i)
-      val h = polyHashCont(0L, t)
+      val str = arr.getUTF8String(i).toString
+      var h = 0L
+      var pw = 1L // 31^(codepoints folded so far) mod P
+      var j = 0
+      while (j < str.length) {
+        val cp = str.codePointAt(j)
+        h = (h * 31 + cp) % HashP
+        pw = (pw * 31) % HashP
+        j += Character.charCount(cp)
+      }
       acc += weights((h % m).toInt)
-      if (i > 0) acc += weights((polyHashCont((prev * 31 + 32) % 1000000007L, t) % m).toInt)
+      if (i > 0) {
+        val hb0 = (prev * 31 + 32) % HashP // fold state after "prev "
+        acc += weights(((((hb0 * pw) % HashP) + h) % HashP % m).toInt)
+      }
       prev = h
       i += 1
     }

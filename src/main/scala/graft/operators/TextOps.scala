@@ -19,7 +19,7 @@ object TextOps {
     * intermediate < 2^35 so 64-bit arithmetic never overflows (DuckDB raises
     * on BIGINT overflow; Spark wraps — staying small keeps them identical).
     */
-  val HashP = 1000000007L
+  val HashP: Long = graft.functions.Kernels.HashP // one definition, kernel-owned
 
   /** CJK character class shared VERBATIM between the Java-regex (Spark) and
     * RE2 (DuckDB oracle) formulations — written as literal-character ranges
@@ -344,11 +344,12 @@ object TextOps {
     // 24-regex `greatest` tree into every routing CASE branch after alias
     // substitution (~500 regex nodes, ~2 s of optimizer+codegen per launch
     // and a full-text regex rewrite per node beyond runtime CSE's reach);
-    // the kernel is one codepoint pass. "" marks fall-through to langId;
-    // spec-pinned ≡ langRouteExpr in UnicodeTextSpec.
-    val routed = graft.functions.UnicodeKernels.script_route(
-      text, ScriptClasses, ScriptUniqueLangs, KanaRouteInv)
-    when(routed =!= "", routed).otherwise(langId(tokens(text)))
+    // the kernel is one codepoint pass. NULL marks fall-through to langId,
+    // so coalesce references the kernel node exactly ONCE — no reliance on
+    // codegen CSE; spec-pinned ≡ langRouteExpr in UnicodeTextSpec.
+    coalesce(graft.functions.UnicodeKernels.script_route(
+      text, ScriptClasses, ScriptUniqueLangs, KanaRouteInv),
+      langId(tokens(text)))
   }
 
   /** The expression formulation of [[langRoute]] — the spec-pinned
@@ -638,10 +639,12 @@ object TextOps {
     * preprocessing stage that cuts each document into `chunkSize`-token
     * windows every `stride` tokens (stride < chunkSize ⇒ adjacent chunks
     * overlap by chunkSize − stride tokens, so no sentence is lost at a
-    * boundary). Chunk starts are 0, stride, 2·stride, … while they fall
-    * inside the document; the final chunk may run short. Each chunk carries
-    * its token offset, length, text, and [[polyHash]] fingerprint — the key
-    * chunk-level dedup and embedding stages join on downstream.
+    * boundary). Chunk starts are 0, stride, 2·stride, … ENDING with the
+    * first window that reaches the document's end (so only the final chunk
+    * may run short, and no chunk is a pure suffix of its predecessor —
+    * n_chunks = ceil(max(n − chunkSize, 0) / stride) + 1). Each chunk
+    * carries its token offset, length, text, and [[polyHash]] fingerprint —
+    * the key chunk-level dedup and embedding stages join on downstream.
     *
     * Pure per-row Generate work: tokenize once per document (bound behind
     * an alias BELOW the explode — Generate evaluation has no interpreted
@@ -657,7 +660,8 @@ object TextOps {
     df.select(col(idCol), tokens(col(textCol)).as("__t"))
       .select(col(idCol), col("__t"), size(col("__t")).cast("long").as("__n"))
       .select(col(idCol), col("__t"), col("__n"),
-        explode(sequence(lit(0L), expr(s"(__n - 1) div $stride"))).as("__i"))
+        explode(sequence(lit(0L),
+          expr(s"(greatest(__n - $chunkSize, 0) + $stride - 1) div $stride"))).as("__i"))
       .select(col(idCol),
         col("__i").cast("int").as("chunk_idx"),
         (col("__i") * stride).as("tok_start"),

@@ -32,7 +32,8 @@ object TextQueries {
   private def chunkCtesSql(size: Int, stride: Int): String =
     s"""t AS (SELECT doc_id, $toksSql AS w FROM documents),
        |n AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n FROM t),
-       |c AS (SELECT doc_id, w, n, unnest(range(0, (n-1)//$stride + 1)) AS i
+       |c AS (SELECT doc_id, w, n,
+       |    unnest(range(0, (greatest(n - $size, 0) + $stride - 1)//$stride + 1)) AS i
        |  FROM n),
        |sl AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
        |    i*$stride AS tok_start,
@@ -1896,8 +1897,10 @@ object TextQueries {
               |FROM c""".stripMargin)),
 
     // ----- fixed-size overlapping token chunking (RAG preprocessing) -------
-    // chunkSize 16 / stride 12 ⇒ 4-token overlap; the ~50-token corpus docs
-    // cut to 3–8 chunks each. The oracle recomputes every window, slice and
+    // chunkSize 16 / stride 12 ⇒ 4-token overlap; enumeration stops at the
+    // first window reaching the doc's end (no pure-suffix tail chunks); the
+    // ~50-token corpus docs cut to 2–7 chunks each. The oracle recomputes
+    // every window, slice and
     // fingerprint from the shared token array; the chunk_fp column pins the
     // text byte-for-byte (a drifted boundary changes the polyhash).
     "q_chunk_overlap" -> Q(

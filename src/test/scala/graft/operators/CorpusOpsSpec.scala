@@ -380,16 +380,17 @@ class CorpusOpsSpec extends SparkSpec {
 
   test("chunkOverlap: stride windows, overlap, short tail, fingerprints") {
     val docs = Seq(
-      (1L, "a b c d e f g"), // 7 tokens, size 4 / stride 2 → starts 0,2,4,6
+      (1L, "a b c d e f g"), // 7 tokens, size 4 / stride 2 → starts 0,2,4
       (2L, "x"),             // 1 token → exactly one (short) chunk
     ).toDF("doc_id", "text")
     val out = TextOps.chunkOverlap(docs, "doc_id", "text", chunkSize = 4, stride = 2)
       .orderBy("doc_id", "chunk_idx").collect()
+    // enumeration STOPS at the first window reaching the end: a start-6
+    // chunk "g" would be a pure suffix of "e f g" — zero new coverage
     val expect = Seq(
       (1L, 0, 0L, 4, "a b c d"),
       (1L, 1, 2L, 4, "c d e f"),
       (1L, 2, 4L, 3, "e f g"),
-      (1L, 3, 6L, 1, "g"),
       (2L, 0, 0L, 1, "x"),
     )
     assert(out.length == expect.length)
@@ -423,10 +424,13 @@ class CorpusOpsSpec extends SparkSpec {
         // split, with the [""] empty-doc token contract
         val toks = if (text.isEmpty) Array("") else text.split(" ")
         val chunks = out(id).sortBy(_._2)
-        // starts are exactly 0, stride, … while < n — so every token index
-        // falls inside at least one chunk (stride <= size)
+        // starts are exactly 0, stride, … up to the first window reaching
+        // the end — full coverage, no pure-suffix tail duplicates
         assert(chunks.map(_._3).toSeq == chunks.indices.map(_.toLong * stride))
-        assert(chunks.last._3 < toks.length && chunks.length == (toks.length - 1) / stride + 1)
+        assert(chunks.length ==
+          (math.max(toks.length - size, 0) + stride - 1) / stride + 1)
+        assert(chunks.last._3 + size >= toks.length) // covers the last token
+        assert(chunks.last._3 < toks.length)
         // each chunk is the exact token slice; stride==size tiles the doc
         chunks.foreach { case (_, _, start, text2) =>
           assert(text2 == toks.slice(start.toInt, start.toInt + size).mkString(" "))
