@@ -744,6 +744,43 @@ object TextOps {
         (col("tok_end") - col("n_tokens")).as("tok_start"))
   }
 
+  /** Collocation / phrase mining (the phrase-induction stage of word2vec's
+    * preprocessing, Mikolov et al. 2013 §4): bigrams occurring ≥ `minCount`
+    * times scored by the log-free association ratio
+    * `count(ab)·N / (count(a)·count(b))` — PMI's argument, monotone in PMI
+    * for a fixed pair, so thresholding it is thresholding PMI while every
+    * factor stays an exact 64-bit integer (both products < 2^53, so the one
+    * double conversion and the single IEEE division are bit-identical
+    * cross-engine; a `log` would be libm-dependent). High-scoring pairs
+    * ("new york") become joined phrase tokens for tokenizer/vocab work.
+    *
+    * Scale shape: two explode→partial-agg passes over the tokens (unigram
+    * and bigram counts, both map-side combinable), the corpus token total
+    * as a broadcast scalar, then two hash joins keyed on the words. No
+    * all-pairs anything — cost is corpus tokens + vocab-sized shuffles.
+    */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+                   minCount: Long = 3L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val toks = df.select(tokens(col(textCol)).as("__t"))
+    val uni = toks.select(explode(col("__t")).as("t"))
+    val un = uni.groupBy("t").agg(count(lit(1)).as("n"))
+    val tot = uni.agg(count(lit(1)).as("__nn"))
+    val bn = toks.select(explode(ngramsRaw(col("__t"), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    // tokens never contain spaces (the tokenizer splits on non-letter/digit),
+    // so the bigram string splits back unambiguously
+    bn.select(element_at(split(col("g"), " "), 1).as("w1"),
+        element_at(split(col("g"), " "), 2).as("w2"), col("n_ab"))
+      .crossJoin(broadcast(tot))
+      .join(un.select(col("t").as("w1"), col("n").as("n_a")), "w1")
+      .join(un.select(col("t").as("w2"), col("n").as("n_b")), "w2")
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        ((col("n_ab") * col("__nn")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("assoc"))
+  }
+
   /** TF-IDF scored top-k terms per document. The IDF factor is the rational
     * `n_docs / df` rather than the textbook `log(n_docs/df)` — log is
     * libm-dependent (not engine-portable bit-for-bit) and, being monotone,

@@ -2020,6 +2020,30 @@ object TextQueries {
               |SELECT src_id, dst_id, containment FROM u
               |WHERE containment >= 0.5""".stripMargin)),
 
+    // ----- collocation / phrase mining (word2vec phrase induction) ---------
+    // Bigrams with count ≥ 3 scored by the log-free association ratio
+    // n_ab·N / (n_a·n_b) — exact integers into one IEEE division, so the
+    // double column hash-compares across engines (a log-PMI would not).
+    "q_collocations" -> Q(
+      (s, d) => TextOps.collocations(Td.documents(s, d), "doc_id", "text",
+        minCount = 3L),
+      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
+              |uni AS (SELECT unnest(w) AS t FROM toks),
+              |un AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM uni GROUP BY 1),
+              |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM uni),
+              |bn AS (SELECT g, CAST(count(*) AS BIGINT) AS n_ab
+              |  FROM (SELECT unnest([w[i] || ' ' || w[i+1]
+              |                      for i in range(1, len(w))]) AS g FROM toks)
+              |  GROUP BY 1 HAVING count(*) >= 3),
+              |sp AS (SELECT string_split(g, ' ')[1] AS w1,
+              |    string_split(g, ' ')[2] AS w2, n_ab FROM bn)
+              |SELECT w1, w2, n_ab, ua.n AS n_a, ub.n AS n_b,
+              |  CAST(n_ab * nn AS DOUBLE) / CAST(ua.n * ub.n AS DOUBLE) AS assoc
+              |FROM sp
+              |CROSS JOIN tot
+              |JOIN un ua ON sp.w1 = ua.t
+              |JOIN un ub ON sp.w2 = ub.t""".stripMargin)),
+
     // ----- corpus n-gram frequency table ------------------------------------
     // Every word trigram seen ≥ 2 times with total occurrences + document
     // frequency — n-gram LM counts / boilerplate mining. Two-level

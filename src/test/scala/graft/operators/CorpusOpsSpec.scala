@@ -466,6 +466,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(0).getLong(2) == expect)
   }
 
+  test("collocations: association ratio from exact counts, minCount gate") {
+    val docs = Seq(
+      (1L, "new york city has new buildings"),
+      (2L, "new york is a city"),
+      (3L, "new york again and york alone"),
+    ).toDF("doc_id", "text")
+    val out = TextOps.collocations(docs, "doc_id", "text", minCount = 3L)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // N = 17 tokens; "new york" appears 3×; new appears 4×, york 4×
+    assert(out.keySet == Set(("new", "york")))
+    val (nAb, nA, nB, assoc) = out(("new", "york"))
+    assert((nAb, nA, nB) == ((3L, 4L, 4L)))
+    assert(assoc == (3.0 * 17.0) / (4.0 * 4.0)) // exact IEEE, no log
+  }
+
   test("containmentPairs: directional score catches a quoted subset doc") {
     val docs = Seq(
       (1L, "the quick brown fox"), // 2 shingles, both inside doc 2
