@@ -173,7 +173,17 @@ case class ScriptRoute(child: Expression, classes: Seq[(String, String)],
   override def nullable: Boolean = true
   override def dataType: DataType = StringType
 
-  @transient private lazy val table = new ScriptRouteTable(classes, routes, kanaInv)
+  // Parse + validate the routing tables AT EXPRESSION CONSTRUCTION (driver,
+  // plan-build time): the literal-class parser and the disjoint-range
+  // require live in ScriptRouteTable's constructor, and behind a bare lazy
+  // val a malformed future ScriptClasses entry would surface as an executor
+  // task/codegen failure mid-query instead of an error at registration
+  // (ADVICE r15). @transient val: rebuilt-as-null after executor
+  // deserialization, where the lazy val re-derives it — validation already
+  // happened on the driver by then.
+  @transient private val validated = new ScriptRouteTable(classes, routes, kanaInv)
+  @transient private lazy val table =
+    if (validated != null) validated else new ScriptRouteTable(classes, routes, kanaInv)
 
   override def nullSafeEval(input: Any): Any =
     UnicodeKernels.scriptRoute(input.asInstanceOf[UTF8String], table)

@@ -29,21 +29,18 @@ object Kernels {
   /** Static helpers the generated code calls — one JVM-static call per row,
     * loop runs in plain Java.
     */
-  def polyHash(s: UTF8String): Long = polyHashCont(0L, s)
-
-  /** The [[polyHash]] fold continued from a prior state `h0` — hashing a
-    * multi-part string (e.g. the bigram "a b") without materializing the
-    * concatenation: fold part 1, multiply-add the joiner codepoint, fold
-    * part 2.
-    */
-  def polyHashCont(h0: Long, s: UTF8String): Long = {
+  def polyHash(s: UTF8String): Long = {
     // Folds Unicode CODE POINTS, not UTF-16 units: DuckDB's oracle twin
     // (`unicode(c)`/`ascii(c)` over a per-character split) is codepoint-
     // based, so a UTF-16 fold would silently diverge on any astral-plane
     // character (emoji, Gothic, CJK ext B) — r9 verdict #2. Max codepoint
-    // 0x10FFFF keeps every intermediate < 2^35, same as before.
+    // 0x10FFFF keeps every intermediate < 2^35. Multi-part strings (the
+    // bigram "a b") continue the fold via the affine identity
+    // fold(h0, s) = (h0 · 31^cps(s) + fold(0, s)) mod P — see [[hashScore]],
+    // which tracks 31^cps inline; a separate h0-continuation entry point
+    // had no caller (ADVICE r15) and was dropped.
     val str = s.toString
-    var h = h0
+    var h = 0L
     var i = 0
     while (i < str.length) {
       val cp = str.codePointAt(i)
@@ -121,6 +118,42 @@ object Kernels {
       i += 1
     }
     hits
+  }
+
+  private val Underscore = UTF8String.fromString("_")
+
+  /** Greedy left-to-right phrase merge — the APPLICATION half of word2vec's
+    * phrase induction (Mikolov et al. 2013 §4, word2phrase): walk the token
+    * array once; when the adjacent pair (t[i], t[i+1]) is in the mined
+    * phrase table, emit the joined token "t[i]_t[i+1]" and consume BOTH
+    * (greedy — the consumed token cannot start another phrase), else emit
+    * t[i]. '_' never occurs in tokenizer output (the tokenizer splits on
+    * non-letter/digit), so merged tokens are unambiguous downstream.
+    *
+    * The table is two-level (first word → set of second words) so the probe
+    * allocates nothing: both lookups hash UTF8String slices of the input
+    * array; only an actual merge builds a new string. A null element nulls
+    * the whole result (boxed), matching the engine's other array kernels.
+    */
+  def phraseMerge(arr: ArrayData,
+                  table: java.util.HashMap[UTF8String, java.util.HashSet[UTF8String]]): ArrayData = {
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[Any](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val t = arr.getUTF8String(i)
+      var merged = false
+      if (i + 1 < n && !arr.isNullAt(i + 1)) {
+        val seconds = table.get(t)
+        if (seconds != null && seconds.contains(arr.getUTF8String(i + 1))) {
+          out.add(UTF8String.concat(t, Underscore, arr.getUTF8String(i + 1)))
+          merged = true
+        }
+      }
+      if (merged) i += 2 else { out.add(t); i += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
   /** One-pass simhash fold over a token-hash array: per hash, bit b of the
@@ -214,6 +247,8 @@ object Kernels {
     GraftColumnBridge.column(SimHashFold(GraftColumnBridge.expression(c), bits))
   def hash_score(c: Column, weights: Seq[Long]): Column =
     GraftColumnBridge.column(HashScore(GraftColumnBridge.expression(c), weights))
+  def phrase_merge(c: Column, phrases: Seq[(String, String)]): Column =
+    GraftColumnBridge.column(PhraseMerge(GraftColumnBridge.expression(c), phrases))
 }
 
 /** See [[Kernels.simhashFold]]; `child` is an array<long> of token hashes. */
@@ -349,4 +384,46 @@ case class HashScore(child: Expression, weights: Seq[Long])
     })
   }
   override protected def withNewChildInternal(newChild: Expression): HashScore = copy(child = newChild)
+}
+
+/** See [[Kernels.phraseMerge]] — greedy merge of mined adjacent-bigram
+  * phrases into joined tokens, one pass per row. `phrases` is the mined
+  * (w1, w2) pair list (a Seq, so the case class keeps value equality for
+  * plan canonicalization — callers sort it); the two-level probe table is
+  * memoized and rides the plan as a codegen reference object, shipped once
+  * per executor like [[HashScore]]'s weights. The phrase table is
+  * vocabulary-sized (mined pairs above a count+association threshold), the
+  * standard word2phrase broadcast-table contract — the 100 TB pass stays
+  * map-only.
+  */
+case class PhraseMerge(child: Expression, phrases: Seq[(String, String)])
+  extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val table: java.util.HashMap[UTF8String, java.util.HashSet[UTF8String]] = {
+    val m = new java.util.HashMap[UTF8String, java.util.HashSet[UTF8String]]()
+    phrases.foreach { case (a, b) =>
+      m.computeIfAbsent(UTF8String.fromString(a),
+        _ => new java.util.HashSet[UTF8String]()).add(UTF8String.fromString(b))
+    }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Kernels.phraseMerge(input.asInstanceOf[ArrayData], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("phraseTable", table, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("graftPhraseMerge")
+      s"""
+      org.apache.spark.sql.catalyst.util.ArrayData $r =
+        graft.functions.Kernels.phraseMerge($c, $tRef);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r; }"""
+    })
+  }
+  override protected def withNewChildInternal(newChild: Expression): PhraseMerge = copy(child = newChild)
 }

@@ -749,10 +749,15 @@ object TextOps {
     * times scored by the log-free association ratio
     * `count(ab)·N / (count(a)·count(b))` — PMI's argument, monotone in PMI
     * for a fixed pair, so thresholding it is thresholding PMI while every
-    * factor stays an exact 64-bit integer (both products < 2^53, so the one
-    * double conversion and the single IEEE division are bit-identical
-    * cross-engine; a `log` would be libm-dependent). High-scoring pairs
-    * ("new york") become joined phrase tokens for tokenizer/vocab work.
+    * factor stays an exact 64-bit integer. Each factor casts to double
+    * BEFORE the multiplies: IEEE double multiply/divide round identically
+    * in both engines, and a 64-bit integer product would overflow for
+    * frequent words at real corpus scale (n_a·n_b > 2^63 once counts reach
+    * ~10^10) — where Spark wraps silently and DuckDB raises, the exact
+    * cross-engine asymmetry this codebase designs around (ADVICE r15). A
+    * `log` would be libm-dependent; the ratio is not. High-scoring pairs
+    * ("new york") become joined phrase tokens for tokenizer/vocab work —
+    * [[applyPhrases]] consumes this table.
     *
     * Scale shape: two explode→partial-agg passes over the tokens (unigram
     * and bigram counts, both map-side combinable), the corpus token total
@@ -777,8 +782,108 @@ object TextOps {
       .join(un.select(col("t").as("w1"), col("n").as("n_a")), "w1")
       .join(un.select(col("t").as("w2"), col("n").as("n_b")), "w2")
       .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
-        ((col("n_ab") * col("__nn")).cast("double") /
-          (col("n_a") * col("n_b")).cast("double")).as("assoc"))
+        ((col("n_ab").cast("double") * col("__nn").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double"))).as("assoc"))
+  }
+
+  /** Materialize the winning phrase pairs of a [[collocations]] table for
+    * [[applyPhrases]]: pairs with association ≥ `minAssoc`, collected to the
+    * driver and SORTED (plan canonicalization — two sessions mining the same
+    * corpus must produce value-equal PhraseMerge expressions). The collect
+    * is bounded control plane, same contract as the ANN codebooks and bloom
+    * predicates: the mined table is vocabulary-sized (pairs already gated by
+    * minCount + association), orders of magnitude under the corpus — the
+    * standard word2phrase broadcast-table shape.
+    */
+  def minePhrases(colloc: DataFrame, minAssoc: Double): Seq[(String, String)] =
+    colloc.filter(col("assoc") >= minAssoc).select("w1", "w2").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+
+  /** Column form of the greedy phrase merge over a BOUND token array —
+    * the composition point for downstream vocab/BPE/embedding stages, which
+    * must consume the merged TOKEN ARRAY (re-tokenizing merged text would
+    * split the '_' joiner back apart).
+    */
+  def phraseMergeTokens(toks: Column, phrases: Seq[(String, String)]): Column =
+    graft.functions.Kernels.phrase_merge(toks, phrases)
+
+  /** Phrase application — the operator that CONSUMES the [[collocations]]
+    * table (word2vec §4's actual output is the re-tokenized corpus, not the
+    * pair list): greedy left-to-right merge of mined adjacent bigrams into
+    * joined tokens ("new york" → "new_york"), one codegen-kernel pass per
+    * row ([[graft.functions.PhraseMerge]] — the phrase table rides the plan
+    * as a reference object). Emits per doc the original and merged token
+    * counts (n_merges = their difference: each merge collapses two tokens
+    * into one) plus the merged text. Map-only after the broadcast — the
+    * 100 TB pass costs one tokenize + one table-probe loop per document.
+    */
+  def applyPhrases(df: DataFrame, idCol: String, textCol: String,
+                   phrases: Seq[(String, String)]): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .select(col(idCol), size(col("__t")).as("n_tokens"),
+        phraseMergeTokens(col("__t"), phrases).as("__m"))
+      .select(col(idCol), col("n_tokens"), size(col("__m")).as("n_tokens_out"),
+        (col("n_tokens") - size(col("__m"))).as("n_merges"),
+        array_join(col("__m"), " ").as("merged_text"))
+
+  /** In-engine trainer for [[hashClassify]]: hashed Naive Bayes over the
+    * same feature map the inference kernel reads (unigrams + adjacent word
+    * bigrams, [[polyHash]] mod `buckets`). Bucket weight = the NB
+    * log-likelihood-ratio contribution
+    * floor-log2(p(b|pos)) − floor-log2(p(b|neg)) with add-one smoothing,
+    * computed EXACTLY: counts quantize to [[QualityOps.QuantScale]]-ths and
+    * map through the [[QualityOps.fpLog2Table]] fixed-point table (the DSIR
+    * machinery), so the learned weights are integers both engines derive
+    * bit-identically — no libm anywhere. A document's [[hashClassify]]
+    * score under these weights is Σ per-feature LLR contributions, i.e. NB
+    * classification with `kept = score ≥ 0` ⇔ "more positive-like than
+    * negative-like".
+    *
+    * Emits ALL `buckets` rows (absent buckets carry the smoothed c=0
+    * weight), so the table drops straight into the inference kernel with no
+    * default-weight special case. Plan shape: one feature explode →
+    * bucket-count aggregate (map-side combinable, `buckets` rows out) →
+    * the rest is arithmetic over a constant-size relation. The quantize
+    * product (c+1)·QuantScale stays < 2^63 for corpora up to ~2^50 feature
+    * occurrences — beyond the 100 TB envelope.
+    */
+  def trainHashNb(df: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column, buckets: Int = ClassifierBuckets): DataFrame = {
+    val feats = df
+      .select(targetPred.as("__pos"), tokens(col(textCol)).as("__t"))
+      .select(col("__pos"),
+        explode(concat(col("__t"), ngramsRaw(col("__t"), 2))).as("feat"))
+      .withColumn("bkt", pmod(polyHash(col("feat")), lit(buckets.toLong)))
+    val counts = feats.groupBy("bkt").agg(
+      sum(when(col("__pos"), 1L).otherwise(0L)).as("c_pos"),
+      sum(when(col("__pos"), 0L).otherwise(1L)).as("c_neg"))
+    val totals = counts.agg(sum(col("c_pos")).as("n_pos"), sum(col("c_neg")).as("n_neg"))
+    val logTab = typedLit(QualityOps.fpLog2Table.toSeq)
+    df.sparkSession.range(buckets).select(col("id").as("bkt"))
+      .join(counts, Seq("bkt"), "left_outer")
+      .select(col("bkt"),
+        coalesce(col("c_pos"), lit(0L)).as("c_pos"),
+        coalesce(col("c_neg"), lit(0L)).as("c_neg"))
+      .crossJoin(broadcast(totals))
+      .withColumn("__qp",
+        expr(s"((c_pos + 1) * ${QualityOps.QuantScale}) div (n_pos + $buckets)"))
+      .withColumn("__qn",
+        expr(s"((c_neg + 1) * ${QualityOps.QuantScale}) div (n_neg + $buckets)"))
+      .select(col("bkt"), col("c_pos"), col("c_neg"),
+        (element_at(logTab, col("__qp").cast("int") + 1) -
+          element_at(logTab, col("__qn").cast("int") + 1)).as("weight"))
+  }
+
+  /** Lift a [[trainHashNb]] table into the dense weight array
+    * [[hashClassify]] takes — bucket-indexed, `buckets` entries. Bounded
+    * control-plane collect (the weight table is `buckets` rows by
+    * construction), same contract as the ANN codebook reads.
+    */
+  def trainedWeights(trained: DataFrame, buckets: Int = ClassifierBuckets): Array[Long] = {
+    val arr = new Array[Long](buckets)
+    trained.select("bkt", "weight").collect()
+      .foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
   }
 
   /** TF-IDF scored top-k terms per document. The IDF factor is the rational

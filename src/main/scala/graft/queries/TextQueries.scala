@@ -44,6 +44,79 @@ object TextQueries {
        |    ${polyHashSql("chunk_text")} AS chunk_fp
        |  FROM sl)""".stripMargin
 
+  /** Association threshold for the phrase-application queries: mined pairs
+    * with assoc ≥ this merge. 1.3 yields a nonempty, vocab-sized phrase set
+    * at every gate scale (57/53/8 pairs at sf0.001/0.01/0.1 — the synthetic
+    * corpus's near-uniform unigram distribution keeps assoc close to 1).
+    * Written into the oracle SQL via toString, so both engines parse the
+    * identical decimal literal.
+    */
+  private val PhraseMinAssoc: Double = 1.3
+
+  /** DuckDB twin of [[TextOps.collocations]] as a CTE chain ending in
+    * `colloc(w1, w2, n_ab, n_a, n_b, assoc)` — shared by q_collocations and
+    * the phrase-application oracles so the mining the merge consumes can
+    * never drift from the mining the mining query pins. `toks` is
+    * MATERIALIZED: the application oracles read it from both the mining
+    * branch and the merge branch, and DuckDB inlines plain CTEs per
+    * reference (the alias-substitution blowup law, SCALING.md r15 — the
+    * tokenizer regex chain must run once, not once per consumer).
+    */
+  private def collocCtesSql(minCount: Long): String =
+    s"""toks AS MATERIALIZED (SELECT doc_id, $toksSql AS w FROM documents),
+       |uni AS (SELECT unnest(w) AS t FROM toks),
+       |un AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM uni GROUP BY 1),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM uni),
+       |bn AS (SELECT g, CAST(count(*) AS BIGINT) AS n_ab
+       |  FROM (SELECT unnest([w[i] || ' ' || w[i+1]
+       |                      for i in range(1, len(w))]) AS g FROM toks)
+       |  GROUP BY 1 HAVING count(*) >= $minCount),
+       |sp AS (SELECT string_split(g, ' ')[1] AS w1,
+       |    string_split(g, ' ')[2] AS w2, n_ab FROM bn),
+       |colloc AS (SELECT w1, w2, n_ab, ua.n AS n_a, ub.n AS n_b,
+       |    (CAST(n_ab AS DOUBLE) * CAST(nn AS DOUBLE)) /
+       |      (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE)) AS assoc
+       |  FROM sp
+       |  CROSS JOIN tot
+       |  JOIN un ua ON sp.w1 = ua.t
+       |  JOIN un ub ON sp.w2 = ub.t)""".stripMargin
+
+  /** DuckDB twin of [[TextOps.applyPhrases]]' greedy merge, continuing
+    * [[collocCtesSql]] and ending in `fin(doc_id, i, tok)` — tok is the
+    * merged token at position i, NULL where a merge consumed the position.
+    * The kernel's sequential greedy loop is expressed as the island-parity
+    * closed form: within each maximal run of consecutive in-phrase pairs,
+    * merges start at run offsets 0, 2, 4, … — a run's FIRST position is
+    * always free (the pair before it is not in-phrase, so no merge can have
+    * consumed it), which makes greedy equivalent to parity and expressible
+    * with two windows (gaps-and-islands grouping + odd row_number) and one
+    * lag for the consumed flag.
+    */
+  private def phraseMergeCtesSql(minCount: Long, minAssoc: Double): String =
+    s"""${collocCtesSql(minCount)},
+       |phr AS (SELECT w1 || ' ' || w2 AS g FROM colloc WHERE assoc >= $minAssoc),
+       |pos AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM toks),
+       |flag AS (SELECT doc_id, i, w[i] AS t, w[i + 1] AS nxt,
+       |    CASE WHEN i < len(w)
+       |      AND (w[i] || ' ' || w[i + 1]) IN (SELECT g FROM phr)
+       |      THEN 1 ELSE 0 END AS inp
+       |  FROM pos),
+       |isl AS (SELECT doc_id, i, t, nxt, inp,
+       |    sum(CASE WHEN inp = 0 THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY i) AS grp
+       |  FROM flag),
+       |ms AS (SELECT doc_id, i, t, nxt,
+       |    CASE WHEN inp = 1 AND (row_number() OVER (
+       |        PARTITION BY doc_id, grp, inp ORDER BY i)) % 2 = 1
+       |      THEN 1 ELSE 0 END AS mstart
+       |  FROM isl),
+       |fin AS (SELECT doc_id, i,
+       |    CASE WHEN mstart = 1 THEN t || '_' || nxt
+       |         WHEN lag(mstart, 1, 0) OVER (PARTITION BY doc_id ORDER BY i) = 1
+       |           THEN NULL
+       |         ELSE t END AS tok
+       |  FROM ms)""".stripMargin
+
   private val shinglesSql = // distinct word 3-grams, matching TextOps.shingles(_, 3)
     "list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])"
   /** Mixed-script fixture texts (shared verbatim with the oracle SQL).
@@ -1941,6 +2014,76 @@ object TextQueries {
               |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
               |FROM r GROUP BY doc_id""".stripMargin)),
 
+    // ----- chunk-level NEAR-dedup (CCNet-style fuzzy paragraph dedup) ------
+    // The fuzzy twin of q_chunk_dedup: non-overlapping 16-token paragraphs
+    // near-deduped by MinHash-LSH banding + exact-Jaccard verify, with
+    // simhashDedup's distinct collapse FIRST — identical chunks (the
+    // overwhelming duplicate mass, cf. q_chunk_dedup) reduce to their
+    // smallest id (doc_id·2^20 + chunk_idx, = first occurrence) before any
+    // signature work, so band-bucket width is bounded by DISTINCT near-dup
+    // cluster size, not by how often a boilerplate paragraph repeats — the
+    // property that keeps the bucket self-join linear at 100 TB. A
+    // representative drops when a verified τ≥0.5 near-dup representative
+    // with a smaller id exists; because Jaccard depends only on text, this
+    // reproduces the all-chunks smallest-id rule under the composite
+    // "identical text OR Jaccard ≥ τ" relation — the identical-text arm is
+    // what the oracle's union pins, and it is load-bearing for sub-shingle
+    // chunks (< n tokens), which the Jaccard arm cannot see. Banding is
+    // 32 bands × 1 row — the max-recall point of the 32-permutation
+    // envelope (miss ≤ (1−s)^32 ≈ 2⁻³² at the τ boundary): 16-token chunks
+    // carry ~14 shingles, so qualifying pairs sit ON τ where the pair-miner
+    // default 8×4 misses 60% and even 16×2 measurably missed 4 pairs at
+    // sf0.1. Single-row bands widen buckets, but the distinct collapse
+    // already bounded bucket width by distinct-cluster size — the extra
+    // fan-out is verified-exact candidates, a compute cost, never a wrong
+    // pair. The oracle recomputes survivors from EXACT all-pairs chunk
+    // Jaccard, so the hash match measures banding losslessness on this
+    // corpus rather than assuming it.
+    "q_chunk_neardup" -> Q(
+      (s, d) => {
+        val ch = TextOps.chunkOverlap(Td.documents(s, d), "doc_id", "text",
+            chunkSize = 16, stride = 16)
+          .select((col("doc_id") * lit(1048576L) + col("chunk_idx")).as("cid"),
+            col("doc_id"), col("chunk_text"))
+        val reps = ch.groupBy("chunk_text").agg(min(col("cid")).as("cid"))
+        val drop = Dedup.minhashPairs(reps, "cid", "chunk_text", n = 3,
+            tau = 0.5, bands = 32, rowsPerBand = 1)
+          .select(col("id_b").as("cid")).distinct()
+        val kept = reps.join(drop, Seq("cid"), "left_anti")
+          .select(expr("cid div 1048576").as("doc_id"))
+        ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+          .join(kept.groupBy("doc_id").agg(count(lit(1)).as("__k")),
+            Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("n_chunks"),
+            coalesce(col("__k"), lit(0L)).as("n_kept"))
+      },
+      Some(s"""WITH ${chunkCtesSql(16, 16)},
+              |cdoc AS (SELECT doc_id, doc_id * 1048576 + chunk_idx AS cid,
+              |    chunk_text FROM ck),
+              |tk AS (SELECT cid, ${toksSqlOf("chunk_text")} AS w FROM cdoc),
+              |shx AS (SELECT cid, $shinglesSql AS sh FROM tk),
+              |exx AS (SELECT cid, unnest(sh) AS s FROM shx),
+              |szs AS (SELECT cid, len(sh) AS n FROM shx),
+              |prs AS (SELECT a.cid AS id_a, b.cid AS id_b, count(*) AS inter
+              |  FROM exx a JOIN exx b ON a.s = b.s AND a.cid < b.cid
+              |  GROUP BY 1, 2),
+              |qp AS (SELECT id_b FROM prs
+              |  JOIN szs sa ON id_a = sa.cid
+              |  JOIN szs sb ON id_b = sb.cid
+              |  WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5
+              |  UNION
+              |  SELECT cid AS id_b FROM (SELECT cid, row_number() OVER (
+              |      PARTITION BY chunk_text ORDER BY cid) AS rn FROM cdoc)
+              |    WHERE rn > 1),
+              |kept AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept
+              |  FROM cdoc WHERE cid NOT IN (SELECT id_b FROM qp)
+              |  GROUP BY 1),
+              |tt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+              |  FROM ck GROUP BY 1)
+              |SELECT tt.doc_id, n_chunks,
+              |  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept
+              |FROM tt LEFT JOIN kept USING (doc_id)""".stripMargin)),
+
     // ----- hashed linear classifier filtering (fastText-style inference) ---
     // Model-based quality filtering with a hash-derived stand-in weight
     // table (TextOps.classifierWeights — a learned model drops into the
@@ -1958,6 +2101,49 @@ object TextQueries {
               |    CAST(list_sum([(((${polyHashSql("x")} % ${TextOps.ClassifierBuckets}) * 2654435761) % ${TextOps.HashP}) % 1001 - 500
               |      for x in feats]) AS BIGINT) AS score
               |  FROM f)
+              |SELECT doc_id, n_feats, score, CAST(score >= 0 AS INT) AS kept
+              |FROM sc""".stripMargin)),
+
+    // ----- in-engine classifier TRAINING (hashed Naive Bayes) --------------
+    // The training half of model-based filtering: bucket weights learned
+    // from the corpus itself (label: lang = 'en') as exact fixed-point NB
+    // log-likelihood ratios — add-one-smoothed counts quantized to the DSIR
+    // 1/4096 grid and mapped through the shared floor-log2 table, so the
+    // learned weights are integers both engines derive bit-identically.
+    // All 4096 bucket rows emitted (absent buckets carry the smoothed c=0
+    // weight) — the table drops straight into the inference kernel.
+    "q_classifier_train" -> Q(
+      (s, d) => TextOps.trainHashNb(Td.documents(s, d), "doc_id", "text",
+        targetPred = col("lang") === "en"),
+      Some(s"""WITH ${trainNbCtesSql}
+              |SELECT bkt, c_pos, c_neg, weight FROM wt""".stripMargin)),
+
+    // ----- train → infer (composed: learned weights drive the kernel) ------
+    // The full model-based filtering loop: trainHashNb's weight table is
+    // collected (4096 rows, bounded control plane) into the HashScore
+    // kernel, and every document is scored under the LEARNED weights —
+    // kept = score ≥ 0 ⇔ NB says "more en-like than not". The oracle
+    // re-derives training AND inference from scratch in SQL; a drift in
+    // either half flips scores and hash-fails.
+    "q_train_infer" -> Q(
+      (s, d) => {
+        val docs = Td.documents(s, d)
+        val w = TextOps.trainedWeights(
+          TextOps.trainHashNb(docs, "doc_id", "text", col("lang") === "en"))
+        TextOps.hashClassify(docs, "doc_id", "text",
+          weights = scala.collection.immutable.ArraySeq.unsafeWrapArray(w),
+          threshold = 0L)
+      },
+      Some(s"""WITH ${trainNbCtesSql},
+              |ft AS (SELECT doc_id, CAST(2*len(w) - 1 AS INT) AS n_feats,
+              |    unnest(list_concat(w,
+              |      [w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS feat
+              |  FROM toks),
+              |fb AS (SELECT doc_id, n_feats,
+              |    ${polyHashSql("feat")} % ${TextOps.ClassifierBuckets} AS bkt
+              |  FROM ft),
+              |sc AS (SELECT doc_id, n_feats, CAST(sum(weight) AS BIGINT) AS score
+              |  FROM fb JOIN wt USING (bkt) GROUP BY 1, 2)
               |SELECT doc_id, n_feats, score, CAST(score >= 0 AS INT) AS kept
               |FROM sc""".stripMargin)),
 
@@ -2022,27 +2208,62 @@ object TextQueries {
 
     // ----- collocation / phrase mining (word2vec phrase induction) ---------
     // Bigrams with count ≥ 3 scored by the log-free association ratio
-    // n_ab·N / (n_a·n_b) — exact integers into one IEEE division, so the
-    // double column hash-compares across engines (a log-PMI would not).
+    // n_ab·N / (n_a·n_b) — each factor cast to double BEFORE the multiplies
+    // (overflow-free at any corpus scale; IEEE multiply/divide round
+    // identically in both engines, so the double column hash-compares; a
+    // log-PMI would not).
     "q_collocations" -> Q(
       (s, d) => TextOps.collocations(Td.documents(s, d), "doc_id", "text",
         minCount = 3L),
-      Some(s"""WITH toks AS (SELECT doc_id, $toksSql AS w FROM documents),
-              |uni AS (SELECT unnest(w) AS t FROM toks),
-              |un AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM uni GROUP BY 1),
-              |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM uni),
-              |bn AS (SELECT g, CAST(count(*) AS BIGINT) AS n_ab
-              |  FROM (SELECT unnest([w[i] || ' ' || w[i+1]
-              |                      for i in range(1, len(w))]) AS g FROM toks)
-              |  GROUP BY 1 HAVING count(*) >= 3),
-              |sp AS (SELECT string_split(g, ' ')[1] AS w1,
-              |    string_split(g, ' ')[2] AS w2, n_ab FROM bn)
-              |SELECT w1, w2, n_ab, ua.n AS n_a, ub.n AS n_b,
-              |  CAST(n_ab * nn AS DOUBLE) / CAST(ua.n * ub.n AS DOUBLE) AS assoc
-              |FROM sp
-              |CROSS JOIN tot
-              |JOIN un ua ON sp.w1 = ua.t
-              |JOIN un ub ON sp.w2 = ub.t""".stripMargin)),
+      Some(s"""WITH ${collocCtesSql(3)}
+              |SELECT w1, w2, n_ab, n_a, n_b, assoc FROM colloc""".stripMargin)),
+
+    // ----- phrase APPLICATION (the consumer of the mined table) ------------
+    // word2vec §4's actual output is the re-tokenized corpus: high-assoc
+    // mined pairs merge into joined tokens ("new_york") in ONE greedy
+    // left-to-right kernel pass per document (PhraseMerge, the phrase set a
+    // broadcast plan-reference object). The oracle re-derives the same
+    // greedy merge from the same mined table via the island-parity closed
+    // form — a drift in mining, thresholding, or merge order changes
+    // merged_text and hash-fails.
+    "q_phrase_apply" -> Q(
+      (s, d) => {
+        val docs = Td.documents(s, d)
+        val pairs = TextOps.minePhrases(
+          TextOps.collocations(docs, "doc_id", "text", minCount = 3L),
+          minAssoc = PhraseMinAssoc)
+        TextOps.applyPhrases(docs, "doc_id", "text", pairs)
+      },
+      Some(s"""WITH ${phraseMergeCtesSql(3, PhraseMinAssoc)}
+              |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+              |  CAST(count(tok) AS INT) AS n_tokens_out,
+              |  CAST(count(*) - count(tok) AS INT) AS n_merges,
+              |  string_agg(tok, ' ' ORDER BY i) AS merged_text
+              |FROM fin GROUP BY doc_id""".stripMargin)),
+
+    // ----- mine → apply → vocab (composed downstream consumption) ----------
+    // The merged corpus feeding a vocab/BPE-style unigram count: downstream
+    // stages consume the merged TOKEN ARRAY (re-tokenizing merged text
+    // would split '_' back apart — the tokenizer drops it). Phrase tokens
+    // surface as is_phrase=1 vocab entries; their component unigram counts
+    // shrink by exactly the merges, which the shared oracle chain pins.
+    "q_phrase_pipeline" -> Q(
+      (s, d) => {
+        val docs = Td.documents(s, d)
+        val pairs = TextOps.minePhrases(
+          TextOps.collocations(docs, "doc_id", "text", minCount = 3L),
+          minAssoc = PhraseMinAssoc)
+        docs.select(TextOps.tokens(col("text")).as("__t"))
+          .select(explode(TextOps.phraseMergeTokens(col("__t"), pairs)).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 3)
+          .withColumn("is_phrase", col("tok").contains("_").cast("int"))
+      },
+      Some(s"""WITH ${phraseMergeCtesSql(3, PhraseMinAssoc)}
+              |SELECT tok, CAST(count(*) AS BIGINT) AS n,
+              |  CAST(contains(tok, '_') AS INT) AS is_phrase
+              |FROM fin WHERE tok IS NOT NULL
+              |GROUP BY tok HAVING count(*) >= 3""".stripMargin)),
 
     // ----- corpus n-gram frequency table ------------------------------------
     // Every word trigram seen ≥ 2 times with total occurrences + document
@@ -2287,6 +2508,43 @@ object TextQueries {
     * array the Spark plan uses ([[QualityOps.fpLog2Table]]) — neither
     * engine's libm participates in cell values.
     */
+  /** DuckDB twin of [[TextOps.trainHashNb]] (label lang='en', the full
+    * [[TextOps.ClassifierBuckets]] table) as a CTE chain ending in
+    * `wt(bkt, c_pos, c_neg, weight)`, with the document token arrays left
+    * available as `toks` — the train→infer oracle continues from both.
+    * `toks` is MATERIALIZED (read by the feature pass here and again by the
+    * scoring pass in q_train_infer — the tokenizer regex chain must run
+    * once). The fixed-point log2 table is embedded verbatim, exactly like
+    * [[dsirWeightsSql]].
+    */
+  private def trainNbCtesSql: String = {
+    val lt = QualityOps.fpLog2Table.mkString("[", ", ", "]")
+    val q = QualityOps.QuantScale
+    val b = TextOps.ClassifierBuckets
+    s"""ltab AS (SELECT $lt AS lt),
+       |toks AS MATERIALIZED (SELECT doc_id, (lang = 'en') AS pos,
+       |    $toksSql AS w FROM documents),
+       |f AS (SELECT pos, unnest(list_concat(w,
+       |    [w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS feat
+       |  FROM toks),
+       |bx AS (SELECT pos, ${polyHashSql("feat")} % $b AS bkt FROM f),
+       |c AS (SELECT bkt,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+       |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+       |  FROM bx GROUP BY 1),
+       |allb AS (SELECT unnest(range(0, $b)) AS bkt),
+       |fc AS (SELECT allb.bkt, CAST(COALESCE(c_pos, 0) AS BIGINT) AS c_pos,
+       |    CAST(COALESCE(c_neg, 0) AS BIGINT) AS c_neg
+       |  FROM allb LEFT JOIN c USING (bkt)),
+       |tot AS (SELECT CAST(sum(c_pos) AS BIGINT) AS np,
+       |    CAST(sum(c_neg) AS BIGINT) AS nn FROM c),
+       |wt AS (SELECT bkt, c_pos, c_neg,
+       |    CAST(lt[CAST(((c_pos + 1) * $q) // (np + $b) AS INT) + 1]
+       |       - lt[CAST(((c_neg + 1) * $q) // (nn + $b) AS INT) + 1]
+       |      AS BIGINT) AS weight
+       |  FROM fc CROSS JOIN tot CROSS JOIN ltab)""".stripMargin
+  }
+
   private def dsirWeightsSql: String = {
     val lt = QualityOps.fpLog2Table.mkString("[", ", ", "]")
     val q = QualityOps.QuantScale

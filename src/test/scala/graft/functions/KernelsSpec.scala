@@ -54,6 +54,21 @@ class KernelsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("ScriptRoute validates routing tables at construction, not first eval") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // overlapping ranges must fail when the EXPRESSION is built (plan/
+    // registration time on the driver), not as an executor task failure
+    val overlap = intercept[IllegalArgumentException] {
+      ScriptRoute(Literal("x"), Seq("a" -> "[a-m]", "b" -> "[k-z]"),
+        Seq("a" -> "aa"), 10)
+    }
+    assert(overlap.getMessage.contains("overlap"))
+    val nonLiteral = intercept[IllegalArgumentException] {
+      ScriptRoute(Literal("x"), Seq("a" -> "[\\p{L}]"), Seq("a" -> "aa"), 10)
+    }
+    assert(nonLiteral.getMessage.contains("non-literal"))
+  }
+
   test("kernels are SQL-callable after extension registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(

@@ -482,6 +482,108 @@ class CorpusOpsSpec extends SparkSpec {
     assert(assoc == (3.0 * 17.0) / (4.0 * 4.0)) // exact IEEE, no log
   }
 
+  test("applyPhrases: greedy left-to-right merge, island edges, counts") {
+    val docs = Seq(
+      (1L, "a b c"),     // {ab, bc}: greedy takes a_b, c is NOT re-paired
+      (2L, "a b c d"),   // {bc} only inside: a b_c d
+      (3L, "a b c d"),   // islands {ab},{cd}: both merge
+      (4L, "x y z"),     // no phrases → unchanged
+      (5L, ""),          // empty doc: one "" token, no merge
+    ).toDF("doc_id", "text")
+    def run(phr: Seq[(String, String)], ids: Seq[Long]) =
+      TextOps.applyPhrases(docs.filter(col("doc_id").isin(ids: _*)), "doc_id", "text", phr)
+        .orderBy("doc_id").collect()
+    val r1 = run(Seq(("a", "b"), ("b", "c")), Seq(1L))
+    assert(r1(0).getString(4) == "a_b c" && r1(0).getInt(3) == 1)
+    val r2 = run(Seq(("b", "c")), Seq(2L))
+    assert(r2(0).getString(4) == "a b_c d")
+    val r3 = run(Seq(("a", "b"), ("c", "d")), Seq(3L))
+    assert(r3(0).getString(4) == "a_b c_d" && r3(0).getInt(3) == 2)
+    // chained island {bc, cd}: b_c wins, cd's left token is consumed
+    val r4 = run(Seq(("b", "c"), ("c", "d")), Seq(2L))
+    assert(r4(0).getString(4) == "a b_c d")
+    val r5 = run(Seq(("a", "b")), Seq(4L, 5L))
+    assert(r5(0).getString(4) == "x y z" && r5(0).getInt(3) == 0)
+    assert(r5(1).getString(4) == "" && r5(1).getInt(1) == 1 && r5(1).getInt(2) == 1)
+    // count algebra: n_tokens_out + n_merges = n_tokens, every row
+    run(Seq(("a", "b"), ("b", "c"), ("c", "d")), Seq(1L, 2L, 3L, 4L, 5L))
+      .foreach(r => assert(r.getInt(2) + r.getInt(3) == r.getInt(1)))
+  }
+
+  test("phraseMerge kernel equals the reference greedy loop (fuzz)") {
+    def ref(toks: Seq[String], phr: Set[(String, String)]): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && phr((toks(i), toks(i + 1)))) {
+          out += s"${toks(i)}_${toks(i + 1)}"; i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(16)
+    val alpha = Seq("a", "b", "c", "d")
+    val cases = (0 until 200).map { i =>
+      val toks = Seq.fill(rnd.nextInt(13))(alpha(rnd.nextInt(4)))
+      val phr = (0 until rnd.nextInt(6))
+        .map(_ => (alpha(rnd.nextInt(4)), alpha(rnd.nextInt(4)))).toSet
+      (i.toLong, toks, phr)
+    }
+    // group cases by phrase set (the kernel's table is a plan constant)
+    cases.groupBy(_._3).foreach { case (phr, group) =>
+      val df = group.map { case (id, toks, _) => (id, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = TextOps.applyPhrases(df, "doc_id", "text", phr.toSeq.sorted)
+        .orderBy("doc_id").collect().map(_.getString(4))
+      group.sortBy(_._1).zip(got).foreach { case ((_, toks, _), merged) =>
+        val toksNorm = if (toks.isEmpty) Seq("") else toks // empty-doc contract
+        assert(merged == ref(toksNorm, phr).mkString(" "),
+          s"toks=$toks phrases=$phr")
+      }
+    }
+  }
+
+  test("trainHashNb: exact fixed-point NB weights, full bucket table, infer composition") {
+    val docs = Seq(
+      (1L, "spark keeps spark fast", "en"),
+      (2L, "spark stays fast", "en"),
+      (3L, "tren rapido llega", "es"),
+      (4L, "tren lento sale", "es"),
+    ).toDF("doc_id", "text", "lang")
+    val b = 8
+    val out = TextOps.trainHashNb(docs, "doc_id", "text",
+      col("lang") === "en", buckets = b).orderBy("bkt").collect()
+    assert(out.length == b && out.map(_.getLong(0)).toSeq == (0L until b))
+    // recompute expected counts + weights with the same published formula
+    def feats(t: String): Seq[String] = {
+      val w = t.split(" ").toSeq
+      w ++ w.zip(w.drop(1)).map { case (a, x) => s"$a $x" }
+    }
+    val pos = Seq("spark keeps spark fast", "spark stays fast").flatMap(feats)
+    val neg = Seq("tren rapido llega", "tren lento sale").flatMap(feats)
+    def bkt(f: String) = (graft.functions.Kernels.polyHash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(f)) % b).toInt
+    val (cp, cn) = (pos.groupBy(bkt).view.mapValues(_.size.toLong).toMap,
+      neg.groupBy(bkt).view.mapValues(_.size.toLong).toMap)
+    val (np, nn) = (pos.size.toLong, neg.size.toLong)
+    val lt = QualityOps.fpLog2Table
+    val qs = QualityOps.QuantScale
+    out.foreach { r =>
+      val k = r.getLong(0).toInt
+      assert(r.getLong(1) == cp.getOrElse(k, 0L) && r.getLong(2) == cn.getOrElse(k, 0L))
+      val qp = ((cp.getOrElse(k, 0L) + 1) * qs) / (np + b)
+      val qn = ((cn.getOrElse(k, 0L) + 1) * qs) / (nn + b)
+      assert(r.getLong(3) == lt(qp.toInt) - lt(qn.toInt))
+    }
+    // learned weights drive the kernel: training docs classify correctly
+    val w = TextOps.trainedWeights(
+      TextOps.trainHashNb(docs, "doc_id", "text", col("lang") === "en", b), b)
+    val inf = TextOps.hashClassify(docs, "doc_id", "text",
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(w), threshold = 0L)
+      .orderBy("doc_id").collect()
+    assert(inf.map(_.getInt(3)).toSeq == Seq(1, 1, 0, 0))
+  }
+
   test("containmentPairs: directional score catches a quoted subset doc") {
     val docs = Seq(
       (1L, "the quick brown fox"), // 2 shingles, both inside doc 2
