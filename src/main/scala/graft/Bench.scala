@@ -48,7 +48,8 @@ object Bench {
       npx: Int, stalledQ: Seq[String], failed: Seq[String],
       idxBuild: Seq[(String, Double)], budget: Int = 1995,
       regressedQ: Seq[String] = Nil,
-      isoQ: Seq[(String, Double)] = Nil, xpopQ: Seq[String] = Nil): String = {
+      isoQ: Seq[(String, Double)] = Nil, xpopQ: Seq[String] = Nil,
+      ibBox: Option[String] = None): String = {
     def fmt(prec: Int)(v: Double): String =
       BigDecimal(v).setScale(prec, BigDecimal.RoundingMode.HALF_UP)
         .bigDecimal.stripTrailingZeros.toPlainString
@@ -58,8 +59,15 @@ object Bench {
         s""""pmax":${fmt(1)(p)},"npx":$npx,""").getOrElse("")
       s""""stall":${fmt(1)(stallRatio)},"nstall":$nstall,"nretry":$nretry,$priorPart"""
     }
+    // "ibx" box-epochs the ib block (r15 verdict #4): ib values are
+    // install-cost measurements of THIS box's disk/cpu, and the per-key-MIN
+    // prior merge made a dead fast box's mins trip BENCHIBRETRY/BENCHIBX on
+    // every slower reprovision until depth-4 aging evicted them. The
+    // fingerprint (boot_id) pins the measurement population; the loader
+    // only MIN-merges ib maps whose ibx matches the running box.
     val ibPart = if (idxBuild.isEmpty) ""
-      else idxBuild.map { case (k, v) => "\"" + k + "\":" + fmt(1)(v) }
+      else ibBox.map(b => s""""ibx":"$b",""").getOrElse("") +
+        idxBuild.map { case (k, v) => "\"" + k + "\":" + fmt(1)(v) }
         .mkString("\"ib\":{", ",", "},")
     def line(prec: Int, strip: Boolean, slim: Int, elide: Double): String = {
       // "iso": isolated (post-battery, fresh-ordering) re-run measurements —
@@ -199,7 +207,24 @@ object Bench {
    * unescape only when no raw queries block is present (blanket-unescaping
    * could corrupt doubly-escaped wrapper content — ADVICE r9).
    */
-  def parsePriors(raw: String, curSf: Option[String])
+  /** Stable-per-provision box fingerprint for the ib epoch gate: the
+    * kernel's boot_id changes on every (re)boot and reprovision — exactly
+    * the events that invalidate install-cost baselines. Conservative by
+    * design: a plain reboot also rotates it, costing one round of fresh ib
+    * baselines, which is the iso-refresh precedent (re-measure on doubt)
+    * rather than the alternative failure mode (stale cross-box mins
+    * spraying BENCHIBRETRY for four rounds, README r15).
+    */
+  def boxFp: String =
+    try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/sys/kernel/random/boot_id"))
+      .trim.replace("-", "").take(8)
+    catch { case _: Throwable =>
+      f"${java.net.InetAddress.getLocalHost.getHostName.hashCode}%08x"
+    }
+
+  def parsePriors(raw: String, curSf: Option[String],
+      curBox: Option[String] = None)
       : (Map[String, Double], Map[String, Double], Map[String, Double]) = {
     val txt = if (raw.contains("\"queries\":{")) raw else raw.replace("\\\"", "\"")
     val priorSf = "\"sf\"\\s*:\\s*\"?(?:sf)?([0-9.]+)\"?".r
@@ -228,8 +253,20 @@ object Bench {
       val qs = "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(txt).map(_.group(1))
         .map(numMap(_).map { case (k, v) => (prefix + k) -> v })
         .getOrElse(Map.empty[String, Double])
-      val ib = "\"ib\":\\{([^}]*)\\}".r.findFirstMatchIn(txt).map(_.group(1))
-        .map(numMap).getOrElse(Map.empty[String, Double])
+      // ib epoch gate (r15 verdict #4): when the caller knows its box,
+      // only an artifact stamped with the SAME box fingerprint feeds ib
+      // priors — unstamped artifacts (pre-r16, including the r13 dead-box
+      // mins) and other boxes' artifacts contribute nothing, so a
+      // reprovision starts ib baselines fresh instead of re-tripping
+      // BENCHIBRETRY against a vanished machine for four rounds. Query/iso
+      // priors are NOT box-gated: they have the stalled/regressed/iso
+      // adjudication channels ib lacks.
+      val boxOk = curBox.forall(b =>
+        "\"ibx\":\"([0-9a-fA-F]+)\"".r.findFirstMatchIn(txt)
+          .exists(_.group(1) == b))
+      val ib = if (!boxOk) Map.empty[String, Double]
+        else "\"ib\":\\{([^}]*)\\}".r.findFirstMatchIn(txt).map(_.group(1))
+          .map(numMap).getOrElse(Map.empty[String, Double])
       val iso = "\"iso\":\\{([^}]*)\\}".r.findFirstMatchIn(txt).map(_.group(1))
         .map(numMap(_).map { case (k, v) => (prefix + k) -> v })
         .getOrElse(Map.empty[String, Double])
@@ -342,13 +379,14 @@ object Bench {
       val candidates = explicit.map(Seq(_)).getOrElse(auto)
       val curSf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir.split('/').last).map(_.group(1))
       mergePriors(candidates.filter(_.isFile).map { f =>
-        parsePriors(scala.io.Source.fromFile(f, "UTF-8").mkString, curSf)
+        parsePriors(scala.io.Source.fromFile(f, "UTF-8").mkString, curSf,
+          curBox = Some(boxFp))
       })
     }
     if (priorTimes.nonEmpty || isoPriors.nonEmpty)
       System.err.println(s"BENCHPRIOR ${priorTimes.size} per-query priors, " +
         s"${ibPriors.size} ib priors, ${isoPriors.size} iso priors loaded " +
-        "(newest-first merge; ib per-key min)")
+        s"(newest-first merge; ib per-key min, box-epoched ibx=$boxFp)")
     val idxBuild: Seq[(String, Double)] = if (!runIb) Seq.empty else {
       val tmpRoot = java.nio.file.Files.createTempDirectory("graft-bench-ib").toString
       def timed(f: => Unit): Double = {
@@ -1049,7 +1087,8 @@ object Bench {
       npx = priorFlagged.size, stalledQ = stalledQ.distinct.toSeq,
       failed = failed.toSeq, idxBuild = idxBuild,
       regressedQ = regressedQ.distinct.toSeq,
-      isoQ = isoQ.toSeq, xpopQ = xpopQ.distinct.toSeq)
+      isoQ = isoQ.toSeq, xpopQ = xpopQ.distinct.toSeq,
+      ibBox = Some(boxFp))
     // Stdout is a shared channel: the r12 sf1 run saw a JVM GC warning print
     // AHEAD of the artifact line, and the contract survived only because the
     // JSON prints last (verdict r12 #7). Belt-and-braces: the exact line is

@@ -146,6 +146,36 @@ class BenchRenderSpec extends AnyFunSuite {
       ((Map.empty, Map.empty, Map.empty)))
   }
 
+  test("ib priors are box-epoched: only same-ibx artifacts feed the min merge (r15 verdict #4)") {
+    val mk = (box: Option[String], jm: Double) => Bench.render(
+      Seq("q_alpha" -> 1.0), "sf0.1", stallRatio = 1.0, nstall = 0,
+      nretry = 0, priorMax = None, npx = 0, stalledQ = Nil, failed = Nil,
+      idxBuild = Seq("jm" -> jm), ibBox = box)
+    val stamped = mk(Some("deadbeef"), 10.0)
+    assert(stamped.contains("\"ibx\":\"deadbeef\""))
+    val otherBox = mk(Some("cafe0000"), 4.0)   // a dead fast box's min
+    val unstamped = mk(None, 3.0)              // pre-r16 artifact shape
+    // same box → ib loads; other box / unstamped → ib dropped, but the
+    // query priors still load (they have their own adjudication channels)
+    assert(Bench.parsePriors(stamped, Some("0.1"), Some("deadbeef"))._2 ==
+      Map("jm" -> 10.0))
+    assert(Bench.parsePriors(otherBox, Some("0.1"), Some("deadbeef"))._2.isEmpty)
+    assert(Bench.parsePriors(unstamped, Some("0.1"), Some("deadbeef"))._2.isEmpty)
+    assert(Bench.parsePriors(otherBox, Some("0.1"), Some("deadbeef"))._1 ==
+      Map("q_alpha" -> 1.0))
+    // no box supplied (tests, ad-hoc parses) → legacy behavior
+    assert(Bench.parsePriors(unstamped, Some("0.1"))._2 == Map("jm" -> 3.0))
+    // the merged min now spans only same-box artifacts: the 4.0 min from
+    // the vanished box cannot re-trip BENCHIBRETRY against the 10.0 box
+    val parsed = Seq(stamped, otherBox, unstamped)
+      .map(Bench.parsePriors(_, Some("0.1"), Some("deadbeef")))
+    assert(Bench.mergePriors(parsed)._2 == Map("jm" -> 10.0))
+    // an empty (box-rejected) ib map must not burn a depth slot
+    val deep = Seq(otherBox, otherBox, otherBox, otherBox, stamped)
+      .map(Bench.parsePriors(_, Some("0.1"), Some("deadbeef")))
+    assert(Bench.mergePriors(deep)._2 == Map("jm" -> 10.0))
+  }
+
   test("mergePriors: excluded/elided queries fall back to the next-newest artifact") {
     val newest = Bench.render(Seq("q_embed_dedup" -> 6.7, "q_tfidf" -> 0.5), "sf0.1",
       stallRatio = 1.1, nstall = 0, nretry = 0, priorMax = None, npx = 1,
