@@ -117,23 +117,44 @@ object Sampling {
     * bucket space, i.e. the keep-rate × 10^6).
     */
   val TemperatureBucketSpace: Long = 1000000L
-  def temperatureMix(df: DataFrame, langCol: String, keyCol: String): DataFrame = {
+  def temperatureMix(df: DataFrame, langCol: String, keyCol: String): DataFrame =
+    temperatureMixFromCounts(df,
+      df.groupBy(col(langCol)).agg(count(lit(1)).as("mix_n")), langCol, keyCol)
+
+  /** Integer keep-thresholds from a per-language counts relation
+    * (`langCol`, `mix_n`) — the τ=2 arithmetic factored out of
+    * [[temperatureMix]] so the counts can come from ANYWHERE: the batch
+    * groupBy, or a MAINTAINED state table (AggDelta keeps (lang, cnt)
+    * current at cost ∝ batch — the streaming-ingest shape, where
+    * re-counting the corpus per batch would be ∝ corpus). The relation is
+    * ≤|langs| rows; the min window and isqrt run over metadata, never data.
+    */
+  def temperatureThresholds(counts: DataFrame, langCol: String = "lang"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = df.groupBy(col(langCol)).agg(count(lit(1)).as("mix_n"))
     val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // BucketSpace²·n_min stays in 64 bits for n_min ≤ 9.2·10^6; beyond that
     // (a 100 TB corpus whose SMALLEST language tops 9M docs) right-shift
     // both counts by a common k first — thresholds move < 1 bucket. div
     // (integral divide), NOT `/`: Spark's `/` on longs is double division,
     // which loses exactness past 2^53 and would un-pin the hash.
-    val thr = counts
+    counts
       .withColumn("__nmin", min(col("mix_n")).over(w))
       .withColumn("mix_thr",
         isqrt(call_function("div",
           lit(TemperatureBucketSpace * TemperatureBucketSpace) * col("__nmin"),
           col("mix_n"))))
       .drop("__nmin")
-    df.join(broadcast(thr), Seq(langCol))
-      .filter(hashBucketFine(col(keyCol), TemperatureBucketSpace) < col("mix_thr"))
   }
+
+  /** [[temperatureMix]] against externally-supplied counts: thresholds from
+    * [[temperatureThresholds]], broadcast-joined, then the map-side
+    * deterministic bucket filter. With maintained counts this is the
+    * incremental form — identical output to the batch recompute whenever
+    * the counts relation equals the corpus's true per-language counts (the
+    * q_temperature_maintain gate).
+    */
+  def temperatureMixFromCounts(df: DataFrame, counts: DataFrame,
+                               langCol: String, keyCol: String): DataFrame =
+    df.join(broadcast(temperatureThresholds(counts, langCol)), Seq(langCol))
+      .filter(hashBucketFine(col(keyCol), TemperatureBucketSpace) < col("mix_thr"))
 }

@@ -203,23 +203,28 @@ object RelationalQueries {
           Td.documents(s, d).select("doc_id", "lang"), "lang", "doc_id")
         .groupBy(col("lang"), col("mix_n"), col("mix_thr"))
         .agg(count(lit(1)).as("n_kept")),
-      Some {
-        val b = Sampling.TemperatureBucketSpace
-        s"""WITH counts AS (
-           |  SELECT lang, CAST(count(*) AS BIGINT) AS mix_n FROM documents GROUP BY 1),
-           |th AS (SELECT lang, mix_n,
-           |    (${b * b} * (SELECT min(mix_n) FROM counts)) // mix_n AS x FROM counts),
-           |t2 AS (SELECT lang, mix_n, x,
-           |    CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT) AS s0 FROM th),
-           |t3 AS (SELECT lang, mix_n, x,
-           |    s0 - CASE WHEN s0 * s0 > x THEN 1 ELSE 0 END AS sd FROM t2),
-           |thr AS (SELECT lang, mix_n,
-           |    sd + CASE WHEN (sd + 1) * (sd + 1) <= x THEN 1 ELSE 0 END AS mix_thr FROM t3)
-           |SELECT d.lang, t.mix_n, t.mix_thr, CAST(count(*) AS BIGINT) AS n_kept
-           |FROM documents d JOIN thr t ON d.lang = t.lang
-           |WHERE (((d.doc_id % 1000003) * 2654435761) // 8192) % $b < t.mix_thr
-           |GROUP BY 1, 2, 3""".stripMargin
-      }),
+      Some(temperatureMixSql(""))),
+
+    // ----- incremental temperature mix (maintained per-language counts) ----
+    // The streaming-ingest form of q_temperature_mix: the per-language
+    // counts live in an AggDelta-maintained state table driven through
+    // bootstrap + insert + retract epochs (upkeep ∝ batch, never ∝ corpus),
+    // and temperatureMixFromCounts derives the SAME integer thresholds from
+    // the maintained relation. The oracle recounts the final corpus
+    // (doc_id %7 ≠ 0) from scratch — a maintainer drift of even one
+    // document moves a threshold or a kept-count and hash-fails.
+    "q_temperature_maintain" -> Q(
+      (s, d) => {
+        val counts = Td.tempMixCountsTable(s, d).current
+          .select(col("lang"), col("cnt").as("mix_n"))
+        Sampling.temperatureMixFromCounts(
+          Td.documents(s, d).filter(col("doc_id") % 7 =!= 0)
+            .select("doc_id", "lang"),
+          counts, "lang", "doc_id")
+          .groupBy(col("lang"), col("mix_n"), col("mix_thr"))
+          .agg(count(lit(1)).as("n_kept"))
+      },
+      Some(temperatureMixSql("WHERE doc_id % 7 <> 0"))),
 
     // ----- approximate sketches (hard-gated via in-plan exact twins) -------
     // The sketch values themselves are engine-internal, so the oracle-facing
@@ -578,4 +583,31 @@ object RelationalQueries {
              |FROM (SELECT event_id, user_id, value FROM events) f
              |JOIN (SELECT event_id, event_type FROM events) d USING (event_id)""".stripMargin)),
   )
+
+  /** DuckDB twin of the τ=2 temperature mix over `documents $where` —
+    * shared by q_temperature_mix (whole corpus) and q_temperature_maintain
+    * (the maintained-counts final state), so the exact-isqrt correction and
+    * the bucket filter can never drift between the batch and incremental
+    * gates. The oracle always recounts from scratch; on the maintain side
+    * that recount is exactly what the AggDelta state must reproduce.
+    */
+  private def temperatureMixSql(where: String): String = {
+    val b = Sampling.TemperatureBucketSpace
+    s"""WITH counts AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS mix_n
+       |  FROM documents $where GROUP BY 1),
+       |th AS (SELECT lang, mix_n,
+       |    (${b * b} * (SELECT min(mix_n) FROM counts)) // mix_n AS x FROM counts),
+       |t2 AS (SELECT lang, mix_n, x,
+       |    CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT) AS s0 FROM th),
+       |t3 AS (SELECT lang, mix_n, x,
+       |    s0 - CASE WHEN s0 * s0 > x THEN 1 ELSE 0 END AS sd FROM t2),
+       |thr AS (SELECT lang, mix_n,
+       |    sd + CASE WHEN (sd + 1) * (sd + 1) <= x THEN 1 ELSE 0 END AS mix_thr FROM t3)
+       |SELECT d.lang, t.mix_n, t.mix_thr, CAST(count(*) AS BIGINT) AS n_kept
+       |FROM documents d JOIN thr t ON d.lang = t.lang
+       |$where ${if (where.isEmpty) "WHERE" else "AND"}
+       |  (((d.doc_id % 1000003) * 2654435761) // 8192) % $b < t.mix_thr
+       |GROUP BY 1, 2, 3""".stripMargin
+  }
 }

@@ -587,6 +587,40 @@ object Td {
       valueType = d3, accType = "decimal(29,3)", batchId = Some("batch-1"))
   }
 
+  /** Stored incrementally-maintained PER-LANGUAGE document counts — the
+    * state behind the incremental temperature mix (q_temperature_maintain):
+    * [[graft.operators.Sampling.temperatureThresholds]] reads the counts
+    * relation, so keeping (lang, cnt) current via [[graft.engine.AggDelta]]
+    * makes threshold upkeep ∝ batch instead of re-counting the corpus per
+    * ingest batch. Same epoch discipline as [[bm25StatsTables]]: bootstrap
+    * %10≠0, insert the %10=0 arrivals, retract the %7=0 departures — final
+    * state = documents with doc_id %7 ≠ 0, which the oracle recounts from
+    * scratch.
+    */
+  private val TempMixFormat = 1
+  def tempMixCountsTable(s: SparkSession, d: String): graft.engine.KeyedTable = {
+    val doc = documents(s, d)
+    val root = indexRoot(s, "tempmix", TempMixFormat, d, "documents", doc.count())
+    installDir(s, root)(buildTempMixInto(s, d, _))
+    graft.engine.KeyedTable(s, root, Seq("lang"))
+  }
+
+  private[graft] def buildTempMixInto(s: SparkSession, d: String, tmp: String): Unit = {
+    val doc = documents(s, d).select(col("doc_id"), col("lang"))
+    val agg = graft.engine.KeyedTable(s, tmp, Seq("lang"), numBuckets = 4)
+    val id = col("doc_id")
+    graft.engine.AggDelta.bootstrap(agg,
+      doc.filter(id % 10 =!= 0).select("lang"), Seq("lang"), Nil)
+    graft.engine.AggDelta.maintain(agg,
+      doc.filter(id % 10 === 0).select(col("lang"),
+        lit(null).cast("string").as("_old_lang"), lit("I").as("_op")),
+      Seq("lang"), Nil, batchId = Some("tmix-e1"))
+    graft.engine.AggDelta.maintain(agg,
+      doc.filter(id % 7 === 0).select(lit(null).cast("string").as("lang"),
+        col("lang").as("_old_lang"), lit("D").as("_op")),
+      Seq("lang"), Nil, batchId = Some("tmix-e2"))
+  }
+
   /** Stored incrementally-maintained TRIANGLE counts — the graph member of
     * the maintained-view family: the urgent-order co-purchase graph's edge
     * set plus per-node triangle counts, bootstrapped from the %3≠0 orders

@@ -87,6 +87,34 @@ class SamplingSpec extends SparkSpec {
     assert(out.exceptAll(Sampling.temperatureMix(df, "lang", "doc_id")).count() == 0)
   }
 
+  test("temperatureMixFromCounts: maintained counts reproduce the batch mix exactly") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 3000L).map { i =>
+      (i, if (i <= 2000) "en" else if (i <= 2800) "de" else "is")
+    }.toDF("doc_id", "lang")
+    // incremental path: counts arrive as base + delta batches and are
+    // maintained additively (the AggDelta shape: groups + signed counts),
+    // never re-derived from the full corpus
+    val base = df.filter(col("doc_id") % 3 =!= 0)
+      .groupBy("lang").agg(count(lit(1)).as("mix_n"))
+    val delta = df.filter(col("doc_id") % 3 === 0)
+      .groupBy("lang").agg(count(lit(1)).as("mix_n"))
+    val maintained = base.unionByName(delta)
+      .groupBy("lang").agg(sum("mix_n").as("mix_n"))
+    val inc = Sampling.temperatureMixFromCounts(df, maintained, "lang", "doc_id")
+    val batch = Sampling.temperatureMix(df, "lang", "doc_id")
+    assert(inc.exceptAll(batch).count() == 0 && batch.exceptAll(inc).count() == 0)
+    // thresholds relation itself identical too (the verdict's "identical
+    // to the batch recompute" is on thresholds, not just kept rows)
+    val tInc = Sampling.temperatureThresholds(maintained).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val tBat = Sampling.temperatureThresholds(
+      df.groupBy("lang").agg(count(lit(1)).as("mix_n"))).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tInc == tBat)
+  }
+
   test("sketches: HLL and approx percentiles within error bounds; heavy hitters exact") {
     val s = spark
     import s.implicits._
