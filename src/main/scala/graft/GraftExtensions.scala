@@ -1,9 +1,11 @@
 package graft
 
-import graft.functions.{FloatDot, NfcNormalize, NormTokens, PolyHash, ScriptRoute, SimHashFold}
+import graft.functions.{BpeCount, BpeSegment, FloatDot, HashScore, NfcNormalize, NormTokens, PhraseMerge, PolyHash, ScriptRoute, SimHashFold, VocabCount}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType}
 
 /** Session extension wiring graft into the engine proper
   * (`spark.sql.extensions=graft.GraftExtensions`):
@@ -13,33 +15,21 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *  - [[graft.plans.RewriteFloatDot]] runs as an optimizer rule, rewriting
   *    the portable higher-order-function dot-product idiom into the
   *    codegen'd [[graft.functions.FloatDot]] kernel.
+  *
+  * Table-carrying kernels (hash score weights, vocab sets, phrase pairs,
+  * BPE merges) take their table as a LITERAL array argument, folded once at
+  * plan build into the expression's reference object — SQL callers write
+  * `graft_phrase_merge(toks, array('new york', 'los angeles'))` and pay the
+  * parse exactly once per plan, not per row. `graft_hash_score(toks)` with
+  * no table uses the engine's deterministic stand-in weights (the
+  * q_hash_classifier contract); pass `graft_hash_score(toks, weights)` to
+  * run a learned table (e.g. TextOps.trainHashNb's output).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("graft_poly_hash"),
-      new ExpressionInfo(classOf[PolyHash].getName, "graft_poly_hash"),
-      exprs => PolyHash(exprs.head)))
-    ext.injectFunction((
-      FunctionIdentifier("graft_float_dot"),
-      new ExpressionInfo(classOf[FloatDot].getName, "graft_float_dot"),
-      exprs => FloatDot(exprs.head, exprs(1))))
-    ext.injectFunction((
-      FunctionIdentifier("graft_simhash_fold"),
-      new ExpressionInfo(classOf[SimHashFold].getName, "graft_simhash_fold"),
-      exprs => SimHashFold(exprs.head, graft.operators.TextOps.SimHashBits)))
-    ext.injectFunction((
-      FunctionIdentifier("graft_norm_tokens"),
-      new ExpressionInfo(classOf[NormTokens].getName, "graft_norm_tokens"),
-      exprs => NormTokens(exprs.head)))
-    ext.injectFunction((
-      FunctionIdentifier("graft_nfc_normalize"),
-      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc_normalize"),
-      exprs => NfcNormalize(exprs.head)))
-    ext.injectFunction((
-      FunctionIdentifier("graft_script_route"),
-      new ExpressionInfo(classOf[ScriptRoute].getName, "graft_script_route"),
-      exprs => GraftExtensions.scriptRoute(exprs.head)))
+    GraftExtensions.builders.foreach { case (name, cls, b) =>
+      ext.injectFunction((FunctionIdentifier(name), new ExpressionInfo(cls, name), b))
+    }
     ext.injectOptimizerRule(_ => graft.plans.RewriteFloatDot)
   }
 }
@@ -50,22 +40,89 @@ object GraftExtensions {
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_poly_hash", exprs => PolyHash(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_float_dot", exprs => FloatDot(exprs.head, exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_simhash_fold",
-      exprs => SimHashFold(exprs.head, graft.operators.TextOps.SimHashBits), "built-in")
-    reg.createOrReplaceTempFunction("graft_norm_tokens", exprs => NormTokens(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction("graft_script_route",
-      exprs => GraftExtensions.scriptRoute(exprs.head), "built-in")
+    builders.foreach { case (name, _, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
+
+  /** One builder table, shared verbatim by the injected and post-hoc paths
+    * so the two SQL surfaces can never drift.
+    */
+  private val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_poly_hash", classOf[PolyHash].getName,
+      exprs => PolyHash(exprs.head)),
+    ("graft_float_dot", classOf[FloatDot].getName,
+      exprs => FloatDot(exprs.head, exprs(1))),
+    ("graft_simhash_fold", classOf[SimHashFold].getName,
+      exprs => SimHashFold(exprs.head, graft.operators.TextOps.SimHashBits)),
+    ("graft_norm_tokens", classOf[NormTokens].getName,
+      exprs => NormTokens(exprs.head)),
+    ("graft_nfc_normalize", classOf[NfcNormalize].getName,
+      exprs => NfcNormalize(exprs.head)),
+    ("graft_script_route", classOf[ScriptRoute].getName,
+      exprs => scriptRoute(exprs.head)),
+    ("graft_hash_score", classOf[HashScore].getName,
+      exprs =>
+        if (exprs.lengthCompare(1) <= 0)
+          HashScore(exprs.head, graft.operators.TextOps.classifierWeights().toSeq)
+        else HashScore(exprs.head, litLongs(exprs(1), "graft_hash_score"))),
+    ("graft_vocab_count", classOf[VocabCount].getName,
+      exprs => VocabCount(exprs.head, litStrings(exprs(1), "graft_vocab_count"))),
+    ("graft_phrase_merge", classOf[PhraseMerge].getName,
+      exprs => PhraseMerge(exprs.head, litPairs(exprs(1), "graft_phrase_merge"))),
+    ("graft_bpe_segment", classOf[BpeSegment].getName,
+      exprs => BpeSegment(exprs.head, litPairs(exprs(1), "graft_bpe_segment"))),
+    ("graft_bpe_count", classOf[BpeCount].getName,
+      exprs => BpeCount(exprs.head, litPairs(exprs(1), "graft_bpe_count"))),
+  )
 
   /** graft_script_route(text): the script-first routing kernel with the
     * engine's routing tables baked in — NULL means "fall through to the
     * stopword scorer" (SQL callers compose with COALESCE over langId-style
     * scores, exactly like [[graft.operators.TextOps.langRoute]]).
     */
-  private[graft] def scriptRoute(child: org.apache.spark.sql.catalyst.expressions.Expression): ScriptRoute =
+  private[graft] def scriptRoute(child: Expression): ScriptRoute =
     ScriptRoute(child, graft.operators.TextOps.ScriptClasses,
       graft.operators.TextOps.ScriptUniqueLangs, graft.operators.TextOps.KanaRouteInv)
+
+  // ---- literal-table extraction (plan-build time, driver) -----------------
+  // Fails at FUNCTION RESOLUTION for a non-foldable table argument — the
+  // same fail-early contract ScriptRoute's eager table validation follows:
+  // a per-row-varying table would mean rebuilding a hash set per row, which
+  // is never what a caller wants and deserves an analysis error, not a
+  // slow query.
+  private def litArray(e: Expression, fn: String): ArrayData = {
+    require(e.foldable, s"$fn: the table argument must be a literal array")
+    val v = e.eval(InternalRow.empty)
+    require(v != null, s"$fn: the table argument must not be null")
+    v.asInstanceOf[ArrayData]
+  }
+
+  private def litStrings(e: Expression, fn: String): Seq[String] = {
+    val arr = litArray(e, fn)
+    (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+  }
+
+  private def litLongs(e: Expression, fn: String): Seq[Long] = {
+    val arr = litArray(e, fn)
+    e.dataType match {
+      case ArrayType(LongType, _) => arr.toLongArray().toSeq
+      case ArrayType(IntegerType, _) => arr.toIntArray().map(_.toLong).toSeq
+      case t => throw new IllegalArgumentException(
+        s"$fn: want array<bigint> weights, got $t")
+    }
+  }
+
+  /** Pair tables ride SQL as 'first second' strings — tokens never contain
+    * spaces (the tokenizer splits on non-letter/digit), so the first space
+    * splits back unambiguously, the same encoding the mined collocation
+    * bigrams use.
+    */
+  private def litPairs(e: Expression, fn: String): Seq[(String, String)] =
+    litStrings(e, fn).map { s =>
+      val i = s.indexOf(' ')
+      require(i > 0 && i < s.length - 1,
+        s"$fn: pair entries are 'first second', got '$s'")
+      (s.substring(0, i), s.substring(i + 1))
+    }
 }

@@ -95,7 +95,15 @@ object TextQueries {
   private def phraseMergeCtesSql(minCount: Long, minAssoc: Double): String =
     s"""${collocCtesSql(minCount)},
        |phr AS (SELECT w1 || ' ' || w2 AS g FROM colloc WHERE assoc >= $minAssoc),
-       |pos AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM toks),
+       |$greedyMergeCtesSql""".stripMargin
+
+  /** The greedy-merge half of [[phraseMergeCtesSql]] alone, over EXISTING
+    * CTEs `toks(doc_id, w)` and `phr(g)` — the phrase set can come from the
+    * mined colloc chain or from a literal list (q_sql_kernels), same merge
+    * semantics either way.
+    */
+  private def greedyMergeCtesSql: String =
+    s"""pos AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM toks),
        |flag AS (SELECT doc_id, i, w[i] AS t, w[i + 1] AS nxt,
        |    CASE WHEN i < len(w)
        |      AND (w[i] || ' ' || w[i + 1]) IN (SELECT g FROM phr)
@@ -1060,6 +1068,44 @@ object TextQueries {
               |SELECT tok, df, (df * CAST(1000000 AS BIGINT)) // n.n AS df_ppm
               |FROM dfr CROSS JOIN n
               |ORDER BY df DESC, tok ASC LIMIT 10""".stripMargin)),
+
+    // ----- SQL catalog surface over the kernel set --------------------------
+    // One spark.sql statement driving the registered kernel functions the
+    // way an external SQL client would: graft_poly_hash, graft_norm_tokens,
+    // graft_hash_score (engine-default weights), graft_vocab_count and
+    // graft_phrase_merge (literal table arguments, folded into reference
+    // objects at plan build). The oracle recomputes every column from the
+    // shared generated fragments — a drift in a kernel OR in its SQL
+    // registration path (argument folding, table parse) flips a cell.
+    "q_sql_kernels" -> Q(
+      (s, d) => {
+        graft.GraftExtensions.register(s)
+        Td.documents(s, d).createOrReplaceTempView("graft_sqlk_docs")
+        s.sql("""SELECT doc_id,
+                |  graft_poly_hash(text) AS fp,
+                |  graft_hash_score(graft_norm_tokens(text)) AS score,
+                |  graft_vocab_count(graft_norm_tokens(text),
+                |    array('merge', 'sort', 'hash')) AS vocab_hits,
+                |  array_join(graft_phrase_merge(graft_norm_tokens(text),
+                |    array('big dup', 'small dup')), ' ') AS merged_text
+                |FROM graft_sqlk_docs""".stripMargin)
+      },
+      Some(s"""WITH toks AS MATERIALIZED (
+              |  SELECT doc_id, text, $toksSql AS w FROM documents),
+              |phr AS (SELECT unnest(['big dup', 'small dup']) AS g),
+              |$greedyMergeCtesSql,
+              |m AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS merged_text
+              |  FROM fin GROUP BY 1),
+              |sc AS (SELECT doc_id,
+              |    CAST(list_sum([(((${polyHashSql("x")} % ${TextOps.ClassifierBuckets}) * 2654435761) % ${TextOps.HashP}) % 1001 - 500
+              |      for x in list_concat(w, [w[i] || ' ' || w[i+1]
+              |                              for i in range(1, len(w))])]) AS BIGINT) AS score,
+              |    CAST(len(list_filter(w, t ->
+              |      list_contains(['merge', 'sort', 'hash'], t))) AS INT) AS vocab_hits,
+              |    ${polyHashSql("text")} AS fp
+              |  FROM toks)
+              |SELECT doc_id, fp, score, vocab_hits, merged_text
+              |FROM sc JOIN m USING (doc_id)""".stripMargin)),
 
     // ----- maintained-state anti-entropy audit -----------------------------
     // The operational IVM check as a first-class operator: Audit.viewAudit

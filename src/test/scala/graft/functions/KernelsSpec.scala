@@ -83,4 +83,38 @@ class KernelsSpec extends SparkSpec {
       .collect()(0)
     assert(routes.getString(0) == "th" && routes.isNullAt(1))
   }
+
+  test("table-carrying kernels are SQL-callable with literal table arguments") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_hash_score(array('the', 'quick')) AS s_default,
+        |  graft_hash_score(array('the', 'quick'), array(5L, 7L)) AS s_custom,
+        |  graft_vocab_count(array('a', 'b', 'a'), array('a')) AS vc,
+        |  array_join(graft_phrase_merge(array('new', 'york', 'city'),
+        |    array('new york')), ' ') AS merged,
+        |  array_join(graft_bpe_segment('lower', array('e r', 'er </w>')), ' ') AS seg,
+        |  graft_bpe_count(array('lower', 'lower'), array('e r', 'er </w>')) AS nseg
+        |FROM range(1)""".stripMargin).collect()(0)
+    // default weights = the stand-in table (q_hash_classifier contract)
+    val w = graft.operators.TextOps.classifierWeights()
+    def h(f: String) = Kernels.polyHash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(f))
+    val exp = Seq("the", "quick", "the quick")
+      .map(f => w((h(f) % w.length).toInt)).sum
+    assert(r.getLong(0) == exp)
+    // custom 2-bucket table: same features, weights[h mod 2]
+    val exp2 = Seq("the", "quick", "the quick")
+      .map(f => Seq(5L, 7L)((h(f) % 2).toInt)).sum
+    assert(r.getLong(1) == exp2)
+    assert(r.getInt(2) == 2)
+    assert(r.getString(3) == "new_york city")
+    assert(r.getString(4) == "l o w er</w>" && r.getLong(5) == 8L)
+    // non-literal table argument fails at ANALYSIS, not per-row at runtime
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_vocab_count(array('a'), array(CAST(id AS STRING))) FROM range(1)")
+        .collect()
+    }
+    assert(e.getMessage.contains("literal array"))
+  }
 }
