@@ -136,9 +136,21 @@ object Similarity {
     * for the identical candidates→verify shape).
     */
   def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String, tau: Double): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+    // Small-input parallelize guard (the explodedShingles precedent, r16):
+    // the streamed side of the nested-loop join below inherits the SOURCE
+    // partitioning, and an embeddings corpus small enough for this exact
+    // miner is typically ONE parquet file → one partition → the whole
+    // n²/2·dim flop budget on a single core (measured at sf1: 20k×64f ran
+    // 17.8–29.5 s single-task — the wall AND the 1.7× spread were one
+    // core's JIT/clock variance, BENCH_sf1adj_r15). One cheap row-level
+    // shuffle spreads the quadratic work across the cluster; inputs already
+    // wider than the core count pass through untouched.
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val spread = if (corpus.rdd.getNumPartitions < math.max(2, par / 2))
+      corpus.repartition(par) else corpus
+    val a = spread.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
       l2Norm(col(vecCol)).as("__na")).filter(col("__na") > 0)
-    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+    val b = spread.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
       l2Norm(col(vecCol)).as("__nb")).filter(col("__nb") > 0)
     // The whole predicate lives in the JOIN CONDITION, not a post-join
     // filter: the nested-loop join evaluates conditions over an in-place
