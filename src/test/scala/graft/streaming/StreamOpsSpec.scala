@@ -271,4 +271,37 @@ class StreamOpsSpec extends SparkSpec {
     val live = spark.table("chunk_classify").collect().map(_.toSeq).toSet
     assert(live == batch && batch.nonEmpty)
   }
+
+  test("applyPhrases runs stateless on a stream, batch-identical") {
+    // The r16 phrase-application stage is one kernel pass per row with a
+    // broadcast phrase table — same backfill-equals-live contract as the
+    // chunk/classify pin above: no state store, rows bit-identical to the
+    // batch path, and the mined table rides the plan (a phrase-table
+    // refresh is a new query start, exactly like a model-weight rollout).
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.TextOps
+    val docs = Seq((1L, "new york is a city"), (2L, "york new has no pair"),
+      (3L, "new york new york twice"))
+    val phrases = Seq(("new", "york"))
+
+    val input = MemoryStream[(Long, String)]
+    val streamed = TextOps.applyPhrases(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", phrases)
+    val q = streamed.writeStream.format("memory").queryName("phrase_apply")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(docs.take(1): _*)
+    q.processAllAvailable()
+    input.addData(docs.drop(1): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val batch = TextOps.applyPhrases(
+      docs.toDF("doc_id", "text"), "doc_id", "text", phrases)
+      .collect().map(_.toSeq).toSet
+    val live = spark.table("phrase_apply").collect().map(_.toSeq).toSet
+    assert(live == batch && batch.nonEmpty)
+    assert(live.exists(_.contains("new_york new_york twice")))
+  }
 }
