@@ -766,17 +766,30 @@ object TextOps {
     */
   def collocations(df: DataFrame, idCol: String, textCol: String,
                    minCount: Long = 3L): DataFrame = {
-    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val toks = df.select(tokens(col(textCol)).as("__t"))
-    val uni = toks.select(explode(col("__t")).as("t"))
-    val un = uni.groupBy("t").agg(count(lit(1)).as("n"))
-    val tot = uni.agg(count(lit(1)).as("__nn"))
-    val bn = toks.select(explode(ngramsRaw(col("__t"), 2)).as("g"))
-      .groupBy("g").agg(count(lit(1)).as("n_ab"))
-      .filter(col("n_ab") >= minCount)
+    collocationsFromCounts(
+      toks.select(explode(col("__t")).as("t")).groupBy("t").agg(count(lit(1)).as("n")),
+      toks.select(explode(ngramsRaw(col("__t"), 2)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("n_ab")),
+      minCount)
+  }
+
+  /** The scoring half of [[collocations]] over externally-supplied count
+    * relations `un(t, n)` (unigram occurrences) and `bn(g, n_ab)` (bigram
+    * occurrences) — both plainly additive, so an AggDelta-maintained pair
+    * of count tables keeps the phrase table current at cost ∝ changed
+    * documents' tokens (q_collocations_maintain) while this recompute is
+    * vocab-sized arithmetic. The corpus token total is Σ un.n — derived
+    * from the counts relation, never a corpus pass.
+    */
+  def collocationsFromCounts(un: DataFrame, bn: DataFrame,
+                             minCount: Long = 3L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val tot = un.agg(sum(col("n")).as("__nn"))
     // tokens never contain spaces (the tokenizer splits on non-letter/digit),
     // so the bigram string splits back unambiguously
-    bn.select(element_at(split(col("g"), " "), 1).as("w1"),
+    bn.filter(col("n_ab") >= minCount)
+      .select(element_at(split(col("g"), " "), 1).as("w1"),
         element_at(split(col("g"), " "), 2).as("w2"), col("n_ab"))
       .crossJoin(broadcast(tot))
       .join(un.select(col("t").as("w1"), col("n").as("n_a")), "w1")
@@ -848,18 +861,41 @@ object TextOps {
     * occurrences — beyond the 100 TB envelope.
     */
   def trainHashNb(df: DataFrame, idCol: String, textCol: String,
-                  targetPred: Column, buckets: Int = ClassifierBuckets): DataFrame = {
-    val feats = df
-      .select(targetPred.as("__pos"), tokens(col(textCol)).as("__t"))
+                  targetPred: Column, buckets: Int = ClassifierBuckets): DataFrame =
+    nbWeightsFromCounts(df.sparkSession,
+      nbFeatures(df, textCol, targetPred, buckets).groupBy("bkt").agg(
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(col("__pos"), 0L).otherwise(1L)).as("c_neg")),
+      buckets)
+
+  /** The hashed feature stream [[trainHashNb]] counts: one (__pos, bkt) row
+    * per unigram + adjacent-bigram occurrence. Exposed so an INCREMENTAL
+    * maintainer can feed the same stream through AggDelta as signed events
+    * — the feature map is shared by construction with both training paths
+    * and the inference kernel's hash.
+    */
+  def nbFeatures(df: DataFrame, textCol: String, targetPred: Column,
+                 buckets: Int = ClassifierBuckets): DataFrame =
+    df.select(targetPred.as("__pos"), tokens(col(textCol)).as("__t"))
       .select(col("__pos"),
         explode(concat(col("__t"), ngramsRaw(col("__t"), 2))).as("feat"))
       .withColumn("bkt", pmod(polyHash(col("feat")), lit(buckets.toLong)))
-    val counts = feats.groupBy("bkt").agg(
-      sum(when(col("__pos"), 1L).otherwise(0L)).as("c_pos"),
-      sum(when(col("__pos"), 0L).otherwise(1L)).as("c_neg"))
+
+  /** Weight derivation from a (bkt, c_pos, c_neg) counts relation — the
+    * arithmetic half of [[trainHashNb]], factored out so the counts can
+    * come from the batch aggregate OR an AggDelta-maintained state table
+    * (upkeep ∝ changed documents' features; re-deriving weights is then
+    * `buckets`-row arithmetic, never a corpus pass — the same shape as
+    * [[Sampling.temperatureThresholds]] over maintained language counts).
+    * Emits ALL `buckets` rows; absent buckets carry the smoothed c=0
+    * weight.
+    */
+  def nbWeightsFromCounts(spark: org.apache.spark.sql.SparkSession,
+                          counts: DataFrame,
+                          buckets: Int = ClassifierBuckets): DataFrame = {
     val totals = counts.agg(sum(col("c_pos")).as("n_pos"), sum(col("c_neg")).as("n_neg"))
     val logTab = typedLit(QualityOps.fpLog2Table.toSeq)
-    df.sparkSession.range(buckets).select(col("id").as("bkt"))
+    spark.range(buckets).select(col("id").as("bkt"))
       .join(counts, Seq("bkt"), "left_outer")
       .select(col("bkt"),
         coalesce(col("c_pos"), lit(0L)).as("c_pos"),

@@ -621,6 +621,103 @@ object Td {
       Seq("lang"), Nil, batchId = Some("tmix-e2"))
   }
 
+  /** Stored incrementally-maintained hashed-NB FEATURE-BUCKET counts — the
+    * state behind the incremental classifier trainer
+    * (q_classifier_maintain): [[graft.operators.TextOps.nbWeightsFromCounts]]
+    * reads a (bkt, c_pos, c_neg) relation, so keeping the per-bucket
+    * class-conditional counts current via [[graft.engine.AggDelta]] makes
+    * weight upkeep ∝ changed documents' features (the signed feature
+    * stream), with the weight recompute itself `buckets`-row arithmetic.
+    * Same epoch discipline as [[tempMixCountsTable]]: bootstrap %10≠0,
+    * insert %10=0, retract %7=0 — final state = a from-scratch train on
+    * doc_id %7 ≠ 0, which the oracle re-derives.
+    */
+  private val NbCountsFormat = 1
+  def nbCountsTable(s: SparkSession, d: String): graft.engine.KeyedTable = {
+    val doc = documents(s, d)
+    val root = indexRoot(s, "nbcounts", NbCountsFormat, d, "documents", doc.count())
+    installDir(s, root)(buildNbCountsInto(s, d, _))
+    graft.engine.KeyedTable(s, root, Seq("bkt"))
+  }
+
+  private[graft] def buildNbCountsInto(s: SparkSession, d: String, tmp: String): Unit = {
+    val doc = documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+    val agg = graft.engine.KeyedTable(s, tmp, Seq("bkt"), numBuckets = 8)
+    val id = col("doc_id")
+    val d0 = "decimal(18,0)"
+    // the SAME feature map as batch training and the inference kernel —
+    // one (pos/neg indicator, bucket) row per unigram+bigram occurrence
+    def feats(f: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextOps.nbFeatures(f, "text", col("lang") === "en")
+        .select(col("bkt"),
+          when(col("__pos"), 1L).otherwise(0L).cast(d0).as("pos_inc"),
+          when(col("__pos"), 0L).otherwise(1L).cast(d0).as("neg_inc"))
+    graft.engine.AggDelta.bootstrap(agg, feats(doc.filter(id % 10 =!= 0)),
+      Seq("bkt"), Seq("pos_inc", "neg_inc"),
+      valueType = d0, accType = "decimal(20,0)")
+    graft.engine.AggDelta.maintain(agg, feats(doc.filter(id % 10 === 0))
+        .withColumn("_old_bkt", lit(null).cast("long"))
+        .withColumn("_old_pos_inc", lit(null).cast(d0))
+        .withColumn("_old_neg_inc", lit(null).cast(d0))
+        .withColumn("_op", lit("I")),
+      Seq("bkt"), Seq("pos_inc", "neg_inc"),
+      valueType = d0, accType = "decimal(20,0)", batchId = Some("nb-e1"))
+    graft.engine.AggDelta.maintain(agg, feats(doc.filter(id % 7 === 0))
+        .select(col("bkt").as("_old_bkt"), col("pos_inc").as("_old_pos_inc"),
+          col("neg_inc").as("_old_neg_inc"))
+        .withColumn("bkt", lit(null).cast("long"))
+        .withColumn("pos_inc", lit(null).cast(d0))
+        .withColumn("neg_inc", lit(null).cast(d0))
+        .withColumn("_op", lit("D")),
+      Seq("bkt"), Seq("pos_inc", "neg_inc"),
+      valueType = d0, accType = "decimal(20,0)", batchId = Some("nb-e2"))
+  }
+
+  /** Stored incrementally-maintained COLLOCATION counts (unigram + bigram
+    * occurrence tables) — the state behind q_collocations_maintain:
+    * [[graft.operators.TextOps.collocationsFromCounts]] re-derives the
+    * scored pair table from (t, n)/(g, n_ab) relations, both plainly
+    * additive, so phrase-table upkeep is ∝ changed documents' tokens.
+    * Same %10/%7 epoch discipline as the other maintained states.
+    */
+  private val CollocCountsFormat = 1
+  def collocCountsTables(s: SparkSession, d: String):
+      (graft.engine.KeyedTable, graft.engine.KeyedTable) = {
+    val doc = documents(s, d)
+    val root = indexRoot(s, "colloccounts", CollocCountsFormat, d, "documents", doc.count())
+    installDir(s, root)(buildCollocCountsInto(s, d, _))
+    (graft.engine.KeyedTable(s, s"$root/uni", Seq("t")),
+      graft.engine.KeyedTable(s, s"$root/bi", Seq("g")))
+  }
+
+  private[graft] def buildCollocCountsInto(s: SparkSession, d: String, tmp: String): Unit = {
+    val doc = documents(s, d).select(col("doc_id"), col("text"))
+    val uniT = graft.engine.KeyedTable(s, s"$tmp/uni", Seq("t"), numBuckets = 8)
+    val biT = graft.engine.KeyedTable(s, s"$tmp/bi", Seq("g"), numBuckets = 8)
+    val id = col("doc_id")
+    def uni(f: org.apache.spark.sql.DataFrame) =
+      f.select(graft.operators.TextOps.tokens(col("text")).as("__t"))
+        .select(explode(col("__t")).as("t"))
+    def bi(f: org.apache.spark.sql.DataFrame) =
+      f.select(graft.operators.TextOps.tokens(col("text")).as("__t"))
+        .select(explode(graft.operators.TextOps.ngramsRaw(col("__t"), 2)).as("g"))
+    def epochs(t: graft.engine.KeyedTable, ev: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+               key: String, tag: String): Unit = {
+      graft.engine.AggDelta.bootstrap(t, ev(doc.filter(id % 10 =!= 0)), Seq(key), Nil)
+      graft.engine.AggDelta.maintain(t, ev(doc.filter(id % 10 === 0))
+          .withColumn(s"_old_$key", lit(null).cast("string"))
+          .withColumn("_op", lit("I")),
+        Seq(key), Nil, batchId = Some(s"$tag-e1"))
+      graft.engine.AggDelta.maintain(t, ev(doc.filter(id % 7 === 0))
+          .select(col(key).as(s"_old_$key"))
+          .withColumn(key, lit(null).cast("string"))
+          .withColumn("_op", lit("D")),
+        Seq(key), Nil, batchId = Some(s"$tag-e2"))
+    }
+    epochs(uniT, uni, "t", "cu")
+    epochs(biT, bi, "g", "cb")
+  }
+
   /** Stored incrementally-maintained TRIANGLE counts — the graph member of
     * the maintained-view family: the urgent-order co-purchase graph's edge
     * set plus per-node triangle counts, bootstrapped from the %3≠0 orders

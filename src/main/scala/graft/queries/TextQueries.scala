@@ -62,24 +62,32 @@ object TextQueries {
     * reference (the alias-substitution blowup law, SCALING.md r15 — the
     * tokenizer regex chain must run once, not once per consumer).
     */
-  private def collocCtesSql(minCount: Long): String =
-    s"""toks AS MATERIALIZED (SELECT doc_id, $toksSql AS w FROM documents),
-       |uni AS (SELECT unnest(w) AS t FROM toks),
-       |un AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM uni GROUP BY 1),
-       |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM uni),
-       |bn AS (SELECT g, CAST(count(*) AS BIGINT) AS n_ab
+  private def collocCtesSql(minCount: Long, where: String = ""): String =
+    s"""toks AS MATERIALIZED (SELECT doc_id, $toksSql AS w FROM documents $where),
+       |${collocScoreCtesSql(minCount)}""".stripMargin
+
+  /** The scoring half of [[collocCtesSql]] over an EXISTING `toks$sfx`
+    * CTE (doc_id, w) — suffix-parametrized so iterated mining
+    * (q_phrase_iter2's pass 2 over the MERGED arrays) reuses the identical
+    * chain with fresh names; ends in `colloc$sfx`.
+    */
+  private def collocScoreCtesSql(minCount: Long, sfx: String = ""): String =
+    s"""uni$sfx AS (SELECT unnest(w) AS t FROM toks$sfx),
+       |un$sfx AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM uni$sfx GROUP BY 1),
+       |tot$sfx AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM uni$sfx),
+       |bn$sfx AS (SELECT g, CAST(count(*) AS BIGINT) AS n_ab
        |  FROM (SELECT unnest([w[i] || ' ' || w[i+1]
-       |                      for i in range(1, len(w))]) AS g FROM toks)
+       |                      for i in range(1, len(w))]) AS g FROM toks$sfx)
        |  GROUP BY 1 HAVING count(*) >= $minCount),
-       |sp AS (SELECT string_split(g, ' ')[1] AS w1,
-       |    string_split(g, ' ')[2] AS w2, n_ab FROM bn),
-       |colloc AS (SELECT w1, w2, n_ab, ua.n AS n_a, ub.n AS n_b,
+       |sp$sfx AS (SELECT string_split(g, ' ')[1] AS w1,
+       |    string_split(g, ' ')[2] AS w2, n_ab FROM bn$sfx),
+       |colloc$sfx AS (SELECT w1, w2, n_ab, ua.n AS n_a, ub.n AS n_b,
        |    (CAST(n_ab AS DOUBLE) * CAST(nn AS DOUBLE)) /
        |      (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE)) AS assoc
-       |  FROM sp
-       |  CROSS JOIN tot
-       |  JOIN un ua ON sp.w1 = ua.t
-       |  JOIN un ub ON sp.w2 = ub.t)""".stripMargin
+       |  FROM sp$sfx
+       |  CROSS JOIN tot$sfx
+       |  JOIN un$sfx ua ON sp$sfx.w1 = ua.t
+       |  JOIN un$sfx ub ON sp$sfx.w2 = ub.t)""".stripMargin
 
   /** DuckDB twin of [[TextOps.applyPhrases]]' greedy merge, continuing
     * [[collocCtesSql]] and ending in `fin(doc_id, i, tok)` — tok is the
@@ -95,35 +103,36 @@ object TextQueries {
   private def phraseMergeCtesSql(minCount: Long, minAssoc: Double): String =
     s"""${collocCtesSql(minCount)},
        |phr AS (SELECT w1 || ' ' || w2 AS g FROM colloc WHERE assoc >= $minAssoc),
-       |$greedyMergeCtesSql""".stripMargin
+       |${greedyMergeCtesSql()}""".stripMargin
 
   /** The greedy-merge half of [[phraseMergeCtesSql]] alone, over EXISTING
-    * CTEs `toks(doc_id, w)` and `phr(g)` — the phrase set can come from the
-    * mined colloc chain or from a literal list (q_sql_kernels), same merge
-    * semantics either way.
+    * CTEs `toks$sfx(doc_id, w)` and `phr$sfx(g)` — the phrase set can come
+    * from the mined colloc chain, a literal list (q_sql_kernels), or a
+    * second mining pass over merged arrays (q_phrase_iter2); same merge
+    * semantics every time. Ends in `fin$sfx(doc_id, i, tok)`.
     */
-  private def greedyMergeCtesSql: String =
-    s"""pos AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM toks),
-       |flag AS (SELECT doc_id, i, w[i] AS t, w[i + 1] AS nxt,
+  private def greedyMergeCtesSql(sfx: String = ""): String =
+    s"""pos$sfx AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM toks$sfx),
+       |flag$sfx AS (SELECT doc_id, i, w[i] AS t, w[i + 1] AS nxt,
        |    CASE WHEN i < len(w)
-       |      AND (w[i] || ' ' || w[i + 1]) IN (SELECT g FROM phr)
+       |      AND (w[i] || ' ' || w[i + 1]) IN (SELECT g FROM phr$sfx)
        |      THEN 1 ELSE 0 END AS inp
-       |  FROM pos),
-       |isl AS (SELECT doc_id, i, t, nxt, inp,
+       |  FROM pos$sfx),
+       |isl$sfx AS (SELECT doc_id, i, t, nxt, inp,
        |    sum(CASE WHEN inp = 0 THEN 1 ELSE 0 END)
        |      OVER (PARTITION BY doc_id ORDER BY i) AS grp
-       |  FROM flag),
-       |ms AS (SELECT doc_id, i, t, nxt,
+       |  FROM flag$sfx),
+       |ms$sfx AS (SELECT doc_id, i, t, nxt,
        |    CASE WHEN inp = 1 AND (row_number() OVER (
        |        PARTITION BY doc_id, grp, inp ORDER BY i)) % 2 = 1
        |      THEN 1 ELSE 0 END AS mstart
-       |  FROM isl),
-       |fin AS (SELECT doc_id, i,
+       |  FROM isl$sfx),
+       |fin$sfx AS (SELECT doc_id, i,
        |    CASE WHEN mstart = 1 THEN t || '_' || nxt
        |         WHEN lag(mstart, 1, 0) OVER (PARTITION BY doc_id ORDER BY i) = 1
        |           THEN NULL
        |         ELSE t END AS tok
-       |  FROM ms)""".stripMargin
+       |  FROM ms$sfx)""".stripMargin
 
   private val shinglesSql = // distinct word 3-grams, matching TextOps.shingles(_, 3)
     "list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)])"
@@ -1093,7 +1102,7 @@ object TextQueries {
       Some(s"""WITH toks AS MATERIALIZED (
               |  SELECT doc_id, text, $toksSql AS w FROM documents),
               |phr AS (SELECT unnest(['big dup', 'small dup']) AS g),
-              |$greedyMergeCtesSql,
+              |${greedyMergeCtesSql()},
               |m AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS merged_text
               |  FROM fin GROUP BY 1),
               |sc AS (SELECT doc_id,
@@ -2161,7 +2170,7 @@ object TextQueries {
     "q_classifier_train" -> Q(
       (s, d) => TextOps.trainHashNb(Td.documents(s, d), "doc_id", "text",
         targetPred = col("lang") === "en"),
-      Some(s"""WITH ${trainNbCtesSql}
+      Some(s"""WITH ${trainNbCtesSql()}
               |SELECT bkt, c_pos, c_neg, weight FROM wt""".stripMargin)),
 
     // ----- train → infer (composed: learned weights drive the kernel) ------
@@ -2180,7 +2189,7 @@ object TextQueries {
           weights = scala.collection.immutable.ArraySeq.unsafeWrapArray(w),
           threshold = 0L)
       },
-      Some(s"""WITH ${trainNbCtesSql},
+      Some(s"""WITH ${trainNbCtesSql()},
               |ft AS (SELECT doc_id, CAST(2*len(w) - 1 AS INT) AS n_feats,
               |    unnest(list_concat(w,
               |      [w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS feat
@@ -2192,6 +2201,82 @@ object TextQueries {
               |  FROM fb JOIN wt USING (bkt) GROUP BY 1, 2)
               |SELECT doc_id, n_feats, score, CAST(score >= 0 AS INT) AS kept
               |FROM sc""".stripMargin)),
+
+    // ----- held-out classifier evaluation (the ML-ops loop's third leg) ----
+    // Train on the deterministic 80% hash split, score the HELD-OUT 20%,
+    // and emit the exact-integer confusion matrix (is_en × kept counts) —
+    // generalization measured, not training-set echo. Every stage is the
+    // shared machinery (hash split = q_train_split's bucket, training =
+    // trainNbCtesSql on the train slice, scoring = the inference sum), so
+    // the oracle recomputes the full train→score→confusion pipeline and a
+    // drift anywhere flips a cell count.
+    "q_classifier_eval" -> Q(
+      (s, d) => {
+        val docs = Td.documents(s, d)
+        val b = graft.operators.Sampling.hashBucket(col("doc_id"))
+        val train = docs.filter(b < 80)
+        val test = docs.filter(b >= 80)
+        val w = TextOps.trainedWeights(
+          TextOps.trainHashNb(train, "doc_id", "text", col("lang") === "en"))
+        TextOps.hashClassify(test, "doc_id", "text",
+            weights = scala.collection.immutable.ArraySeq.unsafeWrapArray(w),
+            threshold = 0L)
+          .join(test.select(col("doc_id"),
+            (col("lang") === "en").cast("int").as("is_en")), "doc_id")
+          .groupBy("is_en", "kept").agg(count(lit(1)).as("n"))
+      },
+      Some {
+        val split = "(((doc_id % 1000003) * 2654435761) // 8192) % 100"
+        s"""WITH ${trainNbCtesSql(s"WHERE $split < 80")},
+           |tt AS (SELECT doc_id, (lang = 'en') AS is_en, $toksSql AS w
+           |  FROM documents WHERE $split >= 80),
+           |ft AS (SELECT doc_id, is_en, unnest(list_concat(w,
+           |    [w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS feat
+           |  FROM tt),
+           |fb AS (SELECT doc_id, is_en,
+           |    ${polyHashSql("feat")} % ${TextOps.ClassifierBuckets} AS bkt
+           |  FROM ft),
+           |sc AS (SELECT doc_id, is_en, CAST(sum(weight) AS BIGINT) AS score
+           |  FROM fb JOIN wt USING (bkt) GROUP BY 1, 2)
+           |SELECT CAST(is_en AS INT) AS is_en,
+           |  CAST(score >= 0 AS INT) AS kept, CAST(count(*) AS BIGINT) AS n
+           |FROM sc GROUP BY 1, 2""".stripMargin
+      }),
+
+    // ----- INCREMENTALLY-maintained classifier training --------------------
+    // The online-learning form of q_classifier_train: per-bucket class-
+    // conditional feature counts live in an AggDelta state table driven
+    // through bootstrap/insert/retract epochs (upkeep ∝ changed documents'
+    // features — NB needs no iteration, so maintained counts ARE the
+    // model), and nbWeightsFromCounts re-derives the weight table as
+    // 4096-row arithmetic. The oracle re-trains from scratch on the final
+    // corpus (doc_id %7 ≠ 0) — one mis-retracted feature occurrence moves
+    // a count, a quantile, and a weight, and hash-fails.
+    "q_classifier_maintain" -> Q(
+      (s, d) => TextOps.nbWeightsFromCounts(s,
+        Td.nbCountsTable(s, d).current.select(col("bkt"),
+          col("sum_pos_inc").cast("long").as("c_pos"),
+          col("sum_neg_inc").cast("long").as("c_neg"))),
+      Some(s"""WITH ${trainNbCtesSql("WHERE doc_id % 7 <> 0")}
+              |SELECT bkt, c_pos, c_neg, weight FROM wt""".stripMargin)),
+
+    // ----- INCREMENTALLY-maintained collocation mining ----------------------
+    // The standing-deployment form of q_collocations: unigram and bigram
+    // occurrence counts (both plainly additive) live in two AggDelta state
+    // tables; collocationsFromCounts re-derives the scored phrase table
+    // from the maintained relations with the corpus total as Σ un.n —
+    // vocab-sized arithmetic, never a corpus re-pass. Oracle = from-scratch
+    // mining of the final corpus through the same generated CTE chain.
+    "q_collocations_maintain" -> Q(
+      (s, d) => {
+        val (uniT, biT) = Td.collocCountsTables(s, d)
+        TextOps.collocationsFromCounts(
+          uniT.current.select(col("t"), col("cnt").as("n")),
+          biT.current.select(col("g"), col("cnt").as("n_ab")),
+          minCount = 3L)
+      },
+      Some(s"""WITH ${collocCtesSql(3, "WHERE doc_id % 7 <> 0")}
+              |SELECT w1, w2, n_ab, n_a, n_b, assoc FROM colloc""".stripMargin)),
 
     // ----- asymmetric shingle containment (quote / subset detection) --------
     // |A∩B|/|A| per colliding ordered pair — catches a short doc quoted
@@ -2310,6 +2395,55 @@ object TextQueries {
               |  CAST(contains(tok, '_') AS INT) AS is_phrase
               |FROM fin WHERE tok IS NOT NULL
               |GROUP BY tok HAVING count(*) >= 3""".stripMargin)),
+
+    // ----- ITERATED phrase mining (word2phrase's multi-pass protocol) ------
+    // word2vec §4 runs 2–4 merge passes so longer phrases form ("new york
+    // times" → pass 1 "new_york times" → pass 2 "new_york_times"): pass 2
+    // re-MINES collocations over the pass-1 MERGED token arrays (the mined
+    // pairs themselves contain phrase tokens — 386 of 486 pass-2 pairs at
+    // sf0.01) and merges again with the same kernel. The oracle chains two
+    // full mine→merge CTE passes, the second over `list(tok) FILTER
+    // NOT NULL` rebuilt arrays — a drift in either pass's mining,
+    // threshold, or merge order shifts pass-2 tokens and hash-fails.
+    "q_phrase_iter2" -> Q(
+      (s, d) => {
+        val docs = Td.documents(s, d)
+        val p1 = TextOps.minePhrases(
+          TextOps.collocations(docs, "doc_id", "text", minCount = 3L),
+          minAssoc = PhraseMinAssoc)
+        val m1 = docs
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("__t"))
+          .select(col("doc_id"), size(col("__t")).as("n_tokens"),
+            TextOps.phraseMergeTokens(col("__t"), p1).as("__m1"))
+        val un2 = m1.select(explode(col("__m1")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("n"))
+        val bn2 = m1.select(explode(TextOps.ngramsRaw(col("__m1"), 2)).as("g"))
+          .groupBy("g").agg(count(lit(1)).as("n_ab"))
+        val p2 = TextOps.minePhrases(
+          TextOps.collocationsFromCounts(un2, bn2, minCount = 3L),
+          minAssoc = PhraseMinAssoc)
+        m1.select(col("doc_id"), col("n_tokens"),
+            size(col("__m1")).as("n_pass1"),
+            TextOps.phraseMergeTokens(col("__m1"), p2).as("__m2"))
+          .select(col("doc_id"), col("n_tokens"), col("n_pass1"),
+            size(col("__m2")).as("n_tokens_out"),
+            array_join(col("__m2"), " ").as("merged_text"))
+      },
+      Some(s"""WITH ${phraseMergeCtesSql(3, PhraseMinAssoc)},
+              |toks2 AS MATERIALIZED (SELECT doc_id,
+              |    list(tok ORDER BY i) FILTER (WHERE tok IS NOT NULL) AS w
+              |  FROM fin GROUP BY doc_id),
+              |${collocScoreCtesSql(3, "2")},
+              |phr2 AS (SELECT w1 || ' ' || w2 AS g FROM colloc2
+              |  WHERE assoc >= $PhraseMinAssoc),
+              |${greedyMergeCtesSql("2")},
+              |n0 AS (SELECT doc_id, CAST(len(w) AS INT) AS n_tokens FROM toks)
+              |SELECT doc_id, n_tokens,
+              |  CAST(count(*) AS INT) AS n_pass1,
+              |  CAST(count(tok) AS INT) AS n_tokens_out,
+              |  string_agg(tok, ' ' ORDER BY i) AS merged_text
+              |FROM fin2 JOIN n0 USING (doc_id)
+              |GROUP BY doc_id, n_tokens""".stripMargin)),
 
     // ----- corpus n-gram frequency table ------------------------------------
     // Every word trigram seen ≥ 2 times with total occurrences + document
@@ -2563,13 +2697,13 @@ object TextQueries {
     * once). The fixed-point log2 table is embedded verbatim, exactly like
     * [[dsirWeightsSql]].
     */
-  private def trainNbCtesSql: String = {
+  private def trainNbCtesSql(where: String = ""): String = {
     val lt = QualityOps.fpLog2Table.mkString("[", ", ", "]")
     val q = QualityOps.QuantScale
     val b = TextOps.ClassifierBuckets
     s"""ltab AS (SELECT $lt AS lt),
        |toks AS MATERIALIZED (SELECT doc_id, (lang = 'en') AS pos,
-       |    $toksSql AS w FROM documents),
+       |    $toksSql AS w FROM documents $where),
        |f AS (SELECT pos, unnest(list_concat(w,
        |    [w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS feat
        |  FROM toks),
