@@ -615,11 +615,23 @@ object TextOps {
     * cumsum parallel per bucket); nothing sequential, nothing driver-side.
     */
   def shardAssign(df: DataFrame, idCol: String, textCol: String,
-                  shardTokens: Long, bucketSpan: Long = 1000000L): DataFrame = {
+                  shardTokens: Long, bucketSpan: Long = 1000000L): DataFrame =
+    shardAssignCounts(df.select(col(idCol).cast("long").as("id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens")),
+      shardTokens, bucketSpan)
+      .withColumnRenamed("id", idCol)
+
+  /** [[shardAssign]] over a precomputed `(id, n_tokens)` relation — the
+    * composition point for pipelines that already derived token counts
+    * upstream (e.g. the gopher gate's n_words) and must not re-tokenize.
+    * Same two-level distributed prefix sum, same offset-sharding contract.
+    */
+  def shardAssignCounts(counts: DataFrame, shardTokens: Long,
+                        bucketSpan: Long = 1000000L): DataFrame = {
     require(shardTokens >= 1, s"shardTokens must be >= 1, got $shardTokens")
     require(bucketSpan >= 1, s"bucketSpan must be >= 1, got $bucketSpan")
-    val toks = df.select(col(idCol).cast("long").as("id"),
-        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    val toks = counts.select(col("id").cast("long").as("id"),
+        col("n_tokens").cast("long").as("n_tokens"))
       .withColumn("bkt", expr(s"id div $bucketSpan"))
     val wBkt = Window.orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -632,7 +644,7 @@ object TextOps {
       .withColumn("tok_start",
         col("bkt_offset") + sum("n_tokens").over(wIn) - col("n_tokens"))
       .withColumn("shard_id", expr(s"tok_start div $shardTokens"))
-      .select(col("id").as(idCol), col("n_tokens"), col("tok_start"), col("shard_id"))
+      .select(col("id"), col("n_tokens"), col("tok_start"), col("shard_id"))
   }
 
   /** Fixed-size overlapping token chunking — the RAG / long-context

@@ -596,18 +596,29 @@ object RelationalQueries {
     s"""WITH counts AS (
        |  SELECT lang, CAST(count(*) AS BIGINT) AS mix_n
        |  FROM documents $where GROUP BY 1),
-       |th AS (SELECT lang, mix_n,
+       |$temperatureThrCtesSql
+       |SELECT d.lang, t.mix_n, t.mix_thr, CAST(count(*) AS BIGINT) AS n_kept
+       |FROM documents d JOIN thr t ON d.lang = t.lang
+       |$where ${if (where.isEmpty) "WHERE" else "AND"}
+       |  (((d.doc_id % 1000003) * 2654435761) // 8192) % $b < t.mix_thr
+       |GROUP BY 1, 2, 3""".stripMargin
+  }
+
+  /** The exact-isqrt threshold chain over an EXISTING `counts(lang, mix_n)`
+    * CTE, ending in `thr(lang, mix_n, mix_thr)` — shared by the two
+    * temperature oracles here and the end-to-end pipeline oracle
+    * (TextQueries.q_pipeline_e2e), so the ±1-correction arithmetic exists
+    * exactly once.
+    */
+  private[queries] def temperatureThrCtesSql: String = {
+    val b = Sampling.TemperatureBucketSpace
+    s"""th AS (SELECT lang, mix_n,
        |    (${b * b} * (SELECT min(mix_n) FROM counts)) // mix_n AS x FROM counts),
        |t2 AS (SELECT lang, mix_n, x,
        |    CAST(floor(sqrt(CAST(x AS DOUBLE))) AS BIGINT) AS s0 FROM th),
        |t3 AS (SELECT lang, mix_n, x,
        |    s0 - CASE WHEN s0 * s0 > x THEN 1 ELSE 0 END AS sd FROM t2),
        |thr AS (SELECT lang, mix_n,
-       |    sd + CASE WHEN (sd + 1) * (sd + 1) <= x THEN 1 ELSE 0 END AS mix_thr FROM t3)
-       |SELECT d.lang, t.mix_n, t.mix_thr, CAST(count(*) AS BIGINT) AS n_kept
-       |FROM documents d JOIN thr t ON d.lang = t.lang
-       |$where ${if (where.isEmpty) "WHERE" else "AND"}
-       |  (((d.doc_id % 1000003) * 2654435761) // 8192) % $b < t.mix_thr
-       |GROUP BY 1, 2, 3""".stripMargin
+       |    sd + CASE WHEN (sd + 1) * (sd + 1) <= x THEN 1 ELSE 0 END AS mix_thr FROM t3)""".stripMargin
   }
 }

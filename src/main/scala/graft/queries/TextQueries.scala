@@ -1116,6 +1116,66 @@ object TextQueries {
               |SELECT doc_id, fp, score, vocab_hits, merged_text
               |FROM sc JOIN m USING (doc_id)""".stripMargin)),
 
+    // ----- END-TO-END training-data pipeline (the canonical composition) ---
+    // The four core curation stages in ONE plan, each the already-pinned
+    // operator: exact dedup by normalized-text fingerprint (first
+    // occurrence wins) → Gopher quality gate (all six rules) →
+    // temperature-balanced language mix (τ=2, thresholds from the
+    // POST-quality survivor counts) → offset sharding of the final corpus
+    // (the WebDataset write contract). Every stage reuses the generated
+    // oracle fragment its own query pins (fp window, gopherStagesSql,
+    // temperatureThrCtesSql, the cumsum) — so this query pins the
+    // COMPOSITION: a survivor-set drift in any stage shifts every token
+    // offset and shard boundary after it.
+    "q_pipeline_e2e" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Td.documents(s, d)
+        val w = Window.partitionBy("__fp").orderBy("doc_id")
+        val dd = docs.select(col("doc_id"), col("lang"), col("text"),
+            TextOps.polyHash(TextOps.normText(col("text"))).as("__fp"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__fp", "__rn")
+        val kept = QualityOps.gopherGate(dd, "doc_id", "text")
+          .filter(col("pass") === 1).select("doc_id", "n_words")
+          .join(dd.select("doc_id", "lang"), "doc_id")
+        val mixed = graft.operators.Sampling.temperatureMix(kept, "lang", "doc_id")
+        TextOps.shardAssignCounts(
+            mixed.select(col("doc_id").as("id"), col("n_words").as("n_tokens")),
+            shardTokens = 2000L, bucketSpan = 64L)
+          .join(mixed.select(col("doc_id").as("id"), col("lang")), "id")
+          .select(col("id").as("doc_id"), col("lang"), col("n_tokens"),
+            col("tok_start"), col("shard_id"))
+      },
+      Some(s"""WITH nrm0 AS (SELECT doc_id, lang, text,
+              |    ${polyHashSql(normSql)} AS fp FROM documents),
+              |dd AS (SELECT doc_id, lang, text FROM (
+              |    SELECT doc_id, lang, text,
+              |      row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+              |    FROM nrm0) z WHERE rn = 1),
+              |t AS (SELECT doc_id, lang, text, $normSql AS nrm, $toksSql AS w
+              |  FROM dd),
+              |${gopherStagesSql("doc_id, lang")},
+              |q AS (SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_words
+              |  FROM f
+              |  WHERE words_ok + mean_word_len_ok + symbol_ratio_ok
+              |        + alpha_word_ok + stopword_ok + repetition_ok = 6),
+              |counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS mix_n
+              |  FROM q GROUP BY 1),
+              |${RelationalQueries.temperatureThrCtesSql},
+              |mix AS (SELECT q.doc_id, q.lang, q.n_words
+              |  FROM q JOIN thr th2 ON q.lang = th2.lang
+              |  WHERE (((q.doc_id % 1000003) * 2654435761) // 8192)
+              |          % ${graft.operators.Sampling.TemperatureBucketSpace}
+              |        < th2.mix_thr),
+              |sh AS (SELECT doc_id, lang, n_words AS n_tokens,
+              |    CAST(sum(n_words) OVER (ORDER BY doc_id) - n_words AS BIGINT)
+              |      AS tok_start
+              |  FROM mix)
+              |SELECT doc_id, lang, n_tokens, tok_start,
+              |  tok_start // 2000 AS shard_id
+              |FROM sh""".stripMargin)),
+
     // ----- maintained-state anti-entropy audit -----------------------------
     // The operational IVM check as a first-class operator: Audit.viewAudit
     // full-outer-compares the MAINTAINED document-frequency table (AggDelta
