@@ -68,6 +68,27 @@ object Sampling {
       hashSample(df, keyCol, pct).withColumn("mix_source", lit(tag))
     }.reduce(_ unionByName _)
 
+  /** Deterministic fractional up/down-sampling — the "epochs" knob of a
+    * pre-training data recipe (a source seen 2.5 epochs appears 2–3 times;
+    * one seen 0.3 epochs appears 0–1 times). `rateMilli` is the epoch rate
+    * × 1000 kept integral so both engines compute identical copy counts:
+    * every row gets `rateMilli div 1000` whole copies plus one more iff its
+    * key-bucket (0..999) falls under the fractional part — so per-key copy
+    * counts are reproducible under retries, and the corpus-level expansion
+    * is exact-in-expectation with the error of a single row. Rows with
+    * zero copies drop; survivors explode to (row, copy_id 1..n_copies),
+    * copy_id being what downstream shuffling/packing needs to keep repeated
+    * documents from landing adjacently. Map-side generate, no shuffle.
+    */
+  def epochMix(df: DataFrame, keyCol: String, rateMilli: Long): DataFrame = {
+    require(rateMilli >= 0, s"rateMilli must be >= 0, got $rateMilli")
+    val copies = lit(rateMilli / 1000) +
+      when(hashBucketFine(col(keyCol), 1000L) < rateMilli % 1000, 1L).otherwise(0L)
+    df.withColumn("n_copies", copies)
+      .filter(col("n_copies") > 0)
+      .withColumn("copy_id", explode(sequence(lit(1L), col("n_copies"))))
+  }
+
   /** Fine-grained deterministic bucket 0..buckets-1 — [[hashBucket]]'s hash
     * with a caller-chosen modulus, for keep-rates that need more resolution
     * than percent (temperature sampling thresholds land anywhere in

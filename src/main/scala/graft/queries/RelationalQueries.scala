@@ -190,6 +190,36 @@ object RelationalQueries {
              |SELECT doc_id, n_chars, 'tail' AS mix_source FROM documents
              |WHERE (((doc_id % 1000003) * 2654435761) // 8192) % 100 < 30""".stripMargin)),
 
+    // ----- epoch mixing (fractional deterministic up/down-sampling) --------
+    // The data-recipe "epochs" knob: a curated source seen 2.5 epochs
+    // (rows appear 2–3×, the third copy decided by the key's 0..999
+    // bucket), a bulk source seen 0.3 (rows appear 0–1×) — exact integer
+    // copy counts both engines recompute, copy_id exploded for downstream
+    // packing. Oracle re-derives n_copies from the same hash arithmetic
+    // and unnests a range.
+    "q_epoch_mix" -> Q(
+      (s, d) => {
+        val docs = Td.documents(s, d).select("doc_id", "lang", "n_chars")
+        Sampling.epochMix(docs, "doc_id", rateMilli = 2500)
+          .withColumn("mix_source", lit("curated"))
+          .unionByName(Sampling.epochMix(docs, "doc_id", rateMilli = 300)
+            .withColumn("mix_source", lit("bulk")))
+          .select("doc_id", "lang", "n_chars", "mix_source", "n_copies", "copy_id")
+      },
+      Some("""WITH b AS (SELECT doc_id, lang, n_chars,
+             |    (((doc_id % 1000003) * 2654435761) // 8192) % 1000 AS kb
+             |  FROM documents),
+             |cur AS (SELECT doc_id, lang, n_chars, 'curated' AS mix_source,
+             |    CAST(2 + CASE WHEN kb < 500 THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+             |  FROM b),
+             |blk AS (SELECT doc_id, lang, n_chars, 'bulk' AS mix_source,
+             |    CAST(CASE WHEN kb < 300 THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+             |  FROM b WHERE kb < 300),
+             |u AS (SELECT * FROM cur UNION ALL SELECT * FROM blk)
+             |SELECT doc_id, lang, n_chars, mix_source, n_copies,
+             |  unnest(range(1, n_copies + 1)) AS copy_id
+             |FROM u""".stripMargin)),
+
     // ----- temperature-balanced multilingual mix (τ = 2, UniMax/mT5) -------
     // Natural language distribution ∝ n_l resampled toward sqrt(n_l): each
     // document kept iff its fine hash bucket < isqrt(B²·n_min div n_l) —

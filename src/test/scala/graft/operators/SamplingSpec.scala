@@ -87,6 +87,27 @@ class SamplingSpec extends SparkSpec {
     assert(out.exceptAll(Sampling.temperatureMix(df, "lang", "doc_id")).count() == 0)
   }
 
+  test("epochMix: exact fractional copy counts, deterministic, rate edges") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 2000L).toDF("id")
+    val out = Sampling.epochMix(df, "id", rateMilli = 2500)
+    val counts = out.groupBy("id").count()
+    assert(counts.filter(!col("count").isin(2, 3)).count() == 0) // 2 or 3 copies
+    val n3 = counts.filter(col("count") === 3).count()
+    assert(math.abs(n3 - 1000L) < 100, s"fractional copies: $n3") // ~half get the 3rd
+    // copy_id enumerates 1..n_copies per row
+    assert(out.filter(col("copy_id") > col("n_copies") || col("copy_id") < 1).count() == 0)
+    // downsampling: survivors appear exactly once, ~30% of keys
+    val down = Sampling.epochMix(df, "id", rateMilli = 300)
+    assert(down.groupBy("id").count().filter(col("count") =!= 1).count() == 0)
+    assert(math.abs(down.count() - 600L) < 100)
+    // deterministic re-run; whole rates multiply exactly; rate 0 empties
+    assert(out.exceptAll(Sampling.epochMix(df, "id", 2500)).count() == 0)
+    assert(Sampling.epochMix(df, "id", 2000).count() == 4000)
+    assert(Sampling.epochMix(df, "id", 0).count() == 0)
+  }
+
   test("temperatureMixFromCounts: maintained counts reproduce the batch mix exactly") {
     val s = spark
     import s.implicits._
