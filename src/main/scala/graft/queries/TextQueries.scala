@@ -2456,6 +2456,37 @@ object TextQueries {
               |FROM fin WHERE tok IS NOT NULL
               |GROUP BY tok HAVING count(*) >= 3""".stripMargin)),
 
+    // ----- standing phrase deployment: maintained counts → mine → apply ----
+    // The full production loop for phrases: the unigram/bigram counts are
+    // AggDelta state (q_collocations_maintain's tables, upkeep ∝ batch),
+    // the phrase table re-derives from the MAINTAINED relations, and the
+    // kernel applies it to the current corpus — so a standing pipeline
+    // re-mines + re-broadcasts phrases per ingest batch without ever
+    // re-counting the corpus. Oracle re-mines AND re-merges the final
+    // %7≠0 corpus from scratch.
+    "q_phrase_maintain_apply" -> Q(
+      (s, d) => {
+        val (uniT, biT) = Td.collocCountsTables(s, d)
+        val pairs = TextOps.minePhrases(
+          TextOps.collocationsFromCounts(
+            uniT.current.select(col("t"), col("cnt").as("n")),
+            biT.current.select(col("g"), col("cnt").as("n_ab")),
+            minCount = 3L),
+          minAssoc = PhraseMinAssoc)
+        TextOps.applyPhrases(
+          Td.documents(s, d).filter(col("doc_id") % 7 =!= 0),
+          "doc_id", "text", pairs)
+      },
+      Some(s"""WITH ${collocCtesSql(3, "WHERE doc_id % 7 <> 0")},
+              |phr AS (SELECT w1 || ' ' || w2 AS g FROM colloc
+              |  WHERE assoc >= $PhraseMinAssoc),
+              |${greedyMergeCtesSql()}
+              |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+              |  CAST(count(tok) AS INT) AS n_tokens_out,
+              |  CAST(count(*) - count(tok) AS INT) AS n_merges,
+              |  string_agg(tok, ' ' ORDER BY i) AS merged_text
+              |FROM fin GROUP BY doc_id""".stripMargin)),
+
     // ----- ITERATED phrase mining (word2phrase's multi-pass protocol) ------
     // word2vec §4 runs 2–4 merge passes so longer phrases form ("new york
     // times" → pass 1 "new_york times" → pass 2 "new_york_times"): pass 2
