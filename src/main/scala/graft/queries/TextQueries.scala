@@ -1136,10 +1136,22 @@ object TextQueries {
             TextOps.polyHash(TextOps.normText(col("text"))).as("__fp"))
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__fp", "__rn")
-        val kept = QualityOps.gopherGate(dd, "doc_id", "text")
-          .filter(col("pass") === 1).select("doc_id", "n_words")
-          .join(dd.select("doc_id", "lang"), "doc_id")
+        // PIN the flags relation BEFORE filtering on `pass` (r16 law, see
+        // SCALING.md): pushing `pass = 1` down through gopherGate's alias
+        // projection substitutes the whole six-rule expression tree into
+        // the predicate, where FilterExec's short-circuit codegen cannot
+        // eliminate common subexpressions — the tokenizer/regex chain then
+        // runs ~10× per row (measured: 30.3 s vs 0.25 s for the SAME gate
+        // at sf1, PipelineProbe2). The pinned relation is the slim flags
+        // manifest (id + 8 ints — no text), so the pin is the cheap side;
+        // `lang` rejoins from the pruned parquet scan rather than from the
+        // windowed dd subtree. The `mixed` pin covers the multi-branch
+        // reads below (mix counts + threshold probe, shard prefix-sum ×2).
+        val flags = QualityOps.gopherGate(dd, "doc_id", "text").localCheckpoint()
+        val kept = flags.filter(col("pass") === 1).select("doc_id", "n_words")
+          .join(docs.select("doc_id", "lang"), "doc_id")
         val mixed = graft.operators.Sampling.temperatureMix(kept, "lang", "doc_id")
+          .localCheckpoint()
         TextOps.shardAssignCounts(
             mixed.select(col("doc_id").as("id"), col("n_words").as("n_tokens")),
             shardTokens = 2000L, bucketSpan = 64L)
