@@ -53,6 +53,13 @@ object TextQueries {
     */
   private val PhraseMinAssoc: Double = 1.3
 
+  /** Fixed operating-point thresholds for q_classifier_pr, straddling the
+    * held-out score range observed at the gate scales (≈ [−4.3e7, 1.6e7]).
+    * Shared with the generated oracle SQL so the sweep can never drift.
+    */
+  private val PrThresholds: Seq[Long] =
+    Seq(-20000000L, -10000000L, -5000000L, 0L, 5000000L)
+
   /** DuckDB twin of [[TextOps.collocations]] as a CTE chain ending in
     * `colloc(w1, w2, n_ab, n_a, n_b, assoc)` — shared by q_collocations and
     * the phrase-application oracles so the mining the merge consumes can
@@ -2313,6 +2320,74 @@ object TextQueries {
            |SELECT CAST(is_en AS INT) AS is_en,
            |  CAST(score >= 0 AS INT) AS kept, CAST(count(*) AS BIGINT) AS n
            |FROM sc GROUP BY 1, 2""".stripMargin
+      }),
+
+    // ----- classifier operating-point sweep (PR curve points) --------------
+    // The threshold-selection step after training: the held-out scores from
+    // q_classifier_eval's split swept over five fixed thresholds (chosen to
+    // straddle the observed score range ≈ [−4.3e7, +1.6e7]) into exact
+    // tp/fp/fn/tn counts plus guarded precision/recall — the table an
+    // operator reads to pick the filter's operating point. One pass: the
+    // threshold list explodes against the scored relation, so the heavy
+    // train+score subtree evaluates once, not once per threshold.
+    "q_classifier_pr" -> Q(
+      (s, d) => {
+        val docs = Td.documents(s, d)
+        val b = graft.operators.Sampling.hashBucket(col("doc_id"))
+        val train = docs.filter(b < 80)
+        val test = docs.filter(b >= 80)
+        val w = TextOps.trainedWeights(
+          TextOps.trainHashNb(train, "doc_id", "text", col("lang") === "en"))
+        TextOps.hashClassify(test, "doc_id", "text",
+            weights = scala.collection.immutable.ArraySeq.unsafeWrapArray(w),
+            threshold = 0L)
+          .join(test.select(col("doc_id"),
+            (col("lang") === "en").cast("int").as("is_en")), "doc_id")
+          .select(col("is_en"), col("score"),
+            explode(typedLit(PrThresholds)).as("threshold"))
+          .groupBy("threshold").agg(
+            sum(when(col("is_en") === 1 && col("score") >= col("threshold"), 1L)
+              .otherwise(0L)).as("tp"),
+            sum(when(col("is_en") === 0 && col("score") >= col("threshold"), 1L)
+              .otherwise(0L)).as("fp"),
+            sum(when(col("is_en") === 1 && col("score") < col("threshold"), 1L)
+              .otherwise(0L)).as("fn"),
+            sum(when(col("is_en") === 0 && col("score") < col("threshold"), 1L)
+              .otherwise(0L)).as("tn"))
+          .withColumn("precision",
+            when(col("tp") + col("fp") > 0,
+              col("tp").cast("double") / (col("tp") + col("fp")).cast("double")))
+          .withColumn("recall",
+            when(col("tp") + col("fn") > 0,
+              col("tp").cast("double") / (col("tp") + col("fn")).cast("double")))
+      },
+      Some {
+        val split = "(((doc_id % 1000003) * 2654435761) // 8192) % 100"
+        val thList = PrThresholds.mkString("[", ", ", "]")
+        s"""WITH ${trainNbCtesSql(s"WHERE $split < 80")},
+           |tt AS (SELECT doc_id, (lang = 'en') AS is_en, $toksSql AS w
+           |  FROM documents WHERE $split >= 80),
+           |ft AS (SELECT doc_id, is_en, unnest(list_concat(w,
+           |    [w[i] || ' ' || w[i+1] for i in range(1, len(w))])) AS feat
+           |  FROM tt),
+           |fb AS (SELECT doc_id, is_en,
+           |    ${polyHashSql("feat")} % ${TextOps.ClassifierBuckets} AS bkt
+           |  FROM ft),
+           |sc AS (SELECT doc_id, is_en, CAST(sum(weight) AS BIGINT) AS score
+           |  FROM fb JOIN wt USING (bkt) GROUP BY 1, 2),
+           |sw AS (SELECT is_en, score, unnest($thList) AS threshold FROM sc),
+           |cm AS (SELECT threshold,
+           |    CAST(sum(CASE WHEN is_en AND score >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |    CAST(sum(CASE WHEN NOT is_en AND score >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           |    CAST(sum(CASE WHEN is_en AND score < threshold THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           |    CAST(sum(CASE WHEN NOT is_en AND score < threshold THEN 1 ELSE 0 END) AS BIGINT) AS tn
+           |  FROM sw GROUP BY 1)
+           |SELECT threshold, tp, fp, fn, tn,
+           |  CASE WHEN tp + fp > 0
+           |    THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision,
+           |  CASE WHEN tp + fn > 0
+           |    THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall
+           |FROM cm""".stripMargin
       }),
 
     // ----- INCREMENTALLY-maintained classifier training --------------------
