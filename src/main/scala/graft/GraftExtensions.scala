@@ -90,12 +90,23 @@ object GraftExtensions {
   // same fail-early contract ScriptRoute's eager table validation follows:
   // a per-row-varying table would mean rebuilding a hash set per row, which
   // is never what a caller wants and deserves an analysis error, not a
-  // slow query.
+  // slow query. NULL elements are rejected the same way: unchecked, an
+  // array<bigint> NULL would unbox to 0L and silently zero one bucket's
+  // weight (review r16) — a wrong-results class, not an error class.
+  private def arg(exprs: Seq[Expression], i: Int, fn: String, want: String): Expression = {
+    require(exprs.lengthCompare(i) > 0,
+      s"$fn: missing argument ${i + 1} ($want)")
+    exprs(i)
+  }
+
   private def litArray(e: Expression, fn: String): ArrayData = {
     require(e.foldable, s"$fn: the table argument must be a literal array")
     val v = e.eval(InternalRow.empty)
     require(v != null, s"$fn: the table argument must not be null")
-    v.asInstanceOf[ArrayData]
+    val arr = v.asInstanceOf[ArrayData]
+    (0 until arr.numElements()).foreach(i =>
+      require(!arr.isNullAt(i), s"$fn: table element ${i + 1} is NULL"))
+    arr
   }
 
   private def litStrings(e: Expression, fn: String): Seq[String] = {
