@@ -156,6 +156,53 @@ object Kernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  /** Stride-1 window fingerprints over a token array — the candidate pass of
+    * substring-level exact dedup ([[graft.operators.Dedup.substringSpans]]).
+    * Window i (0-based, i ∈ [0, n−k]) fingerprints tokens [i, i+k) as the
+    * polynomial fold over the PER-TOKEN [[polyHash]]es:
+    * fp_i = Σ_j th[i+j]·31^(k−1−j) mod P — the same (acc·31 + x) mod P
+    * recurrence the engine uses everywhere, lifted from codepoints to token
+    * hashes so the window fold is O(k) not O(window chars).
+    *
+    * Computed as a ROLLING hash: each token is decoded and hashed exactly
+    * once (O(n) polyHash calls), then
+    * fp_{i+1} = ((fp_i − th[i]·31^{k−1}) · 31 + th[i+k]) mod P — O(1) per
+    * window, O(n) total, versus O(n·k) for the direct per-window fold. The
+    * two are the same residue by the fold's affine structure, so the DuckDB
+    * oracle can recompute each window DIRECTLY (list_reduce over a slice of
+    * the token-hash list) and still match bit-for-bit. All intermediates
+    * stay under 2^63: th, fp, 31^{k−1} are < P ≈ 10^9, products < 10^18.
+    *
+    * n < k ⇒ empty array (no window reaches k tokens); a null element nulls
+    * the whole result (boxed), matching the engine's other array kernels.
+    */
+  def windowFps(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      th(i) = polyHash(arr.getUTF8String(i))
+      i += 1
+    }
+    var pk = 1L // 31^(k-1) mod P
+    i = 1
+    while (i < k) { pk = (pk * 31) % HashP; i += 1 }
+    val out = new Array[Long](n - k + 1)
+    var h = 0L
+    i = 0
+    while (i < k) { h = (h * 31 + th(i)) % HashP; i += 1 }
+    out(0) = h
+    i = 1
+    while (i <= n - k) {
+      h = (((h - (th(i - 1) * pk) % HashP + HashP) % HashP) * 31 + th(i + k - 1)) % HashP
+      out(i) = h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** One-pass simhash fold over a token-hash array: per hash, bit b of the
     * signature gains +1 if the hash's bit b is set else -1; signature bit b
     * is set iff its counter ends positive. Matches the 30-fold interpreted
@@ -249,6 +296,30 @@ object Kernels {
     GraftColumnBridge.column(HashScore(GraftColumnBridge.expression(c), weights))
   def phrase_merge(c: Column, phrases: Seq[(String, String)]): Column =
     GraftColumnBridge.column(PhraseMerge(GraftColumnBridge.expression(c), phrases))
+  def window_fps(c: Column, k: Int): Column =
+    GraftColumnBridge.column(WindowFps(GraftColumnBridge.expression(c), k))
+}
+
+/** See [[Kernels.windowFps]]; `child` is an array<string> of tokens, output
+  * array<long> of the n−k+1 stride-1 window fingerprints (empty when n < k).
+  */
+case class WindowFps(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"windowFps needs k >= 1, got $k")
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Kernels.windowFps(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("graftWindowFps")
+      s"""
+      org.apache.spark.sql.catalyst.util.ArrayData $r =
+        graft.functions.Kernels.windowFps($c, $k);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r; }"""
+    })
+  override protected def withNewChildInternal(newChild: Expression): WindowFps = copy(child = newChild)
 }
 
 /** See [[Kernels.simhashFold]]; `child` is an array<long> of token hashes. */

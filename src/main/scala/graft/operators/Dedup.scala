@@ -925,6 +925,67 @@ object Dedup {
         greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
   }
 
+  /** Substring-level exact dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL 2022): find every maximal token span
+    * of length ≥ k that already occurred EARLIER in the corpus — at ANY
+    * token offset, not just chunk boundaries — and emit
+    * (doc_id, span_start, span_len, n_wins) scrub spans. This is the dedup
+    * granularity that catches boilerplate shifted by a few tokens, which
+    * chunk-aligned dedup ([[graft.queries.TextQueries]] q_chunk_dedup /
+    * q_chunk_neardup) structurally misses; the published suffix-array
+    * formulation re-expressed as a distributed fingerprint pipeline.
+    *
+    * Semantics: every stride-1 k-token window gets a fingerprint
+    * ([[graft.functions.Kernels.windowFps]] — polynomial fold over per-token
+    * polyHashes, computed rolling so each token hashes once). A window
+    * OCCURRENCE is duplicated iff a strictly earlier occurrence (smaller
+    * (doc_id, pos)) of the same fingerprint exists anywhere in the corpus —
+    * the first occurrence always survives, so scrubbing the emitted spans
+    * keeps exactly one copy of every repeated ≥k-token run (within-document
+    * repeats count too). Maximal runs of consecutive duplicated window
+    * starts collapse to one span: start = first window start,
+    * len = last start − first start + k, n_wins = run length. Duplication is
+    * FINGERPRINT-defined (a 10^9-space collision would merge two windows on
+    * both engines identically — deterministic, and at the false-positive
+    * rate of one window pair per ~10^9, the standard Rabin-Karp trade).
+    *
+    * Scale shape: one map-only Generate pass (tokenize + rolling fps, the
+    * array bound BELOW the posexplode per the Generate-CSE contract), ONE
+    * shuffle of the slim (doc_id, pos, wfp) window relation on wfp for the
+    * first-occurrence window function, then a per-doc islands pass on only
+    * the DUPLICATED occurrences (ordinarily a small fraction of windows).
+    * The wfp shuffle carries 3 longs × ~corpus-tokens rows — the honest
+    * price of arbitrary-offset exact dedup; never all-pairs, never a
+    * suffix-array sort of the text itself.
+    */
+  def substringSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 2, s"substringSpans needs k >= 2, got $k")
+    // The kernel sits INSIDE the Generate, not behind a projection: with an
+    // attribute child, InferFiltersFromGenerate adds size>0/isnotnull filters
+    // that predicate pushdown then substitutes the alias tree into — the
+    // kernel would run 3× per row (the r16 filter-pushdown blowup law,
+    // Generate-inferred variant; examples/GenerateInferProbe shows both
+    // plans). An expression child skips the infer rule, and GenerateExec
+    // evaluates its generator exactly once per input row.
+    val wins = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(graft.functions.Kernels.window_fps(TextOps.tokens(col(textCol)), k))
+          .as(Seq("__p", "wfp")))
+      .select(col("doc_id"), col("__p").cast("long").as("pos"), col("wfp"))
+    val wDup = Window.partitionBy("wfp").orderBy("doc_id", "pos")
+    val dups = wins.withColumn("__rn", row_number().over(wDup))
+      .filter(col("__rn") > 1)
+      .select("doc_id", "pos")
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    dups.withColumn("__grp", col("pos") - row_number().over(wDoc))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + lit(k.toLong)).as("span_len"),
+        count(lit(1)).as("n_wins"))
+      .select("doc_id", "span_start", "span_len", "n_wins")
+  }
+
   /** SimHash near-dup buckets: documents sharing the same 30-bit simhash.
     * For hamming-distance-k matching at scale, band the bits (k+1 tables)
     * like minhash bands — exposed here as the exact-collision base case.

@@ -2218,6 +2218,41 @@ object TextQueries {
               |  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept
               |FROM tt LEFT JOIN kept USING (doc_id)""".stripMargin)),
 
+    // ----- substring-level exact dedup (Lee et al. 2022, ExactSubstr) ------
+    // The dedup granularity the chunk family can't see: maximal ≥16-token
+    // spans repeated ANYWHERE in the corpus at ANY offset — boilerplate
+    // shifted by a few tokens straddles every fixed chunk boundary but not
+    // a stride-1 window. First occurrence survives (row_number over the
+    // window fingerprint, the q_chunk_dedup rule at stride 1); consecutive
+    // duplicated window starts collapse to (doc_id, span_start, span_len)
+    // scrub spans via gaps-and-islands. The Spark side computes window
+    // fingerprints with the ROLLING kernel (each token hashed once, O(1)
+    // per window); the oracle recomputes every window DIRECTLY as a
+    // list_reduce over a slice of the token-hash list — the two folds are
+    // the same residue by construction, so a single drifted window anywhere
+    // (boundary, hash, ordering) hash-fails the compare.
+    "q_substring_dedup" -> Q(
+      (s, d) => Dedup.substringSpans(Td.documents(s, d), "doc_id", "text", k = 16),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+              |th AS MATERIALIZED (SELECT doc_id,
+              |    [${polyHashSql("x")} for x in w] AS h,
+              |    CAST(len(w) AS BIGINT) AS n FROM t),
+              |wins AS (SELECT doc_id, h,
+              |    unnest(range(0, n - 16 + 1)) AS pos FROM th WHERE n >= 16),
+              |wf AS (SELECT doc_id, pos,
+              |    list_reduce(list_prepend(CAST(0 AS BIGINT), h[pos+1:pos+16]),
+              |      (acc, c) -> (acc*31 + c) % ${TextOps.HashP}) AS wfp
+              |  FROM wins),
+              |r AS (SELECT doc_id, pos, row_number() OVER (
+              |    PARTITION BY wfp ORDER BY doc_id, pos) AS rn FROM wf),
+              |d AS (SELECT doc_id, pos, pos - row_number() OVER (
+              |    PARTITION BY doc_id ORDER BY pos) AS grp
+              |  FROM r WHERE rn > 1)
+              |SELECT doc_id, min(pos) AS span_start,
+              |  max(pos) - min(pos) + 16 AS span_len,
+              |  CAST(count(*) AS BIGINT) AS n_wins
+              |FROM d GROUP BY doc_id, grp""".stripMargin)),
+
     // ----- hashed linear classifier filtering (fastText-style inference) ---
     // Model-based quality filtering with a hash-derived stand-in weight
     // table (TextOps.classifierWeights — a learned model drops into the

@@ -441,6 +441,57 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("substringSpans: shifted boilerplate at arbitrary offsets, first copy survives") {
+    val b = (1 to 10).map(i => s"b$i").mkString(" ") // 10-token boilerplate
+    val c = (1 to 8).map(i => s"c$i").mkString(" ")  //  8-token boilerplate
+    val docs = Seq(
+      (1L, s"u1 u2 u3 $b u4 u5"),        // first occurrence of B → no spans
+      (2L, s"v1 v2 v3 v4 v5 $b v6"),     // B again, SHIFTED (offset 5 vs 3)
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8"),   // all unique → no spans
+      (4L, s"$c w1 w2 $c"),              // within-doc repeat of C
+      (5L, s"x1 $b $c"),                 // B and C adjacent → two islands
+      (6L, "short doc"),                 // < k tokens → no windows at all
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringSpans(docs, "doc_id", "text", k = 6)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      // doc 2: windows fully inside B start at 5..9 → one span of len 10
+      (2L, 5L, 10L, 5L),
+      // doc 4: SECOND copy of C (starts 10..12); first copy is first-seen
+      (4L, 10L, 8L, 3L),
+      // doc 5: B-island (starts 1..5) and C-island (starts 11..13) stay
+      // separate — the boundary windows mixing B and C tokens are unique
+      (5L, 1L, 10L, 5L), (5L, 11L, 8L, 3L)))
+  }
+
+  test("windowFps kernel: rolling equals the direct per-window fold (fuzz)") {
+    import graft.functions.Kernels
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def direct(toks: Seq[String], k: Int): Seq[Long] = {
+      val th = toks.map(t => Kernels.polyHash(UTF8String.fromString(t)))
+      (0 to toks.length - k).map(i =>
+        th.slice(i, i + k).foldLeft(0L)((acc, h) => (acc * 31 + h) % Kernels.HashP))
+    }
+    def kernel(toks: Seq[String], k: Int): Seq[Long] = {
+      val arr = new GenericArrayData(
+        toks.map(t => UTF8String.fromString(t): Any).toArray)
+      val out = Kernels.windowFps(arr, k)
+      (0 until out.numElements()).map(out.getLong)
+    }
+    val rnd = new scala.util.Random(17)
+    val alpha = Seq("a", "bb", "ccc", "日", "é", "x9", "", "longtokenvalue")
+    for (_ <- 0 until 300) {
+      val toks = Seq.fill(rnd.nextInt(24))(alpha(rnd.nextInt(alpha.size)))
+      val k = 1 + rnd.nextInt(8)
+      assert(kernel(toks, k) == direct(toks, k), s"toks=$toks k=$k")
+    }
+    // null element nulls the whole result (boxed), like the other kernels
+    val withNull = new GenericArrayData(Array[Any](UTF8String.fromString("a"), null))
+    assert(Kernels.windowFps(withNull, 1) == null)
+  }
+
   test("hashClassify: integer scores, threshold gate, empty-doc contract") {
     val docs = Seq(
       (1L, "the quick brown fox"),
