@@ -404,6 +404,9 @@ object Bench {
       var scd2Bytes = 0.0
       val out = Seq(
         "band" -> timed(graft.queries.Td.buildBandIndexInto(spark, sfDir, s"$tmpRoot/band")),
+        // chunk-level stored dedup state (r17): reps collapse + 32×1 band
+        // index — the build cost q_chunk_inc_neardup amortizes per batch
+        "cband" -> timed(graft.queries.Td.buildChunkBandIndexInto(spark, sfDir, s"$tmpRoot/cband")),
         "ivf" -> timed(graft.queries.Td.buildIvfInto(spark, sfDir, s"$tmpRoot/ivf")),
         "pq" -> timed(graft.queries.Td.buildPqInto(spark, sfDir, s"$tmpRoot/pq")),
         "ivfpq" -> timed(graft.queries.Td.buildIvfPqInto(spark, sfDir, s"$tmpRoot/ivfpq")),
@@ -529,6 +532,7 @@ object Bench {
         import graft.queries.Td
         val recipes: PartialFunction[String, () => Double] = {
           case "band"   => () => timed(Td.buildBandIndexInto(spark, sfDir, d))
+          case "cband"  => () => timed(Td.buildChunkBandIndexInto(spark, sfDir, d))
           case "ivf"    => () => timed(Td.buildIvfInto(spark, sfDir, d))
           case "pq"     => () => timed(Td.buildPqInto(spark, sfDir, d))
           case "ivfpq"  => () => timed(Td.buildIvfPqInto(spark, sfDir, d))
@@ -690,6 +694,7 @@ object Bench {
     // queries install on demand — min-of-3 still reports a warm run.)
     if (fullBattery) {
       graft.queries.Td.bandIndexTable(spark, sfDir).count()
+      graft.queries.Td.chunkBandTables(spark, sfDir)._2.count()
       graft.queries.Td.ivfIndexTable(spark, sfDir).assigned.count()
       graft.queries.Td.pqIndexTable(spark, sfDir).codes.count()
       graft.queries.Td.ivfpqIndexTable(spark, sfDir).codes.count()

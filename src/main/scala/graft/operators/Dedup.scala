@@ -925,6 +925,98 @@ object Dedup {
         greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
   }
 
+  /** (cid, doc_id, chunk_text) chunk rows with the composite chunk id
+    * cid = doc_id·2^20 + chunk_idx — the id scheme the chunk-dedup family
+    * shares (q_chunk_neardup pinned it first): cid order is (doc_id,
+    * chunk_idx) order, so "smallest cid" = first occurrence, and the owning
+    * document is cid div 2^20. Documents must stay under 2^20 chunks
+    * (16M tokens at the default 16-token chunks) — far past any training
+    * document; callers with longer inputs split upstream.
+    */
+  def chunkCids(df: DataFrame, idCol: String, textCol: String,
+                chunkSize: Int = 16, stride: Int = 16): DataFrame =
+    TextOps.chunkOverlap(df, idCol, textCol, chunkSize, stride)
+      .select((col(idCol).cast("long") * lit(1048576L) + col("chunk_idx")).as("cid"),
+        col(idCol).cast("long").as("doc_id"), col("chunk_text"))
+
+  /** Distinct-collapsed chunk representatives: the smallest cid per distinct
+    * chunk text. The load-bearing step of chunk-level near-dedup at scale —
+    * identical chunks (the overwhelming duplicate mass) reduce to ONE
+    * representative before any signature work, so LSH bucket width is
+    * bounded by distinct-cluster size, not by how often a boilerplate
+    * paragraph repeats.
+    */
+  def chunkReps(df: DataFrame, idCol: String, textCol: String,
+                chunkSize: Int = 16, stride: Int = 16): DataFrame =
+    chunkCids(df, idCol, textCol, chunkSize, stride)
+      .groupBy("chunk_text").agg(min(col("cid")).as("cid"))
+
+  /** The MAINTENANCE half of incremental chunk near-dedup: representatives
+    * and band-index rows for batch chunks whose text is NEW against the
+    * stored reps — exactly what a maintainer merges into the two persisted
+    * relations after probing a batch. Returns (newReps, newBandRows).
+    *
+    * Batch reps whose text already exists in the corpus add NOTHING (their
+    * stored representative already carries the text's bands — identical
+    * text hashes to identical band values, so appending a second id per
+    * text would only widen buckets). With batch ids above the stored
+    * corpus's (the append-only ingest contract), appended state is
+    * row-identical to a from-scratch rebuild over corpus ∪ batch —
+    * CorpusOpsSpec pins that equivalence.
+    */
+  def chunkBandAppend(batch: DataFrame, idCol: String, textCol: String,
+                      corpusReps: DataFrame,
+                      chunkSize: Int = 16, stride: Int = 16,
+                      n: Int = 3, numHashes: Int = 32,
+                      bands: Int = 32, rowsPerBand: Int = 1): (DataFrame, DataFrame) = {
+    val newReps = chunkReps(batch, idCol, textCol, chunkSize, stride)
+      .join(corpusReps.select(col("chunk_text")), Seq("chunk_text"), "left_anti")
+    (newReps, bandIndex(newReps, "cid", "chunk_text", n, numHashes, bands, rowsPerBand))
+  }
+
+  /** Incremental chunk-level near-dedup: probe a batch of documents' chunks
+    * against the STORED corpus chunk state (distinct-text representatives +
+    * their LSH band index — [[chunkReps]] / [[bandIndex]], persisted as
+    * KeyedTables) and report per batch document how many of its chunks
+    * survive. The operational mode of q_chunk_neardup at 100 TB: the corpus
+    * is chunked/signed once, and each arriving batch costs batch chunking +
+    * an index join + exact verification against only the colliding
+    * representatives — never a corpus re-mine.
+    *
+    * A batch chunk is kept iff it is the batch's first occurrence of its
+    * text (distinct collapse), its text does not already exist in the
+    * corpus (the exact arm — load-bearing for sub-shingle chunks the
+    * Jaccard arm can't see), and it has no verified τ-near-dup among the
+    * corpus representatives (corpus wins regardless of id) or earlier
+    * (smaller-cid) batch representatives — [[dedupAgainstIndex]]'s rule at
+    * chunk granularity, with the chunk family's 32×1 max-recall banding.
+    */
+  def chunkIncNearDup(batch: DataFrame, idCol: String, textCol: String,
+                      corpusReps: DataFrame, corpusIndex: DataFrame,
+                      chunkSize: Int = 16, stride: Int = 16,
+                      n: Int = 3, tau: Double = 0.5,
+                      maxBucketWidth: Int = Int.MaxValue): DataFrame = {
+    val ch = chunkCids(batch, idCol, textCol, chunkSize, stride)
+    val repsB = ch.groupBy("chunk_text").agg(min(col("cid")).as("cid"))
+    // exact arm: batch text already present among the corpus representatives
+    val exactDrop = repsB
+      .join(corpusReps.select(col("chunk_text")), Seq("chunk_text"), "left_semi")
+      .select(col("cid"))
+    // fuzzy arms: corpus-index probe + batch-internal banding, exact-verified
+    val keptFuzzy = dedupAgainstIndex(
+      repsB.select(col("cid"), col("chunk_text")), "cid", "chunk_text",
+      corpusReps.select(col("cid"), col("chunk_text")), corpusIndex,
+      n = n, tau = tau, numHashes = 32, bands = 32, rowsPerBand = 1,
+      maxBucketWidth = maxBucketWidth)
+    val kept = keptFuzzy.join(exactDrop, Seq("cid"), "left_anti")
+      .select(expr("cid div 1048576").as("doc_id"))
+    ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      .join(kept.groupBy("doc_id").agg(count(lit(1)).as("__k")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("__k"), lit(0L)).as("n_kept"))
+  }
+
   /** Substring-level exact dedup (Lee et al., "Deduplicating Training Data
     * Makes Language Models Better", ACL 2022): find every maximal token span
     * of length ≥ k that already occurred EARLIER in the corpus — at ANY
@@ -950,7 +1042,7 @@ object Dedup {
     * rate of one window pair per ~10^9, the standard Rabin-Karp trade).
     *
     * Scale shape: one map-only Generate pass (tokenize + rolling fps, the
-    * array bound BELOW the posexplode per the Generate-CSE contract), ONE
+    * kernel INLINE in the generator — evaluated once per input row), ONE
     * shuffle of the slim (doc_id, pos, wfp) window relation on wfp for the
     * first-occurrence window function, then a per-doc islands pass on only
     * the DUPLICATED occurrences (ordinarily a small fraction of windows).

@@ -308,6 +308,37 @@ object Td {
         shingles = Some(ex)))
   }
 
+  /** STORED chunk-level dedup state for `q_chunk_inc_neardup`: the corpus
+    * (hash-bucket < 80) chunked at 16/16, distinct-collapsed to text
+    * representatives, with the chunk family's 32×1 max-recall band index —
+    * both persisted as KeyedTables so each arriving batch pays chunking +
+    * an index probe + targeted verify, never a corpus re-chunk/re-sign
+    * (the q_incremental_dedup argument one granularity down).
+    */
+  private[graft] def buildChunkBandIndexInto(s: SparkSession, d: String, tmp: String): Unit = {
+    val corpusDocs = documents(s, d)
+      .filter(graft.operators.Sampling.hashBucket(col("doc_id")) < 80)
+    val reps = graft.operators.Dedup.chunkReps(corpusDocs, "doc_id", "text",
+      chunkSize = 16, stride = 16)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.engine.KeyedTable(s, s"$tmp/reps", Seq("cid")).overwrite(reps)
+    graft.engine.KeyedTable(s, s"$tmp/index", Seq("id", "band_idx"))
+      .overwrite(graft.operators.Dedup.bandIndex(reps, "cid", "chunk_text",
+        n = 3, numHashes = 32, bands = 32, rowsPerBand = 1))
+    reps.unpersist()
+  }
+
+  private val ChunkBandFormat = 1
+  /** (corpusReps, corpusIndex) from storage — see [[buildChunkBandIndexInto]]. */
+  def chunkBandTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val corpusDocs = documents(s, d)
+      .filter(graft.operators.Sampling.hashBucket(col("doc_id")) < 80)
+    val root = indexRoot(s, "chunkband", ChunkBandFormat, d, "documents", corpusDocs.count())
+    installDir(s, root)(buildChunkBandIndexInto(s, d, _))
+    (graft.engine.KeyedTable(s, s"$root/reps", Seq("cid")).current,
+      graft.engine.KeyedTable(s, s"$root/index", Seq("id", "band_idx")).current)
+  }
+
   private val IvfIndexFormat = 1
   def ivfIndexTable(s: SparkSession, d: String): graft.operators.Similarity.IvfIndex = {
     val emb = embeddings(s, d)

@@ -2175,10 +2175,8 @@ object TextQueries {
     // corpus rather than assuming it.
     "q_chunk_neardup" -> Q(
       (s, d) => {
-        val ch = TextOps.chunkOverlap(Td.documents(s, d), "doc_id", "text",
-            chunkSize = 16, stride = 16)
-          .select((col("doc_id") * lit(1048576L) + col("chunk_idx")).as("cid"),
-            col("doc_id"), col("chunk_text"))
+        val ch = Dedup.chunkCids(Td.documents(s, d), "doc_id", "text",
+          chunkSize = 16, stride = 16)
         val reps = ch.groupBy("chunk_text").agg(min(col("cid")).as("cid"))
         val drop = Dedup.minhashPairs(reps, "cid", "chunk_text", n = 3,
             tau = 0.5, bands = 32, rowsPerBand = 1)
@@ -2214,6 +2212,158 @@ object TextQueries {
               |  GROUP BY 1),
               |tt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
               |  FROM ck GROUP BY 1)
+              |SELECT tt.doc_id, n_chunks,
+              |  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept
+              |FROM tt LEFT JOIN kept USING (doc_id)""".stripMargin)),
+
+    // ----- CAPPED chunk near-dedup (the production valve, width-reported) --
+    // q_chunk_neardup with the maxBucketWidth collision valve WIRED — the
+    // twin every other miner family already ships (jaccard/containment
+    // `_capped`): band buckets wider than 4 reps are dropped BEFORE the
+    // self-join, so the pair stage's cost is bounded per bucket no matter
+    // how boilerplate-heavy the corpus gets (bucket widths grew 6 → 22
+    // from sf0.01 to sf0.1 on this corpus — ChunkWidthProbe — and keep
+    // growing with scale; the uncapped exact query is the sf1 tail at
+    // ~27 s). Recall-only by construction: emitted pairs stay
+    // exact-verified; what the cap drops is REPORTED in the output
+    // contract as scalar columns (n_overwide buckets, overwide_rows their
+    // total width) — recall loss is a number, not a silent truncation.
+    // The oracle recomputes the FULL capped pipeline — 32 minhash
+    // permutations, 32×1 banding, bucket widths, the cap, candidate
+    // emission, exact-Jaccard verify — from the same constants, so the
+    // hash match pins the cap's cross-engine semantics, not just its
+    // Spark implementation (the q_jaccard_capped discipline).
+    "q_chunk_neardup_capped" -> Q(
+      (s, d) => {
+        val cap = 4
+        val ch = Dedup.chunkCids(Td.documents(s, d), "doc_id", "text",
+          chunkSize = 16, stride = 16)
+        val reps = ch.groupBy("chunk_text").agg(min(col("cid")).as("cid"))
+        val drop = Dedup.minhashPairs(reps, "cid", "chunk_text", n = 3,
+            tau = 0.5, bands = 32, rowsPerBand = 1, maxBucketWidth = cap)
+          .select(col("id_b").as("cid")).distinct()
+        val over = Dedup.overWideBuckets(reps, "cid", "chunk_text",
+            maxBucketWidth = cap, n = 3, numHashes = 32,
+            bands = 32, rowsPerBand = 1)
+          .agg(count(lit(1)).as("n_overwide"),
+            coalesce(sum("width"), lit(0L)).as("overwide_rows"))
+        val kept = reps.join(drop, Seq("cid"), "left_anti")
+          .select(expr("cid div 1048576").as("doc_id"))
+        ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+          .join(kept.groupBy("doc_id").agg(count(lit(1)).as("__k")),
+            Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("n_chunks"),
+            coalesce(col("__k"), lit(0L)).as("n_kept"))
+          .crossJoin(broadcast(over))
+      },
+      Some {
+        val cap = 4
+        val minhs = (0 until 32).map { i =>
+          s"list_min([(${Dedup.aCoef(i)}*h + ${Dedup.bCoef(i)}) % ${Dedup.MinHashP} for h in hs]) AS mh$i"
+        }.mkString(",\n  ")
+        val unpivot = (0 until 32).map(i =>
+          s"SELECT cid, $i AS band_idx, mh$i AS band_val FROM mh").mkString("\n  UNION ALL ")
+        s"""WITH ${chunkCtesSql(16, 16)},
+           |cdoc AS (SELECT doc_id, doc_id * 1048576 + chunk_idx AS cid,
+           |    chunk_text FROM ck),
+           |reps AS (SELECT min(cid) AS cid, chunk_text
+           |  FROM cdoc GROUP BY chunk_text),
+           |tk AS (SELECT cid, ${toksSqlOf("chunk_text")} AS w FROM reps),
+           |shx AS MATERIALIZED (SELECT cid, $shinglesSql AS sh FROM tk),
+           |shh AS (SELECT cid, [${polyHashSql("s")} for s in sh] AS hs FROM shx),
+           |mh AS (SELECT cid,
+           |  $minhs
+           |FROM shh),
+           |bkt AS ($unpivot),
+           |wid AS (SELECT band_idx, band_val, count(*) AS width FROM bkt
+           |  WHERE band_val IS NOT NULL GROUP BY 1, 2),
+           |kb AS (SELECT cid, bkt.band_idx, bkt.band_val FROM bkt
+           |  JOIN wid USING (band_idx, band_val) WHERE width <= $cap),
+           |cands AS (SELECT DISTINCT a.cid AS id_a, b.cid AS id_b
+           |  FROM kb a JOIN kb b ON a.band_idx = b.band_idx
+           |    AND a.band_val = b.band_val AND a.cid < b.cid),
+           |szs AS (SELECT cid, len(sh) AS n FROM shx),
+           |exx AS (SELECT cid, unnest(sh) AS s FROM shx),
+           |iv AS (SELECT c.id_a, c.id_b, count(*) AS inter FROM cands c
+           |  JOIN exx a ON a.cid = c.id_a
+           |  JOIN exx b ON b.cid = c.id_b AND b.s = a.s
+           |  GROUP BY 1, 2),
+           |qp AS (SELECT id_b FROM iv
+           |  JOIN szs sa ON id_a = sa.cid
+           |  JOIN szs sb ON id_b = sb.cid
+           |  WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5),
+           |ow AS (SELECT CAST(count(*) AS BIGINT) AS n_overwide,
+           |    CAST(COALESCE(sum(width), 0) AS BIGINT) AS overwide_rows
+           |  FROM wid WHERE width > $cap),
+           |kept AS (SELECT cid // 1048576 AS doc_id,
+           |    CAST(count(*) AS BIGINT) AS n_kept
+           |  FROM reps WHERE cid NOT IN (SELECT id_b FROM qp) GROUP BY 1),
+           |tt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+           |  FROM cdoc GROUP BY 1)
+           |SELECT tt.doc_id, n_chunks,
+           |  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+           |  n_overwide, overwide_rows
+           |FROM tt LEFT JOIN kept USING (doc_id) CROSS JOIN ow""".stripMargin
+      }),
+
+    // ----- incremental chunk near-dedup (probe the STORED chunk state) -----
+    // q_chunk_neardup's operational twin: corpus (hash-bucket < 80) chunk
+    // reps + 32×1 band index come from STORAGE (Td.chunkBandTables — built
+    // once per dataset); the batch (bucket ≥ 80) pays chunking + an index
+    // probe + exact verify against only colliding representatives. A batch
+    // chunk survives iff it's the batch's first occurrence of its text, the
+    // text isn't already in the corpus (exact arm — sub-shingle chunks),
+    // and no verified τ≥0.5 near-dup exists among corpus reps (corpus wins
+    // regardless of id) or earlier batch reps. The oracle restates the rule
+    // from EXACT all-pairs chunk Jaccard over the same bucket split, so the
+    // hash match again measures banding losslessness, now on the probe path.
+    "q_chunk_inc_neardup" -> Q(
+      (s, d) => {
+        val docs = Td.documents(s, d)
+        val batch = docs.filter(graft.operators.Sampling.hashBucket(col("doc_id")) >= 80)
+        val (reps, idx) = Td.chunkBandTables(s, d)
+        Dedup.chunkIncNearDup(batch, "doc_id", "text", reps, idx,
+          chunkSize = 16, stride = 16, n = 3, tau = 0.5)
+      },
+      Some(s"""WITH ${chunkCtesSql(16, 16)},
+              |cdoc AS (SELECT doc_id, doc_id * 1048576 + chunk_idx AS cid,
+              |    chunk_text,
+              |    (((doc_id % 1000003) * 2654435761) // 8192) % 100 AS b
+              |  FROM ck),
+              |corp AS (SELECT min(cid) AS cid, chunk_text
+              |  FROM cdoc WHERE b < 80 GROUP BY chunk_text),
+              |bat AS (SELECT doc_id, cid, chunk_text FROM cdoc WHERE b >= 80),
+              |repb AS (SELECT min(cid) AS cid, chunk_text
+              |  FROM bat GROUP BY chunk_text),
+              |allr AS (SELECT cid, chunk_text, 0 AS side FROM corp
+              |  UNION ALL SELECT cid, chunk_text, 1 AS side FROM repb),
+              |tk AS (SELECT cid, side, ${toksSqlOf("chunk_text")} AS w FROM allr),
+              |shx AS (SELECT cid, side, $shinglesSql AS sh FROM tk),
+              |exx AS (SELECT cid, unnest(sh) AS s FROM shx),
+              |szs AS (SELECT cid, len(sh) AS n FROM shx),
+              |prs AS (SELECT a.cid AS id_a, b.cid AS id_b, count(*) AS inter
+              |  FROM exx a JOIN exx b ON a.s = b.s AND a.cid < b.cid
+              |  GROUP BY 1, 2),
+              |jp AS (SELECT id_a, id_b FROM prs
+              |  JOIN szs sa ON id_a = sa.cid
+              |  JOIN szs sb ON id_b = sb.cid
+              |  WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5),
+              |dropall AS (
+              |  SELECT r.cid FROM repb r JOIN corp c USING (chunk_text)
+              |  UNION
+              |  SELECT jp.id_b AS cid FROM jp
+              |    JOIN allr bb ON jp.id_b = bb.cid WHERE bb.side = 1
+              |  UNION
+              |  SELECT jp.id_a AS cid FROM jp
+              |    JOIN allr aa ON jp.id_a = aa.cid
+              |    JOIN allr bb ON jp.id_b = bb.cid
+              |  WHERE aa.side = 1 AND bb.side = 0),
+              |kept AS (SELECT cid // 1048576 AS doc_id,
+              |    CAST(count(*) AS BIGINT) AS n_kept
+              |  FROM repb WHERE cid NOT IN (SELECT cid FROM dropall)
+              |  GROUP BY 1),
+              |tt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+              |  FROM bat GROUP BY 1)
               |SELECT tt.doc_id, n_chunks,
               |  CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept
               |FROM tt LEFT JOIN kept USING (doc_id)""".stripMargin)),

@@ -441,6 +441,53 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("chunk band index: append ≡ rebuild; stored probe ≡ fresh probe") {
+    val boiler = (1 to 16).map(i => s"p$i").mkString(" ") // one full chunk
+    val near = (1 to 14).map(i => s"p$i").mkString(" ") + " q1 q2" // J≈0.68 vs boiler
+    def doc(id: Long, parts: String*): (Long, String) = (id, parts.mkString(" "))
+    val corpus = Seq(
+      doc(1L, boiler, (1 to 16).map(i => s"a$i").mkString(" ")),
+      doc(2L, (1 to 16).map(i => s"c$i").mkString(" ")),
+    ).toDF("doc_id", "text")
+    val b1 = Seq(
+      doc(11L, boiler, (1 to 16).map(i => s"d$i").mkString(" ")), // exact dup + fresh
+      doc(12L, near),                                             // near-dup of boiler
+    ).toDF("doc_id", "text")
+    val b2 = Seq(
+      doc(21L, (1 to 16).map(i => s"d$i").mkString(" ")),         // dups b1's fresh chunk
+      doc(22L, (1 to 16).map(i => s"e$i").mkString(" ")),         // fresh
+    ).toDF("doc_id", "text")
+    val bandArgs = (3, 32, 32, 1) // n, numHashes, bands, rowsPerBand
+    def idx(reps: org.apache.spark.sql.DataFrame) =
+      Dedup.bandIndex(reps, "cid", "chunk_text",
+        bandArgs._1, bandArgs._2, bandArgs._3, bandArgs._4)
+    val repsA = Dedup.chunkReps(corpus, "doc_id", "text")
+    // append b1's new-text reps, then compare against a from-scratch rebuild
+    val (newReps, newBands) = Dedup.chunkBandAppend(b1, "doc_id", "text", repsA)
+    val repsApp = repsA.union(newReps.select("chunk_text", "cid"))
+    val idxApp = idx(repsA).union(newBands)
+    val repsFull = Dedup.chunkReps(corpus.union(b1), "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(rows(repsApp) == rows(repsFull))
+    assert(rows(idxApp) == rows(idx(repsFull)))
+    // the appended state answers a later batch exactly like the rebuilt one
+    val viaApp = Dedup.chunkIncNearDup(b2, "doc_id", "text", repsApp, idxApp)
+    val viaFull = Dedup.chunkIncNearDup(b2, "doc_id", "text", repsFull, idx(repsFull))
+    assert(rows(viaApp) == rows(viaFull))
+    // and the decisions are right: 21 loses its duplicated chunk, 22 survives
+    val got = viaApp.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((21L, 1L, 0L), (22L, 1L, 1L)))
+    // probe semantics on b1 itself: doc 11 keeps only its fresh chunk
+    // (exact arm drops the boilerplate); doc 12's near-dup chunk verifies
+    // against the corpus rep and drops (fuzzy arm)
+    val p1 = Dedup.chunkIncNearDup(b1, "doc_id", "text", repsA, idx(repsA))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(p1 == Seq((11L, 2L, 1L), (12L, 1L, 0L)))
+  }
+
   test("substringSpans: shifted boilerplate at arbitrary offsets, first copy survives") {
     val b = (1 to 10).map(i => s"b$i").mkString(" ") // 10-token boilerplate
     val c = (1 to 8).map(i => s"c$i").mkString(" ")  //  8-token boilerplate
