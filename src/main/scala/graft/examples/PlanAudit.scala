@@ -31,7 +31,12 @@ object PlanAudit {
         val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq.distinct.map(_.take(110))
         val exchanges = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r.findAllIn(plan).size
         val codegen = plan.linesIterator.count(_.contains("*("))
-        println(s"AUDIT $name | joins: ${if (joins.isEmpty) "-" else joins} | exchanges: $exchanges | codegen lines: $codegen")
+        // the two r16 optimizer-law lints (single-partition BNL,
+        // filter-repeated-subtree) — also enforced in CI by PlanLintSpec
+        val lint = graft.plans.PlanLint.lint(qe.executedPlan,
+          spark.sparkContext.defaultParallelism)
+        println(s"AUDIT $name | joins: ${if (joins.isEmpty) "-" else joins} | exchanges: $exchanges | codegen lines: $codegen | lint: ${lint.size}")
+        lint.foreach(f => println(s"      $f"))
         pushed.foreach(p => println(s"      $p"))
         scans.foreach(sc => println(s"      $sc"))
       } catch { case e: Throwable => println(s"AUDIT $name FAILED: ${e.getMessage}") }

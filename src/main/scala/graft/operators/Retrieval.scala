@@ -68,7 +68,18 @@ object Retrieval {
                terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
     require(k > 0, "k must be positive")
+    // Pinned (localCheckpoint): toks has two consumers (corpus totals and
+    // the posting explode), so unpinned the corpus would TOKENIZE TWICE —
+    // and the explode's Generate-inferred size/isnotnull filters would
+    // substitute the tokenizer chain into a Filter and run it 3× per row
+    // (the r16 filter-pushdown blowup law, Generate-inferred variant —
+    // PlanLint caught it on q_search_capstone, where textCol is itself a
+    // derived htmlText chain). Tokenize once, scan the pinned (id, tokens)
+    // relation from both branches. The maintained-stats path
+    // (engine.RetrievalDelta + scoreAndRank) stays the no-corpus-pass
+    // production shape; this is the ad-hoc one-shot.
     val toks = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__w"))
+      .localCheckpoint()
     val totals = toks.agg(
       sum(size(col("__w")).cast("long")).as("N_T"),
       count(lit(1)).as("N_N"))

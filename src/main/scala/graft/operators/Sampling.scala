@@ -82,6 +82,12 @@ object Sampling {
     */
   def epochMix(df: DataFrame, keyCol: String, rateMilli: Long): DataFrame = {
     require(rateMilli >= 0, s"rateMilli must be >= 0, got $rateMilli")
+    // withColumn REPLACES same-named input columns silently — a frame
+    // already carrying either output name would be corrupted with no
+    // diagnostic (ADVICE r16); fail early like the other operators
+    Seq("n_copies", "copy_id").foreach(c =>
+      require(!df.columns.contains(c),
+        s"epochMix writes column '$c'; the input already has one — rename it first"))
     val copies = lit(rateMilli / 1000) +
       when(hashBucketFine(col(keyCol), 1000L) < rateMilli % 1000, 1L).otherwise(0L)
     df.withColumn("n_copies", copies)
@@ -176,6 +182,13 @@ object Sampling {
     */
   def temperatureMixFromCounts(df: DataFrame, counts: DataFrame,
                                langCol: String, keyCol: String): DataFrame =
-    df.join(broadcast(temperatureThresholds(counts, langCol)), Seq(langCol))
+    // Thresholds pinned (localCheckpoint, ≤|langs| rows — metadata): the
+    // bucket filter references mix_thr, and CollapseProject + filter
+    // substitution would otherwise inline the whole isqrt tree into the
+    // per-DOCUMENT filter — threshold arithmetic recomputed per corpus row
+    // instead of once per language (the r16 filter-pushdown blowup law,
+    // caught by PlanLint on this operator's plan).
+    df.join(broadcast(temperatureThresholds(counts, langCol).localCheckpoint()),
+        Seq(langCol))
       .filter(hashBucketFine(col(keyCol), TemperatureBucketSpace) < col("mix_thr"))
 }

@@ -620,7 +620,15 @@ object Web {
     */
   def robotsAllow(urls: DataFrame, idCol: String, domainCol: String,
                   pathCol: String, rules: DataFrame): DataFrame = {
-    val slim = urls.select(col(idCol), col(domainCol), col(pathCol))
+    // Pinned (localCheckpoint): the id/domain/path columns are usually
+    // DERIVED (withUrlParts regexp chains over canonicalized links), slim
+    // has two consumers (the winner branch and the final left join), and
+    // the rules join's pushed-down predicates would otherwise substitute
+    // the whole parse tree into a Filter several times over — the r16
+    // filter-pushdown blowup law, caught by PlanLint over this very
+    // operator. Parse once, judge over the slim (id, domain, path) table —
+    // the materialization boundary a crawl pipeline wants here anyway.
+    val slim = urls.select(col(idCol), col(domainCol), col(pathCol)).localCheckpoint()
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
       .orderBy(length(col("path_prefix")).desc, col("rule").asc)
     val winner = slim
