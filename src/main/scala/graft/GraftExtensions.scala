@@ -50,30 +50,38 @@ object GraftExtensions {
     */
   private val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("graft_poly_hash", classOf[PolyHash].getName,
-      exprs => PolyHash(exprs.head)),
+      exprs => PolyHash(arg(exprs, 0, "graft_poly_hash", "string"))),
     ("graft_float_dot", classOf[FloatDot].getName,
-      exprs => FloatDot(exprs.head, exprs(1))),
+      exprs => FloatDot(arg(exprs, 0, "graft_float_dot", "array<float>"),
+        arg(exprs, 1, "graft_float_dot", "array<float>"))),
     ("graft_simhash_fold", classOf[SimHashFold].getName,
-      exprs => SimHashFold(exprs.head, graft.operators.TextOps.SimHashBits)),
+      exprs => SimHashFold(arg(exprs, 0, "graft_simhash_fold", "array<bigint>"),
+        graft.operators.TextOps.SimHashBits)),
     ("graft_norm_tokens", classOf[NormTokens].getName,
-      exprs => NormTokens(exprs.head)),
+      exprs => NormTokens(arg(exprs, 0, "graft_norm_tokens", "string"))),
     ("graft_nfc_normalize", classOf[NfcNormalize].getName,
-      exprs => NfcNormalize(exprs.head)),
+      exprs => NfcNormalize(arg(exprs, 0, "graft_nfc_normalize", "string"))),
     ("graft_script_route", classOf[ScriptRoute].getName,
-      exprs => scriptRoute(exprs.head)),
+      exprs => scriptRoute(arg(exprs, 0, "graft_script_route", "string"))),
     ("graft_hash_score", classOf[HashScore].getName,
       exprs =>
         if (exprs.lengthCompare(1) <= 0)
-          HashScore(exprs.head, graft.operators.TextOps.classifierWeights().toSeq)
-        else HashScore(exprs.head, litLongs(exprs(1), "graft_hash_score"))),
+          HashScore(arg(exprs, 0, "graft_hash_score", "array<string> tokens"),
+            graft.operators.TextOps.classifierWeights().toSeq)
+        else HashScore(exprs.head, litLongs(
+          arg(exprs, 1, "graft_hash_score", "weights table"), "graft_hash_score"))),
     ("graft_vocab_count", classOf[VocabCount].getName,
-      exprs => VocabCount(exprs.head, litStrings(exprs(1), "graft_vocab_count"))),
+      exprs => VocabCount(arg(exprs, 0, "graft_vocab_count", "array<string> tokens"),
+        litStrings(arg(exprs, 1, "graft_vocab_count", "vocab table"), "graft_vocab_count"))),
     ("graft_phrase_merge", classOf[PhraseMerge].getName,
-      exprs => PhraseMerge(exprs.head, litPairs(exprs(1), "graft_phrase_merge"))),
+      exprs => PhraseMerge(arg(exprs, 0, "graft_phrase_merge", "array<string> tokens"),
+        litPairs(arg(exprs, 1, "graft_phrase_merge", "phrase table"), "graft_phrase_merge"))),
     ("graft_bpe_segment", classOf[BpeSegment].getName,
-      exprs => BpeSegment(exprs.head, litPairs(exprs(1), "graft_bpe_segment"))),
+      exprs => BpeSegment(arg(exprs, 0, "graft_bpe_segment", "array<string> tokens"),
+        litPairs(arg(exprs, 1, "graft_bpe_segment", "merge table"), "graft_bpe_segment"))),
     ("graft_bpe_count", classOf[BpeCount].getName,
-      exprs => BpeCount(exprs.head, litPairs(exprs(1), "graft_bpe_count"))),
+      exprs => BpeCount(arg(exprs, 0, "graft_bpe_count", "array<string> tokens"),
+        litPairs(arg(exprs, 1, "graft_bpe_count", "merge table"), "graft_bpe_count"))),
   )
 
   /** graft_script_route(text): the script-first routing kernel with the
@@ -134,6 +142,14 @@ object GraftExtensions {
       val i = s.indexOf(' ')
       require(i > 0 && i < s.length - 1,
         s"$fn: pair entries are 'first second', got '$s'")
+      // A second space ('a b c') would silently encode a second component
+      // containing a space — tokenizer output never does, so such an entry
+      // could never match and would be a silent no-op instead of the
+      // fail-early error this validation promises (ADVICE r16). BPE tables
+      // legitimately end components with '</w>' but never hold a second
+      // space, so the check is safe for all four consumers.
+      require(s.indexOf(' ', i + 1) < 0,
+        s"$fn: pair entries are 'first second' with exactly one space, got '$s'")
       (s.substring(0, i), s.substring(i + 1))
     }
 }

@@ -180,10 +180,14 @@ case class ScriptRoute(child: Expression, classes: Seq[(String, String)],
   // task/codegen failure mid-query instead of an error at registration
   // (ADVICE r15). @transient val: rebuilt-as-null after executor
   // deserialization, where the lazy val re-derives it — validation already
-  // happened on the driver by then.
-  @transient private val validated = new ScriptRouteTable(classes, routes, kanaInv)
+  // happened on the driver by then. MEMOIZED per table (ADVICE r16):
+  // Catalyst copies/transforms the expression dozens of times during
+  // analysis+optimization, and the tables are engine constants — the
+  // regex-class parse + disjointness sweep should run once per distinct
+  // table per JVM, not once per plan transform.
+  @transient private val validated = ScriptRoute.tableFor(classes, routes, kanaInv)
   @transient private lazy val table =
-    if (validated != null) validated else new ScriptRouteTable(classes, routes, kanaInv)
+    if (validated != null) validated else ScriptRoute.tableFor(classes, routes, kanaInv)
 
   override def nullSafeEval(input: Any): Any =
     UnicodeKernels.scriptRoute(input.asInstanceOf[UTF8String], table)
@@ -202,4 +206,19 @@ case class ScriptRoute(child: Expression, classes: Seq[(String, String)],
   }
   override protected def withNewChildInternal(newChild: Expression): ScriptRoute =
     copy(child = newChild)
+}
+
+object ScriptRoute {
+  // One parsed+validated table per distinct (classes, routes, kanaInv) per
+  // JVM. Unbounded map on purpose: keys are engine constants (ScriptClasses
+  // and friends), so the population is a handful of entries for the
+  // process's lifetime. First construction with a malformed table still
+  // throws at the caller — the fail-early contract is unchanged.
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    (Seq[(String, String)], Seq[(String, String)], Int), ScriptRouteTable]()
+  private[functions] def tableFor(classes: Seq[(String, String)],
+                                  routes: Seq[(String, String)],
+                                  kanaInv: Int): ScriptRouteTable =
+    memo.computeIfAbsent((classes, routes, kanaInv),
+      k => new ScriptRouteTable(k._1, k._2, k._3))
 }
