@@ -272,6 +272,98 @@ class StreamOpsSpec extends SparkSpec {
     assert(live == batch && batch.nonEmpty)
   }
 
+  test("nb classifier counts maintain on a stream; weights ≡ batch retrain") {
+    // The r16 in-engine trainer's STANDING form (verdict r16 #6): per-bucket
+    // class-conditional feature counts live in an AggDelta table driven by
+    // micro-batches (the maintained counts ARE the model — NB needs no
+    // iteration), and the weight table re-derived from streamed state must
+    // equal a from-scratch batch retrain on the same corpus, bit for bit.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.engine.KeyedTable
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "spark keeps spark fast", "en"),
+      (2L, "tren rapido llega", "es"),
+      (3L, "spark stays fast here", "en"),
+      (4L, "tren lento sale hoy", "es"),
+      (5L, "fast spark spark again", "en"))
+    val b = 64
+    val d0 = "decimal(18,0)"
+    val input = MemoryStream[(Long, String, String)]
+    val feats = TextOps.nbFeatures(input.toDF().toDF("doc_id", "text", "lang"),
+        "text", col("lang") === "en", buckets = b)
+      .select(col("bkt"),
+        when(col("__pos"), 1L).otherwise(0L).cast(d0).as("pos_inc"),
+        when(col("__pos"), 0L).otherwise(1L).cast(d0).as("neg_inc"))
+      .withColumn("_old_bkt", lit(null).cast("long"))
+      .withColumn("_old_pos_inc", lit(null).cast(d0))
+      .withColumn("_old_neg_inc", lit(null).cast(d0))
+      .withColumn("_op", lit("I"))
+    val agg = KeyedTable(spark, tmpDir("graft-nbflow"), Seq("bkt"), numBuckets = 4)
+    val q = AggFlow.start(feats, agg, Seq("bkt"), Seq("pos_inc", "neg_inc"),
+      tmpDir("graft-nbflow-ckpt"), valueType = d0, accType = "decimal(20,0)")
+    input.addData(docs.take(2): _*)
+    q.processAllAvailable()
+    input.addData(docs.drop(2): _*) // second micro-batch accumulates state
+    q.processAllAvailable()
+    q.stop()
+    val maintained = TextOps.nbWeightsFromCounts(spark,
+      agg.current.select(col("bkt"),
+        col("sum_pos_inc").cast("long").as("c_pos"),
+        col("sum_neg_inc").cast("long").as("c_neg")), buckets = b)
+      .collect().map(_.toSeq).toSet
+    val batch = TextOps.trainHashNb(docs.toDF("doc_id", "text", "lang"),
+      "doc_id", "text", col("lang") === "en", buckets = b)
+      .collect().map(_.toSeq).toSet
+    assert(maintained == batch && batch.nonEmpty)
+  }
+
+  test("collocation counts maintain on a stream; mined table ≡ batch mining") {
+    // The standing-deployment phrase miner (verdict r16 #6): unigram and
+    // bigram occurrence counts stream into two AggDelta tables (both
+    // plainly additive), and the scored phrase table re-derived from
+    // streamed state must equal a from-scratch batch mine of the corpus.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.engine.KeyedTable
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "new york is in new york"),
+      (2L, "new york has new things"),
+      (3L, "york new crossings again"),
+      (4L, "the new york subway runs"))
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val uni = df.select(TextOps.tokens(col("text")).as("__t"))
+      .select(explode(col("__t")).as("t"))
+      .withColumn("_old_t", lit(null).cast("string"))
+      .withColumn("_op", lit("I"))
+    val bi = df.select(TextOps.tokens(col("text")).as("__t"))
+      .select(explode(TextOps.ngramsRaw(col("__t"), 2)).as("g"))
+      .withColumn("_old_g", lit(null).cast("string"))
+      .withColumn("_op", lit("I"))
+    val uniT = KeyedTable(spark, tmpDir("graft-clcu"), Seq("t"), numBuckets = 4)
+    val biT = KeyedTable(spark, tmpDir("graft-clcb"), Seq("g"), numBuckets = 4)
+    val q1 = AggFlow.start(uni, uniT, Seq("t"), Nil, tmpDir("graft-clcu-ckpt"))
+    val q2 = AggFlow.start(bi, biT, Seq("g"), Nil, tmpDir("graft-clcb-ckpt"))
+    input.addData(docs.take(2): _*)
+    q1.processAllAvailable(); q2.processAllAvailable()
+    input.addData(docs.drop(2): _*)
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+    val maintained = TextOps.collocationsFromCounts(
+      uniT.current.select(col("t"), col("cnt").as("n")),
+      biT.current.select(col("g"), col("cnt").as("n_ab")), minCount = 2L)
+      .collect().map(_.toSeq).toSet
+    val batch = TextOps.collocations(docs.toDF("doc_id", "text"),
+      "doc_id", "text", minCount = 2L)
+      .collect().map(_.toSeq).toSet
+    assert(maintained == batch && batch.nonEmpty)
+  }
+
   test("applyPhrases runs stateless on a stream, batch-identical") {
     // The r16 phrase-application stage is one kernel pass per row with a
     // broadcast phrase table — same backfill-equals-live contract as the
