@@ -142,9 +142,93 @@ case class BpeSegment(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** Precompiled unigram-LM piece table: piece → integer Viterbi cost
+  * (−fixed-point-log2 probability). Rides the plan as a codegen reference
+  * object; probes hash UTF8String piece slices built once per (i, j).
+  */
+final class UnigramTable(vocab: Array[(String, Long)], val maxPieceLen: Int) extends Serializable {
+  require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+  @transient private lazy val costs: java.util.HashMap[UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](vocab.length * 2)
+    vocab.foreach { case (p, c) => m.put(UTF8String.fromString(p), java.lang.Long.valueOf(c)) }
+    m
+  }
+
+  /** Fallback cost for a character with no vocab entry — see
+    * [[graft.operators.QualityOps.UnigramUnkCost]] (one definition, shared
+    * with the generated oracle SQL).
+    */
+  val UnkCost: Long = graft.operators.QualityOps.UnigramUnkCost
+
+  /** Viterbi min-cost segmentation over CODE POINTS (DuckDB slices
+    * characters, so the DP index space must be codepoints, not UTF-16
+    * units). Tie-break: at equal path cost the SMALLEST piece start index
+    * wins (the longest piece) — iterate starts ascending with a strict
+    * `<` update; the SQL twin encodes (cost·R + i) and takes list_min, the
+    * same total order. Empty word → empty array.
+    */
+  def segment(word: UTF8String): ArrayData = {
+    val cps = word.toString.codePoints.toArray
+    val n = cps.length
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val best = new Array[Long](n + 1)
+    val bp = new Array[Int](n + 1)
+    var j = 1
+    while (j <= n) {
+      var bj = Long.MaxValue
+      var bi = -1
+      var i = math.max(0, j - maxPieceLen)
+      while (i < j) {
+        val c = costs.get(UTF8String.fromString(new String(cps, i, j - i)))
+        if (c != null) {
+          val cand = best(i) + c.longValue
+          if (cand < bj) { bj = cand; bi = i }
+        }
+        i += 1
+      }
+      if (bi < 0) { bj = best(j - 1) + UnkCost; bi = j - 1 } // unknown char
+      best(j) = bj
+      bp(j) = bi
+      j += 1
+    }
+    var out = List.empty[Any]
+    var p = n
+    while (p > 0) {
+      out = UTF8String.fromString(new String(cps, bp(p), p - bp(p))) :: out
+      p = bp(p)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/** Viterbi unigram-LM segmentation of one word column under a fixed piece
+  * cost table (Kudo, ACL'18 — the inference half; [[graft.operators.Bpe
+  * .trainUnigram]] learns the table). Returns array<string> of pieces.
+  */
+case class UnigramSegment(child: Expression, vocab: Seq[(String, Long)], maxPieceLen: Int)
+  extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val table = new UnigramTable(vocab.toArray, maxPieceLen)
+
+  override def nullSafeEval(input: Any): Any =
+    table.segment(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramTable", table, classOf[UnigramTable].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.segment($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): UnigramSegment =
+    copy(child = newChild)
+}
+
 object BpeKernels {
   def bpe_count(words: Column, merges: Seq[(String, String)]): Column =
     GraftColumnBridge.column(BpeCount(GraftColumnBridge.expression(words), merges))
   def bpe_segment(word: Column, merges: Seq[(String, String)]): Column =
     GraftColumnBridge.column(BpeSegment(GraftColumnBridge.expression(word), merges))
+  def unigram_segment(word: Column, vocab: Seq[(String, Long)], maxPieceLen: Int): Column =
+    GraftColumnBridge.column(UnigramSegment(GraftColumnBridge.expression(word), vocab, maxPieceLen))
 }

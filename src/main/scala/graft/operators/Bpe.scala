@@ -179,4 +179,141 @@ object Bpe {
       size(words).cast("long").as("n_tokens"),
       nSub.as("n_subwords"))
   }
+
+  // --- Unigram-LM tokenizer training (Kudo, ACL'18) -----------------------
+
+  /** Radix for the SQL twin's combined (cost, start) Viterbi encoding —
+    * words must stay under this many codepoints (enforced fail-early in
+    * [[trainUnigram]]); real tokens sit orders of magnitude below.
+    */
+  val UnigramMaxWordLen = 1024
+
+  /** Unigram-LM tokenizer TRAINING (Kudo, "Subword Regularization", ACL'18
+    * §3) as deterministic fixed-point hard-EM, the last member of the
+    * tokenizer family beside [[train]] (BPE). Semantics, exactly:
+    *
+    *  1. SEED: every ≤ `maxPieceLen`-codepoint substring of every word,
+    *     weighted by word frequency; keep the top `seedSize` by
+    *     (count desc, piece asc) plus ALL single-codepoint pieces (they
+    *     guarantee every word segments).
+    *  2. E-STEP (hard): Viterbi min-cost segmentation of each distinct
+    *     word under the current integer cost table
+    *     ([[graft.functions.UnigramTable.segment]] — ties to the longest
+    *     piece), pieces counted weighted by word frequency.
+    *  3. M-STEP: cost(p) = −fpLog2[((c+1)·QuantScale) div (N+V)] — NB's
+    *     add-one fixed-point grid ([[TextOps.trainHashNb]]), so costs are
+    *     integers both engines derive bit-identically; no libm.
+    *  4. PRUNE after the first E-step: keep pieces with count ≥ `minCount`
+    *     plus all singles; re-estimate; run the second E-step and a final
+    *     M-step over the pruned vocabulary.
+    *
+    * Hard-EM (Viterbi counts, not forward–backward expectations) is the
+    * published deterministic variant — soft EM's float lattice sums cannot
+    * hash-pin cross-engine; every arithmetic here is 64-bit integer.
+    *
+    * Scale shape: the corpus is touched ONCE (the word-frequency
+    * aggregate — the same Heaps-bounded relation BPE trains on); seed
+    * counting explodes ≤ maxPieceLen substrings per word position of the
+    * DISTINCT-word table; top-K seeding is a distributed
+    * TakeOrderedAndProject, never a single-partition rank; each E-step is
+    * one codegen kernel pass over the word table + a vocab-sized count.
+    * Driver-side state is the piece table (≤ seedSize + alphabet rows) —
+    * the word2phrase broadcast-table contract.
+    *
+    * Returns the final model: (piece, count, cost), `keep`-sorted.
+    */
+  def trainUnigram(docs: DataFrame, textCol: Column,
+                   maxPieceLen: Int = 4, seedSize: Int = 2048,
+                   minCount: Long = 2L): Seq[(String, Long, Long)] = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(seedSize >= 1, s"seedSize must be >= 1, got $seedSize")
+    require(minCount >= 0, s"minCount must be >= 0, got $minCount")
+    val words = docs.select(explode(TextOps.tokens(textCol)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxLen = words.agg(max(length(col("w")))).collect()(0).getInt(0)
+    require(maxLen < UnigramMaxWordLen,
+      s"trainUnigram: a token has $maxLen codepoints (>= $UnigramMaxWordLen); " +
+        "the oracle's combined Viterbi encoding needs words under the radix — split upstream")
+    // substrings, codepoint-indexed (Spark substring/length and DuckDB
+    // substring/length both count codepoints)
+    val sub = words
+      .select(col("w"), col("cnt"), length(col("w")).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .select(col("w"), col("cnt"), col("n"),
+        explode(sequence(lit(0L), col("n") - 1)).as("i"))
+      .select(col("w"), col("cnt"), col("i"),
+        explode(sequence(lit(1L), least(lit(maxPieceLen.toLong), col("n") - col("i")))).as("l"))
+      .select(expr("substring(w, CAST(i + 1 AS INT), CAST(l AS INT))").as("piece"), col("cnt"))
+    val c0 = sub.groupBy("piece").agg(sum("cnt").as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seed = c0.orderBy(col("c").desc, col("piece").asc).limit(seedSize)
+      .union(c0.filter(length(col("piece")) === 1)).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    c0.unpersist()
+    val vocab0 = costsOf(seed)
+    val c1 = emCounts(words, vocab0, maxPieceLen)
+    val singles = seed.collect { case (p, _) if p.codePointCount(0, p.length) == 1 => p }.toSet
+    val keep = (c1.filter(_._2 >= minCount).keySet ++ singles).toSeq.sorted
+    val vocab1 = costsOf(keep.map(p => (p, c1.getOrElse(p, 0L))))
+    val c2 = emCounts(words, vocab1, maxPieceLen)
+    words.unpersist()
+    val n2 = keep.iterator.map(p => c2.getOrElse(p, 0L)).sum
+    keep.map { p =>
+      val c = c2.getOrElse(p, 0L)
+      (p, c, unigramCost(c, n2, keep.length.toLong))
+    }
+  }
+
+  /** The M-step arithmetic — shared by every estimation point so the three
+    * cost tables (seed, pruned, final) can never drift from the generated
+    * oracle's. Scala `/` on non-negative longs is floor division, matching
+    * Spark `div` and DuckDB `//`.
+    */
+  private def unigramCost(c: Long, n: Long, v: Long): Long =
+    -QualityOps.fpLog2Table((((c + 1) * QualityOps.QuantScale) / (n + v)).toInt)
+
+  private def costsOf(counts: Seq[(String, Long)]): Seq[(String, Long)] = {
+    val n = counts.iterator.map(_._2).sum
+    val v = counts.length.toLong
+    counts.map { case (p, c) => (p, unigramCost(c, n, v)) }
+  }
+
+  /** One hard-EM E-step: Viterbi counts over the distinct-word table,
+    * weighted by word frequency. One kernel pass + a vocab-sized count.
+    */
+  private def emCounts(words: DataFrame, vocab: Seq[(String, Long)], maxPieceLen: Int): Map[String, Long] =
+    words.select(
+        explode(graft.functions.BpeKernels.unigram_segment(col("w"), vocab, maxPieceLen)).as("piece"),
+        col("cnt"))
+      .groupBy("piece").agg(sum("cnt").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** The learned unigram model as a DataFrame (query/report surface). */
+  def unigramTable(spark: SparkSession, model: Seq[(String, Long, Long)]): DataFrame = {
+    import spark.implicits._
+    model.toDF("piece", "cnt", "cost")
+  }
+
+  /** Per-document unigram-LM segmentation stats under a learned model:
+    * (doc_id, n_pieces, pieces_fp) — the fingerprint pins every piece
+    * boundary of every token in document order (one drifted Viterbi
+    * tie-break anywhere moves it). One kernel pass per token occurrence,
+    * zero shuffle before the per-doc rollup.
+    */
+  def unigramTokenize(docs: DataFrame, idCol: String, textCol: Column,
+                      model: Seq[(String, Long, Long)], maxPieceLen: Int): DataFrame = {
+    val vocab = model.map(t => (t._1, t._3))
+    docs.select(col(idCol), posexplode(TextOps.tokens(textCol)).as(Seq("__pos", "__w")))
+      .select(col(idCol),
+        graft.functions.BpeKernels.unigram_segment(col("__w"), vocab, maxPieceLen).as("__p"),
+        col("__pos"))
+      .select(col(idCol), size(col("__p")).cast("long").as("__np"),
+        struct(col("__pos"), array_join(col("__p"), " ").as("ps")).as("__x"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__np")).as("n_pieces"),
+        TextOps.polyHash(array_join(
+          transform(sort_array(collect_list(col("__x"))), x => x.getField("ps")),
+          " ")).as("pieces_fp"))
+  }
 }

@@ -229,6 +229,14 @@ object QualityOps {
   /** Fixed-point log scale: the lookup table stores floor(LogScale·log2(p)). */
   val LogScale: Long = 1L << 20
 
+  /** Unknown-piece fallback cost for unigram-LM Viterbi segmentation —
+    * strictly worse than any real piece cost (≤ LogScale·log2(2·QuantScale)
+    * ≈ 13·LogScale), ONE definition shared by the kernel
+    * ([[graft.functions.UnigramTable]]) and the generated oracle SQL so
+    * both engines degrade identically on out-of-vocabulary characters.
+    */
+  val UnigramUnkCost: Long = LogScale * 24
+
   /** floor(LogScale·log2(max(q,½)/QuantScale)) for q in 0..QuantScale —
     * computed ONCE here and embedded as a literal array in both the Spark
     * plan and the generated oracle SQL, so the two engines read identical

@@ -67,7 +67,160 @@ object BpeQueries {
   private def chainSql: String =
     (w0Sql +: (0 until NMerges).map(stepSql)).mkString(",\n")
 
+  // --- unigram-LM trainer oracle (generated; prototype-validated on the
+  // --- driver's DuckDB) ----------------------------------------------------
+
+  private val UniL = 4          // max piece codepoints
+  private val UniSeed = 2048    // seed vocabulary size (plus all singles)
+  private val UniMinCount = 2L  // prune threshold after E-step 1
+
+  /** Training is deterministic per corpus dir — memoize like
+    * [[trainedMerges]] so the two unigram queries train once per JVM.
+    */
+  private val uniCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, Long, Long)]]
+  private def trainedUnigram(s: org.apache.spark.sql.SparkSession,
+                             d: String): Seq[(String, Long, Long)] =
+    uniCache.getOrElseUpdate(s"$d#$UniL#$UniSeed#$UniMinCount",
+      Bpe.trainUnigram(Td.documents(s, d), col("text"), UniL, UniSeed, UniMinCount))
+
+  /** M-step cost fragment over a count expression — the ONE arithmetic
+    * shared by the seed, pruned and final tables (needs `ltab` and an
+    * (N, V) totals CTE in scope).
+    */
+  private def uniCostSql(c: String): String =
+    s"CAST(-lt[CAST((($c + 1) * ${graft.operators.QualityOps.QuantScale}) // (N + V) AS INT) + 1] AS BIGINT)"
+
+  /** One Viterbi DP pass as recursive CTEs, suffixed `$k`, reading the
+    * cost table CTE `$vocabCte(piece, cost)` and the shared `words`/`wl`/
+    * `sub` relations; ends in `seg$k(w, pieces)` + weighted piece counts
+    * `pc$k(piece, c)`. The DP carries ONE combined value per position —
+    * (pathCost·R + startIndex), minimized, so the argmin tie-break (equal
+    * cost → smallest start → longest piece) is the list_min total order,
+    * exactly the kernel's ascending-scan strict-< rule. The UNK fallback
+    * (out-of-vocabulary character consumed at UnigramUnkCost) mirrors
+    * [[graft.functions.UnigramTable.segment]]; on the training corpus it
+    * is unreachable (all single characters are vocab by construction).
+    */
+  private def uniDpChainSql(k: Int, vocabCte: String): String = {
+    val R = Bpe.UnigramMaxWordLen
+    val unk = graft.operators.QualityOps.UnigramUnkCost
+    s"""subc$k AS (SELECT sub.w, sub.i, sub.l, v.cost FROM sub
+       |  LEFT JOIN $vocabCte v ON sub.piece = v.piece),
+       |sc$k AS MATERIALIZED (SELECT w, list(cost ORDER BY i, l) AS sc
+       |  FROM subc$k GROUP BY w),
+       |dp$k AS (
+       |  SELECT w, 0 AS j, CAST([] AS BIGINT[]) AS cmbs FROM wl
+       |  UNION ALL
+       |  SELECT dp.w, dp.j + 1, list_append(dp.cmbs,
+       |    coalesce(
+       |      list_min([ ((CASE WHEN i = 0 THEN CAST(0 AS BIGINT)
+       |                        ELSE dp.cmbs[i] // $R END)
+       |                   + s.sc[i * $UniL + dp.j + 1 - i]) * $R + i
+       |                 for i in range(greatest(dp.j + 1 - $UniL, 0), dp.j + 1)
+       |                 if s.sc[i * $UniL + dp.j + 1 - i] IS NOT NULL ]),
+       |      ((CASE WHEN dp.j = 0 THEN CAST(0 AS BIGINT)
+       |             ELSE dp.cmbs[dp.j] // $R END) + $unk) * $R + dp.j))
+       |  FROM dp$k dp JOIN wl ON dp.w = wl.w JOIN sc$k s ON dp.w = s.w
+       |  WHERE dp.j < wl.wlen
+       |),
+       |walk$k AS (
+       |  SELECT dp.w, dp.cmbs, wl.wlen AS j, CAST([] AS VARCHAR[]) AS pieces
+       |  FROM dp$k dp JOIN wl ON dp.w = wl.w WHERE dp.j = wl.wlen
+       |  UNION ALL
+       |  SELECT w, cmbs, cmbs[CAST(j AS INT)] % $R AS j,
+       |    list_prepend(substring(w, CAST(cmbs[CAST(j AS INT)] % $R AS INT) + 1,
+       |      CAST(j - cmbs[CAST(j AS INT)] % $R AS INT)), pieces)
+       |  FROM walk$k WHERE j > 0
+       |),
+       |seg$k AS MATERIALIZED (SELECT w, pieces FROM walk$k WHERE j = 0),
+       |pc$k AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS c
+       |  FROM (SELECT w, unnest(pieces) AS piece FROM seg$k) x JOIN words USING (w)
+       |  GROUP BY 1)""".stripMargin
+  }
+
+  /** The full re-training chain (seed → E1 → prune → E2), ending in
+    * `fc(piece, cnt)` + totals `n2(N, V)` — both unigram oracles re-derive
+    * the model from scratch through it. Substring indexing is
+    * codepoint-based on both engines (substring/length, never bracket
+    * slicing — DuckDB brackets slice graphemes).
+    */
+  private def uniTrainCtesSql: String = {
+    val lt = graft.operators.QualityOps.fpLog2Table.mkString("[", ", ", "]")
+    s"""ltab AS (SELECT $lt AS lt),
+       |toks AS MATERIALIZED (SELECT doc_id, ${TextQueries.toksSql} AS w FROM documents),
+       |words AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(w) AS w FROM toks) GROUP BY 1),
+       |wl AS MATERIALIZED (SELECT w, CAST(length(w) AS BIGINT) AS wlen FROM words),
+       |sub AS MATERIALIZED (SELECT words.w, cnt, wlen, i, l,
+       |    CASE WHEN i + l <= wlen
+       |         THEN substring(words.w, CAST(i + 1 AS INT), CAST(l AS INT)) END AS piece
+       |  FROM words JOIN wl ON words.w = wl.w
+       |  CROSS JOIN (SELECT unnest(range(0, ${Bpe.UnigramMaxWordLen})) AS i) ii
+       |  CROSS JOIN (SELECT unnest(range(1, $UniL + 1)) AS l) ll
+       |  WHERE i < wlen),
+       |c0 AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS c FROM sub
+       |  WHERE piece IS NOT NULL GROUP BY 1),
+       |rk AS (SELECT piece, c, row_number() OVER (ORDER BY c DESC, piece ASC) AS r FROM c0),
+       |seed AS MATERIALIZED (SELECT piece, c FROM rk
+       |  WHERE r <= $UniSeed OR length(piece) = 1),
+       |n0 AS (SELECT CAST(sum(c) AS BIGINT) AS N, CAST(count(*) AS BIGINT) AS V FROM seed),
+       |vocab0 AS MATERIALIZED (SELECT piece, ${uniCostSql("c")} AS cost
+       |  FROM seed CROSS JOIN n0 CROSS JOIN ltab),
+       |${uniDpChainSql(1, "vocab0")},
+       |v1p AS (SELECT DISTINCT piece FROM (
+       |  SELECT piece FROM pc1 WHERE c >= $UniMinCount
+       |  UNION ALL SELECT piece FROM seed WHERE length(piece) = 1) u0),
+       |v1c AS MATERIALIZED (SELECT v1p.piece, CAST(COALESCE(pc1.c, 0) AS BIGINT) AS c
+       |  FROM v1p LEFT JOIN pc1 USING (piece)),
+       |n1 AS (SELECT CAST(sum(c) AS BIGINT) AS N, CAST(count(*) AS BIGINT) AS V FROM v1c),
+       |vocab1 AS MATERIALIZED (SELECT piece, ${uniCostSql("c")} AS cost
+       |  FROM v1c CROSS JOIN n1 CROSS JOIN ltab),
+       |${uniDpChainSql(2, "vocab1")},
+       |fc AS MATERIALIZED (SELECT v1c.piece, CAST(COALESCE(pc2.c, 0) AS BIGINT) AS cnt
+       |  FROM v1c LEFT JOIN pc2 USING (piece)),
+       |n2 AS (SELECT CAST(sum(cnt) AS BIGINT) AS N, CAST(count(*) AS BIGINT) AS V FROM fc)""".stripMargin
+  }
+
   val defs: Map[String, Q] = Map(
+
+    // ----- unigram-LM tokenizer training (Kudo ACL'18, fixed-point hard-EM)
+    // Seed = top-2048 weighted ≤4-codepoint substrings + all singles;
+    // Viterbi E-step (longest-piece tie-break) under integer costs on the
+    // NB 1/4096 add-one grid; prune at count ≥ 2 after pass 1; second
+    // E-step; final M-step. The oracle RE-TRAINS from scratch — the
+    // Viterbi DP runs as recursive CTEs carrying one (cost·R + start)
+    // combined value per position, so a single tie broken the other way,
+    // one drifted quantized cost, or a missed candidate anywhere in either
+    // EM pass moves a count and hash-fails.
+    "q_unigram_train" -> Q(
+      (s, d) => Bpe.unigramTable(s, trainedUnigram(s, d)),
+      Some(s"""WITH RECURSIVE ${uniTrainCtesSql}
+              |SELECT piece, cnt, ${uniCostSql("cnt")} AS cost
+              |FROM fc CROSS JOIN n2 CROSS JOIN ltab""".stripMargin)),
+
+    // ----- tokenize under the learned unigram model -------------------------
+    // Deployment: every document segmented under the FINAL (post-M-step)
+    // cost table, one codegen kernel pass per token; per-doc piece count +
+    // a polyhash fingerprint over the pieces in document order, so every
+    // piece boundary of every token is pinned. The oracle re-trains AND
+    // re-segments (a third DP pass under the final table).
+    "q_unigram_tokenize" -> Q(
+      (s, d) => Bpe.unigramTokenize(Td.documents(s, d), "doc_id", col("text"),
+        trainedUnigram(s, d), UniL),
+      Some(s"""WITH RECURSIVE ${uniTrainCtesSql},
+              |vocabF AS MATERIALIZED (SELECT piece, ${uniCostSql("cnt")} AS cost
+              |  FROM fc CROSS JOIN n2 CROSS JOIN ltab),
+              |${uniDpChainSql(3, "vocabF")},
+              |dtok AS (SELECT doc_id, unnest(w) AS tok,
+              |    unnest(range(1, len(w) + 1)) AS pos FROM toks),
+              |dseg AS (SELECT doc_id, pos, s.pieces FROM dtok
+              |  JOIN seg3 s ON dtok.tok = s.w),
+              |dcat AS (SELECT doc_id, CAST(sum(len(pieces)) AS BIGINT) AS n_pieces,
+              |    string_agg(array_to_string(pieces, ' '), ' ' ORDER BY pos) AS cat
+              |  FROM dseg GROUP BY 1)
+              |SELECT doc_id, n_pieces, ${TextQueries.polyHashSql("cat")} AS pieces_fp
+              |FROM dcat""".stripMargin)),
 
     // ----- BPE merge training (Sennrich ACL'16) --------------------------
     // Learns 8 merges from the corpus: one corpus scan to the word table,

@@ -113,4 +113,70 @@ class BpeSpec extends SparkSpec {
     assert(toks.forall(_.getAs[Long]("n_subwords") <
       "поезд поезд ночь".count(_ != ' ') + 3), "merges must fuse symbols")
   }
+
+  test("UnigramSegment kernel ≡ reference Viterbi DP (fuzz, ties + UNK)") {
+    import graft.functions.Kernels.{HashP => _}
+    import org.apache.spark.unsafe.types.UTF8String
+    val L = 3
+    def ref(w: String, costs: Map[String, Long]): Seq[String] = {
+      val cps = w.codePoints.toArray
+      val n = cps.length
+      if (n == 0) return Seq.empty
+      val best = Array.fill(n + 1)(0L)
+      val bp = new Array[Int](n + 1)
+      for (j <- 1 to n) {
+        var bj = Long.MaxValue; var bi = -1
+        for (i <- math.max(0, j - L) until j) {
+          costs.get(new String(cps, i, j - i)).foreach { c =>
+            if (best(i) + c < bj) { bj = best(i) + c; bi = i }
+          }
+        }
+        if (bi < 0) { bj = best(j - 1) + QualityOps.UnigramUnkCost; bi = j - 1 }
+        best(j) = bj; bp(j) = bi
+      }
+      var out = List.empty[String]; var p = n
+      while (p > 0) { out = new String(cps, bp(p), p - bp(p)) :: out; p = bp(p) }
+      out
+    }
+    val rnd = new scala.util.Random(17)
+    val alpha = "abc日"
+    for (_ <- 0 until 300) {
+      val w = Seq.fill(rnd.nextInt(10))(alpha(rnd.nextInt(alpha.length))).mkString
+      // random vocab over the alphabet's short strings; equal costs are
+      // COMMON by construction so the longest-piece tie-break is exercised
+      val vocab = (for {
+        len <- 1 to L
+        _ <- 1 to 4
+      } yield Seq.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString)
+        .distinct
+        // singles sometimes MISSING so the UNK fallback fires
+        .filterNot(p => p.length <= 1 && rnd.nextInt(4) == 0)
+        .map(p => (p, (1 + rnd.nextInt(3)) * 1000L))
+        .sortBy(_._1)
+      val table = new graft.functions.UnigramTable(vocab.toArray, L)
+      val got = table.segment(UTF8String.fromString(w))
+      val gotSeq = (0 until got.numElements()).map(got.getUTF8String(_).toString)
+      assert(gotSeq == ref(w, vocab.toMap), s"w=$w vocab=$vocab")
+      assert(gotSeq.mkString == w, "pieces must reconstruct the word")
+    }
+  }
+
+  test("trainUnigram matches the cross-validated reference on the toy corpus") {
+    // The exact fixture the oracle SQL was prototyped against (banana toy,
+    // L=4, seed=12, minCount=2): expected model cross-computed by an
+    // independent Python reference AND DuckDB recursive-CTE DP — pinning
+    // seed ranking, both hard-EM passes, the prune, and the final M-step.
+    val docs = Seq((1L, "banana bandana"), (2L, "ban ban banana"),
+      (3L, "nab nana banana"), (4L, "")).toDF("doc_id", "text")
+    val model = Bpe.trainUnigram(docs, col("text"),
+      maxPieceLen = 4, seedSize = 12, minCount = 2L)
+    assert(model == Seq(
+      ("a", 1L, 3628956L), ("ana", 5L, 1965647L), ("b", 1L, 3628956L),
+      ("ban", 6L, 1732645L), ("d", 1L, 3628956L), ("n", 2L, 3015578L)))
+    // deployment composes: pieces reconstruct each token, empty doc → 0
+    val tok = Bpe.unigramTokenize(docs, "doc_id", col("text"), model, 4)
+      .orderBy("doc_id").collect()
+    assert(tok.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 5L), (2L, 4L), (3L, 7L), (4L, 0L)))
+  }
 }
