@@ -67,6 +67,13 @@ object PlanLint {
     */
   def lintExecuted(df: DataFrame, minStreamedRows: Long = 512,
                    minComputeNodes: Int = 2): Seq[Finding] = {
+    // Pin the ACTIVE session on this thread before forcing the plan: the
+    // bare `executedPlan.execute()` below runs outside Dataset's action
+    // wrapper, and on a session-less thread (ScalaTest suite pools) the
+    // AQE finalization would construct plan nodes with a null captured
+    // session — whose lazy `metrics` then NPE on first touch (seen as a
+    // cross-suite INTERNAL_ERROR under parallel test execution).
+    org.apache.spark.sql.SparkSession.setActiveSession(df.sparkSession)
     val qe = df.queryExecution
     qe.executedPlan.execute().count()
     lint(qe.executedPlan, df.sparkSession.sparkContext.defaultParallelism,
