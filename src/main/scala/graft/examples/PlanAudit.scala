@@ -13,7 +13,13 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = args.headOption.getOrElse("/root/testdata/sf0.001")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // optional: `runMain graft.examples.PlanAudit <dir> q_a q_b` audits only
+    // the named queries — lets the lint run at EXPENSIVE scales for a
+    // suspect key without paying the full battery
+    val wanted = args.drop(1).toSet
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => wanted.isEmpty || wanted(n) }
+      .foreach { case (name, fn) =>
       try {
         val df = fn(spark, d)
         // Execute THIS plan (df.count() would execute a derived one): AQE
