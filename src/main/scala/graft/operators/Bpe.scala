@@ -231,7 +231,12 @@ object Bpe {
     val words = docs.select(explode(TextOps.tokens(textCol)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val maxLen = words.agg(max(length(col("w")))).collect()(0).getInt(0)
+    // fail-early on an empty corpus (ADVICE r17): max() over zero rows is
+    // NULL and a bare getInt would throw an opaque NullPointerException
+    val maxLenRow = words.agg(max(length(col("w")))).collect()(0)
+    require(!maxLenRow.isNullAt(0),
+      "trainUnigram: the input corpus tokenized to zero words — nothing to train on")
+    val maxLen = maxLenRow.getInt(0)
     require(maxLen < UnigramMaxWordLen,
       s"trainUnigram: a token has $maxLen codepoints (>= $UnigramMaxWordLen); " +
         "the oracle's combined Viterbi encoding needs words under the radix — split upstream")

@@ -936,7 +936,18 @@ object Dedup {
   def chunkCids(df: DataFrame, idCol: String, textCol: String,
                 chunkSize: Int = 16, stride: Int = 16): DataFrame =
     TextOps.chunkOverlap(df, idCol, textCol, chunkSize, stride)
-      .select((col(idCol).cast("long") * lit(1048576L) + col("chunk_idx")).as("cid"),
+      // ENFORCE the packing invariant in-plan (ADVICE r17): an oversized
+      // document (≥ 2^20 chunks) or a negative doc_id would silently
+      // collide cids and mis-attribute chunks to the wrong document — the
+      // fail-early discipline of epochMix/mergeCdc, as a codegen'd
+      // one-comparison-per-row check
+      .select(when(col("chunk_idx") >= lit(1048576) || col(idCol).cast("long") < 0,
+          raise_error(concat(lit("chunkCids: cid packing out of range (doc_id="),
+            col(idCol).cast("string"), lit(", chunk_idx="),
+            col("chunk_idx").cast("string"),
+            lit(") - needs 0 <= doc_id and chunk_idx < 2^20; split upstream"))))
+        .otherwise(col(idCol).cast("long") * lit(1048576L) + col("chunk_idx"))
+        .as("cid"),
         col(idCol).cast("long").as("doc_id"), col("chunk_text"))
 
   /** Distinct-collapsed chunk representatives: the smallest cid per distinct

@@ -108,8 +108,12 @@ object PlanLint {
     // packed streamed side a quadratic wall (the embed_neardup law)
     val bRows = rowsOf(build)
     parts match {
+      // bRows via `exists`, not `forall` (ADVICE r17): an UNKNOWN build-side
+      // row count must not convict — a legitimate 1-row scalar crossJoin
+      // whose stage metrics are unavailable would otherwise spuriously fail
+      // the battery gate ("unknown means we cannot convict")
       case Some(np) if np < (parallelism + 1) / 2 &&
-          sRows.exists(_ >= minStreamedRows) && bRows.forall(_ >= 2) =>
+          sRows.exists(_ >= minStreamedRows) && bRows.exists(_ >= 2) =>
         Seq(Finding("bnl-single-partition", b.nodeName,
           s"streamed side has $np partition(s) (< parallelism $parallelism / 2), " +
             s"streamedRows=${sRows.get} buildRows=${bRows.map(_.toString).getOrElse("?")} — " +
