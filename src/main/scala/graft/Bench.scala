@@ -407,6 +407,10 @@ object Bench {
         // chunk-level stored dedup state (r17): reps collapse + 32×1 band
         // index — the build cost q_chunk_inc_neardup amortizes per batch
         "cband" -> timed(graft.queries.Td.buildChunkBandIndexInto(spark, sfDir, s"$tmpRoot/cband")),
+        // substring-level stored dedup state (r18): the corpus
+        // first-occurrence window-fp relation — the build cost
+        // q_substring_inc amortizes per batch
+        "sfp" -> timed(graft.queries.Td.buildSubstringFpIndexInto(spark, sfDir, s"$tmpRoot/sfp")),
         "ivf" -> timed(graft.queries.Td.buildIvfInto(spark, sfDir, s"$tmpRoot/ivf")),
         "pq" -> timed(graft.queries.Td.buildPqInto(spark, sfDir, s"$tmpRoot/pq")),
         "ivfpq" -> timed(graft.queries.Td.buildIvfPqInto(spark, sfDir, s"$tmpRoot/ivfpq")),
@@ -533,6 +537,7 @@ object Bench {
         val recipes: PartialFunction[String, () => Double] = {
           case "band"   => () => timed(Td.buildBandIndexInto(spark, sfDir, d))
           case "cband"  => () => timed(Td.buildChunkBandIndexInto(spark, sfDir, d))
+          case "sfp"    => () => timed(Td.buildSubstringFpIndexInto(spark, sfDir, d))
           case "ivf"    => () => timed(Td.buildIvfInto(spark, sfDir, d))
           case "pq"     => () => timed(Td.buildPqInto(spark, sfDir, d))
           case "ivfpq"  => () => timed(Td.buildIvfPqInto(spark, sfDir, d))
@@ -695,6 +700,7 @@ object Bench {
     if (fullBattery) {
       graft.queries.Td.bandIndexTable(spark, sfDir).count()
       graft.queries.Td.chunkBandTables(spark, sfDir)._2.count()
+      graft.queries.Td.substringFpTable(spark, sfDir).count()
       graft.queries.Td.ivfIndexTable(spark, sfDir).assigned.count()
       graft.queries.Td.pqIndexTable(spark, sfDir).codes.count()
       graft.queries.Td.ivfpqIndexTable(spark, sfDir).codes.count()

@@ -1064,22 +1064,38 @@ object Dedup {
   def substringSpans(df: DataFrame, idCol: String, textCol: String,
                      k: Int): DataFrame = {
     require(k >= 2, s"substringSpans needs k >= 2, got $k")
-    // The kernel sits INSIDE the Generate, not behind a projection: with an
-    // attribute child, InferFiltersFromGenerate adds size>0/isnotnull filters
-    // that predicate pushdown then substitutes the alias tree into — the
-    // kernel would run 3× per row (the r16 filter-pushdown blowup law,
-    // Generate-inferred variant; examples/GenerateInferProbe shows both
-    // plans). An expression child skips the infer rule, and GenerateExec
-    // evaluates its generator exactly once per input row.
-    val wins = df
-      .select(col(idCol).cast("long").as("doc_id"),
-        posexplode(graft.functions.Kernels.window_fps(TextOps.tokens(col(textCol)), k))
-          .as(Seq("__p", "wfp")))
-      .select(col("doc_id"), col("__p").cast("long").as("pos"), col("wfp"))
+    val wins = substringWins(df, idCol, textCol, k)
     val wDup = Window.partitionBy("wfp").orderBy("doc_id", "pos")
     val dups = wins.withColumn("__rn", row_number().over(wDup))
       .filter(col("__rn") > 1)
       .select("doc_id", "pos")
+    dupWinsToSpans(dups, k)
+  }
+
+  /** The stride-1 k-token window-fingerprint relation (doc_id, pos, wfp)
+    * the substring-dedup family shares — one map-only Generate pass, the
+    * rolling [[graft.functions.Kernels.windowFps]] kernel INLINE in the
+    * generator: with an attribute child, InferFiltersFromGenerate adds
+    * size>0/isnotnull filters that predicate pushdown then substitutes the
+    * alias tree into — the kernel would run 3× per row (the r16
+    * filter-pushdown blowup law, Generate-inferred variant;
+    * examples/GenerateInferProbe shows both plans). An expression child
+    * skips the infer rule, and GenerateExec evaluates its generator exactly
+    * once per input row.
+    */
+  private def substringWins(df: DataFrame, idCol: String, textCol: String,
+                            k: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(graft.functions.Kernels.window_fps(TextOps.tokens(col(textCol)), k))
+          .as(Seq("__p", "wfp")))
+      .select(col("doc_id"), col("__p").cast("long").as("pos"), col("wfp"))
+
+  /** Gaps-and-islands collapse of duplicated window STARTS (doc_id, pos)
+    * into (doc_id, span_start, span_len, n_wins) scrub spans — shared by
+    * the full-corpus and incremental substring miners so the span algebra
+    * can never drift between them.
+    */
+  private def dupWinsToSpans(dups: DataFrame, k: Int): DataFrame = {
     val wDoc = Window.partitionBy("doc_id").orderBy("pos")
     dups.withColumn("__grp", col("pos") - row_number().over(wDoc))
       .groupBy(col("doc_id"), col("__grp"))
@@ -1088,6 +1104,126 @@ object Dedup {
         count(lit(1)).as("n_wins"))
       .select("doc_id", "span_start", "span_len", "n_wins")
   }
+
+  /** First-occurrence window-fingerprint relation (wfp, doc_id, pos): the
+    * smallest (doc_id, pos) occurrence of every distinct k-token window in
+    * `df` — the STORED state of incremental substring dedup (persist as a
+    * KeyedTable keyed by wfp; see [[substringIncSpans]]). One window-fp
+    * pass + one min-aggregate shuffle on wfp; size = distinct windows
+    * (≈ corpus tokens), the honest footprint of remembering "have I seen
+    * this 16-gram before" — at 100 TB this is the relation you bucket by
+    * wfp so batch probes co-locate with it.
+    */
+  def substringFps(df: DataFrame, idCol: String, textCol: String,
+                   k: Int): DataFrame =
+    substringWins(df, idCol, textCol, k)
+      .groupBy("wfp")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__m"))
+      .select(col("wfp"), col("__m.doc_id").as("doc_id"), col("__m.pos").as("pos"))
+
+  /** Incremental [[substringSpans]]: mine scrub spans for a BATCH of
+    * documents against the STORED first-occurrence fingerprint index
+    * ([[substringFps]], persisted) instead of re-shuffling the whole
+    * corpus's window relation every run. A batch window occurrence is
+    * duplicated iff a strictly earlier occurrence exists in the INDEX
+    * (corpus first < batch occurrence) or earlier in the batch itself
+    * (row_number over the batch's own wfp groups) — together exactly the
+    * full rebuild's "not the global first" rule, so batch spans are
+    * row-identical to [[substringSpans]] over corpus ∪ batch restricted to
+    * batch documents (CorpusOpsSpec pins the equivalence).
+    *
+    * Scale shape: batch ingest pays batch windows (map-only) + one shuffle
+    * of the BATCH window relation + an equi-join probe against the stored
+    * index — never the corpus re-mine. The probe join is shuffle-on-wfp
+    * against a bucketed stored table (co-located at scale); span collapse
+    * runs on batch dups only.
+    */
+  def substringIncSpans(batch: DataFrame, idCol: String, textCol: String,
+                        k: Int, index: DataFrame): DataFrame = {
+    require(k >= 2, s"substringIncSpans needs k >= 2, got $k")
+    val wins = substringWins(batch, idCol, textCol, k)
+    val idx = index.select(col("wfp"),
+      col("doc_id").as("__cdoc"), col("pos").as("__cpos"))
+    val wDup = Window.partitionBy("wfp").orderBy("doc_id", "pos")
+    val dups = wins.withColumn("__rn", row_number().over(wDup))
+      .join(idx, Seq("wfp"), "left_outer")
+      .filter(col("__rn") > 1 ||
+        (col("__cdoc").isNotNull &&
+          (col("__cdoc") < col("doc_id") ||
+            (col("__cdoc") === col("doc_id") && col("__cpos") < col("pos")))))
+      .select("doc_id", "pos")
+    dupWinsToSpans(dups, k)
+  }
+
+  /** The MAINTENANCE half of incremental substring dedup: the rows a
+    * maintainer merges into the stored [[substringFps]] index after a
+    * batch — one row per batch wfp whose batch-first occurrence is NEW
+    * (absent from the index) or EARLIER than the stored first (general
+    * out-of-order case; under the append-only ingest contract batch ids
+    * exceed corpus ids and only the absent arm fires). Merging these into
+    * the KeyedTable keyed by wfp leaves state row-identical to a
+    * from-scratch [[substringFps]] over corpus ∪ batch — append ≡ rebuild,
+    * pinned in CorpusOpsSpec.
+    */
+  def substringFpAppend(batch: DataFrame, idCol: String, textCol: String,
+                        k: Int, index: DataFrame): DataFrame = {
+    val bmin = substringFps(batch, idCol, textCol, k)
+    bmin.join(index.select(col("wfp"),
+        col("doc_id").as("__cdoc"), col("pos").as("__cpos")),
+        Seq("wfp"), "left_outer")
+      .filter(col("__cdoc").isNull ||
+        struct(col("doc_id"), col("pos")) <
+          struct(col("__cdoc"), col("__cpos")))
+      .select("wfp", "doc_id", "pos")
+  }
+
+  /** The APPLICATION half of substring-level exact dedup — the token
+    * surgery Lee et al. (ACL 2022) actually ship to training: remove every
+    * scrub span's tokens from the corpus (the union of spans, so
+    * overlapping islands scrub each position once), keeping the first
+    * occurrence of every repeated run, and re-emit the scrubbed text.
+    * `spans` is [[substringSpans]]/[[substringIncSpans]] output
+    * (doc_id, span_start, span_len); returns one row per input document:
+    * (doc_id, n_tokens, n_scrubbed, text) with n_tokens the ORIGINAL token
+    * count, n_scrubbed the number of removed positions, and text the kept
+    * tokens rejoined on single spaces (normalized-token space — re-running
+    * the tokenizer over the output reproduces the kept token array, so the
+    * scrubbed corpus composes with every downstream text operator).
+    *
+    * Scale shape: spans collapse per-doc into an array (one small shuffle
+    * of the span relation — ordinarily ≪ corpus), ONE join to the corpus on
+    * doc_id (broadcastable when span mass is small; AQE decides), and a
+    * per-row higher-order filter whose cost is |tokens| × |doc's spans| —
+    * map-only surgery, never a corpus-tokens shuffle.
+    */
+  def applyScrubSpans(df: DataFrame, spans: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val sp = spans.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_len").as("l"))).as("__spans"))
+    df.select(col(idCol).cast("long").as("doc_id"),
+        TextOps.tokens(col(textCol)).as("__w"))
+      .join(sp, Seq("doc_id"), "left_outer")
+      .withColumn("__kept",
+        when(col("__spans").isNull, col("__w"))
+          .otherwise(filter(col("__w"), (_, i) =>
+            !exists(col("__spans"), s0 =>
+              i.cast("long") >= s0.getField("s") &&
+                i.cast("long") < s0.getField("s") + s0.getField("l")))))
+      .select(col("doc_id"),
+        size(col("__w")).cast("long").as("n_tokens"),
+        (size(col("__w")) - size(col("__kept"))).cast("long").as("n_scrubbed"),
+        array_join(col("__kept"), " ").as("text"))
+  }
+
+  /** Mine-and-apply convenience: [[substringSpans]] over `df` followed by
+    * [[applyScrubSpans]] — the one-call "deduplicate my corpus at substring
+    * granularity" operator (two tokenize passes: the window miner and the
+    * surgery each scan once; both map-only).
+    */
+  def substringScrub(df: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame =
+    applyScrubSpans(df, substringSpans(df, idCol, textCol, k), idCol, textCol)
 
   /** SimHash near-dup buckets: documents sharing the same 30-bit simhash.
     * For hamming-distance-k matching at scale, band the bits (k+1 tables)

@@ -339,6 +339,30 @@ object Td {
       graft.engine.KeyedTable(s, s"$root/index", Seq("id", "band_idx")).current)
   }
 
+  /** STORED substring-dedup state for `q_substring_inc`: the corpus
+    * (hash-bucket < 80) first-occurrence window-fingerprint relation
+    * (wfp → doc_id, pos) at k=16, persisted as a KeyedTable keyed by wfp —
+    * each arriving batch pays its own windows + an index probe, never the
+    * full corpus-tokens wfp shuffle (the r17 verdict's missing #2; the
+    * `chunkBandTables` pattern at stride 1).
+    */
+  private[graft] def buildSubstringFpIndexInto(s: SparkSession, d: String, tmp: String): Unit = {
+    val corpusDocs = documents(s, d)
+      .filter(graft.operators.Sampling.hashBucket(col("doc_id")) < 80)
+    graft.engine.KeyedTable(s, tmp, Seq("wfp"))
+      .overwrite(graft.operators.Dedup.substringFps(corpusDocs, "doc_id", "text", k = 16))
+  }
+
+  private val SubstringFpFormat = 1
+  /** First-occurrence wfp index from storage — see [[buildSubstringFpIndexInto]]. */
+  def substringFpTable(s: SparkSession, d: String): DataFrame = {
+    val corpusDocs = documents(s, d)
+      .filter(graft.operators.Sampling.hashBucket(col("doc_id")) < 80)
+    val root = indexRoot(s, "sfpindex", SubstringFpFormat, d, "documents", corpusDocs.count())
+    installDir(s, root)(buildSubstringFpIndexInto(s, d, _))
+    graft.engine.KeyedTable(s, root, Seq("wfp")).current
+  }
+
   private val IvfIndexFormat = 1
   def ivfIndexTable(s: SparkSession, d: String): graft.operators.Similarity.IvfIndex = {
     val emb = embeddings(s, d)

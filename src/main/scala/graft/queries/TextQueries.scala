@@ -44,6 +44,57 @@ object TextQueries {
        |    ${polyHashSql("chunk_text")} AS chunk_fp
        |  FROM sl)""".stripMargin
 
+  /** DuckDB twin of the substring-dedup window machinery
+    * ([[graft.operators.Dedup.substringSpans]]) as a CTE chain over an
+    * EXISTING `t$sfx(doc_id, w)` CTE, ending in `d$sfx(doc_id, pos, grp)` —
+    * duplicated window starts (rn > 1 over the window fingerprint, ordered
+    * by (doc_id, pos)) grouped into gaps-and-islands spans. The windows are
+    * recomputed DIRECTLY (list_reduce over a slice of the token-hash list);
+    * the Spark side uses the rolling kernel — same residue by construction,
+    * so one drifted window anywhere hash-fails. `th$sfx` is MATERIALIZED
+    * and carries the token array so the scrub fragment can re-read it.
+    */
+  private def substringDupCtesSql(k: Int, sfx: String = ""): String =
+    s"""th$sfx AS MATERIALIZED (SELECT doc_id, w,
+       |    [${polyHashSql("x")} for x in w] AS h,
+       |    CAST(len(w) AS BIGINT) AS n FROM t$sfx),
+       |wins$sfx AS (SELECT doc_id, h,
+       |    unnest(range(0, n - $k + 1)) AS pos FROM th$sfx WHERE n >= $k),
+       |wf$sfx AS (SELECT doc_id, pos,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), h[pos+1:pos+$k]),
+       |      (acc, c) -> (acc*31 + c) % ${TextOps.HashP}) AS wfp
+       |  FROM wins$sfx),
+       |r$sfx AS (SELECT doc_id, pos, row_number() OVER (
+       |    PARTITION BY wfp ORDER BY doc_id, pos) AS rn FROM wf$sfx),
+       |d$sfx AS (SELECT doc_id, pos, pos - row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM r$sfx WHERE rn > 1)""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.Dedup.applyScrubSpans]], continuing
+    * [[substringDupCtesSql]] (reads `d$sfx` and `th$sfx`) and ending in
+    * `sc$sfx(doc_id, n_tokens, n_scrubbed, stext)`: spans materialize their
+    * position sets, a positional anti-join keeps un-scrubbed tokens, and an
+    * ordered string_agg re-joins them — overlapping islands scrub each
+    * position once (the anti-join is set-semantics), matching the Spark
+    * side's union-of-spans higher-order filter.
+    */
+  private def substringScrubCtesSql(k: Int, sfx: String = ""): String =
+    s"""sp$sfx AS (SELECT doc_id, min(pos) AS s, max(pos) - min(pos) + $k AS l
+       |  FROM d$sfx GROUP BY doc_id, grp),
+       |scr$sfx AS (SELECT doc_id, unnest(range(s, s + l)) AS pos FROM sp$sfx),
+       |tp$sfx AS (SELECT doc_id, w, unnest(range(0, n)) AS pos FROM th$sfx),
+       |tok$sfx AS (SELECT doc_id, pos, w[CAST(pos AS INT)+1] AS tk FROM tp$sfx),
+       |kp$sfx AS (SELECT tok$sfx.doc_id AS doc_id, tok$sfx.pos AS pos, tk
+       |  FROM tok$sfx LEFT JOIN scr$sfx
+       |    ON tok$sfx.doc_id = scr$sfx.doc_id AND tok$sfx.pos = scr$sfx.pos
+       |  WHERE scr$sfx.pos IS NULL),
+       |ag$sfx AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS stext,
+       |    CAST(count(*) AS BIGINT) AS n_kept FROM kp$sfx GROUP BY doc_id),
+       |sc$sfx AS (SELECT th$sfx.doc_id AS doc_id, n AS n_tokens,
+       |    n - COALESCE(n_kept, 0) AS n_scrubbed,
+       |    COALESCE(stext, '') AS stext
+       |  FROM th$sfx LEFT JOIN ag$sfx ON th$sfx.doc_id = ag$sfx.doc_id)""".stripMargin
+
   /** Association threshold for the phrase-application queries: mined pairs
     * with assoc ≥ this merge. 1.3 yields a nonempty, vocab-sized phrase set
     * at every gate scale (57/53/8 pairs at sf0.001/0.01/0.1 — the synthetic
@@ -1174,6 +1225,77 @@ object TextQueries {
               |    FROM nrm0) z WHERE rn = 1),
               |t AS (SELECT doc_id, lang, text, $normSql AS nrm, $toksSql AS w
               |  FROM dd),
+              |${gopherStagesSql("doc_id, lang")},
+              |q AS (SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_words
+              |  FROM f
+              |  WHERE words_ok + mean_word_len_ok + symbol_ratio_ok
+              |        + alpha_word_ok + stopword_ok + repetition_ok = 6),
+              |counts AS (SELECT lang, CAST(count(*) AS BIGINT) AS mix_n
+              |  FROM q GROUP BY 1),
+              |${RelationalQueries.temperatureThrCtesSql},
+              |mix AS (SELECT q.doc_id, q.lang, q.n_words
+              |  FROM q JOIN thr th2 ON q.lang = th2.lang
+              |  WHERE (((q.doc_id % 1000003) * 2654435761) // 8192)
+              |          % ${graft.operators.Sampling.TemperatureBucketSpace}
+              |        < th2.mix_thr),
+              |sh AS (SELECT doc_id, lang, n_words AS n_tokens,
+              |    CAST(sum(n_words) OVER (ORDER BY doc_id) - n_words AS BIGINT)
+              |      AS tok_start
+              |  FROM mix)
+              |SELECT doc_id, lang, n_tokens, tok_start,
+              |  tok_start // 2000 AS shard_id
+              |FROM sh""".stripMargin)),
+
+    // ----- END-TO-END pipeline with SUBSTRING-SCRUB dedup stage ------------
+    // q_pipeline_e2e's composition with the dedup stage upgraded from
+    // document-exact to Lee-et-al substring granularity: exact dedup (first
+    // occurrence per normalized-text fp) → substring-span mine + token
+    // surgery over the deduped corpus → Gopher gate over the SCRUBBED text
+    // (n_words shrink with the removed tokens, so scrubbing can flip gate
+    // verdicts — that coupling is exactly what this query pins) →
+    // temperature mix → offset sharding. The oracle recomputes every stage
+    // from the shared fragments; a drifted span boundary shifts n_words,
+    // gate flags, mix thresholds, token offsets and shard ids after it.
+    "q_pipeline_scrub" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Td.documents(s, d)
+        val w = Window.partitionBy("__fp").orderBy("doc_id")
+        val dd = docs.select(col("doc_id"), col("text"),
+            TextOps.polyHash(TextOps.normText(col("text"))).as("__fp"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__fp", "__rn")
+        val scrubbed = Dedup.substringScrub(dd, "doc_id", "text", k = 16)
+          .select("doc_id", "text")
+        // pin the slim flags relation before the `pass` filter (r16 law —
+        // same reasoning as q_pipeline_e2e; the scrub subtree above it is
+        // exactly the kind of plan a pushed-down 6-rule predicate would
+        // re-expand into)
+        val flags = QualityOps.gopherGate(scrubbed, "doc_id", "text").localCheckpoint()
+        val kept = flags.filter(col("pass") === 1).select("doc_id", "n_words")
+          .join(docs.select("doc_id", "lang"), "doc_id")
+        val mixed = graft.operators.Sampling.temperatureMix(kept, "lang", "doc_id")
+          .localCheckpoint()
+        TextOps.shardAssignCounts(
+            mixed.select(col("doc_id").as("id"), col("n_words").as("n_tokens")),
+            shardTokens = 2000L, bucketSpan = 64L)
+          .join(mixed.select(col("doc_id").as("id"), col("lang")), "id")
+          .select(col("id").as("doc_id"), col("lang"), col("n_tokens"),
+            col("tok_start"), col("shard_id"))
+      },
+      Some(s"""WITH nrm0 AS (SELECT doc_id, lang, text,
+              |    ${polyHashSql(normSql)} AS fp FROM documents),
+              |dd AS (SELECT doc_id, lang, text FROM (
+              |    SELECT doc_id, lang, text,
+              |      row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+              |    FROM nrm0) z WHERE rn = 1),
+              |t0 AS (SELECT doc_id, $toksSql AS w FROM dd),
+              |${substringDupCtesSql(16, "0")},
+              |${substringScrubCtesSql(16, "0")},
+              |t AS (SELECT sc0.doc_id AS doc_id, dd.lang AS lang,
+              |    stext AS text, ${normSqlOf("stext")} AS nrm,
+              |    ${toksSqlOf("stext")} AS w
+              |  FROM sc0 JOIN dd ON sc0.doc_id = dd.doc_id),
               |${gopherStagesSql("doc_id, lang")},
               |q AS (SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_words
               |  FROM f
@@ -2384,24 +2506,53 @@ object TextQueries {
     "q_substring_dedup" -> Q(
       (s, d) => Dedup.substringSpans(Td.documents(s, d), "doc_id", "text", k = 16),
       Some(s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
-              |th AS MATERIALIZED (SELECT doc_id,
-              |    [${polyHashSql("x")} for x in w] AS h,
-              |    CAST(len(w) AS BIGINT) AS n FROM t),
-              |wins AS (SELECT doc_id, h,
-              |    unnest(range(0, n - 16 + 1)) AS pos FROM th WHERE n >= 16),
-              |wf AS (SELECT doc_id, pos,
-              |    list_reduce(list_prepend(CAST(0 AS BIGINT), h[pos+1:pos+16]),
-              |      (acc, c) -> (acc*31 + c) % ${TextOps.HashP}) AS wfp
-              |  FROM wins),
-              |r AS (SELECT doc_id, pos, row_number() OVER (
-              |    PARTITION BY wfp ORDER BY doc_id, pos) AS rn FROM wf),
-              |d AS (SELECT doc_id, pos, pos - row_number() OVER (
-              |    PARTITION BY doc_id ORDER BY pos) AS grp
-              |  FROM r WHERE rn > 1)
+              |${substringDupCtesSql(16)}
               |SELECT doc_id, min(pos) AS span_start,
               |  max(pos) - min(pos) + 16 AS span_len,
               |  CAST(count(*) AS BIGINT) AS n_wins
               |FROM d GROUP BY doc_id, grp""".stripMargin)),
+
+    // ----- substring-scrub APPLICATION (the surgery half of Lee et al.) ----
+    // Spans nobody applies are a report, not an operator (r17 verdict #1):
+    // this is the corpus-side token surgery — remove every scrub span's
+    // positions (union of spans), keep the first occurrence of each
+    // repeated ≥16-token run, re-emit the scrubbed text. The oracle
+    // recomputes the spans AND the surgery (positional token anti-join +
+    // ordered re-agg), so a drift in either half — a span boundary, a
+    // kept/removed position, the re-join order — flips a text cell and
+    // hash-fails.
+    "q_substring_scrub" -> Q(
+      (s, d) => Dedup.substringScrub(Td.documents(s, d), "doc_id", "text", k = 16),
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+              |${substringDupCtesSql(16)},
+              |${substringScrubCtesSql(16)}
+              |SELECT doc_id, n_tokens, n_scrubbed, stext AS text
+              |FROM sc""".stripMargin)),
+
+    // ----- incremental substring dedup (stored first-occurrence fp index) --
+    // The operational mode of q_substring_dedup at 100 TB: the corpus
+    // (hash-bucket < 80) window-fp first-occurrence relation is persisted
+    // once (Td.substringFpTable, ib key "sfp"); each arriving batch
+    // (bucket ≥ 80) pays its own windows + an index probe + a batch-local
+    // window pass — never the corpus-tokens wfp re-shuffle. Incremental
+    // spans ≡ the full rebuild's spans restricted to batch documents (the
+    // probe's index-first-or-earlier-batch rule is exactly "not the global
+    // first"), which is what the oracle recomputes from scratch.
+    "q_substring_inc" -> Q(
+      (s, d) => {
+        val batch = Td.documents(s, d)
+          .filter(graft.operators.Sampling.hashBucket(col("doc_id")) >= 80)
+        Dedup.substringIncSpans(batch, "doc_id", "text", k = 16,
+          Td.substringFpTable(s, d))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+              |${substringDupCtesSql(16)}
+              |SELECT doc_id, min(pos) AS span_start,
+              |  max(pos) - min(pos) + 16 AS span_len,
+              |  CAST(count(*) AS BIGINT) AS n_wins
+              |FROM d
+              |WHERE (((doc_id % 1000003) * 2654435761) // 8192) % 100 >= 80
+              |GROUP BY doc_id, grp""".stripMargin)),
 
     // ----- hashed linear classifier filtering (fastText-style inference) ---
     // Model-based quality filtering with a hash-derived stand-in weight

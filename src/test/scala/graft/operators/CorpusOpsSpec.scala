@@ -512,6 +512,84 @@ class CorpusOpsSpec extends SparkSpec {
       (5L, 1L, 10L, 5L), (5L, 11L, 8L, 3L)))
   }
 
+  test("substringScrub: union-of-spans token surgery, first copy survives") {
+    val b = (1 to 10).map(i => s"b$i").mkString(" ")
+    val c = (1 to 8).map(i => s"c$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"u1 u2 u3 $b u4 u5"),      // first occurrence of B — untouched
+      (2L, s"v1 v2 v3 v4 v5 $b v6"),   // B span (5,10) removed
+      (4L, s"$c w1 w2 $c"),            // within-doc second C removed
+      (5L, s"x1 $b $c"),               // both islands removed → only x1 left
+      (6L, "short doc"),               // < k tokens, untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringScrub(docs, "doc_id", "text", k = 6)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 15L, 0L, s"u1 u2 u3 $b u4 u5"),
+      (2L, 16L, 10L, "v1 v2 v3 v4 v5 v6"),
+      (4L, 18L, 8L, s"$c w1 w2"),
+      (5L, 19L, 18L, "x1"),
+      (6L, 2L, 0L, "short doc")))
+    // surgery is idempotent on this corpus: the scrubbed output re-mines
+    // to zero spans (every repeated run now has exactly one copy)
+    val again = Dedup.substringSpans(
+      Dedup.substringScrub(docs, "doc_id", "text", k = 6),
+      "doc_id", "text", k = 6)
+    assert(again.count() == 0)
+  }
+
+  test("applyScrubSpans: OVERLAPPING islands scrub each position once") {
+    // doc 7 establishes G1 = t1..t6 and the bridge 6-gram t4 t5 t6 s1 s2 s3;
+    // doc 8's dup window starts are then {0, 3} (starts 1–2 mix G1 into s's
+    // never seen as a window) — two islands whose spans [0,6) and [3,9)
+    // OVERLAP. The union scrubs 9 positions, not Σ span_len = 12.
+    val docs = Seq(
+      (7L, "t1 t2 t3 t4 t5 t6 p1 p2 t4 t5 t6 s1 s2 s3"),
+      (8L, "t1 t2 t3 t4 t5 t6 s1 s2 s3 q1 q2 q3"),
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs, "doc_id", "text", k = 6)
+    val got = spans.orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((8L, 0L, 6L), (8L, 3L, 6L)))
+    val out = Dedup.applyScrubSpans(docs, spans, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (7L, 14L, 0L, "t1 t2 t3 t4 t5 t6 p1 p2 t4 t5 t6 s1 s2 s3"),
+      (8L, 12L, 9L, "q1 q2 q3")))
+  }
+
+  test("substringIncSpans/substringFpAppend: append ≡ rebuild at stride 1") {
+    val b = (1 to 10).map(i => s"b$i").mkString(" ")
+    val c = (1 to 8).map(i => s"c$i").mkString(" ")
+    val all = Seq(
+      (1L, s"u1 u2 u3 $b u4 u5"),
+      (2L, s"v1 v2 v3 v4 v5 $b v6"),    // corpus-internal B repeat
+      (11L, s"w1 w2 $b w3"),            // batch doc repeating corpus B
+      (12L, s"$c m1 m2"),               // batch-first C occurrence
+      (13L, s"n1 $c n2"),               // batch-internal C repeat
+    ).toDF("doc_id", "text")
+    val corpus = all.filter(col("doc_id") < 10L)
+    val batch = all.filter(col("doc_id") >= 10L)
+    val root = tmpDir("sfp-inc")
+    val kt = graft.engine.KeyedTable(spark, root, Seq("wfp"))
+    kt.overwrite(Dedup.substringFps(corpus, "doc_id", "text", k = 6))
+    // probe: incremental batch spans ≡ full-rebuild spans on batch docs
+    val inc = Dedup.substringIncSpans(batch, "doc_id", "text", k = 6, kt.current)
+      .orderBy("doc_id", "span_start").collect().toSeq
+    val full = Dedup.substringSpans(all, "doc_id", "text", k = 6)
+      .filter(col("doc_id") >= 10L)
+      .orderBy("doc_id", "span_start").collect().toSeq
+    assert(inc == full && inc.nonEmpty)
+    // maintain: merged index ≡ from-scratch index over corpus ∪ batch
+    kt.merge(Dedup.substringFpAppend(batch, "doc_id", "text", k = 6, kt.current))
+    val merged = kt.current.orderBy("wfp").collect().toSeq
+    val rebuilt = Dedup.substringFps(all, "doc_id", "text", k = 6)
+      .orderBy("wfp").collect().toSeq
+    assert(merged == rebuilt)
+  }
+
   test("windowFps kernel: rolling equals the direct per-window fold (fuzz)") {
     import graft.functions.Kernels
     import org.apache.spark.sql.catalyst.util.GenericArrayData
