@@ -49,7 +49,8 @@ object Bench {
       idxBuild: Seq[(String, Double)], budget: Int = 1995,
       regressedQ: Seq[String] = Nil,
       isoQ: Seq[(String, Double)] = Nil, xpopQ: Seq[String] = Nil,
-      ibBox: Option[String] = None): String = {
+      ibBox: Option[String] = None,
+      mass: Seq[(String, Double)] = Nil): String = {
     def fmt(prec: Int)(v: Double): String =
       BigDecimal(v).setScale(prec, BigDecimal.RoundingMode.HALF_UP)
         .bigDecimal.stripTrailingZeros.toPlainString
@@ -69,6 +70,13 @@ object Bench {
       else ibBox.map(b => s""""ibx":"$b",""").getOrElse("") +
         idxBuild.map { case (k, v) => "\"" + k + "\":" + fmt(1)(v) }
         .mkString("\"ib\":{", ",", "},")
+    // "mass": per-family collision-mass fingerprints of THIS corpus (r17
+    // verdict Next #3) — next round's massXpop comparison population.
+    // Constant across shrink levels, like ib: certification data, and the
+    // comparison breaks if a squeezed artifact drops it.
+    val massPart = if (mass.isEmpty) ""
+      else mass.map { case (k, v) => "\"" + k + "\":" + fmt(0)(v) }
+        .mkString("\"mass\":{", ",", "},")
     def line(prec: Int, strip: Boolean, slim: Int, elide: Double): String = {
       // "iso": isolated (post-battery, fresh-ordering) re-run measurements —
       // the SAME-POPULATION baselines future rounds compare their own
@@ -114,7 +122,7 @@ object Bench {
       val fastPart = if (fast.isEmpty) ""
         else s""""fast_n":${fast.size},"fast_sum":${fmt(2)(fast.map(_._2).sum)},""" +
           s""""fast_max":${fmt(2)(fast.map(_._2).max)},"""
-      s"""{$head$hint$fastPart"queries":$qs,$sf$ibPart$isoPart$errPart$regressedPart$xpopPart$stalledPart$stallPart"value":${fmt(2)(total)}}"""
+      s"""{$head$hint$fastPart"queries":$qs,$sf$ibPart$massPart$isoPart$errPart$regressedPart$xpopPart$stalledPart$stallPart"value":${fmt(2)(total)}}"""
     }
     val levels = Seq(
       line(2, false, 0, 0.0), line(1, false, 0, 0.0), line(1, true, 0, 0.0),
@@ -223,6 +231,82 @@ object Bench {
       f"${java.net.InetAddress.getLocalHost.getHostName.hashCode}%08x"
     }
 
+  /** Auto-xpop decision for the collision-mass contract family (r17 verdict
+    * Next #3): a query's battery time breached its 2× prior, but its
+    * family's candidate-pair mass Σ C(w,2) — a property of the DATA, which
+    * the driver regenerates — also moved. If the mass itself moved past the
+    * same 1.5× bar the ib channel uses AND the time movement does not
+    * exceed the mass movement by more than the normal 2× gate slack, the
+    * movement is attributable to the data population, and the query files
+    * as xpop (fresh iso baseline established) instead of burning retries
+    * and manual stash-A/B adjudication — r17's 87.7× corpus shift cost
+    * exactly that labor. A real code regression cannot hide: with mass
+    * ~flat (ratio < 1.5) the veto never fires, and a time ratio far past
+    * 2× the mass ratio still files normally.
+    */
+  def massXpop(timeRatio: Double, massRatio: Double): Boolean =
+    massRatio >= 1.5 && timeRatio <= 2.0 * massRatio
+
+  /** The collision-mass family a query's wall time is contractually
+    * proportional to, if any — only the exact/capped pair miners and their
+    * incremental twins, whose cost model IS the bucket self-join mass.
+    */
+  def massFamilyOf(name: String): Option[String] = name.stripPrefix("q_") match {
+    case n if n.startsWith("chunk_neardup") || n == "chunk_inc_neardup" => Some("chunk")
+    case n if n.startsWith("jaccard_") || n.startsWith("containment_") => Some("shingle")
+    case n if n.startsWith("minhash_") || n.startsWith("dup_clusters") ||
+      n == "incremental_dedup" => Some("docband")
+    case n if n.startsWith("embed_") => Some("embed")
+    case n if n.startsWith("video_neardup") => Some("video")
+    case _ => None
+  }
+
+  /** Per-family candidate-pair mass fingerprints of THIS corpus, emitted in
+    * the artifact's "mass" block: for each quadratic-by-contract miner
+    * family, Σ C(w,2) over the buckets its self-join actually groups by,
+    * plus the max bucket width (`<family>_w`). Cheap (one groupBy + one
+    * aggregate per family, reusing the stored index relations the battery
+    * preloads anyway) and computed pre-battery, so "is this movement data
+    * or code?" becomes a number the artifact answers itself — the
+    * ChunkWidthProbe statistic, standing.
+    */
+  def massStats(spark: SparkSession, sfDir: String): Seq[(String, Double)] = {
+    import org.apache.spark.sql.functions._
+    import graft.queries.Td
+    import graft.operators.{Dedup, Similarity}
+    def widths(b: org.apache.spark.sql.DataFrame, keys: String*): Seq[Double] = {
+      val r = b.groupBy(keys.map(col): _*).agg(count(lit(1)).as("w"))
+        .agg(sum(col("w") * (col("w") - 1) / 2), max(col("w"))).collect()(0)
+      Seq(if (r.isNullAt(0)) 0.0 else r.getDouble(0),
+        if (r.isNullAt(1)) 0.0 else r.getLong(1).toDouble)
+    }
+    val docs = Td.documents(spark, sfDir)
+    // chunk: 32×1 minhash band buckets over distinct-collapsed 16/16 chunk
+    // representatives — q_chunk_neardup's exact self-join key
+    val chunk = widths(Dedup.bandIndex(Dedup.chunkReps(docs, "doc_id", "text"),
+      "cid", "chunk_text", n = 3, numHashes = 32, bands = 32, rowsPerBand = 1),
+      "band_idx", "band_val")
+    // shingle: 3-shingle posting lists — the jaccard/containment candidate key
+    val shingle = widths(Td.docShingles(spark, sfDir, 3), "s")
+    // docband: the stored document-level band index (corpus slice) —
+    // minhash_dedup / dup_clusters' bucket key
+    val docband = widths(Td.bandIndexTable(spark, sfDir), "band_idx", "band_val")
+    // embed: sign-LSH (tbl, bucket) buckets — embed_lsh_pairs' key
+    val embed = widths(Similarity.signBucketIndex(Td.embeddings(spark, sfDir),
+      "vec_id", "embedding", dim = 64), "tbl", "bucket")
+    // video: hamming-blocked (frame_idx, 32-bit signature chunk) buckets at
+    // maxHamming=1 — the frame-pair candidate key of the video family
+    val vh = Td.videoHashTable(spark, sfDir)
+    val vchunks = vh.select(col("frame_idx"), lit(0).as("cidx"),
+        shiftright(col("dhash"), 32).as("cval"))
+      .unionAll(vh.select(col("frame_idx"), lit(1).as("cidx"),
+        col("dhash").bitwiseAND(lit(0xFFFFFFFFL)).as("cval")))
+    val video = widths(vchunks, "frame_idx", "cidx", "cval")
+    Seq("chunk" -> chunk, "shingle" -> shingle, "docband" -> docband,
+      "embed" -> embed, "video" -> video)
+      .flatMap { case (f, Seq(m, w)) => Seq(f -> m, s"${f}_w" -> w) }
+  }
+
   def parsePriors(raw: String, curSf: Option[String],
       curBox: Option[String] = None)
       : (Map[String, Double], Map[String, Double], Map[String, Double]) = {
@@ -273,6 +357,27 @@ object Bench {
       val stalled = nameList("stalled")
       (qs -- (stalled ++ nameList("regressed")), ib, iso -- stalled)
     }
+  }
+
+  /** The "mass" block of one artifact, sf-gated exactly like query priors
+    * (mass is a property of the scale's corpus — a cross-scale value is not
+    * a prior at all) but NOT box-gated (the statistic is data, not machine).
+    * Callers walk artifacts newest-first and keep the first non-empty map.
+    */
+  def parseMassPrior(raw: String, curSf: Option[String]): Map[String, Double] = {
+    val txt = if (raw.contains("\"queries\":{")) raw else raw.replace("\\\"", "\"")
+    val priorSf = "\"sf\"\\s*:\\s*\"?(?:sf)?([0-9.]+)\"?".r
+      .findFirstMatchIn(txt).map(_.group(1))
+    val sfOk = (priorSf, curSf) match {
+      case (Some(a), Some(b)) => a == b
+      case (None, Some(_)) => false
+      case _ => true
+    }
+    if (!sfOk) Map.empty
+    else "\"mass\":\\{([^}]*)\\}".r.findFirstMatchIn(txt).map(_.group(1))
+      .map(body => "\"([A-Za-z0-9_]+)\":(-?[0-9.eE+]+)".r.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+      .getOrElse(Map.empty)
   }
 
   /** Newest-first merge of per-artifact priors: the newest artifact that
@@ -362,7 +467,7 @@ object Bench {
     // re-run inside round N cannot compare against its own output
     // (ADVICE r9: same-round self-comparison silently weakens the
     // cross-round stall check).
-    val (priorTimes, ibPriors, isoPriors): (Map[String, Double], Map[String, Double], Map[String, Double]) = {
+    val (priorTimes, ibPriors, isoPriors, massPriors): (Map[String, Double], Map[String, Double], Map[String, Double], Map[String, Double]) = {
       val explicit = sys.env.get("SPARK_GRAFT_BENCH_PRIOR").map(new java.io.File(_))
       val selfRound = sys.env.get("SPARK_GRAFT_BENCH_ROUND").map(_.toInt)
       // Accepted names: the driver's BENCH_r<N>.json plus builder-saved
@@ -378,10 +483,15 @@ object Bench {
         .sortBy(f => -roundOf(f.getName)).toSeq
       val candidates = explicit.map(Seq(_)).getOrElse(auto)
       val curSf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir.split('/').last).map(_.group(1))
-      mergePriors(candidates.filter(_.isFile).map { f =>
-        parsePriors(scala.io.Source.fromFile(f, "UTF-8").mkString, curSf,
-          curBox = Some(boxFp))
-      })
+      val raws = candidates.filter(_.isFile)
+        .map(f => scala.io.Source.fromFile(f, "UTF-8").mkString)
+      val (q, ib, iso) = mergePriors(raws.map(
+        parsePriors(_, curSf, curBox = Some(boxFp))))
+      // mass prior: newest artifact (same newest-first walk) that carries a
+      // same-scale mass block — the massXpop comparison population
+      val mp = raws.iterator.map(parseMassPrior(_, curSf))
+        .find(_.nonEmpty).getOrElse(Map.empty[String, Double])
+      (q, ib, iso, mp)
     }
     if (priorTimes.nonEmpty || isoPriors.nonEmpty)
       System.err.println(s"BENCHPRIOR ${priorTimes.size} per-query priors, " +
@@ -722,6 +832,27 @@ object Bench {
       graft.queries.Td.pagerankTable(spark, sfDir).current.count()
       graft.queries.Td.zorderEventsTable(spark, sfDir).current.count()
     }
+    // Collision-mass fingerprints of THIS corpus, computed pre-battery (r17
+    // verdict Next #3): one number per quadratic-by-contract miner family,
+    // shipped in the artifact's "mass" block and compared against the
+    // newest same-scale artifact's block to auto-file data-shift movers as
+    // xpop (massXpop above). Full batteries always; a filtered dev run opts
+    // in with SPARK_GRAFT_BENCH_MASS=1.
+    val massSeq: Seq[(String, Double)] =
+      if (!(fullBattery || sys.env.contains("SPARK_GRAFT_BENCH_MASS"))) Nil
+      else {
+        val t0 = System.nanoTime()
+        val m = massStats(spark, sfDir)
+        System.err.println(f"BENCHMASS ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+          m.map { case (k, v) => f"$k=$v%.0f" }.mkString(" "))
+        m
+      }
+    val massNow = massSeq.toMap
+    // Queries whose prior breach was attributed to a family mass shift —
+    // filed as xpop with a post-battery iso baseline, exactly the manual
+    // protocol r17 ran by hand for the 87.7× corpus regeneration.
+    val massXpopQ = scala.collection.mutable.LinkedHashSet.empty[String]
+
     // Optional dev filter: `runMain graft.Bench q_a,q_b` times only those
     // queries (the driver invokes with no args → full battery).
     val selected = args.headOption.map(_.split(",").toSet)
@@ -871,13 +1002,29 @@ object Bench {
       // stays loaded for pmax bookkeeping.
       def isoVeto = isoPriors.get(name).exists(ip =>
         times.nonEmpty && !(times.head > 2 * ip && times.head - ip > 0.3))
-      def priorExceeded = prior.exists(p =>
-        times.nonEmpty && times.head > 2 * p && times.head - p > 0.3) && !isoVeto
-      if (prior.exists(p => times.nonEmpty && times.head > 2 * p &&
-          times.head - p > 0.3) && isoVeto) {
+      // Collision-mass veto (r17 verdict Next #3): the query's family
+      // candidate-pair mass moved with the regenerated corpus, and the time
+      // movement is proportional — data, not code. Checked only when the
+      // cheaper same-population iso veto did not already clear the breach.
+      def massRatioOf: Option[Double] = for {
+        f <- massFamilyOf(name)
+        cur <- massNow.get(f)
+        prev <- massPriors.get(f) if prev > 0
+      } yield cur / prev
+      def breached = prior.exists(p =>
+        times.nonEmpty && times.head > 2 * p && times.head - p > 0.3)
+      def massVeto = breached && prior.exists(p =>
+        massRatioOf.exists(mr => massXpop(times.head / math.max(p, 0.05), mr)))
+      def priorExceeded = breached && !isoVeto && !massVeto
+      if (breached && isoVeto) {
         isoVetoedQ += name
         System.err.println(f"BENCHISOOK $name min=${times.head}%.2f " +
           f"prior=${prior.get}%.2f isoPrior=${isoPriors(name)}%.2f within iso - no flag")
+      } else if (breached && massVeto) {
+        massXpopQ += name
+        System.err.println(f"BENCHMASSX $name min=${times.head}%.2f " +
+          f"prior=${prior.get}%.2f massRatio=${massRatioOf.get}%.1f " +
+          "family mass moved with the data - filed xpop, no retries")
       }
       var pExtra = 0
       while (priorExceeded && pExtra < maxRetries) {
@@ -888,9 +1035,11 @@ object Bench {
         if (!t.isNaN) times = (times :+ t).sorted
       }
       prior.foreach { p =>
-        if (times.nonEmpty) priorRatioByName(name) =
+        // a mass-veto'd query files as xpop: ratio dropped (next round
+        // compares against the fresh iso baseline, not the old population)
+        if (times.nonEmpty && !massVeto) priorRatioByName(name) =
           times.head / math.max(if (isoVeto) isoPriors(name) else p, 0.05)
-        if (!isoVeto) priorVerdict(times, p).foreach { verdict =>
+        if (!isoVeto && !massVeto) priorVerdict(times, p).foreach { verdict =>
           priorFlagged += name
           if (verdict == "regressed") {
             if (!regressedQ.contains(name)) {
@@ -965,6 +1114,28 @@ object Bench {
             xpopQ += name
             System.err.println(f"BENCHXPOP $name iso=$t%.2f battery-prior=$p%.2f " +
               "cross-population - iso baseline established")
+        }
+      }
+    }
+    // Mass-xpop filing (r17 verdict Next #3): each mass-veto'd query ships
+    // in the artifact's "xpop" list and gets ONE post-battery isolated run
+    // as next round's same-population baseline — the manual data-shift
+    // protocol (file xpop + fresh iso baselines), automated. Capped like
+    // the other re-run passes so a corpus-wide shift can't double the wall.
+    var massIsoRuns = 0
+    for (name <- massXpopQ.toList) {
+      xpopQ += name
+      if (!isoQ.contains(name)) {
+        if (massIsoRuns >= 8) {
+          System.err.println(s"BENCHISOSKIP $name mass-xpop cap reached - iso baseline not established")
+        } else {
+          massIsoRuns += 1
+          val t = runQueryOnce(name, SparkEntry.queries(name), -6)
+          if (!t.isNaN) {
+            isoQ(name) = t
+            if (t < resultMap(name)) resultMap(name) = t
+            System.err.println(f"BENCHMASSISO $name iso=$t%.2f baseline established")
+          }
         }
       }
     }
@@ -1099,7 +1270,7 @@ object Bench {
       failed = failed.toSeq, idxBuild = idxBuild,
       regressedQ = regressedQ.distinct.toSeq,
       isoQ = isoQ.toSeq, xpopQ = xpopQ.distinct.toSeq,
-      ibBox = Some(boxFp))
+      ibBox = Some(boxFp), mass = massSeq)
     // Stdout is a shared channel: the r12 sf1 run saw a JVM GC warning print
     // AHEAD of the artifact line, and the contract survived only because the
     // JSON prints last (verdict r12 #7). Belt-and-braces: the exact line is

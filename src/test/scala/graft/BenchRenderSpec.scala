@@ -296,6 +296,42 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(Bench.parsePriors(noSf, None)._1 == Map("q_alpha" -> 1.2))
   }
 
+  test("mass block: rendered, parsed back sf-gated, and the auto-xpop fires on a planted data shift (r17 verdict Next #3)") {
+    // render carries the mass fingerprints next to ib
+    val line = Bench.render(Seq("q_chunk_neardup" -> 12.0), "sf1",
+      stallRatio = 1.0, nstall = 0, nretry = 0, priorMax = None, npx = 0,
+      stalledQ = Nil, failed = Nil, idxBuild = Seq("ivf" -> 2.0),
+      mass = Seq("chunk" -> 102400000.0, "chunk_w" -> 142.0))
+    assert(parseable(line))
+    assert(line.contains("\"mass\":{\"chunk\":102400000,\"chunk_w\":142}"), line)
+    // parse round-trip, gated on scale exactly like query priors
+    assert(Bench.parseMassPrior(line, Some("1")) ==
+      Map("chunk" -> 102400000.0, "chunk_w" -> 142.0))
+    assert(Bench.parseMassPrior(line, Some("0.1")).isEmpty)
+    // a line with no mass block yields nothing (pre-r18 artifacts)
+    assert(Bench.parseMassPrior("""{"queries":{"a":1},"sf":"sf1","value":1}""",
+      Some("1")).isEmpty)
+    // PLANTED DATA SHIFT — the r17 adjudication, automated: chunk mass
+    // 87.7×, chunk_neardup wall 4.6× its prior → xpop, not a regression
+    assert(Bench.massXpop(timeRatio = 4.6, massRatio = 87.7))
+    // flat mass cannot veto a real regression
+    assert(!Bench.massXpop(timeRatio = 4.6, massRatio = 1.0))
+    // time movement far past the mass movement still files normally
+    assert(!Bench.massXpop(timeRatio = 8.0, massRatio = 1.6))
+    // mass moved but below the 1.5× noise bar → no veto
+    assert(!Bench.massXpop(timeRatio = 2.5, massRatio = 1.4))
+    // family mapping: the contract-quadratic miners and nothing else
+    assert(Bench.massFamilyOf("q_chunk_neardup").contains("chunk"))
+    assert(Bench.massFamilyOf("q_chunk_neardup_capped").contains("chunk"))
+    assert(Bench.massFamilyOf("q_jaccard_pairs").contains("shingle"))
+    assert(Bench.massFamilyOf("q_containment_capped").contains("shingle"))
+    assert(Bench.massFamilyOf("q_dup_clusters_lsh").contains("docband"))
+    assert(Bench.massFamilyOf("q_embed_lsh_pairs").contains("embed"))
+    assert(Bench.massFamilyOf("q_video_neardup_tiered").contains("video"))
+    assert(Bench.massFamilyOf("q_agg_battery").isEmpty)
+    assert(Bench.massFamilyOf("q_pipeline_e2e").isEmpty)
+  }
+
   test("sf key survives every shrink level (ADVICE r12)") {
     // force deep elide levels with a huge stall-heavy battery and check the
     // chosen line still carries sf
