@@ -44,6 +44,32 @@ class PlanLintSpec extends SparkSpec {
     assert(!single.exists(_.rule == "filter-repeated-subtree"), single.mkString("; "))
   }
 
+  test("generate-inferred filter: planted aliased-array explode triple-eval is flagged (r17 law #3)") {
+    // The Generate-inferred variant of the pushdown law (GenerateInferProbe,
+    // SCALING.md r17): exploding an ALIASED heavy array lets
+    // InferFiltersFromGenerate add size>0/isnotnull filters on the
+    // attribute, which pushdown then substitutes the alias tree into — the
+    // kernel lands ≥2× in one FilterExec condition (plus once in the
+    // Generate). That substituted Filter is exactly rule 2's shape, so the
+    // lint must convict it; range-derived strings keep the plan live.
+    val df = spark.range(50)
+      .select(col("id"), concat(lit("w "), col("id"), lit(" x y z")).as("t"))
+    val aliased = df
+      .select(col("id"),
+        graft.functions.Kernels.window_fps(
+          graft.operators.TextOps.tokens(col("t")), 2).as("__f"))
+      .select(col("id"), posexplode(col("__f")).as(Seq("p", "w")))
+    val bad = PlanLint.lintExecuted(aliased)
+    assert(bad.exists(_.rule == "filter-repeated-subtree"), bad.mkString("; "))
+    // the shipped fix — the kernel INLINE in the generator (substringSpans'
+    // shape) — must read clean
+    val inline = df.select(col("id"),
+      posexplode(graft.functions.Kernels.window_fps(
+        graft.operators.TextOps.tokens(col("t")), 2)).as(Seq("p", "w")))
+    val good = PlanLint.lintExecuted(inline)
+    assert(!good.exists(_.rule == "filter-repeated-subtree"), good.mkString("; "))
+  }
+
   test("battery: every registered query lints clean at sf0.001") {
     val d = "/root/testdata/sf0.001"
     val findings = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
