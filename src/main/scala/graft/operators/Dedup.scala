@@ -1359,18 +1359,36 @@ object Dedup {
     * Output: (block, id_a, id_b, hamming).
     */
   def hammingPairsBlocked(sig0: DataFrame, idCol: String, blockCol: String,
-                          sigCol: String, bits: Int, maxHamming: Int): DataFrame = {
+                          sigCol: String, bits: Int, maxHamming: Int): DataFrame =
+    hammingPairsBlockedTagged(sig0.withColumn("__no_tag", lit(false)),
+      idCol, blockCol, sigCol, "__no_tag", bits, maxHamming)
+      .drop("tag_a", "tag_b")
+
+  /** [[hammingPairsBlocked]] with a per-row boolean `tagCol` carried through
+    * the mine (output gains `tag_a`/`tag_b`). The tag rides the miner's one
+    * shuffle as a single boolean, so a caller that must route pair CLASSES
+    * differently (e.g. [[graft.operators.Multimodal.videoNearDupPairsTieredFromHashes]]'s
+    * short/long tiers) can mine ONCE and filter classes post-join instead
+    * of composing three separate mines — the r18 tier probe measured the
+    * three-branch composition's stage overhead at ~2× the single miner's
+    * whole wall on the regenerated corpus.
+    */
+  def hammingPairsBlockedTagged(sig0: DataFrame, idCol: String, blockCol: String,
+                                sigCol: String, tagCol: String,
+                                bits: Int, maxHamming: Int): DataFrame = {
     val bounds = chunkBounds(bits, maxHamming)
     val sig = sig0.select(col(blockCol).cast("long").as("blk"),
       col(idCol).cast("long").as("id"),
-      col(sigCol).cast("long").as("sh")).localCheckpoint()
+      col(sigCol).cast("long").as("sh"),
+      col(tagCol).cast("boolean").as("tg")).localCheckpoint()
     val chunkCols = (0 until bounds.length - 1).map { c =>
       struct(lit(c).as("cidx"),
         chunkOf(col("sh"), bounds(c), bounds(c + 1) - bounds(c)).as("cval"))
     }
     val exploded = sig
-      .select(col("blk"), col("id"), col("sh"), explode(array(chunkCols: _*)).as("ch"))
-      .select(col("blk"), col("id"), col("sh"),
+      .select(col("blk"), col("id"), col("sh"), col("tg"),
+        explode(array(chunkCols: _*)).as("ch"))
+      .select(col("blk"), col("id"), col("sh"), col("tg"),
         col("ch.cidx").as("cidx"), col("ch.cval").as("cval"))
     exploded.as("a").join(exploded.as("b"),
         col("a.blk") === col("b.blk") &&
@@ -1378,7 +1396,8 @@ object Dedup {
           col("a.id") < col("b.id"))
       .filter(col("a.cidx") === firstAgreeingChunk(col("a.sh"), col("b.sh"), bounds))
       .select(col("a.blk").as("block"), col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"),
+        col("a.tg").as("tag_a"), col("b.tg").as("tag_b"))
       .filter(col("hamming") <= maxHamming)
   }
 

@@ -1366,46 +1366,46 @@ object Multimodal {
     // has a denominator of ≥ 8 sampled positions — the valve sweep's failure
     // mode was exactly denominators of 1–3 positions.
     val tierMin = if (tierMinFrames > 0) tierMinFrames else 8 * frameStride
-    val h0 = mineWidth(spark, hashes)
-    // lens (one row per media) feeds the tier split AND four agg-side joins;
-    // shortFrames/longFrames each feed two mining branches. The self-join
-    // primitive localCheckpoints its own input, but the cross miner does
-    // not — without pinning here the h0⋈lens plan (a full signature-table
-    // shuffle) re-executes once per consuming branch (ADVICE r14).
+    // ONE tagged mine instead of three composed branches (r18; the tier
+    // probe measured the old shortSelf/cross/longSelf composition — three
+    // mines, per-branch checkpoints, a union, six agg-side joins — at ~2×
+    // the EXACT single-join's whole wall on the regenerated corpus, because
+    // each branch re-pays the miner's fixed stages while the mined data is
+    // small). The pair space partitions exactly as before, but in-plan:
+    //   - mining relation = short frames at ALL positions + long frames at
+    //     prefix (< tierMin, the only positions a short video can align
+    //     with — block equality enforces it) or strided positions;
+    //   - pair-class filter post-join: a pair is kept full-res when either
+    //     side is short (tag carried through the mine), and a both-long
+    //     pair only at strided blocks — which drops the prefix long×long
+    //     candidates the single relation admits that the old long-branch
+    //     never formed. Output is row-identical to the three-branch
+    //     composition (MultimodalSpec + the oracle pin both hold).
+    val h0 = mineWidth(spark, hashes).localCheckpoint()
+    // lens (one row per media) feeds the tier split AND the agg-side joins
     val lens = h0.groupBy("media_id")
       .agg(max(col("n_frames")).as("nf"))
       .withColumn("short", col("nf") < tierMin)
       .localCheckpoint()
-    def agg(framePairs: DataFrame): DataFrame = framePairs
+    // no broadcast hint: at corpus scale lens is one row per media — AQE
+    // broadcasts while it fits and shuffles when it doesn't
+    val frames = h0.join(lens.select("media_id", "short"), Seq("media_id"))
+      .filter(col("short") || col("frame_idx") < tierMin ||
+        col("frame_idx") % frameStride === 0)
+    val framePairs = Dedup.hammingPairsBlockedTagged(frames, "media_id",
+        "frame_idx", "dhash", "short", bits = 64, maxHamming = maxHamming)
+      .filter(col("tag_a") || col("tag_b") ||
+        col("block") % frameStride === 0)
+    framePairs
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_matching"))
+      .agg(count(lit(1)).as("n_matching"),
+        first(col("tag_a")).as("__sa"), first(col("tag_b")).as("__sb"))
       .join(lens.select(col("media_id").as("id_a"), col("nf").as("__na")), Seq("id_a"))
       .join(lens.select(col("media_id").as("id_b"), col("nf").as("__nb")), Seq("id_b"))
-    val shortFrames = h0.join(
-      lens.filter(col("short")).select(col("media_id")), Seq("media_id"))
-      .localCheckpoint()
-    val longFrames = h0.join(
-      lens.filter(!col("short")).select(col("media_id")), Seq("media_id"))
-      .localCheckpoint()
-    // short×short: full resolution within the short tier
-    val shortSelf = Dedup.hammingPairsBlocked(shortFrames, "media_id",
-      "frame_idx", "dhash", bits = 64, maxHamming = maxHamming)
-    // short×long: full resolution; only the long side's first tierMin
-    // positions can ever align with a short video's frames, so the
-    // expensive relation enters the join pre-cut to a bounded prefix
-    val crossPairs = Dedup.hammingPairsBlockedCross(shortFrames,
-      longFrames.filter(col("frame_idx") < tierMin), "media_id",
-      "frame_idx", "dhash", bits = 64, maxHamming = maxHamming)
-    val fullPairs = agg(shortSelf.unionByName(crossPairs))
-      .withColumn("n_comparable", least(col("__na"), col("__nb")).cast("long"))
-    // long×long: strided positions over the long tier only
-    val stridedLong = if (frameStride == 1) longFrames
-      else longFrames.filter(col("frame_idx") % frameStride === 0)
-    val longPairs = agg(Dedup.hammingPairsBlocked(stridedLong, "media_id",
-        "frame_idx", "dhash", bits = 64, maxHamming = maxHamming))
       .withColumn("n_comparable",
-        (floor((least(col("__na"), col("__nb")) - 1) / frameStride) + 1).cast("long"))
-    fullPairs.unionByName(longPairs)
+        when(col("__sa") || col("__sb"), least(col("__na"), col("__nb")))
+          .otherwise(floor((least(col("__na"), col("__nb")) - 1) / frameStride) + 1)
+          .cast("long"))
       .withColumn("match_frac",
         col("n_matching").cast("double") / col("n_comparable").cast("double"))
       .filter(col("match_frac") >= minMatchFrac)
