@@ -579,11 +579,24 @@ object TextOps {
     * Requires non-negative ids (`div` truncation == floor only then).
     */
   def packChunks(df: DataFrame, idCol: String, textCol: String,
-                 ctxLen: Int, bucketSpan: Long = 1000000L): DataFrame = {
+                 ctxLen: Int, bucketSpan: Long = 1000000L): DataFrame =
+    packChunksCounts(df.select(col(idCol).cast("long").as("id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens")),
+      ctxLen, bucketSpan)
+      .withColumnRenamed("id", idCol)
+
+  /** [[packChunks]] over a precomputed `(id, n_tokens)` relation — the
+    * composition point for pipelines whose token counts come from a REAL
+    * tokenizer (the learned BPE/unigram models' per-doc piece counts)
+    * rather than the whitespace proxy; a data team budgets sequences by
+    * the tokenizer it trains with. Same two-level distributed prefix sum.
+    */
+  def packChunksCounts(counts: DataFrame, ctxLen: Int,
+                       bucketSpan: Long = 1000000L): DataFrame = {
     require(ctxLen >= 1, s"ctxLen must be >= 1, got $ctxLen")
     require(bucketSpan >= 1, s"bucketSpan must be >= 1, got $bucketSpan")
-    val toks = df.select(col(idCol).cast("long").as("id"),
-        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    val toks = counts.select(col("id").cast("long").as("id"),
+        col("n_tokens").cast("long").as("n_tokens"))
       .withColumn("bkt", expr(s"id div $bucketSpan"))
     val wBkt = Window.orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -598,7 +611,7 @@ object TextOps {
       .withColumn("seq_first", expr(s"tok_start div $ctxLen"))
       .withColumn("seq_last", expr(s"(tok_start + n_tokens - 1) div $ctxLen"))
       .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
-      .select(col("id").as(idCol), col("n_tokens"), col("tok_start"),
+      .select(col("id"), col("n_tokens"), col("tok_start"),
         col("seq_first"), col("seq_last"), col("n_seqs"))
   }
 

@@ -222,6 +222,38 @@ object BpeQueries {
               |SELECT doc_id, n_pieces, ${TextQueries.polyHashSql("cat")} AS pieces_fp
               |FROM dcat""".stripMargin)),
 
+    // ----- sequence packing under the LEARNED tokenizer ---------------------
+    // q_pack_chunks budgets by the whitespace proxy; a data team budgets by
+    // the tokenizer it trains with. Here the unigram-LM model's per-doc
+    // piece counts (the q_unigram_tokenize deployment pass) feed the same
+    // two-level distributed prefix sum — global piece offsets, ctx-length
+    // sequence spans. The oracle RE-TRAINS the tokenizer, re-segments every
+    // document, and recomputes the cumsum, so a drifted piece boundary
+    // anywhere in either EM pass shifts every offset and shard after it.
+    "q_pack_unigram" -> Q(
+      (s, d) => TextOps.packChunksCounts(
+        Bpe.unigramTokenize(Td.documents(s, d), "doc_id", col("text"),
+            trainedUnigram(s, d), UniL)
+          .select(col("doc_id").as("id"), col("n_pieces").as("n_tokens")),
+        ctxLen = 512, bucketSpan = 64L)
+        .withColumnRenamed("id", "doc_id"),
+      Some(s"""WITH RECURSIVE ${uniTrainCtesSql},
+              |vocabF AS MATERIALIZED (SELECT piece, ${uniCostSql("cnt")} AS cost
+              |  FROM fc CROSS JOIN n2 CROSS JOIN ltab),
+              |${uniDpChainSql(3, "vocabF")},
+              |dtok AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+              |dcnt AS (SELECT doc_id, CAST(sum(len(s.pieces)) AS BIGINT) AS n_tokens
+              |  FROM dtok JOIN seg3 s ON dtok.tok = s.w GROUP BY 1),
+              |cm AS (SELECT doc_id, n_tokens,
+              |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+              |  FROM dcnt)
+              |SELECT doc_id, n_tokens, cum - n_tokens AS tok_start,
+              |  (cum - n_tokens) // 512 AS seq_first,
+              |  (cum - 1) // 512 AS seq_last,
+              |  (cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS n_seqs
+              |FROM cm""".stripMargin)),
+
     // ----- BPE merge training (Sennrich ACL'16) --------------------------
     // Learns 8 merges from the corpus: one corpus scan to the word table,
     // then 8 vocabulary-bounded (pair-count → argmax → replace) rounds.

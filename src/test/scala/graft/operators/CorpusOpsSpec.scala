@@ -376,6 +376,21 @@ class CorpusOpsSpec extends SparkSpec {
     val wide = TextOps.packChunks(docs, "doc_id", "text", ctxLen = 8, bucketSpan = 1000)
       .orderBy("doc_id").collect()
     assert(wide.toSeq == out.toSeq)
+    // the counts-based core (the learned-tokenizer composition point) is
+    // the same operator: feeding it the whitespace counts reproduces
+    // packChunks row for row
+    val viaCounts = TextOps.packChunksCounts(
+        docs.select(col("doc_id").as("id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+        ctxLen = 8, bucketSpan = 2)
+      .withColumnRenamed("id", "doc_id").orderBy("doc_id").collect()
+    assert(viaCounts.toSeq == out.toSeq)
+    // arbitrary external counts (a learned tokenizer's pieces) pack too
+    val learned = TextOps.packChunksCounts(
+        Seq((0L, 5L), (1L, 4L)).toDF("id", "n_tokens"), ctxLen = 8)
+      .orderBy("id").collect()
+    assert(learned(0) == Row(0L, 5L, 0L, 0L, 0L, 1L))
+    assert(learned(1) == Row(1L, 4L, 5L, 0L, 1L, 2L))
   }
 
   test("chunkOverlap: stride windows, overlap, short tail, fingerprints") {
