@@ -108,6 +108,26 @@ object VideoTierProbe {
         first(col("tag_a")).as("sa"), first(col("tag_b")).as("sb")).count())
     println(f"TIERDECOMP frames=$nFrames ($tFrames%.1f s) minedPairs=$nFp " +
       f"($tFp%.1f s) keptPairs=$nKept ($tKept%.1f s) groups=$nGrp ($tGrp%.1f s)")
+    // s2 (plain stride) decomposition under the r18 signature-class
+    // collapse: where does the strided variant's wall go?
+    val (nS2, tS2) = timed(Multimodal.videoNearDupPairsFromHashes(spark,
+      vh, maxHamming = 1, minMatchFrac = 0.8, frameStride = stride).count())
+    println(f"S2OP wall=$tS2%.1f s out=$nS2 pairs")
+    val perV = vh.groupBy("media_id").agg(max("n_frames").as("nf"),
+      transform(array_sort(collect_list(struct(col("frame_idx"), col("dhash")))),
+        x => x.getField("dhash")).as("sig"))
+    val cls = perV.groupBy("nf", "sig")
+      .agg(min(col("media_id")).as("rep"), count(lit(1)).as("m")).localCheckpoint()
+    val (nCls, tCls) = timed(cls.count())
+    val repStr = vh.join(cls.select(col("rep").as("media_id")), Seq("media_id"))
+      .filter(col("frame_idx") % stride === 0)
+    val s2fp = Dedup.hammingPairsBlocked(repStr, "media_id", "frame_idx", "dhash",
+      bits = 64, maxHamming = 1)
+    val (nS2fp, tS2fp) = timed(s2fp.count())
+    val (nS2grp, tS2grp) = timed(
+      s2fp.groupBy("id_a", "id_b").agg(count(lit(1)).as("n")).count())
+    println(f"S2DECOMP classes=$nCls ($tCls%.1f s) repMinedPairs=$nS2fp " +
+      f"($tS2fp%.1f s) repGroups=$nS2grp ($tS2grp%.1f s)")
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -1268,6 +1268,78 @@ object Multimodal {
       spark.conf.get("spark.sql.shuffle.partitions", "200").toInt,
       col("media_id"))
 
+  /** Whole-video signature-CLASS collapse (r18): videos with the identical
+    * (n_frames, ordered frame-signature sequence) are interchangeable in
+    * every pair computation this family performs — n_matching, n_comparable
+    * and match_frac derive only from aligned signatures and lengths — so
+    * the miners run over one REPRESENTATIVE per class and expand results to
+    * members afterwards, AFTER the frac filter (output-bound). This is the
+    * `chunkReps` distinct-collapse one level up, and it lands on the right
+    * side of the r12 collapse law (Dedup.hammingPairs plan note): it pays
+    * exactly when candidates ≫ output, which the regenerated corpus's
+    * 85.6M-candidate / 137K-output video regime is (PROBE_vtier_r18.txt) —
+    * unlike the per-position group collapse r12 measured and rejected,
+    * whole-video classes cannot drift across positions, so expansion is an
+    * exact class cross-product. sf1 measures 2.04× video collapse → ~4×
+    * candidate mass.
+    *
+    * Returns (classes(rep, nf, members), repFrames) — repFrames is the h0
+    * subset belonging to representatives. Grouping keys on the REAL
+    * sequence (no fingerprint): a hash-collision merge would silently fuse
+    * two different videos, and the sequence shuffle costs no more than the
+    * signature table itself.
+    */
+  private def videoClasses(h0: DataFrame): (DataFrame, DataFrame) = {
+    val perVideo = h0.groupBy("media_id").agg(
+      max(col("n_frames")).as("nf"),
+      transform(array_sort(collect_list(struct(col("frame_idx"), col("dhash")))),
+        x => x.getField("dhash")).as("__sig"))
+    val classes = perVideo.groupBy("nf", "__sig")
+      .agg(min(col("media_id")).as("rep"),
+        collect_list(col("media_id")).as("members"))
+      .select("rep", "nf", "members")
+      .localCheckpoint()
+    (classes, h0.join(classes.select(col("rep").as("media_id")), Seq("media_id")))
+  }
+
+  /** Member-pair expansion shared by the two miners: rep-level qualifying
+    * pairs fan out to all cross-class member pairs (same stats — members
+    * are signature-identical), and every ≥2-member class emits its own
+    * within-class pairs at frac exactly 1.0 (identical videos match at
+    * every compared position; `comparable` is the variant's denominator
+    * rule). Orientation normalized to id_a < id_b, classes are disjoint, so
+    * the union is duplicate-free.
+    */
+  private def expandClassPairs(repPairs0: DataFrame, classes: DataFrame,
+                               comparable: (Column, Column) => Column,
+                               minMatchFrac: Double): DataFrame = {
+    // pin the slim rep-level result before the expansion joins: the
+    // frac-filtered stream is output-sized (the cheap side), and the cut
+    // keeps AQE planning the two member joins against known stats instead
+    // of the whole mine pipeline's estimates (the slim-derived-relation
+    // rule, SCALING.md)
+    val repPairs = repPairs0.localCheckpoint()
+    val cross = repPairs
+      .join(classes.select(col("rep").as("id_a"), explode(col("members")).as("__ma")),
+        Seq("id_a"))
+      .join(classes.select(col("rep").as("id_b"), explode(col("members")).as("__mb")),
+        Seq("id_b"))
+      .select(least(col("__ma"), col("__mb")).as("id_a"),
+        greatest(col("__ma"), col("__mb")).as("id_b"),
+        col("n_matching"), col("n_comparable"), col("match_frac"))
+    val mem = classes.filter(size(col("members")) >= 2)
+      .select(col("rep"), col("nf"), explode(col("members")).as("m"))
+    val within = mem.as("a").join(mem.as("b"),
+        col("a.rep") === col("b.rep") && col("a.m") < col("b.m"))
+      .select(col("a.m").as("id_a"), col("b.m").as("id_b"),
+        comparable(col("a.nf"), col("b.nf")).cast("long").as("n_matching"),
+        comparable(col("a.nf"), col("b.nf")).cast("long").as("n_comparable"),
+        lit(1.0).as("match_frac"))
+      .filter(lit(1.0) >= minMatchFrac)
+    cross.unionByName(within)
+      .select("id_a", "id_b", "n_matching", "n_comparable", "match_frac")
+  }
+
   def videoNearDupPairs(spark: SparkSession, media: DataFrame,
                         maxHamming: Int = 6,
                         minMatchFrac: Double = 0.8,
@@ -1297,6 +1369,14 @@ object Multimodal {
                                   minMatchFrac: Double = 0.8,
                                   frameStride: Int = 1): DataFrame = {
     require(frameStride >= 1, s"frameStride must be >= 1, got $frameStride")
+    // NO signature-class collapse here, by measurement (r18): the plain
+    // miner's whole pipeline is one streamed join→partial-agg chain — the
+    // qualifying pair stream never materializes — and on the sf1 corpus the
+    // un-collapsed stream (~4× the rows) still grouped FASTER than the
+    // collapsed plan's extra stages cost (s2 11.3 s vs 18.2 s min-of-3; the
+    // stream cannot even be checkpointed without OOM, which is exactly why
+    // streaming it wins). The collapse pays where it shrinks the expensive
+    // FULL-RESOLUTION branches of the tiered router below (29.6 → 9.9 s).
     val h0 = mineWidth(spark, hashes)
     val h = if (frameStride == 1) h0
       else h0.filter(col("frame_idx") % frameStride === 0)
@@ -1309,7 +1389,9 @@ object Multimodal {
       .agg(count(lit(1)).as("n_matching"))
       .join(lens.select(col("media_id").as("id_a"), col("nf").as("__na")), Seq("id_a"))
       .join(lens.select(col("media_id").as("id_b"), col("nf").as("__nb")), Seq("id_b"))
-      .withColumn("n_comparable", sampledComparable.cast("long"))
+      .withColumn("n_comparable",
+        (if (frameStride == 1) least(col("__na"), col("__nb"))
+         else sampledComparable).cast("long"))
       .withColumn("match_frac",
         col("n_matching").cast("double") / col("n_comparable").cast("double"))
       .filter(col("match_frac") >= minMatchFrac)
@@ -1382,34 +1464,37 @@ object Multimodal {
     //     never formed. Output is row-identical to the three-branch
     //     composition (MultimodalSpec + the oracle pin both hold).
     val h0 = mineWidth(spark, hashes).localCheckpoint()
-    // lens (one row per media) feeds the tier split AND the agg-side joins
-    val lens = h0.groupBy("media_id")
-      .agg(max(col("n_frames")).as("nf"))
+    // signature-class collapse first (videoClasses) — the tier machinery
+    // then runs over representatives only; tiers are class-level (nf is a
+    // class key), so members expand into the correct tier's stats
+    val (classes, repFrames) = videoClasses(h0)
+    // a pair's denominator rule from the two lengths alone: short-involved
+    // pairs compare full positions, both-long pairs compare sampled ones
+    def comparable(nfA: Column, nfB: Column): Column =
+      when(nfA < tierMin || nfB < tierMin, least(nfA, nfB))
+        .otherwise(floor((least(nfA, nfB) - 1) / frameStride) + 1)
+    // no broadcast hint: at corpus scale lens is one row per class — AQE
+    // broadcasts while it fits and shuffles when it doesn't
+    val lens = classes.select(col("rep").as("media_id"), col("nf"))
       .withColumn("short", col("nf") < tierMin)
       .localCheckpoint()
-    // no broadcast hint: at corpus scale lens is one row per media — AQE
-    // broadcasts while it fits and shuffles when it doesn't
-    val frames = h0.join(lens.select("media_id", "short"), Seq("media_id"))
+    val frames = repFrames.join(lens.select("media_id", "short"), Seq("media_id"))
       .filter(col("short") || col("frame_idx") < tierMin ||
         col("frame_idx") % frameStride === 0)
     val framePairs = Dedup.hammingPairsBlockedTagged(frames, "media_id",
         "frame_idx", "dhash", "short", bits = 64, maxHamming = maxHamming)
       .filter(col("tag_a") || col("tag_b") ||
         col("block") % frameStride === 0)
-    framePairs
+    val repPairs = framePairs
       .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_matching"),
-        first(col("tag_a")).as("__sa"), first(col("tag_b")).as("__sb"))
+      .agg(count(lit(1)).as("n_matching"))
       .join(lens.select(col("media_id").as("id_a"), col("nf").as("__na")), Seq("id_a"))
       .join(lens.select(col("media_id").as("id_b"), col("nf").as("__nb")), Seq("id_b"))
-      .withColumn("n_comparable",
-        when(col("__sa") || col("__sb"), least(col("__na"), col("__nb")))
-          .otherwise(floor((least(col("__na"), col("__nb")) - 1) / frameStride) + 1)
-          .cast("long"))
+      .withColumn("n_comparable", comparable(col("__na"), col("__nb")).cast("long"))
       .withColumn("match_frac",
         col("n_matching").cast("double") / col("n_comparable").cast("double"))
       .filter(col("match_frac") >= minMatchFrac)
-      .select("id_a", "id_b", "n_matching", "n_comparable", "match_frac")
+    expandClassPairs(repPairs, classes, comparable, minMatchFrac)
   }
 
   // ------------------------------------------------ perceptual audio hash ---
