@@ -535,6 +535,55 @@ object Dedup {
     } else verified
   }
 
+  /** [[minhashPairs]] with a bucket-width cap AND the over-wide-bucket
+    * report from ONE banding pass (r18): returns (verified pairs, dropped
+    * buckets as (band_idx, band_val, width) rows with width > cap).
+    *
+    * Row-identical to `(minhashPairs(df, …, maxBucketWidth = cap),
+    * overWideBuckets(df, …, maxBucketWidth = cap))` — DedupSpec pins both —
+    * but the unfused pair paid the WHOLE shingle → 32-permutation-minhash →
+    * band pipeline twice (the report re-derived [[bandIndex]] from
+    * scratch). Here the banded bucket relation, with its per-bucket width,
+    * is computed once and checkpointed (slim: id + band key + width), and
+    * both the ≤cap candidate stream and the >cap report read it. At corpus
+    * scale that is one full scan + signature pass saved per run; the
+    * checkpoint also lets the shared intermediates release eagerly, exactly
+    * as [[minhashPairs]] does.
+    */
+  def minhashPairsCapped(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, tau: Double, maxBucketWidth: Int,
+                         bands: Int = 8, rowsPerBand: Int = 4)
+      : (DataFrame, DataFrame) = {
+    require(bands * rowsPerBand <= 32,
+      s"bands*rowsPerBand must fit the 32 minhash permutations, got $bands x $rowsPerBand")
+    val numHashes = 32
+    val ex = explodedShingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val state = minhashVerifyState(ex, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one banding pass, width attached; eager checkpoint because BOTH
+    // consumers (capped candidates now, overwide report at final-action
+    // time) must survive the state/ex release below
+    val bucketsW = bandBuckets(state, numHashes, bands, rowsPerBand)
+      .withColumn("__w", count(lit(1)).over(Window.partitionBy("band_idx", "band_val")))
+      .localCheckpoint()
+    val over = bucketsW.filter(col("__w") > maxBucketWidth)
+      .groupBy("band_idx", "band_val").agg(count(lit(1)).as("width"))
+    val buckets = bucketsW.filter(col("__w") <= maxBucketWidth).drop("__w")
+    val cands = buckets.as("a").join(buckets.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val verified = verifyPairs(cands, state, state, "id_a", "id_b", tau)
+      .select("id_a", "id_b", "jaccard")
+    val p = verified.localCheckpoint() // eager: runs candidates + verify
+    state.unpersist()
+    ex.unpersist()
+    (p, over)
+  }
+
   /** Minhash+verify state from an exploded shingle relation: one groupBy(id)
     * producing mh0..mh{k-1}, the full shingle array, and the set size.
     */
@@ -546,6 +595,20 @@ object Dedup {
       minAggs.head,
       (minAggs.tail :+ collect_list(col("s")).as("arr") :+ count(lit(1)).as("n_sh")): _*)
   }
+
+  /** (id, arr, n_sh) exact-verify state from an exploded (id, s) shingle
+    * relation — the relation [[dedupAgainstIndex]] verifies candidate pairs
+    * against. Public because stored-index BUILDERS persist it next to the
+    * band index (r18 optimization): a probe that reads stored verify state
+    * skips the collided-corpus text fetch + re-shingle entirely. At 100 TB
+    * the state write is one extra corpus pass at build time (amortized like
+    * the index itself); every later batch saves a semi-join against the
+    * corpus text plus a full re-shingle of whatever collided. One
+    * definition shared by builders and the in-operator derived path, so the
+    * two cannot drift.
+    */
+  def verifyState(ex: DataFrame): DataFrame =
+    ex.groupBy("id").agg(collect_list(col("s")).as("arr"), count(lit(1)).as("n_sh"))
 
   /** Exact shingle-Jaccard verification of candidate (leftKey, rightKey)
     * pairs against two (id, arr, n_sh) state relations: per-pair distinct
@@ -614,7 +677,8 @@ object Dedup {
                         numHashes: Int = 32,
                         bands: Int = 8, rowsPerBand: Int = 4,
                         shingles: Option[DataFrame] = None,
-                        maxBucketWidth: Int = Int.MaxValue): DataFrame = {
+                        maxBucketWidth: Int = Int.MaxValue,
+                        corpusState: Option[DataFrame] = None): DataFrame = {
     // `shingles`: pre-exploded (id, s) rows for the BATCH — callers that
     // split one corpus into index+batch sides by an id predicate can derive
     // both from a single tokenization pass (filter the shared relation by
@@ -637,22 +701,29 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // cross candidates: batch bands probe the corpus index. Materialized
-    // (slim two-column relation) because it has two consumers — the
-    // collided-corpus fetch and the verify join — and its upstream is the
-    // full corpus-index plan, which would otherwise be evaluated twice.
-    val cross = bBuckets.join(
+    // cross candidates: batch bands probe the corpus index. With DERIVED
+    // corpus state the relation is materialized (slim two columns) because
+    // it has two consumers — the collided-corpus fetch and the verify join —
+    // and its upstream is the full corpus-index plan, which would otherwise
+    // be evaluated twice. With STORED corpus state (r18) the fetch consumer
+    // disappears (verify joins the stored arrays directly), so the
+    // checkpoint barrier is skipped too — one fewer job per probe.
+    val crossRaw = bBuckets.join(
         capBuckets(corpusIndex.select(col("id").as("cid"), col("band_idx"), col("band_val")),
           maxBucketWidth),
         Seq("band_idx", "band_val"))
       .select(col("cid"), col("id").as("bid"))
       .distinct()
-      .localCheckpoint()
-    // corpus verify-state ONLY for collided corpus docs
-    val candCorpus = corpus.join(cross.select(col("cid").as("__cand_id")).distinct(),
-      corpus(idCol).cast("long") === col("__cand_id"), "left_semi")
-    val cState = explodedShingles(candCorpus, idCol, textCol, n)
-      .groupBy("id").agg(collect_list(col("s")).as("arr"), count(lit(1)).as("n_sh"))
+    val cross = if (corpusState.isDefined) crossRaw else crossRaw.localCheckpoint()
+    // corpus verify-state: STORED (id, arr, n_sh) when the index root
+    // carries it (the operational shape — built once with the index, read
+    // per batch), else derived by fetching ONLY collided corpus docs back
+    // through the shingler.
+    val cState = corpusState.getOrElse {
+      val candCorpus = corpus.join(cross.select(col("cid").as("__cand_id")).distinct(),
+        corpus(idCol).cast("long") === col("__cand_id"), "left_semi")
+      verifyState(explodedShingles(candCorpus, idCol, textCol, n))
+    }
     val dropInternal = verifyPairs(internal, state, state, "id_a", "id_b", tau)
       .select(col("id_b").as("__drop_id"))
     val dropCross = verifyPairs(cross, cState, state, "cid", "bid", tau)
@@ -950,6 +1021,31 @@ object Dedup {
         .as("cid"),
         col(idCol).cast("long").as("doc_id"), col("chunk_text"))
 
+  /** Per-document chunk counts (doc_id, n_chunks), computed MAP-ONLY from
+    * the token count via [[graft.operators.TextOps.chunkOverlap]]'s own
+    * enumeration arithmetic: n_chunks = (greatest(n_toks − chunkSize, 0) +
+    * stride − 1) div stride + 1 (always ≥ 1 — an empty document still emits
+    * one empty chunk). Row-identical to
+    * `chunkCids(df).groupBy("doc_id").count()` (CorpusOpsSpec pins the
+    * equality), without re-running the chunk Generate or paying the
+    * groupBy(doc_id) shuffle — the r18 rollup optimization for the chunk
+    * near-dedup family, and at 100 TB one full corpus explode per query
+    * removed.
+    */
+  def chunkCounts(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
+      s"chunkCounts needs 1 <= stride <= chunkSize, got $chunkSize/$stride")
+    df.select(col(idCol).cast("long").as("doc_id"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("__n"))
+      // null text explodes to zero chunks in chunkOverlap (explode of a
+      // null sequence drops the row) — drop it here too, exactly
+      .filter(col("__n").isNotNull)
+      .select(col("doc_id"),
+        (expr(s"(greatest(__n - $chunkSize, 0) + $stride - 1) div $stride")
+          + lit(1L)).as("n_chunks"))
+  }
+
   /** Distinct-collapsed chunk representatives: the smallest cid per distinct
     * chunk text. The load-bearing step of chunk-level near-dedup at scale —
     * identical chunks (the overwhelming duplicate mass) reduce to ONE
@@ -1006,7 +1102,8 @@ object Dedup {
                       corpusReps: DataFrame, corpusIndex: DataFrame,
                       chunkSize: Int = 16, stride: Int = 16,
                       n: Int = 3, tau: Double = 0.5,
-                      maxBucketWidth: Int = Int.MaxValue): DataFrame = {
+                      maxBucketWidth: Int = Int.MaxValue,
+                      corpusState: Option[DataFrame] = None): DataFrame = {
     val ch = chunkCids(batch, idCol, textCol, chunkSize, stride)
     val repsB = ch.groupBy("chunk_text").agg(min(col("cid")).as("cid"))
     // exact arm: batch text already present among the corpus representatives
@@ -1018,10 +1115,13 @@ object Dedup {
       repsB.select(col("cid"), col("chunk_text")), "cid", "chunk_text",
       corpusReps.select(col("cid"), col("chunk_text")), corpusIndex,
       n = n, tau = tau, numHashes = 32, bands = 32, rowsPerBand = 1,
-      maxBucketWidth = maxBucketWidth)
+      maxBucketWidth = maxBucketWidth, corpusState = corpusState)
     val kept = keptFuzzy.join(exactDrop, Seq("cid"), "left_anti")
       .select(expr("cid div 1048576").as("doc_id"))
-    ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    // n_chunks map-only via the enumeration arithmetic (r18): the old
+    // rollup re-ran the FULL chunk Generate (tokenize + explode) a second
+    // time and paid a groupBy(doc_id) shuffle just to count rows per doc.
+    chunkCounts(batch, idCol, textCol, chunkSize, stride)
       .join(kept.groupBy("doc_id").agg(count(lit(1)).as("__k")),
         Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("n_chunks"),

@@ -303,9 +303,17 @@ object Td {
       .filter(graft.operators.Sampling.hashBucket(col("doc_id")) < 80)
     val ex = docShingles(s, d, 3)
       .filter(graft.operators.Sampling.hashBucket(col("id")) < 80)
-    graft.engine.KeyedTable(s, tmp, Seq("id", "band_idx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.engine.KeyedTable(s, s"$tmp/index", Seq("id", "band_idx"))
       .overwrite(graft.operators.Dedup.bandIndex(corpusDocs, "doc_id", "text",
         shingles = Some(ex)))
+    // verify state NEXT TO the index (r18): the probe path reads stored
+    // (id, arr, n_sh) instead of fetching collided corpus docs back through
+    // the shingler per batch — build pays one extra corpus pass, every
+    // batch saves a semi-join + re-shingle.
+    graft.engine.KeyedTable(s, s"$tmp/state", Seq("id"))
+      .overwrite(graft.operators.Dedup.verifyState(ex))
+    ex.unpersist()
   }
 
   /** STORED chunk-level dedup state for `q_chunk_inc_neardup`: the corpus
@@ -322,21 +330,31 @@ object Td {
       chunkSize = 16, stride = 16)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.engine.KeyedTable(s, s"$tmp/reps", Seq("cid")).overwrite(reps)
+    // one shingle pass feeds BOTH the band index and the stored verify
+    // state (r18) — the probe path then never re-shingles corpus reps
+    val ex = graft.operators.Dedup.explodedShingles(reps, "cid", "chunk_text", 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.engine.KeyedTable(s, s"$tmp/index", Seq("id", "band_idx"))
       .overwrite(graft.operators.Dedup.bandIndex(reps, "cid", "chunk_text",
-        n = 3, numHashes = 32, bands = 32, rowsPerBand = 1))
+        n = 3, numHashes = 32, bands = 32, rowsPerBand = 1,
+        shingles = Some(ex)))
+    graft.engine.KeyedTable(s, s"$tmp/state", Seq("id"))
+      .overwrite(graft.operators.Dedup.verifyState(ex))
+    ex.unpersist()
     reps.unpersist()
   }
 
-  private val ChunkBandFormat = 1
-  /** (corpusReps, corpusIndex) from storage — see [[buildChunkBandIndexInto]]. */
-  def chunkBandTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private val ChunkBandFormat = 2 // 2: + stored verify state (r18)
+  /** (corpusReps, corpusIndex, corpusState) from storage — see
+    * [[buildChunkBandIndexInto]]. */
+  def chunkBandTables(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     val corpusDocs = documents(s, d)
       .filter(graft.operators.Sampling.hashBucket(col("doc_id")) < 80)
     val root = indexRoot(s, "chunkband", ChunkBandFormat, d, "documents", corpusDocs.count())
     installDir(s, root)(buildChunkBandIndexInto(s, d, _))
     (graft.engine.KeyedTable(s, s"$root/reps", Seq("cid")).current,
-      graft.engine.KeyedTable(s, s"$root/index", Seq("id", "band_idx")).current)
+      graft.engine.KeyedTable(s, s"$root/index", Seq("id", "band_idx")).current,
+      graft.engine.KeyedTable(s, s"$root/state", Seq("id")).current)
   }
 
   /** STORED substring-dedup state for `q_substring_inc`: the corpus
@@ -1471,12 +1489,17 @@ object Td {
     name
   }
 
-  private val BandIndexFormat = 1
-  def bandIndexTable(s: SparkSession, d: String): DataFrame = {
+  private val BandIndexFormat = 2 // 2: + stored verify state (r18)
+  private def bandRoot(s: SparkSession, d: String): String = {
     val corpusDocs = documents(s, d)
       .filter(graft.operators.Sampling.hashBucket(col("doc_id")) < 80)
     val root = indexRoot(s, "bandindex", BandIndexFormat, d, "documents", corpusDocs.count())
     installDir(s, root)(buildBandIndexInto(s, d, _))
-    graft.engine.KeyedTable(s, root, Seq("id", "band_idx")).current
+    root
   }
+  def bandIndexTable(s: SparkSession, d: String): DataFrame =
+    graft.engine.KeyedTable(s, s"${bandRoot(s, d)}/index", Seq("id", "band_idx")).current
+  /** Stored (id, arr, n_sh) verify state for the doc band index (r18). */
+  def bandStateTable(s: SparkSession, d: String): DataFrame =
+    graft.engine.KeyedTable(s, s"${bandRoot(s, d)}/state", Seq("id")).current
 }

@@ -2144,7 +2144,8 @@ object TextQueries {
         val exBkt = graft.operators.Sampling.hashBucket(col("id"))
         Dedup.dedupAgainstIndex(batch, "doc_id", "text", corpus,
           Td.bandIndexTable(s, d),
-          shingles = Some(ex.filter(exBkt >= 80)))
+          shingles = Some(ex.filter(exBkt >= 80)),
+          corpusState = Some(Td.bandStateTable(s, d)))
           .select("doc_id", "lang", "source", "n_chars")
       },
       Some(s"""WITH p AS ($jaccardPairsSql),
@@ -2297,7 +2298,8 @@ object TextQueries {
     // corpus rather than assuming it.
     "q_chunk_neardup" -> Q(
       (s, d) => {
-        val ch = Dedup.chunkCids(Td.documents(s, d), "doc_id", "text",
+        val docs = Td.documents(s, d)
+        val ch = Dedup.chunkCids(docs, "doc_id", "text",
           chunkSize = 16, stride = 16)
         val reps = ch.groupBy("chunk_text").agg(min(col("cid")).as("cid"))
         val drop = Dedup.minhashPairs(reps, "cid", "chunk_text", n = 3,
@@ -2305,7 +2307,9 @@ object TextQueries {
           .select(col("id_b").as("cid")).distinct()
         val kept = reps.join(drop, Seq("cid"), "left_anti")
           .select(expr("cid div 1048576").as("doc_id"))
-        ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+        // n_chunks map-only (r18): the old rollup re-ran the full chunk
+        // Generate and a groupBy(doc_id) shuffle just to count chunks
+        Dedup.chunkCounts(docs, "doc_id", "text", 16, 16)
           .join(kept.groupBy("doc_id").agg(count(lit(1)).as("__k")),
             Seq("doc_id"), "left_outer")
           .select(col("doc_id"), col("n_chunks"),
@@ -2358,20 +2362,24 @@ object TextQueries {
     "q_chunk_neardup_capped" -> Q(
       (s, d) => {
         val cap = 4
-        val ch = Dedup.chunkCids(Td.documents(s, d), "doc_id", "text",
+        val docs = Td.documents(s, d)
+        val ch = Dedup.chunkCids(docs, "doc_id", "text",
           chunkSize = 16, stride = 16)
         val reps = ch.groupBy("chunk_text").agg(min(col("cid")).as("cid"))
-        val drop = Dedup.minhashPairs(reps, "cid", "chunk_text", n = 3,
-            tau = 0.5, bands = 32, rowsPerBand = 1, maxBucketWidth = cap)
-          .select(col("id_b").as("cid")).distinct()
-        val over = Dedup.overWideBuckets(reps, "cid", "chunk_text",
-            maxBucketWidth = cap, n = 3, numHashes = 32,
-            bands = 32, rowsPerBand = 1)
+        // ONE banding pass for the capped mine AND the overwide report
+        // (r18, Dedup.minhashPairsCapped): the unfused formulation derived
+        // the full shingle+minhash+band pipeline twice — once inside
+        // minhashPairs' cap window, once inside overWideBuckets
+        val (pairs, overW) = Dedup.minhashPairsCapped(reps, "cid", "chunk_text",
+          n = 3, tau = 0.5, maxBucketWidth = cap, bands = 32, rowsPerBand = 1)
+        val drop = pairs.select(col("id_b").as("cid")).distinct()
+        val over = overW
           .agg(count(lit(1)).as("n_overwide"),
             coalesce(sum("width"), lit(0L)).as("overwide_rows"))
         val kept = reps.join(drop, Seq("cid"), "left_anti")
           .select(expr("cid div 1048576").as("doc_id"))
-        ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+        // n_chunks map-only (r18) — same rollup rewrite as q_chunk_neardup
+        Dedup.chunkCounts(docs, "doc_id", "text", 16, 16)
           .join(kept.groupBy("doc_id").agg(count(lit(1)).as("__k")),
             Seq("doc_id"), "left_outer")
           .select(col("doc_id"), col("n_chunks"),
@@ -2443,9 +2451,10 @@ object TextQueries {
       (s, d) => {
         val docs = Td.documents(s, d)
         val batch = docs.filter(graft.operators.Sampling.hashBucket(col("doc_id")) >= 80)
-        val (reps, idx) = Td.chunkBandTables(s, d)
+        val (reps, idx, st) = Td.chunkBandTables(s, d)
         Dedup.chunkIncNearDup(batch, "doc_id", "text", reps, idx,
-          chunkSize = 16, stride = 16, n = 3, tau = 0.5)
+          chunkSize = 16, stride = 16, n = 3, tau = 0.5,
+          corpusState = Some(st))
       },
       Some(s"""WITH ${chunkCtesSql(16, 16)},
               |cdoc AS (SELECT doc_id, doc_id * 1048576 + chunk_idx AS cid,

@@ -204,6 +204,82 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept == Set(12L))
   }
 
+  test("dedupAgainstIndex: stored corpusState ≡ derived re-shingle (r18 probe path)") {
+    val base = "the quick brown fox jumps over the lazy dog while rain falls softly on the quiet green meadow today"
+    val fresh = "completely different subject matter here about spark shuffles partitions and broadcast joins at scale"
+    val corpus = Seq(
+      (1L, base),
+      (2L, "unrelated corpus filler text having many extra words"),
+      (3L, fresh.replace("joins", "unions")),
+    ).toDF("id", "text")
+    val batch = Seq(
+      (11L, base.replace("today", "tonight")),  // near-dup of corpus 1
+      (12L, fresh),                             // near-dup of corpus 3
+      (13L, fresh.replace("scale", "cost")),    // near-dup of 12 AND corpus 3
+      (14L, "a wholly novel batch document about gardening tools"),
+    ).toDF("id", "text")
+    val idx = Dedup.bandIndex(corpus, "id", "text")
+    val st = Dedup.verifyState(Dedup.explodedShingles(corpus, "id", "text", 3))
+    val derived = Dedup.dedupAgainstIndex(batch, "id", "text", corpus, idx)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val stored = Dedup.dedupAgainstIndex(batch, "id", "text", corpus, idx,
+        corpusState = Some(st))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(stored == derived)
+    // 11 collides with corpus 1 at J≈0.83 (well above the 8×4 S-curve) and
+    // must drop through the STORED-state verify; 14 is novel and survives.
+    // 12/13 sit near the banding S-curve (J≈0.6) — whether they collide is
+    // the banding's business, not this pin's: the pin is stored ≡ derived.
+    assert(!stored.contains(11L) && stored.contains(14L))
+  }
+
+  test("chunkCounts ≡ chunkCids rollup (map-only n_chunks, r18)") {
+    val docs = Seq(
+      (1L, ""),                                  // empty → 1 empty chunk
+      (2L, "one"),                               // 1 token → 1 chunk
+      (3L, Seq.fill(16)("w").mkString(" ")),     // exactly chunkSize → 1
+      (4L, Seq.fill(17)("w").mkString(" ")),     // chunkSize+1 → 2
+      (5L, (1 to 33).map("t" + _).mkString(" ")),// 33 tokens → 3 at 16/16
+      (6L, "punct,only...!!!"),                  // tokens: punct,only → 1
+    ).toDF("doc_id", "text")
+    for ((cs, st) <- Seq((16, 16), (5, 2), (4, 4))) {
+      val viaExplode = Dedup.chunkCids(docs, "doc_id", "text", cs, st)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaFormula = Dedup.chunkCounts(docs, "doc_id", "text", cs, st)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaFormula == viaExplode, s"chunkSize=$cs stride=$st")
+    }
+  }
+
+  test("minhashPairsCapped ≡ (minhashPairs cap + overWideBuckets): one-pass fusion") {
+    val boiler = "subscribe to our newsletter for daily updates and follow us on every social channel now"
+    val docs = Seq(
+      (1L, boiler),
+      (2L, boiler.replace("daily", "weekly")),
+      (3L, boiler.replace("daily", "nightly")),
+      (4L, boiler.replace("now", "today")),
+      (5L, "a completely unrelated document about growing tomatoes in raised garden beds"),
+      (6L, "a completely unrelated document about growing potatoes in raised garden beds"),
+    ).toDF("id", "text")
+    val cap = 2
+    val (p, ow) = Dedup.minhashPairsCapped(docs, "id", "text",
+      n = 3, tau = 0.5, maxBucketWidth = cap, bands = 32, rowsPerBand = 1)
+    val p0 = Dedup.minhashPairs(docs, "id", "text", n = 3, tau = 0.5,
+      maxBucketWidth = cap, bands = 32, rowsPerBand = 1)
+    val ow0 = Dedup.overWideBuckets(docs, "id", "text", maxBucketWidth = cap,
+      n = 3, numHashes = 32, bands = 32, rowsPerBand = 1)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def bucketSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairSet(p) == pairSet(p0))
+    assert(bucketSet(ow) == bucketSet(ow0))
+    // the planted 4-doc boilerplate cluster must actually trip the cap,
+    // else this pin proves nothing
+    assert(ow.count() > 0)
+  }
+
   test("contamination: containment fraction against the corpus shingle set") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps"),
