@@ -775,14 +775,26 @@ object Similarity {
     * metadata-only count — no data scan), base = total − appended.
     */
   def indexGrowth(spark: org.apache.spark.sql.SparkSession, root: String,
-                  dataDir: String): IndexGrowth = {
+                  dataDir: String): IndexGrowth =
+    indexGrowthAndBatches(spark, root, dataDir)._1
+
+  /** [[indexGrowth]] plus the append-batch count from the SAME applog read
+    * (r18): the gating queries need both, and reading the log twice (one
+    * sum agg + one count) paid two driver jobs per query run for one tiny
+    * relation. One agg returns (growth, n_batches).
+    */
+  def indexGrowthAndBatches(spark: org.apache.spark.sql.SparkSession, root: String,
+                            dataDir: String): (IndexGrowth, Long) = {
     val logPath = new org.apache.hadoop.fs.Path(s"$root/applog")
     val fs = logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val appended = if (!fs.exists(logPath)) 0L
-      else spark.read.parquet(s"$root/applog")
-        .agg(sum(col("rows"))).collect()(0).getLong(0)
+    val (appended, batches) = if (!fs.exists(logPath)) (0L, 0L)
+      else {
+        val r = spark.read.parquet(s"$root/applog")
+          .agg(sum(col("rows")), count(lit(1))).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
     val total = spark.read.parquet(s"$root/$dataDir").count()
-    IndexGrowth(total - appended, appended)
+    (IndexGrowth(total - appended, appended), batches)
   }
 
   private def appendLog(spark: org.apache.spark.sql.SparkSession, root: String,

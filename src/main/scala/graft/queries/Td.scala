@@ -119,13 +119,26 @@ object Td {
     * correctness + bench runs) either wins the rename or discards its copy
     * and reads the winner's — never a half-written root.
     */
+  // Root-naming count memo (r18): `n` is the source-slice row count that
+  // versions the index root — pure naming/staleness METADATA over an
+  // immutable input file, not a query result. Before this, EVERY stored-
+  // index accessor re-ran the count job on EVERY query run (3× per bench
+  // entry, ~30 index-backed queries): one small scan job apiece, pure
+  // fixed overhead. The memo keys on (kind, fmt, dir, table, mtime) — a
+  // regenerated source file changes mtime and recomputes; same-session
+  // identical inputs reuse the known count. The INDEX itself was already
+  // build-once by design (installDir); this only stops re-counting the
+  // unchanged source that names it.
+  private val rootCountMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, String, String, Long), Long]()
   private def indexRoot(s: SparkSession, kind: String, fmt: Int, d: String,
-                        table: String, n: Long): String = {
+                        table: String, n: => Long): String = {
     val p = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
     val mtime = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       .getFileStatus(p).getModificationTime
+    val cnt = rootCountMemo.computeIfAbsent((kind, fmt, d, table, mtime), _ => n)
     val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
-    System.getProperty("java.io.tmpdir") + s"/graft-$kind-f$fmt-$safe-m$mtime-n$n"
+    System.getProperty("java.io.tmpdir") + s"/graft-$kind-f$fmt-$safe-m$mtime-n$cnt"
   }
 
   /** Build into `root + tmp-suffix`, then atomically rename into `root`.
@@ -416,9 +429,10 @@ object Td {
     val emb = embeddings(s, d)
     val root = indexRoot(s, "ivfincindex", IvfIncIndexFormat, d, "embeddings", emb.count())
     installDir(s, root)(buildIvfIncInto(s, d, _))
-    (graft.operators.Similarity.ivfRead(s, root),
-      graft.operators.Similarity.indexGrowth(s, root, "assigned"),
-      s.read.parquet(s"$root/applog").count())
+    // one applog read for growth AND batch count (r18) — was two jobs
+    val (growth, batches) =
+      graft.operators.Similarity.indexGrowthAndBatches(s, root, "assigned")
+    (graft.operators.Similarity.ivfRead(s, root), growth, batches)
   }
 
   private val IvfPqIncIndexFormat = 1
@@ -427,9 +441,9 @@ object Td {
     val emb = embeddings(s, d)
     val root = indexRoot(s, "ivfpqincindex", IvfPqIncIndexFormat, d, "embeddings", emb.count())
     installDir(s, root)(buildIvfPqIncInto(s, d, _))
-    (graft.operators.Similarity.ivfPqRead(s, root, dim = 64),
-      graft.operators.Similarity.indexGrowth(s, root, "codes"),
-      s.read.parquet(s"$root/applog").count())
+    val (growth, batches) =
+      graft.operators.Similarity.indexGrowthAndBatches(s, root, "codes")
+    (graft.operators.Similarity.ivfPqRead(s, root, dim = 64), growth, batches)
   }
 
   private val ClustersFormat = 1
