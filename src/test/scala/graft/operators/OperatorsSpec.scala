@@ -185,10 +185,14 @@ class OperatorsSpec extends SparkSpec {
     val exact = Similarity.nearDupPairs(emb, "vec_id", "embedding", tau = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(exact.size >= 3 * 45 / 2) // clusters are tight: most within-cluster pairs clear 0.9
-    val banded = Similarity.lshPairs(emb, "vec_id", "embedding", tau = 0.9,
+    val bandedRows = Similarity.lshPairs(emb, "vec_id", "embedding", tau = 0.9,
         dim = 16, bits = 8, tables = 8)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val banded = bandedRows.toSet
     assert(banded == exact) // banded ≡ brute force, sims bit-identical
+    // r18 verify-first rewrite: multi-table collisions MUST still collapse
+    // to one output row per pair (the distinct moved after verification)
+    assert(bandedRows.length == banded.size)
     // a tight cap drops the wide within-cluster buckets and the reporter
     // names them with their widths
     val capped = Similarity.lshPairs(emb, "vec_id", "embedding", tau = 0.9,
