@@ -21,7 +21,25 @@ import org.apache.spark.sql.functions._
   *    exact semantics it was proven with on the ns path.
   */
 object Td {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = name match {
+  /** Table-plan cache (r18): one LAZY DataFrame per (session, dir, name) —
+    * the [[docShingles]] pattern applied to the base tables. Constructing a
+    * parquet relation costs ~50–65 ms per call on this box (footer/schema
+    * read + file listing + plan build, measured by
+    * examples/TableLoadProbe), and the battery constructs each table fresh
+    * on EVERY run of EVERY query — ~35+ s of pure driver-side overhead
+    * across 231 queries × 3 runs. The cached object is a plan, not data:
+    * every action still scans the parquet inputs; only the repeated
+    * footer/listing/analysis work is shared. Inputs are immutable within a
+    * session by the same contract the index roots rely on (mtime-versioned
+    * installs); eviction mirrors shingleCache's stopped-session sweep.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    tableCache
+      .computeIfAbsent(sessionId(spark),
+        _ => scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
+      .getOrElseUpdate((dir, name), tableFresh(spark, dir, name))
+
+  private def tableFresh(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/events.parquet")
@@ -33,6 +51,9 @@ object Td {
       }
     case _ => spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  private val tableCache = new java.util.concurrent.ConcurrentHashMap[
+    String, scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
@@ -75,6 +96,8 @@ object Td {
       id = java.util.UUID.randomUUID().toString
       sessionIds.put(s, id)
       shingleCache.entrySet.removeIf(e => e.getValue.values.headOption
+        .exists(_.sparkSession.sparkContext.isStopped))
+      tableCache.entrySet.removeIf(e => e.getValue.values.headOption
         .exists(_.sparkSession.sparkContext.isStopped))
     }
     id
