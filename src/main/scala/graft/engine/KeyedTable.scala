@@ -315,7 +315,7 @@ final class KeyedTable(
     if (!bucketed) {
       val hasData = fs.listStatus(new Path(s"$root/v=$v"))
         .exists(st => st.isFile && st.getPath.getName.startsWith("part-"))
-      if (hasData) spark.read.parquet(s"$root/v=$v") else emptyTyped
+      if (hasData) KeyedTable.cachedRead(spark, Seq(s"$root/v=$v")) else emptyTyped
     } else resolve(manifest, if (morActive) deltaMap else Map.empty)
   }
 
@@ -331,14 +331,14 @@ final class KeyedTable(
     */
   private def resolve(m: Map[Int, Long], dm: Map[Int, Seq[Long]]): DataFrame = {
     val basePaths = m.toSeq.map { case (b, ver) => s"$root/v=$ver/$BucketCol=$b" }
-    val base = if (basePaths.isEmpty) emptyTyped else spark.read.parquet(basePaths: _*)
+    val base = if (basePaths.isEmpty) emptyTyped else KeyedTable.cachedRead(spark, basePaths)
     if (dm.isEmpty) return base
     // one scan leg per delta VERSION (buckets of a version read together),
     // tagged with its version so per-key latest-wins is decidable
     val byVer = dm.toSeq.flatMap { case (b, vs) => vs.map(v => (v, b)) }
       .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq.sortBy(_._1)
     val deltas = byVer.map { case (v, bs) =>
-      spark.read.parquet(bs.map(b => s"$root/v=$v/$BucketCol=$b"): _*)
+      KeyedTable.cachedRead(spark, bs.map(b => s"$root/v=$v/$BucketCol=$b"))
         .withColumn(DeltaVerCol, lit(v))
     }.reduce(_.unionByName(_))
     val cols = base.columns.toSeq
@@ -1145,6 +1145,43 @@ final class KeyedTable(
 }
 
 object KeyedTable {
+  // Version-dir parquet READ-PLAN cache (r18): committed version directories
+  // are IMMUTABLE (every write commits a NEW v=<n>/ dir; compaction and
+  // overwrite bump the version; vacuum only deletes, and a vacuumed plan
+  // fails loudly at its next action exactly as a pre-resolved DataFrame
+  // does — the spec-pinned race contract is unchanged because every
+  // existence/manifest check still runs BEFORE the cache lookup). So the
+  // `spark.read.parquet(paths)` relation for a given path set can be built
+  // once per session: constructing it costs ~90 ms (footer/schema read +
+  // file listing + analysis, measured by examples/KtLoadProbe), and the
+  // maintained-state queries re-resolved it on every run. Keyed by the
+  // exact path seq; a new version, compaction, or delta chain changes the
+  // paths and misses. The cached object is a lazy plan — every action still
+  // scans the parquet files. Session mechanics mirror queries.Td's plan
+  // caches (sid string + stopped-context sweep; a WeakHashMap alone would
+  // leak, since cached plans strongly reference their session).
+  private val readSessionIds =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]()
+  private val readPlanCache = new java.util.concurrent.ConcurrentHashMap[
+    String, scala.collection.concurrent.TrieMap[Seq[String], org.apache.spark.sql.DataFrame]]()
+  private def readSessionId(s: org.apache.spark.sql.SparkSession): String =
+    readSessionIds.synchronized {
+      var id = readSessionIds.get(s)
+      if (id == null) {
+        id = java.util.UUID.randomUUID().toString
+        readSessionIds.put(s, id)
+        readPlanCache.entrySet.removeIf(e => e.getValue.values.headOption
+          .exists(_.sparkSession.sparkContext.isStopped))
+      }
+      id
+    }
+  private[engine] def cachedRead(spark: org.apache.spark.sql.SparkSession,
+                                 paths: Seq[String]): org.apache.spark.sql.DataFrame =
+    readPlanCache
+      .computeIfAbsent(readSessionId(spark),
+        _ => scala.collection.concurrent.TrieMap.empty[Seq[String], org.apache.spark.sql.DataFrame])
+      .getOrElseUpdate(paths, spark.read.parquet(paths: _*))
+
   val CurrentMarker = "_CURRENT"
   val BucketsMarker = "_BUCKETS"
   val SchemaMarker = "_SCHEMA"

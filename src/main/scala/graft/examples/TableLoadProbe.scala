@@ -32,3 +32,32 @@ object TableLoadProbe {
     spark.stop()
   }
 }
+
+/** Companion probe: repeated KeyedTable.current construction cost for the
+  * maintained-state accessors (r18 "not yet optimized" candidate).
+  */
+object KtLoadProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"PROBE $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+    }
+    Td.cdcOrdersTable(spark, d).current.count() // install + warm
+    Td.scd2OrdersTable(spark, d).current.count()
+    time("20x cdcOrders.current construct")(
+      (1 to 20).foreach(_ => Td.cdcOrdersTable(spark, d).current))
+    time("20x scd2Orders.current construct")(
+      (1 to 20).foreach(_ => Td.scd2OrdersTable(spark, d).current))
+    time("5x cdcOrders.current.count")(
+      (1 to 5).foreach(_ => Td.cdcOrdersTable(spark, d).current.count()))
+    spark.stop()
+  }
+}
