@@ -1543,7 +1543,7 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  private def chunkBounds(bits: Int, maxHamming: Int): Seq[Int] = {
+  private[operators] def chunkBounds(bits: Int, maxHamming: Int): Seq[Int] = {
     require(bits >= 1 && bits <= 64, s"signature width must be in [1, 64], got $bits")
     require(maxHamming >= 0 && maxHamming < bits,
       s"maxHamming must be in [0, $bits), got $maxHamming")
@@ -1555,7 +1555,7 @@ object Dedup {
     (0 to maxHamming + 1).map(c => c * bits / (maxHamming + 1))
   }
 
-  private def chunkOf(sh: Column, lo: Int, width: Int): Column =
+  private[operators] def chunkOf(sh: Column, lo: Int, width: Int): Column =
     shiftright(sh, lo).bitwiseAND(lit((1L << width) - 1))
 
   /** One (id, sh, cidx, cval) row per chunk of each signature. */

@@ -1369,6 +1369,26 @@ object Multimodal {
                                   minMatchFrac: Double = 0.8,
                                   frameStride: Int = 1): DataFrame = {
     require(frameStride >= 1, s"frameStride must be >= 1, got $frameStride")
+    val h0 = mineWidth(spark, hashes)
+    // Position-PAIR blocking (r19, verdict Next #1): the per-position miner
+    // below shuffles an ~85.6M-row candidate pair stream whose map-side
+    // partial count collapses nothing (avg ~1.2 matching positions per
+    // candidate — PROBE_vtier_r18.txt), and the frac filter then kills
+    // 99.8% of it. At minMatchFrac ≥ 0.75 a qualifying pair must match at
+    // BOTH positions of at least one disjoint consecutive sampled-position
+    // pair — non-matching positions q ≤ ⌊S/4⌋ each kill at most one of the
+    // ⌊S/2⌋ pairs and ⌊S/4⌋ ≤ ⌊S/2⌋−1 for every S ≥ 2 — so blocking on
+    // (position-pair, chunk-of-frame-1, chunk-of-frame-2) admits only
+    // candidates that match at two consecutive positions, which the
+    // single-position template collisions dominating the stream cannot do.
+    // Survivors are verified EXACTLY against per-video signature arrays
+    // (n_matching recomputed over every sampled position), so the output
+    // is row-identical by construction (MultimodalSpec pins new ≡ old on a
+    // planted corpus; the oracle pins it end-to-end). Below 0.75 the
+    // pigeonhole does not hold (a single miss can kill the only pair) and
+    // the per-position path remains.
+    if (minMatchFrac >= 0.75)
+      return videoPairsPairBlocked(spark, h0, maxHamming, minMatchFrac, frameStride)
     // NO signature-class collapse here, by measurement (r18): the plain
     // miner's whole pipeline is one streamed join→partial-agg chain — the
     // qualifying pair stream never materializes — and on the sf1 corpus the
@@ -1377,7 +1397,6 @@ object Multimodal {
     // stream cannot even be checkpointed without OOM, which is exactly why
     // streaming it wins). The collapse pays where it shrinks the expensive
     // FULL-RESOLUTION branches of the tiered router below (29.6 → 9.9 s).
-    val h0 = mineWidth(spark, hashes)
     val h = if (frameStride == 1) h0
       else h0.filter(col("frame_idx") % frameStride === 0)
     val lens = h0.groupBy("media_id").agg(max(col("n_frames")).as("nf"))
@@ -1396,6 +1415,210 @@ object Multimodal {
         col("n_matching").cast("double") / col("n_comparable").cast("double"))
       .filter(col("match_frac") >= minMatchFrac)
       .select("id_a", "id_b", "n_matching", "n_comparable", "match_frac")
+  }
+
+  /** The position-pair-blocked miner behind [[videoNearDupPairsFromHashes]]
+    * (minMatchFrac ≥ 0.75 arm). Three stages, none of which shuffles the
+    * old 85.6M-row pair stream:
+    *
+    *  1. one groupBy(media_id) builds the per-video ordered signature ARRAY
+    *     (one row per video — h0 is already partitioned by media_id, so no
+    *     extra exchange);
+    *  2. candidates: each video explodes one row per (consecutive
+    *     sampled-position pair t, chunk combo) — 2·(maxHamming+1)² chunk
+    *     rows per position-PAIR vs the old 2·(maxHamming+1) per position —
+    *     and the self-join on (t, combo, both chunk values) admits a pair
+    *     only where two consecutive positions BOTH match within maxHamming;
+    *     each surviving (pair, t) is emitted once (first-agreeing-combo
+    *     predicate, the [[Dedup.hammingPairs]] dedup rule applied to combo
+    *     space) and the distinct() runs over this collision-starved stream.
+    *     Videos whose own sampled count is 1 compare only position 0, and
+    *     at frac ≥ 0.75 that position MUST match — their position-0 frames
+    *     mine against everyone's in a single-position fallback branch
+    *     (disjoint by construction: an S=1 video emits no position-pair).
+    *  3. verify: survivors join the signature arrays (output-sized) and
+    *     n_matching / n_comparable / match_frac are recomputed EXACTLY over
+    *     every sampled position — so stages 1–2 only ever decide WHICH
+    *     pairs get verified, never what the stats are.
+    */
+  /** Pigeonhole chunk boundaries over the 64-bit dHash plus the chunk
+    * extractor and the (combo1, combo2) list the position-pair join blocks
+    * on — shared by the plain and tiered pair-blocked miners. */
+  private def ppChunks(maxHamming: Int): (Seq[(Int, Int)], (Column, Int) => Column) = {
+    val bounds = Dedup.chunkBounds(64, maxHamming)
+    val nChunks = bounds.length - 1
+    def chunk(sh: Column, c: Int): Column =
+      Dedup.chunkOf(sh, bounds(c), bounds(c + 1) - bounds(c))
+    val comboList = for { c1 <- 0 until nChunks; c2 <- 0 until nChunks } yield (c1, c2)
+    (comboList, chunk)
+  }
+
+  /** Per-video ordered signature arrays — the verify-side relation of the
+    * pair-blocked miners (one row per video; h0 is already partitioned by
+    * media_id so the groupBy adds no exchange). */
+  private def ppPerVideo(h0: DataFrame): DataFrame =
+    h0.groupBy("media_id").agg(max(col("n_frames")).as("nf"),
+        transform(array_sort(collect_list(struct(col("frame_idx"), col("dhash")))),
+          x => x.getField("dhash")).as("sig"))
+      .localCheckpoint()
+
+  /** One (id, t, chunk combo) row per consecutive position pair of each
+    * video: `npp` is the per-video pair count, `pos1`/`pos2` map t to the
+    * two 0-based frame positions. */
+  private def ppExplode(perV: DataFrame, npp: Column,
+                        pos1: Column => Column, pos2: Column => Column,
+                        comboList: Seq[(Int, Int)],
+                        chunk: (Column, Int) => Column): DataFrame =
+    perV.select(col("media_id").as("id"), col("sig"),
+        explode(when(npp >= 1, sequence(lit(0), npp - 1))
+          .otherwise(array().cast("array<int>"))).as("t"))
+      .select(col("id"), col("t"),
+        element_at(col("sig"), pos1(col("t")) + 1).as("f1"),
+        element_at(col("sig"), pos2(col("t")) + 1).as("f2"))
+      .select(col("id"), col("t"), col("f1"), col("f2"),
+        explode(array(comboList.map { case (c1, c2) =>
+          struct(lit(c1).as("c1"), lit(c2).as("c2"),
+            chunk(col("f1"), c1).as("v1"), chunk(col("f2"), c2).as("v2"))
+        }: _*)).as("k"))
+      .select(col("id"), col("t"), col("f1"), col("f2"),
+        col("k.c1").as("c1"), col("k.c2").as("c2"),
+        col("k.v1").as("v1"), col("k.v2").as("v2"))
+
+  /** Self-join of an exploded combo relation on (t, combo, both values):
+    * admits a pair only where BOTH positions match within maxHamming, each
+    * surviving (pair, t) emitted once from its first agreeing combo (the
+    * [[Dedup.hammingPairs]] dedup rule lifted to combo space). */
+  private def ppJoin(ex: DataFrame, comboList: Seq[(Int, Int)],
+                     chunk: (Column, Int) => Column, maxHamming: Int): DataFrame = {
+    def firstCombo(f1a: Column, f2a: Column, f1b: Column, f2b: Column): Column =
+      comboList.foldRight(struct(lit(-1).as("c1"), lit(-1).as("c2"))) {
+        case ((c1, c2), els) =>
+          when(chunk(f1a, c1) === chunk(f1b, c1) && chunk(f2a, c2) === chunk(f2b, c2),
+            struct(lit(c1).as("c1"), lit(c2).as("c2"))).otherwise(els)
+      }
+    ex.as("a").join(ex.as("b"),
+        col("a.t") === col("b.t") && col("a.c1") === col("b.c1") &&
+          col("a.c2") === col("b.c2") && col("a.v1") === col("b.v1") &&
+          col("a.v2") === col("b.v2") && col("a.id") < col("b.id"))
+      .filter(bit_count(col("a.f1").bitwiseXOR(col("b.f1"))) <= maxHamming &&
+        bit_count(col("a.f2").bitwiseXOR(col("b.f2"))) <= maxHamming)
+      .filter(struct(col("a.c1"), col("a.c2")) ===
+        firstCombo(col("a.f1"), col("a.f2"), col("b.f1"), col("b.f2")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+  }
+
+  /** Single-position fallback: position-0 frames of the videos selected by
+    * `s1` mined against EVERYONE's position-0 frames — the branch for pairs
+    * whose shorter side compares exactly one position (which at frac ≥ 0.75
+    * must match). Output normalized to id_a < id_b; both-s1 pairs appear in
+    * both orientations and collapse in the caller's distinct. */
+  private def ppFallback(perV: DataFrame, s1: Column, comboList: Seq[(Int, Int)],
+                         chunk: (Column, Int) => Column, maxHamming: Int): DataFrame = {
+    val nChunks = comboList.map(_._1).max + 1
+    val exS = perV.select(col("media_id").as("id"), s1.as("s1"),
+        element_at(col("sig"), 1).as("f0"))
+      .select(col("id"), col("s1"), col("f0"),
+        explode(array((0 until nChunks).map(c =>
+          struct(lit(c).as("c"), chunk(col("f0"), c).as("v"))): _*)).as("k"))
+      .select(col("id"), col("s1"), col("f0"),
+        col("k.c").as("c"), col("k.v").as("v"))
+    def firstChunk(fa: Column, fb: Column): Column =
+      (0 until nChunks).foldRight(lit(-1): Column) { (c, els) =>
+        when(chunk(fa, c) === chunk(fb, c), lit(c)).otherwise(els)
+      }
+    exS.filter(col("s1")).as("a").join(exS.as("b"),
+        col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+          col("a.id") =!= col("b.id"))
+      .filter(bit_count(col("a.f0").bitwiseXOR(col("b.f0"))) <= maxHamming)
+      .filter(col("a.c") === firstChunk(col("a.f0"), col("b.f0")))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+  }
+
+  /** Attach both videos' arrays to the distinct candidate pairs and
+    * recompute the exact stats: positions j·step(na,nb) for
+    * j < nComp(na,nb), matching iff within maxHamming. */
+  private def ppVerify(pairs: DataFrame, perV: DataFrame,
+                       nComp: (Column, Column) => Column,
+                       step: (Column, Column) => Column,
+                       maxHamming: Int, minMatchFrac: Double): DataFrame =
+    pairs.distinct()
+      .join(perV.select(col("media_id").as("id_a"), col("nf").as("__na"),
+        col("sig").as("__siga")), Seq("id_a"))
+      .join(perV.select(col("media_id").as("id_b"), col("nf").as("__nb"),
+        col("sig").as("__sigb")), Seq("id_b"))
+      .withColumn("n_comparable", nComp(col("__na"), col("__nb")).cast("long"))
+      .withColumn("__step", step(col("__na"), col("__nb")).cast("int"))
+      .withColumn("n_matching", aggregate(
+        sequence(lit(0), col("n_comparable").cast("int") - 1), lit(0L),
+        (acc, j) => acc + when(bit_count(
+          element_at(col("__siga"), j * col("__step") + 1)
+            .bitwiseXOR(element_at(col("__sigb"), j * col("__step") + 1))) <= maxHamming, 1L)
+          .otherwise(0L)))
+      .withColumn("match_frac",
+        col("n_matching").cast("double") / col("n_comparable").cast("double"))
+      .filter(col("match_frac") >= minMatchFrac)
+      .select("id_a", "id_b", "n_matching", "n_comparable", "match_frac")
+
+  private def videoPairsPairBlocked(spark: SparkSession, h0: DataFrame,
+                                    maxHamming: Int, minMatchFrac: Double,
+                                    stride: Int): DataFrame = {
+    val (comboList, chunk) = ppChunks(maxHamming)
+    val perV = ppPerVideo(h0)
+    // sampled-position count S and disjoint position-pair count ⌊S/2⌋
+    val S = (floor((col("nf") - 1) / stride) + 1).cast("int")
+    val ex = ppExplode(perV, (S / lit(2)).cast("int"),
+      t => t * (2 * stride), t => t * (2 * stride) + stride, comboList, chunk)
+    val cand = ppJoin(ex, comboList, chunk, maxHamming)
+    // fallback: pairs whose SHORTER side has a single sampled position
+    // (S == 1 ⟺ nf ≤ stride) compare only position 0
+    val candS1 = ppFallback(perV, S === 1, comboList, chunk, maxHamming)
+    ppVerify(cand.unionByName(candS1), perV,
+      nComp = (na, nb) => floor((least(na, nb) - 1) / stride) + 1,
+      step = (_, _) => lit(stride), maxHamming, minMatchFrac)
+  }
+
+  /** The tiered twin of [[videoPairsPairBlocked]]: a pair's tier — and with
+    * it its denominator rule — is decided by min(na, nb) alone (either side
+    * short ⟺ the MIN is short), so three disjoint-coverage candidate
+    * branches feed ONE exact verify that recomputes each pair's stats under
+    * its own tier's rule:
+    *   A. consecutive PREFIX position pairs (positions < min(nf, tierMin)) —
+    *      covers every full-resolution pair with m ≥ 2 (its witness pair
+    *      sits at 2t+1 ≤ m−1 < tierMin, within both videos' key ranges);
+    *   B. consecutive SAMPLED position pairs over LONG videos only — covers
+    *      both-long pairs (S_m ≥ 8 sampled positions by the tier bound, so
+    *      the pigeonhole holds with room);
+    *   C. the position-0 fallback for m = 1 pairs (nf = 1 side).
+    * Branches may overlap (a both-long pair can match at prefix AND sampled
+    * pairs) — the verify runs after one distinct(), so overlap costs rows,
+    * never correctness. */
+  private def videoPairsTieredPairBlocked(spark: SparkSession, h0: DataFrame,
+                                          maxHamming: Int, minMatchFrac: Double,
+                                          stride: Int, tierMin: Int): DataFrame = {
+    val (comboList, chunk) = ppChunks(maxHamming)
+    val perV = ppPerVideo(h0)
+    val exA = ppExplode(perV, (least(col("nf"), lit(tierMin)) / 2).cast("int"),
+      t => t * 2, t => t * 2 + 1, comboList, chunk)
+    val SB = (floor((col("nf") - 1) / stride) + 1).cast("int")
+    val nppB = when(col("nf") >= tierMin, (SB / lit(2)).cast("int")).otherwise(lit(0))
+    val exB = ppExplode(perV, nppB,
+      t => t * (2 * stride), t => t * (2 * stride) + stride, comboList, chunk)
+    // C covers every pair whose comparison has exactly ONE position: m = 1
+    // full-res pairs always, plus — only under exotic knobs with
+    // tierMin ≤ stride — both-long pairs whose single sampled position is 0
+    // (m ≤ stride). The shorter side decides (nf = m for the min side).
+    val oneShot = col("nf") === 1 ||
+      (col("nf") >= tierMin && col("nf") <= stride)
+    val cand = ppJoin(exA, comboList, chunk, maxHamming)
+      .unionByName(ppJoin(exB, comboList, chunk, maxHamming))
+      .unionByName(ppFallback(perV, oneShot, comboList, chunk, maxHamming))
+    def full(na: Column, nb: Column): Column = na < tierMin || nb < tierMin
+    ppVerify(cand, perV,
+      nComp = (na, nb) => when(full(na, nb), least(na, nb))
+        .otherwise(floor((least(na, nb) - 1) / stride) + 1),
+      step = (na, nb) => when(full(na, nb), lit(1)).otherwise(lit(stride)),
+      maxHamming, minMatchFrac)
   }
 
   /** TWO-TIER video near-dup (r13): the production recipe the valve sweep
@@ -1448,6 +1671,22 @@ object Multimodal {
     // has a denominator of ≥ 8 sampled positions — the valve sweep's failure
     // mode was exactly denominators of 1–3 positions.
     val tierMin = if (tierMinFrames > 0) tierMinFrames else 8 * frameStride
+    // Position-pair blocking (r19): same rewrite as the plain miner — see
+    // [[videoPairsPairBlocked]]. The tier rule survives intact because a
+    // pair's CLASS is decided by min(nf) alone (either side short ⟺
+    // min(na,nb) < tierMin), so the exact verify recomputes each pair's
+    // denominator and matching positions from the two lengths — the
+    // candidate branches only ever decide WHICH pairs get verified. At
+    // minMatchFrac ≥ 0.75 the pigeonhole guarantees coverage per branch:
+    // full-res pairs (m < tierMin) from consecutive PREFIX position pairs,
+    // both-long pairs (S_m ≥ 8) from consecutive SAMPLED position pairs,
+    // m = 1 pairs from the position-0 fallback. This replaces the
+    // class-collapse + tagged-mine machinery whose pair-group shuffle was
+    // the family's last big exchange (11.9 s vs the rewritten plain
+    // miner's 2.8 s at sf1).
+    if (minMatchFrac >= 0.75)
+      return videoPairsTieredPairBlocked(spark, mineWidth(spark, hashes),
+        maxHamming, minMatchFrac, frameStride, tierMin)
     // ONE tagged mine instead of three composed branches (r18; the tier
     // probe measured the old shortSelf/cross/longSelf composition — three
     // mines, per-branch checkpoints, a union, six agg-side joins — at ~2×

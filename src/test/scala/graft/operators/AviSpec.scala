@@ -149,6 +149,107 @@ class AviSpec extends SparkSpec {
     assert(pairs((4L, 12L)) == ((5L, 1.0)), pairs)
   }
 
+  test("pair-blocked miner matches a first-principles recount (strides 1 and 2, S=1 fallback)") {
+    // r19 rewrite pin: videoNearDupPairsFromHashes at minMatchFrac >= 0.75
+    // mines candidates via consecutive-position-PAIR blocking and verifies
+    // against per-video signature arrays. The expectation below recomputes
+    // every pair's stats from the raw dHashes with plain Scala loops — an
+    // oracle independent of BOTH the old and new plans. The corpus covers:
+    // exact clones, a tail-edited near-clone at the frac boundary, an
+    // unrelated video, a 1-frame video (stride-1 fallback branch) and a
+    // 2-frame prefix video (stride-2 fallback branch).
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta " * 4 // 4 frames @48
+    val t2 = "one two three four five six seven eight nine ten " * 4
+    val docs = Seq(
+      (1L, t1), (11L, t1),             // exact clone pair
+      (2L, t2),                        // unrelated
+      (3L, t1.take(144) + "9876543210 QQQQ WWWW EEEE RRRR TTTT YYYY "), // last frame swapped
+      (5L, t1.take(48)),               // 1 frame (= frame 0 of t1): S=1 at stride 1 AND 2
+      (6L, t1.take(96)),               // 2 frames: S=1 at stride 2 only
+    ).toDF("id", "text")
+    val media = Multimodal.asAviMediaTable(spark, docs, "id", "text",
+      blocksPerRow = 10, frameBytes = 48)
+    val h = Multimodal.videoFrameDHash(spark, media).collect()
+    val sig = h.map(r => (r.getLong(0), r.getInt(1)) -> r.getAs[Long]("dhash")).toMap
+    val nf = h.groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(1)).max + 1).toMap
+    def expected(stride: Int): Set[(Long, Long, Long, Long, Double)] = {
+      val ids = nf.keys.toSeq.sorted
+      (for {
+        i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
+        a = ids(i); b = ids(j)
+        m = math.min(nf(a), nf(b))
+        nComp = (m - 1) / stride + 1
+        nMatch = (0 until nComp).count { k =>
+          java.lang.Long.bitCount(sig((a, k * stride)) ^ sig((b, k * stride))) <= 1
+        }
+        frac = nMatch.toDouble / nComp
+        if frac >= 0.8
+      } yield (a, b, nMatch.toLong, nComp.toLong, frac)).toSet
+    }
+    val hashes = Multimodal.videoFrameDHash(spark, media).localCheckpoint()
+    for (stride <- Seq(1, 2)) {
+      val got = Multimodal.videoNearDupPairsFromHashes(spark, hashes,
+          maxHamming = 1, minMatchFrac = 0.8, frameStride = stride)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(got == expected(stride), s"stride $stride: got $got want ${expected(stride)}")
+      // sanity: the corpus actually exercises the fallback branch
+      assert(got.exists(p => p._1 == 5L || p._2 == 5L), s"stride $stride: no S=1 pair")
+    }
+    // the 2-frame prefix video pairs through the stride-2 fallback too
+    val s2 = Multimodal.videoNearDupPairsFromHashes(spark, hashes,
+        maxHamming = 1, minMatchFrac = 0.8, frameStride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(s2.contains((1L, 6L)), s2)
+  }
+
+  test("tiered pair-blocked miner matches a first-principles recount") {
+    // r19: videoNearDupPairsTieredFromHashes' pair-blocked arm, pinned the
+    // same way — stats recomputed with plain Scala under the tier rule
+    // (full resolution when min(nf) < tierMin, sampled otherwise). Corpus
+    // spans both tiers, the cross-tier prefix case, a 1-frame video (the
+    // m=1 fallback) and a long near-clone.
+    val short = "alpha beta gamma delta epsilon zeta eta theta " * 5 // 5 frames
+    val long = "one two three four five six seven eight nine ten " * 10 // 11 frames
+    val docs = Seq(
+      (1L, short), (11L, short),
+      (2L, long), (12L, long),
+      (3L, short.take(192) + "9876543210 QQQQ WWWW EEEE RRRR TTTT YYYY "),
+      (4L, long.take(240)),            // 5-frame prefix of long: cross-tier
+      (5L, long.take(48)),             // 1 frame: m=1 fallback
+      (6L, long.take(480) + "zzzz " * 20), // long near-clone, tail drifted
+    ).toDF("id", "text")
+    val media = Multimodal.asAviMediaTable(spark, docs, "id", "text",
+      blocksPerRow = 10, frameBytes = 48)
+    val h = Multimodal.videoFrameDHash(spark, media).localCheckpoint()
+    val rows = h.collect()
+    val sig = rows.map(r => (r.getLong(0), r.getInt(1)) -> r.getAs[Long]("dhash")).toMap
+    val nf = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(1)).max + 1).toMap
+    val (stride, tierMin) = (2, 8)
+    val ids = nf.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.indices.iterator; j <- (i + 1 until ids.length).iterator
+      a = ids(i); b = ids(j)
+      m = math.min(nf(a), nf(b))
+      full = m < tierMin
+      step = if (full) 1 else stride
+      nComp = if (full) m else (m - 1) / stride + 1
+      nMatch = (0 until nComp).count { k =>
+        java.lang.Long.bitCount(sig((a, k * step)) ^ sig((b, k * step))) <= 1
+      }
+      frac = nMatch.toDouble / nComp
+      if frac >= 0.8
+    } yield (a, b, nMatch.toLong, nComp.toLong, frac)).toSet
+    val got = Multimodal.videoNearDupPairsTieredFromHashes(spark, h,
+        maxHamming = 1, minMatchFrac = 0.8, frameStride = stride, tierMinFrames = tierMin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got == expected, s"got $got want $expected")
+    // the corpus exercises the fallback and both tiers
+    assert(expected.exists(p => p._1 == 5L || p._2 == 5L), "no m=1 pair in corpus")
+    assert(expected.exists(p => p._4 == 6L), "no sampled-denominator pair") // 11-frame pairs
+  }
+
   test("videoFrameDHash: tail edit changes only the final frame's hash") {
     val t = "alpha beta gamma delta epsilon zeta eta theta " * 4
     val docs = Seq((1L, t), (2L, t + "QQQQ")).toDF("id", "text")
