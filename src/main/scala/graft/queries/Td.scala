@@ -33,11 +33,20 @@ object Td {
     * session by the same contract the index roots rely on (mtime-versioned
     * installs); eviction mirrors shingleCache's stopped-session sweep.
     */
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // mtime in the key (r19, verdict #2): [[indexRoot]]'s memo already keys
+    // on source mtime; without it a base parquet regenerated mid-session
+    // would keep reading through a stale InMemoryFileIndex (silently
+    // missing the new files). One getFileStatus per call (~µs on local fs)
+    // buys the staleness check; TdCacheSpec pins the regenerate-and-reread.
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val mtime = try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).getModificationTime catch { case _: java.io.IOException => 0L }
     tableCache
       .computeIfAbsent(sessionId(spark),
-        _ => scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
-      .getOrElseUpdate((dir, name), tableFresh(spark, dir, name))
+        _ => scala.collection.concurrent.TrieMap.empty[(String, String, Long), DataFrame])
+      .getOrElseUpdate((dir, name, mtime), tableFresh(spark, dir, name))
+  }
 
   private def tableFresh(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
@@ -53,7 +62,7 @@ object Td {
   }
 
   private val tableCache = new java.util.concurrent.ConcurrentHashMap[
-    String, scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+    String, scala.collection.concurrent.TrieMap[(String, String, Long), DataFrame]]()
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
